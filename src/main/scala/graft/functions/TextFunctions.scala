@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline operators:
+  * tokenization, shingling, deterministic hashing, MinHash signatures,
+  * SimHash. Everything is built from codegen'd Spark builtins (higher-order
+  * array functions + md5/conv) — no UDFs — so the whole pipeline stays
+  * inside whole-stage codegen and is reproducible in any engine that has
+  * md5 (the DuckDB oracles mirror the arithmetic exactly).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the lower-cased text. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct word n-gram shingles (space-joined). Empty array when the
+    * document has fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, (i + j).cast("int"))): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+
+  /** 28-bit deterministic string hash: first 7 hex digits of md5.
+    * Small enough that `a*h+b` stays well inside Long for 31-bit `a`. */
+  def hash28(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  /** 60-bit deterministic string hash: first 15 hex digits of md5. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Fixed universal-hash parameters (a_k, b_k) for the K MinHash
+    * permutations — shared verbatim with the DuckDB oracle SQL. */
+  val MinhashPrime: Long = 2147483647L // 2^31 - 1
+  val MinhashPerms: Seq[(Long, Long)] =
+    (0 until 16).map { k =>
+      val a = ((2L * k + 1L) * 40503L) % MinhashPrime
+      val b = (k * 104729L + 12345L) % MinhashPrime
+      (a, b)
+    }
+
+  /** MinHash signature (array<long> of length K) over a shingle array:
+    * sig_k = min over shingles of (a_k * hash28(s) + b_k) mod p.
+    * Null when the shingle set is empty. */
+  def minhashSignature(shingleCol: Column): Column = {
+    val hs = transform(shingleCol, s => hash28(s))
+    val sig = MinhashPerms.map { case (a, b) =>
+      array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(MinhashPrime))))
+    }
+    when(size(shingleCol) > 0, array(sig: _*)).otherwise(lit(null))
+  }
+
+  /** LSH band keys: md5 of each band's comma-joined signature slice.
+    * bands × rowsPerBand must equal the signature length. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      md5(concat_ws(",",
+        transform(slice(sig, (b * rowsPerBand + 1).cast("int"), lit(rowsPerBand)),
+          x => x.cast("string")))))
+
+  /** 60-bit SimHash over the (possibly repeated) token array: bit b of the
+    * result is the majority vote of bit b across each token's hash60.
+    * The bit loop unrolls Scala-side into 60 mask constants (functions.
+    * shiftright only accepts literal shift amounts). */
+  def simhash60(toks: Column): Column = {
+    val hs = transform(toks, t => hash60(t))
+    val n = size(hs)
+    (0 until 60).map { b =>
+      val mask = 1L << b
+      // (h & mask)/mask is exactly 0 or 1; division by a power of two is
+      // exact in double for these magnitudes
+      val bitSum = aggregate(hs, lit(0L),
+        (acc, h) => acc + (h.bitwiseAND(lit(mask)) / lit(mask)).cast("long"))
+      when(bitSum * 2 > n, lit(mask)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Normalized-whitespace md5 document fingerprint (rolling-hash analog). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Count of tokens that appear in a fixed stopword list. */
+  def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+
+  /** Per-language stopword lists for the n-gram language-ID heuristic.
+    * Order is the tie-break priority. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "不"))
+
+  /** Language-ID heuristic: argmax of stopword votes with strict-majority
+    * chain in declaration order; "und" (undetermined) when no list scores
+    * above zero. */
+  def langId(toks: Column): Column = {
+    val scores = LangStopwords.map { case (lang, words) =>
+      lang -> stopwordCount(toks, words)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, score), els) =>
+      when(score === best && best > 0, lang).otherwise(els)
+    }
+  }
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis + deduplication operators over the `documents` table — the
+  * LLM-training-data-pipeline surface (BASELINE.json north star): exact
+  * dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard verification,
+  * language ID, quality scoring, token stats, fingerprinting.
+  *
+  * Every operator is deterministic builtin-only arithmetic (md5-derived
+  * hashes), so even MinHash and SimHash carry full DuckDB oracles.
+  *
+  * Scale: the near-dup pipeline is MinHash-LSH — candidates come from
+  * band-bucket equality joins (shuffle on band key, O(docs·bands) rows),
+  * never an all-pairs cross join; exact Jaccard runs only on candidates.
+  * This is the shape that survives 100 TB: banding keys partition the
+  * shuffle, and bucket skew is bounded by the band hash.
+  */
+object TextQueries {
+
+  /** Shared SQL fragments so the Spark and DuckDB sides can't drift. */
+  private val tokSql = """regexp_split_to_array(lower(text), '\s+')"""
+  private def shingleSql(toks: String) =
+    s"""list_distinct(CASE WHEN len($toks) >= 3
+       | THEN [$toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]
+       |       for i in generate_series(1, len($toks)-2)]
+       | ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
+
+  /** Token statistics (counts, uniques, chars). */
+  val docTokenStats = OracleQuery(
+    "d01_doc_token_stats",
+    s"""SELECT doc_id,
+       |  CAST(len($tokSql) AS INT) AS n_tokens,
+       |  CAST(len(list_distinct($tokSql)) AS INT) AS n_unique_tokens,
+       |  CAST(length(text) AS INT) AS n_chars_calc
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_unique_tokens"),
+      length(col("text")).as("n_chars_calc"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/alpha/stopword ratios + when-chain band. */
+  val docQuality = OracleQuery(
+    "d02_doc_quality",
+    s"""WITH t AS (
+       |  SELECT doc_id, text, $tokSql AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_tokens,
+       |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |      / len(toks) AS avg_tok_len,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS alpha_ratio,
+       |    CAST(len(list_filter(toks,
+       |      t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+       |      / len(toks) AS stopword_ratio
+       |  FROM t)
+       |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       |  round(avg_tok_len, 4) AS avg_tok_len,
+       |  round(alpha_ratio, 4) AS alpha_ratio,
+       |  round(stopword_ratio, 4) AS stopword_ratio,
+       |  CASE WHEN n_tokens >= 50 AND stopword_ratio BETWEEN 0.05 AND 0.6 THEN 'high'
+       |       WHEN n_tokens >= 20 THEN 'medium'
+       |       ELSE 'low' END AS quality_band
+       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = tokens(col("text"))
+    val enWords = LangStopwords.head._2
+    val m = Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(toks))
+        .as("avg_tok_len"),
+      (length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
+        / length(col("text"))).as("alpha_ratio"),
+      (stopwordCount(toks, enWords).cast("double") / size(toks)).as("stopword_ratio"))
+    m.select(
+      col("doc_id"), col("n_tokens"),
+      round(col("avg_tok_len"), 4).as("avg_tok_len"),
+      round(col("alpha_ratio"), 4).as("alpha_ratio"),
+      round(col("stopword_ratio"), 4).as("stopword_ratio"),
+      when(col("n_tokens") >= 50 && col("stopword_ratio").between(0.05, 0.6), "high")
+        .when(col("n_tokens") >= 20, "medium")
+        .otherwise("low").as("quality_band"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: stopword votes per language, argmax with
+    * declaration-order tie-break, "und" when no votes. */
+  val docLangId = OracleQuery(
+    "d03_doc_langid", {
+      val scoreCols = LangStopwords.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($list))) AS s_$lang"
+      }.mkString(",\n    ")
+      val best = LangStopwords.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+      val cases = LangStopwords.map { case (lang, _) =>
+        s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString("\n    ")
+      s"""WITH t AS (SELECT doc_id, lang, $tokSql AS toks FROM documents),
+         |v AS (SELECT doc_id, lang,
+         |    $scoreCols
+         |  FROM t),
+         |b AS (SELECT *, $best AS best FROM v)
+         |SELECT doc_id, lang AS labeled_lang,
+         |  CASE $cases ELSE 'und' END AS predicted_lang
+         |FROM b ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      langId(tokens(col("text"))).as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Normalized-md5 document fingerprint. */
+  val docFingerprint = OracleQuery(
+    "d04_doc_fingerprint",
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup: hash-groupBy on the normalized fingerprint, deterministic
+    * canonical survivor (min doc_id). At scale this is one hash shuffle on
+    * a 128-bit key — the standard exact-dedup shape. */
+  val docExactDedup = OracleQuery(
+    "d05_doc_exact_dedup",
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |  min(doc_id) AS canonical_doc_id, count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_docs"))
+      .orderBy("canonical_doc_id")
+  }
+
+  /** 60-bit SimHash per document (majority-vote bits of md5 token hashes). */
+  val docSimhash = OracleQuery(
+    "d06_doc_simhash",
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    list_transform($tokSql,
+       |      t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hs
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(list_sum(list_transform(generate_series(0, 59), b ->
+       |    CASE WHEN 2 * list_sum(list_transform(hs, x -> (x >> b) & 1)) > len(hs)
+       |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+       |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), simhash60(tokens(col("text"))).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash signatures + LSH banding + exact-Jaccard verification: the
+    * scalable near-dup pipeline (candidates from band-bucket joins, never
+    * an all-pairs cross join). K=16 permutations, 4 bands × 4 rows;
+    * verification threshold 0.7 on word-3-gram Jaccard. */
+  val docMinhashNearDup = OracleQuery(
+    "d07_doc_neardup_minhash_lsh", {
+      val sigEntries = MinhashPerms.map { case (a, b) =>
+        s"list_min(list_transform(h, x -> (x * $a + $b) % $MinhashPrime))"
+      }.mkString(",\n      ")
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),
+         |hs AS (
+         |  SELECT doc_id, s,
+         |    list_transform(s, x -> ('0x' || substring(md5(x), 1, 7))::BIGINT) AS h
+         |  FROM sh WHERE len(s) > 0),
+         |sig AS (
+         |  SELECT doc_id, s, [
+         |      $sigEntries
+         |    ] AS sig
+         |  FROM hs),
+         |bands AS (
+         |  SELECT doc_id, s, b,
+         |    md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bh
+         |  FROM sig, generate_series(0, 3) g(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |verify AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = doc_a
+         |  JOIN sh sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+         |FROM verify WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sh = docs
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("s"))
+      .filter(size(col("s")) > 0)
+    val sig = sh.select(col("doc_id"),
+      minhashSignature(col("s")).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(bandKeys(col("sig"), 4, 4)).as(Seq("b", "bh")))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bh") === col("y.bh")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb")))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      .withColumn("jac", jac)
+      .filter(col("jac") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[OracleQuery] = Seq(
+    docTokenStats, docQuality, docLangId, docFingerprint,
+    docExactDedup, docSimhash, docMinhashNearDup)
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Embedding-column operators over the `embeddings` table: norms, per-label
+  * centroids, cosine near-dup pairs, and brute-force ANN top-k (the exact
+  * baseline the LSH/IVF variants are measured against).
+  *
+  * All math is double (float inputs cast up) through codegen'd zip_with /
+  * aggregate — identical sequential fold order to the DuckDB oracle, so
+  * results hash-match after round(…,4).
+  *
+  * Scale: brute-force top-k is O(|Q|·N) with broadcast of the query set —
+  * the right baseline when |Q| is small; the bucketed variant
+  * (SimilaritySearch.srpTopK) bounds candidates per query for large |Q|.
+  */
+object VectorQueries {
+
+  private val embSql =
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+  private val normSql =
+    s"SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM ($embSql)"
+  private val dotSql =
+    "list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]))"
+
+  /** L2 norms per vector. */
+  val embNorms = OracleQuery(
+    "v01_emb_norms",
+    s"""SELECT vec_id, round(nrm, 4) AS l2_norm
+       |FROM ($normSql) ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        round(l2Norm(toDouble(col("embedding"))), 4).as("l2_norm"))
+      .orderBy("vec_id")
+  }
+
+  /** Per-label centroids, one row per (label, dimension) — elementwise mean
+    * via posexplode + grouped avg (the distributed way to average vectors;
+    * no driver-side collection). */
+  val embCentroids = OracleQuery(
+    "v02_emb_centroids",
+    """SELECT label, CAST(i AS INT) AS dim, round(avg(v[i]), 4) AS centroid
+      |FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings), generate_series(1, 64) g(i)
+      |GROUP BY label, i ORDER BY label, dim""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).cast("int").as("dim"))
+      .agg(round(avg(col("x")), 4).as("centroid"))
+      .orderBy("label", "dim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold.
+    * Threshold applies to the *rounded* value in both engines so borderline
+    * floating-point noise cannot flip membership. */
+  val embNearDupPairs = OracleQuery(
+    "v03_emb_neardup_pairs",
+    s"""WITH n AS ($normSql)
+       |SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+       |  round($dotSql / (q.nrm * c.nrm), 4) AS cos_sim
+       |FROM n q JOIN n c ON q.vec_id < c.vec_id
+       |WHERE round($dotSql / (q.nrm * c.nrm), 4) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos_sim") >= 0.4)
+      .select("id_a", "id_b", "cos_sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force cosine top-k: exact nearest neighbors for the query set
+    * (vec_id < 5), ranked desc with id tie-break. */
+  val embAnnTopK = OracleQuery(
+    "v04_emb_ann_topk",
+    s"""WITH n AS ($normSql),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $dotSql / (q.nrm * c.nrm) AS cos
+       |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM p)
+       |SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, CAST(rnk AS INT) AS rnk
+       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val all: Seq[OracleQuery] = Seq(embNorms, embCentroids, embNearDupPairs, embAnnTopK)
+}
