@@ -12,7 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens of the lower-cased text. */
+  /** Whitespace tokens of the lower-cased text.
+    *
+    * PERF: always materialize this as its own projection column
+    * (`.withColumn("toks", tokens(col("text")))`) before passing it to
+    * [[shingles]]/[[langId]]/etc. Spark's subexpression elimination does not
+    * descend into higher-order-function lambda bodies, so an inline
+    * `tokens(...)` expression referenced from a lambda re-runs the regex
+    * split once per array element (measured 14 s of a 33 s query at sf0.1). */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
   /** Distinct word n-gram shingles (space-joined). Empty array when the
@@ -43,15 +50,19 @@ object TextFunctions {
       (a, b)
     }
 
-  /** MinHash signature (array<long> of length K) over a shingle array:
-    * sig_k = min over shingles of (a_k * hash28(s) + b_k) mod p.
-    * Null when the shingle set is empty. */
-  def minhashSignature(shingleCol: Column): Column = {
-    val hs = transform(shingleCol, s => hash28(s))
+  /** MinHash signature (array<long> of length K) over a PRE-HASHED shingle
+    * array (`transform(shingles, hash28)` materialized as its own column):
+    * sig_k = min over hashes of (a_k * h + b_k) mod p.
+    *
+    * Takes the hash column, not the shingle column, on purpose: referencing
+    * an md5-bearing expression from all K signature entries would make
+    * Catalyst evaluate the md5 transform K times (no CSE across array
+    * elements) — a 16× md5 blowup measured at 40 s vs 3 s at sf0.1. */
+  def minhashSignature(hashCol: Column): Column = {
     val sig = MinhashPerms.map { case (a, b) =>
-      array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(MinhashPrime))))
+      array_min(transform(hashCol, h => pmod(h * lit(a) + lit(b), lit(MinhashPrime))))
     }
-    when(size(shingleCol) > 0, array(sig: _*)).otherwise(lit(null))
+    when(size(hashCol) > 0, array(sig: _*)).otherwise(lit(null))
   }
 
   /** LSH band keys: md5 of each band's comma-joined signature slice.
@@ -62,12 +73,13 @@ object TextFunctions {
         transform(slice(sig, (b * rowsPerBand + 1).cast("int"), lit(rowsPerBand)),
           x => x.cast("string")))))
 
-  /** 60-bit SimHash over the (possibly repeated) token array: bit b of the
-    * result is the majority vote of bit b across each token's hash60.
-    * The bit loop unrolls Scala-side into 60 mask constants (functions.
-    * shiftright only accepts literal shift amounts). */
-  def simhash60(toks: Column): Column = {
-    val hs = transform(toks, t => hash60(t))
+  /** 60-bit SimHash over a PRE-HASHED token array
+    * (`transform(toks, hash60)` materialized as its own column — see the
+    * [[tokens]] perf note; the 60 bit-sums would otherwise re-evaluate the
+    * md5 transform 60×): bit b of the result is the majority vote of bit b
+    * across each token's hash60. The bit loop unrolls Scala-side into 60
+    * mask constants (functions.shiftright only accepts literal shifts). */
+  def simhash60(hs: Column): Column = {
     val n = size(hs)
     (0 until 60).map { b =>
       val mask = 1L << b

@@ -14,11 +14,14 @@ object VectorFunctions {
   /** Elementwise-double copy of a float array column. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Sequential-fold dot product — delegates to the codegen'd native
+    * expression ([[graft.expressions.VectorExpressions]]); identical
+    * accumulation order to `aggregate(zip_with(a,b,*),0,+)` and to DuckDB's
+    * list_sum, so oracle results are bit-equal. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.expressions.VectorExpressions.dotNative(a, b)
 
-  def l2Norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Cosine similarity of two double arrays (null/NaN-safe only insofar as
     * the inputs are; zero-norm vectors yield NaN, matching the oracle). */

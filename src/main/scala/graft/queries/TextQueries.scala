@@ -37,12 +37,13 @@ object TextQueries {
        |  CAST(len(list_distinct($tokSql)) AS INT) AS n_unique_tokens,
        |  CAST(length(text) AS INT) AS n_chars_calc
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val toks = tokens(col("text"))
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_unique_tokens"),
-      length(col("text")).as("n_chars_calc"))
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_unique_tokens"),
+        length(col("text")).as("n_chars_calc"))
       .orderBy("doc_id")
   }
 
@@ -70,16 +71,18 @@ object TextQueries {
        |       WHEN n_tokens >= 20 THEN 'medium'
        |       ELSE 'low' END AS quality_band
        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val toks = tokens(col("text"))
     val enWords = LangStopwords.head._2
-    val m = Tables.documents(s, d).select(
-      col("doc_id"),
-      size(toks).as("n_tokens"),
-      (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(toks))
-        .as("avg_tok_len"),
-      (length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
-        / length(col("text"))).as("alpha_ratio"),
-      (stopwordCount(toks, enWords).cast("double") / size(toks)).as("stopword_ratio"))
+    val m = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(col("toks")))
+          .as("avg_tok_len"),
+        (length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
+          / length(col("text"))).as("alpha_ratio"),
+        (stopwordCount(col("toks"), enWords).cast("double") / size(col("toks")))
+          .as("stopword_ratio"))
     m.select(
       col("doc_id"), col("n_tokens"),
       round(col("avg_tok_len"), 4).as("avg_tok_len"),
@@ -112,9 +115,11 @@ object TextQueries {
          |  CASE $cases ELSE 'und' END AS predicted_lang
          |FROM b ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-    Tables.documents(s, d).select(
-      col("doc_id"), col("lang").as("labeled_lang"),
-      langId(tokens(col("text"))).as("predicted_lang"))
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        langId(col("toks")).as("predicted_lang"))
       .orderBy("doc_id")
   }
 
@@ -157,7 +162,9 @@ object TextQueries {
        |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
        |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"), simhash60(tokens(col("text"))).as("simhash"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("hs", transform(col("toks"), t => hash60(t)))
+      .select(col("doc_id"), simhash60(col("hs")).as("simhash"))
       .orderBy("doc_id")
   }
 
@@ -200,11 +207,20 @@ object TextQueries {
          |FROM verify WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // The shingle table is scanned 4× (both band-join sides + both verify
+    // probes); cache it so the tokenize/shingle lineage runs once. At
+    // cluster scale this is the materialized signature table every LSH
+    // dedup pipeline checkpoints before banding.
     val sh = docs
-      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("s"))
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), shingles(col("toks"), 3).as("s"))
       .filter(size(col("s")) > 0)
-    val sig = sh.select(col("doc_id"),
-      minhashSignature(col("s")).as("sig"))
+      .cache()
+    // materialize the md5 hashes once; the 16 signature mins then reference
+    // the attribute instead of re-evaluating md5 per permutation
+    val sig = sh
+      .withColumn("h", transform(col("s"), x => hash28(x)))
+      .select(col("doc_id"), minhashSignature(col("h")).as("sig"))
     val bands = sig.select(col("doc_id"),
       posexplode(bandKeys(col("sig"), 4, 4)).as(Seq("b", "bh")))
     val cand = bands.as("x")
