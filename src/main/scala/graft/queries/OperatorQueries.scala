@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.MultimodalPipeline
+import graft.operators.SimilaritySearch
+import graft.sources.Tables
+import graft.streaming.EventStream
+
+/** Non-SQL-expressible operators surfaced through the driver contract as
+  * rows-only checks: approximate similarity search (SRP-LSH, IVF), the
+  * multimodal feature pipeline, and the Structured Streaming rollup.
+  * Each is deterministic (fixed seeds), so row counts and values are stable
+  * across runs even without a DuckDB oracle. */
+object OperatorQueries {
+
+  /** SRP-LSH approximate top-k (multi-probe hamming-1) for 10 query ids. */
+  val srpAnn = OracleQuery.noOracle("x01_srp_ann_topk") { (s, d) =>
+    val p = SimilaritySearch.prepared(Tables.embeddings(s, d))
+    SimilaritySearch.srpTopK(
+      SimilaritySearch.asQueries(p.filter(col("vec_id") < 10)),
+      SimilaritySearch.asCorpus(p), k = 10, nPlanes = 4)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** IVF approximate top-k (8 lists, 3 probes, seeded KMeans quantizer). */
+  val ivfAnn = OracleQuery.noOracle("x02_ivf_ann_topk") { (s, d) =>
+    SimilaritySearch.ivfTopK(s, Tables.embeddings(s, d),
+      (0L until 10L).toSeq, k = 10, nLists = 8, nProbe = 3)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Multimodal feature extraction over the synthetic media table
+    * (decode stubbed; Spark plumbing real — see MultimodalPipeline). */
+  val multimodal = OracleQuery.noOracle("x03_multimodal_features") { (s, _) =>
+    MultimodalPipeline.extractFeatures(MultimodalPipeline.synthesize(s, 120))
+      .toDF()
+      .withColumn("mean_byte", round(col("mean_byte"), 4))
+      .withColumn("byte_entropy", round(col("byte_entropy"), 4))
+      .orderBy("media_id")
+  }
+
+  /** Structured Streaming windowed rollup driven to completion over the
+    * events table (file-source → watermark → tumbling window → memory sink). */
+  val streamRollup = OracleQuery.noOracle("x04_stream_windowed_counts") { (s, d) =>
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    Tables.events(s, d)
+      .select("event_id", "event_time", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(landing)
+    val sink = s"stream_sink_${java.util.UUID.randomUUID().toString.take(8)}"
+    EventStream.runToMemorySink(
+      EventStream.windowedCounts(EventStream.readEvents(s, landing)), sink)
+      .withColumn("sum_value", round(col("sum_value"), 2))
+      .orderBy("window_start", "event_type")
+  }
+
+  val all: Seq[OracleQuery] = Seq(srpAnn, ivfAnn, multimodal, streamRollup)
+}

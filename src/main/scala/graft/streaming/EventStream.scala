@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming analog of the reference's batch re-ingest
+  * (SURVEY §2.11 / §7.6): the reference handles late/updated data by
+  * re-reading the world daily plus latest-update-wins dedup; the idiomatic
+  * streaming counterpart is a file-source stream with watermarked dedup and
+  * windowed aggregation, plus a stateful per-key session via
+  * mapGroupsWithState.
+  *
+  * Scale: state is keyed by event/user id (hash-partitioned state store);
+  * the watermark bounds state size — the knobs that matter at 100 TB/day.
+  */
+object EventStream {
+
+  /** Schema of the landed event files (mirrors the `events` testdata table,
+    * with the timestamp already normalized to a proper TimestampType). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("event_time", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** File-source stream over a landing directory. */
+  def readEvents(spark: SparkSession, landingDir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(landingDir)
+
+  /** Watermarked exact dedup by event_id — the streaming form of the
+    * batch latest-update-wins window (W1). */
+  def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Windowed per-type aggregation (counts + value sums per 5-minute
+    * tumbling window) — the streaming BI rollup. */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class UserEvent(event_id: Long, event_time: java.sql.Timestamp,
+                       user_id: Long, event_type: String, value: Double)
+  case class UserSessionState(nEvents: Long, totalValue: Double)
+  case class UserSession(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state: running per-user totals via mapGroupsWithState
+    * (the arbitrary-stateful-processing surface). */
+  def userSessions(spark: SparkSession, events: DataFrame): Dataset[UserSession] = {
+    import spark.implicits._
+    events.as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserSessionState, UserSession](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserSessionState]) =>
+          val prev = state.getOption.getOrElse(UserSessionState(0L, 0.0))
+          var n = prev.nEvents
+          var total = prev.totalValue
+          rows.foreach { e => n += 1; total += e.value }
+          state.update(UserSessionState(n, total))
+          UserSession(userId, n, total)
+      }
+  }
+
+  /** Drive a streaming query synchronously to completion over whatever is
+    * currently in the landing dir (memory sink; local smoke harness). */
+  def runToMemorySink(df: DataFrame, queryName: String,
+                      outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(queryName).outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(queryName)
+  }
+}

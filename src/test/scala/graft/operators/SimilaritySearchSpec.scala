@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+class SimilaritySearchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(SparkSpec.session, dir)
+  private lazy val p = SimilaritySearch.prepared(emb)
+  private lazy val exact = SimilaritySearch.bruteForceTopK(
+    SimilaritySearch.asQueries(p.filter(col("vec_id") < 10)),
+    SimilaritySearch.asCorpus(p), 10).cache()
+
+  test("brute force: k results per query, self excluded, ranked desc") {
+    val rows = exact.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val coss = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("SRP-LSH results are a correctly-ranked subset with useful recall") {
+    val approx = SimilaritySearch.srpTopK(
+      SimilaritySearch.asQueries(p.filter(col("vec_id") < 10)),
+      SimilaritySearch.asCorpus(p), 10, nPlanes = 4)
+    // every approx neighbor's cos must equal the exact cos for that pair
+    val joined = approx.as("a").join(exact.as("e"),
+      col("a.query_id") === col("e.query_id") &&
+        col("a.neighbor_id") === col("e.neighbor_id"))
+      .select(abs(col("a.cos") - col("e.cos")).as("d")).collect()
+    assert(joined.forall(_.getDouble(0) < 1e-12))
+    // multi-probe over 5 of 16 buckets scans ~31% of a random corpus
+    val recall = SimilaritySearch.recallAtK(approx, exact)
+    assert(recall >= 0.15, s"recall=$recall")
+  }
+
+  test("IVF results are exact within probed lists with useful recall") {
+    val approx = SimilaritySearch.ivfTopK(SparkSpec.session, emb,
+      (0L until 10L).toSeq, 10, nLists = 8, nProbe = 3)
+    val recall = SimilaritySearch.recallAtK(approx, exact)
+    // 3 of 8 lists ≈ 37% scan fraction on random vectors
+    assert(recall >= 0.15, s"recall=$recall")
+    assert(approx.groupBy("query_id").count().collect().forall(_.getLong(1) <= 10))
+  }
+
+  test("SRP is deterministic across runs (fixed planes)") {
+    def run() = SimilaritySearch.srpTopK(
+      SimilaritySearch.asQueries(p.filter(col("vec_id") < 3)),
+      SimilaritySearch.asCorpus(p), 5, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(run() == run())
+  }
+}

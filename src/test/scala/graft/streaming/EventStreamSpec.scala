@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import graft.sources.Tables
+
+class EventStreamSpec extends SparkSpec {
+
+  /** Land a batch of the real events table (normalized schema) into a
+    * temp streaming source dir. */
+  private lazy val landingDir = {
+    val dir = Files.createTempDirectory("stream_landing").toString
+    Tables.events(SparkSpec.session, "/root/testdata/sf0.001")
+      .select("event_id", "event_time", "user_id", "event_type", "value")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("file-source stream dedups by event_id within the watermark") {
+    val s = SparkSpec.session
+    // duplicate every event by landing the batch twice
+    val dir = Files.createTempDirectory("stream_dup").toString
+    val batch = s.read.schema(EventStream.eventSchema).parquet(landingDir)
+    batch.write.mode("append").parquet(dir)
+    batch.write.mode("append").parquet(dir)
+    val deduped = EventStream.runToMemorySink(
+      EventStream.dedup(EventStream.readEvents(s, dir)), "dedup_sink")
+    assert(deduped.count() == batch.count())
+    assert(deduped.select("event_id").distinct().count() == batch.count())
+  }
+
+  test("windowed aggregation matches the batch equivalent") {
+    val s = SparkSpec.session
+    val streamed = EventStream.runToMemorySink(
+      EventStream.windowedCounts(EventStream.readEvents(s, landingDir)),
+      "window_sink", OutputMode.Append())
+    val batch = s.read.schema(EventStream.eventSchema).parquet(landingDir)
+      .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // append mode emits only watermark-closed windows; every emitted row
+    // must match its batch counterpart
+    val streamedRows = streamed.select("window_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batchRows = batch.select(col("window.start"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamedRows.nonEmpty)
+    assert(streamedRows.forall { case (k, v) => batchRows.get(k).contains(v) })
+  }
+
+  test("mapGroupsWithState accumulates per-user totals") {
+    val s = SparkSpec.session
+    val sessions = EventStream.runToMemorySink(
+      EventStream.userSessions(s, EventStream.readEvents(s, landingDir)).toDF(),
+      "session_sink", OutputMode.Update())
+    val batch = s.read.schema(EventStream.eventSchema).parquet(landingDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("tv"))
+    val got = sessions.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = batch.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (u, (n, tv)) =>
+      assert(want(u)._1 == n && math.abs(want(u)._2 - tv) < 1e-6)
+    }
+  }
+}
