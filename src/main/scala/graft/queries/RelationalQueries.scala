@@ -455,7 +455,34 @@ object RelationalQueries {
         |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Extension: point-in-time (as-of) join — for each click, the latest
+    * error by the same user at or before it. Spark side composes union +
+    * window ([[graft.operators.AsOfJoin]], one shuffle); DuckDB mirrors
+    * with its native ASOF LEFT JOIN. */
+  val q22 = OracleQuery(
+    "q22_asof_click_error",
+    """WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events
+      |           WHERE event_type = 'click'),
+      |     e AS (SELECT user_id, ts, event_id AS error_id, value AS error_value
+      |           FROM events WHERE event_type = 'error')
+      |SELECT c.user_id, c.click_id, epoch_us(c.ts) AS click_ts_us,
+      |  e.error_id AS last_error_id, round(e.error_value, 2) AS last_error_value
+      |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
+      |ORDER BY c.click_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("error_id"),
+        col("value").as("error_value"))
+    graft.operators.AsOfJoin.asofLeft(clicks, errors, Seq("user_id"), "ts", "ts")
+      .select(col("user_id"), col("click_id"), expr("ts div 1000").as("click_ts_us"),
+        col("right_error_id").as("last_error_id"),
+        round(col("right_error_value"), 2).as("last_error_value"))
+      .orderBy("click_id")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def fixture = {
+    val s = SparkSpec.session
+    import s.implicits._
+    val left = Seq(
+      (1L, 10L, "c1"), (1L, 20L, "c2"), (1L, 15L, "c3"),
+      (2L, 5L, "c4"), // key with no right rows at or before
+      (3L, 7L, "c5")) // key absent from right entirely
+      .toDF("uid", "t", "click")
+    val right = Seq(
+      (1L, 8L, "e1", 1.0), (1L, 15L, "e2", 2.0), (1L, 30L, "e3", 3.0),
+      (2L, 9L, "e4", 4.0))
+      .toDF("uid", "t", "err", "v")
+    (left, right)
+  }
+
+  test("asof left: latest right at or before each left row, inclusive ties") {
+    val (l, r) = fixture
+    val out = AsOfJoin.asofLeft(l, r, Seq("uid"), "t", "t")
+      .select("click", "right_err", "right_v").collect()
+      .map(x => x.getString(0) -> (Option(x.getString(1)), Option(x.get(2)))).toMap
+    assert(out("c1") == (Some("e1"), Some(1.0))) // 10 >= 8
+    assert(out("c2") == (Some("e2"), Some(2.0))) // 20 >= 15, not 30
+    assert(out("c3") == (Some("e2"), Some(2.0))) // tie: 15 >= 15 inclusive
+    assert(out("c4") == (None, None))            // right row is later (9 > 5)
+    assert(out("c5") == (None, None))            // key absent
+  }
+
+  test("asof inner drops unmatched left rows") {
+    val (l, r) = fixture
+    val out = AsOfJoin.asofInner(l, r, Seq("uid"), "t", "t")
+      .select("click").collect().map(_.getString(0)).toSet
+    assert(out == Set("c1", "c2", "c3"))
+  }
+
+  test("payload fills atomically (no cross-row column mixing)") {
+    val s = SparkSpec.session
+    import s.implicits._
+    // e5 has a null v; a per-column fill would pair e5 with e4's v
+    val l = Seq((1L, 100L, "c1")).toDF("uid", "t", "click")
+    val r = Seq((1L, 50L, "e4", Some(4.0)), (1L, 60L, "e5", None: Option[Double]))
+      .toDF("uid", "t", "err", "v")
+    val row = AsOfJoin.asofLeft(l, r, Seq("uid"), "t", "t")
+      .select("right_err", "right_v").head()
+    assert(row.getString(0) == "e5" && row.isNullAt(1))
+  }
+}
