@@ -137,14 +137,15 @@ object BronzeToSilver {
     * (year, month) with overwrite semantics (ref: b2s:38,146; Delta swapped
     * for parquet per SURVEY §7.3 — no delta jars in this environment). */
   def run(spark: SparkSession, bronzePath: String, silverPath: String,
-          multiLine: Boolean = false): DataFrame = {
+          multiLine: Boolean = false,
+          lake: graft.sources.LakeFormat = graft.sources.ParquetLake): DataFrame = {
     val bronze = spark.read
       .option("multiLine", multiLine)
       .schema(graft.model.EarthquakeSchemas.bronzeSchema)
       .json(bronzePath)
     if (bronze.isEmpty) return spark.emptyDataFrame
     val silver = transform(bronze)
-    silver.write.mode("overwrite").partitionBy("year", "month").parquet(silverPath)
-    spark.read.parquet(silverPath)
+    lake.write(silver, silverPath, Seq("year", "month"))
+    lake.read(spark, silverPath)
   }
 }

@@ -133,17 +133,17 @@ object SilverToGold {
 
   /** End-to-end job: silver scan → star schema → warehouse sink
     * (overwrite = BigQuery full-table-replace semantics, SURVEY §2.1 S7). */
-  def run(spark: SparkSession, silverPath: String, goldPath: String): Map[String, DataFrame] = {
-    val silver = spark.read.parquet(silverPath)
+  def run(spark: SparkSession, silverPath: String, goldPath: String,
+          lake: graft.sources.LakeFormat = graft.sources.ParquetLake): Map[String, DataFrame] = {
+    val warehouse = new graft.sources.ParquetWarehouse(goldPath)
+    val silver = lake.read(spark, silverPath)
     if (silver.isEmpty) return Map.empty
     // cache: every table write re-executes the silver lineage otherwise
     // (the reference re-runs it 5×, SURVEY §4.3.1)
     silver.cache()
     val tables = buildAll(spark, silver)
-    tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$goldPath/$name")
-    }
+    tables.foreach { case (name, df) => warehouse.writeTable(df, name) }
     silver.unpersist()
-    tables.map { case (name, _) => name -> spark.read.parquet(s"$goldPath/$name") }
+    tables.map { case (name, _) => name -> warehouse.readTable(spark, name) }
   }
 }

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the 100 TB design contract: filters and
+  * projections must reach the parquet scan, dimension joins must broadcast,
+  * and hot paths must stay inside whole-stage codegen. These tests pin the
+  * *plan*, not the result, so a regression that silently de-optimizes (a
+  * lost pushdown, a broadcast that became a shuffle) fails CI even though
+  * results stay correct. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntryPlan(name)
+
+  private def SparkEntryPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(SparkSpec.session, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("range filter pushes predicates into the parquet scan") {
+    val plan = planOf("q02_filter_range")
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,5.0)")
+      || plan.contains("IsNotNull(l_quantity)"), plan.take(2000))
+  }
+
+  test("projection prunes the scan schema to referenced columns") {
+    val plan = planOf("q13_top_nations")
+    // orders scan must not read o_totalprice/o_orderdate etc.
+    val scanLines = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!scanLines.contains("o_totalprice"), scanLines)
+    assert(!scanLines.contains("o_orderpriority"), scanLines)
+  }
+
+  test("star joins broadcast the dimension sides") {
+    val plan = planOf("q04_star_revenue")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the only shuffle join allowed is lineitem⋈orders; nation/region/customer
+    // must not introduce SortMergeJoin
+    assert(!plan.contains("SortMergeJoin")
+      || plan.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin") <= 1)
+  }
+
+  test("semi/anti joins stay broadcast at dimension scale") {
+    assert(planOf("q19_customers_with_orders").contains("BroadcastHashJoin")
+      || planOf("q19_customers_with_orders").contains("ShuffledHashJoin"))
+  }
+
+  test("window dedup partitions by the dedup key (single exchange)") {
+    val plan = planOf("q03_latest_order_per_customer")
+    assert(plan.contains("hashpartitioning(o_custkey"), plan.take(3000))
+  }
+
+  test("codegen dot product runs inside whole-stage codegen") {
+    val df = graft.SparkEntry.queries("v04_emb_ann_topk")(SparkSpec.session, dir)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks a WholeStageCodegen span in the tree string
+    val dotLine = plan.linesIterator.find(_.contains("dot_product_double"))
+    assert(dotLine.isDefined, plan.take(3000))
+    assert(dotLine.get.contains("*("), dotLine.get)
+  }
+
+  test("events scan prunes to referenced columns only") {
+    val df = Tables.events(SparkSpec.session, dir)
+      .groupBy("event_type").agg(count(lit(1)))
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!scan.contains("props"), scan)
+    assert(!scan.contains("value"), scan)
+  }
+}
