@@ -1,0 +1,70 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Optimizer rule: rewrite the higher-order-function dot-product pattern
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, x) -> acc + x)
+  *
+  * into the codegen'd [[DotProductDouble]] native expression (~6× measured
+  * on the 12.5M-pair near-dup join). Fires only for array<double> inputs;
+  * assumes dense (no-null-element) vectors — the embedding-column contract —
+  * since the HOF form would return NULL on a null element while the native
+  * loop reads the primitive slot.
+  */
+object RewriteHofDotProduct extends Rule[LogicalPlan] {
+
+  private def isMultiplyLambda(f: Expression): Boolean = f match {
+    case LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+        Seq(a: NamedLambdaVariable, b: NamedLambdaVariable), _) =>
+      (x.exprId == a.exprId && y.exprId == b.exprId) ||
+        (x.exprId == b.exprId && y.exprId == a.exprId)
+    case _ => false
+  }
+
+  private def isSumLambda(f: Expression): Boolean = f match {
+    case LambdaFunction(Add(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+        Seq(a: NamedLambdaVariable, b: NamedLambdaVariable), _) =>
+      (x.exprId == a.exprId && y.exprId == b.exprId) ||
+        (x.exprId == b.exprId && y.exprId == a.exprId)
+    case _ => false
+  }
+
+  private def isIdentityLambda(f: Expression): Boolean = f match {
+    case LambdaFunction(x: NamedLambdaVariable, Seq(a: NamedLambdaVariable), _) =>
+      x.exprId == a.exprId
+    case _ => false
+  }
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithPruning(_ => true) {
+      case agg @ ArrayAggregate(ZipWith(a, b, mul), Literal(0.0, DoubleType), merge, finish)
+          if isMultiplyLambda(mul) && isSumLambda(merge) && isIdentityLambda(finish) &&
+            isDoubleArray(a) && isDoubleArray(b) && agg.resolved =>
+        DotProductDouble(a, b)
+    }
+}
+
+/** Session extensions: the optimizer rule above plus SQL registration of
+  * `dot_product_double(a, b)` — install with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` (done by
+  * [[graft.GraftSession]]). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RewriteHofDotProduct)
+    e.injectFunction((
+      FunctionIdentifier("dot_product_double"),
+      new ExpressionInfo(classOf[DotProductDouble].getName, "dot_product_double"),
+      (exprs: Seq[Expression]) => DotProductDouble(exprs(0), exprs(1))))
+  }
+}

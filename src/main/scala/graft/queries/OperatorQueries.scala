@@ -55,5 +55,14 @@ object OperatorQueries {
       .orderBy("window_start", "event_type")
   }
 
-  val all: Seq[OracleQuery] = Seq(srpAnn, ivfAnn, multimodal, streamRollup)
+  /** HLL-sketch approximate distinct counts (deterministic for fixed input,
+    * but the sketch differs from DuckDB's → rows-only). */
+  val approxDistinct = OracleQuery.noOracle("x05_approx_count_distinct") { (s, d) =>
+    Tables.orders(s, d).agg(
+      approx_count_distinct(col("o_custkey")).as("approx_cust"),
+      approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_cust_precise"),
+      countDistinct(col("o_custkey")).as("exact_cust"))
+  }
+
+  val all: Seq[OracleQuery] = Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct)
 }

@@ -482,7 +482,49 @@ object RelationalQueries {
       .orderBy("click_id")
   }
 
+  /** Extension: point-in-interval range join — clicks within one hour after
+    * an error by the same user. Spark side is the bucketized equi-join
+    * ([[graft.operators.IntervalJoin]], no nested loop); DuckDB mirrors with
+    * a plain inequality join. Nanos arithmetic is exact long math. */
+  val q23 = OracleQuery(
+    "q23_interval_join_click_after_error",
+    """WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events
+      |           WHERE event_type = 'click'),
+      |     e AS (SELECT user_id, ts AS est, event_id AS error_id FROM events
+      |           WHERE event_type = 'error')
+      |SELECT c.user_id, c.click_id, e.error_id
+      |FROM c JOIN e ON c.user_id = e.user_id
+      |  AND c.ts >= e.est AND c.ts <= e.est + INTERVAL 1 HOUR
+      |ORDER BY click_id, error_id""".stripMargin) { (s, d) =>
+    val hourNanos = 3600L * 1000 * 1000 * 1000
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("est"),
+        (col("ts") + hourNanos).as("eend"), col("event_id").as("error_id"))
+    graft.operators.IntervalJoin.pointInInterval(
+        clicks, errors, Seq("user_id"), "ts", "est", "eend", hourNanos)
+      .select("user_id", "click_id", "error_id")
+      .orderBy("click_id", "error_id")
+  }
+
+  /** A2/A6 — exact multi-column distinct counts (the HLL-approximate tier is
+    * x05 in OperatorQueries; approx algorithms differ per engine so only the
+    * exact form carries an oracle). */
+  val q24 = OracleQuery(
+    "q24_count_distinct",
+    """SELECT count(DISTINCT o_custkey) AS n_cust,
+      |  count(DISTINCT o_orderpriority) AS n_prio,
+      |  count(DISTINCT o_orderstatus) AS n_status
+      |FROM orders""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).agg(
+      countDistinct(col("o_custkey")).as("n_cust"),
+      countDistinct(col("o_orderpriority")).as("n_prio"),
+      countDistinct(col("o_orderstatus")).as("n_status"))
+  }
+
   val all: Seq[OracleQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
 }
