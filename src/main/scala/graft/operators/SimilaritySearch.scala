@@ -79,7 +79,10 @@ object SimilaritySearch {
               nLists: Int = 8, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
     val p = prepared(emb)
     val withVec = p.withColumn("features", array_to_vector(col("v")))
+    // random init + few iterations: a coarse quantizer doesn't need
+    // k-means|| convergence, and each MLlib iteration is a full Spark job
     val km = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
+      .setInitMode("random").setMaxIter(8)
     val model = km.fit(withVec)
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("list_id"))
