@@ -1,0 +1,150 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftx.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the per-document text-dedup hot path.
+  *
+  * The higher-order-function formulations are interpreted per array element
+  * (LambdaFunction bodies never reach codegen), which made MinHash ~4M and
+  * SimHash ~16M interpreted node evaluations at sf0.1. These expressions
+  * evaluate once per row with tight JVM loops instead. They use
+  * CodegenFallback deliberately: per-row eval cost is the loop itself, and
+  * these sit in per-document projections (thousands of rows), not the
+  * millions-of-rows join paths where full codegen matters
+  * (cf. [[DotProductDouble]]).
+  *
+  * Arithmetic is IDENTICAL to the HOF forms (and to the DuckDB oracle SQL):
+  * same hash inputs, same (a·h+b) mod p permutations, same majority-vote
+  * bits — results stay hash-equal.
+  */
+
+/** Distinct word n-gram shingles (space-joined, first-occurrence order —
+  * matching transform+array_distinct semantics). */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= m - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature over a pre-hashed shingle array:
+  * sig_k = min_h (a_k·h + b_k) mod p. Null for empty input (matching the
+  * guarded HOF form). */
+case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val m = hs.numElements()
+    if (m == 0) return null
+    val k = as.length
+    val out = new Array[Long](k)
+    var ki = 0
+    while (ki < k) {
+      val a = as(ki); val b = bs(ki)
+      var best = Long.MaxValue
+      var i = 0
+      while (i < m) {
+        // inputs are 28-bit hashes and a,b < 2^31 → a*h+b < 2^60, no overflow;
+        // all positive so % equals pmod
+        val x = (hs.getLong(i) * a + b) % p
+        if (x < best) best = x
+        i += 1
+      }
+      out(ki) = best
+      ki += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash over pre-hashed tokens: bit b set iff a strict majority
+  * of token hashes have bit b set. */
+case class SimHash60(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val m = hs.numElements()
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < m) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) * 2 > m) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  def wordShingles(toks: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(toks), n))
+  def minhashSignature(hashes: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), as, bs, p))
+  def simhash60(hashes: Column): Column =
+    ColumnBridge.column(SimHash60(ColumnBridge.expression(hashes)))
+}

@@ -22,14 +22,13 @@ object TextFunctions {
     * split once per array element (measured 14 s of a 33 s query at sf0.1). */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Distinct word n-gram shingles (space-joined). Empty array when the
-    * document has fewer than n tokens. */
-  def shingles(toks: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, (i + j).cast("int"))): _*))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
-  }
+  /** Distinct word n-gram shingles (space-joined), first-occurrence order.
+    * Empty array when the document has fewer than n tokens. Native kernel —
+    * see [[graft.expressions.WordShingles]]; the HOF formulation
+    * (transform(sequence…) + array_distinct) evaluates interpreted
+    * per-element. */
+  def shingles(toks: Column, n: Int): Column =
+    graft.expressions.TextExpressions.wordShingles(toks, n)
 
   /** 28-bit deterministic string hash: first 7 hex digits of md5.
     * Small enough that `a*h+b` stays well inside Long for 31-bit `a`. */
@@ -58,12 +57,9 @@ object TextFunctions {
     * an md5-bearing expression from all K signature entries would make
     * Catalyst evaluate the md5 transform K times (no CSE across array
     * elements) — a 16× md5 blowup measured at 40 s vs 3 s at sf0.1. */
-  def minhashSignature(hashCol: Column): Column = {
-    val sig = MinhashPerms.map { case (a, b) =>
-      array_min(transform(hashCol, h => pmod(h * lit(a) + lit(b), lit(MinhashPrime))))
-    }
-    when(size(hashCol) > 0, array(sig: _*)).otherwise(lit(null))
-  }
+  def minhashSignature(hashCol: Column): Column =
+    graft.expressions.TextExpressions.minhashSignature(
+      hashCol, MinhashPerms.map(_._1), MinhashPerms.map(_._2), MinhashPrime)
 
   /** LSH band keys: md5 of each band's comma-joined signature slice.
     * bands × rowsPerBand must equal the signature length. */
@@ -79,17 +75,8 @@ object TextFunctions {
     * md5 transform 60×): bit b of the result is the majority vote of bit b
     * across each token's hash60. The bit loop unrolls Scala-side into 60
     * mask constants (functions.shiftright only accepts literal shifts). */
-  def simhash60(hs: Column): Column = {
-    val n = size(hs)
-    (0 until 60).map { b =>
-      val mask = 1L << b
-      // (h & mask)/mask is exactly 0 or 1; division by a power of two is
-      // exact in double for these magnitudes
-      val bitSum = aggregate(hs, lit(0L),
-        (acc, h) => acc + (h.bitwiseAND(lit(mask)) / lit(mask)).cast("long"))
-      when(bitSum * 2 > n, lit(mask)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def simhash60(hs: Column): Column =
+    graft.expressions.TextExpressions.simhash60(hs)
 
   /** Normalized-whitespace md5 document fingerprint (rolling-hash analog). */
   def fingerprint(text: Column): Column =
