@@ -524,7 +524,33 @@ object RelationalQueries {
       countDistinct(col("o_orderstatus")).as("n_status"))
   }
 
+  /** §2.9 slicer composition — the BI drill query with date-range and
+    * categorical slicers applied (the shape every dashboard visual must
+    * answer under filter context). */
+  val q25 = OracleQuery(
+    "q25_bi_drill_with_slicers",
+    """SELECT CAST(year(o_orderdate) AS INT) AS year,
+      |  CAST(quarter(o_orderdate) AS INT) AS quarter,
+      |  count(*) AS event_count,
+      |  round(avg(o_totalprice), 4) AS avg_price
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1993-01-01' AND DATE '1995-12-31'
+      |  AND o_orderstatus = 'F'
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(to_date(col("o_orderdate"))
+        .between(lit("1993-01-01"), lit("1995-12-31"))
+        && col("o_orderstatus") === "F")
+      .groupBy(year(col("o_orderdate")).as("year"),
+        quarter(col("o_orderdate")).as("quarter"))
+      .agg(count(lit(1)).as("event_count"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+      .orderBy("year", "quarter")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23, q24, q25)
 }

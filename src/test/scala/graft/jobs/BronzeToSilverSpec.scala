@@ -92,6 +92,15 @@ class BronzeToSilverSpec extends SparkSpec {
     assert(viaInferred.count() == silver.count())
   }
 
+  test("typed Dataset[SilverEvent] view supports compile-checked access") {
+    import graft.model.SilverEvent
+    val ds = SilverEvent.typed(silver)
+    val strong = ds.filter(e => e.magnitude >= 6.0).collect()
+    assert(strong.map(_.event_id).toSet == Set("ev05", "ev06", "ev07"))
+    assert(strong.forall(e => e.magnitude_category == "Strong"
+      || e.magnitude_category == "Major" || e.magnitude_category == "Great"))
+  }
+
   test("band boundary values: 2.999→Micro, 3.0→Minor, 7.999→Major, 8.0→Great") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
