@@ -29,12 +29,16 @@ object TextQueries {
        |       for i in generate_series(1, len($toks)-2)]
        | ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
 
-  /** Token statistics (counts, uniques, chars). */
+  /** Token statistics: whitespace tokens, uniques, chars, plus a BPE-ish
+    * subword count (word pieces + standalone punctuation/digits — the
+    * pre-tokenizer shape LLM tokenizers apply before merges). */
   val docTokenStats = OracleQuery(
     "d01_doc_token_stats",
     s"""SELECT doc_id,
        |  CAST(len($tokSql) AS INT) AS n_tokens,
        |  CAST(len(list_distinct($tokSql)) AS INT) AS n_unique_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INT)
+       |    AS n_bpe_tokens,
        |  CAST(length(text) AS INT) AS n_chars_calc
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
@@ -43,6 +47,8 @@ object TextQueries {
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_unique_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]|[^a-z0-9\\s]"))).as("n_bpe_tokens"),
         length(col("text")).as("n_chars_calc"))
       .orderBy("doc_id")
   }
