@@ -48,7 +48,7 @@ object TextQueries {
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_unique_tokens"),
         size(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+|[0-9]|[^a-z0-9\\s]"))).as("n_bpe_tokens"),
+          lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
         length(col("text")).as("n_chars_calc"))
       .orderBy("doc_id")
   }
