@@ -46,9 +46,15 @@ case class WordShingles(child: Expression, n: Int)
     while (i <= m - n) {
       val sb = new java.lang.StringBuilder()
       var j = 0
+      var first = true
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + j).toString)
+        // null tokens are skipped without a separator — concat_ws semantics,
+        // matching the HOF formulation this kernel replaces
+        if (!toks.isNullAt(i + j)) {
+          if (!first) sb.append(' ')
+          sb.append(toks.getUTF8String(i + j).toString)
+          first = false
+        }
         j += 1
       }
       seen.add(UTF8String.fromString(sb.toString))
@@ -72,30 +78,36 @@ case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long], p: 
     case t => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got ${t.sql}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null result for empty/all-null input regardless of child nullability
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
 
   override def nullSafeEval(v: Any): Any = {
     val hs = v.asInstanceOf[ArrayData]
     val m = hs.numElements()
-    if (m == 0) return null
     val k = as.length
     val out = new Array[Long](k)
+    var any = false
     var ki = 0
     while (ki < k) {
       val a = as(ki); val b = bs(ki)
       var best = Long.MaxValue
       var i = 0
       while (i < m) {
-        // inputs are 28-bit hashes and a,b < 2^31 → a*h+b < 2^60, no overflow;
-        // all positive so % equals pmod
-        val x = (hs.getLong(i) * a + b) % p
-        if (x < best) best = x
+        // null slots are skipped (array_min semantics in the HOF form);
+        // inputs are 28-bit hashes and a,b < 2^31 → a*h+b < 2^60, no
+        // overflow; all positive so % equals pmod
+        if (!hs.isNullAt(i)) {
+          val x = (hs.getLong(i) * a + b) % p
+          if (x < best) best = x
+          any = true
+        }
         i += 1
       }
       out(ki) = best
       ki += 1
     }
-    new GenericArrayData(out)
+    if (!any) null else new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -117,20 +129,24 @@ case class SimHash60(child: Expression) extends UnaryExpression with CodegenFall
     val hs = v.asInstanceOf[ArrayData]
     val m = hs.numElements()
     val counts = new Array[Int](60)
+    var nonNull = 0
     var i = 0
     while (i < m) {
-      val h = hs.getLong(i)
-      var b = 0
-      while (b < 60) {
-        if (((h >> b) & 1L) == 1L) counts(b) += 1
-        b += 1
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < 60) {
+          if (((h >> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+        nonNull += 1
       }
       i += 1
     }
     var out = 0L
     var b = 0
     while (b < 60) {
-      if (counts(b) * 2 > m) out |= (1L << b)
+      if (counts(b) * 2 > nonNull) out |= (1L << b)
       b += 1
     }
     java.lang.Long.valueOf(out)

@@ -116,8 +116,8 @@ object BronzeToSilver {
     df
       .withColumn("magnitude_category", magnitudeCategory(col("magnitude")))
       .withColumn("depth_category", depthCategory(col("depth_km")))
-      .withColumn("hemisphere_ns", when(col("latitude") >= 0, "North").otherwise("South"))
-      .withColumn("hemisphere_ew", when(col("longitude") >= 0, "East").otherwise("West"))
+      .withColumn("hemisphere_ns", when(col("latitude") >= 0, "Northern").otherwise("Southern"))
+      .withColumn("hemisphere_ew", when(col("longitude") >= 0, "Eastern").otherwise("Western"))
       .withColumn("year", year(col("event_timestamp_utc")))
       .withColumn("month", month(col("event_timestamp_utc")))
       .withColumn("day", dayofmonth(col("event_timestamp_utc")))

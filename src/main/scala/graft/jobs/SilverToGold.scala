@@ -56,16 +56,19 @@ object SilverToGold {
         xxhash64(col("latitude"), col("longitude"), col("place")))
 
   /** Static 8-row magnitude-band dimension, including the NULL-band
-    * "Unknown" row (ref: process_silver_to_gold.py:90-101). */
+    * "Unknown" row (ref: process_silver_to_gold.py:90-101). Band bounds
+    * match the reference exactly (disjoint .9 uppers); Description text is
+    * our own English phrasing (the reference's is Spanish prose — a display
+    * attribute no query or relationship touches). */
   def dimMagnitude(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq(
-      ("Micro", Some(-2.0), Some(3.0), "Usually not felt"),
-      ("Minor", Some(3.0), Some(4.0), "Often felt, rarely causes damage"),
-      ("Light", Some(4.0), Some(5.0), "Noticeable shaking, minor damage"),
-      ("Moderate", Some(5.0), Some(6.0), "Can damage poorly built structures"),
-      ("Strong", Some(6.0), Some(7.0), "Damage in populated areas"),
-      ("Major", Some(7.0), Some(8.0), "Serious widespread damage"),
+      ("Micro", Some(-2.0), Some(2.9), "Usually not felt"),
+      ("Minor", Some(3.0), Some(3.9), "Often felt, rarely causes damage"),
+      ("Light", Some(4.0), Some(4.9), "Noticeable shaking, minor damage"),
+      ("Moderate", Some(5.0), Some(5.9), "Can damage poorly built structures"),
+      ("Strong", Some(6.0), Some(6.9), "Damage in populated areas"),
+      ("Major", Some(7.0), Some(7.9), "Serious widespread damage"),
       ("Great", Some(8.0), Some(10.0), "Severe destruction"),
       ("Unknown", None, None, "Magnitude not determined"))
       .toDF("MagnitudeCategory", "MinMagnitude", "MaxMagnitude", "Description")

@@ -76,10 +76,10 @@ object TrainTsunamiModel {
     val predictions = model.transform(prepared)
       .select(
         col("event_id"),
-        col("tsunami_warning").as("actual_tsunami"),
-        col("prediction").cast("boolean").as("predicted_tsunami"),
+        col("tsunami_warning").as("actual_tsunami_warning"),
+        col("prediction").cast("boolean").as("predicted_tsunami_warning"),
         vector_to_array(col("probability")).getItem(1).as("tsunami_probability"),
-        current_timestamp().as("prediction_timestamp"))
+        current_timestamp().as("prediction_timestamp_utc"))
     Result(model, predictions, auc, f1)
   }
 }

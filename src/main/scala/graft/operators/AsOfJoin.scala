@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,11 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  def asofLeft(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTime: String, rightTime: String,
-               rightPrefix: String = "right_"): DataFrame = {
+  /** Core: left rows + packed `__match` struct (null = no right row at or
+    * before). The struct-level flag is the correct match signal — a matched
+    * right row whose payload fields are all null is still a match, and a
+    * right side with no payload columns still works (empty struct). */
+  private def asofCore(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String): (DataFrame, Seq[String]) = {
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
-    val packed = struct(payloadCols.map(c => col(c).as(c)): _*)
+    // carry the right timestamp inside the payload so the struct is never
+    // field-less and a match is observable even with empty user payload
+    val packed = struct(
+      (col(rightTime).as("__rt") +: payloadCols.map(c => col(c).as(c))): _*)
 
     val rPrep = right.select(
       (keys.map(col) :+ col(rightTime).as("__t")
@@ -41,25 +47,31 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = unioned.withColumn("__match",
-      last(col("__payload"), ignoreNulls = true).over(w))
-    val unpacked = payloadCols.foldLeft(filled) { (df, c) =>
-      df.withColumn(rightPrefix + c, col("__match").getField(c))
-    }
-    unpacked
+    val filled = unioned
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side", "__t", "__payload", "__match")
+    (filled, payloadCols)
   }
 
-  /** Inner variant: keep only left rows that found a match. */
+  private def unpack(df: DataFrame, payloadCols: Seq[String],
+                     rightPrefix: String): DataFrame =
+    payloadCols.foldLeft(df) { (d, c) =>
+      d.withColumn(rightPrefix + c, col("__match").getField(c))
+    }.drop("__side", "__t", "__payload", "__match")
+
+  def asofLeft(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               rightPrefix: String = "right_"): DataFrame = {
+    val (core, payloadCols) = asofCore(left, right, keys, leftTime, rightTime)
+    unpack(core, payloadCols, rightPrefix)
+  }
+
+  /** Inner variant: keep only left rows that found a match (struct-level
+    * null test — independent of payload-field nullability). */
   def asofInner(left: DataFrame, right: DataFrame, keys: Seq[String],
                 leftTime: String, rightTime: String,
                 rightPrefix: String = "right_"): DataFrame = {
-    val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
-    val out = asofLeft(left, right, keys, leftTime, rightTime, rightPrefix)
-    val anyMatch: Column = payloadCols
-      .map(c => col(rightPrefix + c).isNotNull)
-      .reduce(_ || _)
-    out.filter(anyMatch)
+    val (core, payloadCols) = asofCore(left, right, keys, leftTime, rightTime)
+    unpack(core.filter(col("__match").isNotNull), payloadCols, rightPrefix)
   }
 }

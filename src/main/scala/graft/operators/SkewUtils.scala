@@ -37,6 +37,12 @@ object SkewUtils {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  salt: Int = 8, joinType: String = "inner"): DataFrame = {
     require(salt > 0)
+    // right/full outer would emit each unmatched right row `salt` times
+    // (it's replicated before the join) — only left-preserving types are sound
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross").contains(
+        joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin does not preserve right/full outer semantics (got $joinType)")
     val saltedLeft = left.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)).cast("int"))
     val replicatedRight = right.withColumn("__salt",
@@ -49,7 +55,8 @@ object SkewUtils {
   def keySkewProfile(df: DataFrame, keys: Seq[String]): DataFrame = {
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
     val stats = counts.agg(avg(col("n")).as("mean_n")).head()
-    val mean = stats.getDouble(0)
+    // empty input → null mean → null ratios (instead of an NPE)
+    val mean: java.lang.Double = if (stats.isNullAt(0)) null else stats.getDouble(0)
     counts.withColumn("skew_ratio", round(col("n") / lit(mean), 2))
       .orderBy(col("n").desc)
   }

@@ -216,7 +216,9 @@ object TextQueries {
     // The shingle table is scanned 4× (both band-join sides + both verify
     // probes); cache it so the tokenize/shingle lineage runs once. At
     // cluster scale this is the materialized signature table every LSH
-    // dedup pipeline checkpoints before banding.
+    // dedup pipeline checkpoints before banding. The cache is intentionally
+    // not unpersisted (the returned DataFrame is lazy; callers hold the
+    // only reference) — one bounded entry per invocation, evictable LRU.
     val sh = docs
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), shingles(col("toks"), 3).as("s"))

@@ -38,6 +38,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaNative.forall(_ > 0))
   }
 
+  test("native dot product preserves HOF NULL semantics on length mismatch") {
+    val s = SparkSpec.session
+    import s.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
+    val native = df.select(VectorExpressions.dotNative(col("a"), col("b")).as("d")).head()
+    assert(native.isNullAt(0)) // HOF form: zip_with pads with null → sum is NULL
+    // short doc → empty shingle/hash array → null minhash even from a
+    // non-nullable child (nullable override regression test)
+    val sig = Seq("ab cd").toDF("t")
+      .withColumn("toks", split(lower(col("t")), "\\s+"))
+      .withColumn("s", graft.functions.TextFunctions.shingles(col("toks"), 3))
+      .withColumn("h", transform(col("s"), x => graft.functions.TextFunctions.hash28(x)))
+      .select(graft.functions.TextFunctions.minhashSignature(col("h")).as("sig"))
+      .head()
+    assert(sig.isNullAt(0))
+  }
+
   test("rule leaves non-matching aggregates alone") {
     val s = SparkSpec.session
     import s.implicits._

@@ -53,10 +53,10 @@ class BronzeToSilverSpec extends SparkSpec {
   test("depth bands and hemispheres") {
     val r = silver.filter(col("event_id") === "ev03")
       .select("depth_category", "hemisphere_ns", "hemisphere_ew").head()
-    assert((r.getString(0), r.getString(1), r.getString(2)) == ("Deep", "North", "East"))
+    assert((r.getString(0), r.getString(1), r.getString(2)) == ("Deep", "Northern", "Eastern"))
     val r5 = silver.filter(col("event_id") === "ev05")
       .select("depth_category", "hemisphere_ns", "hemisphere_ew").head()
-    assert((r5.getString(0), r5.getString(1), r5.getString(2)) == ("Shallow", "South", "West"))
+    assert((r5.getString(0), r5.getString(1), r5.getString(2)) == ("Shallow", "Southern", "Western"))
   }
 
   test("region extraction: after-comma capture, trim, and no-comma fallback") {

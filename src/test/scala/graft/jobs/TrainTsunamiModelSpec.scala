@@ -36,8 +36,8 @@ class TrainTsunamiModelSpec extends SparkSpec {
       Some(s"$lake/ml_models/rf"))
     assert(res.aucRoc >= 0.0 && res.aucRoc <= 1.0)
     assert(res.f1 >= 0.0 && res.f1 <= 1.0)
-    assert(res.predictions.columns.toSet == Set("event_id", "actual_tsunami",
-      "predicted_tsunami", "tsunami_probability", "prediction_timestamp"))
+    assert(res.predictions.columns.toSet == Set("event_id", "actual_tsunami_warning",
+      "predicted_tsunami_warning", "tsunami_probability", "prediction_timestamp_utc"))
     val probs = res.predictions.select("tsunami_probability").collect().map(_.getDouble(0))
     assert(probs.forall(p => p >= 0.0 && p <= 1.0))
     // model persisted and reloadable (S9)
@@ -48,9 +48,9 @@ class TrainTsunamiModelSpec extends SparkSpec {
   test("seed-42 reproducibility: same input → same predictions") {
     val r1 = TrainTsunamiModel.run(SparkSpec.session, silver)
     val r2 = TrainTsunamiModel.run(SparkSpec.session, silver)
-    val p1 = r1.predictions.select("event_id", "predicted_tsunami").collect()
+    val p1 = r1.predictions.select("event_id", "predicted_tsunami_warning").collect()
       .map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    val p2 = r2.predictions.select("event_id", "predicted_tsunami").collect()
+    val p2 = r2.predictions.select("event_id", "predicted_tsunami_warning").collect()
       .map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(p1 == p2)
   }

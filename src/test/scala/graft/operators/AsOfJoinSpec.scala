@@ -38,6 +38,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Set("c1", "c2", "c3"))
   }
 
+  test("inner keeps matches whose payload fields are all null") {
+    val s = SparkSpec.session
+    import s.implicits._
+    val l = Seq((1L, 100L, "c1")).toDF("uid", "t", "click")
+    val r = Seq((1L, 50L, None: Option[String], None: Option[Double]))
+      .toDF("uid", "t", "err", "v")
+    // the matched right row exists even though err/v are null → inner keeps it
+    assert(AsOfJoin.asofInner(l, r, Seq("uid"), "t", "t").count() == 1)
+  }
+
+  test("right side with no payload columns still works") {
+    val s = SparkSpec.session
+    import s.implicits._
+    val l = Seq((1L, 100L, "c1"), (2L, 100L, "c2")).toDF("uid", "t", "click")
+    val r = Seq((1L, 50L)).toDF("uid", "t")
+    assert(AsOfJoin.asofLeft(l, r, Seq("uid"), "t", "t").count() == 2)
+    val inner = AsOfJoin.asofInner(l, r, Seq("uid"), "t", "t")
+    assert(inner.select("click").collect().map(_.getString(0)).toSeq == Seq("c1"))
+  }
+
   test("payload fills atomically (no cross-row column mixing)") {
     val s = SparkSpec.session
     import s.implicits._
