@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{OperatorQueries, OracleQuery, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticQueries, OperatorQueries, OracleQuery, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{OperatorQueries, OracleQuery, RelationalQueries, TextQueri
 object SparkEntry {
 
   private def registry: Seq[OracleQuery] =
-    RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++ OperatorQueries.all
+    RelationalQueries.all ++ AnalyticQueries.all ++ TextQueries.all ++
+      VectorQueries.all ++ OperatorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

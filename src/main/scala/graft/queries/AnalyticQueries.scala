@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Analytic-function breadth beyond the reference's single row_number
+  * (SURVEY §2.5 notes what the reference lacks — these are the standard
+  * warehouse asks a migrating user hits next): running frames, lag/lead,
+  * exact percentiles, pivoted conditional aggregation. */
+object AnalyticQueries {
+
+  /** Running total + previous-order gap per customer (frame spec + lag). */
+  val q26 = OracleQuery(
+    "q26_running_totals",
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+      |  lag(o_orderkey) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+      |  lead(o_orderkey) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_spend"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). */
+  val q27 = OracleQuery(
+    "q27_percentiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        // exact interpolated percentile (matches quantile_cont), not the
+        // GK-sketch percentile_approx
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+  }
+
+  /** String-function suite: case, pad, substring, replace, position. */
+  val q28 = OracleQuery(
+    "q28_string_suite",
+    """SELECT c_custkey,
+      |  upper(c_mktsegment) AS seg_upper,
+      |  lower(c_name) AS name_lower,
+      |  substring(c_name, 1, 8) AS name_prefix,
+      |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+      |  replace(c_name, '#', '-') AS name_dashed,
+      |  CAST(strpos(c_name, '#') AS INT) AS hash_pos,
+      |  CAST(length(c_name) AS INT) AS name_len
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+        regexp_replace(col("c_name"), "#", "-").as("name_dashed"),
+        instr(col("c_name"), "#").as("hash_pos"),
+        length(col("c_name")).as("name_len"))
+      .orderBy("c_custkey")
+  }
+
+  /** Pivoted conditional aggregation (groupBy().pivot() on a closed value
+    * set; oracle mirrors with CASE — the portable form of PIVOT). */
+  val q29 = OracleQuery(
+    "q29_pivot_status_counts",
+    """SELECT o_orderpriority,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_f,
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_o,
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("status_f"),
+        coalesce(col("O"), lit(0L)).as("status_o"),
+        coalesce(col("P"), lit(0L)).as("status_p"))
+      .orderBy("o_orderpriority")
+  }
+
+  val all: Seq[OracleQuery] = Seq(q26, q27, q28, q29)
+}

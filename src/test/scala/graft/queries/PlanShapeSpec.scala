@@ -66,6 +66,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(dotLine.get.contains("*("), dotLine.get)
   }
 
+  test("year/month partition layout prunes silver scans") {
+    val s = SparkSpec.session
+    val lake = java.nio.file.Files.createTempDirectory("prune_spec").toString
+    graft.ingest.UsgsGeoJson.writeBronze(s"$lake/bronze/raw.json")
+    graft.jobs.BronzeToSilver.run(s, s"$lake/bronze/raw.json", s"$lake/silver")
+    val df = s.read.parquet(s"$lake/silver")
+      .filter(col("year") === 2024 && col("month") === 1)
+      .groupBy("magnitude_category").agg(count(lit(1)))
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("year") && scanLine.contains("month"), plan.take(2000))
+  }
+
   test("events scan prunes to referenced columns only") {
     val df = Tables.events(SparkSpec.session, dir)
       .groupBy("event_type").agg(count(lit(1)))
