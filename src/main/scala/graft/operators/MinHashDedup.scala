@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** MinHash+LSH near-duplicate detection over a (doc_id, text) DataFrame:
+  * word-3-gram shingles → K=16 minhash signature → 4×4 band keys →
+  * band-bucket candidate join → exact-Jaccard verification.
+  *
+  * Scale contract: candidates come from equi-joins on band hashes (one
+  * shuffle keyed by (band, bucket)), never an all-pairs cross join; exact
+  * set intersection runs only on candidates. The shingle table is cached —
+  * it is scanned by both band-join sides and both verification probes
+  * (the materialized signature table every production LSH pipeline
+  * checkpoints).
+  */
+object MinHashDedup {
+
+  /** Verified near-dup pairs (doc_a < doc_b, word-3-gram Jaccard ≥
+    * threshold). */
+  def verifiedPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val sh = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), shingles(col("toks"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+      .cache()
+    val sig = sh
+      .withColumn("h", transform(col("s"), x => hash28(x)))
+      .select(col("doc_id"), minhashSignature(col("h")).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(bandKeys(col("sig"), 4, 4)).as(Seq("b", "bh")))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bh") === col("y.bh")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb")))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      .withColumn("jac", jac)
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** Near-dup pruning: drop every doc that is the HIGHER id of a verified
+    * pair (deterministic canonical-keeps-lowest; chains collapse because
+    * each non-minimal member appears as doc_b of some pair). */
+  def pruneNearDups(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val drop = verifiedPairs(docs, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+}

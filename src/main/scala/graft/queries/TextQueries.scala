@@ -174,81 +174,100 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The MinHash-LSH CTE chain reading from a relation `t(doc_id, toks)` —
+    * shared by d07 (raw documents) and d08 (curation survivors). Mirrors
+    * [[graft.operators.MinHashDedup.verifiedPairs]] arithmetic exactly. */
+  private def minhashPairCtes: String = {
+    val sigEntries = MinhashPerms.map { case (a, b) =>
+      s"list_min(list_transform(h, x -> (x * $a + $b) % $MinhashPrime))"
+    }.mkString(",\n      ")
+    s"""sh AS (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),
+       |hs AS (
+       |  SELECT doc_id, s,
+       |    list_transform(s, x -> ('0x' || substring(md5(x), 1, 7))::BIGINT) AS h
+       |  FROM sh WHERE len(s) > 0),
+       |sig AS (
+       |  SELECT doc_id, s, [
+       |      $sigEntries
+       |    ] AS sig
+       |  FROM hs),
+       |bands AS (
+       |  SELECT doc_id, s, b,
+       |    md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bh
+       |  FROM sig, generate_series(0, 3) g(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |verify AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b)""".stripMargin
+  }
+
   /** MinHash signatures + LSH banding + exact-Jaccard verification: the
     * scalable near-dup pipeline (candidates from band-bucket joins, never
     * an all-pairs cross join). K=16 permutations, 4 bands × 4 rows;
-    * verification threshold 0.7 on word-3-gram Jaccard. */
+    * verification threshold 0.7 on word-3-gram Jaccard.
+    * Implementation: [[graft.operators.MinHashDedup]]. */
   val docMinhashNearDup = OracleQuery(
-    "d07_doc_neardup_minhash_lsh", {
-      val sigEntries = MinhashPerms.map { case (a, b) =>
-        s"list_min(list_transform(h, x -> (x * $a + $b) % $MinhashPrime))"
-      }.mkString(",\n      ")
-      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
-         |sh AS (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),
-         |hs AS (
-         |  SELECT doc_id, s,
-         |    list_transform(s, x -> ('0x' || substring(md5(x), 1, 7))::BIGINT) AS h
-         |  FROM sh WHERE len(s) > 0),
-         |sig AS (
-         |  SELECT doc_id, s, [
-         |      $sigEntries
-         |    ] AS sig
-         |  FROM hs),
-         |bands AS (
-         |  SELECT doc_id, s, b,
-         |    md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bh
-         |  FROM sig, generate_series(0, 3) g(b)),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
-         |verify AS (
-         |  SELECT doc_a, doc_b,
-         |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
-         |  FROM cand
-         |  JOIN sh sa ON sa.doc_id = doc_a
-         |  JOIN sh sb ON sb.doc_id = doc_b)
-         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
-         |FROM verify WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
-    }) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    // The shingle table is scanned 4× (both band-join sides + both verify
-    // probes); cache it so the tokenize/shingle lineage runs once. At
-    // cluster scale this is the materialized signature table every LSH
-    // dedup pipeline checkpoints before banding. The cache is intentionally
-    // not unpersisted (the returned DataFrame is lazy; callers hold the
-    // only reference) — one bounded entry per invocation, evictable LRU.
-    val sh = docs
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), shingles(col("toks"), 3).as("s"))
-      .filter(size(col("s")) > 0)
-      .cache()
-    // materialize the md5 hashes once; the 16 signature mins then reference
-    // the attribute instead of re-evaluating md5 per permutation
-    val sig = sh
-      .withColumn("h", transform(col("s"), x => hash28(x)))
-      .select(col("doc_id"), minhashSignature(col("h")).as("sig"))
-    val bands = sig.select(col("doc_id"),
-      posexplode(bandKeys(col("sig"), 4, 4)).as(Seq("b", "bh")))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.b") === col("y.b") && col("x.bh") === col("y.bh")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
-      size(array_union(col("sa"), col("sb")))
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
-      .withColumn("jac", jac)
-      .filter(col("jac") >= 0.7)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+    "d07_doc_neardup_minhash_lsh",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |$minhashPairCtes
+       |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+       |FROM verify WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    graft.operators.MinHashDedup.verifiedPairs(Tables.documents(s, d), 0.7)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The composed corpus-curation pipeline — the end-to-end training-data
+    * shape: quality gate → exact dedup (canonical = min doc_id per
+    * fingerprint) → MinHash near-dup pruning (drop the higher id of every
+    * verified pair) → curated corpus. Every stage is the operator already
+    * verified standalone (d02/d05/d07), composed into one plan. */
+  val docCorpusCuration = OracleQuery(
+    "d08_corpus_curation",
+    s"""WITH raw AS (
+       |  SELECT doc_id, lang, text, $tokSql AS toks FROM documents),
+       |q AS (
+       |  SELECT *, len(toks) AS n_tokens,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS alpha_ratio
+       |  FROM raw),
+       |keep AS (SELECT * FROM q WHERE n_tokens >= 20 AND alpha_ratio >= 0.5),
+       |fp AS (
+       |  SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM keep),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+       |t AS (SELECT f.doc_id, f.lang, f.toks, f.n_tokens FROM fp f
+       |      JOIN canon c ON f.doc_id = c.doc_id),
+       |$minhashPairCtes,
+       |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM verify WHERE jac >= 0.7)
+       |SELECT t.doc_id, t.lang, CAST(t.n_tokens AS INT) AS n_tokens
+       |FROM t
+       |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = t.doc_id)
+       |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val q = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
+          / length(col("text")))
+      .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.5)
+    val fp = q.withColumn("fp", fingerprint(col("text")))
+    val canon = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val survivors = fp
+      .join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "text", "n_tokens")
+    graft.operators.MinHashDedup.pruneNearDups(survivors, 0.7)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy("doc_id")
   }
 
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
-    docExactDedup, docSimhash, docMinhashNearDup)
+    docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration)
 }
