@@ -98,5 +98,49 @@ object AnalyticQueries {
       .orderBy("o_orderpriority")
   }
 
-  val all: Seq[OracleQuery] = Seq(q26, q27, q28, q29)
+  /** Set operations the reference lacks: INTERSECT / EXCEPT (both
+    * set-semantic — dedup applied, matching Spark intersect/except). */
+  val q30 = OracleQuery(
+    "q30_set_ops",
+    """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      |     o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |     both_ AS (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o),
+      |     only_f AS (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+      |SELECT o_custkey, 'both' AS side FROM both_
+      |UNION ALL
+      |SELECT o_custkey, 'only_f' AS side FROM only_f
+      |ORDER BY side, o_custkey""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val f = orders.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val o = orders.filter(col("o_orderstatus") === "O").select("o_custkey")
+    f.intersect(o).withColumn("side", lit("both"))
+      .union(f.except(o).withColumn("side", lit("only_f")))
+      .orderBy("side", "o_custkey")
+  }
+
+  /** Null-safe equality (`<=>` / IS NOT DISTINCT FROM) — the join nuance
+    * SURVEY §7.5.4 contrasts with J4's null-dropping `===`. Null regions
+    * (synthesized for odd keys) match each other instead of dropping. */
+  val q31 = OracleQuery(
+    "q31_null_safe_equality",
+    """WITH t AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END AS seg
+      |  FROM customer)
+      |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+      |FROM t a JOIN t b
+      |  ON a.seg IS NOT DISTINCT FROM b.seg AND a.c_custkey < b.c_custkey
+      |WHERE a.c_custkey <= 20
+      |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
+    val t = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 2 === 0, col("c_mktsegment")).as("seg"))
+    t.as("a").join(t.as("b"),
+        col("a.seg") <=> col("b.seg") && col("a.c_custkey") < col("b.c_custkey"))
+      .filter(col("a.c_custkey") <= 20)
+      .select(col("a.c_custkey").as("key_a"), col("b.c_custkey").as("key_b"))
+      .orderBy("key_a", "key_b")
+  }
+
+  val all: Seq[OracleQuery] = Seq(q26, q27, q28, q29, q30, q31)
 }
