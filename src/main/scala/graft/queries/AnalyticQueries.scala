@@ -48,9 +48,9 @@ object AnalyticQueries {
       .agg(
         // exact interpolated percentile (matches quantile_cont), not the
         // GK-sketch percentile_approx
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))
       .orderBy("l_returnflag")
   }
 

@@ -44,10 +44,19 @@ object OperatorQueries {
   /** Structured Streaming windowed rollup driven to completion over the
     * events table (file-source → watermark → tumbling window → memory sink). */
   val streamRollup = OracleQuery.noOracle("x04_stream_windowed_counts") { (s, d) =>
-    val landing = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    Tables.events(s, d)
-      .select("event_id", "event_time", "user_id", "event_type", "value")
-      .write.mode("overwrite").parquet(landing)
+    // Landing dir reused across invocations so the normalization write runs
+    // once per (source dir, landed schema) — the key is an md5 of both, so
+    // distinct sources can't collide and a schema change in a later build
+    // invalidates the old landing instead of silently serving stale columns.
+    // (Single driver process; no concurrent-writer guard needed here.)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|${EventStream.eventSchema.json}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val landing = s"/tmp/graft_stream_landing_$key"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$landing/_SUCCESS")))
+      Tables.events(s, d)
+        .select("event_id", "event_time", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(landing)
     val sink = s"stream_sink_${java.util.UUID.randomUUID().toString.take(8)}"
     EventStream.runToMemorySink(
       EventStream.windowedCounts(EventStream.readEvents(s, landing)), sink)

@@ -259,9 +259,13 @@ object TextQueries {
       .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.5)
     val fp = q.withColumn("fp", fingerprint(col("text")))
     val canon = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    // cached: pruneNearDups scans survivors twice (shingle build + the
+    // anti-join probe side) — without this the scan/tokenize/quality/
+    // dedup subtree executes twice
     val survivors = fp
       .join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "text", "n_tokens")
+      .cache()
     graft.operators.MinHashDedup.pruneNearDups(survivors, 0.7)
       .select(col("doc_id"), col("lang"), col("n_tokens"))
       .orderBy("doc_id")

@@ -27,6 +27,4 @@ object GraftCatalog {
     tables.foreach { t =>
       spark.read.parquet(s"$goldDir/$t").createOrReplaceTempView(t)
     }
-
-  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 }
