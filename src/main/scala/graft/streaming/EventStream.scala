@@ -80,4 +80,21 @@ object EventStream {
     q.stop()
     df.sparkSession.table(queryName)
   }
+
+  /** Production-shaped sink: checkpointed parquet with an AvailableNow
+    * trigger — processes everything currently landed, then stops. The
+    * checkpoint gives exactly-once file-sink semantics: re-running over the
+    * same landing dir appends nothing (source offsets are committed), and a
+    * crash mid-batch replays without duplicates. This is the streaming
+    * medallion ingest: landing → (dedup/transform) → silver parquet. */
+  def runToParquetSink(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -50,6 +50,20 @@ class EventStreamSpec extends SparkSpec {
     assert(streamedRows.forall { case (k, v) => batchRows.get(k).contains(v) })
   }
 
+  test("checkpointed parquet sink is exactly-once across re-runs") {
+    val s = SparkSpec.session
+    val out = Files.createTempDirectory("stream_silver").toString
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    def runOnce(): Unit = EventStream.runToParquetSink(
+      EventStream.dedup(EventStream.readEvents(s, landingDir)), out, ckpt)
+    runOnce()
+    val n1 = s.read.parquet(out).count()
+    assert(n1 == s.read.schema(EventStream.eventSchema).parquet(landingDir).count())
+    // second run over the same landing dir: offsets committed → no new rows
+    runOnce()
+    assert(s.read.parquet(out).count() == n1)
+  }
+
   test("mapGroupsWithState accumulates per-user totals") {
     val s = SparkSpec.session
     val sessions = EventStream.runToMemorySink(
