@@ -13,8 +13,45 @@ import graft.streaming.EventStream
   * across runs even without a DuckDB oracle. */
 object OperatorQueries {
 
-  /** SRP-LSH approximate top-k (multi-probe hamming-1) for 10 query ids. */
-  val srpAnn = OracleQuery.noOracle("x01_srp_ann_topk") { (s, d) =>
+  /** SRP-LSH approximate top-k (multi-probe hamming-1) for 10 query ids.
+    * Fully oracle-checked: the fixed hyperplanes inline into the SQL as
+    * literals (Double.toString round-trips exactly through DuckDB's
+    * parser), so bucket assignment, probing, and ranking mirror bit-for-bit. */
+  val srpAnn = OracleQuery(
+    "x01_srp_ann_topk", {
+      import graft.functions.VectorFunctions
+      val planes = VectorFunctions.srpPlanes(4, 64)
+      def dotPlane(p: Seq[Double]): String =
+        s"list_sum(list_transform(list_zip(v, [${p.mkString(", ")}]), x -> x[1] * x[2]))"
+      val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${dotPlane(p)} >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
+         |    $bucketExpr AS bucket
+         |  FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qb
+         |      FROM n WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT query_id, qv, qn, xor(qb, CAST(m AS BIGINT)) AS bucket
+         |  FROM q, (VALUES (0), (1), (2), (4), (8)) p(m)),
+         |j AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    list_sum(list_transform(list_zip(qv, c.v), x -> x[1] * x[2]))
+         |      / (qn * c.nrm) AS cos
+         |  FROM probes JOIN n c USING (bucket)
+         |  WHERE c.vec_id <> query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM j)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    }) { (s, d) =>
     val p = SimilaritySearch.prepared(Tables.embeddings(s, d))
     SimilaritySearch.srpTopK(
       SimilaritySearch.asQueries(p.filter(col("vec_id") < 10)),
