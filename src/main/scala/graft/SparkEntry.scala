@@ -7,7 +7,20 @@ import graft.queries.{AnalyticQueries, OperatorQueries, OracleQuery, RelationalQ
   *
   * Each registered query is an [[OracleQuery]]: a Spark implementation paired
   * (where SQL-expressible) with DuckDB oracle SQL over the same parquet
-  * tables. Registries live next to the operator families they exercise.
+  * tables. Registries live next to the operator families they exercise:
+  *
+  *  - q01–q25 [[graft.queries.RelationalQueries]] — SURVEY §2 relational
+  *    inventory + as-of/interval joins, rollup, semi/anti, distinct tiers
+  *  - q26–q31 [[graft.queries.AnalyticQueries]] — frames, lag/lead, exact
+  *    percentiles, string suite, pivot, set ops, null-safe equality
+  *  - d01–d08 [[graft.queries.TextQueries]] — token/quality/langid/
+  *    fingerprint/dedup family + composed corpus curation
+  *  - v01–v04 [[graft.queries.VectorQueries]] — embedding math + ANN baseline
+  *  - x01–x05 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *    multimodal, streaming, approx-distinct (rows-only where noted)
+  *
+  * COVERAGE.md maps every SURVEY §2 operator ID to its implementation,
+  * query, and test.
   */
 object SparkEntry {
 

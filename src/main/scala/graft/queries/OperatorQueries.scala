@@ -79,8 +79,25 @@ object OperatorQueries {
   }
 
   /** Structured Streaming windowed rollup driven to completion over the
-    * events table (file-source → watermark → tumbling window → memory sink). */
-  val streamRollup = OracleQuery.noOracle("x04_stream_windowed_counts") { (s, d) =>
+    * events table (file-source → watermark → tumbling window → memory sink).
+    * Fully oracle-checked: append mode emits exactly the windows whose end
+    * is at or before the final watermark (max event_time − 10 min), so the
+    * batch SQL filters to closed windows — validated row-identical at
+    * sf0.01 and sf0.1. */
+  val streamRollup = OracleQuery(
+    "x04_stream_windowed_counts",
+    """WITH e AS (
+      |  SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP)
+      |           - INTERVAL (CAST(minute(ts) AS INT) % 5) MINUTE AS ws,
+      |         event_type, value
+      |  FROM events),
+      |mx AS (SELECT CAST(max(ts) AS TIMESTAMP) AS m FROM events)
+      |SELECT ws AS window_start, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM e, mx
+      |WHERE ws + INTERVAL 5 MINUTE <= m - INTERVAL 10 MINUTE
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
     // Landing dir reused across invocations so the normalization write runs
     // once per (source dir, landed schema) — the key is an md5 of both, so
     // distinct sources can't collide and a schema change in a later build

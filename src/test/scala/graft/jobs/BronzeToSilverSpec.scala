@@ -92,6 +92,18 @@ class BronzeToSilverSpec extends SparkSpec {
     assert(viaInferred.count() == silver.count())
   }
 
+  test("multiLine mode reads a pretty-printed FeatureCollection identically") {
+    // same document, pretty-printed across many lines (the non-json-lines
+    // shape multiLine=true exists for)
+    val doc = UsgsGeoJson.fixtureDocument()
+    val pretty = doc.replace("},{", "},\n  {").replace("\"features\":[", "\"features\": [\n  ")
+    val path = s"$lake/bronze_pretty/raw.json"
+    UsgsGeoJson.writeBronze(path, pretty)
+    val viaMulti = BronzeToSilver.run(SparkSpec.session, path,
+      s"$lake/silver_pretty", multiLine = true)
+    assert(viaMulti.count() == silver.count())
+  }
+
   test("typed Dataset[SilverEvent] view supports compile-checked access") {
     import graft.model.SilverEvent
     val ds = SilverEvent.typed(silver)
