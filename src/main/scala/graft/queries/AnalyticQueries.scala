@@ -142,5 +142,89 @@ object AnalyticQueries {
       .orderBy("key_a", "key_b")
   }
 
-  val all: Seq[OracleQuery] = Seq(q26, q27, q28, q29, q30, q31)
+  /** Ranking-function family: rank/dense_rank/ntile/percent_rank/cume_dist
+    * (deterministic under a total order). */
+  val q32 = OracleQuery(
+    "q32_ranking_suite",
+    """SELECT o_orderstatus, o_orderkey,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WHERE o_custkey <= 50
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderstatus, rnk, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderstatus", "rnk", "o_orderkey")
+  }
+
+  /** Conditional-expression family: coalesce/nullif/least/greatest/CASE
+    * over synthesized nulls. */
+  val q33 = OracleQuery(
+    "q33_conditional_suite",
+    """SELECT c_custkey,
+      |  coalesce(seg, 'NONE') AS seg_or_none,
+      |  nullif(c_mktsegment, 'BUILDING') AS seg_not_building,
+      |  round(least(c_acctbal, 5000.0), 2) AS capped_low,
+      |  round(greatest(c_acctbal, 0.0), 2) AS capped_high,
+      |  CASE WHEN seg IS NULL THEN 'missing'
+      |       WHEN c_acctbal < 0 THEN 'debtor'
+      |       ELSE 'ok' END AS status
+      |FROM (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal,
+      |    CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment END AS seg
+      |  FROM customer) t
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .withColumn("seg", when(col("c_custkey") % 3 === 0, col("c_mktsegment")))
+      .select(col("c_custkey"),
+        coalesce(col("seg"), lit("NONE")).as("seg_or_none"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_not_building"),
+        round(least(col("c_acctbal"), lit(5000.0)), 2).as("capped_low"),
+        round(greatest(col("c_acctbal"), lit(0.0)), 2).as("capped_high"),
+        when(col("seg").isNull, "missing")
+          .when(col("c_acctbal") < 0, "debtor")
+          .otherwise("ok").as("status"))
+      .orderBy("c_custkey")
+  }
+
+  /** Array-function family over the embedding column: slice, concat,
+    * contains, position, sort, reverse (all order-deterministic). */
+  val q34 = OracleQuery(
+    "q34_array_suite",
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS INT) AS n_dims,
+      |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+      |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_dim,
+      |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_dim,
+      |  round(CAST(list_sort(embedding)[len(embedding)] AS DOUBLE), 6) AS sorted_last,
+      |  round(CAST(list_reverse(embedding)[1] AS DOUBLE), 6) AS last_dim,
+      |  CAST(len(list_slice(embedding, 1, 8)) AS INT) AS head_len
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = col("embedding")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        size(e).as("n_dims"),
+        round(element_at(e, 1).cast("double"), 6).as("first_dim"),
+        round(array_max(e).cast("double"), 6).as("max_dim"),
+        round(array_min(e).cast("double"), 6).as("min_dim"),
+        round(element_at(sort_array(e), size(e)).cast("double"), 6).as("sorted_last"),
+        round(element_at(reverse(e), 1).cast("double"), 6).as("last_dim"),
+        size(slice(e, 1, 8)).as("head_len"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[OracleQuery] = Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34)
 }
