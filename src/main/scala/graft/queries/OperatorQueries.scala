@@ -6,11 +6,13 @@ import graft.operators.SimilaritySearch
 import graft.sources.Tables
 import graft.streaming.EventStream
 
-/** Non-SQL-expressible operators surfaced through the driver contract as
-  * rows-only checks: approximate similarity search (SRP-LSH, IVF), the
-  * multimodal feature pipeline, and the Structured Streaming rollup.
-  * Each is deterministic (fixed seeds), so row counts and values are stable
-  * across runs even without a DuckDB oracle. */
+/** The operator-tier registry: approximate similarity search (SRP-LSH,
+  * IVF), the multimodal feature pipeline, the Structured Streaming rollup,
+  * and sketch-based distinct counts. SRP-LSH (x01) and the streaming rollup
+  * (x04) carry full DuckDB oracles (deterministic arithmetic mirrors);
+  * IVF (x02, KMeans quantizer), multimodal (x03, Scala-side synthesis) and
+  * approx-distinct (x05, engine-specific sketch) are rows-only — still
+  * deterministic for fixed seeds, just not SQL-expressible. */
 object OperatorQueries {
 
   /** SRP-LSH approximate top-k (multi-probe hamming-1) for 10 query ids.

@@ -18,19 +18,25 @@ object Bucketing {
     * table — sorting makes the downstream SortMergeJoin's sort a no-op. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     nBuckets: Int = 8): Unit = {
+    // simple unqualified names only — qualified names nest under a db dir
+    // and would defeat the stale-location cleanup below
+    require(!table.contains("."), s"use an unqualified table name, got $table")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // a previous session's managed location survives the in-memory catalog;
-    // clear it or CREATE TABLE AS refuses with LOCATION_ALREADY_EXISTS
+    // clear it or CREATE TABLE AS refuses with LOCATION_ALREADY_EXISTS.
+    // Spark lowercases managed-table directory names.
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val whPath = Option(new java.net.URI(wh).getPath).filter(_.nonEmpty).getOrElse(wh)
-    val loc = new java.io.File(s"$whPath/$table")
+    val loc = new java.io.File(s"$whPath/${table.toLowerCase}")
     if (loc.exists()) {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete()
       }
       rm(loc)
+      require(!loc.exists(),
+        s"could not clear stale managed-table location $loc — delete it manually")
     }
     df.write
       .mode(SaveMode.Overwrite)
