@@ -115,6 +115,47 @@ object SimilaritySearch {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
   }
 
+  /** IVF with a per-label mean-vector quantizer: inverted lists are the
+    * label classes, centroids are the per-dimension class means — entirely
+    * relational (posexplode → grouped avg → collect), so unlike the KMeans
+    * tier this one is SQL-expressible end-to-end and DuckDB-oracle-checked
+    * (x06). One centroid ranking serves both corpus assignment (rank 1)
+    * and query probing (rank ≤ nProbe). */
+  def ivfLabelTopK(emb: DataFrame, queryMaxId: Long, k: Int,
+                   nProbe: Int = 3): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("m"))
+      .groupBy(col("label").as("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .withColumn("cnrm", l2Norm(col("cv")))
+
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("clabel"))
+    val asg = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .select("vec_id", "v", "nrm", "clabel", "rn")
+
+    val corpus = asg.filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv2"),
+        col("nrm").as("cn"), col("clabel"))
+    val probes = asg.filter(col("vec_id") < queryMaxId && col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("clabel"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(corpus, Seq("clabel"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("cv2")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+  }
+
   /** Recall@k of an approximate result against the exact baseline. */
   def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
     val a = approx.select("query_id", "neighbor_id")

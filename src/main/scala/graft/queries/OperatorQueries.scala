@@ -129,5 +129,56 @@ object OperatorQueries {
       countDistinct(col("o_custkey")).as("exact_cust"))
   }
 
-  val all: Seq[OracleQuery] = Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct)
+  /** IVF with a per-label mean quantizer — the SQL-expressible IVF tier
+    * (see SimilaritySearch.ivfLabelTopK); fully oracle-checked. */
+  val ivfLabelAnn = OracleQuery(
+    "x06_ivf_label_ann_topk",
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, v,
+      |    sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      |  FROM e),
+      |ex AS (
+      |  SELECT label, i AS pos, v[i] AS x
+      |  FROM e, generate_series(1, 64) g(i)),
+      |cm AS (SELECT label, pos, avg(x) AS m FROM ex GROUP BY 1, 2),
+      |cent AS (
+      |  SELECT label AS clabel, list(m ORDER BY pos) AS cv
+      |  FROM cm GROUP BY label),
+      |cent2 AS (
+      |  SELECT clabel, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm
+      |  FROM cent),
+      |asg AS (
+      |  SELECT vec_id, v, nrm, clabel,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS rn
+      |  FROM (
+      |    SELECT n.vec_id, n.v, n.nrm, c.clabel,
+      |      list_sum(list_transform(list_zip(n.v, c.cv), x -> x[1] * x[2]))
+      |        / (n.nrm * c.cnrm) AS ccos
+      |    FROM n, cent2 c) t),
+      |corpus AS (SELECT vec_id, v, nrm, clabel FROM asg WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, clabel
+      |           FROM asg WHERE vec_id < 10 AND rn <= 3),
+      |j AS (
+      |  SELECT query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list_transform(list_zip(qv, c.v), x -> x[1] * x[2]))
+      |      / (qn * c.nrm) AS cos
+      |  FROM probes p JOIN corpus c
+      |    ON p.clabel = c.clabel AND c.vec_id <> p.query_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM j)
+      |SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rnk AS INT) AS rnk
+      |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    SimilaritySearch.ivfLabelTopK(Tables.embeddings(s, d), queryMaxId = 10, k = 10)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy("query_id", "rnk")
+  }
+
+  val all: Seq[OracleQuery] =
+    Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn)
 }
