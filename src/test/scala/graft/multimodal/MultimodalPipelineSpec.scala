@@ -52,6 +52,25 @@ class MultimodalPipelineSpec extends SparkSpec {
     assert(frames.count() > 60 / 3) // video/audio explode to multiple frames
   }
 
+  test("media features compose into the similarity-search operator") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val s = SparkSpec.session
+    // byte-histogram features as a (low-dim) embedding column → the same
+    // ANN machinery used for text embeddings works on media features
+    val feats = MultimodalPipeline.extractFeatures(media).toDF()
+      .select(col("media_id").as("vec_id"),
+        transform(col("histogram"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
+    val queries = feats.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val corpus = feats.select(col("vec_id").as("neighbor_id"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val topk = graft.operators.SimilaritySearch.bruteForceTopK(queries, corpus, 5)
+    assert(topk.count() == 15)
+    assert(topk.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+  }
+
   test("resize stub halves payloads and metadata dims") {
     val resized = MultimodalPipeline.resize(media, 2)
     val orig = media.collect().map(m => m.media_id -> m).toMap
