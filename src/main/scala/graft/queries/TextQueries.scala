@@ -271,7 +271,62 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** SimHash near-dup pairs: 4×15-bit chunk banding generates candidates
+    * (EXACT for hamming ≤ 3 — three flipped bits cannot touch all four
+    * chunks, so every qualifying pair shares a chunk), then popcount-of-xor
+    * verification. The SimHash counterpart of the MinHash-LSH pipeline:
+    * same shape — band equi-join, never all-pairs. */
+  val docSimhashNearDup = OracleQuery(
+    "d09_doc_neardup_simhash",
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(generate_series(0, 59), b ->
+       |      CASE WHEN 2 * list_sum(list_transform(hs, x -> (x >> b) & 1)) > len(hs)
+       |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sh
+       |  FROM (SELECT doc_id,
+       |          list_transform($tokSql,
+       |            t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hs
+       |        FROM documents) t),
+       |chunks AS (
+       |  SELECT doc_id, sh, c AS chunk_idx,
+       |    (sh >> (c * 15)) & 32767 AS chunk_val
+       |  FROM h, generate_series(0, 3) g(c)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, x.sh AS sha, y.doc_id AS doc_b, y.sh AS shb
+       |  FROM chunks x JOIN chunks y
+       |    ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val
+       |      AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val h = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("hs", transform(col("toks"), t => hash60(t)))
+      .select(col("doc_id"), simhash60(col("hs")).as("sh"))
+      .cache() // scanned by both sides of the chunk self-join
+    val chunks = h.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk_idx"),
+          shiftright(col("sh"), c * 15).bitwiseAND(lit(32767L)).as("chunk_val"))): _*))
+        .as("ch"))
+      .select(col("doc_id"), col("sh"),
+        col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk_val").as("chunk_val"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx")
+          && col("x.chunk_val") === col("y.chunk_val")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.sh").as("sha"),
+        col("y.doc_id").as("doc_b"), col("y.sh").as("shb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
-    docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration)
+    docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
+    docSimhashNearDup)
 }

@@ -108,5 +108,31 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
-  val all: Seq[OracleQuery] = Seq(embNorms, embCentroids, embNearDupPairs, embAnnTopK)
+  /** Embedding near-dup PRUNING (the dedup action on v03's pairs): drop the
+    * higher id of every pair at/above the threshold, keep the rest. */
+  val embDedup = OracleQuery(
+    "v05_emb_dedup",
+    s"""WITH n AS ($normSql),
+       |pairs AS (
+       |  SELECT c.vec_id AS doc_b
+       |  FROM n q JOIN n c ON q.vec_id < c.vec_id
+       |  WHERE round($dotSql / (q.nrm * c.nrm), 4) >= 0.4)
+       |SELECT e.vec_id, e.label FROM embeddings e
+       |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_b = e.vec_id)
+       |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val drop = a.join(b, col("id_a") < col("id_b"))
+      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4) >= 0.4)
+      .select(col("id_b").as("vec_id")).distinct()
+    Tables.embeddings(s, d)
+      .join(drop, Seq("vec_id"), "left_anti")
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[OracleQuery] = Seq(embNorms, embCentroids, embNearDupPairs, embAnnTopK, embDedup)
 }
