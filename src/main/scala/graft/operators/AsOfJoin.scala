@@ -43,8 +43,13 @@ object AsOfJoin {
       .withColumn("__side", lit(1))
 
     val unioned = lPrep.unionByName(rPrep, allowMissingColumns = true)
+    // Tertiary sort on the packed payload struct makes the survivor among
+    // right rows sharing (key, timestamp) deterministic across runs and
+    // partitionings (max payload by struct ordering wins); without it the
+    // running last() would pick whichever tied row happened to sort later.
+    // Constraint: payload fields must be orderable (no map columns).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = unioned

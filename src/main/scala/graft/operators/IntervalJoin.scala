@@ -19,15 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
-  /** Inner point-in-interval join. `point`/`start`/`end` are long-valued
-    * columns (e.g. epoch nanos); bounds are inclusive on both ends. */
+  /** Inner point-in-interval join. `point`/`start`/`end` are non-negative
+    * long-valued columns (e.g. epoch nanos); bounds are inclusive on both
+    * ends. Bucket ids use exact integer division (`div`) — `floor(col / w)`
+    * would go through doubles, whose 256-unit ulp at epoch-nanos magnitude
+    * (~1.7e18) can misplace a point within ~256 ns of a bucket boundary. */
   def pointInInterval(left: DataFrame, right: DataFrame, keys: Seq[String],
                       point: String, start: String, end: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0)
-    val l = left.withColumn("__bkt", floor(col(point) / bucketWidth))
-    val r = right.withColumn("__bkt",
-      explode(sequence(floor(col(start) / bucketWidth), floor(col(end) / bucketWidth))))
+    def bkt(c: String) = expr(s"`$c` div ${bucketWidth}L")
+    val l = left.withColumn("__bkt", bkt(point))
+    val r = right.withColumn("__bkt", explode(sequence(bkt(start), bkt(end))))
     l.join(r, keys :+ "__bkt")
       .filter(col(point) >= col(start) && col(point) <= col(end))
       .drop("__bkt")

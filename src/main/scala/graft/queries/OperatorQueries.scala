@@ -8,11 +8,11 @@ import graft.streaming.EventStream
 
 /** The operator-tier registry: approximate similarity search (SRP-LSH,
   * IVF), the multimodal feature pipeline, the Structured Streaming rollup,
-  * and sketch-based distinct counts. SRP-LSH (x01) and the streaming rollup
-  * (x04) carry full DuckDB oracles (deterministic arithmetic mirrors);
-  * IVF (x02, KMeans quantizer), multimodal (x03, Scala-side synthesis) and
-  * approx-distinct (x05, engine-specific sketch) are rows-only — still
-  * deterministic for fixed seeds, just not SQL-expressible. */
+  * and sketch-based distinct counts. SRP-LSH (x01), the streaming rollup
+  * (x04), the sketch-tolerance check (x05) and label-quantizer IVF (x06)
+  * carry full DuckDB oracles; IVF (x02, KMeans quantizer) and multimodal
+  * (x03, Scala-side synthesis) are rows-only — still deterministic for
+  * fixed seeds, just not SQL-expressible. */
 object OperatorQueries {
 
   /** SRP-LSH approximate top-k (multi-probe hamming-1) for 10 query ids.
@@ -71,12 +71,17 @@ object OperatorQueries {
   }
 
   /** Multimodal feature extraction over the synthetic media table
-    * (decode stubbed; Spark plumbing real — see MultimodalPipeline). */
+    * (decode stubbed; Spark plumbing real — see MultimodalPipeline).
+    * The 16-bucket histogram stays an array in the library API but is
+    * projected to a CSV string here: the driver's row comparator sorts and
+    * hashes scalar values and cannot handle array cells. */
   val multimodal = OracleQuery.noOracle("x03_multimodal_features") { (s, _) =>
     MultimodalPipeline.extractFeatures(MultimodalPipeline.synthesize(s, 120))
       .toDF()
       .withColumn("mean_byte", round(col("mean_byte"), 4))
       .withColumn("byte_entropy", round(col("byte_entropy"), 4))
+      .withColumn("histogram",
+        concat_ws(",", transform(col("histogram"), _.cast("string"))))
       .orderBy("media_id")
   }
 
@@ -100,19 +105,33 @@ object OperatorQueries {
       |WHERE ws + INTERVAL 5 MINUTE <= m - INTERVAL 10 MINUTE
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    // Landing dir reused across invocations so the normalization write runs
-    // once per (source dir, landed schema) — the key is an md5 of both, so
-    // distinct sources can't collide and a schema change in a later build
-    // invalidates the old landing instead of silently serving stale columns.
-    // (Single driver process; no concurrent-writer guard needed here.)
+    // Landing dir reused across invocations AND processes so the
+    // normalization write runs once per (source dir, landed schema) — the
+    // key is an md5 of both, so distinct sources can't collide and a schema
+    // change in a later build invalidates the old landing. Publication is
+    // atomic: write to a per-process scratch dir, then rename into place —
+    // a concurrent process either sees the complete landing or publishes
+    // its own identical copy (the loser's rename fails and is discarded),
+    // never a half-written directory.
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d|${EventStream.eventSchema.json}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val landing = s"/tmp/graft_stream_landing_$key"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$landing/_SUCCESS")))
+    val landingPath = java.nio.file.Paths.get(landing)
+    if (!java.nio.file.Files.exists(landingPath.resolve("_SUCCESS"))) {
+      val scratch = java.nio.file.Paths.get(
+        s"${landing}_tmp_${java.lang.ProcessHandle.current.pid}")
       Tables.events(s, d)
         .select("event_id", "event_time", "user_id", "event_type", "value")
-        .write.mode("overwrite").parquet(landing)
+        .write.mode("overwrite").parquet(scratch.toString)
+      try java.nio.file.Files.move(scratch, landingPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // another process won the publish race — use theirs
+          org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+      }
+    }
     val sink = s"stream_sink_${java.util.UUID.randomUUID().toString.take(8)}"
     EventStream.runToMemorySink(
       EventStream.windowedCounts(EventStream.readEvents(s, landing)), sink)
@@ -120,13 +139,27 @@ object OperatorQueries {
       .orderBy("window_start", "event_type")
   }
 
-  /** HLL-sketch approximate distinct counts (deterministic for fixed input,
-    * but the sketch differs from DuckDB's → rows-only). */
-  val approxDistinct = OracleQuery.noOracle("x05_approx_count_distinct") { (s, d) =>
+  /** HLL-sketch approximate distinct counts, fully oracle-checked by
+    * assertion: the sketch values themselves are engine-specific (Spark's
+    * HLL++ differs from DuckDB's HLL), but they are deterministic for a
+    * fixed input, so the query emits the exact distinct count plus boolean
+    * within-tolerance checks on the sketches — both dialects reduce to the
+    * same hashable row, and a regressed sketch flips a boolean. */
+  val approxDistinct = OracleQuery(
+    "x05_approx_count_distinct",
+    """SELECT count(DISTINCT o_custkey) AS exact_cust,
+      |  TRUE AS approx_within_15pct, TRUE AS precise_within_3pct
+      |FROM orders""".stripMargin) { (s, d) =>
+    // tolerances are 3× the sketches' configured rsd (0.05 default / 0.01)
     Tables.orders(s, d).agg(
-      approx_count_distinct(col("o_custkey")).as("approx_cust"),
-      approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_cust_precise"),
-      countDistinct(col("o_custkey")).as("exact_cust"))
+      countDistinct(col("o_custkey")).as("exact_cust"),
+      approx_count_distinct(col("o_custkey")).as("__approx"),
+      approx_count_distinct(col("o_custkey"), rsd = 0.01).as("__precise"))
+      .select(col("exact_cust"),
+        (abs(col("__approx") - col("exact_cust")) <= col("exact_cust") * 0.15)
+          .as("approx_within_15pct"),
+        (abs(col("__precise") - col("exact_cust")) <= col("exact_cust") * 0.03)
+          .as("precise_within_3pct"))
   }
 
   /** IVF with a per-label mean quantizer — the SQL-expressible IVF tier

@@ -58,6 +58,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(inner.select("click").collect().map(_.getString(0)).toSeq == Seq("c1"))
   }
 
+  test("ties among right rows at the same (key, time) resolve deterministically") {
+    val s = SparkSpec.session
+    import s.implicits._
+    val l = Seq((1L, 100L, "c1")).toDF("uid", "t", "click")
+    // two right rows at the same key+timestamp: the max payload struct wins
+    // (ordering is (__rt, err, v) → "e9" > "e2"), on every run/partitioning
+    val r = Seq((1L, 50L, "e2", 2.0), (1L, 50L, "e9", 9.0))
+      .toDF("uid", "t", "err", "v")
+    (1 to 3).foreach { _ =>
+      val row = AsOfJoin.asofLeft(l, r.repartition(7), Seq("uid"), "t", "t")
+        .select("right_err", "right_v").head()
+      assert(row.getString(0) == "e9" && row.getDouble(1) == 9.0)
+    }
+  }
+
   test("payload fills atomically (no cross-row column mixing)") {
     val s = SparkSpec.session
     import s.implicits._

@@ -34,6 +34,22 @@ class IntervalJoinSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("exact bucket ids at epoch-nanos magnitude (long div, not double floor)") {
+    val s = SparkSpec.session
+    import s.implicits._
+    // At ~1.7e18 a double's ulp is 256, so floor(p / w) through doubles can
+    // shift a near-boundary bucket id; `div` is exact long arithmetic.
+    val w = 60_000_000_000L // 60 s in nanos
+    val boundary = 28_333_333L * w // 1.69999998e18, a bucket edge
+    val left = Seq((1L, boundary - 1L, 1L), (1L, boundary, 2L), (1L, boundary + 1L, 3L))
+      .toDF("k", "p", "lid")
+    val right = Seq((1L, boundary - 10L, boundary - 1L, 8L), (1L, boundary, boundary + 10L, 9L))
+      .toDF("k", "st", "en", "rid")
+    val got = IntervalJoin.pointInInterval(left, right, Seq("k"), "p", "st", "en", w)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 8L), (2L, 9L), (3L, 9L)))
+  }
+
   test("inclusive bounds on both ends") {
     val s = SparkSpec.session
     import s.implicits._
