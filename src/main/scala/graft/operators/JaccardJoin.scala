@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** EXACT n-gram Jaccard similarity join over a (doc_id, text) DataFrame:
+  * word-n-gram shingles → rarest-first prefix filter → inverted-index
+  * candidate join → exact-Jaccard verification.
+  *
+  * Unlike MinHash-LSH (probabilistic recall) this is lossless: prefix
+  * filtering (Chaudhuri et al. SSJoin / Xiao et al. PPJoin) guarantees that
+  * any pair with Jaccard ≥ t shares at least one shingle inside both docs'
+  * prefixes under a single global shingle ordering, so candidate generation
+  * misses nothing. Prefix length for Jaccard t is |s| − ⌈t·|s|⌉ + 1
+  * (computed as |s| − floor(t·|s|) + 1, which only ever over-lengthens by
+  * one — float error can never shorten the prefix below the safe bound).
+  *
+  * Scale contract: ordering shingles by ascending document frequency puts
+  * the RAREST shingles in the prefixes, so the inverted index the candidate
+  * self-join runs on has tiny, skew-bounded postings lists (a stop-shingle
+  * like "of the and" never enters a prefix). The plan is three hash
+  * shuffles — by shingle (df join), by doc_id (prefix ranking window), by
+  * prefix shingle (candidate join) — and never an all-pairs cross join.
+  */
+object JaccardJoin {
+
+  /** All pairs (doc_a < doc_b) with word-n-gram Jaccard ≥ threshold —
+    * exact result, prefix-filtered candidate generation. */
+  def exactPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val sh = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), shingles(col("toks"), n).as("s"))
+      .filter(size(col("s")) > 0)
+      .cache() // scanned by the prefix build and both verification probes
+
+    // global document frequency per shingle → rarest-first total order
+    val df = sh.select(explode(col("s")).as("sg"))
+      .groupBy("sg").agg(count(lit(1)).as("df"))
+
+    val exploded = sh
+      .select(col("doc_id"), size(col("s")).as("sz"), explode(col("s")).as("sg"))
+      .join(df, Seq("sg"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sg"))
+    val prefix = exploded
+      .withColumn("rnk", row_number().over(byRarity))
+      .filter(col("rnk") <= col("sz") - floor(col("sz") * threshold) + 1)
+      .select("doc_id", "sg")
+
+    val cand = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.sg") === col("y.sg") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb")))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      .withColumn("jac", jac)
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
+}

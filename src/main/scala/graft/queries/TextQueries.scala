@@ -325,8 +325,34 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EXACT n-gram Jaccard near-dup pairs via rarest-first prefix filtering
+    * ([[graft.operators.JaccardJoin]]) — the lossless tier above MinHash
+    * (d07 can miss a pair whose bands all differ; this cannot). The oracle
+    * is an exhaustive inverted-index ground truth: every pair sharing any
+    * shingle gets its true Jaccard (pairs sharing none have J = 0 < t), so
+    * a single missed candidate in the Spark prefix filter hash-mismatches. */
+  val docNgramJaccard = OracleQuery(
+    "d10_doc_neardup_ngram_jaccard",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),
+       |e AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg
+       |      FROM sh WHERE len(s) > 0),
+       |i AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter,
+       |    any_value(x.sz) AS sza, any_value(y.sz) AS szb
+       |  FROM e x JOIN e y ON x.sg = y.sg AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / (sza + szb - inter), 4) AS jaccard
+       |FROM i
+       |WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    graft.operators.JaccardJoin.exactPairs(Tables.documents(s, d), 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
-    docSimhashNearDup)
+    docSimhashNearDup, docNgramJaccard)
 }

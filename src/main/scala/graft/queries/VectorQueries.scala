@@ -134,5 +134,58 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
-  val all: Seq[OracleQuery] = Seq(embNorms, embCentroids, embNearDupPairs, embAnnTopK, embDedup)
+  /** Int8 scalar quantization of the embedding column — the compression
+    * step before ANN indexing at scale (4× smaller than float32, 8× smaller
+    * than the double math): per-dimension min/max over the corpus define a
+    * 256-level grid; each value maps to a code in [-128, 127]. Emits a
+    * per-vector code checksum plus mean/max reconstruction error.
+    *
+    * Rounding is floor(z + 0.5) in BOTH dialects (identical IEEE semantics;
+    * engine `round` half-up vs half-even differences cannot creep in).
+    *
+    * Scale: one posexplode (N·64 rows), a 64-row broadcast of the
+    * per-dimension grid, one hash shuffle back onto vec_id — no driver
+    * collection, no cross join. */
+  val embQuantize = OracleQuery(
+    "v06_emb_quantize_int8",
+    s"""WITH e AS ($embSql),
+       |ex AS (SELECT vec_id, i AS dim, v[i] AS x
+       |       FROM e, generate_series(1, 64) g(i)),
+       |mm AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY dim),
+       |qc AS (
+       |  SELECT vec_id, x, lo, hi,
+       |    CAST(CASE WHEN hi = lo THEN 0
+       |         ELSE floor((x - lo) / (hi - lo) * 255 + 0.5) END AS BIGINT)
+       |      - 128 AS code
+       |  FROM ex JOIN mm USING (dim)),
+       |r AS (
+       |  SELECT vec_id, code,
+       |    CASE WHEN hi = lo THEN lo
+       |         ELSE lo + (code + 128) * (hi - lo) / 255 END AS xr, x
+       |  FROM qc)
+       |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+       |  round(avg(abs(x - xr)), 6) AS mae,
+       |  round(max(abs(x - xr)), 6) AS max_abs_err
+       |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .withColumn("dim", (col("pos") + 1).cast("int"))
+    val mm = ex.groupBy("dim").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val qc = ex.join(broadcast(mm), Seq("dim"))
+      .withColumn("code",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 255 + 0.5))
+          - 128)
+      .withColumn("xr",
+        when(col("hi") === col("lo"), col("lo"))
+          .otherwise(col("lo") + (col("code") + 128) * (col("hi") - col("lo")) / 255))
+    qc.groupBy("vec_id")
+      .agg(sum(col("code")).as("code_sum"),
+        round(avg(abs(col("x") - col("xr"))), 6).as("mae"),
+        round(max(abs(col("x") - col("xr"))), 6).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[OracleQuery] =
+    Seq(embNorms, embCentroids, embNearDupPairs, embAnnTopK, embDedup, embQuantize)
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+class JaccardJoinSpec extends SparkSpec {
+
+  test("prefix-filtered join equals naive all-pairs exact Jaccard") {
+    val s = SparkSpec.session
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    // base docs + perturbed near-copies (drop/replace a couple of words)
+    val base = (0 until 30).map { i =>
+      (0 until 20 + rnd.nextInt(10)).map(_ => vocab(rnd.nextInt(vocab.size)))
+    }
+    val docs = base.zipWithIndex.flatMap { case (words, i) =>
+      val copy = words.updated(3, vocab(rnd.nextInt(vocab.size))).drop(1)
+      Seq((i.toLong * 2, words.mkString(" ")), (i.toLong * 2 + 1, copy.mkString(" ")))
+    }.toDF("doc_id", "text")
+
+    def naive(threshold: Double) = {
+      val sh = docs.withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), shingles(col("toks"), 3).as("s"))
+        .filter(size(col("s")) > 0)
+      sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          (size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
+            size(array_union(col("x.s"), col("y.s")))).as("jac"))
+        .filter(col("jac") >= threshold)
+        .select(col("doc_a"), col("doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    Seq(0.5, 0.8).foreach { t =>
+      val got = JaccardJoin.exactPairs(docs, t)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive(t), s"threshold $t")
+      assert(got.nonEmpty, s"threshold $t produced no pairs — fixture too weak")
+    }
+  }
+
+  test("identical docs always pair with jaccard 1.0") {
+    val s = SparkSpec.session
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now today"))
+      .toDF("doc_id", "text")
+    val out = JaccardJoin.exactPairs(docs, 0.9).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getDouble(2) == 1.0)
+  }
+}
