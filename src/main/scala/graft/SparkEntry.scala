@@ -13,11 +13,14 @@ import graft.queries.{AnalyticQueries, OperatorQueries, OracleQuery, RelationalQ
   *    inventory + as-of/interval joins, rollup, semi/anti, distinct tiers
   *  - q26–q31 [[graft.queries.AnalyticQueries]] — frames, lag/lead, exact
   *    percentiles, string suite, pivot, set ops, null-safe equality
-  *  - d01–d08 [[graft.queries.TextQueries]] — token/quality/langid/
-  *    fingerprint/dedup family + composed corpus curation
-  *  - v01–v04 [[graft.queries.VectorQueries]] — embedding math + ANN baseline
-  *  - x01–x05 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
-  *    multimodal, streaming, approx-distinct (rows-only where noted)
+  *  - d01–d10 [[graft.queries.TextQueries]] — token/quality/langid/
+  *    fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact n-gram
+  *    Jaccard) + composed corpus curation
+  *  - v01–v06 [[graft.queries.VectorQueries]] — embedding math, ANN
+  *    baseline, int8 quantization
+  *  - x01–x07 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *    multimodal, streaming windows + sessions, approx-distinct
+  *    (rows-only where noted)
   *
   * COVERAGE.md maps every SURVEY §2 operator ID to its implementation,
   * query, and test.

@@ -105,14 +105,23 @@ object OperatorQueries {
       |WHERE ws + INTERVAL 5 MINUTE <= m - INTERVAL 10 MINUTE
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    // Landing dir reused across invocations AND processes so the
-    // normalization write runs once per (source dir, landed schema) — the
-    // key is an md5 of both, so distinct sources can't collide and a schema
-    // change in a later build invalidates the old landing. Publication is
-    // atomic: write to a per-process scratch dir, then rename into place —
-    // a concurrent process either sees the complete landing or publishes
-    // its own identical copy (the loser's rename fails and is discarded),
-    // never a half-written directory.
+    val sink = s"stream_sink_${java.util.UUID.randomUUID().toString.take(8)}"
+    EventStream.runToMemorySink(
+      EventStream.windowedCounts(EventStream.readEvents(s, eventLanding(s, d))), sink)
+      .withColumn("sum_value", round(col("sum_value"), 2))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Normalized parquet landing dir the streaming queries (x04/x07) read as
+    * a file source. Reused across invocations AND processes so the
+    * normalization write runs once per (source dir, landed schema) — the
+    * key is an md5 of both, so distinct sources can't collide and a schema
+    * change in a later build invalidates the old landing. Publication is
+    * atomic: write to a per-process scratch dir, then rename into place —
+    * a concurrent process either sees the complete landing or publishes
+    * its own identical copy (the loser's rename fails and is discarded),
+    * never a half-written directory. */
+  private def eventLanding(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d|${EventStream.eventSchema.json}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
@@ -132,11 +141,46 @@ object OperatorQueries {
           org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
       }
     }
-    val sink = s"stream_sink_${java.util.UUID.randomUUID().toString.take(8)}"
+    landing
+  }
+
+  /** Structured Streaming per-user session windows driven to completion —
+    * the gap-merged sessionization surface (session = events < 5 min apart;
+    * window ends at last event + gap). Fully oracle-checked: append mode
+    * emits exactly the sessions whose end is at or before the final
+    * watermark, and the batch mirror is classic lag/cumulative-sum
+    * sessionization with the same closed-session filter. */
+  val streamSessions = OracleQuery(
+    "x07_stream_session_windows",
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+      |mx AS (SELECT max(t) AS m FROM e),
+      |lagd AS (
+      |  SELECT user_id, t, value,
+      |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |           OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+      |                >= INTERVAL 5 MINUTE
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, t, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM lagd),
+      |agg AS (
+      |  SELECT user_id, sid, min(t) AS session_start,
+      |    max(t) + INTERVAL 5 MINUTE AS session_end,
+      |    count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT session_start, session_end, user_id, n_events, sum_value
+      |FROM agg, mx
+      |WHERE session_end <= m - INTERVAL 10 MINUTE
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    val sink = s"stream_sess_${java.util.UUID.randomUUID().toString.take(8)}"
     EventStream.runToMemorySink(
-      EventStream.windowedCounts(EventStream.readEvents(s, landing)), sink)
+      EventStream.sessionRollup(EventStream.readEvents(s, eventLanding(s, d))), sink)
       .withColumn("sum_value", round(col("sum_value"), 2))
-      .orderBy("window_start", "event_type")
+      .orderBy("user_id", "session_start")
   }
 
   /** HLL-sketch approximate distinct counts, fully oracle-checked by
@@ -213,5 +257,6 @@ object OperatorQueries {
   }
 
   val all: Seq[OracleQuery] =
-    Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn)
+    Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
+      streamSessions)
 }

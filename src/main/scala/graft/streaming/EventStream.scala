@@ -47,6 +47,22 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Per-user session windows (gap-merged) — the streaming sessionization
+    * surface. A session spans events closer than `gap` apart; its window is
+    * [first event, last event + gap). In append mode a session is emitted
+    * once the watermark passes its end, so over a static landing dir the
+    * result is exactly the batch sessionization filtered to closed
+    * sessions. */
+  def sessionRollup(events: DataFrame, gap: String = "5 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   case class UserEvent(event_id: Long, event_time: java.sql.Timestamp,
                        user_id: Long, event_type: String, value: Double)
   case class UserSessionState(nEvents: Long, totalValue: Double)

@@ -50,6 +50,25 @@ class EventStreamSpec extends SparkSpec {
     assert(streamedRows.forall { case (k, v) => batchRows.get(k).contains(v) })
   }
 
+  test("session windows match the batch session_window equivalent") {
+    val s = SparkSpec.session
+    val streamed = EventStream.runToMemorySink(
+      EventStream.sessionRollup(EventStream.readEvents(s, landingDir)),
+      "sess_sink", OutputMode.Append())
+    val batch = s.read.schema(EventStream.eventSchema).parquet(landingDir)
+      .groupBy(session_window(col("event_time"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start"), col("user_id"), col("n_events"))
+    // append emits only watermark-closed sessions; each must equal its
+    // batch counterpart exactly (same start, same user, same count)
+    val streamedRows = streamed.select("session_start", "user_id", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batchRows = batch.collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamedRows.nonEmpty)
+    assert(streamedRows.forall { case (k, v) => batchRows.get(k).contains(v) })
+  }
+
   test("checkpointed parquet sink is exactly-once across re-runs") {
     val s = SparkSpec.session
     val out = Files.createTempDirectory("stream_silver").toString
