@@ -226,5 +226,45 @@ object AnalyticQueries {
       .orderBy("vec_id")
   }
 
-  val all: Seq[OracleQuery] = Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34)
+  /** CUBE grouping sets (all four aggregation levels in one pass through
+    * Expand) — completes the grouping-sets family next to q21's ROLLUP. */
+  val q35 = OracleQuery(
+    "q35_cube_returnflag_status",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select("l_returnflag", "l_linestatus", "gid", "n", "revenue")
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Skew-safe two-phase aggregation ([[graft.operators.SkewUtils
+    * .saltedSumCount]]): a hot key's rows spread over salt partitions in
+    * the partial phase, so no single reducer owns a hot key. The oracle is
+    * the PLAIN single-phase GROUP BY — result-identicality of the salted
+    * decomposition is exactly what's being verified (l_quantity is
+    * integral, so the two-phase double sum is exact). l_returnflag has 3
+    * values over the whole table — maximal skew for a keyed aggregate. */
+  val q36 = OracleQuery(
+    "q36_salted_skew_agg",
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.operators.SkewUtils
+      .saltedSumCount(Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity")
+      .select(col("l_returnflag"), col("n"),
+        round(col("sum_value"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[OracleQuery] =
+    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
 }

@@ -256,7 +256,53 @@ object OperatorQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Co-located join over bucketed tables ([[graft.sources.Bucketing]]):
+    * both sides are written bucketed+sorted by the join key, so the join
+    * plans as a SortMergeJoin with ZERO exchanges — the shuffle is paid
+    * once at write time and amortized over every later join on that key
+    * (the biggest lever for a recurring 100 TB fact⋈dim join). The oracle
+    * is the plain join SQL: bucketing must be result-invisible. */
+  val bucketedJoin = OracleQuery(
+    "x08_bucketed_colocated_join",
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val ordersT = s"x08_orders_$key"
+    val custT = s"x08_customer_$key"
+    // written once per (session, source dir); later invocations join the
+    // already-bucketed tables shuffle-free
+    if (!s.catalog.tableExists(ordersT))
+      graft.sources.Bucketing.writeBucketed(
+        Tables.orders(s, d).withColumnRenamed("o_custkey", "custkey"),
+        ordersT, "custkey", nBuckets = 16)
+    if (!s.catalog.tableExists(custT))
+      graft.sources.Bucketing.writeBucketed(
+        Tables.customer(s, d).withColumnRenamed("c_custkey", "custkey"),
+        custT, "custkey", nBuckets = 16)
+    graft.sources.Bucketing.coLocatedJoin(s, ordersT, custT, "custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Frame sampling over the multimodal table (every 2nd pseudo-frame) —
+    * the video keyframe-extract shape: one media row explodes to its
+    * sampled frames, then per-media stats. Rows-only (the synthetic
+    * payload is Scala-side; the plumbing — explode shape, binary column
+    * flow, per-partition batching — is what's exercised). */
+  val frameSample = OracleQuery.noOracle("x09_multimodal_frame_sample") { (s, _) =>
+    MultimodalPipeline.sampleFrames(MultimodalPipeline.synthesize(s, 120), stride = 2)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(length(col("frame_bytes"))).as("bytes_sampled"))
+      .orderBy("media_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
-      streamSessions)
+      streamSessions, bucketedJoin, frameSample)
 }
