@@ -302,7 +302,33 @@ object OperatorQueries {
       .orderBy("media_id")
   }
 
+  /** Approximate percentiles (KLL-style quantile sketch), oracle-checked by
+    * RANK assertion — the x05 pattern applied to quantiles: the sketch
+    * value is engine-specific, but its rank error is bounded by the
+    * accuracy parameter (1/1000 here), so the query asserts the empirical
+    * rank of each approximate percentile lands within ±0.01 of the target
+    * and emits that boolean next to the exact row count. */
+  val approxPercentile = OracleQuery(
+    "x10_approx_percentile_rank",
+    """SELECT count(*) AS n_rows,
+      |  TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+    val ap = li.agg(
+      percentile_approx(col("x"), lit(0.5), lit(1000)).as("p50"),
+      percentile_approx(col("x"), lit(0.95), lit(1000)).as("p95"))
+    li.crossJoin(broadcast(ap))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(when(col("x") <= col("p50"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("r50"),
+        (sum(when(col("x") <= col("p95"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("r95"))
+      .select(col("n_rows"),
+        col("r50").between(0.49, 0.51).as("p50_rank_ok"),
+        col("r95").between(0.94, 0.96).as("p95_rank_ok"))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
-      streamSessions, bucketedJoin, frameSample)
+      streamSessions, bucketedJoin, frameSample, approxPercentile)
 }

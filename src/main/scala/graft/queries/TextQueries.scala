@@ -351,8 +351,43 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Sliding-window document chunking — the split step a training pipeline
+    * applies before tokenization/packing: 40-token chunks on a 30-token
+    * stride (10-token overlap), one output row per chunk with its token
+    * count and content fingerprint. Engine-side end to end: the chunk list
+    * is built with sequence+transform+slice and exploded — no UDF, no
+    * driver loop, scales as one narrow pass over the corpus. */
+  val docChunking = OracleQuery(
+    "d11_doc_chunking",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |c AS (
+       |  SELECT doc_id, n,
+       |    unnest([{'idx': i - 1,
+       |             'txt': array_to_string(toks[(i-1)*30+1 : (i-1)*30+40], ' ')}
+       |            for i in generate_series(1, CAST(floor((n-1)/30.0) AS BIGINT) + 1)])
+       |      AS ch
+       |  FROM f)
+       |SELECT doc_id, CAST(ch.idx AS INT) AS chunk_idx,
+       |  CAST(least(40, n - ch.idx*30) AS INT) AS n_chunk_toks,
+       |  md5(ch.txt) AS chunk_fp
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        posexplode(transform(
+          sequence(lit(0L), floor((size(col("toks")) - 1) / lit(30))),
+          i => concat_ws(" ", slice(col("toks"), (i * 30 + 1).cast("int"), lit(40)))))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        least(lit(40), col("n") - col("chunk_idx") * 30).cast("int").as("n_chunk_toks"),
+        md5(col("chunk_text").cast("binary")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
-    docSimhashNearDup, docNgramJaccard)
+    docSimhashNearDup, docNgramJaccard, docChunking)
 }
