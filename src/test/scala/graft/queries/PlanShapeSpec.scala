@@ -79,6 +79,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(scanLine.contains("year") && scanLine.contains("month"), plan.take(2000))
   }
 
+  test("prefix-filtered jaccard join never plans a cross join") {
+    val plan = planOf("d10_doc_neardup_ngram_jaccard")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("bucketed co-located join has no exchange between scan and join") {
+    val s = SparkSpec.session
+    val df = graft.SparkEntry.queries("x08_bucketed_colocated_join")(s, dir)
+    df.collect() // finalize adaptive plan (and materialize the bucket tables)
+    val plan = df.queryExecution.executedPlan.toString
+    // neither side may be hash-exchanged on the join key: bucketed scans
+    // feed the join directly (SMJ at scale, or a broadcast under AQE at
+    // tiny SF — both exchange-free on the key; shuffle was paid at write)
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning(custkey"), plan.take(3000))
+  }
+
+  test("salted aggregation keeps both phases as hash aggregates") {
+    val plan = planOf("q36_salted_skew_agg")
+    // two-phase decomposition: partial agg on (key, salt), final on key —
+    // four HashAggregate nodes (partial+final per phase), no sort-based agg
+    assert(plan.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 4,
+      plan.take(3000))
+    assert(!plan.contains("SortAggregate"), plan.take(3000))
+  }
+
   test("events scan prunes to referenced columns only") {
     val df = Tables.events(SparkSpec.session, dir)
       .groupBy("event_type").agg(count(lit(1)))
