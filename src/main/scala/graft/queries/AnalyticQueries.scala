@@ -265,6 +265,26 @@ object AnalyticQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Correlated scalar subquery — each order compared against its own
+    * customer's average order price. Catalyst decorrelates this into an
+    * aggregate + join (no per-row subquery execution); both engines run
+    * the identical SQL text. */
+  val q37 = OracleQuery(
+    "q37_correlated_subquery",
+    """SELECT o_custkey AS c_custkey, count(*) AS n_above_avg
+      |FROM orders o
+      |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("q37_orders")
+    s.sql(
+      """SELECT o_custkey AS c_custkey, count(*) AS n_above_avg
+        |FROM q37_orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM q37_orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[OracleQuery] =
-    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
+    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
 }

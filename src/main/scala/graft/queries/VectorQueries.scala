@@ -186,6 +186,96 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** Quantized-prefilter ANN with exact re-rank — the composition that
+    * makes brute force viable at scale: score every corpus vector with the
+    * int8 codes from v06's grid (integer math, 8× less data than doubles),
+    * keep the top-50 candidates per query, then exact-cosine re-rank just
+    * those to top-10. Deterministic end to end (grid → codes → integer dot
+    * → tie-broken ranks), so the full two-stage pipeline is oracle-checked.
+    *
+    * Scale: the coarse pass is the only corpus-wide scan and touches 64
+    * bytes/vector; the float math runs on |Q|·50 rows. */
+  val embQuantRerankAnn = OracleQuery(
+    "v07_emb_quantized_rerank_ann",
+    s"""WITH e AS ($embSql),
+       |ex AS (SELECT vec_id, i AS dim, v[i] AS x
+       |       FROM e, generate_series(1, 64) g(i)),
+       |mm AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY dim),
+       |qc AS (
+       |  SELECT vec_id, dim,
+       |    CAST(CASE WHEN hi = lo THEN 0
+       |         ELSE floor((x - lo) / (hi - lo) * 255 + 0.5) END AS BIGINT)
+       |      - 128 AS code
+       |  FROM ex JOIN mm USING (dim)),
+       |codes AS (SELECT vec_id, list(code ORDER BY dim) AS codes
+       |          FROM qc GROUP BY vec_id),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    list_sum(list_transform(list_zip(q.codes, c.codes), z -> z[1] * z[2]))
+       |      AS qscore
+       |  FROM codes q JOIN codes c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY qscore DESC, vec_id) AS crnk
+       |  FROM scored),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+       |      FROM e),
+       |rr AS (
+       |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(q.v, c.v), z -> z[1] * z[2]))
+       |      / (q.nrm * c.nrm) AS cos
+       |  FROM cand JOIN n q ON q.vec_id = cand.query_id
+       |            JOIN n c ON c.vec_id = cand.vec_id
+       |  WHERE crnk <= 50),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM rr)
+       |SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, CAST(rnk AS INT) AS rnk
+       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val ex = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("dim", (col("pos") + 1).cast("int"))
+    val mm = ex.groupBy("dim").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val codes = ex.join(broadcast(mm), Seq("dim"))
+      .withColumn("code",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 255 + 0.5))
+          - 128)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("code")))),
+        st => st.getField("code")).as("codes"))
+      .cache() // scanned as both the query side and the corpus side
+    val qcodes = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
+    val w50 = Window.partitionBy("query_id").orderBy(col("qscore").desc, col("vec_id"))
+    val cand = broadcast(qcodes).join(codes, col("vec_id") =!= col("query_id"))
+      .withColumn("qscore",
+        aggregate(zip_with(col("qcodes"), col("codes"), (a, b) => a * b),
+          lit(0L), (acc, z) => acc + z))
+      .withColumn("crnk", row_number().over(w50))
+      .filter(col("crnk") <= 50)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val n = e.withColumn("nrm", l2Norm(col("v")))
+    val qv = n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cv = n.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w10 = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w10))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   val all: Seq[OracleQuery] =
-    Seq(embNorms, embCentroids, embNearDupPairs, embAnnTopK, embDedup, embQuantize)
+    Seq(embNorms, embCentroids, embNearDupPairs, embAnnTopK, embDedup, embQuantize,
+      embQuantRerankAnn)
 }
