@@ -331,9 +331,10 @@ object TextQueries {
     * is an exhaustive inverted-index ground truth: every pair sharing any
     * shingle gets its true Jaccard (pairs sharing none have J = 0 < t), so
     * a single missed candidate in the Spark prefix filter hash-mismatches. */
-  val docNgramJaccard = OracleQuery(
-    "d10_doc_neardup_ngram_jaccard",
-    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+  /** Exhaustive n-gram Jaccard pair CTEs ending in `jpairs(doc_a, doc_b,
+    * jac)` — shared by d10 (pair listing) and d13 (cluster collapse). */
+  private def ngramPairCtes(threshold: Double): String =
+    s"""t AS (SELECT doc_id, $tokSql AS toks FROM documents),
        |sh AS (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),
        |e AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg
        |      FROM sh WHERE len(s) > 0),
@@ -341,12 +342,18 @@ object TextQueries {
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter,
        |    any_value(x.sz) AS sza, any_value(y.sz) AS szb
        |  FROM e x JOIN e y ON x.sg = y.sg AND x.doc_id < y.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b,
-       |  round(CAST(inter AS DOUBLE) / (sza + szb - inter), 4) AS jaccard
-       |FROM i
-       |WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.8
-       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+       |  GROUP BY 1, 2),
+       |jpairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(inter AS DOUBLE) / (sza + szb - inter) AS jac
+       |  FROM i
+       |  WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= $threshold)""".stripMargin
+
+  val docNgramJaccard = OracleQuery(
+    "d10_doc_neardup_ngram_jaccard",
+    s"""WITH ${ngramPairCtes(0.8)}
+       |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+       |FROM jpairs ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     graft.operators.JaccardJoin.exactPairs(Tables.documents(s, d), 0.8)
       .orderBy("doc_a", "doc_b")
   }
@@ -386,8 +393,82 @@ object TextQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** TF-IDF top terms per document — the classic relevance weighting as a
+    * two-aggregation pipeline: term frequency per (doc, term), document
+    * frequency per term, score = tf · ln((N+1)/(df+1)). Ranking uses the
+    * ROUNDED score (plus term tie-break) so a last-ulp ln() difference
+    * between engines' libm cannot flip the ordering. */
+  val docTfIdf = OracleQuery(
+    "d12_doc_tfidf_top_terms",
+    s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |s AS (
+       |  SELECT doc_id, term,
+       |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+       |  FROM tf JOIN df USING (term), n),
+       |r AS (
+       |  SELECT doc_id, term, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY tfidf DESC, term) AS rnk
+       |  FROM s)
+       |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tfidf
+       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val t = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = t.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Near-dup CLUSTERS: the pair list (d10) collapsed into connected
+    * components ([[graft.operators.ConnectedComponents]]) so chains A~B~C
+    * form one cluster with the min doc_id as canonical representative —
+    * what a production dedup actually keeps. The oracle walks the same
+    * graph with a recursive CTE (transitive closure + min label). */
+  val docDedupClusters = OracleQuery(
+    "d13_doc_dedup_clusters",
+    s"""WITH RECURSIVE ${ngramPairCtes(0.8)},
+       |nodes AS (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT doc_a AS id FROM jpairs
+       |    UNION ALL SELECT doc_b FROM jpairs)),
+       |edges2 AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+       |  UNION SELECT doc_b, doc_a FROM jpairs),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges2 e ON e.src = r.id),
+       |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+       |         FROM reach GROUP BY 1)
+       |SELECT doc_id, cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY cluster_id) AS INT) AS n_members
+       |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = graft.operators.JaccardJoin
+      .exactPairs(Tables.documents(s, d), 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
+      .withColumn("n_members", count(lit(1)).over(w).cast("int"))
+      .select(col("id").as("doc_id"), col("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
-    docSimhashNearDup, docNgramJaccard, docChunking)
+    docSimhashNearDup, docNgramJaccard, docChunking, docTfIdf,
+    docDedupClusters)
 }
