@@ -22,26 +22,47 @@ object ConnectedComponents {
   /** Components of the undirected graph given by (src, dst) pairs.
     * Returns one row per node: (id, cluster_id) where cluster_id is the
     * smallest node id in the component — a deterministic canonical
-    * representative. */
-  def components(pairs: DataFrame, src: String = "src", dst: String = "dst"): DataFrame = {
-    val fwd = pairs.select(col(src).as("e_src"), col(dst).as("e_dst"))
+    * representative.
+    *
+    * `graphPartitions` sizes the superstep shuffles: the pair graph of a
+    * dedup run is orders of magnitude smaller than the corpus that
+    * produced it, so supersteps should run at the graph's scale, not the
+    * corpus scan's `spark.sql.shuffle.partitions`. Edges and labels are
+    * co-partitioned on the join key, so each superstep shuffles only the
+    * neighbor-min aggregate. */
+  def components(pairs: DataFrame, src: String = "src", dst: String = "dst",
+                 graphPartitions: Int = 4): DataFrame = {
+    require(graphPartitions > 0)
+    // materialized once — the reversed-direction branch reads the cache
+    // instead of re-executing the (typically expensive) pair-producing plan
+    val fwd = pairs.select(col(src).as("e_src"), col(dst).as("e_dst")).cache()
     val edges = fwd
       .union(fwd.select(col("e_dst").as("e_src"), col("e_src").as("e_dst")))
       .distinct()
+      .repartition(graphPartitions, col("e_src"))
       .cache() // probed every superstep
     var labels = edges.select(col("e_src").as("id")).distinct()
       .withColumn("lbl", col("id"))
+      .repartition(graphPartitions, col("id"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
+      // neighbor-min: the propagation step
       val nbrMin = edges
         .join(labels.select(col("id").as("e_src"), col("lbl")), Seq("e_src"))
         .groupBy(col("e_dst").as("id"))
         .agg(min(col("lbl")).as("nbr_lbl"))
+      // pointer jumping: also adopt the label OF my label (path
+      // compression) — turns O(diameter) rounds into O(log diameter);
+      // a 20-hop chain converges in ~5 supersteps instead of 20
+      val jump = labels.select(col("id").as("j_id"), col("lbl").as("j_lbl"))
       val step = labels
         .join(nbrMin, Seq("id"), "left")
+        .join(jump, col("lbl") === col("j_id"), "left")
         .select(col("id"), col("lbl"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("new_lbl"))
+          least(col("lbl"),
+            coalesce(col("nbr_lbl"), col("lbl")),
+            coalesce(col("j_lbl"), col("lbl"))).as("new_lbl"))
         .localCheckpoint()
       changed = step.filter(col("new_lbl") < col("lbl")).count()
       labels = step.select(col("id"), col("new_lbl").as("lbl"))
