@@ -11,15 +11,17 @@ import graft.queries.{AnalyticQueries, OperatorQueries, OracleQuery, RelationalQ
   *
   *  - q01–q25 [[graft.queries.RelationalQueries]] — SURVEY §2 relational
   *    inventory + as-of/interval joins, rollup, semi/anti, distinct tiers
-  *  - q26–q31 [[graft.queries.AnalyticQueries]] — frames, lag/lead, exact
-  *    percentiles, string suite, pivot, set ops, null-safe equality
-  *  - d01–d10 [[graft.queries.TextQueries]] — token/quality/langid/
+  *  - q26–q37 [[graft.queries.AnalyticQueries]] — frames, lag/lead, exact
+  *    percentiles, string suite, pivot, set ops, null-safe equality,
+  *    CUBE, salted skew-safe aggregation, correlated subqueries
+  *  - d01–d13 [[graft.queries.TextQueries]] — token/quality/langid/
   *    fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact n-gram
-  *    Jaccard) + composed corpus curation
-  *  - v01–v06 [[graft.queries.VectorQueries]] — embedding math, ANN
-  *    baseline, int8 quantization
-  *  - x01–x07 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
-  *    multimodal, streaming windows + sessions, approx-distinct
+  *    Jaccard, cluster collapse), chunking, TF-IDF, corpus curation
+  *  - v01–v07 [[graft.queries.VectorQueries]] — embedding math, ANN
+  *    baseline, int8 quantization, quantized-prefilter re-rank ANN
+  *  - x01–x10 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *    multimodal features + frame sampling, streaming windows + sessions,
+  *    sketch-tolerance checks, bucketed co-located join
   *    (rows-only where noted)
   *
   * COVERAGE.md maps every SURVEY §2 operator ID to its implementation,
