@@ -328,7 +328,38 @@ object OperatorQueries {
         col("r95").between(0.94, 0.96).as("p95_rank_ok"))
   }
 
+  /** Stream-stream interval join driven to completion — the streaming twin
+    * of q23 (clicks within the hour after an error by the same user).
+    * Fully oracle-checked: inner stream-stream matches are emitted as soon
+    * as both sides arrive, so over a static landing the result equals the
+    * batch interval join (timestamps compared at micros precision in both
+    * dialects — the landing normalizes nanos via `ts div 1000`, DuckDB via
+    * CAST(ts AS TIMESTAMP)). */
+  val streamIntervalJoin = OracleQuery(
+    "x11_stream_stream_interval_join",
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, event_type
+      |  FROM events),
+      |c AS (SELECT user_id, t, event_id AS click_id FROM ev
+      |      WHERE event_type = 'click'),
+      |e AS (SELECT user_id, t AS et, event_id AS error_id FROM ev
+      |      WHERE event_type = 'error')
+      |SELECT c.user_id, c.click_id, e.error_id
+      |FROM c JOIN e ON c.user_id = e.user_id
+      |  AND c.t >= e.et AND c.t <= e.et + INTERVAL 1 HOUR
+      |ORDER BY click_id, error_id""".stripMargin) { (s, d) =>
+    val landing = eventLanding(s, d)
+    val sink = s"stream_ssj_${java.util.UUID.randomUUID().toString.take(8)}"
+    EventStream.runToMemorySink(
+      EventStream.clickAfterErrorJoin(
+        EventStream.readEvents(s, landing).filter(col("event_type") === "click"),
+        EventStream.readEvents(s, landing).filter(col("event_type") === "error")),
+      sink)
+      .orderBy("click_id", "error_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
-      streamSessions, bucketedJoin, frameSample, approxPercentile)
+      streamSessions, bucketedJoin, frameSample, approxPercentile,
+      streamIntervalJoin)
 }

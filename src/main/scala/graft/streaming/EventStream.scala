@@ -63,6 +63,28 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: clicks matched to errors by the same
+    * user within the hour after the error — the streaming twin of the
+    * batch interval join (q23). Both sides carry watermarks and the join
+    * condition bounds event-time distance, so the state store can evict
+    * rows once the watermark passes their match window (the state-cleanup
+    * contract stream-stream joins require). Inner matches are emitted as
+    * soon as both sides arrive. */
+  def clickAfterErrorJoin(clicks: DataFrame, errors: DataFrame,
+                          watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_time").as("c_time"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_time", watermark)
+    val e = errors
+      .select(col("user_id").as("e_user"), col("event_time").as("e_time"),
+        col("event_id").as("error_id"))
+      .withWatermark("e_time", watermark)
+    c.join(e, expr(
+        "c_user = e_user AND c_time >= e_time AND c_time <= e_time + interval 1 hour"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("error_id"))
+  }
+
   case class UserEvent(event_id: Long, event_time: java.sql.Timestamp,
                        user_id: Long, event_type: String, value: Double)
   case class UserSessionState(nEvents: Long, totalValue: Double)
