@@ -285,6 +285,33 @@ object AnalyticQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** RANGE window frame over event time — trailing-hour totals per user
+    * (rate-limit / rolling-rate analytics). Unlike q26's ROWS frame, the
+    * frame bound is a VALUE distance on the ordering column (epoch micros),
+    * so timestamp ties are all peers of the current row in both engines. */
+  val q38 = OracleQuery(
+    "q38_range_frame_trailing_hour",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+      |  round(sum(value) OVER w, 2) AS value_last_hour
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("t_us")
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("t_us"), col("value"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        round(sum(col("value")).over(w), 2).as("value_last_hour"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[OracleQuery] =
-    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }

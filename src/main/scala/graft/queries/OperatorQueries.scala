@@ -358,8 +358,27 @@ object OperatorQueries {
       .orderBy("click_id", "error_id")
   }
 
+  /** Arbitrary stateful processing (mapGroupsWithState) driven to
+    * completion: per-user running totals accumulated in keyed state,
+    * emitted in update mode. Over a static landing the stream processes
+    * one data batch, so each user emits exactly one final state row —
+    * equal to the batch aggregate, which is the oracle. */
+  val statefulTotals = OracleQuery(
+    "x12_stateful_user_totals",
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val landing = eventLanding(s, d)
+    val sink = s"stream_state_${java.util.UUID.randomUUID().toString.take(8)}"
+    EventStream.runToMemorySink(
+      EventStream.userSessions(s, EventStream.readEvents(s, landing)).toDF(),
+      sink, org.apache.spark.sql.streaming.OutputMode.Update())
+      .select(col("user_id"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
-      streamIntervalJoin)
+      streamIntervalJoin, statefulTotals)
 }
