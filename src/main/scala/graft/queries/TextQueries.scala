@@ -466,9 +466,43 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Token packing offsets — GPT-style pretraining packing concatenates
+    * the corpus in a fixed document order and slices fixed-length training
+    * sequences (docs straddle sequence boundaries). This computes each
+    * document's global token offset range and the 512-token sequences it
+    * lands in. The global running offset comes from the two-pass
+    * distributed prefix sum ([[graft.operators.PrefixSum]]) — a bare
+    * `Window.orderBy` with no partition key would funnel the corpus
+    * through one reducer; here only the per-partition totals (one row per
+    * partition) see a global window. */
+  val docTokenPacking = OracleQuery(
+    "d14_doc_token_packing",
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS n_toks FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_toks,
+       |    sum(n_toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+       |  FROM t)
+       |SELECT doc_id, n_toks,
+       |  coalesce(prev, 0) AS start_offset,
+       |  coalesce(prev, 0) // 512 AS first_seq,
+       |  (coalesce(prev, 0) + n_toks - 1) // 512 AS last_seq
+       |FROM o WHERE n_toks > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+    graft.operators.PrefixSum
+      .exclusivePrefixSum(counts, "doc_id", "n_toks", "start_offset")
+      .filter(col("n_toks") > 0)
+      .select(col("doc_id"), col("n_toks"), col("start_offset"),
+        expr("start_offset div 512").as("first_seq"),
+        expr("(start_offset + n_toks - 1) div 512").as("last_seq"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
     docSimhashNearDup, docNgramJaccard, docChunking, docTfIdf,
-    docDedupClusters)
+    docDedupClusters, docTokenPacking)
 }
