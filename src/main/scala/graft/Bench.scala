@@ -37,7 +37,13 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // each query's own caches are accounted inside its measurement;
+      // dropping them afterwards keeps later queries from inheriting
+      // memory pressure (measured: accumulated caches inflated unrelated
+      // queries by multiple seconds)
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
