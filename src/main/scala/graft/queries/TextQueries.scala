@@ -500,9 +500,51 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance near-dup pairs: docs within 50 chars of each other in
+    * total length whose lowercased 60-char prefixes are within Levenshtein
+    * distance 15. Candidates come from OVERLAPPING length bands (each doc
+    * lands in bands b and b+1 where b = n_chars div 50), so any pair with
+    * length gap ≤ 50 — which the predicate requires — meets in at least
+    * one band: the blocking is exact for the composed predicate, never an
+    * all-pairs join. Exercises `levenshtein` parity across engines. */
+  val docEditDistance = OracleQuery(
+    "d15_doc_neardup_editdist",
+    """WITH p AS (
+      |  SELECT doc_id, lower(substring(text, 1, 60)) AS pfx, n_chars
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, pfx, n_chars,
+      |    unnest([n_chars // 50, n_chars // 50 + 1]) AS band
+      |  FROM p),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, x.pfx AS pa,
+      |    y.doc_id AS doc_b, y.pfx AS pb
+      |  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+      |  WHERE abs(x.n_chars - y.n_chars) <= 50)
+      |SELECT doc_a, doc_b, CAST(levenshtein(pa, pb) AS INT) AS edit_dist
+      |FROM cand WHERE levenshtein(pa, pb) <= 15
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val p = Tables.documents(s, d)
+      .select(col("doc_id"), lower(substring(col("text"), 1, 60)).as("pfx"),
+        col("n_chars"))
+    val b = p.withColumn("band",
+      explode(array(expr("n_chars div 50"), expr("n_chars div 50 + 1"))))
+    b.as("x")
+      .join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id")
+          && abs(col("x.n_chars") - col("y.n_chars")) <= 50)
+      .select(col("x.doc_id").as("doc_a"), col("x.pfx").as("pa"),
+        col("y.doc_id").as("doc_b"), col("y.pfx").as("pb"))
+      .distinct()
+      .withColumn("edit_dist", levenshtein(col("pa"), col("pb")))
+      .filter(col("edit_dist") <= 15)
+      .select("doc_a", "doc_b", "edit_dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
     docSimhashNearDup, docNgramJaccard, docChunking, docTfIdf,
-    docDedupClusters, docTokenPacking)
+    docDedupClusters, docTokenPacking, docEditDistance)
 }
