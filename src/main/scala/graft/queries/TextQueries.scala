@@ -500,42 +500,65 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** Edit-distance near-dup pairs: docs within 50 chars of each other in
-    * total length whose lowercased 60-char prefixes are within Levenshtein
-    * distance 15. Candidates come from OVERLAPPING length bands (each doc
-    * lands in bands b and b+1 where b = n_chars div 50), so any pair with
-    * length gap ≤ 50 — which the predicate requires — meets in at least
-    * one band: the blocking is exact for the composed predicate, never an
-    * all-pairs join. Exercises `levenshtein` parity across engines. */
+  /** Edit-distance near-dup verification over SKETCH-BLOCKED candidates:
+    * pairs whose 60-bit SimHashes collide in at least one 15-bit chunk
+    * (d09's candidate generator) and whose lowercased 60-char prefixes are
+    * within Levenshtein distance 15. This is the shape edit-distance dedup
+    * takes at scale — the O(len²) DP is a verification metric on sketch
+    * candidates, never a primary pair generator: naive length-band
+    * blocking left 1.6M DP calls at sf0.1 (257 s measured; cheap exact
+    * bounds like char-histogram L1 barely prune when docs share a
+    * vocabulary), while chunk collisions leave a few hundred. */
   val docEditDistance = OracleQuery(
     "d15_doc_neardup_editdist",
-    """WITH p AS (
-      |  SELECT doc_id, lower(substring(text, 1, 60)) AS pfx, n_chars
-      |  FROM documents),
-      |b AS (
-      |  SELECT doc_id, pfx, n_chars,
-      |    unnest([n_chars // 50, n_chars // 50 + 1]) AS band
-      |  FROM p),
-      |cand AS (
-      |  SELECT DISTINCT x.doc_id AS doc_a, x.pfx AS pa,
-      |    y.doc_id AS doc_b, y.pfx AS pb
-      |  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
-      |  WHERE abs(x.n_chars - y.n_chars) <= 50)
-      |SELECT doc_a, doc_b, CAST(levenshtein(pa, pb) AS INT) AS edit_dist
-      |FROM cand WHERE levenshtein(pa, pb) <= 15
-      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val p = Tables.documents(s, d)
-      .select(col("doc_id"), lower(substring(col("text"), 1, 60)).as("pfx"),
-        col("n_chars"))
-    val b = p.withColumn("band",
-      explode(array(expr("n_chars div 50"), expr("n_chars div 50 + 1"))))
-    b.as("x")
-      .join(b.as("y"),
-        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id")
-          && abs(col("x.n_chars") - col("y.n_chars")) <= 50)
-      .select(col("x.doc_id").as("doc_a"), col("x.pfx").as("pa"),
-        col("y.doc_id").as("doc_b"), col("y.pfx").as("pb"))
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(generate_series(0, 59), b ->
+       |      CASE WHEN 2 * list_sum(list_transform(hs, x -> (x >> b) & 1)) > len(hs)
+       |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sh
+       |  FROM (SELECT doc_id,
+       |          list_transform($tokSql,
+       |            t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hs
+       |        FROM documents) t),
+       |chunks AS (
+       |  SELECT doc_id, c AS chunk_idx, (sh >> (c * 15)) & 32767 AS chunk_val
+       |  FROM h, generate_series(0, 3) g(c)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM chunks x JOIN chunks y
+       |    ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val
+       |      AND x.doc_id < y.doc_id),
+       |p AS (SELECT doc_id, lower(substring(text, 1, 60)) AS pfx FROM documents)
+       |SELECT doc_a, doc_b,
+       |  CAST(levenshtein(pa.pfx, pb.pfx) AS INT) AS edit_dist
+       |FROM cand
+       |JOIN p pa ON pa.doc_id = doc_a
+       |JOIN p pb ON pb.doc_id = doc_b
+       |WHERE levenshtein(pa.pfx, pb.pfx) <= 15
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val h = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("hs", transform(col("toks"), t => hash60(t)))
+      .select(col("doc_id"), simhash60(col("hs")).as("sh"))
+    val chunks = h.select(col("doc_id"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk_idx"),
+          shiftright(col("sh"), c * 15).bitwiseAND(lit(32767L)).as("chunk_val"))): _*))
+        .as("ch"))
+      .select(col("doc_id"),
+        col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk_val").as("chunk_val"))
+    val cand = chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx")
+          && col("x.chunk_val") === col("y.chunk_val")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    val p = Tables.documents(s, d)
+      .select(col("doc_id"), lower(substring(col("text"), 1, 60)).as("pfx"))
+    cand
+      .join(p.select(col("doc_id").as("doc_a"), col("pfx").as("pa")), Seq("doc_a"))
+      .join(p.select(col("doc_id").as("doc_b"), col("pfx").as("pb")), Seq("doc_b"))
       .withColumn("edit_dist", levenshtein(col("pa"), col("pb")))
       .filter(col("edit_dist") <= 15)
       .select("doc_a", "doc_b", "edit_dist")
