@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** clearCache() drops DataFrame caches but NOT localCheckpoint blocks;
+    * iterative operators (prefix sum, connected components, jaccard join)
+    * leave their final checkpoint behind for the caller to consume. Freeing
+    * both between queries keeps one query's storage from inflating the
+    * next (measured: accumulated blocks inflated unrelated queries by
+    * multiple seconds late in the run). */
+  private def dropAllStorage(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -29,7 +40,7 @@ object Bench {
       }
       // drop the warmup's cached intermediates + memory-sink tables so the
       // measured run starts from clean executor memory
-      spark.catalog.clearCache()
+      dropAllStorage(spark)
       spark.catalog.listTables().collect()
         .foreach(t => spark.catalog.dropTempView(t.name))
       System.gc()
@@ -40,15 +51,18 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // each query's own caches are accounted inside its measurement;
       // dropping them afterwards keeps later queries from inheriting
-      // memory pressure (measured: accumulated caches inflated unrelated
-      // queries by multiple seconds)
-      spark.catalog.clearCache()
+      // memory pressure
+      dropAllStorage(spark)
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal formatting (Locale.ROOT): the driver captures a bounded
+    // tail of this process's output — full double precision for 70+
+    // queries pushed the metric line past the capture window
+    def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,6 +14,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free caches AND checkpoint blocks so 70+ queries in one session
+      // don't build up storage pressure (clearCache alone misses the
+      // localCheckpoint blocks iterative operators leave behind)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   * truncates the growing lineage so round N doesn't replay rounds 1..N-1.
   * Rounds needed = graph diameter in label-hops (≤ log for typical dedup
   * graphs of small dense clusters).
+  *
+  * Storage: the (typically expensive) pair-producing plan is materialized
+  * exactly once up front, and every intermediate checkpoint is freed as
+  * soon as the next round lands — a session running this repeatedly keeps
+  * only the final labels' blocks ([[CheckpointUtils]]).
   */
 object ConnectedComponents {
 
@@ -27,24 +32,27 @@ object ConnectedComponents {
     * `graphPartitions` sizes the superstep shuffles: the pair graph of a
     * dedup run is orders of magnitude smaller than the corpus that
     * produced it, so supersteps should run at the graph's scale, not the
-    * corpus scan's `spark.sql.shuffle.partitions`. Edges and labels are
-    * co-partitioned on the join key, so each superstep shuffles only the
-    * neighbor-min aggregate. */
+    * corpus scan's `spark.sql.shuffle.partitions`. */
   def components(pairs: DataFrame, src: String = "src", dst: String = "dst",
                  graphPartitions: Int = 4): DataFrame = {
     require(graphPartitions > 0)
-    // materialized once — the reversed-direction branch reads the cache
-    // instead of re-executing the (typically expensive) pair-producing plan
-    val fwd = pairs.select(col(src).as("e_src"), col(dst).as("e_dst")).cache()
+    // materialized exactly once — both union branches and every superstep
+    // read blocks, never re-executing the pair-producing plan (a lazy
+    // cache() here lets the two union branches race on an unpopulated
+    // cache and execute the expensive upstream twice)
+    val fwd = pairs.select(col(src).as("e_src"), col(dst).as("e_dst"))
+      .localCheckpoint()
     val edges = fwd
       .union(fwd.select(col("e_dst").as("e_src"), col("e_src").as("e_dst")))
       .distinct()
       .repartition(graphPartitions, col("e_src"))
-      .cache() // probed every superstep
-    var labels = edges.select(col("e_src").as("id")).distinct()
+      .localCheckpoint() // probed every superstep
+    CheckpointUtils.unpersistBacking(fwd) // edges now holds everything
+    var ckpt = edges.select(col("e_src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .repartition(graphPartitions, col("id"))
       .localCheckpoint()
+    var labels = ckpt
     var changed = 1L
     while (changed > 0) {
       // neighbor-min: the propagation step
@@ -65,8 +73,11 @@ object ConnectedComponents {
             coalesce(col("j_lbl"), col("lbl"))).as("new_lbl"))
         .localCheckpoint()
       changed = step.filter(col("new_lbl") < col("lbl")).count()
+      CheckpointUtils.unpersistBacking(ckpt) // step is materialized; free round N-1
+      ckpt = step
       labels = step.select(col("id"), col("new_lbl").as("lbl"))
     }
+    CheckpointUtils.unpersistBacking(edges) // returned plan reads only final labels
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 }

@@ -27,8 +27,17 @@ import graft.functions.TextFunctions._
 object JaccardJoin {
 
   /** All pairs (doc_a < doc_b) with word-n-gram Jaccard ≥ threshold —
-    * exact result, prefix-filtered candidate generation. */
-  def exactPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    * exact result, prefix-filtered candidate generation.
+    *
+    * With `materialize` (the default) the tiny pair result is
+    * localCheckpoint'ed and the shingle/prefix caches are freed before
+    * returning — callers (e.g. cluster collapse, which unions and re-joins
+    * the pairs) read materialized blocks instead of re-executing the
+    * shuffle pipeline, and the session doesn't accumulate corpus-sized
+    * cache blocks. Pass false to get the raw lazy plan (plan-shape tests).
+    */
+  def exactPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                 materialize: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
     val sh = docs
       .withColumn("toks", tokens(col("text")))
@@ -61,11 +70,18 @@ object JaccardJoin {
 
     val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
       size(array_union(col("sa"), col("sb")))
-    cand
+    val pairs = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
       .withColumn("jac", jac)
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+    if (!materialize) pairs
+    else {
+      val out = pairs.localCheckpoint() // qualifying pairs only — tiny
+      sh.unpersist(blocking = false)
+      prefix.unpersist(blocking = false)
+      out
+    }
   }
 }

@@ -28,14 +28,16 @@ object PrefixSum {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // cached: both the local-cumsum branch and the totals branch must see
-    // the SAME partition assignment — repartitionByRange samples range
+    // checkpointed: both the local-cumsum branch and the totals branch must
+    // see the SAME partition assignment — repartitionByRange samples range
     // boundaries, and a re-execution could draw different ones, silently
-    // corrupting offsets. The cache pins one materialization (a production
-    // pipeline would checkpoint here for the same reason).
+    // corrupting offsets. cache() only best-effort pins this (an evicted
+    // block recomputes under fresh sampling); localCheckpoint truncates the
+    // lineage so re-sampling is impossible. A production cluster run would
+    // use reliable checkpoint() for executor-loss safety.
     val ranged = df.repartitionByRange(n, col(orderCol))
       .withColumn("__pid", spark_partition_id())
-      .cache()
+      .localCheckpoint()
     val localW = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = ranged.withColumn("__local",

@@ -157,9 +157,19 @@ object OperatorQueries {
       try java.nio.file.Files.move(scratch, landingPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileSystemException =>
-          // another process won the publish race — use theirs
+        case _: java.nio.file.FileSystemException
+            if java.nio.file.Files.exists(landingPath.resolve("_SUCCESS")) =>
+          // another process won the publish race with a COMPLETE landing
+          // (_SUCCESS present) — use theirs, discard ours
           org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+        case _: java.nio.file.FileSystemException =>
+          // the move was blocked by a STALE landing without _SUCCESS (e.g.,
+          // left by a crashed process) — serving it would feed incomplete
+          // data to every streaming query forever; replace it with the
+          // freshly written scratch instead
+          org.apache.commons.io.FileUtils.deleteDirectory(landingPath.toFile)
+          java.nio.file.Files.move(scratch, landingPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
     }
     landing

@@ -397,7 +397,10 @@ object TextQueries {
     * two-aggregation pipeline: term frequency per (doc, term), document
     * frequency per term, score = tf · ln((N+1)/(df+1)). Ranking uses the
     * ROUNDED score (plus term tie-break) so a last-ulp ln() difference
-    * between engines' libm cannot flip the ordering. */
+    * between engines' libm cannot flip the ordering; the EMITTED columns
+    * are the exact integer inputs (tf, df, n_docs) — both engines compute
+    * those identically, whereas the ln-product itself can differ in the
+    * last ulp and flip a 4-dp rounding boundary. */
   val docTfIdf = OracleQuery(
     "d12_doc_tfidf_top_terms",
     s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
@@ -405,15 +408,17 @@ object TextQueries {
        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
        |n AS (SELECT count(*) AS n_docs FROM documents),
        |s AS (
-       |  SELECT doc_id, term,
+       |  SELECT doc_id, term, tf, df, n_docs,
        |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
        |  FROM tf JOIN df USING (term), n),
        |r AS (
-       |  SELECT doc_id, term, tfidf,
+       |  SELECT doc_id, term, tf, df, n_docs,
        |    row_number() OVER (PARTITION BY doc_id
        |                       ORDER BY tfidf DESC, term) AS rnk
        |  FROM s)
-       |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tfidf
+       |SELECT doc_id, CAST(rnk AS INT) AS rnk, term,
+       |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       |  CAST(n_docs AS BIGINT) AS n_docs
        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val t = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -428,7 +433,8 @@ object TextQueries {
         round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
-      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+      .select(col("doc_id"), col("rnk"), col("term"),
+        col("tf"), col("df"), col("n_docs"))
       .orderBy("doc_id", "rnk")
   }
 

@@ -80,7 +80,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("prefix-filtered jaccard join never plans a cross join") {
-    val plan = planOf("d10_doc_neardup_ngram_jaccard")
+    // the registry query materializes internally (its returned plan is a
+    // checkpoint scan), so assert on the raw lazy plan instead
+    val docs = Tables.documents(SparkSpec.session, dir)
+    val plan = graft.operators.JaccardJoin
+      .exactPairs(docs, 0.8, materialize = false)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
