@@ -11,18 +11,21 @@ import graft.queries.{AnalyticQueries, OperatorQueries, OracleQuery, RelationalQ
   *
   *  - q01–q25 [[graft.queries.RelationalQueries]] — SURVEY §2 relational
   *    inventory + as-of/interval joins, rollup, semi/anti, distinct tiers
-  *  - q26–q37 [[graft.queries.AnalyticQueries]] — frames, lag/lead, exact
+  *  - q26–q43 [[graft.queries.AnalyticQueries]] — frames, lag/lead, exact
   *    percentiles, string suite, pivot, set ops, null-safe equality,
-  *    CUBE, salted skew-safe aggregation, correlated subqueries
-  *  - d01–d13 [[graft.queries.TextQueries]] — token/quality/langid/
+  *    CUBE, GROUPING SETS, salted skew-safe aggregation, correlated
+  *    subqueries, stats suite (corr/covar/regr), incremental upsert,
+  *    date gap-fill, global top-k
+  *  - d01–d17 [[graft.queries.TextQueries]] — token/quality/langid/
   *    fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact n-gram
-  *    Jaccard, cluster collapse), chunking, TF-IDF, corpus curation
+  *    Jaccard, edit-distance, cluster collapse), chunking, TF-IDF, corpus
+  *    curation, token packing, md5-bucket train/eval split, winnowing
   *  - v01–v07 [[graft.queries.VectorQueries]] — embedding math, ANN
   *    baseline, int8 quantization, quantized-prefilter re-rank ANN
-  *  - x01–x10 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
-  *    multimodal features + frame sampling, streaming windows + sessions,
-  *    sketch-tolerance checks, bucketed co-located join
-  *    (rows-only where noted)
+  *  - x01–x13 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *    multimodal features + frame sampling, streaming windows + sessions +
+  *    dedup + interval join + mapGroupsWithState, sketch-tolerance checks,
+  *    bucketed co-located join (rows-only where noted)
   *
   * COVERAGE.md maps every SURVEY §2 operator ID to its implementation,
   * query, and test.

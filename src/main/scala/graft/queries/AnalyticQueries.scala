@@ -312,6 +312,171 @@ object AnalyticQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** GROUPING SETS — the general form of q21's ROLLUP / q35's CUBE: an
+    * explicit lattice of grouping levels in one pass (Spark expands to a
+    * single Expand + hash aggregate, no per-level rescan). Grouped-out
+    * columns are marked with a sentinel via coalesce so both engines emit
+    * identical rows without relying on engine-specific grouping_id bit
+    * orders. */
+  val q39 = OracleQuery(
+    "q39_grouping_sets",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("q39_lineitem")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM q39_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  /** Statistical aggregate suite — correlation, covariance, dispersion and
+    * simple linear regression per group, all in one partial-aggregable
+    * pass (each is a co-moment sketch that merges across partitions — the
+    * shape that scales). Ratio-valued outputs (corr, slope, r2) are O(1)
+    * magnitude, and the co-moment inputs here are small enough that a 4-dp
+    * round absorbs summation-order float noise. */
+  val q40 = OracleQuery(
+    "q40_stats_suite",
+    """SELECT l_returnflag,
+      |  count(*) AS n,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+      |  round(covar_pop(l_quantity, l_discount), 4) AS covp_qty_disc,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(regr_slope(l_extendedprice, l_quantity), 2) AS slope_price_qty,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icpt_price_qty,
+      |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2_price_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"),
+        round(covar_pop(col("l_quantity"), col("l_discount")), 4).as("covp_qty_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 2).as("slope_price_qty"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2).as("icpt_price_qty"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 4).as("r2_price_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Incremental upsert (lakehouse MERGE semantics without Delta): a delta
+    * batch of corrected orders (the trailing window, prices restated)
+    * merged into the base snapshot — delta wins on key collision, both
+    * sides' unmatched rows survive. One full-outer join on the key +
+    * coalesce per column: the merge shape that works at any scale (key
+    * hash shuffle, no driver involvement), and what `MERGE INTO` lowers
+    * to on engines without transactional sinks. */
+  val q41 = OracleQuery(
+    "q41_incremental_upsert",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+      |delta AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    round(o_totalprice + 100, 2) AS o_totalprice
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+      |SELECT coalesce(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |  coalesce(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+      |  coalesce(d.o_totalprice, b.o_totalprice) AS o_totalprice,
+      |  CASE WHEN d.o_orderkey IS NOT NULL THEN 'delta' ELSE 'base' END AS src
+      |FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val base = orders
+      .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    val delta = orders
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")))
+      .select(col("o_orderkey").as("d_orderkey"),
+        col("o_orderstatus").as("d_orderstatus"),
+        round(col("o_totalprice") + 100, 2).as("d_totalprice"))
+    base.join(delta, col("o_orderkey") === col("d_orderkey"), "full_outer")
+      .select(
+        coalesce(col("d_orderkey"), col("o_orderkey")).as("o_orderkey"),
+        coalesce(col("d_orderstatus"), col("o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("d_totalprice"), col("o_totalprice")).as("o_totalprice"),
+        when(col("d_orderkey").isNotNull, "delta").otherwise("base").as("src"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Time-series gap filling — the resample step before any rolling-window
+    * feature: a dense (day × priority) grid built engine-side with
+    * sequence+explode (never a driver loop), daily order counts left-joined
+    * onto it, gaps zero-filled, plus the running cumulative count per
+    * priority. The grid sides are tiny (days × a 5-value dimension), so
+    * the only full-data shuffle is the daily aggregate itself. */
+  val q42 = OracleQuery(
+    "q42_date_gapfill",
+    """WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS dmin,
+      |                  CAST(max(o_orderdate) AS DATE) AS dmax FROM orders),
+      |days AS (SELECT CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE)
+      |           AS day FROM b),
+      |prios AS (SELECT DISTINCT o_orderpriority FROM orders),
+      |grid AS (SELECT day, o_orderpriority FROM days CROSS JOIN prios),
+      |daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+      |    count(*) AS n
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT g.day, g.o_orderpriority,
+      |  CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+      |  CAST(sum(coalesce(d.n, 0)) OVER (PARTITION BY g.o_orderpriority
+      |    ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+      |FROM grid g LEFT JOIN daily d
+      |  ON d.day = g.day AND d.o_orderpriority = g.o_orderpriority
+      |ORDER BY g.o_orderpriority, g.day""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val bounds = orders.agg(
+      min(to_date(col("o_orderdate"))).as("dmin"),
+      max(to_date(col("o_orderdate"))).as("dmax"))
+    val days = bounds.select(
+      explode(sequence(col("dmin"), col("dmax"))).as("day"))
+    val prios = orders.select("o_orderpriority").distinct()
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("dn"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    days.crossJoin(prios)
+      .join(daily, Seq("day", "o_orderpriority"), "left")
+      .withColumn("n", coalesce(col("dn"), lit(0L)))
+      .select(col("day"), col("o_orderpriority"), col("n"),
+        sum(col("n")).over(w).as("cum_n"))
+      .orderBy("o_orderpriority", "day")
+  }
+
+  /** Global top-k — `ORDER BY … LIMIT k` planned as TakeOrderedAndProject:
+    * each partition keeps a k-row heap and only k·partitions rows reach the
+    * driver-side merge, never a full global sort (the difference between a
+    * top-25 and sorting 100 TB). Tie-broken on the full key so the row set
+    * is deterministic. */
+  val q43 = OracleQuery(
+    "q43_global_topk",
+    """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 25""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"),
+        col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(25)
+      .drop("l_extendedprice")
+  }
+
   val all: Seq[OracleQuery] =
-    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
+    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
+      q39, q40, q41, q42, q43)
 }

@@ -142,17 +142,20 @@ object OperatorQueries {
     * a concurrent process either sees the complete landing or publishes
     * its own identical copy (the loser's rename fails and is discarded),
     * never a half-written directory. */
-  private def eventLanding(s: org.apache.spark.sql.SparkSession, d: String): String = {
+  private def eventLanding(s: org.apache.spark.sql.SparkSession, d: String,
+                           variant: String = "",
+                           build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
+                             = identity): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|${EventStream.eventSchema.json}".getBytes("UTF-8"))
+      .digest(s"$d|${EventStream.eventSchema.json}|$variant".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val landing = s"/tmp/graft_stream_landing_$key"
     val landingPath = java.nio.file.Paths.get(landing)
     if (!java.nio.file.Files.exists(landingPath.resolve("_SUCCESS"))) {
       val scratch = java.nio.file.Paths.get(
         s"${landing}_tmp_${java.lang.ProcessHandle.current.pid}")
-      Tables.events(s, d)
-        .select("event_id", "event_time", "user_id", "event_type", "value")
+      build(Tables.events(s, d)
+        .select("event_id", "event_time", "user_id", "event_type", "value"))
         .write.mode("overwrite").parquet(scratch.toString)
       try java.nio.file.Files.move(scratch, landingPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -408,8 +411,30 @@ object OperatorQueries {
       .orderBy("user_id")
   }
 
+  /** Watermarked streaming dedup (`dropDuplicatesWithinWatermark`) — the
+    * streaming form of the reference's latest-update-wins re-ingest story
+    * (SURVEY §2.11/§7.6): the landing carries deterministic exact-copy
+    * duplicates (every 7th event appears twice), the stream drops them by
+    * event_id within the watermark, and the per-type census over the
+    * deduped output equals the batch census over the ORIGINAL events —
+    * which is the oracle. Dedup state is keyed by event_id and evicted
+    * once the watermark passes, so state stays bounded at scale. */
+  val streamDedup = OracleQuery(
+    "x13_stream_dedup_census",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val landing = eventLanding(s, d, variant = "dup7",
+      ev => ev.union(ev.filter(col("event_id") % 7 === 0)))
+    val sink = s"stream_dedup_${java.util.UUID.randomUUID().toString.take(8)}"
+    EventStream.runToMemorySink(
+      EventStream.dedup(EventStream.readEvents(s, landing)), sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
-      streamIntervalJoin, statefulTotals)
+      streamIntervalJoin, statefulTotals, streamDedup)
 }

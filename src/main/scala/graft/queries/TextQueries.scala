@@ -571,9 +571,97 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Deterministic train/eval/test split — the held-out partitioning every
+    * training pipeline needs: hash the DOCUMENT ID (never random()) into
+    * 100 buckets, buckets <80 train / <90 eval / rest test. Content- and
+    * run-independent: any engine, any partitioning, any day produces the
+    * same split, and a re-run after appending new docs never reassigns an
+    * old one. Emits the per-(lang, split) census so stratification drift
+    * is visible. */
+  val docTrainSplit = OracleQuery(
+    "d16_doc_train_split",
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+      |      AS bucket
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN bucket < 80 THEN 'train'
+      |         WHEN bucket < 90 THEN 'eval'
+      |         ELSE 'test' END AS split
+      |  FROM b)
+      |SELECT lang, split, count(*) AS n_docs,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val bucket =
+      expr("conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10)")
+        .cast("long") % 100
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "eval").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+      .orderBy("lang", "split")
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS) — rolling-
+    * hash document fingerprinting: hash every ORDERED token 4-gram, slide a
+    * 5-gram window over the hash sequence, keep each window's minimum; the
+    * distinct minima are the document's fingerprint set. Guarantees any
+    * shared run of ≥ 8 tokens between two documents shares a fingerprint,
+    * at ~2/(w+1) the storage of full shingling. One narrow pass: the gram
+    * hashes are materialized as a projection column before the window
+    * transform (HOF lambda bodies get no CSE — recomputing md5s per window
+    * element would multiply the hash work by w). */
+  val docWinnowing = OracleQuery(
+    "d17_doc_winnowing_fp",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+       |     for i in generate_series(1, len(toks) - 3)] AS grams
+       |  FROM t WHERE len(toks) >= 8),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_transform(grams,
+       |      x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS hs
+       |  FROM g),
+       |w AS (
+       |  SELECT doc_id,
+       |    list_distinct([list_min(hs[i : i+4])
+       |                   for i in generate_series(1, len(hs) - 4)]) AS fps
+       |  FROM h)
+       |SELECT doc_id, CAST(len(fps) AS INT) AS n_fps,
+       |  CAST(list_min(fps) AS BIGINT) AS min_fp,
+       |  CAST(list_max(fps) AS BIGINT) AS max_fp
+       |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val k = 4 // gram size
+    val w = 5 // window of consecutive gram hashes
+    val t = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= k + w - 1)
+    // ordered (non-distinct) k-grams, then their hashes, each materialized
+    // as its own projection so the window transform reads an array column
+    val g = t.withColumn("grams",
+      transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+    val h = g.withColumn("hs", transform(col("grams"), x => hash60(x)))
+    h.withColumn("fps",
+        array_distinct(transform(sequence(lit(1), size(col("hs")) - (w - 1)),
+          i => array_min(slice(col("hs"), i, lit(w))))))
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
     docSimhashNearDup, docNgramJaccard, docChunking, docTfIdf,
-    docDedupClusters, docTokenPacking, docEditDistance)
+    docDedupClusters, docTokenPacking, docEditDistance,
+    docTrainSplit, docWinnowing)
 }

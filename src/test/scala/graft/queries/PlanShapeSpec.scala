@@ -111,6 +111,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), plan.take(3000))
   }
 
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = planOf("q43_global_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("events scan prunes to referenced columns only") {
     val df = Tables.events(SparkSpec.session, dir)
       .groupBy("event_type").agg(count(lit(1)))
