@@ -542,10 +542,13 @@ object TextQueries {
        |JOIN p pb ON pb.doc_id = doc_b
        |WHERE levenshtein(pa.pfx, pb.pfx) <= 15
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    // materialized once: the chunk self-join reads h on both sides (a lazy
+    // plan would run the tokenize+simhash pass twice)
     val h = Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
       .withColumn("hs", transform(col("toks"), t => hash60(t)))
       .select(col("doc_id"), simhash60(col("hs")).as("sh"))
+      .localCheckpoint()
     val chunks = h.select(col("doc_id"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk_idx"),
@@ -565,8 +568,12 @@ object TextQueries {
     cand
       .join(p.select(col("doc_id").as("doc_a"), col("pfx").as("pa")), Seq("doc_a"))
       .join(p.select(col("doc_id").as("doc_b"), col("pfx").as("pb")), Seq("doc_b"))
-      .withColumn("edit_dist", levenshtein(col("pa"), col("pb")))
-      .filter(col("edit_dist") <= 15)
+      // thresholded levenshtein runs the banded O(len·k) DP with early
+      // exit instead of the full O(len²) table — identical distances for
+      // every kept row (-1 marks only the pairs the filter drops anyway);
+      // ~4× less DP work across the ~50 candidates per document
+      .withColumn("edit_dist", levenshtein(col("pa"), col("pb"), 15))
+      .filter(col("edit_dist") >= 0)
       .select("doc_a", "doc_b", "edit_dist")
       .orderBy("doc_a", "doc_b")
   }
