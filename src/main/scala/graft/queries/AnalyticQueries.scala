@@ -476,7 +476,51 @@ object AnalyticQueries {
       .drop("l_extendedprice")
   }
 
+  /** Z-order (Morton) clustering keys — the data-layout operator behind
+    * multi-dimensional data skipping ([[graft.operators.ZOrder]]): quantity
+    * and price quantized into 256-cell grids from their GLOBAL bounds (one
+    * broadcast aggregate, no driver round-trip), bit-interleaved into a
+    * 16-bit Morton key. The census per 256-key z-bucket pins the exact key
+    * assignment of every row in both engines — quantization and
+    * interleaving are integer/IEEE-identical arithmetic. */
+  val q44 = OracleQuery(
+    "q44_zorder_clustering", {
+      val interleave = (0 until 8).map(b =>
+        s"(((cx >> $b) & 1) << ${2 * b}) | (((cy >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT min(l_quantity) AS xmin, max(l_quantity) AS xmax,
+         |         min(l_extendedprice) AS ymin, max(l_extendedprice) AS ymax
+         |  FROM lineitem),
+         |c AS (
+         |  SELECT
+         |    CASE WHEN xmax = xmin THEN 0
+         |         ELSE CAST(least(floor((l_quantity - xmin) / (xmax - xmin) * 256),
+         |                         255) AS BIGINT) END AS cx,
+         |    CASE WHEN ymax = ymin THEN 0
+         |         ELSE CAST(least(floor((l_extendedprice - ymin) / (ymax - ymin) * 256),
+         |                         255) AS BIGINT) END AS cy
+         |  FROM lineitem, b),
+         |z AS (SELECT ($interleave) AS zv FROM c)
+         |SELECT zv // 256 AS z_bucket, count(*) AS n,
+         |  min(zv) AS z_min, max(zv) AS z_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+    import graft.operators.ZOrder
+    val li = Tables.lineitem(s, d)
+    val bounds = li.agg(
+      min(col("l_quantity")).as("xmin"), max(col("l_quantity")).as("xmax"),
+      min(col("l_extendedprice")).as("ymin"), max(col("l_extendedprice")).as("ymax"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("zv", ZOrder.zValue2(
+        ZOrder.cell(col("l_quantity"), col("xmin"), col("xmax"), 8),
+        ZOrder.cell(col("l_extendedprice"), col("ymin"), col("ymax"), 8), 8))
+      .groupBy(expr("zv div 256").as("z_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("zv")).as("z_min"), max(col("zv")).as("z_max"))
+      .orderBy("z_bucket")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-      q39, q40, q41, q42, q43)
+      q39, q40, q41, q42, q43, q44)
 }
