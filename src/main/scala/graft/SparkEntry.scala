@@ -16,10 +16,11 @@ import graft.queries.{AnalyticQueries, OperatorQueries, OracleQuery, RelationalQ
   *    CUBE, GROUPING SETS, salted skew-safe aggregation, correlated
   *    subqueries, stats suite (corr/covar/regr), incremental upsert,
   *    date gap-fill, global top-k, z-order clustering keys
-  *  - d01–d17 [[graft.queries.TextQueries]] — token/quality/langid/
+  *  - d01–d19 [[graft.queries.TextQueries]] — token/quality/langid/
   *    fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact n-gram
   *    Jaccard, edit-distance, cluster collapse), chunking, TF-IDF, corpus
-  *    curation, token packing, md5-bucket train/eval split, winnowing
+  *    curation, token packing, md5-bucket train/eval split, winnowing,
+  *    repetition filters, vocabulary/OOV analysis
   *  - v01–v07 [[graft.queries.VectorQueries]] — embedding math, ANN
   *    baseline, int8 quantization, quantized-prefilter re-rank ANN
   *  - x01–x13 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,

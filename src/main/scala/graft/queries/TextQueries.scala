@@ -665,10 +665,94 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Repetition metrics (Gopher/C4-style quality filters): the fraction of
+    * duplicated word 3-grams and the most-frequent-token share — the two
+    * signals that catch boilerplate/degenerate text that length and
+    * stopword ratios miss. Pure ratios of exact integer counts, so the
+    * divide is the same IEEE operation in both engines. */
+  val docRepetition = OracleQuery(
+    "d18_doc_repetition",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 3),
+       |g AS (
+       |  SELECT doc_id, n, n - 2 AS total3,
+       |    len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                       for i in generate_series(1, n - 2)])) AS distinct3
+       |  FROM f),
+       |tf AS (
+       |  SELECT doc_id, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM f)
+       |  GROUP BY doc_id, term),
+       |mx AS (SELECT doc_id, max(tf) AS max_tf FROM tf GROUP BY 1)
+       |SELECT g.doc_id, CAST(g.n AS INT) AS n_tokens,
+       |  round(1.0 - CAST(distinct3 AS DOUBLE) / total3, 4) AS dup_3gram_frac,
+       |  round(CAST(max_tf AS DOUBLE) / g.n, 4) AS top_tok_frac
+       |FROM g JOIN mx ON mx.doc_id = g.doc_id
+       |ORDER BY g.doc_id""".stripMargin) { (s, d) =>
+    val f = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+    // shingles() already dedupes (first-occurrence order), so its size IS
+    // the distinct-3-gram count
+    val g = f.select(col("doc_id"), size(col("toks")).as("n"),
+      size(shingles(col("toks"), 3)).as("distinct3"))
+    val mx = f.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id").agg(max(col("tf")).as("max_tf"))
+    g.join(mx, Seq("doc_id"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round(lit(1.0) - col("distinct3").cast("double") / (col("n") - 2), 4)
+          .as("dup_3gram_frac"),
+        round(col("max_tf").cast("double") / col("n"), 4).as("top_tok_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary build + OOV rate — the tokenizer-vocab step of a training
+    * pipeline: the corpus-global top-50 terms (count desc, term asc — a
+    * deterministic total order) form the vocabulary; each document reports
+    * its out-of-vocabulary token fraction. The vocab is a two-level
+    * aggregate + broadcast semi-join probe: at 100 TB the vocab build is
+    * one shuffle on term and the probe side never shuffles. */
+  val docOovRate = OracleQuery(
+    "d19_doc_vocab_oov",
+    s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       |gc AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+       |v AS (
+       |  SELECT term FROM (
+       |    SELECT term, row_number() OVER (ORDER BY c DESC, term) AS r
+       |    FROM gc) WHERE r <= 50),
+       |p AS (
+       |  SELECT t.doc_id,
+       |    count(*) AS n_tokens,
+       |    count(*) FILTER (WHERE v.term IS NULL) AS n_oov
+       |  FROM t LEFT JOIN v ON t.term = v.term
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       |  CAST(n_oov AS INT) AS n_oov,
+       |  round(CAST(n_oov AS DOUBLE) / n_tokens, 4) AS oov_frac
+       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // top-50 via orderBy+limit = TakeOrderedAndProject over the term-count
+    // aggregate (k-row heaps per partition), not a global-window sort
+    val vocab = t.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term"))
+      .limit(50)
+      .select(col("term"), lit(true).as("in_vocab"))
+    t.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        col("n_oov").cast("int").as("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 4).as("oov_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
     docSimhashNearDup, docNgramJaccard, docChunking, docTfIdf,
     docDedupClusters, docTokenPacking, docEditDistance,
-    docTrainSplit, docWinnowing)
+    docTrainSplit, docWinnowing, docRepetition, docOovRate)
 }
