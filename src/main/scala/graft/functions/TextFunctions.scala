@@ -82,6 +82,23 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Ordered (non-distinct) space-joined k-grams — winnowing needs the
+    * positional gram SEQUENCE, unlike [[shingles]] which dedupes. */
+  def orderedGrams(toks: Column, k: Int): Column =
+    transform(sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*))
+
+  /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, MOSS): hash
+    * every ordered k-gram, slide a w-window over the hash sequence, keep
+    * each window's minimum; distinct minima are the fingerprints.
+    * Guarantee: two documents sharing a token run of ≥ k + w - 1 share at
+    * least one fingerprint. Requires size(toks) ≥ k + w - 1. The gram
+    * hashes must be a materialized projection before the window transform
+    * (HOF lambdas get no CSE). */
+  def winnowFingerprints(hs: Column, w: Int): Column =
+    array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+      i => array_min(slice(hs, i, lit(w)))))
+
   /** Count of tokens that appear in a fixed stopword list. */
   def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
     size(filter(toks, t => t.isin(stopwords.map(lit): _*)))

@@ -649,17 +649,11 @@ object TextQueries {
     val t = Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= k + w - 1)
-    // ordered (non-distinct) k-grams, then their hashes, each materialized
-    // as its own projection so the window transform reads an array column
-    val g = t.withColumn("grams",
-      transform(sequence(lit(1), size(col("toks")) - (k - 1)),
-        i => concat_ws(" ",
-          element_at(col("toks"), i), element_at(col("toks"), i + 1),
-          element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
-    val h = g.withColumn("hs", transform(col("grams"), x => hash60(x)))
-    h.withColumn("fps",
-        array_distinct(transform(sequence(lit(1), size(col("hs")) - (w - 1)),
-          i => array_min(slice(col("hs"), i, lit(w))))))
+    // ordered grams, then their hashes, each materialized as its own
+    // projection so the window transform reads an array column
+    t.withColumn("grams", orderedGrams(col("toks"), k))
+      .withColumn("hs", transform(col("grams"), x => hash60(x)))
+      .withColumn("fps", winnowFingerprints(col("hs"), w))
       .select(col("doc_id"), size(col("fps")).as("n_fps"),
         array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
       .orderBy("doc_id")
