@@ -23,9 +23,10 @@ import graft.queries.{AnalyticQueries, OperatorQueries, OracleQuery, RelationalQ
   *    repetition filters, vocabulary/OOV analysis
   *  - v01–v07 [[graft.queries.VectorQueries]] — embedding math, ANN
   *    baseline, int8 quantization, quantized-prefilter re-rank ANN
-  *  - x01–x13 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x14 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
-  *    dedup + interval join + mapGroupsWithState, sketch-tolerance checks,
+  *    dedup + interval join + mapGroupsWithState, sketch-tolerance checks
+  *    (HLL, quantile, heavy hitters),
   *    bucketed co-located join (rows-only where noted)
   *
   * COVERAGE.md maps every SURVEY §2 operator ID to its implementation,

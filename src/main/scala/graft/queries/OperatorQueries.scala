@@ -433,8 +433,36 @@ object OperatorQueries {
       .orderBy("event_type")
   }
 
+  /** Heavy-hitters sketch (`df.stat.freqItems`, Karp et al. single-pass
+    * counting) oracle-checked by its mathematical guarantee — the x05/x10
+    * pattern applied to frequent items: the sketch's item set is
+    * partitioning-dependent (false positives allowed), but every value
+    * whose true frequency exceeds support·n MUST be present. The query
+    * emits the exact per-value census plus that containment boolean:
+    * `hh_ok` = in-sketch OR not-guaranteed. At support 0.3 the majority
+    * return flag is guaranteed; the two ~25% flags exercise the
+    * not-guaranteed branch. */
+  val freqItemsSketch = OracleQuery(
+    "x14_freq_items_sketch",
+    """SELECT l_returnflag, count(*) AS n, TRUE AS hh_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val support = 0.3
+    val sketch = li.stat.freqItems(Array("l_returnflag"), support)
+      .select(col("l_returnflag_freqItems").as("items"))
+    val total = li.agg(count(lit(1)).as("total"))
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(sketch))
+      .crossJoin(broadcast(total))
+      .select(col("l_returnflag"), col("n"),
+        (array_contains(col("items"), col("l_returnflag"))
+          || col("n") <= col("total") * support).as("hh_ok"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
-      streamIntervalJoin, statefulTotals, streamDedup)
+      streamIntervalJoin, statefulTotals, streamDedup, freqItemsSketch)
 }
