@@ -1,24 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** clearCache() drops DataFrame caches but NOT localCheckpoint blocks;
-    * iterative operators (prefix sum, connected components, jaccard join)
-    * leave their final checkpoint behind for the caller to consume. Freeing
-    * both between queries keeps one query's storage from inflating the
-    * next (measured: accumulated blocks inflated unrelated queries by
-    * multiple seconds late in the run). */
-  private def dropAllStorage(spark: SparkSession): Unit = {
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-    // memory-sink tables from streaming queries pin their rows until the
-    // view is dropped
-    spark.catalog.listTables().collect()
-      .foreach(t => spark.catalog.dropTempView(t.name))
-    // let the ContextCleaner reclaim broadcasts + shuffle files whose
-    // references just died — without an explicit GC they accumulate until
-    // memory pressure slows later queries
-    System.gc()
-  }
+  private def dropAllStorage(spark: SparkSession): Unit =
+    SessionHygiene.dropAllStorage(spark)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

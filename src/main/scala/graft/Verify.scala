@@ -14,11 +14,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // free caches AND checkpoint blocks so 70+ queries in one session
-      // don't build up storage pressure (clearCache alone misses the
-      // localCheckpoint blocks iterative operators leave behind)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // full storage cleanup (caches + checkpoint blocks + memory-sink
+      // views + GC) so 80+ queries in one session don't build up pressure
+      SessionHygiene.dropAllStorage(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -83,10 +83,15 @@ object TextFunctions {
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** Ordered (non-distinct) space-joined k-grams — winnowing needs the
-    * positional gram SEQUENCE, unlike [[shingles]] which dedupes. */
+    * positional gram SEQUENCE, unlike [[shingles]] which dedupes. Total:
+    * inputs shorter than k yield an empty array (an unclamped
+    * `sequence(1, size-k+1)` would COUNT DOWN for short inputs — Spark's
+    * sequence defaults to step -1 when start > stop — and element_at(0)
+    * throws). */
   def orderedGrams(toks: Column, k: Int): Column =
-    transform(sequence(lit(1), size(toks) - (k - 1)),
-      i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*))
+    when(size(toks) < k, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
 
   /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, MOSS): hash
     * every ordered k-gram, slide a w-window over the hash sequence, keep
@@ -94,10 +99,12 @@ object TextFunctions {
     * Guarantee: two documents sharing a token run of ≥ k + w - 1 share at
     * least one fingerprint. Requires size(toks) ≥ k + w - 1. The gram
     * hashes must be a materialized projection before the window transform
-    * (HOF lambdas get no CSE). */
+    * (HOF lambdas get no CSE). Total: fewer than w hashes yield an empty
+    * fingerprint set (same descending-sequence hazard as orderedGrams). */
   def winnowFingerprints(hs: Column, w: Int): Column =
-    array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
-      i => array_min(slice(hs, i, lit(w)))))
+    when(size(hs) < w, array().cast("array<bigint>")).otherwise(
+      array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+        i => array_min(slice(hs, i, lit(w))))))
 
   /** Count of tokens that appear in a fixed stopword list. */
   def stopwordCount(toks: Column, stopwords: Seq[String]): Column =

@@ -157,23 +157,49 @@ object OperatorQueries {
       build(Tables.events(s, d)
         .select("event_id", "event_time", "user_id", "event_type", "value"))
         .write.mode("overwrite").parquet(scratch.toString)
-      try java.nio.file.Files.move(scratch, landingPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileSystemException
-            if java.nio.file.Files.exists(landingPath.resolve("_SUCCESS")) =>
-          // another process won the publish race with a COMPLETE landing
-          // (_SUCCESS present) — use theirs, discard ours
-          org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
-        case _: java.nio.file.FileSystemException =>
-          // the move was blocked by a STALE landing without _SUCCESS (e.g.,
-          // left by a crashed process) — serving it would feed incomplete
-          // data to every streaming query forever; replace it with the
-          // freshly written scratch instead
-          org.apache.commons.io.FileUtils.deleteDirectory(landingPath.toFile)
+      // Publish loop. Invariants: a landing dir is only ever CREATED by an
+      // atomic rename of a complete scratch, and only ever REMOVED by an
+      // atomic rename aside (single winner — losers see NoSuchFile and
+      // re-check), so no process can delete a published landing out from
+      // under a reader and every contender's content is identical (it's a
+      // pure function of the key). A stale landing without _SUCCESS (a
+      // crashed writer) is moved aside and replaced — serving it would
+      // feed incomplete data to every streaming query forever.
+      var published = false
+      var attempts = 0
+      while (!published && attempts < 3) {
+        attempts += 1
+        try {
           java.nio.file.Files.move(scratch, landingPath,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          published = true
+        } catch {
+          case _: java.nio.file.FileSystemException =>
+            if (java.nio.file.Files.exists(landingPath.resolve("_SUCCESS"))) {
+              // a complete landing exists (ours lost the race) — use it
+              org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+              published = true
+            } else {
+              val aside = java.nio.file.Paths.get(
+                s"${landing}_stale_${java.lang.ProcessHandle.current.pid}_$attempts")
+              try {
+                java.nio.file.Files.move(landingPath, aside,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                // deleting the aside dir is safe only if it really was
+                // incomplete; if a racer published _SUCCESS between our
+                // check and the rename, leave it on disk for any reader
+                // that already opened it (tmp-dir leak over reader crash)
+                if (!java.nio.file.Files.exists(aside.resolve("_SUCCESS")))
+                  org.apache.commons.io.FileUtils.deleteDirectory(aside.toFile)
+              } catch {
+                case _: java.nio.file.FileSystemException => () // another
+                // contender moved it aside first — loop and re-check
+              }
+            }
+        }
       }
+      if (!published) // contended beyond retry budget; keep whatever landed
+        org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
     }
     landing
   }

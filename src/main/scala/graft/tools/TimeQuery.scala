@@ -13,15 +13,12 @@ object TimeQuery {
     val reps = if (args.length > 2) args(2).toInt else 2
     val spark = GraftSession.local()
     val fn = SparkEntry.queries(name)
-    val dropRdds = sys.env.get("TIMEQ_DROP_RDDS").contains("1")
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"TIMEQ $name rep=$i rows=$n sec=$dt%.3f")
-      spark.catalog.clearCache()
-      if (dropRdds)
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      graft.SessionHygiene.dropAllStorage(spark)
     }
     spark.stop()
   }

@@ -33,6 +33,18 @@ class TextOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert((a intersect b).isEmpty)
   }
 
+  test("gram/winnow helpers are total: short inputs yield empty arrays, not errors") {
+    val s = SparkSpec.session
+    import s.implicits._
+    val rows = Seq("", "one", "one two three").toDF("text")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("g", orderedGrams(col("toks"), 4))
+      .withColumn("f", winnowFingerprints(transform(col("g"), x => hash60(x)), 5))
+      .select(size(col("g")), size(col("f")))
+      .collect()
+    assert(rows.forall(r => r.getInt(0) == 0 && r.getInt(1) == 0))
+  }
+
   test("ordered grams keep duplicates and positions (unlike shingles)") {
     val s = SparkSpec.session
     import s.implicits._
