@@ -11,11 +11,12 @@ import graft.queries.{AnalyticQueries, OperatorQueries, OracleQuery, RelationalQ
   *
   *  - q01–q25 [[graft.queries.RelationalQueries]] — SURVEY §2 relational
   *    inventory + as-of/interval joins, rollup, semi/anti, distinct tiers
-  *  - q26–q44 [[graft.queries.AnalyticQueries]] — frames, lag/lead, exact
+  *  - q26–q45 [[graft.queries.AnalyticQueries]] — frames, lag/lead, exact
   *    percentiles, string suite, pivot, set ops, null-safe equality,
   *    CUBE, GROUPING SETS, salted skew-safe aggregation, correlated
   *    subqueries, stats suite (corr/covar/regr), incremental upsert,
-  *    date gap-fill, global top-k, z-order clustering keys
+  *    date gap-fill, global top-k, z-order clustering keys, typed-
+  *    Aggregator group top-K
   *  - d01–d19 [[graft.queries.TextQueries]] — token/quality/langid/
   *    fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact n-gram
   *    Jaccard, edit-distance, cluster collapse), chunking, TF-IDF, corpus

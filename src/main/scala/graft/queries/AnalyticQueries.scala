@@ -520,7 +520,38 @@ object AnalyticQueries {
       .orderBy("z_bucket")
   }
 
+  /** Per-group top-K via the typed Aggregator API
+    * ([[graft.operators.TopKAggregator]]) — q20's window-row_number
+    * semantics recomputed with O(K) state per group instead of a per-group
+    * sort: partition-local partial aggregates carry at most K pairs and
+    * merges are K-bounded, the shape that survives a billion-row group.
+    * The oracle is the window formulation — result-identicality of the
+    * bounded-state decomposition is exactly what's verified. */
+  val q45 = OracleQuery(
+    "q45_topk_aggregator",
+    """SELECT o_orderstatus, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) t
+      |WHERE rnk <= 3
+      |ORDER BY o_orderstatus, rnk""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val agg = new graft.operators.TopKAggregator(3)
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (status, top) =>
+        top.zipWithIndex.map { case ((price, key), i) => (status, key, price, i + 1) }
+      }
+      .toDF("o_orderstatus", "o_orderkey", "o_totalprice", "rnk")
+      .orderBy("o_orderstatus", "rnk")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-      q39, q40, q41, q42, q43, q44)
+      q39, q40, q41, q42, q43, q44, q45)
 }
