@@ -42,3 +42,32 @@ final class ParquetWarehouse(root: String) extends WarehouseSink {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(s"$root/$table")
 }
+
+/** Lake maintenance: small-file compaction (the `OPTIMIZE` analog).
+  * Incremental ingest — especially streaming `AvailableNow` micro-batches —
+  * accumulates files far below the ~128 MB a scan wants per task; at
+  * 100 TB the file-listing and per-file open overhead dominates the read.
+  * Rewrites a flat parquet dir into `ceil(bytes / targetBytes)` files and
+  * atomically swaps it into place (write to scratch, rename aside, rename
+  * in — readers see the old or the new snapshot, never a mix). */
+object Compaction {
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (dataFiles.length <= nOut) return dataFiles.length // nothing to gain
+    val scratch = s"${dir}_compact_tmp"
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(scratch)
+    val aside = new org.apache.hadoop.fs.Path(s"${dir}_compact_old")
+    fs.delete(aside, true)
+    fs.rename(path, aside)
+    fs.rename(new org.apache.hadoop.fs.Path(scratch), path)
+    fs.delete(aside, true)
+    nOut
+  }
+}
