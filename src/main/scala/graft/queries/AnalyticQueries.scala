@@ -551,7 +551,45 @@ object AnalyticQueries {
       .orderBy("o_orderstatus", "rnk")
   }
 
+  /** Sessionization: merge each user's event stream into sessions separated
+    * by more than 8h of inactivity, via the native `session_window`
+    * aggregate (batch mode). Spark's session boundary is inclusive — an
+    * event at exactly last_ts + gap still merges (pinned by
+    * SessionWindowSpec) — so the DuckDB gaps-and-islands mirror (lag +
+    * running sum of new-session flags) flags new sessions strictly:
+    * `gap > threshold`. One shuffle on user_id either way; Spark's
+    * session merge is the same sort-within-partition the window rewrite
+    * needs, so the decomposition survives a billion-user scale-up.
+    * Timestamps compare as epoch-micros BIGINTs (events.parquet is
+    * nanos → `ts div 1000`, never a double divide). */
+  val q46 = OracleQuery(
+    "q46_sessionization",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+      |m AS (SELECT user_id, tsu,
+      |  CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+      |         > 28800000000 THEN 1
+      |       WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+      |         IS NULL THEN 1
+      |       ELSE 0 END AS new_s
+      |  FROM e),
+      |s AS (SELECT user_id, tsu,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, min(tsu) AS session_start, max(tsu) AS session_end,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"), col("event_time"))
+      .groupBy(col("user_id"), session_window(col("event_time"), "8 hours"))
+      .agg(min(col("tsu")).as("session_start"), max(col("tsu")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-      q39, q40, q41, q42, q43, q44, q45)
+      q39, q40, q41, q42, q43, q44, q45, q46)
 }

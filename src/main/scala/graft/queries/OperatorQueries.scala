@@ -205,7 +205,8 @@ object OperatorQueries {
   }
 
   /** Structured Streaming per-user session windows driven to completion —
-    * the gap-merged sessionization surface (session = events < 5 min apart;
+    * the gap-merged sessionization surface (session = events <= 5 min
+    * apart — the boundary is inclusive, pinned by SessionWindowSpec;
     * window ends at last event + gap). Fully oracle-checked: append mode
     * emits exactly the sessions whose end is at or before the final
     * watermark, and the batch mirror is classic lag/cumulative-sum
@@ -219,7 +220,7 @@ object OperatorQueries {
       |  SELECT user_id, t, value,
       |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
       |           OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
-      |                >= INTERVAL 5 MINUTE
+      |                > INTERVAL 5 MINUTE
       |    THEN 1 ELSE 0 END AS new_s
       |  FROM e),
       |sess AS (
@@ -487,8 +488,39 @@ object OperatorQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Runtime-filter join ([[graft.operators.BloomPrune]]): a selective dim
+    * filter (p_brand + p_size → ~1.5% of parts) is folded into a Bloom
+    * sketch by a distributed partial-aggregate, and the fact scan is pruned
+    * by the codegen'd might_contain BEFORE the join shuffle — the explicit
+    * form of Catalyst's InjectRuntimeFilter, staged so the sketch could be
+    * built in one job and applied in another. False positives (~2% at
+    * 8 bits/key) are removed by the exact broadcast join that follows, so
+    * the result is oracle-exact: the sketch only cuts shuffled rows. */
+  val bloomPruneJoin = OracleQuery(
+    "x15_bloom_prune_join",
+    """SELECT p.p_brand, count(*) AS n_lines,
+      |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_brand IN ('Brand#13', 'Brand#24') AND p.p_size < 15
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.operators.BloomPrune
+    val dim = Tables.part(s, d)
+      .filter(col("p_brand").isin("Brand#13", "Brand#24") && col("p_size") < 15)
+      .select("p_partkey", "p_brand")
+    val sketch = BloomPrune.build(dim, "p_partkey", expectedItems = 4096L)
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .filter(BloomPrune.mightContain(sketch, col("l_partkey")))
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("p_brand")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
-      streamIntervalJoin, statefulTotals, streamDedup, freqItemsSketch)
+      streamIntervalJoin, statefulTotals, streamDedup, freqItemsSketch,
+      bloomPruneJoin)
 }
