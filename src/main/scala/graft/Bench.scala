@@ -41,14 +41,29 @@ object Bench {
       dropAllStorage(spark)
       name -> math.min(r1, r2)
     }
-    // 3-decimal formatting (Locale.ROOT): the driver captures a bounded
-    // tail of this process's output — full double precision for 80
-    // queries pushed the metric line past the capture window
-    def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST 2000 bytes of this process's
+    // output (measured from BENCH_r{1,2,3}.json, all of which failed to
+    // parse because the metric line overflowed that window). Keep the
+    // line short: per-query keys shortened to their id prefix
+    // ("q01_pricing_summary" -> "q01"), 2-decimal seconds, and a hard
+    // length guard that drops the slowest-N-only map if we ever grow
+    // past the budget. sbt appends ~80 bytes ("[success] Total time...")
+    // after us, so budget the line at 1800.
+    def s2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val keys = results.keys.map(shortKey)
+    val keyFn: String => String =
+      if (keys.toSet.size == results.size) shortKey else identity
+    def qsJson(rs: Iterable[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + keyFn(k) + "\":" + s2(v) }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(qs: String): String =
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full = line(qsJson(results))
+    val out = if (full.length <= 1800) full
+              else line(qsJson(results.toSeq.sortBy(-_._2).take(40)))
     spark.stop()
+    println(out)
   }
 }
