@@ -28,29 +28,47 @@ import org.apache.spark.sql.functions._
   * clustered keys skew some buckets; for those, pre-map the key to a
   * rank-like proxy or raise `partitions`. Skew affects only balance,
   * never values: the result is a pure function of (orderCol, valueCol).
-  * The order column must be numeric and unique (it defines the order).
+  * The order column must be numeric, NON-NULL and unique (it defines the
+  * order; a null has no position, so null keys are rejected up front
+  * rather than silently dropped while still inflating bucket offsets).
   */
 object PrefixSum {
 
   /** Adds `out` = sum of `valueCol` over all rows strictly before this row
     * in ascending `orderCol` order (exclusive prefix sum, 0 for the first
-    * row). */
+    * row). Throws `IllegalArgumentException` if any `orderCol` is null. */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
                          out: String, partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val Array(lo, hi) = df.agg(
-      min(col(orderCol)).cast("long"), max(col(orderCol)).cast("long"))
+    // Single pre-pass aggregate: bounds for the bucket grid + null census
+    // (free — same job as the min/max we need anyway).
+    val (lo, hi) = df.agg(
+      min(col(orderCol)).cast("long"), max(col(orderCol)).cast("long"),
+      count(when(col(orderCol).isNull, 1)))
       .collect()(0) match {
-        case r if r.isNullAt(0) => Array(0L, 0L) // empty input
-        case r => Array(r.getLong(0), r.getLong(1))
+        case r if !r.isNullAt(2) && r.getLong(2) > 0 =>
+          throw new IllegalArgumentException(
+            s"PrefixSum: ${r.getLong(2)} null value(s) in order column " +
+            s"`$orderCol`; a null has no position in a total order")
+        case r if r.isNullAt(0) => (0L, 0L) // empty input
+        case r => (r.getLong(0), r.getLong(1))
       }
-    val span = math.max(1L, hi - lo + 1L)
-    val w = math.max(1L, (span + n - 1) / n) // ceil(span / n)
-    // integer DIV, not Column./ (double division; precision-unsafe > 2^53)
+    // Saturating span: hi-lo+1 wraps when the range exceeds Long.MaxValue
+    // (e.g. keys spanning [Long.MinValue, Long.MaxValue]); clamp instead.
+    val span =
+      try math.max(1L, math.addExact(math.subtractExact(hi, lo), 1L))
+      catch { case _: ArithmeticException => Long.MaxValue }
+    val w = math.max(1L, span / n + (if (span % n == 0) 0L else 1L)) // ceil
+    // pid = trunc(x/w) - trunc(lo/w): monotone in x, never subtracts two
+    // full-range longs (divide-first keeps magnitudes ≤ span/w ≈ n), so it
+    // is overflow-safe under ANSI for any long range. Integer DIV, not
+    // Column./ (double division; precision-unsafe > 2^53). Identifier is
+    // backtick-quoted so dotted/hyphenated column names parse as one name.
+    val q = "`" + orderCol.replace("`", "``") + "`"
     val withPid = df.withColumn("__pid",
-      expr(s"(CAST($orderCol AS BIGINT) - ${lo}L) DIV ${w}L"))
+      expr(s"(CAST($q AS BIGINT) DIV ${w}L) - (${lo}L DIV ${w}L)"))
     val localW = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = withPid.withColumn("__local",
