@@ -156,6 +156,46 @@ object SimilaritySearch {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
   }
 
+  /** LSH-banded cosine near-duplicate PAIRS — the scale-safe replacement
+    * for the all-pairs `id_a < id_b` theta join (which is a broadcast
+    * nested loop over N²/2 candidates): `nBands` independent SRP bands of
+    * `planesPerBand` hyperplanes each; two vectors are candidates iff they
+    * share a (band, bucket) key in at least one band — a plain equi-join
+    * shuffle keyed by (band, bucket) — and only candidates get the exact
+    * cosine, with the threshold applied to the ROUNDED value so borderline
+    * float noise cannot flip membership. Multi-band collisions collapse
+    * via distinct on the emitted pair.
+    *
+    * Semantics: banded (like the SimHash-chunk d09 and MinHash-LSH d07
+    * detectors) — recall for a pair at angle θ is 1-(1-p^r)^B with
+    * p = 1-θ/π. Tune: more planes/band → fewer candidates, lower recall;
+    * more bands → higher recall, more candidate volume. At 100 TB, grow
+    * planesPerBand ~ log2(N) to keep expected bucket population constant.
+    */
+  def bandedNearDupPairs(emb: DataFrame, threshold: Double,
+                         nBands: Int = 8, planesPerBand: Int = 4,
+                         dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = srpPlanes(nBands * planesPerBand, dim, seed)
+    val p = prepared(emb)
+    val buckets = array(planes.grouped(planesPerBand).toSeq
+      .map(ps => srpBucket(col("v"), ps)): _*)
+    val banded = p.withColumn("bks", buckets)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+      .distinct()
+  }
+
   /** Recall@k of an approximate result against the exact baseline. */
   def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
     val a = approx.select("query_id", "neighbor_id")

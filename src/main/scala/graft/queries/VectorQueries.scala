@@ -26,6 +26,35 @@ object VectorQueries {
   private val dotSql =
     "list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]))"
 
+  // ---- SRP banding (shared by v03/v05): the DuckDB mirror of
+  // SimilaritySearch.bandedNearDupPairs. The fixed hyperplanes inline as
+  // literals (Double.toString round-trips exactly through DuckDB's parser),
+  // so band/bucket assignment matches Spark's bit-for-bit — both engines
+  // compute the same sequential-fold plane dots, hence the same signs.
+  private val nBands = 8
+  private val planesPerBand = 4
+  private lazy val bandPlanes =
+    graft.functions.VectorFunctions.srpPlanes(nBands * planesPerBand, 64)
+  private def dotPlaneSql(p: Seq[Double]): String =
+    s"list_sum(list_transform(list_zip(v, [${p.mkString(", ")}]), x -> x[1] * x[2]))"
+  private lazy val bandBucketsSql: String =
+    bandPlanes.grouped(planesPerBand).toSeq.map { ps =>
+      ps.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN ${dotPlaneSql(p)} >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ")
+    }.mkString("[\n", ",\n", "\n]")
+  // DuckDB lists are 1-based; `band` is engine-internal and never emitted.
+  private lazy val bandsSql =
+    s"""nb AS (SELECT vec_id, v, nrm, $bandBucketsSql AS bks FROM ($normSql)),
+       |bands AS (SELECT vec_id, v, nrm, band, bks[band] AS bucket
+       |          FROM nb, generate_series(1, $nBands) g(band))""".stripMargin
+  private val bandedPairSql =
+    s"""SELECT DISTINCT q.vec_id AS id_a, c.vec_id AS id_b,
+       |    round($dotSql / (q.nrm * c.nrm), 4) AS cos_sim
+       |  FROM bands q JOIN bands c
+       |    ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id < c.vec_id
+       |  WHERE round($dotSql / (q.nrm * c.nrm), 4) >= 0.4""".stripMargin
+
   /** L2 norms per vector. */
   val embNorms = OracleQuery(
     "v01_emb_norms",
@@ -53,26 +82,21 @@ object VectorQueries {
       .orderBy("label", "dim")
   }
 
-  /** Embedding-cosine near-duplicate pairs above a similarity threshold.
-    * Threshold applies to the *rounded* value in both engines so borderline
-    * floating-point noise cannot flip membership. */
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * LSH-BANDED (8 SRP bands × 4 planes): candidates come from a (band,
+    * bucket) equi-join — never an all-pairs nested loop over N²/2 — and
+    * only candidates get the exact cosine. Threshold applies to the
+    * *rounded* value in both engines so borderline floating-point noise
+    * cannot flip membership; the oracle mirrors the identical banding
+    * (same inline hyperplanes), the d09/d15 pattern. */
   val embNearDupPairs = OracleQuery(
     "v03_emb_neardup_pairs",
-    s"""WITH n AS ($normSql)
-       |SELECT q.vec_id AS id_a, c.vec_id AS id_b,
-       |  round($dotSql / (q.nrm * c.nrm), 4) AS cos_sim
-       |FROM n q JOIN n c ON q.vec_id < c.vec_id
-       |WHERE round($dotSql / (q.nrm * c.nrm), 4) >= 0.4
-       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-      .filter(col("cos_sim") >= 0.4)
-      .select("id_a", "id_b", "cos_sim")
+    s"""WITH $bandsSql,
+       |pairs AS (
+       |  $bandedPairSql)
+       |SELECT id_a, id_b, cos_sim FROM pairs ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.SimilaritySearch
+      .bandedNearDupPairs(Tables.embeddings(s, d), 0.4, nBands, planesPerBand)
       .orderBy("id_a", "id_b")
   }
 
@@ -109,24 +133,18 @@ object VectorQueries {
   }
 
   /** Embedding near-dup PRUNING (the dedup action on v03's pairs): drop the
-    * higher id of every pair at/above the threshold, keep the rest. */
+    * higher id of every banded pair at/above the threshold, keep the rest.
+    * Same LSH-banded candidate generation as v03, mirrored in the oracle. */
   val embDedup = OracleQuery(
     "v05_emb_dedup",
-    s"""WITH n AS ($normSql),
+    s"""WITH $bandsSql,
        |pairs AS (
-       |  SELECT c.vec_id AS doc_b
-       |  FROM n q JOIN n c ON q.vec_id < c.vec_id
-       |  WHERE round($dotSql / (q.nrm * c.nrm), 4) >= 0.4)
+       |  $bandedPairSql)
        |SELECT e.vec_id, e.label FROM embeddings e
-       |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_b = e.vec_id)
+       |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = e.vec_id)
        |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    val drop = a.join(b, col("id_a") < col("id_b"))
-      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4) >= 0.4)
+    val drop = graft.operators.SimilaritySearch
+      .bandedNearDupPairs(Tables.embeddings(s, d), 0.4, nBands, planesPerBand)
       .select(col("id_b").as("vec_id")).distinct()
     Tables.embeddings(s, d)
       .join(drop, Seq("vec_id"), "left_anti")
@@ -252,6 +270,9 @@ object VectorQueries {
     val qcodes = codes.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
     val w50 = Window.partitionBy("query_id").orderBy(col("qscore").desc, col("vec_id"))
+    // The coarse pass is the only consumer of the codes cache; pin its
+    // (|Q|·50-row) candidate list eagerly and release the cache here
+    // rather than leaking corpus-sized storage to the session.
     val cand = broadcast(qcodes).join(codes, col("vec_id") =!= col("query_id"))
       .withColumn("qscore",
         aggregate(zip_with(col("qcodes"), col("codes"), (a, b) => a * b),
@@ -259,6 +280,8 @@ object VectorQueries {
       .withColumn("crnk", row_number().over(w50))
       .filter(col("crnk") <= 50)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .localCheckpoint()
+    codes.unpersist()
     val n = e.withColumn("nrm", l2Norm(col("v")))
     val qv = n.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))

@@ -56,6 +56,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(o_custkey"), plan.take(3000))
   }
 
+  test("banded near-dup candidates are an equi-join, never corpus×corpus") {
+    // the 100 TB contract for v03/v05: candidate pairs come from the
+    // (band, bucket) hash join; an all-pairs id_a < id_b theta join would
+    // surface as BroadcastNestedLoopJoin / CartesianProduct
+    for (q <- Seq("v03_emb_neardup_pairs", "v05_emb_dedup")) {
+      val plan = planOf(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: ${plan.take(3000)}")
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(3000)}")
+    }
+  }
+
   test("codegen dot product runs inside whole-stage codegen") {
     val df = graft.SparkEntry.queries("v04_emb_ann_topk")(SparkSpec.session, dir)
     df.collect() // finalize the adaptive plan
