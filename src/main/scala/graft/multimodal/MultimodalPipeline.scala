@@ -52,16 +52,31 @@ object MultimodalPipeline {
     }
   }
 
-  /** Deterministic synthetic media table (seeded byte payloads + metadata).
-    * Generated distributed — each partition synthesizes its own rows. */
+  /** Deterministic synthetic media table (md5-derived byte payloads +
+    * metadata). Generated distributed — each partition synthesizes its own
+    * rows. Payload bytes are the concatenation of md5("<id>:<block>")
+    * digests truncated to the payload length — a pure function of the id
+    * that any engine with an md5 builtin can reproduce (the DuckDB oracle
+    * reconstructs the identical bytes from hex substrings), unlike the
+    * previous scala.util.Random stream which was JVM-only. */
   def synthesize(spark: SparkSession, n: Int, partitions: Int = 4): Dataset[MediaItem] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { id =>
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val rnd = new scala.util.Random(42 + id)
-      val content = Array.fill[Byte](256 + (id % 512).toInt)(rnd.nextInt(256).toByte)
+      val len = 256 + (id % 512).toInt
+      val content = new Array[Byte](len)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var off = 0
+      var block = 0
+      while (off < len) {
+        val d = md.digest(s"$id:$block".getBytes("UTF-8"))
+        val c = math.min(16, len - off)
+        System.arraycopy(d, 0, content, off, c)
+        off += c
+        block += 1
+      }
       val meta = kind match {
         case "image" => MediaMeta(kind, 64, 48, 0, 0L, "fake-png")
         case "audio" => MediaMeta(kind, 0, 0, 16000, 2000 + (id % 5) * 1000, "fake-wav")

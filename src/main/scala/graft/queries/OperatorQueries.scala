@@ -8,11 +8,11 @@ import graft.streaming.EventStream
 
 /** The operator-tier registry: approximate similarity search (SRP-LSH,
   * IVF), the multimodal feature pipeline, the Structured Streaming rollup,
-  * and sketch-based distinct counts. SRP-LSH (x01), the streaming rollup
-  * (x04), the sketch-tolerance check (x05) and label-quantizer IVF (x06)
-  * carry full DuckDB oracles; IVF (x02, KMeans quantizer) and multimodal
-  * (x03, Scala-side synthesis) are rows-only — still deterministic for
-  * fixed seeds, just not SQL-expressible. */
+  * and sketch-based distinct counts. Every query here carries a full DuckDB
+  * oracle — including the multimodal pair (x03/x09), whose md5-derived
+  * payloads let the oracle recompute byte statistics from first
+  * principles, and IVF (x02), whose KMeans quantizer is checked through a
+  * recall gate rather than a value-for-value mirror. */
 object OperatorQueries {
 
   /** SRP-LSH approximate top-k (multi-probe hamming-1) for 10 query ids.
@@ -95,8 +95,57 @@ object OperatorQueries {
     * (decode stubbed; Spark plumbing real — see MultimodalPipeline).
     * The 16-bucket histogram stays an array in the library API but is
     * projected to a CSV string here: the driver's row comparator sorts and
-    * hashes scalar values and cannot handle array cells. */
-  val multimodal = OracleQuery.noOracle("x03_multimodal_features") { (s, _) =>
+    * hashes scalar values and cannot handle array cells.
+    *
+    * Fully oracle-checked: payloads are md5-derived (a pure function of
+    * media_id), so DuckDB reconstructs the identical bytes from
+    * `substr(md5(id || ':' || block))` hex pairs and recomputes every
+    * byte-stat feature — n_bytes, mean, 16-bucket histogram, entropy
+    * (same divide/ln fold), frame counts — from first principles. */
+  val multimodal = OracleQuery(
+    "x03_multimodal_features",
+    """WITH ids AS (SELECT i AS media_id FROM generate_series(0, 119) g(i)),
+      |m AS (SELECT media_id,
+      |        CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |             ELSE 'video' END AS kind,
+      |        256 + media_id % 512 AS len,
+      |        CASE media_id % 3 WHEN 1 THEN 2000 + (media_id % 5) * 1000
+      |                          WHEN 2 THEN 400 + (media_id % 5) * 200
+      |                          ELSE 0 END AS dur
+      |      FROM ids),
+      |mf AS (SELECT media_id, kind, len,
+      |         CAST(CASE kind WHEN 'image' THEN 1
+      |              WHEN 'audio' THEN greatest(1, dur // 1000)
+      |              ELSE greatest(1, dur // 40) END AS INT) AS n_frames
+      |       FROM m),
+      |bytes AS (SELECT media_id,
+      |            ('0x' || substr(md5(media_id || ':' || b), 2*p - 1, 2))::INT AS byte
+      |          FROM mf, generate_series(0, 47) g(b), generate_series(1, 16) h(p)
+      |          WHERE 16*b + (p - 1) < len),
+      |bk AS (SELECT media_id, byte // 16 AS bucket, count(*) AS c
+      |       FROM bytes GROUP BY 1, 2),
+      |st AS (SELECT media_id, count(*) AS n_bytes,
+      |         round(CAST(sum(byte) AS DOUBLE) / count(*), 4) AS mean_byte
+      |       FROM bytes GROUP BY 1),
+      |terms AS (SELECT bk.media_id, bk.bucket,
+      |            (-(CAST(bk.c AS DOUBLE) / st.n_bytes)
+      |             * ln(CAST(bk.c AS DOUBLE) / st.n_bytes)) / ln(2) AS term
+      |          FROM bk JOIN st USING (media_id)),
+      |ent AS (SELECT media_id,
+      |          round(list_sum(list(term ORDER BY bucket)), 4) AS byte_entropy
+      |        FROM terms GROUP BY media_id),
+      |grid AS (SELECT media_id, gb AS bucket FROM ids, generate_series(0, 15) g(gb)),
+      |hist AS (SELECT grid.media_id,
+      |           string_agg(coalesce(bk.c, 0)::VARCHAR, ',' ORDER BY grid.bucket)
+      |             AS histogram
+      |         FROM grid LEFT JOIN bk
+      |           ON bk.media_id = grid.media_id AND bk.bucket = grid.bucket
+      |         GROUP BY grid.media_id)
+      |SELECT mf.media_id, mf.kind, st.n_bytes, st.mean_byte, ent.byte_entropy,
+      |       hist.histogram, mf.n_frames
+      |FROM mf JOIN st USING (media_id) JOIN ent USING (media_id)
+      |        JOIN hist USING (media_id)
+      |ORDER BY media_id""".stripMargin) { (s, _) =>
     MultimodalPipeline.extractFeatures(MultimodalPipeline.synthesize(s, 120))
       .toDF()
       .withColumn("mean_byte", round(col("mean_byte"), 4))
@@ -352,10 +401,30 @@ object OperatorQueries {
 
   /** Frame sampling over the multimodal table (every 2nd pseudo-frame) —
     * the video keyframe-extract shape: one media row explodes to its
-    * sampled frames, then per-media stats. Rows-only (the synthetic
-    * payload is Scala-side; the plumbing — explode shape, binary column
-    * flow, per-partition batching — is what's exercised). */
-  val frameSample = OracleQuery.noOracle("x09_multimodal_frame_sample") { (s, _) =>
+    * sampled frames, then per-media stats. Fully oracle-checked: frame
+    * counts and slice lengths are pure length arithmetic on the metadata
+    * (span = len/nf, clamped slice bounds), so DuckDB recomputes them
+    * without touching payload bytes. */
+  val frameSample = OracleQuery(
+    "x09_multimodal_frame_sample",
+    """WITH ids AS (SELECT i AS media_id FROM generate_series(0, 119) g(i)),
+      |m AS (SELECT media_id, 256 + media_id % 512 AS len, media_id % 3 AS k3,
+      |        CASE media_id % 3 WHEN 1 THEN 2000 + (media_id % 5) * 1000
+      |                          WHEN 2 THEN 400 + (media_id % 5) * 200
+      |                          ELSE 0 END AS dur
+      |      FROM ids),
+      |mf AS (SELECT media_id, len,
+      |         CASE k3 WHEN 0 THEN 1
+      |                 WHEN 1 THEN greatest(1, dur // 1000)
+      |                 ELSE greatest(1, dur // 40) END AS nf
+      |       FROM m),
+      |fr AS (SELECT media_id, len, i, greatest(1, len // nf) AS span
+      |       FROM mf, generate_series(0, 63) g(i)
+      |       WHERE i < nf AND i % 2 = 0)
+      |SELECT media_id, count(*) AS n_sampled,
+      |  CAST(sum(greatest(0, least(len, (i + 1) * span) - i * span)) AS BIGINT)
+      |    AS bytes_sampled
+      |FROM fr GROUP BY media_id ORDER BY media_id""".stripMargin) { (s, _) =>
     MultimodalPipeline.sampleFrames(MultimodalPipeline.synthesize(s, 120), stride = 2)
       .groupBy("media_id")
       .agg(count(lit(1)).as("n_sampled"),
