@@ -743,10 +743,50 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark-contamination screen — the eval-set decontamination step of
+    * a training pipeline: a deterministic held-out "benchmark" slice
+    * (doc_id ≡ 0 mod 40) contributes its distinct word-4-gram set; every
+    * training document reports how many of its distinct 4-grams appear in
+    * that set (docs with zero overlap are clean and don't appear).
+    *
+    * Scale: the benchmark gram set is tiny relative to the corpus (eval
+    * sets are thousands of docs, the corpus is billions), so the overlap
+    * probe is a BROADCAST semi-join — the corpus side streams through map
+    * tasks, no shuffle of the training grams. */
+  val docContamination = OracleQuery(
+    "d20_contamination_screen",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) >= 4
+       |      THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+       |            for i in generate_series(1, len(toks) - 3)]
+       |      ELSE CAST([] AS VARCHAR[]) END) AS grams
+       |  FROM t),
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |bench AS (SELECT DISTINCT gram FROM e WHERE doc_id % 40 = 0),
+       |hits AS (
+       |  SELECT e.doc_id, count(*) AS shared
+       |  FROM e JOIN bench USING (gram)
+       |  WHERE e.doc_id % 40 <> 0
+       |  GROUP BY e.doc_id)
+       |SELECT doc_id, CAST(shared AS INT) AS n_shared_grams
+       |FROM hits ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val grams = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(shingles(col("toks"), 4)).as("gram"))
+    val bench = grams.filter(col("doc_id") % 40 === 0).select("gram").distinct()
+    grams.filter(col("doc_id") % 40 =!= 0)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
     docSimhashNearDup, docNgramJaccard, docChunking, docTfIdf,
     docDedupClusters, docTokenPacking, docEditDistance,
-    docTrainSplit, docWinnowing, docRepetition, docOovRate)
+    docTrainSplit, docWinnowing, docRepetition, docOovRate,
+    docContamination)
 }
