@@ -38,12 +38,18 @@ object MinHashDedup {
       .distinct()
     val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
       size(array_union(col("sa"), col("sb")))
-    cand
+    val pairs = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
       .withColumn("jac", jac)
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+    // The operator releases its own cache: the verified pair set is tiny
+    // (near-dup pairs, not the corpus), so pin IT eagerly and free the
+    // multi-scanned shingle table instead of leaking it to the session.
+    val pinned = pairs.localCheckpoint()
+    sh.unpersist()
+    pinned
   }
 
   /** Near-dup pruning: drop every doc that is the HIGHER id of a verified
