@@ -1,0 +1,192 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Transaction-log lake format — the local protocol sketch of what the
+  * reference gets from Delta Lake on GCS (ref
+  * process_bronze_to_silver.py:146,151-155): versioned snapshots, atomic
+  * commits, snapshot-isolated readers, time travel, and vacuum — built on
+  * nothing but parquet, JSON log entries, and the atomic-rename primitive
+  * `Storage.Compaction` already relies on.
+  *
+  * Layout:
+  * {{{
+  *   <table>/_txn_log/v<N>.json   one entry per committed version: the list
+  *                                of data files that ARE snapshot N
+  *   <table>/data/v<N>-<salt>/    immutable parquet written by commit N
+  * }}}
+  *
+  * Protocol:
+  *  - WRITE: data lands in a fresh immutable dir, then the log entry is
+  *    published by writing `v<N>.json.tmp-<salt>` and RENAMING it to
+  *    `v<N>.json`. Rename-without-overwrite is the commit point: it either
+  *    fully happens or fully doesn't, so readers never observe a torn
+  *    commit.
+  *  - CONCURRENCY (optimistic): two writers racing to version N both
+  *    prepare data dirs; only one rename wins (HDFS/local rename onto an
+  *    existing destination returns false). The loser re-reads the log and
+  *    retries at N+1 — append retries preserve both writers' rows;
+  *    overwrite retries preserve last-committer-wins, exactly Delta's
+  *    semantics.
+  *  - READERS resolve the latest `v<N>.json` ONCE and then scan only the
+  *    files that entry names. Later commits add new dirs and log entries
+  *    but never mutate old ones, so an in-flight reader keeps its snapshot
+  *    (isolation) and any version can be re-read on demand (time travel)
+  *    until `vacuum` reclaims it.
+  *
+  * At 100 TB the log stays tiny (one small JSON per commit — scans list
+  * the log dir, not the data tree), data files are immutable so caches and
+  * object-store reads stay valid, and vacuum is the only deleter.
+  */
+object TxnLake extends LakeFormat {
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(table: String) = new Path(table, "_txn_log")
+
+  private final case class Entry(version: Long, operation: String,
+                                 files: Seq[String])
+
+  // Minimal JSON (no deps): {"version":N,"operation":"...","files":["a","b"]}
+  private def render(e: Entry): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    s"""{"version":${e.version},"operation":${q(e.operation)},""" +
+      s""""files":[${e.files.map(q).mkString(",")}]}"""
+  }
+
+  private def parse(s: String): Entry = {
+    val version = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong)
+      .getOrElse(sys.error(s"TxnLake: malformed log entry: $s"))
+    val operation = """"operation"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("unknown")
+    val files = """"files"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    Entry(version, operation, files)
+  }
+
+  private def committedVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val ld = logDir(table)
+    val f = fs(spark, ld)
+    if (!f.exists(ld)) Seq.empty
+    else f.listStatus(ld).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted.toSeq
+  }
+
+  private def readEntry(spark: SparkSession, table: String, v: Long): Entry = {
+    val p = new Path(logDir(table), s"v$v.json")
+    val in = fs(spark, p).open(p)
+    try parse(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+  }
+
+  /** Latest committed version, if any commit exists. */
+  def latestVersion(spark: SparkSession, table: String): Option[Long] =
+    committedVersions(spark, table).lastOption
+
+  /** Commit `df` as the next version. `operation` is "overwrite" (snapshot
+    * replaces the table) or "append" (snapshot = previous files + new).
+    * Retries on commit conflicts (another writer won the version) up to
+    * `maxAttempts` times. Returns the committed version. */
+  def commit(spark: SparkSession, df: DataFrame, table: String,
+             operation: String, maxAttempts: Int = 10): Long = {
+    require(operation == "overwrite" || operation == "append",
+      s"TxnLake: unknown operation $operation")
+    val tablePath = new Path(table)
+    val f = fs(spark, tablePath)
+    f.mkdirs(logDir(table))
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val next = latestVersion(spark, table).map(_ + 1).getOrElse(0L)
+      // 1. land the data in a fresh immutable dir (never seen by readers
+      //    until the log entry that names it is published)
+      val dataRel = s"data/v$next-$salt-$attempt"
+      df.write.mode("overwrite").parquet(new Path(tablePath, dataRel).toString)
+      val written = f.listStatus(new Path(tablePath, dataRel))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => s"$dataRel/${s.getPath.getName}").sorted.toSeq
+      val base = if (operation == "append")
+        latestVersion(spark, table).map(readEntry(spark, table, _).files)
+          .getOrElse(Seq.empty)
+      else Seq.empty
+      // 2. publish: tmp write + rename-without-overwrite IS the commit
+      val entry = render(Entry(next, operation, base ++ written))
+      val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
+      val out = f.create(tmp, false)
+      try out.write(entry.getBytes("UTF-8")) finally out.close()
+      val dst = new Path(logDir(table), s"v$next.json")
+      if (publishExclusive(f, tmp, dst)) return next
+      f.delete(tmp, false) // lost the race: discard and retry at N+1
+      attempt += 1
+    }
+    sys.error(s"TxnLake: gave up after $maxAttempts commit conflicts on $table")
+  }
+
+  /** Atomic publish-if-absent — the commit point. On HDFS-like stores,
+    * rename-without-overwrite is atomic at the namenode. `File.renameTo`
+    * on POSIX is rename(2), which silently REPLACES an existing
+    * destination, so for the local scheme the exclusivity comes from
+    * link(2) instead: creating a hard link fails atomically when the
+    * destination exists. */
+  private def publishExclusive(f: FileSystem, tmp: Path, dst: Path): Boolean =
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else !f.exists(dst) && f.rename(tmp, dst)
+
+  /** Read a specific committed version (time travel), resolving the file
+    * list from that version's log entry only — later commits are
+    * invisible. */
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
+    val e = readEntry(spark, table, version)
+    if (e.files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(e.files.map(r => new Path(table, r).toString): _*)
+  }
+
+  /** Delete data dirs referenced by NO retained version (the newest
+    * `retainVersions` stay readable; older log entries remain but their
+    * exclusive files are reclaimed). Returns reclaimed dir count. */
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int = 1): Int = {
+    val versions = committedVersions(spark, table)
+    if (versions.isEmpty) return 0
+    val retained = versions.takeRight(math.max(1, retainVersions))
+    val live = retained.flatMap(readEntry(spark, table, _).files)
+      .map(_.split("/").take(2).mkString("/")).toSet // data/vN-salt-a dirs
+    val dataRoot = new Path(table, "data")
+    val f = fs(spark, dataRoot)
+    if (!f.exists(dataRoot)) return 0
+    val dead = f.listStatus(dataRoot)
+      .filter(_.isDirectory)
+      .filterNot(s => live.contains(s"data/${s.getPath.getName}"))
+    dead.foreach(s => f.delete(s.getPath, true))
+    dead.length
+  }
+
+  // ---- LakeFormat: overwrite-snapshot semantics, like ParquetLake, but
+  // with the log providing atomicity + isolation. partitionBy is accepted
+  // for interface parity; the log tracks files, so pruning at this layer
+  // comes from parquet row-group stats rather than dir layout.
+  def write(df: DataFrame, path: String, partitionBy: Seq[String]): Unit = {
+    commit(df.sparkSession, df, path, "overwrite")
+    ()
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    latestVersion(spark, path) match {
+      case Some(v) => readVersion(spark, path, v)
+      case None => spark.emptyDataFrame
+    }
+}
