@@ -58,11 +58,14 @@ object Bench {
       rs.map { case (k, v) => "\"" + keyFn(k) + "\":" + s2(v) }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def line(qs: String): String =
-      s"""{"metric":"total","value":${s2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def line(qs: String, extra: String = ""): String =
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec"$extra,"queries":$qs,"sf":"$sfDir"}"""
     val full = line(qsJson(results))
+    // the fallback keeps only the slowest 40 — flag it so consumers can
+    // tell a partial map ("value" ≠ sum of entries) from a full one
     val out = if (full.length <= 1800) full
-              else line(qsJson(results.toSeq.sortBy(-_._2).take(40)))
+              else line(qsJson(results.toSeq.sortBy(-_._2).take(40)),
+                s""","truncated":true,"nq":${results.size}""")
     spark.stop()
     println(out)
   }
