@@ -35,10 +35,31 @@ object ParquetLake extends LakeFormat {
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 }
 
-/** Local warehouse: one parquet directory per table under a root. */
+/** Local warehouse: one parquet directory per table under a root.
+  *
+  * Writes are STAGED — the reference's indirect BigQuery load (ref
+  * process_silver_to_gold.py:143-150: job output lands in a staging
+  * bucket, the warehouse load step swaps it into the table): data is
+  * fully written to a scratch dir first, then swapped in by rename, so a
+  * concurrent reader sees the previous table or the new one, never a
+  * half-written mix, and a failed write leaves the live table untouched. */
 final class ParquetWarehouse(root: String) extends WarehouseSink {
-  def writeTable(df: DataFrame, table: String): Unit =
-    df.write.mode("overwrite").parquet(s"$root/$table")
+  def writeTable(df: DataFrame, table: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(s"$root/$table")
+    val fs = dst.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(s"$root/_staging/$table-$salt")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val aside = new org.apache.hadoop.fs.Path(s"$root/_staging/$table-$salt-old")
+    if (fs.exists(dst)) fs.rename(dst, aside)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(staging, dst)) {
+      // restore the previous table rather than leaving none
+      if (fs.exists(aside)) fs.rename(aside, dst)
+      sys.error(s"ParquetWarehouse: failed to publish $table")
+    }
+    fs.delete(aside, true)
+  }
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(s"$root/$table")
 }
