@@ -18,8 +18,10 @@ import graft.functions.TextFunctions._
 object MinHashDedup {
 
   /** Verified near-dup pairs (doc_a < doc_b, word-3-gram Jaccard ≥
-    * threshold). */
-  def verifiedPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    * threshold). `materialize = false` returns the raw lazy plan and
+    * leaves the shingle cache pinned — for plan inspection only. */
+  def verifiedPairs(docs: DataFrame, threshold: Double = 0.7,
+                    materialize: Boolean = true): DataFrame = {
     val sh = docs
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), shingles(col("toks"), 3).as("s"))
@@ -47,9 +49,12 @@ object MinHashDedup {
     // The operator releases its own cache: the verified pair set is tiny
     // (near-dup pairs, not the corpus), so pin IT eagerly and free the
     // multi-scanned shingle table instead of leaking it to the session.
-    val pinned = pairs.localCheckpoint()
-    sh.unpersist()
-    pinned
+    if (!materialize) pairs
+    else {
+      val pinned = pairs.localCheckpoint()
+      sh.unpersist()
+      pinned
+    }
   }
 
   /** Near-dup pruning: drop every doc that is the HIGHER id of a verified

@@ -83,6 +83,22 @@ class TxnLakeSpec extends SparkSpec {
     }
   }
 
+  test("BronzeToSilver runs unchanged on the TxnLake format") {
+    val lake = Files.createTempDirectory("txnlake_b2s").toString
+    graft.ingest.UsgsGeoJson.writeBronze(s"$lake/bronze/raw.json")
+    val viaParquet = graft.jobs.BronzeToSilver.run(
+      spark, s"$lake/bronze/raw.json", s"$lake/silver_parquet")
+    val viaTxn = graft.jobs.BronzeToSilver.run(
+      spark, s"$lake/bronze/raw.json", s"$lake/silver_txn",
+      lake = TxnLake)
+    assert(viaTxn.count() == viaParquet.count())
+    assert(viaTxn.columns.sorted.toSeq == viaParquet.columns.sorted.toSeq)
+    // the txn table is versioned: a re-run commits a new snapshot
+    graft.jobs.BronzeToSilver.run(
+      spark, s"$lake/bronze/raw.json", s"$lake/silver_txn", lake = TxnLake)
+    assert(TxnLake.latestVersion(spark, s"$lake/silver_txn").contains(1L))
+  }
+
   test("LakeFormat interface round-trips through the log") {
     import spark.implicits._
     val t = freshTable()
