@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticQueries, OperatorQueries, OracleQuery, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQuery, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,18 +17,20 @@ import graft.queries.{AnalyticQueries, OperatorQueries, OracleQuery, RelationalQ
   *    subqueries, stats suite (corr/covar/regr), incremental upsert,
   *    date gap-fill, global top-k, z-order clustering keys, typed-
   *    Aggregator group top-K
-  *  - d01–d19 [[graft.queries.TextQueries]] — token/quality/langid/
+  *  - d01–d20 [[graft.queries.TextQueries]] — token/quality/langid/
   *    fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact n-gram
   *    Jaccard, edit-distance, cluster collapse), chunking, TF-IDF, corpus
   *    curation, token packing, md5-bucket train/eval split, winnowing,
-  *    repetition filters, vocabulary/OOV analysis
+  *    repetition filters, vocabulary/OOV analysis, contamination screen
+  *  - d21–d24 [[graft.queries.CurationQueries]] — PII scrub, stratified
+  *    corpus mixing, unigram-LM surprisal, boilerplate n-gram pruning
   *  - v01–v07 [[graft.queries.VectorQueries]] — embedding math, ANN
   *    baseline, int8 quantization, quantized-prefilter re-rank ANN
-  *  - x01–x14 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x16 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState, sketch-tolerance checks
-  *    (HLL, quantile, heavy hitters),
-  *    bucketed co-located join (rows-only where noted)
+  *    (HLL, quantile, heavy hitters), bucketed co-located join,
+  *    PQ-ADC ANN
   *
   * COVERAGE.md maps every SURVEY §2 operator ID to its implementation,
   * query, and test.
@@ -37,7 +39,7 @@ object SparkEntry {
 
   private def registry: Seq[OracleQuery] =
     RelationalQueries.all ++ AnalyticQueries.all ++ TextQueries.all ++
-      VectorQueries.all ++ OperatorQueries.all
+      CurationQueries.all ++ VectorQueries.all ++ OperatorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

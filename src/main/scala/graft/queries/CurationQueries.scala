@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Corpus-curation operators layered on the `documents` table — the
+  * second tier of the LLM-training-data surface (beyond d01–d20): PII
+  * scrubbing, stratified corpus mixing, unigram-LM surprisal scoring, and
+  * boilerplate n-gram pruning.
+  *
+  * Same determinism discipline as TextQueries: every emitted column is
+  * either integer-exact or a rounded value of an identically-computed
+  * double, so all four queries carry full DuckDB oracles. Surprisal in
+  * particular uses the integer-exact form floor(log2(total/c)) =
+  * length(bin(total div c)) - 1 rather than floating log, so per-doc sums
+  * are order-independent (the round-2 d12 lesson).
+  */
+object CurationQueries {
+
+  private val tokSql = """regexp_split_to_array(lower(text), '\s+')"""
+
+  // ---- d21 PII scrub -------------------------------------------------
+  // The test corpus contains no PII (letters + spaces only), so the query
+  // first LACES deterministic synthetic PII into the text — md5-derived
+  // emails / US-format phones / IPv4s, a pure function of doc_id that the
+  // DuckDB oracle reproduces byte-for-byte (the x03 multimodal pattern) —
+  // then runs the real detection + redaction pass over the laced text.
+  // Detection and redaction are what ship; the lacing is test scaffolding.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII detection + redaction: count emails/phones/IPv4s and emit the md5
+    * of the redacted text (EMAIL → IP → PHONE replacement order; the
+    * patterns are disjoint here but the order is part of the contract).
+    *
+    * Scale: a pure per-row projection — no shuffle, no join; the plan is a
+    * single WholeStageCodegen map over the scan (PlanShapeSpec pins
+    * zero exchanges). At 100 TB this runs at scan speed. */
+  val piiScrub = OracleQuery(
+    "d21_pii_scrub",
+    s"""WITH laced AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0
+       |      THEN 'user' || substring(md5(CAST(doc_id AS VARCHAR) || ':e'), 1, 6)
+       |           || '@example.com ' ELSE '' END ||
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN '555-' ||
+       |        lpad(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':p1'), 1, 6))::BIGINT
+       |             % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |        lpad(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':p2'), 1, 6))::BIGINT
+       |             % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':i1'), 1, 2))::BIGINT AS VARCHAR)
+       |        || '.' ||
+       |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':i2'), 1, 2))::BIGINT AS VARCHAR)
+       |        || '.' ||
+       |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':i3'), 1, 2))::BIGINT AS VARCHAR)
+       |        || '.' ||
+       |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':i4'), 1, 2))::BIGINT AS VARCHAR)
+       |        || ' ' ELSE '' END ||
+       |    text AS t
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+       |    len(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
+       |    len(regexp_extract_all(t, '$Ipv4Re')) AS n_ipv4,
+       |    regexp_replace(regexp_replace(regexp_replace(t,
+       |      '$EmailRe', '<EMAIL>', 'g'),
+       |      '$Ipv4Re', '<IP>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g') AS redacted
+       |  FROM laced)
+       |SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+       |  CAST(n_phones AS INT) AS n_phones, CAST(n_ipv4 AS INT) AS n_ipv4,
+       |  md5(redacted) AS redacted_md5,
+       |  CAST(length(redacted) AS INT) AS n_redacted_chars
+       |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    def h(salt: String, hexLen: Int) =
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))), 1, hexLen), 16, 10)
+        .cast("long")
+    val email = when(col("doc_id") % 2 === 0,
+      concat(lit("user"),
+        substring(md5(concat(col("doc_id").cast("string"), lit(":e"))), 1, 6),
+        lit("@example.com "))).otherwise("")
+    val phone = when(col("doc_id") % 3 === 0,
+      concat(lit("555-"),
+        lpad((h(":p1", 6) % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((h(":p2", 6) % 10000).cast("string"), 4, "0"), lit(" "))).otherwise("")
+    val ip = when(col("doc_id") % 5 === 0,
+      concat(h(":i1", 2).cast("string"), lit("."), h(":i2", 2).cast("string"),
+        lit("."), h(":i3", 2).cast("string"), lit("."), h(":i4", 2).cast("string"),
+        lit(" "))).otherwise("")
+    val laced = Tables.documents(s, d)
+      .select(col("doc_id"), concat(email, phone, ip, col("text")).as("t"))
+    val redacted = regexp_replace(regexp_replace(regexp_replace(col("t"),
+      lit(EmailRe), lit("<EMAIL>")),
+      lit(Ipv4Re), lit("<IP>")),
+      lit(PhoneRe), lit("<PHONE>"))
+    laced.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(col("t"), lit(Ipv4Re), lit(0))).as("n_ipv4"),
+      md5(redacted).as("redacted_md5"),
+      length(redacted).as("n_redacted_chars"))
+      .orderBy("doc_id")
+  }
+
+  // ---- d22 corpus mixing ---------------------------------------------
+  /** Per-language sampling rates in ‰ (integer thresholds against a
+    * 1000-bucket md5 hash — exact in both engines). */
+  private val MixRates: Seq[(String, Int)] =
+    Seq("en" -> 500, "zh" -> 900, "de" -> 700, "es" -> 700, "fr" -> 700)
+  private val MixDefault = 700
+
+  /** Stratified corpus mixing — the sampling step that rebalances language
+    * (or source/quality) proportions before training: each document keeps
+    * or drops by a deterministic md5 bucket against its language's target
+    * rate, and the query emits the per-(source, language) census. Being
+    * hash-based, the same document always makes the same decision across
+    * reruns and engines — resumable sampling, no RNG state.
+    *
+    * Scale: per-row hash + one aggregation shuffle on the (tiny) stratum
+    * key; the keep decision never shuffles the corpus. */
+  val corpusMixing = OracleQuery(
+    "d22_corpus_mixing", {
+      val rateCases = MixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString(" ")
+      s"""WITH k AS (
+         |  SELECT source, lang,
+         |    CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 7))::BIGINT
+         |           % 1000 < CASE $rateCases ELSE $MixDefault END
+         |         THEN 1 ELSE 0 END AS keep
+         |  FROM documents)
+         |SELECT source, lang, CAST(count(*) AS INT) AS n_docs,
+         |  CAST(sum(keep) AS INT) AS n_kept,
+         |  round(CAST(sum(keep) AS DOUBLE) / count(*), 4) AS kept_frac
+         |FROM k GROUP BY source, lang ORDER BY source, lang""".stripMargin
+    }) { (s, d) =>
+    val rate = MixRates.foldRight(lit(MixDefault): org.apache.spark.sql.Column) {
+      case ((l, r), els) => when(col("lang") === l, r).otherwise(els)
+    }
+    val bucket =
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 7), 16, 10)
+        .cast("long") % 1000
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        when(bucket < rate, 1).otherwise(0).as("keep"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("keep")).cast("int").as("n_kept"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 4).as("kept_frac"))
+      .orderBy("source", "lang")
+  }
+
+  // ---- d23 unigram surprisal -----------------------------------------
+  /** Unigram-LM surprisal scoring — the perplexity-proxy quality signal:
+    * each token scores floor(log2(corpus_total / corpus_count(term))) bits
+    * of surprisal, documents report the sum and mean. The log2 floor is
+    * computed as length(bin(total div c)) - 1 — INTEGER-exact, so the
+    * per-document sum is order-independent and hash-checkable (floating
+    * log + float sum would be neither, per the round-2 d12 lesson).
+    *
+    * Scale: one shuffle builds the term-count table; the per-token probe
+    * is a broadcast join (a real vocabulary is ≤ millions of rows — the
+    * d19 vocab shape); the doc-level sum shuffles on doc_id. */
+  val unigramSurprisal = OracleQuery(
+    "d23_doc_unigram_surprisal",
+    s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       |gc AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM gc),
+       |b AS (SELECT term, CAST(length(bin(total // c)) - 1 AS BIGINT) AS bits
+       |      FROM gc, tot)
+       |SELECT t.doc_id, CAST(count(*) AS INT) AS n_tokens,
+       |  CAST(sum(bits) AS BIGINT) AS sum_bits,
+       |  round(CAST(sum(bits) AS DOUBLE) / count(*), 4) AS avg_bits
+       |FROM t JOIN b USING (term)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val gc = t.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = gc.agg(sum(col("c")).as("total"))
+    val bits = gc.crossJoin(broadcast(total))
+      .select(col("term"),
+        (length(bin(expr("total div c"))) - 1).cast("long").as("bits"))
+    t.join(broadcast(bits), Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+        round(col("sum_bits").cast("double") / col("n_tokens"), 4).as("avg_bits"))
+      .orderBy("doc_id")
+  }
+
+  // ---- d24 boilerplate pruning ---------------------------------------
+  /** Boilerplate n-gram pruning — the C4-style repeated-content filter at
+    * the n-gram level (the corpus has no newlines, so line-level dedup
+    * degenerates; 3-gram doc-frequency is the same signal): a 3-gram
+    * appearing in ≥ 1% of documents is boilerplate; each document reports
+    * its distinct-gram census, boilerplate fraction, and the resulting
+    * keep/drop flag. The threshold is RELATIVE (df · 100 ≥ N, integer
+    * math), so the definition holds unchanged at any corpus size.
+    *
+    * Scale: gram doc-frequency is one shuffle on the gram key; the
+    * boilerplate set (df ≥ 1% of docs) is inherently small — high-df
+    * grams are few — so the probe back onto the corpus is a broadcast
+    * semi-join, the d20 shape. */
+  val boilerplatePrune = OracleQuery(
+    "d24_boilerplate_prune",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+       |    THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |          for i in generate_series(1, len(toks) - 2)]
+       |    ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM documents),
+       |f AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+       |boiler AS (SELECT gram FROM f, nd WHERE df * 100 >= total_docs),
+       |p AS (
+       |  SELECT g.doc_id, count(*) AS n_grams,
+       |    count(*) FILTER (WHERE b.gram IS NOT NULL) AS n_boiler
+       |  FROM g LEFT JOIN boiler b ON g.gram = b.gram
+       |  GROUP BY g.doc_id)
+       |SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+       |  CAST(n_boiler AS INT) AS n_boiler,
+       |  round(CAST(n_boiler AS DOUBLE) / n_grams, 4) AS boiler_frac,
+       |  CAST(n_boiler * 10 < n_grams AS BOOLEAN) AS keep
+       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val g = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("gram"))
+    val totalDocs = docs.agg(count(lit(1)).as("total_docs"))
+    val boiler = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(totalDocs))
+      .filter(col("df") * 100 >= col("total_docs"))
+      .select(col("gram"), lit(true).as("is_boiler"))
+    g.join(broadcast(boiler), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).cast("int").as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_grams"), 4).as("boiler_frac"),
+        (col("n_boiler") * 10 < col("n_grams")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[OracleQuery] =
+    Seq(piiScrub, corpusMixing, unigramSurprisal, boilerplatePrune)
+}

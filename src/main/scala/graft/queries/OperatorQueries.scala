@@ -587,9 +587,73 @@ object OperatorQueries {
       .orderBy("p_brand")
   }
 
+  /** Product-quantization ANN with asymmetric distance computation
+    * ([[graft.operators.ProductQuantization]]): 64 dims → 8 subspaces × 8
+    * dims, label-supervised codebook (rounded per-(label, subspace)
+    * centroids — the x06 determinism trade), integer nano-unit distances.
+    * Corpus vectors compress to 8 codes; queries rank the whole corpus by
+    * LUT-summed approximate distance. Fully oracle-checked end to end —
+    * codebook, encoding argmin (tie → lowest label), ADC sum, and ranking
+    * are identical integer math in both engines. */
+  val pqAdcAnn = OracleQuery(
+    "x16_pq_adc_ann",
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |ex AS (SELECT vec_id, label, i AS dim, v[i] AS x
+      |       FROM e, generate_series(1, 64) g(i)),
+      |cb0 AS (SELECT label, dim, round(avg(x), 4) AS cx
+      |        FROM ex GROUP BY 1, 2),
+      |cb AS (SELECT label, CAST((dim - 1) // 8 AS INT) AS s,
+      |         list(cx ORDER BY dim) AS carr
+      |       FROM cb0 GROUP BY 1, 2),
+      |vs AS (SELECT vec_id, CAST((dim - 1) // 8 AS INT) AS s,
+      |         list(x ORDER BY dim) AS varr
+      |       FROM ex GROUP BY 1, 2),
+      |dist AS (
+      |  SELECT vec_id, s, cb.label,
+      |    CAST(floor(list_sum(list_transform(list_zip(varr, carr),
+      |           z -> (z[1] - z[2]) * (z[1] - z[2]))) * 1e9 + 0.5) AS BIGINT) AS dq
+      |  FROM vs JOIN cb USING (s)),
+      |codes AS (
+      |  SELECT vec_id, s, label AS code FROM (
+      |    SELECT vec_id, s, label,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dq, label) AS r
+      |    FROM dist) WHERE r = 1),
+      |lut AS (SELECT vec_id AS query_id, s, label, dq FROM dist WHERE vec_id < 5),
+      |adc AS (
+      |  SELECT l.query_id, c.vec_id AS neighbor_id,
+      |    CAST(sum(l.dq) AS BIGINT) AS approx_dist
+      |  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.label
+      |  WHERE c.vec_id <> l.query_id
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT query_id, neighbor_id, approx_dist,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY approx_dist, neighbor_id) AS rnk
+      |  FROM adc)
+      |SELECT query_id, neighbor_id, approx_dist, CAST(rnk AS INT) AS rnk
+      |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    import graft.operators.ProductQuantization
+    import graft.functions.VectorFunctions.toDouble
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val cb = ProductQuantization.codebook(emb)
+    val dists = ProductQuantization.subspaceDistances(emb, cb).cache()
+    val codes = ProductQuantization.encode(dists)
+    val lut = dists.filter(col("vec_id") < 5)
+    val out = ProductQuantization.adcTopK(codes, lut, k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("approx_dist"), col("rnk"))
+      .orderBy("query_id", "rnk")
+    val pinned = out.localCheckpoint()
+    dists.unpersist()
+    pinned
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
       streamIntervalJoin, statefulTotals, streamDedup, freqItemsSketch,
-      bloomPruneJoin)
+      bloomPruneJoin, pqAdcAnn)
 }

@@ -127,6 +127,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("PII scrub is a pure per-row map — zero exchanges") {
+    // d21 must run at scan speed: detection + redaction are projections,
+    // so the plan may contain no shuffle at all (the trailing orderBy is
+    // presentation-only and plans as a range-partitioned sort; everything
+    // before it must be exchange-free). Assert on the pre-sort query.
+    val docs = Tables.documents(SparkSpec.session, dir)
+    val df = graft.SparkEntry.queries("d21_pii_scrub")(SparkSpec.session, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    // exactly the one rangepartitioning exchange for the final sort
+    assert(exchanges <= 1, plan.take(3000))
+    assert(!plan.contains("hashpartitioning"), plan.take(3000))
+    assert(docs.columns.contains("text")) // guard: table shape assumed above
+  }
+
+  test("surprisal and boilerplate probes broadcast the small side") {
+    // d23's term-bits table and d24's boilerplate set are vocabulary-scale;
+    // the corpus-side probe must be a broadcast hash join, never a shuffle
+    // of the exploded token/gram stream against them
+    for (q <- Seq("d23_doc_unigram_surprisal", "d24_boilerplate_prune")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q: ${plan.take(3000)}")
+    }
+  }
+
+  test("PQ ADC never plans a corpus×corpus join") {
+    // x16's ADC is a broadcast LUT equi-join on (s, code) + one hash
+    // aggregate — an all-pairs nested loop would defeat the point of PQ.
+    // (The registry query materializes via localCheckpoint, so assert on
+    // the raw lazy pipeline, the Jaccard pattern above.)
+    import graft.operators.ProductQuantization
+    import graft.functions.VectorFunctions.toDouble
+    val emb = Tables.embeddings(SparkSpec.session, dir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val cb = ProductQuantization.codebook(emb)
+    val dists = ProductQuantization.subspaceDistances(emb, cb)
+    val out = ProductQuantization.adcTopK(
+      ProductQuantization.encode(dists), dists.filter(col("vec_id") < 5), 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("events scan prunes to referenced columns only") {
     val df = Tables.events(SparkSpec.session, dir)
       .groupBy("event_type").agg(count(lit(1)))
