@@ -11,7 +11,7 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *
   *  - q01–q25 [[graft.queries.RelationalQueries]] — SURVEY §2 relational
   *    inventory + as-of/interval joins, rollup, semi/anti, distinct tiers
-  *  - q26–q45 [[graft.queries.AnalyticQueries]] — frames, lag/lead, exact
+  *  - q26–q47 [[graft.queries.AnalyticQueries]] — frames, lag/lead, exact
   *    percentiles, string suite, pivot, set ops, null-safe equality,
   *    CUBE, GROUPING SETS, salted skew-safe aggregation, correlated
   *    subqueries, stats suite (corr/covar/regr), incremental upsert,
@@ -26,11 +26,11 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    corpus mixing, unigram-LM surprisal, boilerplate n-gram pruning
   *  - v01–v07 [[graft.queries.VectorQueries]] — embedding math, ANN
   *    baseline, int8 quantization, quantized-prefilter re-rank ANN
-  *  - x01–x16 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x18 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState, sketch-tolerance checks
-  *    (HLL, quantile, heavy hitters), bucketed co-located join,
-  *    PQ-ADC ANN
+  *    (HLL, quantile, heavy hitters), bucketed co-located join, PQ-ADC
+  *    ANN, one-pass table profiling, integer-exact weighted PageRank
   *
   * COVERAGE.md maps every SURVEY §2 operator ID to its implementation,
   * query, and test.

@@ -589,7 +589,44 @@ object AnalyticQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** SCD Type-2 dimension build — the warehouse pattern for turning an
+    * event/change stream into validity intervals: per user, collapse
+    * consecutive runs of the same event_type and emit
+    * [valid_from, valid_to) with an open interval for the current state.
+    * Change detection is lag(), interval close is lead() — both windows
+    * share the user_id partitioning, so the whole build is ONE shuffle.
+    * Deterministic: (ts, event_id) total order breaks timestamp ties. */
+  val q47 = OracleQuery(
+    "q47_scd2_intervals",
+    """WITH o AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |c AS (SELECT user_id, event_type, ts_us, event_id FROM o
+      |      WHERE prev IS NULL OR prev <> event_type),
+      |i AS (SELECT user_id, event_type, ts_us AS valid_from_us,
+      |        lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |          AS valid_to_us
+      |      FROM c)
+      |SELECT user_id, event_type, valid_from_us, valid_to_us,
+      |  CAST(valid_to_us IS NULL AS BOOLEAN) AS is_current
+      |FROM i ORDER BY user_id, valid_from_us""".stripMargin) { (s, d) =>
+    val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wc = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"), col("event_id"), col("ts"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wo))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(wc))
+      .select(col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-      q39, q40, q41, q42, q43, q44, q45, q46)
+      q39, q40, q41, q42, q43, q44, q45, q46, q47)
 }

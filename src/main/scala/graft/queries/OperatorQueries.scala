@@ -651,9 +651,133 @@ object OperatorQueries {
     pinned
   }
 
+  /** One-pass table profiling — the ANALYZE/summary-statistics operator a
+    * warehouse runs before planning: per numeric column, row count,
+    * non-null count, exact distinct count, min/max, and a rounded mean.
+    *
+    * Scale: ONE scan of the pruned columns computes every statistic
+    * (multi-aggregate + a 1-row explode into the per-column layout) — the
+    * naive per-column UNION would scan the table once per column. Distinct
+    * counts are exact here (the profiling contract); x05 is the HLL
+    * variant for when approximate is acceptable. */
+  val tableProfile = OracleQuery(
+    "x17_table_profile", {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+           |  round(min($c), 2) AS min_v, round(max($c), 2) AS max_v,
+           |  round(avg($c), 4) AS mean_v
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    }) { (s, d) =>
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        round(min(col(c)), 2).as(s"${c}_min"),
+        round(max(col(c)), 2).as(s"${c}_max"),
+        round(avg(col(c)), 4).as(s"${c}_avg"))
+    }
+    val one = Tables.lineitem(s, d)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    one.select(explode(array(cols.map { c =>
+        struct(lit(c).as("column_name"), col("n_rows"),
+          col(s"${c}_nn").as("n_nonnull"), col(s"${c}_nd").as("n_distinct"),
+          col(s"${c}_min").as("min_v"), col(s"${c}_max").as("max_v"),
+          col(s"${c}_avg").as("mean_v"))
+      }: _*)).as("p"))
+      .select("p.*")
+      .orderBy("column_name")
+  }
+
+  /** Weighted PageRank over the nation-level trade graph (supplier nation →
+    * customer nation, edge weight = lineitem count) — iterative graph
+    * centrality beyond d13's connected components. INTEGER-exact: ranks
+    * live in nano-units (total mass 10^9), every contribution is
+    * `(rank · w) div W_out` and damping is `(85 · in) div 100`, so each of
+    * the 5 supersteps is order-independent integer math and the oracle
+    * unrolls the identical iterations as chained CTEs. Mass lost to
+    * integer truncation is NOT redistributed (documented contract; exact
+    * reproducibility is worth more than the <1e-6 relative drift).
+    *
+    * Scale: the expensive part is the edge build — a fact-fact shuffle
+    * join (lineitem ⋈ orders) with broadcast dims, then one aggregation
+    * onto the (src, dst) key. The supersteps run on the AGGREGATED graph
+    * (nation×nation here; billions of nodes would shuffle on dst — the
+    * d13 superstep shape with per-iteration checkpoint). */
+  val pageRank = OracleQuery(
+    "x18_pagerank_trade", {
+      val R = 1000000000L
+      val iters = 5
+      val base =
+        s"""edges0 AS (
+           |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM lineitem l
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  GROUP BY 1, 2),
+           |edges AS (
+           |  SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS wout
+           |  FROM edges0),
+           |nodes AS (SELECT n_nationkey AS id FROM nation),
+           |r0 AS (SELECT id, CAST($R // 25 AS BIGINT) AS rank FROM nodes)""".stripMargin
+      val steps = (1 to iters).map { k =>
+        s"""r$k AS (
+           |  SELECT n.id,
+           |    CAST(($R // 25) * 15 // 100
+           |      + (85 * COALESCE(s.contrib, 0)) // 100 AS BIGINT) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst, sum((r.rank * e.w) // e.wout) AS contrib
+           |    FROM r${k - 1} r JOIN edges e ON e.src = r.id
+           |    GROUP BY e.dst) s ON n.id = s.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $base,
+         |$steps
+         |SELECT n_name AS nation, rank AS rank_nano,
+         |  CAST(row_number() OVER (ORDER BY rank DESC, n_name) AS INT)
+         |    AS centrality_rank
+         |FROM r$iters r JOIN nation ON n_nationkey = r.id
+         |ORDER BY nation""".stripMargin
+    }) { (s, d) =>
+    val R = 1000000000L
+    val edges0 = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val wW = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val edges = edges0.withColumn("wout", sum(col("w")).over(wW))
+      .localCheckpoint() // pin the aggregated graph: 5 supersteps reuse it
+    val nodes = Tables.nation(s, d).select(col("n_nationkey").as("id"))
+    var ranks = nodes.withColumn("rank", lit(R / 25))
+    for (_ <- 1 to 5) {
+      val contrib = edges.join(broadcast(ranks), col("src") === col("id"))
+        .select(col("dst"), expr("(rank * w) div wout").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit((R / 25) * 15 / 100)
+            + expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    val wR = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank_nano").desc, col("nation"))
+    ranks.join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("id"))
+      .select(col("n_name").as("nation"), col("rank").as("rank_nano"))
+      .withColumn("centrality_rank", row_number().over(wR))
+      .orderBy("nation")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
       streamIntervalJoin, statefulTotals, streamDedup, freqItemsSketch,
-      bloomPruneJoin, pqAdcAnn)
+      bloomPruneJoin, pqAdcAnn, tableProfile, pageRank)
 }

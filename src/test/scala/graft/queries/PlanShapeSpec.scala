@@ -171,6 +171,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("table profile computes every statistic in ONE scan") {
+    // x17's contract: multi-aggregate + 1-row explode, not a
+    // scan-per-column UNION — the plan must contain exactly one file scan
+    val plan = planOf("x17_table_profile")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 scan, got $scans: ${plan.take(3000)}")
+  }
+
+  test("pagerank edge build broadcasts dims; supersteps reuse the pinned graph") {
+    // x18: supplier/customer are broadcast; the only shuffle join is the
+    // lineitem⋈orders fact join; the iteration input is a checkpoint scan
+    val plan = planOf("x18_pagerank_trade")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("events scan prunes to referenced columns only") {
     val df = Tables.events(SparkSpec.session, dir)
       .groupBy("event_type").agg(count(lit(1)))
