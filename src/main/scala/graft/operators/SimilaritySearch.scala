@@ -179,21 +179,29 @@ object SimilaritySearch {
     val p = prepared(emb)
     val buckets = array(planes.grouped(planesPerBand).toSeq
       .map(ps => srpBucket(col("v"), ps)): _*)
+    // Candidate keys only through the band join — a pair colliding in k of
+    // the 8 bands would otherwise be exact-verified k times (and drag two
+    // 64-dim vectors through the shuffle each time). Dedup the (id_a, id_b)
+    // keys FIRST, then join the vectors back and verify each pair once —
+    // the standard LSH candidate/verify split. Result set is identical
+    // (same pairs, same rounded cosine), so the oracle mirror is unchanged.
     val banded = p.withColumn("bks", buckets)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        posexplode(col("bks")).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.as("x").join(b.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
-          && col("id_a") < col("id_b"))
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    val cand = banded.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(p.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
+        Seq("id_a"))
+      .join(p.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("id_b"))
       .withColumn("cos_sim",
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
-      .distinct()
   }
 
   /** Recall@k of an approximate result against the exact baseline. */
