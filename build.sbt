@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] on a 128 GiB box: 8g forced constant GC on the array-heavy
+  // dedup queries once 90+ queries shared one JVM (measured 2x inflation
+  // in-bench vs isolated); 24g keeps the working set resident. The larger
+  // code cache stops the JIT from flushing whole-stage-codegen classes
+  // across a 96-query registry run.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )

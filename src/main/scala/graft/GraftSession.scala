@@ -23,6 +23,15 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
+      // The app-status listeners retain job/stage/SQL-execution history
+      // even with the UI off; across a 90+-query session the listener bus
+      // cost grows and taxes every job submission — iterative operators
+      // (30+ jobs per run) inflate ~2x in-session vs isolated. Keep only a
+      // small rolling window; a long-lived production driver wants this too.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.sql.ui.retainedExecutions", "8")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val spark = builder(cpus).getOrCreate()
