@@ -171,10 +171,20 @@ object SimilaritySearch {
     * p = 1-θ/π. Tune: more planes/band → fewer candidates, lower recall;
     * more bands → higher recall, more candidate volume. At 100 TB, grow
     * planesPerBand ~ log2(N) to keep expected bucket population constant.
+    *
+    * `maxBucket` is the mega-bucket guard: a dense region of embedding
+    * space can land a large fraction of the corpus in ONE (band, bucket)
+    * cell, and the within-bucket join is quadratic in the cell size — the
+    * classic LSH failure at scale. Cells above the cap contribute no
+    * candidates (documented recall trade: a pair colliding ONLY in capped
+    * cells is missed; with 8 independent bands the loss is tiny unless the
+    * corpus is pathologically concentrated). The default never triggers at
+    * test SFs — it exists to bound the worst case, not to change results.
     */
   def bandedNearDupPairs(emb: DataFrame, threshold: Double,
                          nBands: Int = 8, planesPerBand: Int = 4,
-                         dim: Int = 64, seed: Long = 42L): DataFrame = {
+                         dim: Int = 64, seed: Long = 42L,
+                         maxBucket: Int = 4096): DataFrame = {
     val planes = srpPlanes(nBands * planesPerBand, dim, seed)
     val p = prepared(emb)
     val buckets = array(planes.grouped(planesPerBand).toSeq
@@ -187,8 +197,15 @@ object SimilaritySearch {
     // (same pairs, same rounded cosine), so the oracle mirror is unchanged.
     val banded = p.withColumn("bks", buckets)
       .select(col("vec_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
-    val cand = banded.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
+    // mega-bucket guard: cell census is tiny (bands × 2^planes rows),
+    // broadcast it and drop oversized cells BEFORE the within-cell join
+    val cells = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") <= maxBucket)
+      .select("band", "bucket")
+    val kept = banded.join(broadcast(cells), Seq("band", "bucket"))
+    val cand = kept.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
+      .join(kept.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")

@@ -44,10 +44,16 @@ object VectorQueries {
       }.mkString(" + ")
     }.mkString("[\n", ",\n", "\n]")
   // DuckDB lists are 1-based; `band` is engine-internal and never emitted.
+  // `cells` mirrors the operator's mega-bucket guard (maxBucket): cells
+  // above the cap contribute no candidates. Inert at test SFs by design.
+  private val maxBucket = 4096
   private lazy val bandsSql =
     s"""nb AS (SELECT vec_id, v, nrm, $bandBucketsSql AS bks FROM ($normSql)),
-       |bands AS (SELECT vec_id, v, nrm, band, bks[band] AS bucket
-       |          FROM nb, generate_series(1, $nBands) g(band))""".stripMargin
+       |bands0 AS (SELECT vec_id, v, nrm, band, bks[band] AS bucket
+       |           FROM nb, generate_series(1, $nBands) g(band)),
+       |cells AS (SELECT band, bucket FROM bands0
+       |          GROUP BY band, bucket HAVING count(*) <= $maxBucket),
+       |bands AS (SELECT b.* FROM bands0 b JOIN cells USING (band, bucket))""".stripMargin
   private val bandedPairSql =
     s"""SELECT DISTINCT q.vec_id AS id_a, c.vec_id AS id_b,
        |    round($dotSql / (q.nrm * c.nrm), 4) AS cos_sim
@@ -96,7 +102,8 @@ object VectorQueries {
        |  $bandedPairSql)
        |SELECT id_a, id_b, cos_sim FROM pairs ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     graft.operators.SimilaritySearch
-      .bandedNearDupPairs(Tables.embeddings(s, d), 0.4, nBands, planesPerBand)
+      .bandedNearDupPairs(Tables.embeddings(s, d), 0.4, nBands, planesPerBand,
+        maxBucket = maxBucket)
       .orderBy("id_a", "id_b")
   }
 
@@ -144,7 +151,8 @@ object VectorQueries {
        |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = e.vec_id)
        |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
     val drop = graft.operators.SimilaritySearch
-      .bandedNearDupPairs(Tables.embeddings(s, d), 0.4, nBands, planesPerBand)
+      .bandedNearDupPairs(Tables.embeddings(s, d), 0.4, nBands, planesPerBand,
+        maxBucket = maxBucket)
       .select(col("id_b").as("vec_id")).distinct()
     Tables.embeddings(s, d)
       .join(drop, Seq("vec_id"), "left_anti")

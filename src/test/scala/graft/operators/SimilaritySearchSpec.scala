@@ -55,4 +55,25 @@ class SimilaritySearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(run() == run())
   }
+
+  test("mega-bucket guard drops oversized cells, leaves normal ones alone") {
+    val s = SparkSpec.session
+    import s.implicits._
+    // 40 identical vectors: every band puts all 40 in ONE cell — with the
+    // cap below 40 (per-cell population) no candidates survive; with the
+    // cap at/above 40 all pairs do. The guard must also not disturb the
+    // real corpus below the cap.
+    val clones = (0L until 40L).map(i => (i, Array.fill(64)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val capped = SimilaritySearch
+      .bandedNearDupPairs(clones, 0.9, maxBucket = 39)
+    assert(capped.count() == 0L)
+    val uncapped = SimilaritySearch
+      .bandedNearDupPairs(clones, 0.9, maxBucket = 40)
+    assert(uncapped.count() == 40L * 39 / 2)
+    val real = SimilaritySearch.bandedNearDupPairs(emb, 0.4)
+    val realNoCap = SimilaritySearch
+      .bandedNearDupPairs(emb, 0.4, maxBucket = Int.MaxValue)
+    assert(real.collect().toSet == realNoCap.collect().toSet)
+  }
 }
