@@ -59,12 +59,17 @@ object JaccardJoin {
     val prefix = exploded
       .withColumn("rnk", row_number().over(byRarity))
       .filter(col("rnk") <= col("sz") - floor(col("sz") * threshold) + 1)
-      .select("doc_id", "sg")
+      .select("doc_id", "sg", "sz")
       .cache()
 
+    // length filter (PPJoin): Jaccard ≥ t forces t·|a| ≤ |b| ≤ |a|/t, so
+    // size-incompatible collisions are pruned BEFORE the distinct/verify —
+    // lossless, applied inside the shingle equi-join
     val cand = prefix.as("x")
       .join(prefix.as("y"),
-        col("x.sg") === col("y.sg") && col("x.doc_id") < col("y.doc_id"))
+        col("x.sg") === col("y.sg") && col("x.doc_id") < col("y.doc_id")
+          && col("y.sz") * threshold <= col("x.sz")
+          && col("x.sz") * threshold <= col("y.sz"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
