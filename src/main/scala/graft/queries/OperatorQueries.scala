@@ -775,9 +775,48 @@ object OperatorQueries {
       .orderBy("nation")
   }
 
+  /** Watermark LATE-DATA accounting — the streaming semantic x04-x13 don't
+    * exercise: two ingest waves (80% then the held-back 20%) hit the same
+    * watermarked dedup; wave 1 advances the watermark to max(event_time) −
+    * 10 min, and every wave-2 row behind it is dropped as too late. The
+    * census reports per-type totals, survivors, and late drops. Fully
+    * oracle-checked: the wave split (event_id % 5) and the watermark
+    * arithmetic (µs-truncated, mirroring Spark's micros event time) are
+    * deterministic, so DuckDB reproduces the exact drop set. */
+  val streamLateDrops = OracleQuery(
+    "x19_stream_late_drop_census",
+    """WITH w1 AS (SELECT * FROM events WHERE event_id % 5 <> 0),
+      |wm AS (SELECT max(epoch_us(ts)) - 600000000 AS w FROM w1),
+      |k2 AS (SELECT e.* FROM events e, wm
+      |       WHERE e.event_id % 5 = 0 AND epoch_us(e.ts) >= wm.w),
+      |u AS (SELECT event_type FROM w1 UNION ALL SELECT event_type FROM k2),
+      |tot AS (SELECT event_type, count(*) AS n_total FROM events GROUP BY 1),
+      |kept AS (SELECT event_type, count(*) AS n_kept FROM u GROUP BY 1)
+      |SELECT t.event_type, t.n_total,
+      |  COALESCE(k.n_kept, 0) AS n_kept,
+      |  t.n_total - COALESCE(k.n_kept, 0) AS n_late
+      |FROM tot t LEFT JOIN kept k USING (event_type)
+      |ORDER BY t.event_type""".stripMargin) { (s, d) =>
+    val w1 = eventLanding(s, d, variant = "wave1of5",
+      ev => ev.filter(col("event_id") % 5 =!= 0))
+    val w2 = eventLanding(s, d, variant = "wave2of5",
+      ev => ev.filter(col("event_id") % 5 === 0))
+    val sink = s"stream_late_${java.util.UUID.randomUUID().toString.take(8)}"
+    val kept = EventStream
+      .runTwoWaves(w1, w2, df => EventStream.dedup(df), sink, s)
+      .groupBy("event_type").agg(count(lit(1)).as("n_kept"))
+    Tables.events(s, d)
+      .groupBy("event_type").agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_late"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
       streamIntervalJoin, statefulTotals, streamDedup, freqItemsSketch,
-      bloomPruneJoin, pqAdcAnn, tableProfile, pageRank)
+      bloomPruneJoin, pqAdcAnn, tableProfile, pageRank, streamLateDrops)
 }

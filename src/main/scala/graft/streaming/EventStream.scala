@@ -134,6 +134,45 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Drive a streaming query over TWO ingest waves with a barrier between
+    * them — the harness for late-data semantics: wave 1 advances the
+    * watermark, so wave-2 rows with event times behind it are dropped as
+    * too late. Files are copied into a scratch landing dir between
+    * `processAllAvailable()` calls (the file source lists new files per
+    * micro-batch), so each wave is exactly one batch and the watermark
+    * the second wave faces is exactly max(wave-1 event time) − delay. */
+  def runTwoWaves(wave1Dir: String, wave2Dir: String,
+                  build: DataFrame => DataFrame, queryName: String,
+                  spark: SparkSession,
+                  statePartitions: Int = 8): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_two_wave")
+    def land(src: String, prefix: String): Unit = {
+      val dir = java.nio.file.Paths.get(src)
+      val files = java.nio.file.Files.list(dir).iterator()
+      var i = 0
+      while (files.hasNext) {
+        val f = files.next()
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(f, scratch.resolve(s"${prefix}_$i.parquet"))
+          i += 1
+        }
+      }
+    }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      land(wave1Dir, "w1")
+      val q = build(readEvents(spark, scratch.toString)).writeStream
+        .format("memory").queryName(queryName).outputMode(OutputMode.Append)
+        .start()
+      q.processAllAvailable() // wave 1: watermark was -inf, everything lands
+      land(wave2Dir, "w2")
+      q.processAllAvailable() // wave 2: filtered against wave 1's watermark
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(queryName)
+  }
+
   /** Production-shaped sink: checkpointed parquet with an AvailableNow
     * trigger — processes everything currently landed, then stops. The
     * checkpoint gives exactly-once file-sink semantics: re-running over the
