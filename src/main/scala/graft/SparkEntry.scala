@@ -26,9 +26,10 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    corpus mixing, unigram-LM surprisal, boilerplate n-gram pruning
   *  - v01–v07 [[graft.queries.VectorQueries]] — embedding math, ANN
   *    baseline, int8 quantization, quantized-prefilter re-rank ANN
-  *  - x01–x19 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x20 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
-  *    dedup + interval join + mapGroupsWithState + late-data census,
+  *    dedup + interval join + mapGroupsWithState + late-data census +
+  *    stream-static broadcast enrichment,
   *    sketch-tolerance checks (HLL, quantile, heavy hitters), bucketed
   *    co-located join, PQ-ADC ANN, one-pass table profiling,
   *    integer-exact weighted PageRank

@@ -814,9 +814,46 @@ object OperatorQueries {
       .orderBy("event_type")
   }
 
+  /** Stream-static broadcast enrichment — the one core streaming join shape
+    * x04-x19 don't exercise: a fact stream joined to a small STATIC
+    * dimension (customer → nation name) with no join state at all, then the
+    * watermarked 5-minute rollup per nation. At 100 TB/day the fact side
+    * never shuffles for the join (broadcast dim, re-resolved per
+    * micro-batch); only the windowed agg holds state, bounded by the
+    * watermark. Fully oracle-checked with the x04 closed-window filter. */
+  val streamStaticEnrich = OracleQuery(
+    "x20_stream_static_enrich",
+    """WITH e AS (
+      |  SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP)
+      |           - INTERVAL (CAST(minute(ts) AS INT) % 5) MINUTE AS ws,
+      |         user_id, value
+      |  FROM events),
+      |dim AS (
+      |  SELECT c_custkey, n_name
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |mx AS (SELECT CAST(max(ts) AS TIMESTAMP) AS m FROM events)
+      |SELECT ws AS window_start, n_name,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM e JOIN dim ON e.user_id = dim.c_custkey, mx
+      |WHERE ws + INTERVAL 5 MINUTE <= m - INTERVAL 10 MINUTE
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val sink = s"stream_enrich_${java.util.UUID.randomUUID().toString.take(8)}"
+    val dim = Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    EventStream.runToMemorySink(
+      EventStream.enrichedRollup(
+        EventStream.readEvents(s, eventLanding(s, d)), dim, "c_custkey", "n_name"),
+      sink)
+      .withColumn("sum_value", round(col("sum_value"), 2))
+      .orderBy("window_start", "n_name")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
       streamIntervalJoin, statefulTotals, streamDedup, freqItemsSketch,
-      bloomPruneJoin, pqAdcAnn, tableProfile, pageRank, streamLateDrops)
+      bloomPruneJoin, pqAdcAnn, tableProfile, pageRank, streamLateDrops,
+      streamStaticEnrich)
 }

@@ -85,6 +85,22 @@ object EventStream {
       .select(col("c_user").as("user_id"), col("click_id"), col("error_id"))
   }
 
+  /** Stream-static enrichment rollup: each fact event joins a broadcast
+    * static dimension, then a 5-minute tumbling per-attribute rollup. The
+    * stream-static join keeps NO join state — the dim is a broadcast table
+    * re-resolved per micro-batch, which is the 100-TB shape for fact-stream
+    * × small-dim enrichment (state store holds only the windowed agg, and
+    * the watermark bounds it). */
+  def enrichedRollup(events: DataFrame, dim: DataFrame, dimKey: String,
+                     dimAttr: String, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .join(broadcast(dim), col("user_id") === col(dimKey))
+      .groupBy(window(col("event_time"), "5 minutes"), col(dimAttr))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(dimAttr),
+        col("n"), col("sum_value"))
+
   case class UserEvent(event_id: Long, event_time: java.sql.Timestamp,
                        user_id: Long, event_type: String, value: Double)
   case class UserSessionState(nEvents: Long, totalValue: Double)

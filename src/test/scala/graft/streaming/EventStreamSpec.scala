@@ -69,6 +69,36 @@ class EventStreamSpec extends SparkSpec {
     assert(streamedRows.forall { case (k, v) => batchRows.get(k).contains(v) })
   }
 
+  test("stream-static enrichment matches batch join and keeps no join state") {
+    val s = SparkSpec.session
+    val dim = Tables.customer(s, "/root/testdata/sf0.001")
+      .join(Tables.nation(s, "/root/testdata/sf0.001"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val streamed = EventStream.runToMemorySink(
+      EventStream.enrichedRollup(
+        EventStream.readEvents(s, landingDir), dim, "c_custkey", "n_name"),
+      "enrich_sink", OutputMode.Append())
+    val batch = s.read.schema(EventStream.eventSchema).parquet(landingDir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("event_time"), "5 minutes"), col("n_name"))
+      .agg(count(lit(1)).as("n"))
+    val streamedRows = streamed.select("window_start", "n_name", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batchRows = batch.select(col("window.start"), col("n_name"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamedRows.nonEmpty)
+    assert(streamedRows.forall { case (k, v) => batchRows.get(k).contains(v) })
+    // the join itself must be stateless: the dim side carries the broadcast
+    // hint (analyzed plan only — optimizing a streaming plan outside
+    // writeStream trips the batch-execution checker), so it resolves to a
+    // broadcast hash join, never a stream-stream join with keyed state
+    val plan = EventStream.enrichedRollup(
+      EventStream.readEvents(s, landingDir), dim, "c_custkey", "n_name")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("ResolvedHint (strategy=broadcast)"))
+  }
+
   test("checkpointed parquet sink is exactly-once across re-runs") {
     val s = SparkSpec.session
     val out = Files.createTempDirectory("stream_silver").toString
