@@ -17,11 +17,12 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    subqueries, stats suite (corr/covar/regr), incremental upsert,
   *    date gap-fill, global top-k, z-order clustering keys, typed-
   *    Aggregator group top-K
-  *  - d01–d20 [[graft.queries.TextQueries]] — token/quality/langid/
-  *    fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact n-gram
-  *    Jaccard, edit-distance, cluster collapse), chunking, TF-IDF, corpus
-  *    curation, token packing, md5-bucket train/eval split, winnowing,
-  *    repetition filters, vocabulary/OOV analysis, contamination screen
+  *  - d01–d20, d25–d26 [[graft.queries.TextQueries]] — token/quality/
+  *    langid/fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact
+  *    n-gram Jaccard, edit-distance, cluster collapse), chunking, TF-IDF,
+  *    corpus curation, token packing, md5-bucket train/eval split,
+  *    winnowing, repetition filters, vocabulary/OOV analysis,
+  *    contamination screen, BM25 retrieval, cross-doc repeated-span census
   *  - d21–d24 [[graft.queries.CurationQueries]] — PII scrub, stratified
   *    corpus mixing, unigram-LM surprisal, boilerplate n-gram pruning
   *  - v01–v07 [[graft.queries.VectorQueries]] — embedding math, ANN

@@ -782,11 +782,149 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BM25 retrieval — the classic probabilistic ranking function over the
+    * corpus for a fixed 3-term query, as the retrieval counterpart of d12's
+    * TF-IDF weighting: score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b +
+    * b·dl/avgdl)) with k1=1.2, b=0.75 and the always-positive idf
+    * ln(1 + (N−df+0.5)/(df+0.5)). One narrow aggregation computes per-doc
+    * length and per-term tfs (map-side combined); corpus stats (N, avgdl,
+    * dfs) are ONE broadcast scalar row — no per-term shuffle join, which is
+    * the shape that survives a 100-TB corpus with a fixed query. Ranking
+    * follows the d12 determinism rule: order by the ROUNDED score (4 dp,
+    * doc_id tie-break) so a last-ulp ln() divergence can't flip ranks, and
+    * the emitted columns are the exact integer inputs (dl, per-term tfs);
+    * the top-k is orderBy+limit (TakeOrderedAndProject), never a global
+    * row_number over the corpus. Both engines evaluate the identical
+    * left-to-right float expression, so the rounded score itself is also
+    * emitted safely. */
+  val docBm25 = OracleQuery(
+    "d25_bm25_retrieval",
+    s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       |f AS (
+       |  SELECT doc_id, count(*) AS dl,
+       |    sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS tf_spark,
+       |    sum(CASE WHEN term = 'shuffle' THEN 1 ELSE 0 END) AS tf_shuffle,
+       |    sum(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS tf_stream
+       |  FROM t GROUP BY 1),
+       |g AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+       |    sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+       |    sum(CASE WHEN tf_shuffle > 0 THEN 1 ELSE 0 END) AS df_shuffle,
+       |    sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS df_stream
+       |  FROM f),
+       |s AS (
+       |  SELECT doc_id, dl, tf_spark, tf_shuffle, tf_stream,
+       |    round(
+       |      ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5))
+       |        * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       |      + ln(1.0 + (n_docs - df_shuffle + 0.5) / (df_shuffle + 0.5))
+       |        * (tf_shuffle * 2.2) / (tf_shuffle + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       |      + ln(1.0 + (n_docs - df_stream + 0.5) / (df_stream + 0.5))
+       |        * (tf_stream * 2.2) / (tf_stream + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+       |      4) AS score
+       |  FROM f, g
+       |  WHERE tf_spark + tf_shuffle + tf_stream > 0),
+       |r AS (
+       |  SELECT doc_id, dl, tf_spark, tf_shuffle, tf_stream, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+       |  FROM s)
+       |SELECT CAST(rnk AS INT) AS rnk, doc_id, CAST(dl AS BIGINT) AS dl,
+       |  CAST(tf_spark AS BIGINT) AS tf_spark,
+       |  CAST(tf_shuffle AS BIGINT) AS tf_shuffle,
+       |  CAST(tf_stream AS BIGINT) AS tf_stream, score
+       |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.Column
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    def tfOf(term: String): Column =
+      sum(when(col("term") === term, 1).otherwise(0))
+    val f = t.groupBy("doc_id").agg(
+      count(lit(1)).as("dl"), tfOf("spark").as("tf_spark"),
+      tfOf("shuffle").as("tf_shuffle"), tfOf("stream").as("tf_stream"))
+    val g = f.agg(
+      count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+      sum(when(col("tf_spark") > 0, 1).otherwise(0)).as("df_spark"),
+      sum(when(col("tf_shuffle") > 0, 1).otherwise(0)).as("df_shuffle"),
+      sum(when(col("tf_stream") > 0, 1).otherwise(0)).as("df_stream"))
+    // identical left-to-right float chain as the oracle SQL — same IEEE ops
+    // in the same order on the same exact-integer inputs
+    def part(tf: Column, df: Column): Column =
+      log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    f.crossJoin(broadcast(g))
+      .filter(col("tf_spark") + col("tf_shuffle") + col("tf_stream") > 0)
+      .withColumn("score", round(
+        part(col("tf_spark"), col("df_spark"))
+          + part(col("tf_shuffle"), col("df_shuffle"))
+          + part(col("tf_stream"), col("df_stream")), 4))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .select(col("rnk"), col("doc_id"), col("dl"),
+        col("tf_spark"), col("tf_shuffle"), col("tf_stream"), col("score"))
+      .orderBy("rnk")
+  }
+
+  /** Cross-document repeated-span census (the substring-dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): every ordered token 5-gram is counted across DISTINCT
+    * documents; positions whose gram recurs in ≥ 2 docs are duplicated
+    * spans. Per doc: total gram positions, duplicated positions, and the
+    * duplicated fraction — the removal mask a substring-level dedup would
+    * apply. Scale shape: one shuffle keyed by gram for the distinct-doc
+    * count (map-side combined), one equi-join back (a hot gram is its own
+    * skew bound: a gram can appear at most once per (doc, position), and
+    * the flagged set is the duplicated minority). Exact ratios of integer
+    * counts per the d18 determinism rule. */
+  val docRepeatedSpans = OracleQuery(
+    "d26_doc_repeated_spans",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+       |     toks[i+3] || ' ' || toks[i+4]
+       |     for i in generate_series(1, len(toks) - 4)] AS grams
+       |  FROM t WHERE len(toks) >= 5),
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |hot AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, count(DISTINCT doc_id) AS nd FROM e GROUP BY 1)
+       |  WHERE nd >= 2),
+       |p AS (
+       |  SELECT e.doc_id, count(*) AS n_grams,
+       |    sum(CASE WHEN hot.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+       |  FROM e LEFT JOIN hot ON e.gram = hot.gram
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+       |  CAST(n_dup AS INT) AS n_dup,
+       |  round(CAST(n_dup AS DOUBLE) / n_grams, 4) AS dup_span_frac
+       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val grams = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(orderedGrams(col("toks"), 5)).as("gram"))
+    val hot = grams.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    grams.join(hot.withColumn("is_hot", lit(1)), Seq("gram"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("is_hot").isNotNull, 1).otherwise(0)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams").cast("int").as("n_grams"),
+        col("n_dup").cast("int").as("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams"), 4)
+          .as("dup_span_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
     docSimhashNearDup, docNgramJaccard, docChunking, docTfIdf,
     docDedupClusters, docTokenPacking, docEditDistance,
     docTrainSplit, docWinnowing, docRepetition, docOovRate,
-    docContamination)
+    docContamination, docBm25, docRepeatedSpans)
 }
