@@ -187,6 +187,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("BM25 corpus stats are one broadcast row; top-k is TakeOrdered") {
+    // d25's 100 TB contract: the per-doc side never shuffles against a
+    // per-term table — corpus stats (N, avgdl, dfs) arrive as ONE broadcast
+    // scalar row — and the global top-k is TakeOrderedAndProject, never a
+    // full sort or a corpus-wide single-partition window
+    val plan = planOf("d25_bm25_retrieval")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("repeated-span census joins grams back as an equi-join") {
+    // d26: the gram-frequency join must be a hash equi-join on gram (hot
+    // grams are bounded: one occurrence per (doc, position)), never a
+    // nested loop
+    val plan = planOf("d26_doc_repeated_spans")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("events scan prunes to referenced columns only") {
     val df = Tables.events(SparkSpec.session, dir)
       .groupBy("event_type").agg(count(lit(1)))
