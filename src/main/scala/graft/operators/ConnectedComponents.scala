@@ -36,12 +36,26 @@ object ConnectedComponents {
   def components(pairs: DataFrame, src: String = "src", dst: String = "dst",
                  graphPartitions: Int = 4): DataFrame = {
     require(graphPartitions > 0)
-    // materialized exactly once — both union branches and every superstep
-    // read blocks, never re-executing the pair-producing plan (a lazy
-    // cache() here lets the two union branches race on an unpopulated
-    // cache and execute the expensive upstream twice)
+    val spark = pairs.sparkSession
+    // The pair-producing plan is corpus-scale and must run at the
+    // session's partitioning, so it materializes exactly once BEFORE the
+    // shuffle width narrows. (A lazy cache() here would let the two union
+    // branches race on an unpopulated cache and execute the expensive
+    // upstream twice.) The supersteps then run at the GRAPH's scale: every
+    // join/agg inside the loop shuffles, and the session-wide partition
+    // count multiplies per-superstep task overhead ~8x on a pair graph
+    // orders of magnitude smaller than the corpus. The width is restored
+    // after — the returned plan is a checkpoint scan, so callers' own
+    // shuffles are unaffected.
     val fwd = pairs.select(col(src).as("e_src"), col(dst).as("e_dst"))
       .localCheckpoint()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", graphPartitions)
+    try componentsLoop(fwd, graphPartitions)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def componentsLoop(fwd: DataFrame, graphPartitions: Int): DataFrame = {
     val edges = fwd
       .union(fwd.select(col("e_dst").as("e_src"), col("e_src").as("e_dst")))
       .distinct()
@@ -64,6 +78,9 @@ object ConnectedComponents {
       // compression) — turns O(diameter) rounds into O(log diameter);
       // a 20-hop chain converges in ~5 supersteps instead of 20
       val jump = labels.select(col("id").as("j_id"), col("lbl").as("j_lbl"))
+      // the convergence count rides the checkpoint job via observe() —
+      // one job per superstep instead of materialize + recount
+      val obs = new org.apache.spark.sql.Observation()
       val step = labels
         .join(nbrMin, Seq("id"), "left")
         .join(jump, col("lbl") === col("j_id"), "left")
@@ -71,8 +88,14 @@ object ConnectedComponents {
           least(col("lbl"),
             coalesce(col("nbr_lbl"), col("lbl")),
             coalesce(col("j_lbl"), col("lbl"))).as("new_lbl"))
+        .observe(obs, sum(when(col("new_lbl") < col("lbl"), 1L).otherwise(0L))
+          .as("n_changed"))
         .localCheckpoint()
-      changed = step.filter(col("new_lbl") < col("lbl")).count()
+      changed = obs.get("n_changed") match {
+        case null => 0L
+        case n: java.lang.Long => n.longValue()
+        case n: Number => n.longValue()
+      }
       CheckpointUtils.unpersistBacking(ckpt) // step is materialized; free round N-1
       ckpt = step
       labels = step.select(col("id"), col("new_lbl").as("lbl"))

@@ -1,24 +1,32 @@
 package graft.tools
 
-import graft.{GraftSession, SparkEntry}
+import graft.{GraftSession, SessionHygiene, SparkEntry}
 
-/** Times a single registry query: `runMain graft.tools.TimeQuery <name> [sfDir] [reps]`.
-  * Full storage cleanup between reps (SessionHygiene, same as Bench), so
-  * rep 1 ≈ cold JIT and rep 2+ ≈ the steady state Bench measures.
-  */
+/** Dev tool: isolated steady-state timing of individual registry queries —
+  * one fresh JVM, warm-then-measure twice, best-of-two (the Bench.scala
+  * protocol) without the other ~100 queries sharing the session. Use to
+  * separate a query's inherent cost from in-bench session effects (GC,
+  * listener bus, code-cache pressure).
+  * Run: sbt "runMain graft.tools.TimeQuery <sfDir> <name> [name...]" */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 2
-    val spark = GraftSession.local()
-    val fn = SparkEntry.queries(name)
-    for (i <- 1 to reps) {
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"TIMEQ $name rep=$i rows=$n sec=$dt%.3f")
-      graft.SessionHygiene.dropAllStorage(spark)
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = args.head
+    args.tail.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm: plan + codegen + JIT
+      SessionHygiene.dropAllStorage(spark)
+      val r1 = once()
+      SessionHygiene.dropAllStorage(spark)
+      val r2 = once()
+      SessionHygiene.dropAllStorage(spark)
+      println(f"TIME $name ${math.min(r1, r2)}%.2f")
     }
     spark.stop()
   }
