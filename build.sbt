@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is "last line of stdout is one JSON metric
+// line". Two sbt behaviors break that: the "[success] Total time ..."
+// footer prints after the forked JVM exits (so a last-line parse reads
+// the footer, not the metric), and forked stdout is re-logged through
+// sbt's logger with an "[info] " prefix (so even a found line isn't raw
+// JSON). Silence the footer and pass fork output through untouched.
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
