@@ -18,6 +18,7 @@ run / fork := true
 // sbt's logger with an "[info] " prefix (so even a found line isn't raw
 // JSON). Silence the footer and pass fork output through untouched.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by the command layer, not a task
 run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -247,6 +247,65 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its tokens are under a TARGET distribution (the
+    * English slice here) than under the RAW corpus distribution —
+    * importance = Σ log p_target(w) − log p_raw(w). Both log-probs use
+    * the d23 integer-exact surprisal form floor(log2(total/c)) =
+    * length(bin(total div c)) − 1, so per-doc sums are order-independent
+    * and the whole pass is oracle-checkable: imp_bits = Σ (raw_bits −
+    * target_bits) over tokens present in the target vocabulary; tokens
+    * the target has never seen are counted as OOV, not scored (the d19
+    * convention).
+    *
+    * Scale: two token-keyed count aggregations (map-side combined) build
+    * the vocab tables; both are vocabulary-sized — orders of magnitude
+    * smaller than the corpus — so scoring is a BROADCAST probe of the
+    * token stream, never a corpus-sized shuffle. At 100 TB the only big
+    * movement is the one combine-collapsed count per vocab table. */
+  val dsirImportance = OracleQuery(
+    "d28_dsir_importance",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, unnest($tokSql) AS term FROM documents),
+       |rc AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+       |rtot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM rc),
+       |rb AS (SELECT term, CAST(length(bin(total // c)) - 1 AS BIGINT) AS rbits
+       |       FROM rc, rtot),
+       |tc AS (SELECT term, count(*) AS c FROM t WHERE lang = 'en' GROUP BY 1),
+       |ttot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tc),
+       |tb AS (SELECT term, CAST(length(bin(total // c)) - 1 AS BIGINT) AS tbits
+       |       FROM tc, ttot),
+       |b AS (SELECT rb.term, rbits, tbits FROM rb LEFT JOIN tb USING (term))
+       |SELECT t.doc_id, t.lang,
+       |  CAST(count(*) AS INT) AS n_tokens,
+       |  CAST(sum(CASE WHEN tbits IS NULL THEN 1 ELSE 0 END) AS INT) AS n_oov,
+       |  CAST(sum(CASE WHEN tbits IS NOT NULL THEN rbits - tbits ELSE 0 END)
+       |       AS BIGINT) AS imp_bits
+       |FROM t JOIN b USING (term)
+       |GROUP BY t.doc_id, t.lang ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
+    def bits(counts: org.apache.spark.sql.DataFrame, out: String) = {
+      val total = counts.agg(sum(col("c")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("term"),
+          (length(bin(expr("total div c"))) - 1).cast("long").as(out))
+    }
+    val rb = bits(t.groupBy("term").agg(count(lit(1)).as("c")), "rbits")
+    val tb = bits(t.filter(col("lang") === "en")
+      .groupBy("term").agg(count(lit(1)).as("c")), "tbits")
+    val b = rb.join(tb, Seq("term"), "left_outer")
+    t.join(broadcast(b), Seq("term"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(when(col("tbits").isNull, 1).otherwise(0)).cast("int").as("n_oov"),
+        sum(when(col("tbits").isNotNull, col("rbits") - col("tbits"))
+          .otherwise(0L)).cast("long").as("imp_bits"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] =
-    Seq(piiScrub, corpusMixing, unigramSurprisal, boilerplatePrune)
+    Seq(piiScrub, corpusMixing, unigramSurprisal, boilerplatePrune,
+      dsirImportance)
 }

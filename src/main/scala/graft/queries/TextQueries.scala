@@ -920,11 +920,55 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE tokenizer-training merge discovery ([[graft.operators.BpeMerges]]):
+    * three supersteps of count-adjacent-pairs → pick-most-frequent →
+    * apply-merge over the first 120 chars of each doc (bounded per-row
+    * work, the d15 prefix convention). Emits each superstep's top-5 pair
+    * census; rank 1 is the merge that was applied. The oracle unrolls the
+    * identical three iterations as chained CTEs — the chosen pair feeds
+    * the next level's `replace` as a scalar subquery, with merged symbols
+    * written as the same chr(1)/chr(2)/chr(3) sentinels. Tie-break is
+    * (count desc, pair asc) in both dialects, so the learned merges are
+    * bit-identical. */
+  val docBpeMerges = OracleQuery(
+    "d27_bpe_merges", {
+      def lvl(i: Int, src: String): String =
+        s"""p$i AS (
+           |  SELECT unnest([substr(t, j, 2)
+           |                 for j in generate_series(1, length(t) - 1)]) AS pair
+           |  FROM $src WHERE length(t) >= 2),
+           |a$i AS (SELECT pair, count(*) AS cnt FROM p$i GROUP BY 1),
+           |r$i AS (SELECT $i AS iter, pair, cnt,
+           |  CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rnk
+           |  FROM a$i)""".stripMargin
+      s"""WITH c0 AS (
+         |  SELECT doc_id, substr(lower(text), 1, 120) AS t FROM documents),
+         |${lvl(1, "c0")},
+         |c1 AS (SELECT doc_id,
+         |  replace(t, (SELECT pair FROM r1 WHERE rnk = 1), chr(1)) AS t
+         |  FROM c0),
+         |${lvl(2, "c1")},
+         |c2 AS (SELECT doc_id,
+         |  replace(t, (SELECT pair FROM r2 WHERE rnk = 1), chr(2)) AS t
+         |  FROM c1),
+         |${lvl(3, "c2")}
+         |SELECT iter, rnk, pair, cnt FROM (
+         |  SELECT * FROM r1 WHERE rnk <= 5
+         |  UNION ALL SELECT * FROM r2 WHERE rnk <= 5
+         |  UNION ALL SELECT * FROM r3 WHERE rnk <= 5)
+         |ORDER BY iter, rnk""".stripMargin
+    }) { (s, d) =>
+    val corpus = Tables.documents(s, d)
+      .select(col("doc_id"), substring(lower(col("text")), 1, 120).as("t"))
+    graft.operators.BpeMerges.learn(s, corpus, "t", k = 3, keep = 5)
+      .orderBy("iter", "rnk")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
     docSimhashNearDup, docNgramJaccard, docChunking, docTfIdf,
     docDedupClusters, docTokenPacking, docEditDistance,
     docTrainSplit, docWinnowing, docRepetition, docOovRate,
-    docContamination, docBm25, docRepeatedSpans)
+    docContamination, docBm25, docRepeatedSpans, docBpeMerges)
 }
