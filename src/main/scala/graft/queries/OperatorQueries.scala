@@ -850,10 +850,59 @@ object OperatorQueries {
       .orderBy("window_start", "n_name")
   }
 
+  /** Stream-stream LEFT OUTER interval join driven to completion — the
+    * outer twin of x11, exercising the one join semantic the streaming
+    * tier didn't: null emission on watermark-proved absence. Outer rows
+    * only emit once the watermark passes a click's match window, so the
+    * harness lands a second wave holding one far-future click and one
+    * far-future error for a sentinel user (user_id −1 at max(ts) + 3 h):
+    * both filtered sides see a row, both watermarks jump past every real
+    * click's window, and the no-data batch that follows flushes every
+    * unmatched click with a null error_id. Sentinel rows are excluded
+    * from the result (user_id ≥ 0) and never existed in the `events`
+    * table, so the oracle is simply the batch LEFT JOIN over the same
+    * interval condition. */
+  val streamOuterJoin = OracleQuery(
+    "x21_stream_outer_join",
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, event_type
+      |  FROM events),
+      |c AS (SELECT user_id, t, event_id AS click_id FROM ev
+      |      WHERE event_type = 'click'),
+      |e AS (SELECT user_id, t AS et, event_id AS error_id FROM ev
+      |      WHERE event_type = 'error')
+      |SELECT c.user_id, c.click_id, e.error_id
+      |FROM c LEFT JOIN e ON c.user_id = e.user_id
+      |  AND c.t >= e.et AND c.t <= e.et + INTERVAL 1 HOUR
+      |ORDER BY click_id, error_id""".stripMargin) { (s, d) =>
+    val w1 = eventLanding(s, d)
+    val w2 = eventLanding(s, d, variant = "flush3h",
+      ev => ev.agg(max(col("event_time")).as("m")).select(
+        explode(array(
+          struct(lit(-1L).as("event_id"),
+            (col("m") + expr("INTERVAL 3 HOURS")).as("event_time"),
+            lit(-1L).as("user_id"), lit("click").as("event_type"),
+            lit(0.0).as("value")),
+          struct(lit(-2L).as("event_id"),
+            (col("m") + expr("INTERVAL 3 HOURS")).as("event_time"),
+            lit(-1L).as("user_id"), lit("error").as("event_type"),
+            lit(0.0).as("value")))).as("e"))
+        .select(col("e.event_id"), col("e.event_time"), col("e.user_id"),
+          col("e.event_type"), col("e.value")))
+    val sink = s"stream_soj_${java.util.UUID.randomUUID().toString.take(8)}"
+    EventStream.runTwoWavesFrom(w1, w2, dir =>
+      EventStream.clickAfterErrorLeftJoin(
+        EventStream.readEvents(s, dir).filter(col("event_type") === "click"),
+        EventStream.readEvents(s, dir).filter(col("event_type") === "error")),
+      sink, s)
+      .filter(col("user_id") >= 0)
+      .orderBy("click_id", "error_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
       streamIntervalJoin, statefulTotals, streamDedup, freqItemsSketch,
       bloomPruneJoin, pqAdcAnn, tableProfile, pageRank, streamLateDrops,
-      streamStaticEnrich)
+      streamStaticEnrich, streamOuterJoin)
 }

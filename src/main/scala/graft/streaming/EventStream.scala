@@ -85,6 +85,33 @@ object EventStream {
       .select(col("c_user").as("user_id"), col("click_id"), col("error_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the outer twin of
+    * [[clickAfterErrorJoin]]: every click emits either its error matches
+    * (as soon as both sides arrive, inner semantics) or one null-error row
+    * once the watermark proves no matching error can still arrive. The
+    * null emission is exactly the state-eviction contract: a click is held
+    * in state until the watermark passes the end of its match window, then
+    * emitted with nulls if it never matched — so outer results trail the
+    * watermark by design, and driving a query to completion requires
+    * advancing the watermark past the last click (see x21's flush wave).
+    * State stays bounded at scale for the same reason the inner join's
+    * does: both sides evict on watermark. */
+  def clickAfterErrorLeftJoin(clicks: DataFrame, errors: DataFrame,
+                              watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_time").as("c_time"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_time", watermark)
+    val e = errors
+      .select(col("user_id").as("e_user"), col("event_time").as("e_time"),
+        col("event_id").as("error_id"))
+      .withWatermark("e_time", watermark)
+    c.join(e, expr(
+        "c_user = e_user AND c_time >= e_time AND c_time <= e_time + interval 1 hour"),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("error_id"))
+  }
+
   /** Stream-static enrichment rollup: each fact event joins a broadcast
     * static dimension, then a 5-minute tumbling per-attribute rollup. The
     * stream-static join keeps NO join state — the dim is a broadcast table
@@ -160,7 +187,18 @@ object EventStream {
   def runTwoWaves(wave1Dir: String, wave2Dir: String,
                   build: DataFrame => DataFrame, queryName: String,
                   spark: SparkSession,
-                  statePartitions: Int = 8): DataFrame = {
+                  statePartitions: Int = 8): DataFrame =
+    runTwoWavesFrom(wave1Dir, wave2Dir,
+      dir => build(readEvents(spark, dir)), queryName, spark, statePartitions)
+
+  /** As [[runTwoWaves]], but hands the scratch landing DIR to the builder
+    * so queries that need several independent source streams over the same
+    * landing (e.g. a stream-stream self-join's two filtered sides) can
+    * call [[readEvents]] more than once. */
+  def runTwoWavesFrom(wave1Dir: String, wave2Dir: String,
+                      buildFromLanding: String => DataFrame, queryName: String,
+                      spark: SparkSession,
+                      statePartitions: Int = 8): DataFrame = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_two_wave")
     def land(src: String, prefix: String): Unit = {
       val dir = java.nio.file.Paths.get(src)
@@ -178,7 +216,7 @@ object EventStream {
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
     try {
       land(wave1Dir, "w1")
-      val q = build(readEvents(spark, scratch.toString)).writeStream
+      val q = buildFromLanding(scratch.toString).writeStream
         .format("memory").queryName(queryName).outputMode(OutputMode.Append)
         .start()
       q.processAllAvailable() // wave 1: watermark was -inf, everything lands

@@ -99,6 +99,38 @@ class EventStreamSpec extends SparkSpec {
     assert(plan.contains("ResolvedHint (strategy=broadcast)"))
   }
 
+  test("left-outer interval join emits null rows once the watermark proves absence") {
+    val s = SparkSpec.session
+    import s.implicits._
+    // user 1: click 10:00 with an error 09:30 (match, within the hour
+    // before); user 2: click 10:00, no error at all (outer null); user 3:
+    // click 10:00 but its error is 2h earlier (outside window -> null)
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val wave1 = Seq(
+      (1L, ts("10:00"), 1L, "click", 0.0), (2L, ts("09:30"), 1L, "error", 0.0),
+      (3L, ts("10:00"), 2L, "click", 0.0),
+      (4L, ts("10:00"), 3L, "click", 0.0), (5L, ts("08:00"), 3L, "error", 0.0))
+      .toDF("event_id", "event_time", "user_id", "event_type", "value")
+    // flush wave: sentinel rows far in the future advance both watermarks
+    val wave2 = Seq(
+      (-1L, ts("15:00"), -1L, "click", 0.0),
+      (-2L, ts("15:00"), -1L, "error", 0.0))
+      .toDF("event_id", "event_time", "user_id", "event_type", "value")
+    val d1 = Files.createTempDirectory("soj_w1").toString
+    val d2 = Files.createTempDirectory("soj_w2").toString
+    wave1.coalesce(1).write.mode("overwrite").parquet(d1)
+    wave2.coalesce(1).write.mode("overwrite").parquet(d2)
+    val out = EventStream.runTwoWavesFrom(d1, d2, dir =>
+        EventStream.clickAfterErrorLeftJoin(
+          EventStream.readEvents(s, dir).filter(col("event_type") === "click"),
+          EventStream.readEvents(s, dir).filter(col("event_type") === "error")),
+        s"soj_spec_${java.util.UUID.randomUUID().toString.take(8)}", s)
+      .filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 2L), (2L, 3L, -1L), (3L, 4L, -1L)))
+  }
+
   test("checkpointed parquet sink is exactly-once across re-runs") {
     val s = SparkSpec.session
     val out = Files.createTempDirectory("stream_silver").toString
