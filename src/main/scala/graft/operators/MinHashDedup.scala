@@ -65,4 +65,50 @@ object MinHashDedup {
       .select(col("doc_b").as("doc_id")).distinct()
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
+
+  private def shingleTable(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", tokens(col("text")))
+    .select(col("doc_id"), shingles(col("toks"), 3).as("s"))
+    .filter(size(col("s")) > 0)
+
+  private def bandTable(sh: DataFrame): DataFrame = sh
+    .withColumn("h", transform(col("s"), x => hash28(x)))
+    .select(col("doc_id"), minhashSignature(col("h")).as("sig"))
+    .select(col("doc_id"), posexplode(bandKeys(col("sig"), 4, 4)).as(Seq("b", "bh")))
+
+  /** Incremental (delta-vs-index) near-dup matching — the daily-ingest
+    * production shape: a NEW batch of documents is checked against the
+    * EXISTING corpus without re-pairing the corpus with itself. Band keys
+    * of the delta equi-join the corpus band table on (band, bucket) — at
+    * scale the corpus side is the precomputed LSH index a pipeline
+    * materializes once and only ever probes — and exact Jaccard verifies
+    * the collisions. Returns (doc_a = delta id, doc_b = corpus id,
+    * jaccard ≥ threshold). Delta×delta pairs are NOT reported: dedup
+    * within a batch is [[verifiedPairs]]'s job. `materialize = false`
+    * returns the raw lazy plan (plan inspection only). */
+  def incrementalMatches(delta: DataFrame, corpus: DataFrame,
+                         threshold: Double = 0.7,
+                         materialize: Boolean = true): DataFrame = {
+    val shD = shingleTable(delta).cache()
+    val shC = shingleTable(corpus).cache()
+    val cand = bandTable(shD).as("x")
+      .join(bandTable(shC).as("y"),
+        col("x.b") === col("y.b") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb")))
+    val pairs = cand
+      .join(shD.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(shC.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      .withColumn("jac", jac)
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+    if (!materialize) pairs
+    else {
+      val pinned = pairs.localCheckpoint()
+      shD.unpersist(); shC.unpersist()
+      pinned
+    }
+  }
 }

@@ -295,7 +295,7 @@ object CurationQueries {
     val rb = bits(t.groupBy("term").agg(count(lit(1)).as("c")), "rbits")
     val tb = bits(t.filter(col("lang") === "en")
       .groupBy("term").agg(count(lit(1)).as("c")), "tbits")
-    val b = rb.join(tb, Seq("term"), "left_outer")
+    val b = rb.join(broadcast(tb), Seq("term"), "left_outer")
     t.join(broadcast(b), Seq("term"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).cast("int").as("n_tokens"),

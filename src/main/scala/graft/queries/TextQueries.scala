@@ -177,7 +177,10 @@ object TextQueries {
   /** The MinHash-LSH CTE chain reading from a relation `t(doc_id, toks)` —
     * shared by d07 (raw documents) and d08 (curation survivors). Mirrors
     * [[graft.operators.MinHashDedup.verifiedPairs]] arithmetic exactly. */
-  private def minhashPairCtes: String = {
+  /** The shingle→signature→band CTEs reading from `t(doc_id, toks)` —
+    * the index-build half of the MinHash pipeline, shared by the
+    * all-pairs chain below and d29's delta-vs-index probe. */
+  private def minhashBandCtes: String = {
     val sigEntries = MinhashPerms.map { case (a, b) =>
       s"list_min(list_transform(h, x -> (x * $a + $b) % $MinhashPrime))"
     }.mkString(",\n      ")
@@ -194,7 +197,11 @@ object TextQueries {
        |bands AS (
        |  SELECT doc_id, s, b,
        |    md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bh
-       |  FROM sig, generate_series(0, 3) g(b)),
+       |  FROM sig, generate_series(0, 3) g(b))""".stripMargin
+  }
+
+  private def minhashPairCtes: String =
+    s"""$minhashBandCtes,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
@@ -206,7 +213,6 @@ object TextQueries {
        |  FROM cand
        |  JOIN sh sa ON sa.doc_id = doc_a
        |  JOIN sh sb ON sb.doc_id = doc_b)""".stripMargin
-  }
 
   /** MinHash signatures + LSH banding + exact-Jaccard verification: the
     * scalable near-dup pipeline (candidates from band-bucket joins, never
@@ -964,11 +970,62 @@ object TextQueries {
       .orderBy("iter", "rnk")
   }
 
+  /** Incremental (delta-vs-index) near-dup screening
+    * ([[graft.operators.MinHashDedup.incrementalMatches]]) — the daily-
+    * ingest production shape: the "new batch" (doc_id % 10 = 7 stands in
+    * for today's ingest) is checked against the existing corpus WITHOUT
+    * re-pairing the corpus with itself. Band keys of the delta equi-join
+    * the corpus band table on (band, bucket); at 100 TB the corpus side
+    * is the LSH index materialized once and only probed, so daily cost
+    * scales with the delta, not the corpus. Per delta doc: whether a
+    * verified near-dup exists in the corpus, the canonical (lowest-id)
+    * match, and that match's exact Jaccard. */
+  val docIncrementalNearDup = OracleQuery(
+    "d29_incremental_neardup",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |$minhashBandCtes,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh
+       |  WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7),
+       |verify AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b),
+       |hit AS (SELECT doc_a, min(doc_b) AS match_id
+       |        FROM verify WHERE jac >= 0.7 GROUP BY 1),
+       |j AS (SELECT hit.doc_a, hit.match_id, round(v.jac, 4) AS jaccard
+       |      FROM hit JOIN verify v
+       |        ON v.doc_a = hit.doc_a AND v.doc_b = hit.match_id)
+       |SELECT d.doc_id, j.match_id IS NOT NULL AS is_dup,
+       |  j.match_id, j.jaccard
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+       |LEFT JOIN j ON d.doc_id = j.doc_a
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val delta = docs.filter(col("doc_id") % 10 === 7)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val pairs = graft.operators.MinHashDedup
+      .incrementalMatches(delta, corpus, 0.7)
+    val hit = pairs.groupBy("doc_a").agg(min(col("doc_b")).as("match_id"))
+    val j = hit.join(pairs.withColumnRenamed("doc_b", "match_id"),
+      Seq("doc_a", "match_id"))
+    delta.select(col("doc_id"))
+      .join(j.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("match_id").isNotNull.as("is_dup"),
+        col("match_id"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
     docSimhashNearDup, docNgramJaccard, docChunking, docTfIdf,
     docDedupClusters, docTokenPacking, docEditDistance,
     docTrainSplit, docWinnowing, docRepetition, docOovRate,
-    docContamination, docBm25, docRepeatedSpans, docBpeMerges)
+    docContamination, docBm25, docRepeatedSpans, docBpeMerges,
+    docIncrementalNearDup)
 }

@@ -207,6 +207,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("DSIR scoring probes broadcast vocab tables, never a join shuffle") {
+    // d28: both vocab tables are broadcast (they are vocabulary-sized,
+    // orders of magnitude under the corpus), so the token stream is never
+    // shuffled for a join — the only exchanges are the count aggregations
+    val df = graft.SparkEntry.queries("d28_dsir_importance")(SparkSpec.session, dir)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("ShuffledHashJoin"), plan.take(3000))
+  }
+
+  test("incremental near-dup probes the corpus index with an equi-join") {
+    // d29: delta bands equi-join the corpus band table on (band, bucket);
+    // an all-pairs delta×corpus nested loop would defeat the LSH index.
+    // (The registry query materializes via localCheckpoint, so assert on
+    // the raw lazy pipeline, the Jaccard pattern above.)
+    val docs = Tables.documents(SparkSpec.session, dir)
+    val plan = graft.operators.MinHashDedup.incrementalMatches(
+        docs.filter(col("doc_id") % 10 === 7),
+        docs.filter(col("doc_id") % 10 =!= 7),
+        0.7, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("events scan prunes to referenced columns only") {
     val df = Tables.events(SparkSpec.session, dir)
       .groupBy("event_type").agg(count(lit(1)))
