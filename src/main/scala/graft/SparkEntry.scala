@@ -17,23 +17,26 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    subqueries, stats suite (corr/covar/regr), incremental upsert,
   *    date gap-fill, global top-k, z-order clustering keys, typed-
   *    Aggregator group top-K
-  *  - d01–d20, d25–d26 [[graft.queries.TextQueries]] — token/quality/
+  *  - d01–d20, d25–d27, d29 [[graft.queries.TextQueries]] — token/quality/
   *    langid/fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact
   *    n-gram Jaccard, edit-distance, cluster collapse), chunking, TF-IDF,
   *    corpus curation, token packing, md5-bucket train/eval split,
   *    winnowing, repetition filters, vocabulary/OOV analysis,
-  *    contamination screen, BM25 retrieval, cross-doc repeated-span census
-  *  - d21–d24 [[graft.queries.CurationQueries]] — PII scrub, stratified
-  *    corpus mixing, unigram-LM surprisal, boilerplate n-gram pruning
+  *    contamination screen, BM25 retrieval, cross-doc repeated-span
+  *    census, BPE merge discovery, incremental delta-vs-index screening
+  *  - d21–d24, d28, d30–d31 [[graft.queries.CurationQueries]] — PII
+  *    scrub, stratified corpus mixing, unigram-LM surprisal, boilerplate
+  *    n-gram pruning, DSIR importance weighting, bigram-LM conditional
+  *    surprisal, hashed-feature linear quality classifier
   *  - v01–v07 [[graft.queries.VectorQueries]] — embedding math, ANN
   *    baseline, int8 quantization, quantized-prefilter re-rank ANN
-  *  - x01–x20 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x21 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
   *    sketch-tolerance checks (HLL, quantile, heavy hitters), bucketed
   *    co-located join, PQ-ADC ANN, one-pass table profiling,
-  *    integer-exact weighted PageRank
+  *    integer-exact weighted PageRank, stream-stream outer join
   *
   * COVERAGE.md maps every SURVEY §2 operator ID to its implementation,
   * query, and test.

@@ -305,7 +305,100 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  // ---- d30 bigram conditional surprisal ------------------------------
+  /** Bigram-LM conditional surprisal — the KenLM-style perplexity filter
+    * one order up from d23: each bigram (w1,w2) scores
+    * floor(log2(c(w1·) / c(w1,w2))) bits, the integer-exact form of
+    * −log2 p(w2|w1); documents report bigram count, total and mean bits.
+    * c(w1·) counts w1 as a LEFT CONTEXT (over the bigram stream, not raw
+    * unigrams), so conditional probabilities normalize exactly. Same
+    * length(bin(a div b))−1 trick as d23 keeps every emitted value
+    * integer-exact and the per-doc sum order-independent.
+    *
+    * Scale: unlike d23's broadcast-sized vocabulary, the bigram table
+    * grows toward vocab² under Zipf — too big to assume broadcastable —
+    * so the probe back onto the bigram stream is left to the optimizer:
+    * at sf it broadcasts, at 100 TB AQE picks a sort-merge join keyed on
+    * the gram, which is the honest linear-shuffle plan for distributed
+    * LM counting (map-side combine collapses the count shuffles). */
+  val bigramSurprisal = OracleQuery(
+    "d30_doc_bigram_surprisal",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+       |        for i in generate_series(1, len(toks) - 1)]) AS gram
+       |      FROM t WHERE len(toks) >= 2),
+       |bc AS (SELECT gram, count(*) AS c2 FROM g GROUP BY 1),
+       |uc AS (SELECT split_part(gram, ' ', 1) AS w1, count(*) AS c1
+       |       FROM g GROUP BY 1),
+       |b AS (SELECT gram, CAST(length(bin(c1 // c2)) - 1 AS BIGINT) AS bits
+       |      FROM bc JOIN uc ON split_part(bc.gram, ' ', 1) = uc.w1)
+       |SELECT g.doc_id, CAST(count(*) AS INT) AS n_bigrams,
+       |  CAST(sum(bits) AS BIGINT) AS sum_bits,
+       |  round(CAST(sum(bits) AS DOUBLE) / count(*), 4) AS avg_bits
+       |FROM g JOIN b USING (gram)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, d) =>
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"
+      )).as("gram"))
+    val bc = g.groupBy("gram").agg(count(lit(1)).as("c2"))
+    val uc = g.select(expr("split_part(gram, ' ', 1)").as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bits = bc.withColumn("w1", expr("split_part(gram, ' ', 1)"))
+      .join(uc, "w1")
+      .select(col("gram"),
+        (length(bin(expr("c1 div c2"))) - 1).cast("long").as("bits"))
+    g.join(bits, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        sum(col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        round(col("sum_bits").cast("double") / col("n_bigrams"), 4).as("avg_bits"))
+      .orderBy("doc_id")
+  }
+
+  // ---- d31 hashed-feature linear classifier --------------------------
+  /** Hashed-feature linear quality classifier — the fastText-style "score
+    * every document with a frozen model" pass used to filter web corpora
+    * (e.g. the GPT-3 / LLaMA quality classifiers): each token hashes into
+    * one of 64 feature buckets, each bucket carries a fixed integer weight
+    * in [−10, 10], a document's score is the sum of its tokens' weights
+    * and the keep label is score > 0. Weights here are md5-derived (a
+    * pure function of the bucket id the oracle reproduces exactly) —
+    * standing in for trained parameters; the SHAPE of the computation
+    * (hash → bucket → weight lookup → sum) is exactly the production one.
+    *
+    * Scale: the model is a pure function baked into the row expression —
+    * no join, no shuffle, no state. The plan is a single WholeStageCodegen
+    * projection over the scan (PlanShapeSpec pins zero exchanges): at
+    * 100 TB this runs at scan speed on any number of executors, the ideal
+    * shape for model-scoring passes (a real weight table would broadcast). */
+  val hashedClassifier = OracleQuery(
+    "d31_quality_classifier",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |s AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |  CAST(coalesce(list_sum(list_transform(toks, t ->
+       |    ('0x' || substring(md5('w:' ||
+       |        CAST(('0x' || substring(md5(t), 1, 7))::BIGINT % 64 AS VARCHAR)),
+       |      1, 7))::BIGINT % 21 - 10)), 0) AS BIGINT) AS score
+       |  FROM t)
+       |SELECT doc_id, n_tokens, score, score > 0 AS label
+       |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("int").as("n_tokens"),
+        expr("""aggregate(toks, 0L, (acc, t) -> acc +
+          CAST(conv(substring(md5(concat('w:',
+            CAST(CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT) % 64 AS STRING))),
+          1, 7), 16, 10) AS BIGINT) % 21 - 10)""").as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        (col("score") > 0).as("label"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(piiScrub, corpusMixing, unigramSurprisal, boilerplatePrune,
-      dsirImportance)
+      dsirImportance, bigramSurprisal, hashedClassifier)
 }

@@ -142,6 +142,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(docs.columns.contains("text")) // guard: table shape assumed above
   }
 
+  test("hashed classifier scoring is a pure per-row map — zero exchanges") {
+    // d31's model is baked into the row expression (hash → bucket →
+    // md5-derived weight → sum), so like d21 the plan may contain only the
+    // presentation sort's range exchange: model scoring runs at scan speed.
+    val df = graft.SparkEntry.queries("d31_quality_classifier")(SparkSpec.session, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, plan.take(3000))
+    assert(!plan.contains("hashpartitioning"), plan.take(3000))
+  }
+
   test("surprisal and boilerplate probes broadcast the small side") {
     // d23's term-bits table and d24's boilerplate set are vocabulary-scale;
     // the corpus-side probe must be a broadcast hash join, never a shuffle
