@@ -47,13 +47,19 @@ object TxnLake extends LakeFormat {
   private def logDir(table: String) = new Path(table, "_txn_log")
 
   private final case class Entry(version: Long, operation: String,
-                                 files: Seq[String])
+                                 files: Seq[String],
+                                 txn: Option[(String, Long)] = None)
 
   // Minimal JSON (no deps): {"version":N,"operation":"...","files":["a","b"]}
+  // plus, for transactional streaming commits, "txnApp"/"txnBatch" — the
+  // Delta `txn` action: which (application, batch) this version idempotently
+  // belongs to.
   private def render(e: Entry): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     s"""{"version":${e.version},"operation":${q(e.operation)},""" +
-      s""""files":[${e.files.map(q).mkString(",")}]}"""
+      s""""files":[${e.files.map(q).mkString(",")}]""" +
+      e.txn.map { case (a, b) => s""","txnApp":${q(a)},"txnBatch":$b""" }
+        .getOrElse("") + "}"
   }
 
   private def parse(s: String): Entry = {
@@ -66,7 +72,11 @@ object TxnLake extends LakeFormat {
       .map(_.group(1)).getOrElse("")
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
-    Entry(version, operation, files)
+    val txn = for {
+      a <- """"txnApp"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+      b <- """"txnBatch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+    } yield (a, b)
+    Entry(version, operation, files, txn)
   }
 
   private def committedVersions(spark: SparkSession, table: String): Seq[Long] = {
@@ -94,7 +104,30 @@ object TxnLake extends LakeFormat {
     * Retries on commit conflicts (another writer won the version) up to
     * `maxAttempts` times. Returns the committed version. */
   def commit(spark: SparkSession, df: DataFrame, table: String,
-             operation: String, maxAttempts: Int = 10): Long = {
+             operation: String, maxAttempts: Int = 10): Long =
+    commitImpl(spark, df, table, operation, None, maxAttempts)
+      .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped"))
+
+  /** Idempotent transactional commit — the Delta `txn` action: commit `df`
+    * ONLY IF no committed version already records (appId, batchId). Returns
+    * the new version, or None when the transaction was found (the commit is
+    * a no-op replay). This is what makes an at-least-once replayer — a
+    * restarted Structured Streaming foreachBatch sink re-delivering its
+    * last micro-batch — exactly-once at the table: the txn check and the
+    * version publish share the same optimistic loop, so a racer that loses
+    * the version race re-reads the log, finds the txn, and skips.
+    *
+    * The scan is O(committed versions) log-entry reads; a production
+    * protocol amortizes it with log checkpoints (Delta's `_last_checkpoint`)
+    * — at this sketch's scale the linear scan is the honest simple form. */
+  def commitOnce(spark: SparkSession, df: DataFrame, table: String,
+                 operation: String, appId: String, batchId: Long,
+                 maxAttempts: Int = 10): Option[Long] =
+    commitImpl(spark, df, table, operation, Some((appId, batchId)), maxAttempts)
+
+  private def commitImpl(spark: SparkSession, df: DataFrame, table: String,
+                         operation: String, txn: Option[(String, Long)],
+                         maxAttempts: Int): Option[Long] = {
     require(operation == "overwrite" || operation == "append",
       s"TxnLake: unknown operation $operation")
     val tablePath = new Path(table)
@@ -103,7 +136,19 @@ object TxnLake extends LakeFormat {
     val salt = java.util.UUID.randomUUID().toString.take(8)
     var attempt = 0
     while (attempt < maxAttempts) {
-      val next = latestVersion(spark, table).map(_ + 1).getOrElse(0L)
+      // Snapshot the log ONCE per attempt; the txn check must cover exactly
+      // the versions that determined `next`. Checking before (or separately
+      // from) reading `next` reopens the replay race: a twin that lists the
+      // log after the winner's commit would target a fresh version and
+      // double-apply the batch. With check and `next` derived from the same
+      // listing, any commit that lands in between makes our exclusive
+      // publish at `next` FAIL, and the retry re-lists — so a replay twin
+      // is always caught either by the check or by the version conflict.
+      val committed = committedVersions(spark, table)
+      val replayed = txn.exists(t =>
+        committed.exists(v => readEntry(spark, table, v).txn.contains(t)))
+      if (replayed) return None
+      val next = committed.lastOption.map(_ + 1).getOrElse(0L)
       // 1. land the data in a fresh immutable dir (never seen by readers
       //    until the log entry that names it is published)
       val dataRel = s"data/v$next-$salt-$attempt"
@@ -112,16 +157,16 @@ object TxnLake extends LakeFormat {
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .map(s => s"$dataRel/${s.getPath.getName}").sorted.toSeq
       val base = if (operation == "append")
-        latestVersion(spark, table).map(readEntry(spark, table, _).files)
+        committed.lastOption.map(readEntry(spark, table, _).files)
           .getOrElse(Seq.empty)
       else Seq.empty
       // 2. publish: tmp write + rename-without-overwrite IS the commit
-      val entry = render(Entry(next, operation, base ++ written))
+      val entry = render(Entry(next, operation, base ++ written, txn))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
       val dst = new Path(logDir(table), s"v$next.json")
-      if (publishExclusive(f, tmp, dst)) return next
+      if (publishExclusive(f, tmp, dst)) return Some(next)
       f.delete(tmp, false) // lost the race: discard and retry at N+1
       attempt += 1
     }

@@ -233,6 +233,34 @@ object EventStream {
     * same landing dir appends nothing (source offsets are committed), and a
     * crash mid-batch replays without duplicates. This is the streaming
     * medallion ingest: landing → (dedup/transform) → silver parquet. */
+  /** Transactional exactly-once sink: every micro-batch commits to a
+    * [[graft.sources.TxnLake]] table through `commitOnce`, keyed by
+    * (appId, batchId) — the Delta `txn` idempotence pattern. The plain
+    * parquet file sink below is exactly-once only for ITS OWN file
+    * manifest; foreachBatch is officially at-least-once (a crash between
+    * sink write and offset commit re-delivers the batch on restart), so
+    * any side-effecting batch sink must dedupe on batchId itself. Here the
+    * replayed batch finds its (appId, batchId) txn already in the table
+    * log and skips — the table observes each batch exactly once no matter
+    * how many times the query restarts.
+    *
+    * At scale this is the canonical streaming-lakehouse ingest shape:
+    * state lives in the checkpoint, idempotence lives in the table log,
+    * and the two recover independently. */
+  def runToTxnSink(df: DataFrame, table: String, checkpointDir: String,
+                   appId: String): Unit = {
+    val q = df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.TxnLake.commitOnce(
+          batch.sparkSession, batch, table, "append", appId, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runToParquetSink(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
     val q = df.writeStream
       .format("parquet")
