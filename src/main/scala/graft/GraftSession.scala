@@ -32,6 +32,13 @@ object GraftSession {
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "1000")
       .config("spark.sql.ui.retainedExecutions", "8")
+      // The generated-class cache defaults to 100 entries; a 100+-query
+      // session holds several codegen units per query, so by late session
+      // every execution thrashes the cache and pays Janino recompilation
+      // on plans that ran minutes ago. Long-lived drivers (Thrift server,
+      // notebook, this registry) want the cache sized to the workload —
+      // the classes themselves live in the (already sized) code cache.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val spark = builder(cpus).getOrCreate()

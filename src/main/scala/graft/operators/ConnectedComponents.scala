@@ -68,7 +68,10 @@ object ConnectedComponents {
       .localCheckpoint()
     var labels = ckpt
     var changed = 1L
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var round = 0
     while (changed > 0) {
+      val t0 = System.nanoTime()
       // neighbor-min: the propagation step
       val nbrMin = edges
         .join(labels.select(col("id").as("e_src"), col("lbl")), Seq("e_src"))
@@ -78,9 +81,6 @@ object ConnectedComponents {
       // compression) — turns O(diameter) rounds into O(log diameter);
       // a 20-hop chain converges in ~5 supersteps instead of 20
       val jump = labels.select(col("id").as("j_id"), col("lbl").as("j_lbl"))
-      // the convergence count rides the checkpoint job via observe() —
-      // one job per superstep instead of materialize + recount
-      val obs = new org.apache.spark.sql.Observation()
       val step = labels
         .join(nbrMin, Seq("id"), "left")
         .join(jump, col("lbl") === col("j_id"), "left")
@@ -88,17 +88,25 @@ object ConnectedComponents {
           least(col("lbl"),
             coalesce(col("nbr_lbl"), col("lbl")),
             coalesce(col("j_lbl"), col("lbl"))).as("new_lbl"))
-        .observe(obs, sum(when(col("new_lbl") < col("lbl"), 1L).otherwise(0L))
-          .as("n_changed"))
         .localCheckpoint()
-      changed = obs.get("n_changed") match {
-        case null => 0L
-        case n: java.lang.Long => n.longValue()
-        case n: Number => n.longValue()
-      }
+      // Convergence probe: a plain count over the materialized checkpoint —
+      // partial counts per partition, one-row final exchange, completes
+      // without touching the LISTENER bus. Two deliberate non-choices:
+      // observe()+Observation.get rode the checkpoint job itself, but get()
+      // blocks on a QueryExecutionListener that sits BEHIND the session's
+      // event backlog — after a run of heavy queries the wait routinely
+      // exceeded the superstep's own cost (2.7 s → 7.5 s on the full
+      // registry bench); and filter(...).limit(1).count() plans a
+      // GlobalLimit, which forces a single-partition EXCHANGE per probe —
+      // a real shuffle where the count's one-row-per-partition agg is
+      // effectively free.
+      changed = step.filter(col("new_lbl") < col("lbl")).count()
       CheckpointUtils.unpersistBacking(ckpt) // step is materialized; free round N-1
       ckpt = step
       labels = step.select(col("id"), col("new_lbl").as("lbl"))
+      round += 1
+      if (dbg)
+        println(f"CC round $round: ${(System.nanoTime() - t0) / 1e9}%.3f s changed=$changed")
     }
     CheckpointUtils.unpersistBacking(edges) // returned plan reads only final labels
     labels.select(col("id"), col("lbl").as("cluster_id"))

@@ -20,10 +20,13 @@ object TimeQuery {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
+      val settle = sys.env.getOrElse("GRAFT_SETTLE_MS", "0").toLong
       once() // warm: plan + codegen + JIT
       SessionHygiene.dropAllStorage(spark)
+      if (settle > 0) Thread.sleep(settle)
       val r1 = once()
       SessionHygiene.dropAllStorage(spark)
+      if (settle > 0) Thread.sleep(settle)
       val r2 = once()
       SessionHygiene.dropAllStorage(spark)
       println(f"TIME $name ${math.min(r1, r2)}%.2f")
