@@ -28,8 +28,9 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    scrub, stratified corpus mixing, unigram-LM surprisal, boilerplate
   *    n-gram pruning, DSIR importance weighting, bigram-LM conditional
   *    surprisal, hashed-feature linear quality classifier
-  *  - v01–v07 [[graft.queries.VectorQueries]] — embedding math, ANN
-  *    baseline, int8 quantization, quantized-prefilter re-rank ANN
+  *  - v01–v07, d32 [[graft.queries.VectorQueries]] — embedding math, ANN
+  *    baseline, int8 quantization, quantized-prefilter re-rank ANN,
+  *    SemDeDup cluster-scoped semantic dedup
   *  - x01–x21 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +

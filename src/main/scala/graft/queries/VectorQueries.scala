@@ -306,7 +306,57 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // ---- d32 SemDeDup (cluster-scoped semantic dedup) -------------------
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): the third dedup family
+    * after exact (d05) and sketch-banded (v05) — coarse-cluster the
+    * embedding space, then prune within each cluster every vector whose
+    * cosine to a lower-id cluster-mate reaches epsilon; the min-id vector
+    * survives as the semantic representative. Cluster assignment here is
+    * the deterministic label quantizer (the x06 convention — the synthetic
+    * embeddings are generated per label, so labels ARE the coarse
+    * partition); production swaps in x02's KMeans centroids and nothing
+    * else changes.
+    *
+    * Scale: this is exactly the published algorithm's cost model — a hash
+    * equi-join on the CLUSTER key with the quadratic confined within each
+    * cluster, where cluster count k is the knob that bounds cluster size
+    * (n/k). No corpus×corpus nested loop exists anywhere in the plan
+    * (PlanShapeSpec pins it); the per-cluster pair set never leaves its
+    * partition. */
+  val semDedup = OracleQuery(
+    "d32_semantic_dedup",
+    s"""WITH e AS ($embSql),
+       |el AS (SELECT e.vec_id, emb.label, e.v
+       |       FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id),
+       |n AS (SELECT vec_id, label, v,
+       |        sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM el),
+       |drop AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+       |          / (a.nrm * b.nrm) >= 0.35)
+       |SELECT emb.vec_id, emb.label FROM embeddings emb
+       |WHERE NOT EXISTS (SELECT 1 FROM drop d WHERE d.vec_id = emb.vec_id)
+       |ORDER BY emb.vec_id""".stripMargin) { (s, d) =>
+    val n = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = n.select(col("vec_id").as("id_a"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("id_b"), col("label"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val drop = a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.35)
+      .select(col("id_b").as("vec_id")).distinct()
+    Tables.embeddings(s, d)
+      .join(drop, Seq("vec_id"), "left_anti")
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(embNorms, embCentroids, embNearDupPairs, embAnnTopK, embDedup, embQuantize,
-      embQuantRerankAnn)
+      embQuantRerankAnn, semDedup)
 }

@@ -67,6 +67,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("SemDeDup confines the quadratic to the cluster key equi-join") {
+    // d32's within-cluster pair generation must be a hash join on the
+    // cluster key (label) with the id ordering as a post-filter — never a
+    // corpus×corpus nested loop
+    val plan = planOf("d32_semantic_dedup")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("codegen dot product runs inside whole-stage codegen") {
     val df = graft.SparkEntry.queries("v04_emb_ann_topk")(SparkSpec.session, dir)
     df.collect() // finalize the adaptive plan
