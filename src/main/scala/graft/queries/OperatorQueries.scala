@@ -899,10 +899,42 @@ object OperatorQueries {
       .orderBy("click_id", "error_id")
   }
 
+  /** Transactional streaming ingest driven END TO END under the oracle:
+    * the event stream lands in a TxnLake table through the exactly-once
+    * foreachBatch sink ([[graft.streaming.EventStream.runToTxnSink]]), the
+    * SAME query restarts over the same landing and checkpoint (the no-op
+    * replay), and the emitted aggregate reads the TABLE — so any duplicate
+    * batch application doubles the counts and fails the hash compare. The
+    * oracle is the plain batch aggregate over `events`: streaming ingest +
+    * txn idempotence must be observationally invisible.
+    *
+    * Scale: the sink pattern is the streaming-lakehouse ingest shape —
+    * offsets in the checkpoint, idempotence in the table log, recovering
+    * independently; the final rollup is one hash aggregate over the lake
+    * scan. */
+  val streamTxnIngest = OracleQuery(
+    "x22_stream_txn_sink",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val landing = eventLanding(s, d)
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_txn_ingest_$run"
+    val table = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    def ingestOnce(): Unit = EventStream.runToTxnSink(
+      EventStream.readEvents(s, landing), table, ckpt, appId = s"x22_$run")
+    ingestOnce()
+    ingestOnce() // restart over the same landing: replayed work must no-op
+    graft.sources.TxnLake.read(s, table)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
       streamIntervalJoin, statefulTotals, streamDedup, freqItemsSketch,
       bloomPruneJoin, pqAdcAnn, tableProfile, pageRank, streamLateDrops,
-      streamStaticEnrich, streamOuterJoin)
+      streamStaticEnrich, streamOuterJoin, streamTxnIngest)
 }
