@@ -201,6 +201,36 @@ object TxnLake extends LakeFormat {
     else spark.read.parquet(e.files.map(r => new Path(table, r).toString): _*)
   }
 
+  /** MERGE (upsert) at the table layer — the q41 delta-wins semantics as a
+    * lake operation: rows matching on `key` are replaced by the delta,
+    * unmatched delta rows insert, everything else carries over; the result
+    * lands as ONE overwrite commit, so readers see either the pre-merge or
+    * the post-merge snapshot, never a partial application. Requires the
+    * delta to share the table's schema. Returns the committed version.
+    *
+    * Scale: one full-outer shuffle on the merge key over (snapshot ∪
+    * delta) — Delta's whole-file-rewrite MERGE costs the same; a
+    * production refinement keys the rewrite to touched files only. */
+  def merge(spark: SparkSession, delta: DataFrame, table: String,
+            key: String): Long = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val cur = read(spark, table)
+    val merged =
+      if (cur.isEmpty) delta
+      else {
+        require(cur.columns.sorted.sameElements(delta.columns.sorted),
+          s"TxnLake.merge: schema mismatch ${cur.columns.mkString(",")} vs ${delta.columns.mkString(",")}")
+        val others = delta.columns.filterNot(_ == key)
+        // presence marker, not coalesce: a delta row legitimately updating
+        // a column TO null must win over the old value
+        cur.as("c").join(delta.withColumn("__d", lit(true)).as("d"),
+            Seq(key), "full_outer")
+          .select(col(key) +: others.map(n =>
+            when(col("__d"), col(s"d.$n")).otherwise(col(s"c.$n")).as(n)): _*)
+      }
+    commit(spark, merged, table, "overwrite")
+  }
+
   /** Delete data dirs referenced by NO retained version (the newest
     * `retainVersions` stay readable; older log entries remain but their
     * exclusive files are reclaimed). Returns reclaimed dir count. */

@@ -83,6 +83,27 @@ class TxnLakeSpec extends SparkSpec {
     }
   }
 
+  test("merge upserts delta rows, inserts unmatched, null updates win") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark,
+      Seq((1L, Option("a")), (2L, Option("b")), (3L, Option("c")))
+        .toDF("k", "v"), t, "overwrite")
+    // update k=2 (to null — must WIN over "b"), update k=3, insert k=4
+    val v = TxnLake.merge(spark,
+      Seq((2L, Option.empty[String]), (3L, Option("C")), (4L, Option("d")))
+        .toDF("k", "v"), t, "k")
+    val got = TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("a"), 2L -> None, 3L -> Some("C"), 4L -> Some("d")))
+    // one overwrite commit: pre-merge snapshot still time-travels
+    assert(TxnLake.readVersion(spark, t, v - 1).count() == 3)
+    // merge into an empty table is a plain insert
+    val t2 = freshTable()
+    TxnLake.merge(spark, Seq((9L, Option("z"))).toDF("k", "v"), t2, "k")
+    assert(TxnLake.read(spark, t2).count() == 1)
+  }
+
   test("BronzeToSilver runs unchanged on the TxnLake format") {
     val lake = Files.createTempDirectory("txnlake_b2s").toString
     graft.ingest.UsgsGeoJson.writeBronze(s"$lake/bronze/raw.json")
