@@ -31,14 +31,14 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *  - v01–v07, d32 [[graft.queries.VectorQueries]] — embedding math, ANN
   *    baseline, int8 quantization, quantized-prefilter re-rank ANN,
   *    SemDeDup cluster-scoped semantic dedup
-  *  - x01–x22 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x23 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
   *    sketch-tolerance checks (HLL, quantile, heavy hitters), bucketed
   *    co-located join, PQ-ADC ANN, one-pass table profiling,
   *    integer-exact weighted PageRank, stream-stream outer join,
-  *    exactly-once transactional streaming ingest
+  *    exactly-once transactional streaming ingest, IVF-PQ composed ANN
   *
   * COVERAGE.md maps every SURVEY §2 operator ID to its implementation,
   * query, and test.

@@ -931,10 +931,113 @@ object OperatorQueries {
       .orderBy("event_type")
   }
 
+  /** IVF-PQ composed ANN — the FAISS IVFPQ architecture at billion scale:
+    * an inverted-file coarse quantizer restricts each query to its nprobe
+    * closest clusters, and PQ-ADC lookup tables score ONLY those clusters'
+    * vectors. The elegant join: a query's distance to cluster L's full
+    * centroid is exactly Σ_s dq(query, s, L) — the LUT's own row sums — so
+    * probing reuses the ADC tables with zero extra geometry. Coarse
+    * cluster = the vector's label (the x06/x16 label-quantizer convention,
+    * keeping the whole pass integer-exact under the oracle); production
+    * swaps KMeans centroids into the same shape.
+    *
+    * Scale: this is THE candidate-restriction pattern — ADC work drops
+    * from corpus-size to nprobe/k of it per query; the probe set
+    * broadcasts, candidates come from a cluster-key equi-join, scoring is
+    * a (query, s, code) hash join + one aggregate. No corpus-wide scoring
+    * per query anywhere in the plan. */
+  val ivfPqAnn = OracleQuery(
+    "x23_ivf_pq_ann",
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |ex AS (SELECT vec_id, label, i AS dim, v[i] AS x
+      |       FROM e, generate_series(1, 64) g(i)),
+      |cb0 AS (SELECT label, dim, round(avg(x), 4) AS cx
+      |        FROM ex GROUP BY 1, 2),
+      |cb AS (SELECT label, CAST((dim - 1) // 8 AS INT) AS s,
+      |         list(cx ORDER BY dim) AS carr
+      |       FROM cb0 GROUP BY 1, 2),
+      |vs AS (SELECT vec_id, CAST((dim - 1) // 8 AS INT) AS s,
+      |         list(x ORDER BY dim) AS varr
+      |       FROM ex GROUP BY 1, 2),
+      |dist AS (
+      |  SELECT vec_id, s, cb.label,
+      |    CAST(floor(list_sum(list_transform(list_zip(varr, carr),
+      |           z -> (z[1] - z[2]) * (z[1] - z[2]))) * 1e9 + 0.5) AS BIGINT) AS dq
+      |  FROM vs JOIN cb USING (s)),
+      |codes AS (
+      |  SELECT vec_id, s, label AS code FROM (
+      |    SELECT vec_id, s, label,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dq, label) AS r
+      |    FROM dist) WHERE r = 1),
+      |lut AS (SELECT vec_id AS query_id, s, label, dq FROM dist WHERE vec_id < 5),
+      |pb AS (SELECT query_id, label, CAST(sum(dq) AS BIGINT) AS cdist
+      |       FROM lut GROUP BY 1, 2),
+      |pr AS (SELECT query_id, label AS plabel FROM (
+      |         SELECT query_id, label,
+      |           row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY cdist, label) AS r
+      |         FROM pb) WHERE r <= 2),
+      |cand AS (SELECT pr.query_id, e.vec_id FROM e JOIN pr ON e.label = pr.plabel
+      |         WHERE e.vec_id <> pr.query_id),
+      |adc AS (
+      |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+      |    CAST(sum(l.dq) AS BIGINT) AS approx_dist
+      |  FROM cand cd
+      |  JOIN codes c ON c.vec_id = cd.vec_id
+      |  JOIN lut l ON l.query_id = cd.query_id AND l.s = c.s AND l.label = c.code
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT query_id, neighbor_id, approx_dist,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY approx_dist, neighbor_id) AS rnk
+      |  FROM adc)
+      |SELECT query_id, neighbor_id, approx_dist, CAST(rnk AS INT) AS rnk
+      |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    import graft.operators.ProductQuantization
+    import graft.functions.VectorFunctions.toDouble
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val cb = ProductQuantization.codebook(emb)
+    val dists = ProductQuantization.subspaceDistances(emb, cb).cache()
+    val codes = ProductQuantization.encode(dists)
+    val lut = dists.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("s"),
+        col("cb_label").as("code"), col("dq"))
+    // probe: nprobe=2 closest coarse centroids per query = the LUT's row
+    // sums — no extra geometry
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cdist"), col("plabel"))
+    val probes = lut.groupBy(col("query_id"), col("code").as("plabel"))
+      .agg(sum(col("dq")).as("cdist"))
+      .withColumn("r", row_number().over(wP))
+      .filter(col("r") <= 2)
+      .select("query_id", "plabel")
+    val cand = emb.select(col("vec_id"), col("label").as("plabel"))
+      .join(broadcast(probes), Seq("plabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_dist"), col("neighbor_id"))
+    val out = cand.join(codes, Seq("vec_id"))
+      .join(lut, Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("dq")).as("approx_dist"))
+      .withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("neighbor_id"), col("approx_dist"), col("rnk"))
+      .orderBy("query_id", "rnk")
+    val pinned = out.localCheckpoint()
+    dists.unpersist()
+    pinned
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
       streamIntervalJoin, statefulTotals, streamDedup, freqItemsSketch,
       bloomPruneJoin, pqAdcAnn, tableProfile, pageRank, streamLateDrops,
-      streamStaticEnrich, streamOuterJoin, streamTxnIngest)
+      streamStaticEnrich, streamOuterJoin, streamTxnIngest, ivfPqAnn)
 }

@@ -67,6 +67,41 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ ANN restricts candidates before scoring — no corpus-wide work") {
+    // x23: probe set broadcasts, candidates come from the cluster-key
+    // equi-join, ADC scoring is a (query, s, code) hash join — never a
+    // nested loop over corpus×queries. (The registry query materializes
+    // via localCheckpoint, so rebuild the raw lazy pipeline, the x16
+    // pattern.)
+    import graft.operators.ProductQuantization
+    import graft.functions.VectorFunctions.toDouble
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(SparkSpec.session, dir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val cb = ProductQuantization.codebook(emb)
+    val dists = ProductQuantization.subspaceDistances(emb, cb)
+    val codes = ProductQuantization.encode(dists)
+    val lut = dists.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("s"),
+        col("cb_label").as("code"), col("dq"))
+    val probes = lut.groupBy(col("query_id"), col("code").as("plabel"))
+      .agg(sum(col("dq")).as("cdist"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist"), col("plabel"))))
+      .filter(col("r") <= 2).select("query_id", "plabel")
+    val out = emb.select(col("vec_id"), col("label").as("plabel"))
+      .join(broadcast(probes), Seq("plabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(codes, Seq("vec_id"))
+      .join(lut, Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dq")).as("approx_dist"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("SemDeDup confines the quadratic to the cluster key equi-join") {
     // d32's within-cluster pair generation must be a hash join on the
     // cluster key (label) with the id ordering as a post-filter — never a
