@@ -147,8 +147,8 @@ object AnalyticQueries {
   val q32 = OracleQuery(
     "q32_ranking_suite",
     """SELECT o_orderstatus, o_orderkey,
-      |  rank() OVER w AS rnk,
-      |  dense_rank() OVER w AS drnk,
+      |  CAST(rank() OVER w AS INTEGER) AS rnk,
+      |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
       |  CAST(ntile(4) OVER w AS INT) AS quartile,
       |  round(percent_rank() OVER w, 6) AS pct_rank,
       |  round(cume_dist() OVER w, 6) AS cume
@@ -529,7 +529,7 @@ object AnalyticQueries {
     * bounded-state decomposition is exactly what's verified. */
   val q45 = OracleQuery(
     "q45_topk_aggregator",
-    """SELECT o_orderstatus, o_orderkey, o_totalprice, rnk FROM (
+    """SELECT o_orderstatus, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk FROM (
       |  SELECT o_orderstatus, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_orderstatus
       |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk

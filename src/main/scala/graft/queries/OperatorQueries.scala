@@ -169,7 +169,7 @@ object OperatorQueries {
       |         event_type, value
       |  FROM events),
       |mx AS (SELECT CAST(max(ts) AS TIMESTAMP) AS m FROM events)
-      |SELECT ws AS window_start, event_type,
+      |SELECT CAST(ws AS TIMESTAMP_NS) AS window_start, event_type,
       |  count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM e, mx
       |WHERE ws + INTERVAL 5 MINUTE <= m - INTERVAL 10 MINUTE
@@ -282,7 +282,9 @@ object OperatorQueries {
       |    max(t) + INTERVAL 5 MINUTE AS session_end,
       |    count(*) AS n_events, round(sum(value), 2) AS sum_value
       |  FROM sess GROUP BY 1, 2)
-      |SELECT session_start, session_end, user_id, n_events, sum_value
+      |SELECT CAST(session_start AS TIMESTAMP_NS) AS session_start,
+      |  CAST(session_end AS TIMESTAMP_NS) AS session_end,
+      |  user_id, n_events, sum_value
       |FROM agg, mx
       |WHERE session_end <= m - INTERVAL 10 MINUTE
       |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
@@ -832,7 +834,7 @@ object OperatorQueries {
       |  SELECT c_custkey, n_name
       |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
       |mx AS (SELECT CAST(max(ts) AS TIMESTAMP) AS m FROM events)
-      |SELECT ws AS window_start, n_name,
+      |SELECT CAST(ws AS TIMESTAMP_NS) AS window_start, n_name,
       |  count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM e JOIN dim ON e.user_id = dim.c_custkey, mx
       |WHERE ws + INTERVAL 5 MINUTE <= m - INTERVAL 10 MINUTE

@@ -334,7 +334,7 @@ object RelationalQueries {
     * Nanos survive the micro truncation identically in both engines. */
   val q15 = OracleQuery(
     "q15_events_hourly",
-    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS hour_ts, event_type,
       |  count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events
       |GROUP BY 1, 2
@@ -411,7 +411,7 @@ object RelationalQueries {
   /** Extension: top-k per group via rank window (deterministic tie-break). */
   val q20 = OracleQuery(
     "q20_top3_orders_per_status",
-    """SELECT o_orderstatus, o_orderkey, o_totalprice, rnk FROM (
+    """SELECT o_orderstatus, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk FROM (
       |  SELECT o_orderstatus, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_orderstatus
       |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk

@@ -497,9 +497,9 @@ object TextQueries {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
        |  FROM t)
        |SELECT doc_id, n_toks,
-       |  coalesce(prev, 0) AS start_offset,
-       |  coalesce(prev, 0) // 512 AS first_seq,
-       |  (coalesce(prev, 0) + n_toks - 1) // 512 AS last_seq
+       |  CAST(coalesce(prev, 0) AS BIGINT) AS start_offset,
+       |  CAST(coalesce(prev, 0) // 512 AS BIGINT) AS first_seq,
+       |  CAST((coalesce(prev, 0) + n_toks - 1) // 512 AS BIGINT) AS last_seq
        |FROM o WHERE n_toks > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
     val counts = Tables.documents(s, d)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
