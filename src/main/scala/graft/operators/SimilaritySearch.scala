@@ -221,6 +221,43 @@ object SimilaritySearch {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** SemDeDup survivor set (Abbas et al. 2023): within each coarse cluster
+    * (`label`), drop every vector whose cosine to a lower-id cluster-mate
+    * reaches `eps`; the min-id vector survives as the semantic
+    * representative. Input needs (vec_id, label, embedding); output is the
+    * surviving (vec_id, label) rows.
+    *
+    * Mega-cluster guard: the within-cluster join is quadratic in cluster
+    * population, and the published algorithm's only defense is "raise k".
+    * The operator defends itself the same way [[bandedNearDupPairs]]'
+    * maxBucket does — a tiny label census (k rows, broadcast) excludes
+    * clusters above `maxCluster` from pruning entirely, so every row of an
+    * oversized cluster survives (a documented recall trade, never a
+    * quadratic cell). One skewed cluster holding 10% of a 100 TB corpus
+    * thus costs one anti-join, not (0.1·N)² candidate pairs. Inert at test
+    * SFs by design; SimilaritySearchSpec pins the skewed-fixture behavior.
+    */
+  def semDedupSurvivors(emb: DataFrame, eps: Double,
+                        maxCluster: Int = 4096): DataFrame = {
+    val n = emb
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val keptLabels = n.groupBy("label").agg(count(lit(1)).as("cluster_n"))
+      .filter(col("cluster_n") <= maxCluster)
+      .select("label")
+    val scoped = n.join(broadcast(keptLabels), Seq("label"))
+    val a = scoped.select(col("vec_id").as("id_a"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = scoped.select(col("vec_id").as("id_b"), col("label"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val drop = a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= eps)
+      .select(col("id_b").as("vec_id")).distinct()
+    emb.join(drop, Seq("vec_id"), "left_anti")
+      .select("vec_id", "label")
+  }
+
   /** Recall@k of an approximate result against the exact baseline. */
   def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
     val a = approx.select("query_id", "neighbor_id")

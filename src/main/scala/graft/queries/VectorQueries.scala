@@ -323,7 +323,10 @@ object VectorQueries {
     * cluster, where cluster count k is the knob that bounds cluster size
     * (n/k). No corpus×corpus nested loop exists anywhere in the plan
     * (PlanShapeSpec pins it); the per-cluster pair set never leaves its
-    * partition. */
+    * partition. The operator additionally defends against a skewed cluster
+    * (`maxCluster` in [[graft.operators.SimilaritySearch.semDedupSurvivors]]):
+    * labels above the cap skip pruning entirely — the `kept` census below
+    * mirrors that rule so the oracle stays hash-checked. Inert at test SFs. */
   val semDedup = OracleQuery(
     "d32_semantic_dedup",
     s"""WITH e AS ($embSql),
@@ -331,28 +334,18 @@ object VectorQueries {
        |       FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id),
        |n AS (SELECT vec_id, label, v,
        |        sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM el),
+       |kept AS (SELECT label FROM n GROUP BY label HAVING count(*) <= 4096),
+       |ns AS (SELECT n.* FROM n JOIN kept USING (label)),
        |drop AS (
        |  SELECT DISTINCT b.vec_id
-       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  FROM ns a JOIN ns b ON a.label = b.label AND a.vec_id < b.vec_id
        |  WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
        |          / (a.nrm * b.nrm) >= 0.35)
        |SELECT emb.vec_id, emb.label FROM embeddings emb
        |WHERE NOT EXISTS (SELECT 1 FROM drop d WHERE d.vec_id = emb.vec_id)
        |ORDER BY emb.vec_id""".stripMargin) { (s, d) =>
-    val n = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
-    val a = n.select(col("vec_id").as("id_a"), col("label"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = n.select(col("vec_id").as("id_b"), col("label"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val drop = a.join(b, Seq("label"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.35)
-      .select(col("id_b").as("vec_id")).distinct()
-    Tables.embeddings(s, d)
-      .join(drop, Seq("vec_id"), "left_anti")
-      .select("vec_id", "label")
+    graft.operators.SimilaritySearch
+      .semDedupSurvivors(Tables.embeddings(s, d), eps = 0.35)
       .orderBy("vec_id")
   }
 

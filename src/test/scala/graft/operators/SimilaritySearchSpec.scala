@@ -76,4 +76,29 @@ class SimilaritySearchSpec extends SparkSpec {
       .bandedNearDupPairs(emb, 0.4, maxBucket = Int.MaxValue)
     assert(real.collect().toSet == realNoCap.collect().toSet)
   }
+
+  test("SemDeDup mega-cluster guard: skewed cluster skips pruning, others prune") {
+    val s = SparkSpec.session
+    import s.implicits._
+    // label 0 is the hub: 50 identical vectors (half the corpus) — over the
+    // cap of 8, so ALL must survive (no quadratic cell, no pruning). The 50
+    // orthogonal-ish singleton clusters (labels 1..50) stay under the cap;
+    // label 1 holds two clones, of which only the min-id survives.
+    val hub = (0L until 50L).map(i => (i, Array.fill(64)(0.5f), 0))
+    val dupPair = Seq((100L, Array.tabulate(64)(j => if (j == 1) 1f else 0f), 1),
+      (101L, Array.tabulate(64)(j => if (j == 1) 1f else 0f), 1))
+    val singles = (2 to 50).map(l =>
+      (100L + l, Array.tabulate(64)(j => if (j == l % 64) 1f else 0f), l))
+    val emb = (hub ++ dupPair ++ singles).toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.semDedupSurvivors(emb, eps = 0.35, maxCluster = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.count(_._2 == 0) == 50, "oversized cluster must fully survive")
+    assert(out.filter(_._2 == 1).map(_._1).toSeq == Seq(100L),
+      "capped cluster prunes to min-id survivor")
+    assert(out.length == 50 + 1 + 49)
+    // with the cap lifted the hub collapses to its min-id representative
+    val unguarded = SimilaritySearch.semDedupSurvivors(emb, eps = 0.35)
+      .filter(col("label") === 0).collect().map(_.getLong(0)).toSeq
+    assert(unguarded == Seq(0L))
+  }
 }
