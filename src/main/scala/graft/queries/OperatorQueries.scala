@@ -91,36 +91,39 @@ object OperatorQueries {
       .toDF("n_queries", "n_results", "mean_recall_ok")
   }
 
-  /** Multimodal feature extraction over the synthetic media table
-    * (decode stubbed; Spark plumbing real — see MultimodalPipeline).
-    * The 16-bucket histogram stays an array in the library API but is
-    * projected to a CSV string here: the driver's row comparator sorts and
-    * hashes scalar values and cannot handle array cells.
+  /** Multimodal feature extraction over the synthetic media table: REAL
+    * JDK decode (BMP via javax.imageio, WAV via javax.sound.sampled,
+    * motion-BMP frames — see MultimodalPipeline.JdkCodec), features over
+    * the DECODED payload bytes. The 16-bucket histogram stays an array in
+    * the library API but is projected to a CSV string here: the driver's
+    * row comparator sorts and hashes scalar values and cannot handle
+    * array cells.
     *
-    * Fully oracle-checked: payloads are md5-derived (a pure function of
-    * media_id), so DuckDB reconstructs the identical bytes from
-    * `substr(md5(id || ':' || block))` hex pairs and recomputes every
-    * byte-stat feature — n_bytes, mean, 16-bucket histogram, entropy
-    * (same divide/ln fold), frame counts — from first principles. */
+    * Fully oracle-checked: the decoded pixel/sample bytes are md5-derived
+    * (a pure function of media_id; encode→decode round-trips them
+    * exactly), so DuckDB reconstructs the identical bytes from
+    * `substr(md5(id || ':' || block))` hex pairs — no codec needed — and
+    * recomputes every feature (n_bytes, mean, 16-bucket histogram,
+    * entropy, native frame counts) from first principles. The `len` and
+    * `n_frames` arithmetic mirrors MultimodalPipeline.dataLen: image
+    * 16×(4+id%8)×3 pixel bytes, audio 2 bytes per sample over
+    * 2000+(id%5)*1000 PCM frames, video (2+id%5) frames of 16×4×3. */
   val multimodal = OracleQuery(
     "x03_multimodal_features",
     """WITH ids AS (SELECT i AS media_id FROM generate_series(0, 119) g(i)),
-      |m AS (SELECT media_id,
+      |mf AS (SELECT media_id,
       |        CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |             ELSE 'video' END AS kind,
-      |        256 + media_id % 512 AS len,
-      |        CASE media_id % 3 WHEN 1 THEN 2000 + (media_id % 5) * 1000
-      |                          WHEN 2 THEN 400 + (media_id % 5) * 200
-      |                          ELSE 0 END AS dur
+      |        CASE media_id % 3 WHEN 0 THEN 48 * (4 + media_id % 8)
+      |             WHEN 1 THEN 2 * (2000 + (media_id % 5) * 1000)
+      |             ELSE 192 * (2 + media_id % 5) END AS len,
+      |        CAST(CASE media_id % 3 WHEN 0 THEN 1
+      |             WHEN 1 THEN 2000 + (media_id % 5) * 1000
+      |             ELSE 2 + media_id % 5 END AS INT) AS n_frames
       |      FROM ids),
-      |mf AS (SELECT media_id, kind, len,
-      |         CAST(CASE kind WHEN 'image' THEN 1
-      |              WHEN 'audio' THEN greatest(1, dur // 1000)
-      |              ELSE greatest(1, dur // 40) END AS INT) AS n_frames
-      |       FROM m),
       |bytes AS (SELECT media_id,
       |            ('0x' || substr(md5(media_id || ':' || b), 2*p - 1, 2))::INT AS byte
-      |          FROM mf, generate_series(0, 47) g(b), generate_series(1, 16) h(p)
+      |          FROM mf, generate_series(0, 749) g(b), generate_series(1, 16) h(p)
       |          WHERE 16*b + (p - 1) < len),
       |bk AS (SELECT media_id, byte // 16 AS bucket, count(*) AS c
       |       FROM bytes GROUP BY 1, 2),
@@ -401,31 +404,36 @@ object OperatorQueries {
       .orderBy("c_mktsegment")
   }
 
-  /** Frame sampling over the multimodal table (every 2nd pseudo-frame) —
+  /** Frame sampling over the multimodal table (every 2nd DECODED frame) —
     * the video keyframe-extract shape: one media row explodes to its
-    * sampled frames, then per-media stats. Fully oracle-checked: frame
-    * counts and slice lengths are pure length arithmetic on the metadata
-    * (span = len/nf, clamped slice bounds), so DuckDB recomputes them
-    * without touching payload bytes. */
+    * sampled decoded frames (the real-decode path: BMP pixel planes,
+    * 2000-sample PCM chunks, per-frame video pixels), then per-media
+    * stats. Fully oracle-checked: decoded frame counts and frame byte
+    * lengths are pure arithmetic on the id (MultimodalPipeline.dataLen),
+    * so DuckDB recomputes them without a codec: image = 1 frame of the
+    * full pixel plane; audio = ceil(len/4000) chunks, last one partial;
+    * video = len/192 frames of 192 bytes. */
   val frameSample = OracleQuery(
     "x09_multimodal_frame_sample",
     """WITH ids AS (SELECT i AS media_id FROM generate_series(0, 119) g(i)),
-      |m AS (SELECT media_id, 256 + media_id % 512 AS len, media_id % 3 AS k3,
-      |        CASE media_id % 3 WHEN 1 THEN 2000 + (media_id % 5) * 1000
-      |                          WHEN 2 THEN 400 + (media_id % 5) * 200
-      |                          ELSE 0 END AS dur
+      |m AS (SELECT media_id, media_id % 3 AS k3,
+      |        CASE media_id % 3 WHEN 0 THEN 48 * (4 + media_id % 8)
+      |             WHEN 1 THEN 2 * (2000 + (media_id % 5) * 1000)
+      |             ELSE 192 * (2 + media_id % 5) END AS len
       |      FROM ids),
-      |mf AS (SELECT media_id, len,
+      |mf AS (SELECT media_id, k3, len,
       |         CASE k3 WHEN 0 THEN 1
-      |                 WHEN 1 THEN greatest(1, dur // 1000)
-      |                 ELSE greatest(1, dur // 40) END AS nf
+      |                 WHEN 1 THEN (len + 3999) // 4000
+      |                 ELSE len // 192 END AS nf
       |       FROM m),
-      |fr AS (SELECT media_id, len, i, greatest(1, len // nf) AS span
+      |fr AS (SELECT media_id, i,
+      |         CASE k3 WHEN 0 THEN len
+      |              WHEN 1 THEN least(4000, len - 4000 * i)
+      |              ELSE 192 END AS flen
       |       FROM mf, generate_series(0, 63) g(i)
       |       WHERE i < nf AND i % 2 = 0)
       |SELECT media_id, count(*) AS n_sampled,
-      |  CAST(sum(greatest(0, least(len, (i + 1) * span) - i * span)) AS BIGINT)
-      |    AS bytes_sampled
+      |  CAST(sum(flen) AS BIGINT) AS bytes_sampled
       |FROM fr GROUP BY media_id ORDER BY media_id""".stripMargin) { (s, _) =>
     MultimodalPipeline.sampleFrames(MultimodalPipeline.synthesize(s, 120), stride = 2)
       .groupBy("media_id")

@@ -71,13 +71,55 @@ class MultimodalPipelineSpec extends SparkSpec {
     assert(topk.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
   }
 
-  test("resize stub halves payloads and metadata dims") {
+  test("real decode round-trips md5 payloads, dimensions, and frame counts") {
+    import MultimodalPipeline._
+    media.collect().foreach { m =>
+      val id = m.media_id
+      val want = md5Stream(id, dataLen(id))
+      m.meta.kind match {
+        case "image" =>
+          val (img, px) = JdkCodec.decodeBmp(m.content)
+          assert(img.getWidth == 16 && img.getHeight == 4 + (id % 8).toInt)
+          assert(px.sameElements(want))
+        case "audio" =>
+          val (nFrames, data) = JdkCodec.decodeWav(m.content)
+          assert(nFrames == 2000 + (id % 5) * 1000)
+          assert(data.sameElements(want))
+        case _ =>
+          val frames = JdkCodec.decodeVideo(m.content)
+          assert(frames.length == (2 + (id % 5)).toInt)
+          val px = frames.flatMap(f => JdkCodec.decodeBmp(f)._2).toArray
+          assert(px.sameElements(want))
+      }
+    }
+    // features are computed over the decoded bytes, so n_bytes == dataLen
+    MultimodalPipeline.extractFeatures(media).collect().foreach { f =>
+      assert(f.n_bytes == dataLen(f.media_id))
+    }
+  }
+
+  test("resize really rescales: decoded dims, sample counts, durations halve") {
+    import MultimodalPipeline._
     val resized = MultimodalPipeline.resize(media, 2)
     val orig = media.collect().map(m => m.media_id -> m).toMap
     resized.collect().foreach { m =>
       val o = orig(m.media_id)
-      assert(m.content.length == (o.content.length + 1) / 2)
-      assert(m.meta.width == o.meta.width / 2)
+      m.meta.kind match {
+        case "image" =>
+          val (img, _) = JdkCodec.decodeBmp(m.content)
+          assert(img.getWidth == o.meta.width / 2 && img.getHeight == o.meta.height / 2)
+          assert(m.meta.width == o.meta.width / 2)
+        case "audio" =>
+          val (nf, _) = JdkCodec.decodeWav(m.content)
+          val (onf, _) = JdkCodec.decodeWav(o.content)
+          assert(nf == (onf + 1) / 2)
+          assert(m.meta.durationMs == o.meta.durationMs / 2)
+        case _ =>
+          val frames = JdkCodec.decodeVideo(m.content)
+          assert(frames.length == JdkCodec.decodeVideo(o.content).length)
+          val (img, _) = JdkCodec.decodeBmp(frames.head)
+          assert(img.getWidth == o.meta.width / 2 && img.getHeight == o.meta.height / 2)
+      }
     }
   }
 }
