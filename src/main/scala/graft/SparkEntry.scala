@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQuery, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQuery, PipelineQueries, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,9 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    co-located join, PQ-ADC ANN, one-pass table profiling,
   *    integer-exact weighted PageRank, stream-stream outer join,
   *    exactly-once transactional streaming ingest, IVF-PQ composed ANN
+  *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
+  *    itself (bronze GeoJSON → silver → gold star schema) end to end
+  *    over the deterministic USGS fixture, surrogate-key joins gated
   *
   * COVERAGE.md maps every SURVEY §2 operator ID to its implementation,
   * query, and test.
@@ -47,7 +50,8 @@ object SparkEntry {
 
   private def registry: Seq[OracleQuery] =
     RelationalQueries.all ++ AnalyticQueries.all ++ TextQueries.all ++
-      CurationQueries.all ++ VectorQueries.all ++ OperatorQueries.all
+      CurationQueries.all ++ VectorQueries.all ++ OperatorQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
