@@ -15,6 +15,12 @@ object Bench {
       w.limit(1000).withColumn("rn",
         row_number().over(Window.partitionBy("l_orderkey").orderBy("l_linenumber")))
         .agg(sum("rn")).collect()
+      // One REAL registry query too: the generic shapes above don't touch
+      // the documents scan or the text-function codegen, so the first
+      // sub-0.3s query after each restart paid warm-up that best-of-two
+      // didn't fully hide (d01 0.10 -> 0.22 s across r4/r5 protocols).
+      SparkEntry.queries("d01_doc_token_stats")(spark, sfDir).count()
+      SessionHygiene.dropAllStorage(spark)
     } catch { case _: Throwable => () }
 
   def main(args: Array[String]): Unit = {
@@ -49,24 +55,27 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val results = names.grouped(math.max(1, group)).flatMap { chunk =>
       val spark = GraftSession.local()
-      warmSession(spark, sfDir)
-      val rs = chunk.map { name =>
-        val fn = SparkEntry.queries(name)
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+      // stop() in finally: a wedged chunk must not leak its SparkContext —
+      // the next chunk's getOrCreate would silently reuse it, defeating
+      // the session recycling this loop exists for
+      try {
+        warmSession(spark, sfDir)
+        chunk.map { name =>
+          val fn = SparkEntry.queries(name)
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+            (System.nanoTime() - t0) / 1e9
+          }
+          once() // warm: plan + codegen + JIT for this exact query at this SF
+          dropAllStorage(spark)
+          val r1 = once() // steady state, cold caches
+          dropAllStorage(spark)
+          val r2 = once() // best-of-two damps GC/scheduler noise on the tail
+          dropAllStorage(spark)
+          name -> math.min(r1, r2)
         }
-        once() // warm: plan + codegen + JIT for this exact query at this SF
-        dropAllStorage(spark)
-        val r1 = once() // steady state, cold caches
-        dropAllStorage(spark)
-        val r2 = once() // best-of-two damps GC/scheduler noise on the tail
-        dropAllStorage(spark)
-        name -> math.min(r1, r2)
-      }
-      spark.stop()
-      rs
+      } finally spark.stop()
     }.toMap
     // The driver captures only the LAST 2000 bytes of this process's
     // output (measured from BENCH_r{1,2,3}.json, all of which failed to

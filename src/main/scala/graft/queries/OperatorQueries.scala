@@ -927,12 +927,13 @@ object OperatorQueries {
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     val landing = eventLanding(s, d)
-    val run = java.util.UUID.randomUUID().toString.take(8)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_txn_ingest_$run"
+    // process-scoped + wiped per invocation (bounded /tmp; each run is a
+    // fresh end-to-end ingest, so the idempotence check stays meaningful)
+    val base = Scratch.dir("txn_ingest")
     val table = s"$base/t"
     val ckpt = s"$base/ckpt"
     def ingestOnce(): Unit = EventStream.runToTxnSink(
-      EventStream.readEvents(s, landing), table, ckpt, appId = s"x22_$run")
+      EventStream.readEvents(s, landing), table, ckpt, appId = "x22_ingest")
     ingestOnce()
     ingestOnce() // restart over the same landing: replayed work must no-op
     graft.sources.TxnLake.read(s, table)

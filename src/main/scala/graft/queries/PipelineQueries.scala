@@ -103,16 +103,8 @@ object PipelineQueries {
        |  etype AS EventType,
        |  magtype AS MagType
        |FROM enr ORDER BY EventID""".stripMargin) { (s, _) =>
-    // per-process scratch (bounded: one dir per JVM, overwritten on rerun,
-    // removed at exit — the x22-advice pattern, no unbounded /tmp growth)
-    val base = java.nio.file.Paths.get(
-      s"${System.getProperty("java.io.tmpdir")}/graft_quake_${ProcessHandle.current().pid()}")
-    PipelineQueries.synchronized {
-      if (!cleanupRegistered) {
-        cleanupRegistered = true
-        Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(base)))
-      }
-    }
+    // per-process scratch: bounded /tmp, wiped per invocation, removed at exit
+    val base = Scratch.dir("quake_pipeline")
     val bronze = s"$base/bronze/usgs_all_month.geojson"
     graft.ingest.UsgsGeoJson.writeBronze(bronze)
     graft.jobs.BronzeToSilver.run(s, bronze, s"$base/silver")
@@ -137,15 +129,6 @@ object PipelineQueries {
         col("MagnitudeCategory"), col("EventType"), col("MagType"))
       .orderBy("EventID")
   }
-
-  @volatile private var cleanupRegistered = false
-
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    }
 
   val all: Seq[OracleQuery] = Seq(quakePipeline)
 }

@@ -1,0 +1,30 @@
+package graft.queries
+
+/** Process-scoped scratch dirs for registry queries that must land files
+  * (pipeline outputs, TxnLake tables, streaming checkpoints).
+  *
+  * One dir per (name, JVM): wiped at each invocation so reruns start
+  * clean, and removed by a shutdown hook at JVM exit — /tmp usage stays
+  * bounded no matter how many times Bench/Verify/CI re-invoke a query
+  * (the round-5 advice: UUID-named dirs accumulated indefinitely). */
+object Scratch {
+
+  private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Fresh (emptied) scratch dir for `name`, deleted on JVM exit. */
+  def dir(name: String): String = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${name}_${ProcessHandle.current().pid()}")
+    if (hooked.add(p.toString))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
+    deleteTree(p)
+    p.toString
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+}

@@ -125,9 +125,14 @@ object TxnLake extends LakeFormat {
                  maxAttempts: Int = 10): Option[Long] =
     commitImpl(spark, df, table, operation, Some((appId, batchId)), maxAttempts)
 
+  /** Raised (internally) when `requireBase` no longer matches the log —
+    * the caller's read snapshot is stale and it must recompute. */
+  private[sources] final class CommitConflict extends Exception
+
   private def commitImpl(spark: SparkSession, df: DataFrame, table: String,
                          operation: String, txn: Option[(String, Long)],
-                         maxAttempts: Int): Option[Long] = {
+                         maxAttempts: Int,
+                         requireBase: Option[Option[Long]] = None): Option[Long] = {
     require(operation == "overwrite" || operation == "append",
       s"TxnLake: unknown operation $operation")
     val tablePath = new Path(table)
@@ -145,6 +150,10 @@ object TxnLake extends LakeFormat {
       // publish at `next` FAIL, and the retry re-lists — so a replay twin
       // is always caught either by the check or by the version conflict.
       val committed = committedVersions(spark, table)
+      // optimistic read-set check: the caller pinned its read at a version;
+      // any commit since then means its computation is stale
+      requireBase.foreach { rb =>
+        if (committed.lastOption != rb) throw new CommitConflict }
       val replayed = txn.exists(t =>
         committed.exists(v => readEntry(spark, table, v).txn.contains(t)))
       if (replayed) return None
@@ -168,6 +177,9 @@ object TxnLake extends LakeFormat {
       val dst = new Path(logDir(table), s"v$next.json")
       if (publishExclusive(f, tmp, dst)) return Some(next)
       f.delete(tmp, false) // lost the race: discard and retry at N+1
+      // under a pinned read set, losing the race IS a read conflict —
+      // surface it now rather than burning the remaining attempts
+      if (requireBase.isDefined) throw new CommitConflict
       attempt += 1
     }
     sys.error(s"TxnLake: gave up after $maxAttempts commit conflicts on $table")
@@ -206,29 +218,64 @@ object TxnLake extends LakeFormat {
     * unmatched delta rows insert, everything else carries over; the result
     * lands as ONE overwrite commit, so readers see either the pre-merge or
     * the post-merge snapshot, never a partial application. Requires the
-    * delta to share the table's schema. Returns the committed version.
+    * delta to share the table's schema (names AND types). Returns the
+    * committed version.
+    *
+    * Concurrency: merge is read-modify-write, so its snapshot read is part
+    * of the transaction's read set. The publish is pinned to exactly
+    * (read version + 1); if any writer commits in between, the publish is
+    * refused and the merge RECOMPUTES from the fresh snapshot — the
+    * concurrent commit's rows are never silently discarded (the lost
+    * update Delta detects with ConcurrentModificationException; since this
+    * merge always re-reads the whole table, blind recompute-and-retry is
+    * always safe where Delta must sometimes fail). Throws
+    * ConcurrentModificationException only after `maxAttempts` straight
+    * conflicts.
     *
     * Scale: one full-outer shuffle on the merge key over (snapshot ∪
     * delta) — Delta's whole-file-rewrite MERGE costs the same; a
     * production refinement keys the rewrite to touched files only. */
   def merge(spark: SparkSession, delta: DataFrame, table: String,
-            key: String): Long = {
+            key: String, maxAttempts: Int = 10): Long =
+    mergeImpl(spark, delta, table, key, maxAttempts, () => ())
+
+  /** Test seam: `beforeCommit` runs between the snapshot read and the
+    * commit attempt, letting specs interleave a concurrent writer
+    * deterministically. */
+  private[sources] def mergeImpl(spark: SparkSession, delta: DataFrame,
+                                 table: String, key: String, maxAttempts: Int,
+                                 beforeCommit: () => Unit): Long = {
     import org.apache.spark.sql.functions.{col, lit, when}
-    val cur = read(spark, table)
-    val merged =
-      if (cur.isEmpty) delta
-      else {
-        require(cur.columns.sorted.sameElements(delta.columns.sorted),
-          s"TxnLake.merge: schema mismatch ${cur.columns.mkString(",")} vs ${delta.columns.mkString(",")}")
-        val others = delta.columns.filterNot(_ == key)
-        // presence marker, not coalesce: a delta row legitimately updating
-        // a column TO null must win over the old value
-        cur.as("c").join(delta.withColumn("__d", lit(true)).as("d"),
-            Seq(key), "full_outer")
-          .select(col(key) +: others.map(n =>
-            when(col("__d"), col(s"d.$n")).otherwise(col(s"c.$n")).as(n)): _*)
-      }
-    commit(spark, merged, table, "overwrite")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(spark, table)
+      // read the PINNED version, not latest: base and snapshot must agree
+      // even if a commit lands between the two calls
+      val cur = base.map(readVersion(spark, table, _))
+        .getOrElse(spark.emptyDataFrame)
+      val merged =
+        if (cur.isEmpty) delta
+        else {
+          def sig(df: DataFrame) =
+            df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+          require(sig(cur) == sig(delta),
+            s"TxnLake.merge: schema mismatch ${sig(cur)} vs ${sig(delta)}")
+          val others = delta.columns.filterNot(_ == key)
+          // presence marker, not coalesce: a delta row legitimately updating
+          // a column TO null must win over the old value
+          cur.as("c").join(delta.withColumn("__d", lit(true)).as("d"),
+              Seq(key), "full_outer")
+            .select(col(key) +: others.map(n =>
+              when(col("__d"), col(s"d.$n")).otherwise(col(s"c.$n")).as(n)): _*)
+        }
+      beforeCommit()
+      try return commitImpl(spark, merged, table, "overwrite", None,
+          maxAttempts = 1, requireBase = Some(base))
+        .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped"))
+      catch { case _: CommitConflict => attempt += 1 }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"TxnLake.merge: $maxAttempts consecutive concurrent commits on $table")
   }
 
   /** Delete data dirs referenced by NO retained version (the newest

@@ -104,6 +104,35 @@ class TxnLakeSpec extends SparkSpec {
     assert(TxnLake.read(spark, t2).count() == 1)
   }
 
+  test("merge detects a concurrent commit and recomputes — no lost update") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark,
+      Seq((1L, Option("a")), (2L, Option("b"))).toDF("k", "v"), t, "overwrite")
+    // interleave a concurrent writer between merge's snapshot read and its
+    // commit: the racer overwrites the table with an extra row (k=5). A
+    // lost-update merge would publish its stale recompute over it; the
+    // conflict-checked merge must refuse, re-read, and carry k=5 through.
+    var raced = false
+    TxnLake.mergeImpl(spark,
+      Seq((2L, Option("B")), (3L, Option("c"))).toDF("k", "v"), t, "k",
+      maxAttempts = 10,
+      beforeCommit = () => if (!raced) {
+        raced = true
+        TxnLake.commit(spark,
+          Seq((1L, Option("a")), (2L, Option("b")), (5L, Option("e")))
+            .toDF("k", "v"), t, "overwrite")
+      })
+    val got = TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("a"), 2L -> Some("B"),
+      3L -> Some("c"), 5L -> Some("e")))
+    // type-mismatched delta with matching names is rejected up front
+    intercept[IllegalArgumentException] {
+      TxnLake.merge(spark, Seq((7L, 1)).toDF("k", "v"), t, "k")
+    }
+  }
+
   test("BronzeToSilver runs unchanged on the TxnLake format") {
     val lake = Files.createTempDirectory("txnlake_b2s").toString
     graft.ingest.UsgsGeoJson.writeBronze(s"$lake/bronze/raw.json")
