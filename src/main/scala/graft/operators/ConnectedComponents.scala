@@ -32,9 +32,21 @@ object ConnectedComponents {
     * `graphPartitions` sizes the superstep shuffles: the pair graph of a
     * dedup run is orders of magnitude smaller than the corpus that
     * produced it, so supersteps should run at the graph's scale, not the
-    * corpus scan's `spark.sql.shuffle.partitions`. */
+    * corpus scan's `spark.sql.shuffle.partitions`.
+    *
+    * Skew defense: every superstep hashes on node id, so a power-law
+    * graph (web-scale dedup clusters) hot-keys the star centers — one
+    * reducer owns the hub's whole adjacency every round. The edge list is
+    * static across supersteps, so the skew census runs ONCE: if any
+    * single source key owns ≥ `skewMinFraction` of the directed edges,
+    * both per-round joins (neighbor propagation on id, pointer jumping on
+    * label — the latter concentrates as components converge) run through
+    * [[SkewUtils.saltedJoin]] with `skewSalt` buckets. Row-identical
+    * either way; the salted path trades `skewSalt`× replication of the
+    * one-row-per-key side for never having a straggler partition. */
   def components(pairs: DataFrame, src: String = "src", dst: String = "dst",
-                 graphPartitions: Int = 4): DataFrame = {
+                 graphPartitions: Int = 4, skewSalt: Int = 8,
+                 skewMinFraction: Double = 0.25): DataFrame = {
     require(graphPartitions > 0)
     val spark = pairs.sparkSession
     // The pair-producing plan is corpus-scale and must run at the
@@ -51,17 +63,28 @@ object ConnectedComponents {
       .localCheckpoint()
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", graphPartitions)
-    try componentsLoop(fwd, graphPartitions)
+    try componentsLoop(fwd, graphPartitions, skewSalt, skewMinFraction)
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
-  private def componentsLoop(fwd: DataFrame, graphPartitions: Int): DataFrame = {
+  /** Fraction of directed edges owned by the single hottest source key —
+    * the one-time skew census (tiny aggregate at graph scale). */
+  private[operators] def hottestSourceFraction(edges: DataFrame): Double = {
+    val r = edges.groupBy("e_src").agg(count(lit(1)).as("deg"))
+      .agg(max(col("deg")).as("mx"), sum(col("deg")).as("ne")).head()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+    else r.getLong(0).toDouble / r.getLong(1)
+  }
+
+  private def componentsLoop(fwd: DataFrame, graphPartitions: Int,
+                             skewSalt: Int, skewMinFraction: Double): DataFrame = {
     val edges = fwd
       .union(fwd.select(col("e_dst").as("e_src"), col("e_src").as("e_dst")))
       .distinct()
       .repartition(graphPartitions, col("e_src"))
       .localCheckpoint() // probed every superstep
     CheckpointUtils.unpersistBacking(fwd) // edges now holds everything
+    val salted = skewSalt > 1 && hottestSourceFraction(edges) >= skewMinFraction
     var ckpt = edges.select(col("e_src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .repartition(graphPartitions, col("id"))
@@ -72,18 +95,25 @@ object ConnectedComponents {
     var round = 0
     while (changed > 0) {
       val t0 = System.nanoTime()
-      // neighbor-min: the propagation step
-      val nbrMin = edges
-        .join(labels.select(col("id").as("e_src"), col("lbl")), Seq("e_src"))
+      // neighbor-min: the propagation step. The min() agg is safe from the
+      // hub (map-side partial combine); the JOIN on e_src is what salting
+      // defends — unsalted, the hub's whole adjacency lands on one reducer.
+      val lblAsSrc = labels.select(col("id").as("e_src"), col("lbl"))
+      val nbrMin = (if (salted)
+          SkewUtils.saltedJoin(edges, lblAsSrc, Seq("e_src"), skewSalt)
+        else edges.join(lblAsSrc, Seq("e_src")))
         .groupBy(col("e_dst").as("id"))
         .agg(min(col("lbl")).as("nbr_lbl"))
       // pointer jumping: also adopt the label OF my label (path
       // compression) — turns O(diameter) rounds into O(log diameter);
-      // a 20-hop chain converges in ~5 supersteps instead of 20
-      val jump = labels.select(col("id").as("j_id"), col("lbl").as("j_lbl"))
-      val step = labels
-        .join(nbrMin, Seq("id"), "left")
-        .join(jump, col("lbl") === col("j_id"), "left")
+      // a 20-hop chain converges in ~5 supersteps instead of 20. As the
+      // component converges the lbl key concentrates on the min id, so
+      // this join inherits the hub's skew — same defense.
+      val jump = labels.select(col("id").as("lbl"), col("lbl").as("j_lbl"))
+      val withNbr = labels.join(nbrMin, Seq("id"), "left")
+      val step = (if (salted)
+          SkewUtils.saltedJoin(withNbr, jump, Seq("lbl"), skewSalt, "left")
+        else withNbr.join(jump, Seq("lbl"), "left"))
         .select(col("id"), col("lbl"),
           least(col("lbl"),
             coalesce(col("nbr_lbl"), col("lbl")),
