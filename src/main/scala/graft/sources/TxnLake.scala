@@ -48,18 +48,24 @@ object TxnLake extends LakeFormat {
 
   private final case class Entry(version: Long, operation: String,
                                  files: Seq[String],
-                                 txn: Option[(String, Long)] = None)
+                                 txn: Option[(String, Long)] = None,
+                                 txns: Map[String, Long] = Map.empty)
 
   // Minimal JSON (no deps): {"version":N,"operation":"...","files":["a","b"]}
   // plus, for transactional streaming commits, "txnApp"/"txnBatch" — the
   // Delta `txn` action: which (application, batch) this version idempotently
-  // belongs to.
+  // belongs to — and "txns", the CUMULATIVE app→latest-batch map carried
+  // through every commit (Delta's checkpointed SetTransaction state): the
+  // replay check reads ONE entry instead of scanning the whole log.
   private def render(e: Entry): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     s"""{"version":${e.version},"operation":${q(e.operation)},""" +
       s""""files":[${e.files.map(q).mkString(",")}]""" +
       e.txn.map { case (a, b) => s""","txnApp":${q(a)},"txnBatch":$b""" }
-        .getOrElse("") + "}"
+        .getOrElse("") +
+      (if (e.txns.isEmpty) ""
+       else s""","txns":{${e.txns.toSeq.sorted
+         .map { case (a, b) => s"${q(a)}:$b" }.mkString(",")}}""") + "}"
   }
 
   private def parse(s: String): Entry = {
@@ -76,7 +82,12 @@ object TxnLake extends LakeFormat {
       a <- """"txnApp"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
       b <- """"txnBatch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
     } yield (a, b)
-    Entry(version, operation, files, txn)
+    val txns = """"txns"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+    val txnsMap = """"((?:[^"\\]|\\.)*)"\s*:\s*(-?\d+)""".r.findAllMatchIn(txns)
+      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+        -> m.group(2).toLong).toMap
+    Entry(version, operation, files, txn, txnsMap)
   }
 
   private def committedVersions(spark: SparkSession, table: String): Seq[Long] = {
@@ -117,9 +128,10 @@ object TxnLake extends LakeFormat {
     * version publish share the same optimistic loop, so a racer that loses
     * the version race re-reads the log, finds the txn, and skips.
     *
-    * The scan is O(committed versions) log-entry reads; a production
-    * protocol amortizes it with log checkpoints (Delta's `_last_checkpoint`)
-    * — at this sketch's scale the linear scan is the honest simple form. */
+    * The check reads ONE log entry: every commit carries the cumulative
+    * app→latest-batch map forward (Delta's checkpointed SetTransaction
+    * state), so replay detection is O(1) regardless of log length; logs
+    * written before the map existed fall back to the linear scan. */
   def commitOnce(spark: SparkSession, df: DataFrame, table: String,
                  operation: String, appId: String, batchId: Long,
                  maxAttempts: Int = 10): Option[Long] =
@@ -154,8 +166,20 @@ object TxnLake extends LakeFormat {
       // any commit since then means its computation is stale
       requireBase.foreach { rb =>
         if (committed.lastOption != rb) throw new CommitConflict }
-      val replayed = txn.exists(t =>
-        committed.exists(v => readEntry(spark, table, v).txn.contains(t)))
+      val lastEntry = committed.lastOption.map(readEntry(spark, table, _))
+      // Replay check against the cumulative txn map in the LAST entry only
+      // (O(1) log reads). Batch ids per app are monotone (the foreachBatch
+      // contract), so seen means batchId <= recorded — Delta's exact
+      // SetTransaction semantics. Entries written before the map existed
+      // fall back to the full-log scan.
+      val replayed = txn.exists { case (app, batch) =>
+        lastEntry match {
+          case Some(e) if e.txns.nonEmpty => e.txns.get(app).exists(_ >= batch)
+          case Some(_) => committed.exists(v =>
+            readEntry(spark, table, v).txn.contains((app, batch)))
+          case None => false
+        }
+      }
       if (replayed) return None
       val next = committed.lastOption.map(_ + 1).getOrElse(0L)
       // 1. land the data in a fresh immutable dir (never seen by readers
@@ -166,11 +190,13 @@ object TxnLake extends LakeFormat {
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .map(s => s"$dataRel/${s.getPath.getName}").sorted.toSeq
       val base = if (operation == "append")
-        committed.lastOption.map(readEntry(spark, table, _).files)
-          .getOrElse(Seq.empty)
+        lastEntry.map(_.files).getOrElse(Seq.empty)
       else Seq.empty
+      // carry the cumulative txn state through EVERY commit (plain commits
+      // included) so the O(1) replay check above stays sound
+      val txns = lastEntry.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
       // 2. publish: tmp write + rename-without-overwrite IS the commit
-      val entry = render(Entry(next, operation, base ++ written, txn))
+      val entry = render(Entry(next, operation, base ++ written, txn, txns))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()

@@ -59,6 +59,25 @@ class TxnSinkSpec extends SparkSpec {
     assert(TxnLake.read(s, table).count() == rows * 2)
   }
 
+  test("txn state survives interleaved plain commits and stays monotone") {
+    val s = SparkSpec.session
+    val table = Files.createTempDirectory("txncarry_table").toString + "/t"
+    val batch = Tables.events(s, "/root/testdata/sf0.001").limit(5)
+    assert(TxnLake.commitOnce(s, batch, table, "append", "carry_spec", 3L).isDefined)
+    // plain (txn-less) commits in between must CARRY the cumulative map —
+    // the O(1) replay check reads only the last entry
+    TxnLake.commit(s, batch, table, "append")
+    TxnLake.commit(s, batch, table, "overwrite")
+    // replay of the old batch, and of any EARLIER batch id (monotone
+    // foreachBatch contract), is still detected after the interleaving
+    assert(TxnLake.commitOnce(s, batch, table, "append", "carry_spec", 3L).isEmpty)
+    assert(TxnLake.commitOnce(s, batch, table, "append", "carry_spec", 2L).isEmpty)
+    // a different app is independent state
+    assert(TxnLake.commitOnce(s, batch, table, "append", "other_app", 0L).isDefined)
+    // and the original app moves forward normally
+    assert(TxnLake.commitOnce(s, batch, table, "append", "carry_spec", 4L).isDefined)
+  }
+
   test("racing replay twins commit once under version conflicts") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
