@@ -17,7 +17,7 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    subqueries, stats suite (corr/covar/regr), incremental upsert,
   *    date gap-fill, global top-k, z-order clustering keys, typed-
   *    Aggregator group top-K
-  *  - d01–d20, d25–d27, d29 [[graft.queries.TextQueries]] — token/quality/
+  *  - d01–d20, d25–d27, d29, d33 [[graft.queries.TextQueries]] — token/quality/
   *    langid/fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact
   *    n-gram Jaccard, edit-distance, cluster collapse), chunking, TF-IDF,
   *    corpus curation, token packing, md5-bucket train/eval split,

@@ -512,6 +512,59 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Sequence PACKING ASSIGNMENTS — d14's offsets materialized into the
+    * actual training-batch layout: each document's token span intersects
+    * the fixed 512-token sequence grid, emitting one row per (sequence,
+    * document) overlap with the in-sequence start position and token
+    * count. This is the last step of "greedy-concat" packing (the GPT-2/
+    * T5 recipe): a data loader can read WHERE seq_id = s and reconstruct
+    * sequence s exactly.
+    *
+    * Scale: PrefixSum's two-pass cumsum (never a single-reducer window) +
+    * a per-row bounded explode (spans/512 + 1 sequences per doc) — no
+    * additional shuffle; output rows = n_docs + total_tokens/512. */
+  val docSeqPacking = OracleQuery(
+    "d33_doc_seq_packing",
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS n_toks FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_toks,
+       |    CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_offset
+       |  FROM t),
+       |a AS (
+       |  SELECT doc_id, n_toks, start_offset,
+       |    start_offset // 512 AS first_seq,
+       |    (start_offset + n_toks - 1) // 512 AS last_seq
+       |  FROM o WHERE n_toks > 0),
+       |s AS (
+       |  SELECT a.*, a.first_seq + k AS s
+       |  FROM a, generate_series(0, 63) g(k)
+       |  WHERE a.first_seq + k <= a.last_seq)
+       |SELECT CAST(s AS BIGINT) AS seq_id, doc_id,
+       |  CAST(greatest(start_offset, s * 512) - s * 512 AS BIGINT)
+       |    AS seq_start_tok,
+       |  CAST(least(start_offset + n_toks, (s + 1) * 512)
+       |       - greatest(start_offset, s * 512) AS BIGINT) AS n_toks_in_seq
+       |FROM s
+       |ORDER BY seq_id, doc_id""".stripMargin) { (s, d) =>
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+    graft.operators.PrefixSum
+      .exclusivePrefixSum(counts, "doc_id", "n_toks", "start_offset")
+      .filter(col("n_toks") > 0)
+      .select(col("doc_id"), col("n_toks"), col("start_offset"),
+        explode(sequence(expr("start_offset div 512"),
+          expr("(start_offset + n_toks - 1) div 512"))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        (greatest(col("start_offset"), col("seq_id") * 512)
+          - col("seq_id") * 512).as("seq_start_tok"),
+        (least(col("start_offset") + col("n_toks"), (col("seq_id") + 1) * 512)
+          - greatest(col("start_offset"), col("seq_id") * 512)).as("n_toks_in_seq"))
+      .orderBy("seq_id", "doc_id")
+  }
+
   /** Edit-distance near-dup verification over SKETCH-BLOCKED candidates:
     * pairs whose 60-bit SimHashes collide in at least one 15-bit chunk
     * (d09's candidate generator) and whose lowercased 60-char prefixes are
@@ -1024,7 +1077,7 @@ object TextQueries {
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
     docSimhashNearDup, docNgramJaccard, docChunking, docTfIdf,
-    docDedupClusters, docTokenPacking, docEditDistance,
+    docDedupClusters, docTokenPacking, docSeqPacking, docEditDistance,
     docTrainSplit, docWinnowing, docRepetition, docOovRate,
     docContamination, docBm25, docRepeatedSpans, docBpeMerges,
     docIncrementalNearDup)
