@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.multimodal.MultimodalPipeline
 import graft.operators.SimilaritySearch
@@ -1045,10 +1046,97 @@ object OperatorQueries {
     pinned
   }
 
+  /** Change-data-feed between lake snapshots — Delta's `table_changes`
+    * read path, the contract every incremental consumer (downstream
+    * materialization, CDC replication, streaming backfill) builds on: diff
+    * two committed TxnLake versions and emit one row per change with its
+    * `change_type` (`insert` / `update_preimage` / `update_postimage` /
+    * `delete`) and the hop that produced it.
+    *
+    * The query drives the lake END TO END: commit a base snapshot, MERGE a
+    * delta (hop 1: inserts + updates), commit a pruning overwrite (hop 2:
+    * deletes), then compute the feed by reading the three PINNED versions
+    * back via time travel — so what's checked is the actual log + snapshot
+    * machinery, while the oracle recomputes the same feed relationally
+    * from `events` alone (lake plumbing must be observationally invisible).
+    *
+    * Scale: each hop's diff is one full-outer hash join on the key across
+    * two snapshot scans — the same cost Delta pays to materialize CDF
+    * without per-commit change files; change classification is a per-row
+    * map on the joined result. No driver-side state beyond 3 version ids. */
+  val txnChangeFeed = OracleQuery(
+    "x25_txn_change_feed",
+    """WITH ev AS (SELECT event_id, event_type, value FROM events),
+      |base AS (SELECT * FROM ev WHERE event_id % 3 <> 0),
+      |delta AS (SELECT event_id, event_type, round(value * 2, 2) AS value
+      |          FROM ev WHERE event_id % 2 = 0),
+      |merged AS (
+      |  SELECT coalesce(d.event_id, b.event_id) AS event_id,
+      |    CASE WHEN d.event_id IS NOT NULL THEN d.event_type
+      |         ELSE b.event_type END AS event_type,
+      |    CASE WHEN d.event_id IS NOT NULL THEN d.value ELSE b.value END AS value
+      |  FROM base b FULL OUTER JOIN delta d ON b.event_id = d.event_id),
+      |pruned AS (SELECT * FROM merged WHERE event_id % 7 <> 0),
+      |hop1 AS (
+      |  SELECT m.event_id, m.event_type, m.value, 'insert' AS change_type,
+      |    1 AS hop
+      |  FROM merged m LEFT JOIN base b ON b.event_id = m.event_id
+      |  WHERE b.event_id IS NULL
+      |  UNION ALL
+      |  SELECT b.event_id, b.event_type, b.value, 'update_preimage', 1
+      |  FROM base b JOIN merged m ON b.event_id = m.event_id
+      |  WHERE b.value <> m.value OR b.event_type <> m.event_type
+      |  UNION ALL
+      |  SELECT m.event_id, m.event_type, m.value, 'update_postimage', 1
+      |  FROM base b JOIN merged m ON b.event_id = m.event_id
+      |  WHERE b.value <> m.value OR b.event_type <> m.event_type),
+      |hop2 AS (
+      |  SELECT m.event_id, m.event_type, m.value, 'delete' AS change_type,
+      |    2 AS hop
+      |  FROM merged m WHERE m.event_id % 7 = 0)
+      |SELECT event_id, event_type, value, change_type, CAST(hop AS INT) AS hop
+      |FROM (SELECT * FROM hop1 UNION ALL SELECT * FROM hop2)
+      |ORDER BY event_id, hop, change_type""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val table = Scratch.dir("txn_cdf") + "/t"
+    val v0 = TxnLake.commit(s, ev.filter(col("event_id") % 3 =!= 0), table, "overwrite")
+    val v1 = TxnLake.merge(s,
+      ev.filter(col("event_id") % 2 === 0)
+        .withColumn("value", round(col("value") * 2, 2)),
+      table, key = "event_id")
+    val v2 = TxnLake.commit(s,
+      TxnLake.readVersion(s, table, v1).filter(col("event_id") % 7 =!= 0),
+      table, "overwrite")
+    def cols(side: String) =
+      Seq(col(s"$side.event_id"), col(s"$side.event_type"), col(s"$side.value"))
+    def feed(preV: Long, postV: Long, hop: Int): DataFrame = {
+      val pre = TxnLake.readVersion(s, table, preV).as("p")
+      val post = TxnLake.readVersion(s, table, postV).as("q")
+      val j = pre.join(post, col("p.event_id") === col("q.event_id"), "full_outer")
+      val changed = col("p.event_id").isNotNull && col("q.event_id").isNotNull &&
+        (col("p.value") =!= col("q.value") ||
+          col("p.event_type") =!= col("q.event_type"))
+      j.filter(col("p.event_id").isNull)
+        .select(cols("q") :+ lit("insert").as("change_type") :+ lit(hop).as("hop"): _*)
+        .unionAll(j.filter(changed)
+          .select(cols("p") :+ lit("update_preimage").as("change_type")
+            :+ lit(hop).as("hop"): _*))
+        .unionAll(j.filter(changed)
+          .select(cols("q") :+ lit("update_postimage").as("change_type")
+            :+ lit(hop).as("hop"): _*))
+        .unionAll(j.filter(col("q.event_id").isNull)
+          .select(cols("p") :+ lit("delete").as("change_type") :+ lit(hop).as("hop"): _*))
+    }
+    feed(v0, v1, hop = 1).unionAll(feed(v1, v2, hop = 2))
+      .orderBy("event_id", "hop", "change_type")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
       streamIntervalJoin, statefulTotals, streamDedup, freqItemsSketch,
       bloomPruneJoin, pqAdcAnn, tableProfile, pageRank, streamLateDrops,
-      streamStaticEnrich, streamOuterJoin, streamTxnIngest, ivfPqAnn)
+      streamStaticEnrich, streamOuterJoin, streamTxnIngest, ivfPqAnn,
+      txnChangeFeed)
 }

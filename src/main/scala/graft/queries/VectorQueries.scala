@@ -349,7 +349,129 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  // ---- v08 MMR diversified re-rank -----------------------------------
+  private def mmrStepSql(k: Int): String =
+    s"""g$k AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * max(p.sim) AS score
+       |  FROM cand c
+       |  JOIN ps p ON p.query_id = c.query_id AND p.ia = c.neighbor_id
+       |  JOIN sel${k - 1} s ON s.query_id = p.query_id AND s.neighbor_id = p.ib
+       |  WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} x
+       |                    WHERE x.query_id = c.query_id
+       |                      AND x.neighbor_id = c.neighbor_id)
+       |  GROUP BY c.query_id, c.neighbor_id, c.rel),
+       |s$k AS (SELECT query_id, neighbor_id, score, $k AS step FROM (
+       |    SELECT query_id, neighbor_id, score,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY score DESC, neighbor_id) AS r
+       |    FROM g$k) WHERE r = 1),
+       |sel$k AS (SELECT query_id, neighbor_id FROM sel${k - 1}
+       |          UNION ALL SELECT query_id, neighbor_id FROM s$k)""".stripMargin
+
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified top-k — the re-rank between retrieval and selection that
+    * keeps a training-data sampler or RAG context from returning five
+    * near-copies: greedily pick k=5 of the top-20 cosine candidates,
+    * scoring each remaining candidate λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s)
+    * against the already-selected set S (λ=0.7).
+    *
+    * The greedy loop is inherently sequential in k, so the unroll is five
+    * DataFrame steps — but each step's state is the (query, selected) set,
+    * never the corpus: the ONLY corpus-wide work is the v04-style candidate
+    * pass (broadcast query side, one scan). Candidate lists and their
+    * pairwise sims are localCheckpointed once (|Q|·20 and |Q|·20·19 rows);
+    * every iteration is joins over those pinned minis, and each step's
+    * 5-row pick is pinned so the lazy plan stays flat instead of growing
+    * 3^k. The oracle unrolls the identical five steps as CTEs; scores
+    * compare unrounded in both engines (same sequential-fold doubles, the
+    * v04 precedent), rounding only at emission. */
+  val mmrRerank = OracleQuery(
+    "v08_mmr_rerank",
+    s"""WITH n AS ($normSql),
+       |c0 AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $dotSql / (q.nrm * c.nrm) AS rel
+       |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |cand0 AS (
+       |  SELECT query_id, neighbor_id, rel FROM (
+       |    SELECT query_id, neighbor_id, rel,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY rel DESC, neighbor_id) AS r
+       |    FROM c0) WHERE r <= 20),
+       |cand AS (SELECT c.*, n.v, n.nrm FROM cand0 c
+       |         JOIN n ON n.vec_id = c.neighbor_id),
+       |ps AS (
+       |  SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+       |    list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+       |      / (a.nrm * b.nrm) AS sim
+       |  FROM cand a JOIN cand b
+       |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+       |s1 AS (
+       |  SELECT query_id, neighbor_id, CAST(0.7 AS DOUBLE) * rel AS score,
+       |    1 AS step
+       |  FROM (
+       |    SELECT query_id, neighbor_id, rel,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY rel DESC, neighbor_id) AS r
+       |    FROM cand0) WHERE r = 1),
+       |sel1 AS (SELECT query_id, neighbor_id FROM s1),
+       |${(2 to 5).map(mmrStepSql).mkString(",\n")}
+       |SELECT query_id, neighbor_id, CAST(step AS INT) AS step,
+       |  round(score, 4) AS mmr_score
+       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+       |      UNION ALL SELECT * FROM s5)
+       |ORDER BY query_id, step""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w20 = Window.partitionBy("query_id").orderBy(col("rel").desc, col("neighbor_id"))
+    val cand = broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("rel", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("r", row_number().over(w20)).filter(col("r") <= 20)
+      .select("query_id", "neighbor_id", "rel", "cv", "cn")
+      .localCheckpoint() // |Q|·20 rows; ends the corpus's role in the query
+    val ps = cand.as("a")
+      .join(cand.as("b"),
+        col("a.query_id") === col("b.query_id")
+          && col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"), col("a.neighbor_id").as("ia"),
+        col("b.neighbor_id").as("ib"),
+        (dot(col("a.cv"), col("b.cv")) / (col("a.cn") * col("b.cn"))).as("sim"))
+      .localCheckpoint() // |Q|·20·19 rows
+    val candSlim = cand.select("query_id", "neighbor_id", "rel")
+    val wPick = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    var picks = candSlim
+      .withColumn("r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rel").desc, col("neighbor_id"))))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(0.7) * col("rel")).as("score"), lit(1).as("step"))
+      .localCheckpoint()
+    for (k <- 2 to 5) {
+      val selIds = picks.select("query_id", "neighbor_id")
+      val step = candSlim
+        .join(selIds, Seq("query_id", "neighbor_id"), "left_anti")
+        .join(ps.withColumnRenamed("ia", "neighbor_id"), Seq("query_id", "neighbor_id"))
+        .join(selIds.withColumnRenamed("neighbor_id", "ib"), Seq("query_id", "ib"))
+        .groupBy("query_id", "neighbor_id", "rel")
+        .agg(max(col("sim")).as("msim"))
+        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("msim"))
+        .withColumn("r", row_number().over(wPick)).filter(col("r") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("score"), lit(k).as("step"))
+      picks = picks.unionByName(step).localCheckpoint() // ≤ |Q|·k rows
+    }
+    picks
+      .select(col("query_id"), col("neighbor_id"), col("step").cast("int").as("step"),
+        round(col("score"), 4).as("mmr_score"))
+      .orderBy("query_id", "step")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(embNorms, embCentroids, embNearDupPairs, embAnnTopK, embDedup, embQuantize,
-      embQuantRerankAnn, semDedup)
+      embQuantRerankAnn, semDedup, mmrRerank)
 }
