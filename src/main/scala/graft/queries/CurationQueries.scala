@@ -398,7 +398,61 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  // ---- d34 weighted priority sampling --------------------------------
+  /** Deterministic weighted sampling without replacement — priority
+    * sampling (Duffield/Lund/Thorup 2007; the top-k form of
+    * Efraimidis–Spirakis weighted reservoir sampling): each document gets
+    * priority w/u where w is its weight (here n_chars — swap in any
+    * quality score) and u a uniform in (0,1]; the k highest priorities ARE
+    * a weighted sample without replacement. u derives from md5(doc_id),
+    * not random(): the d16/d22 resumability property — any engine, any
+    * run, any partitioning draws the SAME sample, and appending new
+    * documents never evicts an old one except by honest priority.
+    *
+    * u = (h+1)/2^48 with h the first 48 md5 bits, so priority =
+    * w·2^48/(h+1) — one multiply and one divide, both IEEE-exact in both
+    * engines (h+1 < 2^53; no log/exp transcendentals whose libm rounding
+    * could diverge, the reason this uses the w/u form rather than the
+    * u^(1/w) original).
+    *
+    * Scale: one scan + TakeOrderedAndProject distributed top-k (per-
+    * partition heaps, driver merges k rows) — no full sort, no shuffle of
+    * the corpus; the rank window runs on the 100 surviving rows. */
+  val prioritySample = OracleQuery(
+    "d34_weighted_priority_sample",
+    """WITH w AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 12))::BIGINT
+      |      AS h
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(greatest(n_chars, 1) AS DOUBLE) * 281474976710656 / (h + 1)
+      |      AS priority
+      |  FROM w),
+      |r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rnk
+      |      FROM p)
+      |SELECT doc_id, lang, n_chars, round(priority, 4) AS priority,
+      |  CAST(rnk AS INT) AS rnk
+      |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":ws"))),
+      1, 12), 16, 10).cast("long")
+    val top = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (greatest(col("n_chars"), lit(1L)).cast("double")
+          * lit(281474976710656.0) / (h + 1)).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(100) // TakeOrderedAndProject: distributed top-k, no full sort
+    top
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("priority").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("priority"), 4).as("priority"), col("rnk"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(piiScrub, corpusMixing, unigramSurprisal, boilerplatePrune,
-      dsirImportance, bigramSurprisal, hashedClassifier)
+      dsirImportance, bigramSurprisal, hashedClassifier, prioritySample)
 }

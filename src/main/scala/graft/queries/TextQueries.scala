@@ -1073,6 +1073,130 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---- d35 hybrid retrieval (RRF fusion) -----------------------------
+  /** Hybrid sparse+dense retrieval fused with reciprocal rank fusion
+    * (Cormack/Clarke/Buettcher 2009) — the two-tower retrieval shape every
+    * RAG/data-selection stack runs: for each seed document, rank the rest
+    * of the corpus lexically (token-set Jaccard — the sparse tower) and
+    * semantically (embedding cosine — the dense tower; the synthetic
+    * corpus aligns embeddings.vec_id with documents.doc_id), then fuse
+    * with RRF(60): score = 1/(60+r_dense) + 1/(60+r_sparse), top-10.
+    * Rank fusion needs no score calibration between towers — exactly why
+    * production hybrid search uses it — and makes the whole pipeline
+    * hash-checkable: ranks are integers, the fused score is two exact
+    * IEEE divisions and one add.
+    *
+    * Scale: the seed side is tiny and broadcast everywhere; corpus-side
+    * work is one tokenize pass + one token equi-join (sparse) and one
+    * v04-shape broadcast cosine scan (dense); each tower's rank is a
+    * per-seed window over its |seeds|·N score rows. No all-pairs joins. */
+  val docHybridRrf = OracleQuery(
+    "d35_hybrid_rrf",
+    s"""WITH t AS (
+       |  SELECT doc_id, list_distinct($tokSql) AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |sz AS (SELECT doc_id, len(toks) AS n FROM t),
+       |pairs AS (
+       |  SELECT s.doc_id AS seed_id, c.doc_id AS cand_id
+       |  FROM documents s JOIN documents c ON c.doc_id <> s.doc_id
+       |  WHERE s.doc_id < 3),
+       |inter AS (
+       |  SELECT a.doc_id AS seed_id, b.doc_id AS cand_id, count(*) AS i
+       |  FROM tok a JOIN tok b ON a.tok = b.tok
+       |  WHERE a.doc_id < 3 AND b.doc_id <> a.doc_id
+       |  GROUP BY 1, 2),
+       |sr AS (
+       |  SELECT seed_id, cand_id,
+       |    row_number() OVER (PARTITION BY seed_id
+       |                       ORDER BY jsim DESC, cand_id) AS rs
+       |  FROM (
+       |    SELECT p.seed_id, p.cand_id,
+       |      CAST(coalesce(i.i, 0) AS DOUBLE)
+       |        / (ss.n + sc.n - coalesce(i.i, 0)) AS jsim
+       |    FROM pairs p
+       |    JOIN sz ss ON ss.doc_id = p.seed_id
+       |    JOIN sz sc ON sc.doc_id = p.cand_id
+       |    LEFT JOIN inter i
+       |      ON i.seed_id = p.seed_id AND i.cand_id = p.cand_id)),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+       |  FROM (SELECT vec_id,
+       |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings)),
+       |dr AS (
+       |  SELECT seed_id, cand_id,
+       |    row_number() OVER (PARTITION BY seed_id
+       |                       ORDER BY csim DESC, cand_id) AS rd
+       |  FROM (
+       |    SELECT q.vec_id AS seed_id, c.vec_id AS cand_id,
+       |      list_sum(list_transform(list_zip(q.v, c.v), x -> x[1]*x[2]))
+       |        / (q.nrm * c.nrm) AS csim
+       |    FROM n q JOIN n c ON q.vec_id < 3 AND c.vec_id <> q.vec_id)),
+       |f AS (
+       |  SELECT sr.seed_id, sr.cand_id, dr.rd, sr.rs,
+       |    CAST(1 AS DOUBLE) / (60 + dr.rd) + CAST(1 AS DOUBLE) / (60 + sr.rs)
+       |      AS rrf
+       |  FROM sr JOIN dr
+       |    ON dr.seed_id = sr.seed_id AND dr.cand_id = sr.cand_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY seed_id
+       |                                   ORDER BY rrf DESC, cand_id) AS rnk
+       |      FROM f)
+       |SELECT seed_id, cand_id, CAST(rd AS INT) AS dense_rnk,
+       |  CAST(rs AS INT) AS sparse_rnk, round(rrf, 6) AS rrf_score,
+       |  CAST(rnk AS INT) AS rnk
+       |FROM r WHERE rnk <= 10 ORDER BY seed_id, rnk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val sz = t.select(col("doc_id"), size(col("toks")).as("n"))
+    val tok = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val seeds = Tables.documents(s, d).filter(col("doc_id") < 3)
+      .select(col("doc_id").as("seed_id"))
+    val pairs = broadcast(seeds)
+      .crossJoin(Tables.documents(s, d).select(col("doc_id").as("cand_id")))
+      .filter(col("cand_id") =!= col("seed_id"))
+    val seedTok = tok.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("seed_id"), col("tok"))
+    val inter = broadcast(seedTok)
+      .join(tok.select(col("doc_id").as("cand_id"), col("tok")), Seq("tok"))
+      .filter(col("cand_id") =!= col("seed_id"))
+      .groupBy("seed_id", "cand_id").agg(count(lit(1)).as("i"))
+    val wS = Window.partitionBy("seed_id").orderBy(col("jsim").desc, col("cand_id"))
+    val sr = pairs
+      .join(broadcast(sz.select(col("doc_id").as("seed_id"), col("n").as("sn"))),
+        Seq("seed_id"))
+      .join(sz.select(col("doc_id").as("cand_id"), col("n").as("cn")), Seq("cand_id"))
+      .join(inter, Seq("seed_id", "cand_id"), "left_outer")
+      .withColumn("jsim",
+        coalesce(col("i"), lit(0L)).cast("double")
+          / (col("sn") + col("cn") - coalesce(col("i"), lit(0L))))
+      .withColumn("rs", row_number().over(wS))
+      .select("seed_id", "cand_id", "rs")
+    val n = Tables.embeddings(s, d)
+      .select(col("vec_id"), graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("v")))
+    val q = n.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("seed_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wD = Window.partitionBy("seed_id").orderBy(col("csim").desc, col("cand_id"))
+    val dr = broadcast(q).join(c, col("cand_id") =!= col("seed_id"))
+      .withColumn("csim",
+        graft.functions.VectorFunctions.dot(col("qv"), col("cv"))
+          / (col("qn") * col("cn")))
+      .withColumn("rd", row_number().over(wD))
+      .select("seed_id", "cand_id", "rd")
+    val wF = Window.partitionBy("seed_id").orderBy(col("rrf").desc, col("cand_id"))
+    sr.join(dr, Seq("seed_id", "cand_id"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60) + col("rd")) + lit(1.0) / (lit(60) + col("rs")))
+      .withColumn("rnk", row_number().over(wF))
+      .filter(col("rnk") <= 10)
+      .select(col("seed_id"), col("cand_id"), col("rd").cast("int").as("dense_rnk"),
+        col("rs").cast("int").as("sparse_rnk"), round(col("rrf"), 6).as("rrf_score"),
+        col("rnk").cast("int").as("rnk"))
+      .orderBy("seed_id", "rnk")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
@@ -1080,5 +1204,5 @@ object TextQueries {
     docDedupClusters, docTokenPacking, docSeqPacking, docEditDistance,
     docTrainSplit, docWinnowing, docRepetition, docOovRate,
     docContamination, docBm25, docRepeatedSpans, docBpeMerges,
-    docIncrementalNearDup)
+    docIncrementalNearDup, docHybridRrf)
 }
