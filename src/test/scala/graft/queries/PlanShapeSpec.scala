@@ -289,6 +289,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("weighted priority sample is a distributed top-k, never a full sort") {
+    // d34: the corpus must reach the driver as at most k rows per
+    // partition (TakeOrderedAndProject's per-partition heaps); a global
+    // Sort+Limit would shuffle the whole table at 100 TB.
+    val plan = planOf("d34_weighted_priority_sample")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("hybrid RRF towers join the corpus with hash joins, seeds broadcast") {
+    // d35: the sparse tower's token intersection and the dense tower's
+    // cosine scan both keep the seed side broadcast; the only nested-loop
+    // product allowed is the tiny seeds×corpus rank grid (the q42
+    // date-grid precedent) — corpus×corpus must never appear, which would
+    // surface as a CartesianProduct.
+    val plan = planOf("d35_hybrid_rrf")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("events scan prunes to referenced columns only") {
     val df = Tables.events(SparkSpec.session, dir)
       .groupBy("event_type").agg(count(lit(1)))
