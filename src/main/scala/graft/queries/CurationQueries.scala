@@ -452,7 +452,45 @@ object CurationQueries {
       .orderBy("rnk")
   }
 
+  // ---- d37 temperature-scaled mixture weights ------------------------
+  /** Temperature-scaled domain mixture — the multi-source sampling-weight
+    * computation from multilingual/multi-domain pretraining (mT5, XLM-R:
+    * p_i ∝ n_i^α): with α = 0.5 the weight is sqrt(n_i), which IEEE
+    * specifies correctly-rounded in both engines — no libm pow/exp whose
+    * last-bit rounding could diverge. Weights are floored to integer
+    * micro-units so the normalizing total is an exact BIGINT sum
+    * (order-independent), rates are one exact division, and per-epoch
+    * document budgets (epoch = 100k docs) are integer division.
+    *
+    * Scale: one hash aggregate on source (the census) and a broadcast of
+    * the one-row total — the per-document application of these rates is
+    * d22's md5-bucket sampling, which this query parameterizes. */
+  val temperatureMixing = OracleQuery(
+    "d37_temperature_mixing",
+    """WITH src AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |w AS (SELECT source, n_docs,
+      |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+      |          AS wgt
+      |      FROM src),
+      |t AS (SELECT CAST(sum(wgt) AS BIGINT) AS total FROM w)
+      |SELECT source, n_docs, wgt,
+      |  round(CAST(wgt AS DOUBLE) / total, 6) AS sample_rate,
+      |  CAST((wgt * 100000) // total AS BIGINT) AS docs_per_epoch
+      |FROM w, t ORDER BY source""".stripMargin) { (s, d) =>
+    val w = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("wgt",
+        floor(sqrt(col("n_docs").cast("double")) * 1000000).cast("long"))
+    val t = w.agg(sum(col("wgt")).as("total"))
+    w.crossJoin(broadcast(t))
+      .select(col("source"), col("n_docs"), col("wgt"),
+        round(col("wgt").cast("double") / col("total"), 6).as("sample_rate"),
+        expr("CAST((wgt * 100000) DIV total AS BIGINT)").as("docs_per_epoch"))
+      .orderBy("source")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(piiScrub, corpusMixing, unigramSurprisal, boilerplatePrune,
-      dsirImportance, bigramSurprisal, hashedClassifier, prioritySample)
+      dsirImportance, bigramSurprisal, hashedClassifier, prioritySample,
+      temperatureMixing)
 }

@@ -1197,6 +1197,78 @@ object TextQueries {
       .orderBy("seed_id", "rnk")
   }
 
+  // ---- d36 length-bucketed batching ----------------------------------
+  /** Padding-waste census for length-bucketed batching — the measurement
+    * behind every dynamic-batching / bucketed-sampler decision in a
+    * training loader: batch the corpus 32 docs at a time (a) in arrival
+    * order and (b) sorted by token length, pad each batch to its max
+    * length, and report padded tokens, waste, and efficiency per strategy.
+    * Length-sorting is the standard fix (near-uniform lengths per batch ⇒
+    * minimal padding); this quantifies exactly what it buys on this corpus.
+    *
+    * Batch assignment is rank DIV 32 where rank comes from
+    * [[graft.operators.PrefixSum]] over ones — the d14 two-pass
+    * distributed cumsum, NOT a single-reducer `Window.orderBy` (the
+    * sorted tower's rank key is the composite n_toks·2^33 + doc_id, unique
+    * and overflow-safe: n_toks < 2^20 and doc_id < 2^33 keep it under
+    * 2^53). Everything emitted is integer arithmetic except the final
+    * efficiency ratio (one exact IEEE division).
+    *
+    * Scale: one tokenize pass materialized as a 2-long-per-doc mini table,
+    * two prefix-sum passes (keyed windows + a #buckets-row global window),
+    * two hash aggregates on batch id. No global sort of the corpus. */
+  val docLengthBatching = OracleQuery(
+    "d36_length_batching",
+    s"""WITH t AS (
+       |  SELECT doc_id, len($tokSql) AS n_toks FROM documents),
+       |nv AS (SELECT n_toks,
+       |    CAST((row_number() OVER (ORDER BY doc_id) - 1) // 32 AS BIGINT)
+       |      AS batch
+       |  FROM t),
+       |sv AS (SELECT n_toks,
+       |    CAST((row_number() OVER (ORDER BY n_toks, doc_id) - 1) // 32 AS BIGINT)
+       |      AS batch
+       |  FROM t),
+       |agg AS (
+       |  SELECT 'arrival' AS strategy, batch, count(*) AS c, max(n_toks) AS m,
+       |    sum(n_toks) AS s
+       |  FROM nv GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'length_sorted', batch, count(*), max(n_toks), sum(n_toks)
+       |  FROM sv GROUP BY 2)
+       |SELECT strategy, CAST(count(*) AS BIGINT) AS n_batches,
+       |  CAST(sum(c) AS BIGINT) AS n_docs,
+       |  CAST(sum(s) AS BIGINT) AS total_tokens,
+       |  CAST(sum(m * c) AS BIGINT) AS padded_tokens,
+       |  CAST(sum(m * c) - sum(s) AS BIGINT) AS pad_waste,
+       |  round(CAST(sum(s) AS DOUBLE) / sum(m * c), 4) AS efficiency
+       |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.operators.PrefixSum
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .localCheckpoint() // prefix-sum makes two passes per tower; pin the
+                         // tokenize so it runs once, not four times
+    def batches(df: org.apache.spark.sql.DataFrame, orderCol: String) =
+      PrefixSum.exclusivePrefixSum(df.withColumn("one", lit(1L)), orderCol, "one", "rk")
+        .withColumn("batch", expr("rk DIV 32"))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("c"), max(col("n_toks")).as("m"),
+          sum(col("n_toks")).as("s"))
+    val nv = batches(t, "doc_id").withColumn("strategy", lit("arrival"))
+    val sv = batches(
+      t.withColumn("skey", col("n_toks") * lit(8589934592L) + col("doc_id")),
+      "skey").withColumn("strategy", lit("length_sorted"))
+    nv.unionByName(sv)
+      .groupBy("strategy")
+      .agg(count(lit(1)).as("n_batches"), sum(col("c")).as("n_docs"),
+        sum(col("s")).as("total_tokens"),
+        sum(col("m") * col("c")).as("padded_tokens"),
+        (sum(col("m") * col("c")) - sum(col("s"))).as("pad_waste"),
+        round(sum(col("s")).cast("double") / sum(col("m") * col("c")), 4)
+          .as("efficiency"))
+      .orderBy("strategy")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
@@ -1204,5 +1276,5 @@ object TextQueries {
     docDedupClusters, docTokenPacking, docSeqPacking, docEditDistance,
     docTrainSplit, docWinnowing, docRepetition, docOovRate,
     docContamination, docBm25, docRepeatedSpans, docBpeMerges,
-    docIncrementalNearDup, docHybridRrf)
+    docIncrementalNearDup, docHybridRrf, docLengthBatching)
 }

@@ -471,7 +471,60 @@ object VectorQueries {
       .orderBy("query_id", "step")
   }
 
+  // ---- v09 embedding outlier scores ----------------------------------
+  /** Per-label embedding outlier scoring — the anomaly screen a curation
+    * pipeline runs before trusting cluster structure (mislabeled rows,
+    * corrupt embeddings, off-distribution content): distance of each
+    * vector to its label centroid, z-scored against the label's distance
+    * distribution; `is_outlier` flags z ≥ 2. The threshold applies to the
+    * ROUNDED z in both engines (the v03 borderline trick), and every
+    * score is emitted rather than only the outliers, so membership can't
+    * silently drift.
+    *
+    * Scale: centroids are the v02 posexplode+avg shape (k·64 rows,
+    * broadcast back); distances are one hash aggregate on vec_id; label
+    * stats are a k-row aggregate. Two corpus-wide shuffles total, both on
+    * high-cardinality keys. */
+  val embOutliers = OracleQuery(
+    "v09_emb_outliers",
+    s"""WITH e AS ($embSql),
+       |el AS (SELECT e.vec_id, emb.label, e.v
+       |       FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id),
+       |ex AS (SELECT vec_id, label, i AS dim, v[i] AS x
+       |       FROM el, generate_series(1, 64) g(i)),
+       |cent AS (SELECT label, dim, avg(x) AS c FROM ex GROUP BY 1, 2),
+       |dist AS (
+       |  SELECT vec_id, label, sqrt(sum((x - c) * (x - c))) AS dst
+       |  FROM ex JOIN cent USING (label, dim) GROUP BY 1, 2),
+       |st AS (
+       |  SELECT label, avg(dst) AS mu,
+       |    sqrt(greatest(avg(dst * dst) - avg(dst) * avg(dst), 0)) AS sd
+       |  FROM dist GROUP BY 1)
+       |SELECT d.vec_id, d.label, round(d.dst, 4) AS centroid_dist,
+       |  round((d.dst - s.mu) / s.sd, 4) AS z_score,
+       |  (round((d.dst - s.mu) / s.sd, 4) >= 2.0) AS is_outlier
+       |FROM dist d JOIN st s USING (label)
+       |ORDER BY d.vec_id""".stripMargin) { (s, d) =>
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .withColumn("dim", (col("pos") + 1).cast("int"))
+    val cent = ex.groupBy("label", "dim").agg(avg(col("x")).as("c"))
+    val dist = ex.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sqrt(sum((col("x") - col("c")) * (col("x") - col("c")))).as("dst"))
+    val st = dist.groupBy("label")
+      .agg(avg(col("dst")).as("mu"),
+        sqrt(greatest(avg(col("dst") * col("dst"))
+          - avg(col("dst")) * avg(col("dst")), lit(0.0))).as("sd"))
+    dist.join(broadcast(st), Seq("label"))
+      .withColumn("z_score", round((col("dst") - col("mu")) / col("sd"), 4))
+      .select(col("vec_id"), col("label"), round(col("dst"), 4).as("centroid_dist"),
+        col("z_score"), (col("z_score") >= 2.0).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(embNorms, embCentroids, embNearDupPairs, embAnnTopK, embDedup, embQuantize,
-      embQuantRerankAnn, semDedup, mmrRerank)
+      embQuantRerankAnn, semDedup, mmrRerank, embOutliers)
 }
