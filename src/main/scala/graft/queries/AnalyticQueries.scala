@@ -626,7 +626,74 @@ object AnalyticQueries {
       .orderBy("user_id", "valid_from_us")
   }
 
+  /** Sequential funnel analysis over the event stream — the product-
+    * analytics staple (Amplitude/Mixpanel "funnels"): per user, the first
+    * `view`, the first `click` strictly AFTER that view, and the first
+    * `purchase` strictly after that click; emit the per-stage user census
+    * and stage-over-stage conversion. Strict ordering (not mere presence)
+    * is what makes it a funnel — each stage's min-timestamp search is
+    * conditioned on the previous stage's timestamp.
+    *
+    * Scale: three filtered min-aggregates and two joins, ALL keyed on
+    * user_id — one shuffle partitioning serves every stage (no per-user
+    * event sorting, no window over the whole stream); the 3-row output
+    * assembles from broadcast scalar counts. */
+  val q49 = OracleQuery(
+    "q49_event_funnel",
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1),
+      |n AS (SELECT (SELECT count(*) FROM v) AS nv,
+      |             (SELECT count(*) FROM c) AS nc,
+      |             (SELECT count(*) FROM p) AS np)
+      |SELECT stage, n_users,
+      |  round(CAST(n_users AS DOUBLE) / nullif(prev_users, 0), 4) AS conversion
+      |FROM (
+      |  SELECT 1 AS ord, 'view' AS stage, nv AS n_users, nv AS prev_users FROM n
+      |  UNION ALL
+      |  SELECT 2, 'click', nc, nv FROM n
+      |  UNION ALL
+      |  SELECT 3, 'purchase', np, nc FROM n)
+      |ORDER BY ord""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    val n = v.agg(count(lit(1)).as("nv"))
+      .crossJoin(c.agg(count(lit(1)).as("nc")))
+      .crossJoin(p.agg(count(lit(1)).as("np")))
+    val stages = n.select(
+      explode(array(
+        struct(lit(1).as("ord"), lit("view").as("stage"),
+          col("nv").as("n_users"), col("nv").as("prev_users")),
+        struct(lit(2).as("ord"), lit("click").as("stage"),
+          col("nc").as("n_users"), col("nv").as("prev_users")),
+        struct(lit(3).as("ord"), lit("purchase").as("stage"),
+          col("np").as("n_users"), col("nc").as("prev_users")))).as("r"))
+    stages.select(col("r.ord").as("ord"), col("r.stage").as("stage"),
+        col("r.n_users").as("n_users"),
+        round(col("r.n_users").cast("double")
+          / nullif(col("r.prev_users"), lit(0)), 4).as("conversion"))
+      .orderBy("ord")
+      .select("stage", "n_users", "conversion")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-      q39, q40, q41, q42, q43, q44, q45, q46, q47)
+      q39, q40, q41, q42, q43, q44, q45, q46, q47, q49)
 }

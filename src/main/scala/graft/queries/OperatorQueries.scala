@@ -1097,9 +1097,20 @@ object OperatorQueries {
       |SELECT event_id, event_type, value, change_type, CAST(hop AS INT) AS hop
       |FROM (SELECT * FROM hop1 UNION ALL SELECT * FROM hop2)
       |ORDER BY event_id, hop, change_type""".stripMargin) { (s, d) =>
+    val (table, v0, v1, v2) = threeHopLake(s, d, "txn_cdf")
+    eventsCdf(s, table, v0, v1, hop = 1)
+      .unionAll(eventsCdf(s, table, v1, v2, hop = 2))
+      .orderBy("event_id", "hop", "change_type")
+  }
+
+  /** The x25/x26 three-hop lake fixture: base snapshot (event_id %3 ≠ 0),
+    * MERGE of a doubled-value delta (%2 = 0), pruning overwrite (%7 ≠ 0).
+    * Returns the table path and the three pinned version ids. */
+  private def threeHopLake(s: org.apache.spark.sql.SparkSession, d: String,
+                           scratchName: String): (String, Long, Long, Long) = {
     import graft.sources.TxnLake
     val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
-    val table = Scratch.dir("txn_cdf") + "/t"
+    val table = Scratch.dir(scratchName) + "/t"
     val v0 = TxnLake.commit(s, ev.filter(col("event_id") % 3 =!= 0), table, "overwrite")
     val v1 = TxnLake.merge(s,
       ev.filter(col("event_id") % 2 === 0)
@@ -1108,28 +1119,78 @@ object OperatorQueries {
     val v2 = TxnLake.commit(s,
       TxnLake.readVersion(s, table, v1).filter(col("event_id") % 7 =!= 0),
       table, "overwrite")
+    (table, v0, v1, v2)
+  }
+
+  /** Change feed between two pinned versions of an events-shaped TxnLake
+    * table: one full-outer key join, Delta-CDF change_type taxonomy. */
+  private def eventsCdf(s: org.apache.spark.sql.SparkSession, table: String,
+                        preV: Long, postV: Long, hop: Int): DataFrame = {
+    import graft.sources.TxnLake
     def cols(side: String) =
       Seq(col(s"$side.event_id"), col(s"$side.event_type"), col(s"$side.value"))
-    def feed(preV: Long, postV: Long, hop: Int): DataFrame = {
-      val pre = TxnLake.readVersion(s, table, preV).as("p")
-      val post = TxnLake.readVersion(s, table, postV).as("q")
-      val j = pre.join(post, col("p.event_id") === col("q.event_id"), "full_outer")
-      val changed = col("p.event_id").isNotNull && col("q.event_id").isNotNull &&
-        (col("p.value") =!= col("q.value") ||
-          col("p.event_type") =!= col("q.event_type"))
-      j.filter(col("p.event_id").isNull)
-        .select(cols("q") :+ lit("insert").as("change_type") :+ lit(hop).as("hop"): _*)
-        .unionAll(j.filter(changed)
-          .select(cols("p") :+ lit("update_preimage").as("change_type")
-            :+ lit(hop).as("hop"): _*))
-        .unionAll(j.filter(changed)
-          .select(cols("q") :+ lit("update_postimage").as("change_type")
-            :+ lit(hop).as("hop"): _*))
-        .unionAll(j.filter(col("q.event_id").isNull)
-          .select(cols("p") :+ lit("delete").as("change_type") :+ lit(hop).as("hop"): _*))
-    }
-    feed(v0, v1, hop = 1).unionAll(feed(v1, v2, hop = 2))
-      .orderBy("event_id", "hop", "change_type")
+    val pre = TxnLake.readVersion(s, table, preV).as("p")
+    val post = TxnLake.readVersion(s, table, postV).as("q")
+    val j = pre.join(post, col("p.event_id") === col("q.event_id"), "full_outer")
+    val changed = col("p.event_id").isNotNull && col("q.event_id").isNotNull &&
+      (col("p.value") =!= col("q.value") ||
+        col("p.event_type") =!= col("q.event_type"))
+    j.filter(col("p.event_id").isNull)
+      .select(cols("q") :+ lit("insert").as("change_type") :+ lit(hop).as("hop"): _*)
+      .unionAll(j.filter(changed)
+        .select(cols("p") :+ lit("update_preimage").as("change_type")
+          :+ lit(hop).as("hop"): _*))
+      .unionAll(j.filter(changed)
+        .select(cols("q") :+ lit("update_postimage").as("change_type")
+          :+ lit(hop).as("hop"): _*))
+      .unionAll(j.filter(col("q.event_id").isNull)
+        .select(cols("p") :+ lit("delete").as("change_type") :+ lit(hop).as("hop"): _*))
+  }
+
+  /** Incremental materialized-view maintenance — the reason a lake grows
+    * a change feed at all: keep a per-type aggregate MV current by folding
+    * the x25 CDF deltas into the version-0 MV instead of rescanning the
+    * table. Inserts/update-postimages contribute (+1, +value),
+    * deletes/update-preimages (−1, −value); unchanged rows produce no
+    * delta and cost nothing. The emitted MV is the INCREMENTALLY
+    * maintained one; the oracle recomputes the final snapshot's aggregate
+    * from `events` relationally — equality proves delta application ≡
+    * full recompute, the invariant every streaming-MV system maintains.
+    *
+    * Scale: this is the 100 TB win the CDF exists for — maintenance cost
+    * scales with |changes| (two snapshot-diff joins here; per-commit
+    * change files in a production lake), not table size; the fold is one
+    * hash aggregate on the MV key. */
+  val incrementalMv = OracleQuery(
+    "x26_incremental_mv",
+    """WITH ev AS (SELECT event_id, event_type, value FROM events),
+      |base AS (SELECT * FROM ev WHERE event_id % 3 <> 0),
+      |delta AS (SELECT event_id, event_type, round(value * 2, 2) AS value
+      |          FROM ev WHERE event_id % 2 = 0),
+      |merged AS (
+      |  SELECT coalesce(d.event_id, b.event_id) AS event_id,
+      |    CASE WHEN d.event_id IS NOT NULL THEN d.event_type
+      |         ELSE b.event_type END AS event_type,
+      |    CASE WHEN d.event_id IS NOT NULL THEN d.value ELSE b.value END AS value
+      |  FROM base b FULL OUTER JOIN delta d ON b.event_id = d.event_id),
+      |pruned AS (SELECT * FROM merged WHERE event_id % 7 <> 0)
+      |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val (table, v0, v1, v2) = threeHopLake(s, d, "txn_mv")
+    val base = TxnLake.readVersion(s, table, v0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("dn"), sum(col("value")).as("dv"))
+    val sign = when(col("change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val deltas = eventsCdf(s, table, v0, v1, hop = 1)
+      .unionAll(eventsCdf(s, table, v1, v2, hop = 2))
+      .select(col("event_type"), sign.as("dn"), (sign * col("value")).as("dv"))
+    base.unionByName(deltas)
+      .groupBy("event_type")
+      .agg(sum(col("dn")).as("n"), round(sum(col("dv")), 2).as("sum_value"))
+      .filter(col("n") > 0)
+      .orderBy("event_type")
   }
 
   val all: Seq[OracleQuery] =
@@ -1138,5 +1199,5 @@ object OperatorQueries {
       streamIntervalJoin, statefulTotals, streamDedup, freqItemsSketch,
       bloomPruneJoin, pqAdcAnn, tableProfile, pageRank, streamLateDrops,
       streamStaticEnrich, streamOuterJoin, streamTxnIngest, ivfPqAnn,
-      txnChangeFeed)
+      txnChangeFeed, incrementalMv)
 }
