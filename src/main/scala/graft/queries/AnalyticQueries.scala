@@ -693,7 +693,48 @@ object AnalyticQueries {
       .select("stage", "n_users", "conversion")
   }
 
+  /** Weekly cohort retention — the other product-analytics staple next to
+    * q49's funnel: users cohorted by the epoch-week of their first event,
+    * then counted distinct per (cohort, weeks-since-cohort) with the rate
+    * against cohort size. Week bucketing is pure integer arithmetic on
+    * epoch nanos (`ts DIV 604800e9` / DuckDB `epoch_ns // …`) — no
+    * calendar/timezone functions whose week-numbering conventions could
+    * diverge between engines.
+    *
+    * Scale: first-event and activity aggregations both key on user_id
+    * (one partitioning serves both), the rate join keys on cohort week —
+    * no window over the event stream, no driver-side state. */
+  val q50 = OracleQuery(
+    "q50_cohort_retention",
+    """WITH wk AS (
+      |  SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events),
+      |coh AS (SELECT user_id, min(wk) AS cwk FROM wk GROUP BY 1),
+      |act AS (SELECT DISTINCT w.user_id, c.cwk, w.wk - c.cwk AS period
+      |        FROM wk w JOIN coh c ON c.user_id = w.user_id),
+      |sz AS (SELECT cwk, count(*) AS cohort_users FROM coh GROUP BY 1),
+      |r AS (SELECT cwk, period, count(*) AS n_active FROM act GROUP BY 1, 2)
+      |SELECT r.cwk AS cohort_week, CAST(r.period AS INT) AS period,
+      |  r.n_active, sz.cohort_users,
+      |  round(CAST(r.n_active AS DOUBLE) / sz.cohort_users, 4) AS retention
+      |FROM r JOIN sz ON sz.cwk = r.cwk
+      |ORDER BY cohort_week, period""".stripMargin) { (s, d) =>
+    val wk = Tables.events(s, d)
+      .select(col("user_id"), expr("ts DIV 604800000000000").as("wk"))
+    val coh = wk.groupBy("user_id").agg(min(col("wk")).as("cwk"))
+    val act = wk.join(coh, Seq("user_id"))
+      .select(col("user_id"), col("cwk"), (col("wk") - col("cwk")).as("period"))
+      .distinct()
+    val sz = coh.groupBy("cwk").agg(count(lit(1)).as("cohort_users"))
+    act.groupBy("cwk", "period").agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sz), Seq("cwk"))
+      .select(col("cwk").as("cohort_week"), col("period").cast("int").as("period"),
+        col("n_active"), col("cohort_users"),
+        round(col("n_active").cast("double") / col("cohort_users"), 4)
+          .as("retention"))
+      .orderBy("cohort_week", "period")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-      q39, q40, q41, q42, q43, q44, q45, q46, q47, q49)
+      q39, q40, q41, q42, q43, q44, q45, q46, q47, q49, q50)
 }

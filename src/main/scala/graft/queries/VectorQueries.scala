@@ -524,7 +524,48 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  // ---- v10 ANN recall evaluation -------------------------------------
+  /** Recall@10 of the SRP-LSH ANN tier against the exact brute-force
+    * baseline — the evaluation harness that justifies every approximate
+    * tier in this library: for each query both pipelines serve, count how
+    * many of the exact top-10 the approximate index returned. BOTH sides
+    * are deterministic registered queries (x01, v04), so the whole
+    * evaluation composes their SQL verbatim into one oracle — the
+    * measured recall itself is hash-checked, not just spot-asserted (the
+    * x02 recall gate pattern, upgraded to exact values).
+    *
+    * Scale: evaluation cost is the two pipelines' cost plus a join on
+    * (query, neighbor) over k rows per query — negligible; run it on a
+    * sampled query set to monitor index drift in production. */
+  val annRecallEval = OracleQuery(
+    "v10_ann_recall_eval",
+    s"""WITH srp AS (
+       |${graft.queries.OperatorQueries.srpAnn.sql.get}
+       |), ex AS (
+       |${embAnnTopK.sql.get}
+       |)
+       |SELECT e.query_id, CAST(count(*) AS BIGINT) AS exact_k,
+       |  CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS hits,
+       |  round(CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 4) AS recall
+       |FROM ex e LEFT JOIN srp s
+       |  ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin) { (s, d) =>
+    val ex = embAnnTopK.run(s, d).select(col("query_id"), col("neighbor_id"))
+    val srp = graft.queries.OperatorQueries.srpAnn.run(s, d)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    ex.join(srp, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("exact_k"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+      .select(col("query_id"), col("exact_k"),
+        col("hits"),
+        round(col("hits").cast("double") / col("exact_k"), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(embNorms, embCentroids, embNearDupPairs, embAnnTopK, embDedup, embQuantize,
-      embQuantRerankAnn, semDedup, mmrRerank, embOutliers)
+      embQuantRerankAnn, semDedup, mmrRerank, embOutliers, annRecallEval)
 }
