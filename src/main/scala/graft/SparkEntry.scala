@@ -11,31 +11,33 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *
   *  - q01–q25 [[graft.queries.RelationalQueries]] — SURVEY §2 relational
   *    inventory + as-of/interval joins, rollup, semi/anti, distinct tiers
-  *  - q26–q47 [[graft.queries.AnalyticQueries]] — frames, lag/lead, exact
+  *  - q26–q50 [[graft.queries.AnalyticQueries]] — frames, lag/lead, exact
   *    percentiles, string suite, pivot, set ops, null-safe equality,
   *    CUBE, GROUPING SETS, salted skew-safe aggregation, correlated
   *    subqueries, stats suite (corr/covar/regr), incremental upsert,
   *    date gap-fill, global top-k, z-order clustering keys, typed-
-  *    Aggregator group top-K
-  *  - d01–d20, d25–d27, d29, d33, d35–d36 [[graft.queries.TextQueries]] — token/quality/
+  *    Aggregator group top-K, sequential event funnel, weekly
+  *    cohort retention
+  *  - d01–d20, d25–d27, d29, d33, d35–d36, d38 [[graft.queries.TextQueries]] — token/quality/
   *    langid/fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact
   *    n-gram Jaccard, edit-distance, cluster collapse), chunking, TF-IDF,
   *    corpus curation, token packing, md5-bucket train/eval split,
   *    winnowing, repetition filters, vocabulary/OOV analysis,
   *    contamination screen, BM25 retrieval, cross-doc repeated-span
   *    census, BPE merge discovery, incremental delta-vs-index screening,
-  *    hybrid sparse+dense RRF retrieval, length-bucketed batching census
+  *    hybrid sparse+dense RRF retrieval, length-bucketed batching census,
+  *    LSH recall evaluation vs lossless ground truth
   *  - d21–d24, d28, d30–d31, d34, d37 [[graft.queries.CurationQueries]] —
   *    PII scrub, stratified corpus mixing, unigram-LM surprisal,
   *    boilerplate n-gram pruning, DSIR importance weighting, bigram-LM
   *    conditional surprisal, hashed-feature linear quality classifier,
   *    deterministic weighted priority sampling, temperature-scaled
   *    mixture weights
-  *  - v01–v09, d32 [[graft.queries.VectorQueries]] — embedding math, ANN
+  *  - v01–v10, d32 [[graft.queries.VectorQueries]] — embedding math, ANN
   *    baseline, int8 quantization, quantized-prefilter re-rank ANN,
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
-  *    per-label outlier scores
-  *  - x01–x25 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *    per-label outlier scores, ANN recall evaluation
+  *  - x01–x26 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -43,7 +45,7 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    co-located join, PQ-ADC ANN, one-pass table profiling,
   *    integer-exact weighted PageRank, stream-stream outer join,
   *    exactly-once transactional streaming ingest, IVF-PQ composed ANN,
-  *    change-data-feed snapshot diff
+  *    change-data-feed snapshot diff, incremental MV maintenance
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

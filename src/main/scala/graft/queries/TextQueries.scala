@@ -1269,6 +1269,71 @@ object TextQueries {
       .orderBy("strategy")
   }
 
+  // ---- d38 LSH recall evaluation -------------------------------------
+  /** Recall of MinHash-LSH near-dup detection against lossless ground
+    * truth, banded by similarity — the dedup counterpart of v10's ANN
+    * recall harness and the number every LSH deployment must publish
+    * (banding theory promises recall that RISES with similarity; this
+    * measures it): ground truth is the PPJoin exact-Jaccard join at the
+    * same threshold/shingle definition (prefix-filtered — lossless
+    * without going quadratic, which is what makes exact ground truth
+    * computable at scale at all), candidates are d07's band-bucket
+    * pipeline; both sides are already-verified registered operators.
+    * Banding applies to the ROUNDED jaccard in both engines (v03 trick).
+    *
+    * Precision is 1.0 by construction (LSH candidates are exact-verified
+    * before thresholding), so the eval reports the one number banding can
+    * lose: recall. */
+  val docLshRecallEval = OracleQuery(
+    "d38_lsh_recall_eval", {
+      // minhashPairCtes opens with `sh AS (...)` — identical to the sh the
+      // ngram CTEs already define (same tokSql + shingleSql) — so compose
+      // by stripping that one duplicate CTE rather than renaming the chain
+      val shCte = s"sh AS (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),\n"
+      require(minhashPairCtes.startsWith(shCte),
+        "d38: minhash CTE chain no longer opens with the shared sh CTE")
+      val minhashTail = minhashPairCtes.stripPrefix(shCte)
+      s"""WITH ${ngramPairCtes(0.7)},
+         |$minhashTail,
+         |found AS (SELECT doc_a, doc_b FROM verify WHERE jac >= 0.7),
+         |tb AS (
+         |  SELECT CASE WHEN round(tr.jac, 4) >= 0.9 THEN '0.90-1.00'
+         |              WHEN round(tr.jac, 4) >= 0.8 THEN '0.80-0.90'
+         |              ELSE '0.70-0.80' END AS sim_band,
+         |    CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM jpairs tr LEFT JOIN found f
+         |    ON f.doc_a = tr.doc_a AND f.doc_b = tr.doc_b),
+         |b AS (
+         |  SELECT sim_band, count(*) AS n_true,
+         |    CAST(sum(hit) AS BIGINT) AS n_found
+         |  FROM tb GROUP BY 1
+         |  UNION ALL
+         |  SELECT 'all', count(*), CAST(sum(hit) AS BIGINT) FROM tb)
+         |SELECT sim_band, CAST(n_true AS BIGINT) AS n_true, n_found,
+         |  round(CAST(n_found AS DOUBLE) / n_true, 4) AS recall
+         |FROM b ORDER BY sim_band""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val truth = graft.operators.JaccardJoin.exactPairs(docs, 0.7)
+    val found = graft.operators.MinHashDedup.verifiedPairs(docs, 0.7)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    val tb = truth.join(found, Seq("doc_a", "doc_b"), "left_outer")
+      .select(
+        when(col("jaccard") >= 0.9, "0.90-1.00")
+          .when(col("jaccard") >= 0.8, "0.80-0.90")
+          .otherwise("0.70-0.80").as("sim_band"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .localCheckpoint() // tiny (near-dup pairs); scanned by both rollup arms
+    val banded = tb.groupBy("sim_band")
+      .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("n_found"))
+    val total = tb.agg(count(lit(1)).as("n_true"), sum(col("hit")).as("n_found"))
+      .select(lit("all").as("sim_band"), col("n_true"), col("n_found"))
+    banded.unionByName(total)
+      .select(col("sim_band"), col("n_true"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_true"), 4).as("recall"))
+      .orderBy("sim_band")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
@@ -1276,5 +1341,5 @@ object TextQueries {
     docDedupClusters, docTokenPacking, docSeqPacking, docEditDistance,
     docTrainSplit, docWinnowing, docRepetition, docOovRate,
     docContamination, docBm25, docRepeatedSpans, docBpeMerges,
-    docIncrementalNearDup, docHybridRrf, docLengthBatching)
+    docIncrementalNearDup, docHybridRrf, docLengthBatching, docLshRecallEval)
 }
