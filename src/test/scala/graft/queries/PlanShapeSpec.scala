@@ -308,6 +308,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("funnel and cohort queries key every heavy join on user/cohort ids") {
+    // q49/q50: stage joins and retention joins must stay hash/broadcast
+    // joins on their keys — a CartesianProduct would mean a stage search
+    // degenerated to all-pairs. (The tiny 1-row/scalar-count assemblies
+    // may broadcast-nested-loop; that is the q42 grid precedent.)
+    for (q <- Seq("q49_event_funnel", "q50_cohort_retention")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(3000)}")
+    }
+    assert(planOf("q50_cohort_retention").contains("BroadcastHashJoin"))
+  }
+
+  test("recall evaluation harnesses join candidate and truth sets by key") {
+    // v10/d38: the eval join is (query,neighbor)/(doc_a,doc_b) equi-join
+    // over two bounded result sets — never a nested loop over either side.
+    for (q <- Seq("v10_ann_recall_eval", "d38_lsh_recall_eval")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(3000)}")
+    }
+  }
+
   test("events scan prunes to referenced columns only") {
     val df = Tables.events(SparkSpec.session, dir)
       .groupBy("event_type").agg(count(lit(1)))
