@@ -1334,6 +1334,100 @@ object TextQueries {
       .orderBy("sim_band")
   }
 
+  // ---- d39 BPE segmentation (tokenizer APPLICATION) ------------------
+  /** Apply BPE merges to the vocabulary — the tokenizer-application step
+    * that pairs with d27's merge DISCOVERY: count character-pair
+    * frequencies over the word vocabulary (weighted by word frequency,
+    * the real BPE statistic), rank the top 8 merges, and greedily apply
+    * them in priority order to the 200 most frequent words. Application
+    * is the textbook algorithm: the word is exploded to a space-separated
+    * symbol string and each merge rewrites its "a b" occurrences
+    * left-to-right non-overlapping — which is exactly what a global
+    * string replace does, in both engines, on these letter-only tokens.
+    * The emitted segmentation string itself is hash-gated, not just the
+    * subword counts.
+    *
+    * The merge table reaches the rewrite WITHOUT a driver collect: the 8
+    * ranked rules pivot into ONE row that cross-joins (broadcast) onto
+    * the word table, and the replace chain reads them as columns — the
+    * oracle reads the same 8 rules through scalar subqueries.
+    *
+    * Scale: pair counting is one narrow aggregation over vocab×(len-1)
+    * rows; both the rule table (8 rows) and the segmented output (top-k
+    * words) are TakeOrdered-bounded; the corpus is scanned once. */
+  val docBpeSegmentation = OracleQuery(
+    "d39_bpe_segmentation", {
+      def ruleSql(i: Int, arg: String) =
+        s"replace($arg, (SELECT sp FROM r WHERE rnk = $i), (SELECT jn FROM r WHERE rnk = $i))"
+      val chain = (1 to 8).foldLeft("spaced")((acc, i) => ruleSql(i, acc))
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |w AS (SELECT word, count(*) AS cnt
+         |      FROM (SELECT unnest(toks) AS word FROM t)
+         |      WHERE length(word) >= 1 GROUP BY 1),
+         |p AS (
+         |  SELECT pair, sum(cnt) AS wcnt FROM (
+         |    SELECT unnest([substring(word, i, 2)
+         |                   for i in generate_series(1, length(word) - 1)]) AS pair,
+         |      cnt
+         |    FROM w WHERE length(word) >= 2)
+         |  GROUP BY 1),
+         |r AS (
+         |  SELECT substring(pair, 1, 1) || ' ' || substring(pair, 2, 1) AS sp,
+         |    pair AS jn, rnk
+         |  FROM (SELECT pair, row_number() OVER (ORDER BY wcnt DESC, pair) AS rnk
+         |        FROM p) WHERE rnk <= 8),
+         |top AS (
+         |  SELECT word, cnt FROM w
+         |  ORDER BY cnt DESC, word LIMIT 200),
+         |enc AS (
+         |  SELECT word, cnt,
+         |    array_to_string([substring(word, i, 1)
+         |                     for i in generate_series(1, length(word))], ' ')
+         |      AS spaced
+         |  FROM top)
+         |SELECT word, cnt, $chain AS segmented,
+         |  CAST(len(string_split($chain, ' ')) AS INT) AS n_subwords
+         |FROM enc ORDER BY word""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds pair counting AND the top-word slice
+    val p = w.filter(length(col("word")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"), col("cnt"))
+      .groupBy("pair").agg(sum(col("cnt")).as("wcnt"))
+    val r = p.orderBy(col("wcnt").desc, col("pair")).limit(8)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("wcnt").desc, col("pair"))))
+      .select(col("rnk"),
+        concat(substring(col("pair"), 1, 1), lit(" "),
+          substring(col("pair"), 2, 1)).as("sp"),
+        col("pair").as("jn"))
+    // pivot the 8 rules into one broadcastable row of (sp_i, jn_i) columns
+    val ruleCols = (1 to 8).flatMap(i => Seq(
+      max(when(col("rnk") === i, col("sp"))).as(s"sp_$i"),
+      max(when(col("rnk") === i, col("jn"))).as(s"jn_$i")))
+    val ruleRow = r.agg(ruleCols.head, ruleCols.tail: _*)
+    val top = w.orderBy(col("cnt").desc, col("word")).limit(200)
+    val spaced = concat_ws(" ",
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
+    // SQL `replace` (LITERAL, left-to-right non-overlapping — DuckDB's
+    // replace semantics exactly); regexp_replace would reinterpret
+    // punctuation in a pair as a metacharacter
+    val chain = (1 to 8).foldLeft("__spaced")((acc, i) =>
+      s"replace($acc, sp_$i, jn_$i)")
+    top.crossJoin(broadcast(ruleRow))
+      .withColumn("__spaced", spaced)
+      .withColumn("segmented", expr(chain))
+      .select(col("word"), col("cnt"), col("segmented"),
+        size(split(col("segmented"), " ")).as("n_subwords"))
+      .orderBy("word")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
@@ -1341,5 +1435,6 @@ object TextQueries {
     docDedupClusters, docTokenPacking, docSeqPacking, docEditDistance,
     docTrainSplit, docWinnowing, docRepetition, docOovRate,
     docContamination, docBm25, docRepeatedSpans, docBpeMerges,
-    docIncrementalNearDup, docHybridRrf, docLengthBatching, docLshRecallEval)
+    docIncrementalNearDup, docHybridRrf, docLengthBatching, docLshRecallEval,
+    docBpeSegmentation)
 }
