@@ -11,7 +11,7 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *
   *  - q01–q25 [[graft.queries.RelationalQueries]] — SURVEY §2 relational
   *    inventory + as-of/interval joins, rollup, semi/anti, distinct tiers
-  *  - q26–q50 [[graft.queries.AnalyticQueries]] — frames, lag/lead, exact
+  *  - q26–q47, q49–q50 [[graft.queries.AnalyticQueries]] — frames, lag/lead, exact
   *    percentiles, string suite, pivot, set ops, null-safe equality,
   *    CUBE, GROUPING SETS, salted skew-safe aggregation, correlated
   *    subqueries, stats suite (corr/covar/regr), incremental upsert,

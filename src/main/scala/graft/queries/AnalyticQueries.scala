@@ -664,12 +664,17 @@ object AnalyticQueries {
       |  SELECT 3, 'purchase', np, nc FROM n)
       |ORDER BY ord""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    // each stage is pinned: the scalar-count assembly and the next stage
+    // both read it, and unpinned lineage would rescan events once per
+    // nesting level (6 corpus scans for a 3-row output)
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      .localCheckpoint()
     val c = ev.filter(col("event_type") === "click")
       .join(v, Seq("user_id"))
       .filter(col("ts") > col("t_view"))
       .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      .localCheckpoint()
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, Seq("user_id"))
       .filter(col("ts") > col("t_click"))

@@ -410,10 +410,13 @@ object CurationQueries {
     * documents never evicts an old one except by honest priority.
     *
     * u = (h+1)/2^48 with h the first 48 md5 bits, so priority =
-    * w·2^48/(h+1) — one multiply and one divide, both IEEE-exact in both
-    * engines (h+1 < 2^53; no log/exp transcendentals whose libm rounding
-    * could diverge, the reason this uses the w/u form rather than the
-    * u^(1/w) original).
+    * w·2^48/(h+1) — one multiply and one divide. The product/quotient can
+    * exceed 2^53 and round, but both engines execute the IDENTICAL
+    * IEEE-754 operation sequence on identical inputs, so they round
+    * identically — the actual cross-engine invariant (do not reorder
+    * this expression). What the w/u form buys over the u^(1/w) original
+    * is the absence of log/exp transcendentals, whose libm last-bit
+    * rounding is NOT specified and does diverge between runtimes.
     *
     * Scale: one scan + TakeOrderedAndProject distributed top-k (per-
     * partition heaps, driver merges k rows) — no full sort, no shuffle of

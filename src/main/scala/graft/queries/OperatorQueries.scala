@@ -1123,28 +1123,32 @@ object OperatorQueries {
   }
 
   /** Change feed between two pinned versions of an events-shaped TxnLake
-    * table: one full-outer key join, Delta-CDF change_type taxonomy. */
+    * table: ONE full-outer key join per hop, with each joined row
+    * classified into its 0–2 change rows through a single exploded
+    * when-chain (an unchanged row maps to a null array → zero rows).
+    * Four filtered union branches would re-execute the join and both
+    * snapshot scans once per branch — 4× the honest cost. */
   private def eventsCdf(s: org.apache.spark.sql.SparkSession, table: String,
                         preV: Long, postV: Long, hop: Int): DataFrame = {
     import graft.sources.TxnLake
-    def cols(side: String) =
-      Seq(col(s"$side.event_id"), col(s"$side.event_type"), col(s"$side.value"))
-    val pre = TxnLake.readVersion(s, table, preV).as("p")
-    val post = TxnLake.readVersion(s, table, postV).as("q")
-    val j = pre.join(post, col("p.event_id") === col("q.event_id"), "full_outer")
-    val changed = col("p.event_id").isNotNull && col("q.event_id").isNotNull &&
-      (col("p.value") =!= col("q.value") ||
-        col("p.event_type") =!= col("q.event_type"))
-    j.filter(col("p.event_id").isNull)
-      .select(cols("q") :+ lit("insert").as("change_type") :+ lit(hop).as("hop"): _*)
-      .unionAll(j.filter(changed)
-        .select(cols("p") :+ lit("update_preimage").as("change_type")
-          :+ lit(hop).as("hop"): _*))
-      .unionAll(j.filter(changed)
-        .select(cols("q") :+ lit("update_postimage").as("change_type")
-          :+ lit(hop).as("hop"): _*))
-      .unionAll(j.filter(col("q.event_id").isNull)
-        .select(cols("p") :+ lit("delete").as("change_type") :+ lit(hop).as("hop"): _*))
+    def side(a: String, ct: String) = struct(
+      col(s"$a.event_id").as("event_id"),
+      col(s"$a.event_type").as("event_type"),
+      col(s"$a.value").as("value"),
+      lit(ct).as("change_type"))
+    val changed = col("p.value") =!= col("q.value") ||
+      col("p.event_type") =!= col("q.event_type")
+    TxnLake.readVersion(s, table, preV).as("p")
+      .join(TxnLake.readVersion(s, table, postV).as("q"),
+        col("p.event_id") === col("q.event_id"), "full_outer")
+      .select(explode(
+        when(col("p.event_id").isNull, array(side("q", "insert")))
+          .when(col("q.event_id").isNull, array(side("p", "delete")))
+          .when(changed,
+            array(side("p", "update_preimage"), side("q", "update_postimage")))
+          .otherwise(lit(null))).as("c"))
+      .select(col("c.event_id"), col("c.event_type"), col("c.value"),
+        col("c.change_type"), lit(hop).as("hop"))
   }
 
   /** Incremental materialized-view maintenance — the reason a lake grows
@@ -1156,6 +1160,11 @@ object OperatorQueries {
     * maintained one; the oracle recomputes the final snapshot's aggregate
     * from `events` relationally — equality proves delta application ≡
     * full recompute, the invariant every streaming-MV system maintains.
+    * Values quantize to integer CENTS before summation: the incremental
+    * path sums a different multiset than the recompute (base + canceling
+    * ±delta terms), which only provably reconciles under exact integer
+    * arithmetic — a float sum could land ulps apart and flip a rounding
+    * boundary.
     *
     * Scale: this is the 100 TB win the CDF exists for — maintenance cost
     * scales with |changes| (two snapshot-diff joins here; per-commit
@@ -1174,21 +1183,26 @@ object OperatorQueries {
       |    CASE WHEN d.event_id IS NOT NULL THEN d.value ELSE b.value END AS value
       |  FROM base b FULL OUTER JOIN delta d ON b.event_id = d.event_id),
       |pruned AS (SELECT * FROM merged WHERE event_id % 7 <> 0)
-      |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
       |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     import graft.sources.TxnLake
     val (table, v0, v1, v2) = threeHopLake(s, d, "txn_mv")
+    def cents(c: org.apache.spark.sql.Column) =
+      floor(c * 100 + 0.5).cast("long")
     val base = TxnLake.readVersion(s, table, v0)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("dn"), sum(col("value")).as("dv"))
+      .agg(count(lit(1)).as("dn"), sum(cents(col("value"))).as("dv"))
     val sign = when(col("change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val deltas = eventsCdf(s, table, v0, v1, hop = 1)
       .unionAll(eventsCdf(s, table, v1, v2, hop = 2))
-      .select(col("event_type"), sign.as("dn"), (sign * col("value")).as("dv"))
+      .select(col("event_type"), sign.as("dn"),
+        (sign * cents(col("value"))).as("dv"))
     base.unionByName(deltas)
       .groupBy("event_type")
-      .agg(sum(col("dn")).as("n"), round(sum(col("dv")), 2).as("sum_value"))
+      .agg(sum(col("dn")).as("n"), sum(col("dv")).as("sum_cents"))
       .filter(col("n") > 0)
       .orderBy("event_type")
   }

@@ -1248,6 +1248,14 @@ object TextQueries {
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
       .localCheckpoint() // prefix-sum makes two passes per tower; pin the
                          // tokenize so it runs once, not four times
+    // the packed sort key is only order-equivalent to (n_toks, doc_id)
+    // within these bounds — enforce them rather than trusting a comment
+    // (1-row aggregate over the pinned mini table, the PrefixSum pattern)
+    val bounds = t.agg(max(col("doc_id")), max(col("n_toks"))).collect()(0)
+    require(bounds.isNullAt(0) ||
+        (bounds.getLong(0) < (1L << 33) && bounds.getLong(1) < (1L << 20)),
+      s"d36: composite sort key needs doc_id < 2^33 and n_toks < 2^20, " +
+        s"got max doc_id ${bounds.get(0)} / max n_toks ${bounds.get(1)}")
     def batches(df: org.apache.spark.sql.DataFrame, orderCol: String) =
       PrefixSum.exclusivePrefixSum(df.withColumn("one", lit(1L)), orderCol, "one", "rk")
         .withColumn("batch", expr("rk DIV 32"))
@@ -1340,12 +1348,18 @@ object TextQueries {
     * frequencies over the word vocabulary (weighted by word frequency,
     * the real BPE statistic), rank the top 8 merges, and greedily apply
     * them in priority order to the 200 most frequent words. Application
-    * is the textbook algorithm: the word is exploded to a space-separated
-    * symbol string and each merge rewrites its "a b" occurrences
-    * left-to-right non-overlapping — which is exactly what a global
-    * string replace does, in both engines, on these letter-only tokens.
-    * The emitted segmentation string itself is hash-gated, not just the
-    * subword counts.
+    * is the textbook algorithm: the word becomes a symbol string with
+    * every symbol wrapped in TAB delimiters ("\ta\t\tb\t…" — a tab can
+    * never occur inside a symbol because tokens are split on whitespace),
+    * and each merge rewrites its "\ta\t\tb\t" occurrences left-to-right
+    * non-overlapping via literal string replace. The tab wrapping makes
+    * replace EQUAL symbol-level greedy merging: every match anchors to
+    * whole symbols — no match can start inside a previously merged
+    * symbol (a space-separated encoding would match "h e" inside
+    * "th e"), and adjacent matches share no characters ("a a a a" under
+    * rule (a,a) correctly yields [aa, aa]). Delimiters strip to spaces
+    * on emission; the segmentation string itself is hash-gated, not
+    * just the subword counts.
     *
     * The merge table reaches the rewrite WITHOUT a driver collect: the 8
     * ranked rules pivot into ONE row that cross-joins (broadcast) onto
@@ -1360,6 +1374,8 @@ object TextQueries {
       def ruleSql(i: Int, arg: String) =
         s"replace($arg, (SELECT sp FROM r WHERE rnk = $i), (SELECT jn FROM r WHERE rnk = $i))"
       val chain = (1 to 8).foldLeft("spaced")((acc, i) => ruleSql(i, acc))
+      // tab-delimited symbols stripped back to spaces on emission
+      val display = s"replace(replace($chain, chr(9) || chr(9), ' '), chr(9), '')"
       s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
          |w AS (SELECT word, count(*) AS cnt
          |      FROM (SELECT unnest(toks) AS word FROM t)
@@ -1372,8 +1388,9 @@ object TextQueries {
          |    FROM w WHERE length(word) >= 2)
          |  GROUP BY 1),
          |r AS (
-         |  SELECT substring(pair, 1, 1) || ' ' || substring(pair, 2, 1) AS sp,
-         |    pair AS jn, rnk
+         |  SELECT chr(9) || substring(pair, 1, 1) || chr(9) || chr(9)
+         |      || substring(pair, 2, 1) || chr(9) AS sp,
+         |    chr(9) || pair || chr(9) AS jn, rnk
          |  FROM (SELECT pair, row_number() OVER (ORDER BY wcnt DESC, pair) AS rnk
          |        FROM p) WHERE rnk <= 8),
          |top AS (
@@ -1381,12 +1398,13 @@ object TextQueries {
          |  ORDER BY cnt DESC, word LIMIT 200),
          |enc AS (
          |  SELECT word, cnt,
-         |    array_to_string([substring(word, i, 1)
-         |                     for i in generate_series(1, length(word))], ' ')
+         |    chr(9) || array_to_string([substring(word, i, 1)
+         |                     for i in generate_series(1, length(word))],
+         |                    chr(9) || chr(9)) || chr(9)
          |      AS spaced
          |  FROM top)
-         |SELECT word, cnt, $chain AS segmented,
-         |  CAST(len(string_split($chain, ' ')) AS INT) AS n_subwords
+         |SELECT word, cnt, $display AS segmented,
+         |  CAST(len(string_split($display, ' ')) AS INT) AS n_subwords
          |FROM enc ORDER BY word""".stripMargin
     }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
@@ -1399,30 +1417,31 @@ object TextQueries {
       .select(explode(transform(sequence(lit(1), length(col("word")) - 1),
         i => col("word").substr(i, lit(2)))).as("pair"), col("cnt"))
       .groupBy("pair").agg(sum(col("cnt")).as("wcnt"))
+    val tab = lit("\t")
     val r = p.orderBy(col("wcnt").desc, col("pair")).limit(8)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("wcnt").desc, col("pair"))))
       .select(col("rnk"),
-        concat(substring(col("pair"), 1, 1), lit(" "),
-          substring(col("pair"), 2, 1)).as("sp"),
-        col("pair").as("jn"))
+        concat(tab, substring(col("pair"), 1, 1), tab, tab,
+          substring(col("pair"), 2, 1), tab).as("sp"),
+        concat(tab, col("pair"), tab).as("jn"))
     // pivot the 8 rules into one broadcastable row of (sp_i, jn_i) columns
     val ruleCols = (1 to 8).flatMap(i => Seq(
       max(when(col("rnk") === i, col("sp"))).as(s"sp_$i"),
       max(when(col("rnk") === i, col("jn"))).as(s"jn_$i")))
     val ruleRow = r.agg(ruleCols.head, ruleCols.tail: _*)
     val top = w.orderBy(col("cnt").desc, col("word")).limit(200)
-    val spaced = concat_ws(" ",
-      transform(sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1))))
-    // SQL `replace` (LITERAL, left-to-right non-overlapping — DuckDB's
-    // replace semantics exactly); regexp_replace would reinterpret
-    // punctuation in a pair as a metacharacter
-    val chain = (1 to 8).foldLeft("__spaced")((acc, i) =>
-      s"replace($acc, sp_$i, jn_$i)")
+    val spaced = concat(tab,
+      concat_ws("\t\t", transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1)))), tab)
+    // SQL-function `replace` (LITERAL, left-to-right non-overlapping —
+    // DuckDB's replace semantics exactly); regexp_replace would
+    // reinterpret punctuation in a pair as a metacharacter
+    val seg = (1 to 8).foldLeft(spaced)((acc, i) =>
+      replace(acc, col(s"sp_$i"), col(s"jn_$i")))
+    val display = replace(replace(seg, lit("\t\t"), lit(" ")), tab, lit(""))
     top.crossJoin(broadcast(ruleRow))
-      .withColumn("__spaced", spaced)
-      .withColumn("segmented", expr(chain))
+      .withColumn("segmented", display)
       .select(col("word"), col("cnt"), col("segmented"),
         size(split(col("segmented"), " ")).as("n_subwords"))
       .orderBy("word")
