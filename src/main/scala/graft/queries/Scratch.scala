@@ -6,7 +6,14 @@ package graft.queries
   * One dir per (name, JVM): wiped at each invocation so reruns start
   * clean, and removed by a shutdown hook at JVM exit — /tmp usage stays
   * bounded no matter how many times Bench/Verify/CI re-invoke a query
-  * (the round-5 advice: UUID-named dirs accumulated indefinitely). */
+  * (the round-5 advice: UUID-named dirs accumulated indefinitely).
+  *
+  * CONTRACT: one live invocation per name per JVM. The wipe-on-entry that
+  * bounds /tmp also means a query must fully consume its result before
+  * the same query runs again — true of every harness (Verify writes,
+  * Bench counts, specs collect, all within the invocation). Concurrent
+  * same-name invocations would need UUID dirs and an eviction policy;
+  * don't add that complexity until something actually runs them. */
 object Scratch {
 
   private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -24,7 +31,9 @@ object Scratch {
   private def deleteTree(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(p) // close: walk holds an open dir fd
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
     }
 }

@@ -551,6 +551,15 @@ object TextQueries {
        |ORDER BY seq_id, doc_id""".stripMargin) { (s, d) =>
     val counts = Tables.documents(s, d)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .localCheckpoint() // scanned by the bound check and the prefix sum
+    // the ORACLE unrolls each doc's sequence span with generate_series(0,
+    // 63): a >32K-token document would overflow that unroll and flip the
+    // row red with no hint the oracle (not the engine) is short — fail
+    // loudly instead (1-row aggregate, the d36 pattern)
+    val maxToks = counts.agg(max(col("n_toks"))).collect()(0)
+    require(maxToks.isNullAt(0) || maxToks.getLong(0) <= 64L * 512,
+      s"d33: oracle's 64-sequence unroll covers n_toks <= ${64 * 512}, " +
+        s"got ${maxToks.get(0)}")
     graft.operators.PrefixSum
       .exclusivePrefixSum(counts, "doc_id", "n_toks", "start_offset")
       .filter(col("n_toks") > 0)

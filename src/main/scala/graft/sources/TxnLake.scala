@@ -82,8 +82,13 @@ object TxnLake extends LakeFormat {
       a <- """"txnApp"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
       b <- """"txnBatch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
     } yield (a, b)
-    val txns = """"txns"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(s)
-      .map(_.group(1)).getOrElse("")
+    // capture the txns object as a run of quoted-key:number pairs rather
+    // than [^}]* — a '}' inside an escaped app id must not truncate the
+    // map (a truncated parse would be carried forward by every later
+    // commit, permanently losing replay markers)
+    val txns =
+      """"txns"\s*:\s*\{((?:\s*"(?:[^"\\]|\\.)*"\s*:\s*-?\d+\s*,?)*)\}""".r
+        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
     val txnsMap = """"((?:[^"\\]|\\.)*)"\s*:\s*(-?\d+)""".r.findAllMatchIn(txns)
       .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
         -> m.group(2).toLong).toMap
@@ -193,8 +198,23 @@ object TxnLake extends LakeFormat {
         lastEntry.map(_.files).getOrElse(Seq.empty)
       else Seq.empty
       // carry the cumulative txn state through EVERY commit (plain commits
-      // included) so the O(1) replay check above stays sound
-      val txns = lastEntry.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
+      // included) so the O(1) replay check above stays sound. UPGRADE
+      // path: a log written before the map existed carries per-entry txn
+      // markers only — fold ALL of them in the one commit that introduces
+      // the map (one-time linear scan), otherwise the first new-format
+      // commit would orphan every legacy marker and a legacy app's replay
+      // would slip past the nonEmpty-map fast path above.
+      val legacy: Map[String, Long] = lastEntry match {
+        case Some(e) if e.txns.isEmpty =>
+          committed.foldLeft(Map.empty[String, Long]) { (m, v) =>
+            readEntry(spark, table, v).txn match {
+              case Some((a, b)) if m.get(a).forall(_ < b) => m + (a -> b)
+              case _ => m
+            }
+          }
+        case _ => Map.empty
+      }
+      val txns = legacy ++ lastEntry.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
       // 2. publish: tmp write + rename-without-overwrite IS the commit
       val entry = render(Entry(next, operation, base ++ written, txn, txns))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
