@@ -11,13 +11,13 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *
   *  - q01–q25 [[graft.queries.RelationalQueries]] — SURVEY §2 relational
   *    inventory + as-of/interval joins, rollup, semi/anti, distinct tiers
-  *  - q26–q47, q49–q50 [[graft.queries.AnalyticQueries]] — frames, lag/lead, exact
+  *  - q26–q47, q49–q51 [[graft.queries.AnalyticQueries]] — frames, lag/lead, exact
   *    percentiles, string suite, pivot, set ops, null-safe equality,
   *    CUBE, GROUPING SETS, salted skew-safe aggregation, correlated
   *    subqueries, stats suite (corr/covar/regr), incremental upsert,
   *    date gap-fill, global top-k, z-order clustering keys, typed-
   *    Aggregator group top-K, sequential event funnel, weekly
-  *    cohort retention
+  *    cohort retention, batch sessionization
   *  - d01–d20, d25–d27, d29, d33, d35–d36, d38–d39 [[graft.queries.TextQueries]] — token/quality/
   *    langid/fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact
   *    n-gram Jaccard, edit-distance, cluster collapse), chunking, TF-IDF,

@@ -739,7 +739,55 @@ object AnalyticQueries {
       .orderBy("cohort_week", "period")
   }
 
+  /** Batch sessionization — the warehouse twin of x07's streaming session
+    * windows: a session break is a >30-minute gap between a user's
+    * consecutive events (lag), the session id is the running count of
+    * breaks (cumulative sum over the same ordering), and the rollup
+    * reports per-session event counts and duration. All arithmetic is
+    * integer epoch-nanos — no timestamp intervals whose engine semantics
+    * could diverge.
+    *
+    * Scale: lag, the cumulative sum, and the final aggregate all
+    * partition by user_id — ONE shuffle serves the whole query; no
+    * global ordering anywhere. */
+  val q51 = OracleQuery(
+    "q51_batch_sessionization",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tn FROM events),
+      |l AS (
+      |  SELECT user_id, event_id, tn,
+      |    CASE WHEN lag(tn) OVER w IS NULL
+      |           OR tn - lag(tn) OVER w > 1800000000000 THEN 1
+      |         ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+      |s AS (
+      |  SELECT user_id, tn,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY tn, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS sid
+      |  FROM l)
+      |SELECT user_id, CAST(sid AS INT) AS session_id,
+      |  count(*) AS n_events,
+      |  CAST((max(tn) - min(tn)) // 1000000000 AS BIGINT) AS duration_secs
+      |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("tn"), col("event_id"))
+    val cum = Window.partitionBy("user_id").orderBy(col("tn"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts").as("tn"))
+      .withColumn("brk",
+        when(lag(col("tn"), 1).over(w).isNull
+          || col("tn") - lag(col("tn"), 1).over(w) > 1800000000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(cum))
+      .groupBy(col("user_id"), col("sid").cast("int").as("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST((max(tn) - min(tn)) DIV 1000000000 AS BIGINT)")
+          .as("duration_secs"))
+      .orderBy("user_id", "session_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-      q39, q40, q41, q42, q43, q44, q45, q46, q47, q49, q50)
+      q39, q40, q41, q42, q43, q44, q45, q46, q47, q49, q50, q51)
 }
