@@ -1456,6 +1456,46 @@ object TextQueries {
       .orderBy("word")
   }
 
+  // ---- d40 cross-source duplication matrix ---------------------------
+  /** Cross-source duplication matrix — the corpus-provenance question
+    * behind every multi-source training mix ("is corpus A copied into
+    * corpus B, and how much of B would dedup drop?"): take the verified
+    * MinHash near-dup pairs (the d07 pipeline, same threshold) and roll
+    * them up by unordered source pair, counting both the pair volume and
+    * the distinct documents dedup would prune (doc_b, the
+    * higher-id/pruned side of each pair). The diagonal is within-source
+    * redundancy; off-diagonal cells are cross-source leakage.
+    *
+    * Scale: everything downstream of the (already-banded) pair pipeline
+    * is two broadcast-joinable source lookups and one tiny rollup —
+    * near-dup pairs are sparse by construction. */
+  val docCrossSourceDup = OracleQuery(
+    "d40_cross_source_dup_matrix",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |$minhashPairCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM verify WHERE jac >= 0.7),
+       |lab AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b, p.doc_b
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.doc_a
+       |  JOIN documents db ON db.doc_id = p.doc_b)
+       |SELECT source_a, source_b, count(*) AS n_pairs,
+       |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_pruned_docs
+       |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val src = docs.select(col("doc_id"), col("source"))
+    graft.operators.MinHashDedup.verifiedPairs(docs, 0.7)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("doc_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_pruned_docs"))
+      .orderBy("source_a", "source_b")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
@@ -1464,5 +1504,5 @@ object TextQueries {
     docTrainSplit, docWinnowing, docRepetition, docOovRate,
     docContamination, docBm25, docRepeatedSpans, docBpeMerges,
     docIncrementalNearDup, docHybridRrf, docLengthBatching, docLshRecallEval,
-    docBpeSegmentation)
+    docBpeSegmentation, docCrossSourceDup)
 }
