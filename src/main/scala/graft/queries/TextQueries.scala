@@ -551,21 +551,27 @@ object TextQueries {
        |ORDER BY seq_id, doc_id""".stripMargin) { (s, d) =>
     val counts = Tables.documents(s, d)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
-      .localCheckpoint() // scanned by the bound check and the prefix sum
-    // the ORACLE unrolls each doc's sequence span with generate_series(0,
-    // 63): a >32K-token document would overflow that unroll and flip the
-    // row red with no hint the oracle (not the engine) is short — fail
-    // loudly instead (1-row aggregate, the d36 pattern)
-    val maxToks = counts.agg(max(col("n_toks"))).collect()(0)
-    require(maxToks.isNullAt(0) || maxToks.getLong(0) <= 64L * 512,
-      s"d33: oracle's 64-sequence unroll covers n_toks <= ${64 * 512}, " +
-        s"got ${maxToks.get(0)}")
-    graft.operators.PrefixSum
+      .localCheckpoint() // scanned twice by the prefix sum
+    val offsets = graft.operators.PrefixSum
       .exclusivePrefixSum(counts, "doc_id", "n_toks", "start_offset")
       .filter(col("n_toks") > 0)
+      .withColumn("first_seq", expr("start_offset div 512"))
+      .withColumn("last_seq", expr("(start_offset + n_toks - 1) div 512"))
+      .localCheckpoint() // scanned by the span guard and the explode
+    // the ORACLE unrolls each doc's sequence span with generate_series(0,
+    // 63): a doc intersecting >64 grid sequences would overflow that unroll
+    // and flip the row red with no hint the oracle (not the engine) is
+    // short — fail loudly instead (1-row aggregate, the d36 pattern). The
+    // bound is on the ACTUAL span, not n_toks: a misaligned 32258-token doc
+    // (start_offset % 512 != 0) intersects 65 sequences even though
+    // n_toks < 64*512.
+    val maxSpan = offsets.agg(max(col("last_seq") - col("first_seq"))).collect()(0)
+    require(maxSpan.isNullAt(0) || maxSpan.getLong(0) <= 63L,
+      s"d33: oracle's 64-sequence unroll covers spans of <= 64 sequences, " +
+        s"got a doc spanning ${maxSpan.get(0)} + 1")
+    offsets
       .select(col("doc_id"), col("n_toks"), col("start_offset"),
-        explode(sequence(expr("start_offset div 512"),
-          expr("(start_offset + n_toks - 1) div 512"))).as("seq_id"))
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
       .select(col("seq_id"), col("doc_id"),
         (greatest(col("start_offset"), col("seq_id") * 512)
           - col("seq_id") * 512).as("seq_start_tok"),

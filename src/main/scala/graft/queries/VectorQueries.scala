@@ -501,8 +501,8 @@ object VectorQueries {
        |    sqrt(greatest(avg(dst * dst) - avg(dst) * avg(dst), 0)) AS sd
        |  FROM dist GROUP BY 1)
        |SELECT d.vec_id, d.label, round(d.dst, 4) AS centroid_dist,
-       |  round((d.dst - s.mu) / s.sd, 4) AS z_score,
-       |  (round((d.dst - s.mu) / s.sd, 4) >= 2.0) AS is_outlier
+       |  round((d.dst - s.mu) / nullif(s.sd, 0), 4) AS z_score,
+       |  (round((d.dst - s.mu) / nullif(s.sd, 0), 4) >= 2.0) AS is_outlier
        |FROM dist d JOIN st s USING (label)
        |ORDER BY d.vec_id""".stripMargin) { (s, d) =>
     val ex = Tables.embeddings(s, d)
@@ -517,8 +517,12 @@ object VectorQueries {
       .agg(avg(col("dst")).as("mu"),
         sqrt(greatest(avg(col("dst") * col("dst"))
           - avg(col("dst")) * avg(col("dst")), lit(0.0))).as("sd"))
+    // sd = 0 (single-vector label, or identical centroid distances) must
+    // yield a DEFINED null z_score/is_outlier, not x/0 = Inf or 0/0 = NaN
+    // whose round/compare/hash behavior diverges across engines
     dist.join(broadcast(st), Seq("label"))
-      .withColumn("z_score", round((col("dst") - col("mu")) / col("sd"), 4))
+      .withColumn("z_score", when(col("sd") =!= 0.0,
+        round((col("dst") - col("mu")) / col("sd"), 4)))
       .select(col("vec_id"), col("label"), round(col("dst"), 4).as("centroid_dist"),
         col("z_score"), (col("z_score") >= 2.0).as("is_outlier"))
       .orderBy("vec_id")

@@ -1,99 +1,174 @@
 package graft.sources
 
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
 
 /** Transaction-log lake format — the local protocol sketch of what the
   * reference gets from Delta Lake on GCS (ref
   * process_bronze_to_silver.py:146,151-155): versioned snapshots, atomic
-  * commits, snapshot-isolated readers, time travel, and vacuum — built on
-  * nothing but parquet, JSON log entries, and the atomic-rename primitive
-  * `Storage.Compaction` already relies on.
+  * commits, snapshot-isolated readers, time travel, optimistic concurrency,
+  * MERGE, OPTIMIZE, per-file column statistics with data-skipping scans,
+  * and vacuum — built on nothing but parquet, JSON log entries, and the
+  * atomic-rename primitive `Storage.Compaction` already relies on.
   *
   * Layout:
   * {{{
-  *   <table>/_txn_log/v<N>.json   one entry per committed version: the list
-  *                                of data files that ARE snapshot N
+  *   <table>/_txn_log/v<N>.json   one DELTA entry per committed version:
+  *                                the files ADDED (with per-file column
+  *                                min/max stats) and the files REMOVED by
+  *                                commit N — Delta's add/remove actions
+  *   <table>/_txn_log/v<N>.ckpt   periodic checkpoint: the fully-resolved
+  *                                file list AS OF version N, so readers
+  *                                replay latest-checkpoint + tail instead
+  *                                of the whole log
   *   <table>/data/v<N>-<salt>/    immutable parquet written by commit N
   * }}}
   *
   * Protocol:
   *  - WRITE: data lands in a fresh immutable dir, then the log entry is
-  *    published by writing `v<N>.json.tmp-<salt>` and RENAMING it to
-  *    `v<N>.json`. Rename-without-overwrite is the commit point: it either
+  *    published by writing `v<N>.json.tmp-<salt>` and atomically linking it
+  *    to `v<N>.json`. Publish-if-absent is the commit point: it either
   *    fully happens or fully doesn't, so readers never observe a torn
   *    commit.
   *  - CONCURRENCY (optimistic): two writers racing to version N both
-  *    prepare data dirs; only one rename wins (HDFS/local rename onto an
-  *    existing destination returns false). The loser re-reads the log and
-  *    retries at N+1 — append retries preserve both writers' rows;
+  *    prepare data dirs; only one publish wins. The loser re-reads the log
+  *    and retries at N+1 — append retries preserve both writers' rows;
   *    overwrite retries preserve last-committer-wins, exactly Delta's
   *    semantics.
-  *  - READERS resolve the latest `v<N>.json` ONCE and then scan only the
-  *    files that entry names. Later commits add new dirs and log entries
-  *    but never mutate old ones, so an in-flight reader keeps its snapshot
-  *    (isolation) and any version can be re-read on demand (time travel)
-  *    until `vacuum` reclaims it.
+  *  - READERS resolve a version's file list ONCE (checkpoint + tail) and
+  *    then scan only those files. Later commits add new dirs and log
+  *    entries but never mutate old ones, so an in-flight reader keeps its
+  *    snapshot (isolation) and any version can be re-read on demand (time
+  *    travel) until `vacuum` reclaims it.
   *
-  * At 100 TB the log stays tiny (one small JSON per commit — scans list
-  * the log dir, not the data tree), data files are immutable so caches and
-  * object-store reads stay valid, and vacuum is the only deleter.
+  * Scale: entries carry add/remove DELTAS, so commit metadata is O(changed
+  * files), not O(table files) — an append to a million-file 100 TB table
+  * writes a few hundred bytes; checkpoints every [[CheckpointInterval]]
+  * commits keep snapshot resolution at O(interval) entry reads. Per-file
+  * min/max stats ride the add action (harvested from the parquet footers
+  * the write already produced — metadata-only, no data re-scan) and feed
+  * [[readWhere]]'s file pruning, the Delta data-skipping capability that
+  * matters most at 100 TB: a selective predicate opens only the files
+  * whose stats admit it.
   */
 object TxnLake extends LakeFormat {
+
+  /** Commits between checkpoints of the resolved file list. Readers replay
+    * at most this many tail entries past the newest checkpoint. */
+  private[sources] val CheckpointInterval = 10
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def logDir(table: String) = new Path(table, "_txn_log")
 
-  private final case class Entry(version: Long, operation: String,
-                                 files: Seq[String],
-                                 txn: Option[(String, Long)] = None,
-                                 txns: Map[String, Long] = Map.empty)
+  // ---- model ----------------------------------------------------------
 
-  // Minimal JSON (no deps): {"version":N,"operation":"...","files":["a","b"]}
-  // plus, for transactional streaming commits, "txnApp"/"txnBatch" — the
-  // Delta `txn` action: which (application, batch) this version idempotently
-  // belongs to — and "txns", the CUMULATIVE app→latest-batch map carried
-  // through every commit (Delta's checkpointed SetTransaction state): the
-  // replay check reads ONE entry instead of scanning the whole log.
+  /** Per-file, per-column statistics. `tag` is the comparison domain:
+    * "l" (integer family, incl. date days and timestamp micros), "d"
+    * (floating), "s" (UTF-8 string; compared in unsigned byte order, the
+    * order parquet writes binary stats in). min/max are None when the
+    * footer carried no usable bounds (all-null file, INT96, truncated or
+    * foreign-typed stats) — pruning is then conservative for that column. */
+  final case class ColStats(tag: String, min: Option[String],
+                            max: Option[String], nullCount: Long)
+
+  /** One data file of a snapshot: table-relative path, row count, and the
+    * column stats harvested from its footer at commit time. `rows` is -1
+    * for files inherited from pre-stats (legacy full-list) log entries. */
+  final case class FileMeta(path: String, rows: Long,
+                            stats: Map[String, ColStats])
+
+  private final case class Entry(version: Long, operation: String,
+                                 add: Seq[FileMeta], remove: Seq[String],
+                                 legacyFiles: Option[Seq[String]],
+                                 txn: Option[(String, Long)],
+                                 txns: Map[String, Long],
+                                 hasTxns: Boolean)
+
+  // ---- JSON (jackson tree API — ships with Spark; no extra deps) ------
+
+  private val mapper = new ObjectMapper()
+
+  private def statsToJson(o: ObjectNode, fm: FileMeta): Unit = {
+    o.put("path", fm.path)
+    o.put("rows", fm.rows)
+    val st = o.putObject("stats")
+    fm.stats.toSeq.sortBy(_._1).foreach { case (cn, cs) =>
+      val c = st.putObject(cn)
+      c.put("t", cs.tag)
+      cs.min.foreach(c.put("mn", _))
+      cs.max.foreach(c.put("mx", _))
+      c.put("nc", cs.nullCount)
+    }
+  }
+
+  private def fileFromJson(n: JsonNode): FileMeta = {
+    val stats = Option(n.get("stats")).map { st =>
+      st.properties().asScala.map { e =>
+        val c = e.getValue
+        e.getKey -> ColStats(c.get("t").asText(),
+          Option(c.get("mn")).map(_.asText()),
+          Option(c.get("mx")).map(_.asText()),
+          Option(c.get("nc")).map(_.asLong()).getOrElse(-1L))
+      }.toMap
+    }.getOrElse(Map.empty)
+    FileMeta(n.get("path").asText(),
+      Option(n.get("rows")).map(_.asLong()).getOrElse(-1L), stats)
+  }
+
   private def render(e: Entry): String = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    s"""{"version":${e.version},"operation":${q(e.operation)},""" +
-      s""""files":[${e.files.map(q).mkString(",")}]""" +
-      e.txn.map { case (a, b) => s""","txnApp":${q(a)},"txnBatch":$b""" }
-        .getOrElse("") +
-      (if (e.txns.isEmpty) ""
-       else s""","txns":{${e.txns.toSeq.sorted
-         .map { case (a, b) => s"${q(a)}:$b" }.mkString(",")}}""") + "}"
+    val o = mapper.createObjectNode()
+    o.put("version", e.version)
+    o.put("operation", e.operation)
+    val add = o.putArray("add")
+    e.add.foreach(fm => statsToJson(add.addObject(), fm))
+    val rm = o.putArray("remove")
+    e.remove.foreach(rm.add)
+    e.txn.foreach { case (a, b) => o.put("txnApp", a); o.put("txnBatch", b) }
+    // ALWAYS render the txns map, even empty: its presence is the format
+    // marker that distinguishes a new-format entry from a legacy one, so
+    // the one-time legacy fold in commitImpl runs exactly once — an
+    // omitted-when-empty field would re-trigger the O(log) fold on every
+    // commit of a table that never uses commitOnce
+    val txns = o.putObject("txns")
+    e.txns.toSeq.sorted.foreach { case (a, b) => txns.put(a, b) }
+    mapper.writeValueAsString(o)
   }
 
   private def parse(s: String): Entry = {
-    val version = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
-      .map(_.group(1).toLong)
+    val n = mapper.readTree(s)
+    val version = Option(n.get("version")).map(_.asLong())
       .getOrElse(sys.error(s"TxnLake: malformed log entry: $s"))
-    val operation = """"operation"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s)
-      .map(_.group(1)).getOrElse("unknown")
-    val files = """"files"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(s)
-      .map(_.group(1)).getOrElse("")
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).toSeq
+    val operation = Option(n.get("operation")).map(_.asText()).getOrElse("unknown")
+    val add = Option(n.get("add")).map(_.asScala.map(fileFromJson).toSeq)
+      .getOrElse(Seq.empty)
+    val remove = Option(n.get("remove")).map(_.asScala.map(_.asText()).toSeq)
+      .getOrElse(Seq.empty)
+    // entries written before the delta encoding carry the FULL snapshot
+    // file list under "files"
+    val legacy = Option(n.get("files")).map(_.asScala.map(_.asText()).toSeq)
     val txn = for {
-      a <- """"txnApp"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
-      b <- """"txnBatch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+      a <- Option(n.get("txnApp")).map(_.asText())
+      b <- Option(n.get("txnBatch")).map(_.asLong())
     } yield (a, b)
-    // capture the txns object as a run of quoted-key:number pairs rather
-    // than [^}]* — a '}' inside an escaped app id must not truncate the
-    // map (a truncated parse would be carried forward by every later
-    // commit, permanently losing replay markers)
-    val txns =
-      """"txns"\s*:\s*\{((?:\s*"(?:[^"\\]|\\.)*"\s*:\s*-?\d+\s*,?)*)\}""".r
-        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-    val txnsMap = """"((?:[^"\\]|\\.)*)"\s*:\s*(-?\d+)""".r.findAllMatchIn(txns)
-      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
-        -> m.group(2).toLong).toMap
-    Entry(version, operation, files, txn, txnsMap)
+    val txnsNode = Option(n.get("txns"))
+    val txns = txnsNode.map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty)
+    Entry(version, operation, add, remove, legacy, txn, txns, txnsNode.isDefined)
   }
+
+  // ---- log access -----------------------------------------------------
 
   private def committedVersions(spark: SparkSession, table: String): Seq[Long] = {
     val ld = logDir(table)
@@ -111,14 +186,163 @@ object TxnLake extends LakeFormat {
     try parse(new String(in.readAllBytes(), "UTF-8")) finally in.close()
   }
 
+  private def checkpointVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val ld = logDir(table)
+    val f = fs(spark, ld)
+    if (!f.exists(ld)) Seq.empty
+    else f.listStatus(ld).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".ckpt") =>
+        n.stripPrefix("v").stripSuffix(".ckpt").toLong }
+      .sorted.toSeq
+  }
+
+  private def readCheckpoint(spark: SparkSession, table: String,
+                             v: Long): Seq[FileMeta] = {
+    val p = new Path(logDir(table), s"v$v.ckpt")
+    val in = fs(spark, p).open(p)
+    val n = try mapper.readTree(new String(in.readAllBytes(), "UTF-8"))
+      finally in.close()
+    n.get("files").asScala.map(fileFromJson).toSeq
+  }
+
+  /** Resolve the file list AS OF `version`: newest checkpoint at or below
+    * it, then the tail entries' add/remove deltas — O(CheckpointInterval)
+    * entry reads regardless of log length. Legacy full-list entries reset
+    * the state (they ARE a snapshot). */
+  private def resolveFiles(spark: SparkSession, table: String,
+                           version: Long): Seq[FileMeta] = {
+    val ckpt = checkpointVersions(spark, table).filter(_ <= version).lastOption
+    var state: Seq[FileMeta] =
+      ckpt.map(readCheckpoint(spark, table, _)).getOrElse(Seq.empty)
+    var v = ckpt.map(_ + 1).getOrElse(0L)
+    while (v <= version) {
+      val e = readEntry(spark, table, v)
+      state = e.legacyFiles match {
+        case Some(files) => files.map(FileMeta(_, -1L, Map.empty))
+        case None =>
+          val rm = e.remove.toSet
+          state.filterNot(fm => rm(fm.path)) ++ e.add
+      }
+      v += 1
+    }
+    state
+  }
+
+  /** The resolved data files (with their commit-time column stats) of a
+    * snapshot — the observability hook specs and data-skipping gates
+    * assert on. Defaults to the latest version. */
+  def snapshotFiles(spark: SparkSession, table: String,
+                    version: Option[Long] = None): Seq[FileMeta] =
+    version.orElse(latestVersion(spark, table))
+      .map(resolveFiles(spark, table, _)).getOrElse(Seq.empty)
+
   /** Latest committed version, if any commit exists. */
   def latestVersion(spark: SparkSession, table: String): Option[Long] =
     committedVersions(spark, table).lastOption
 
+  // ---- footer stats harvesting ----------------------------------------
+
+  private def tagOf(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType => Some("l")
+    case TimestampType | TimestampNTZType => Some("l") // INT64 micros
+    case FloatType | DoubleType => Some("d")
+    case StringType => Some("s")
+    case _ => None
+  }
+
+  /** Harvest per-column min/max/nullCount from one just-written parquet
+    * file's FOOTER — metadata-only, the stats are a byproduct of the write
+    * (Delta collects them in the write transaction the same way; a
+    * distributed variant moves this loop into the write job's commit
+    * protocol). Unsupported physical encodings (INT96 timestamps, nested
+    * paths) simply yield no bounds → pruning stays conservative. */
+  private def harvestMeta(conf: Configuration, file: Path, rel: String,
+                          schema: StructType): FileMeta = {
+    val tags = schema.fields.flatMap(f => tagOf(f.dataType).map(f.name -> _)).toMap
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      // per column: fold chunk stats across row groups; any unusable chunk
+      // invalidates that column's bounds (None → conservative keep)
+      var acc = Map.empty[String, ColStats]
+      var bad = Set.empty[String]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        tags.get(name).filterNot(bad) match {
+          case None => ()
+          case Some(tag) =>
+            val st = c.getStatistics
+            val usable = st != null && st.isNumNullsSet &&
+              (st.hasNonNullValue || st.getNumNulls == b.getRowCount)
+            if (!usable) { bad += name; acc -= name }
+            else {
+              val nn = st.getNumNulls
+              val mm: Option[(String, String)] =
+                if (!st.hasNonNullValue) None
+                else try {
+                  (tag, st.genericGetMin, st.genericGetMax) match {
+                    case ("l", mn: java.lang.Number, mx: java.lang.Number) =>
+                      Some((mn.longValue.toString, mx.longValue.toString))
+                    case ("d", mn: java.lang.Number, mx: java.lang.Number) =>
+                      Some((mn.doubleValue.toString, mx.doubleValue.toString))
+                    case ("s", mn: org.apache.parquet.io.api.Binary,
+                          mx: org.apache.parquet.io.api.Binary) =>
+                      Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+                    case _ => bad += name; None
+                  }
+                } catch { case _: Exception => bad += name; None }
+              if (!bad(name)) {
+                val prev = acc.get(name)
+                val merged = prev match {
+                  case None => ColStats(tag, mm.map(_._1), mm.map(_._2), nn)
+                  case Some(p) =>
+                    def lo(a: Option[String], b: Option[String]) = (a, b) match {
+                      case (Some(x), Some(y)) =>
+                        Some(if (cmpStat(tag, x, y) <= 0) x else y)
+                      case _ => a.orElse(b)
+                    }
+                    def hi(a: Option[String], b: Option[String]) = (a, b) match {
+                      case (Some(x), Some(y)) =>
+                        Some(if (cmpStat(tag, x, y) >= 0) x else y)
+                      case _ => a.orElse(b)
+                    }
+                    ColStats(tag, lo(p.min, mm.map(_._1)),
+                      hi(p.max, mm.map(_._2)), p.nullCount + nn)
+                }
+                acc += name -> merged
+              }
+            }
+        }
+      }
+      FileMeta(rel, rows, acc)
+    } finally reader.close()
+  }
+
+  /** Compare two rendered stat values within a tag's domain. Strings use
+    * unsigned UTF-8 byte order — the order parquet's binary stats are
+    * written in (java String.compareTo diverges above the BMP). */
+  private def cmpStat(tag: String, a: String, b: String): Int = tag match {
+    case "l" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "d" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _ =>
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(x.length, y.length)
+  }
+
+  // ---- commit ---------------------------------------------------------
+
   /** Commit `df` as the next version. `operation` is "overwrite" (snapshot
-    * replaces the table) or "append" (snapshot = previous files + new).
-    * Retries on commit conflicts (another writer won the version) up to
-    * `maxAttempts` times. Returns the committed version. */
+    * replaces the table), "append" (snapshot = previous files + new), or
+    * "optimize" (data-preserving rewrite — see [[optimize]]). Retries on
+    * commit conflicts (another writer won the version) up to `maxAttempts`
+    * times. Returns the committed version. */
   def commit(spark: SparkSession, df: DataFrame, table: String,
              operation: String, maxAttempts: Int = 10): Long =
     commitImpl(spark, df, table, operation, None, maxAttempts)
@@ -150,8 +374,8 @@ object TxnLake extends LakeFormat {
                          operation: String, txn: Option[(String, Long)],
                          maxAttempts: Int,
                          requireBase: Option[Option[Long]] = None): Option[Long] = {
-    require(operation == "overwrite" || operation == "append",
-      s"TxnLake: unknown operation $operation")
+    require(operation == "overwrite" || operation == "append"
+      || operation == "optimize", s"TxnLake: unknown operation $operation")
     val tablePath = new Path(table)
     val f = fs(spark, tablePath)
     f.mkdirs(logDir(table))
@@ -176,10 +400,10 @@ object TxnLake extends LakeFormat {
       // (O(1) log reads). Batch ids per app are monotone (the foreachBatch
       // contract), so seen means batchId <= recorded — Delta's exact
       // SetTransaction semantics. Entries written before the map existed
-      // fall back to the full-log scan.
+      // (no "txns" field at all) fall back to the full-log scan.
       val replayed = txn.exists { case (app, batch) =>
         lastEntry match {
-          case Some(e) if e.txns.nonEmpty => e.txns.get(app).exists(_ >= batch)
+          case Some(e) if e.hasTxns => e.txns.get(app).exists(_ >= batch)
           case Some(_) => committed.exists(v =>
             readEntry(spark, table, v).txn.contains((app, batch)))
           case None => false
@@ -191,21 +415,29 @@ object TxnLake extends LakeFormat {
       //    until the log entry that names it is published)
       val dataRel = s"data/v$next-$salt-$attempt"
       df.write.mode("overwrite").parquet(new Path(tablePath, dataRel).toString)
-      val written = f.listStatus(new Path(tablePath, dataRel))
+      val conf = spark.sparkContext.hadoopConfiguration
+      // add actions: one per written file, with footer-harvested stats
+      val added = f.listStatus(new Path(tablePath, dataRel))
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(s => s"$dataRel/${s.getPath.getName}").sorted.toSeq
-      val base = if (operation == "append")
-        lastEntry.map(_.files).getOrElse(Seq.empty)
-      else Seq.empty
+        .sortBy(_.getPath.getName)
+        .map(s => harvestMeta(conf, s.getPath,
+          s"$dataRel/${s.getPath.getName}", df.schema)).toSeq
+      // remove actions: append removes nothing (O(1) log reads — the
+      // streaming-sink hot path never resolves the snapshot); overwrite
+      // and optimize remove every current file
+      val removed: Seq[String] =
+        if (operation == "append") Seq.empty
+        else committed.lastOption
+          .map(resolveFiles(spark, table, _).map(_.path)).getOrElse(Seq.empty)
       // carry the cumulative txn state through EVERY commit (plain commits
       // included) so the O(1) replay check above stays sound. UPGRADE
       // path: a log written before the map existed carries per-entry txn
       // markers only — fold ALL of them in the one commit that introduces
       // the map (one-time linear scan), otherwise the first new-format
       // commit would orphan every legacy marker and a legacy app's replay
-      // would slip past the nonEmpty-map fast path above.
+      // would slip past the has-map fast path above.
       val legacy: Map[String, Long] = lastEntry match {
-        case Some(e) if e.txns.isEmpty =>
+        case Some(e) if !e.hasTxns =>
           committed.foldLeft(Map.empty[String, Long]) { (m, v) =>
             readEntry(spark, table, v).txn match {
               case Some((a, b)) if m.get(a).forall(_ < b) => m + (a -> b)
@@ -215,13 +447,17 @@ object TxnLake extends LakeFormat {
         case _ => Map.empty
       }
       val txns = legacy ++ lastEntry.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
-      // 2. publish: tmp write + rename-without-overwrite IS the commit
-      val entry = render(Entry(next, operation, base ++ written, txn, txns))
+      // 2. publish: tmp write + atomic link IS the commit
+      val entry = render(Entry(next, operation, added, removed, None, txn, txns,
+        hasTxns = true))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
       val dst = new Path(logDir(table), s"v$next.json")
-      if (publishExclusive(f, tmp, dst)) return Some(next)
+      if (publishExclusive(f, tmp, dst)) {
+        maybeCheckpoint(spark, f, table, next)
+        return Some(next)
+      }
       f.delete(tmp, false) // lost the race: discard and retry at N+1
       // under a pinned read set, losing the race IS a read conflict —
       // surface it now rather than burning the remaining attempts
@@ -229,6 +465,26 @@ object TxnLake extends LakeFormat {
       attempt += 1
     }
     sys.error(s"TxnLake: gave up after $maxAttempts commit conflicts on $table")
+  }
+
+  /** Write the periodic checkpoint after a successful publish. Only the
+    * committer of version N writes v<N>.ckpt, so there is no race; the
+    * checkpoint is derived data — a crash before it lands merely leaves
+    * readers replaying a longer tail from the previous one. */
+  private def maybeCheckpoint(spark: SparkSession, f: FileSystem,
+                              table: String, version: Long): Unit = {
+    if (version == 0 || version % CheckpointInterval != 0) return
+    val state = resolveFiles(spark, table, version)
+    val o = mapper.createObjectNode()
+    o.put("version", version)
+    val arr = o.putArray("files")
+    state.foreach(fm => statsToJson(arr.addObject(), fm))
+    val tmp = new Path(logDir(table), s"v$version.ckpt.tmp")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writeValueAsString(o).getBytes("UTF-8"))
+    finally out.close()
+    if (!publishExclusive(f, tmp, new Path(logDir(table), s"v$version.ckpt")))
+      f.delete(tmp, false)
   }
 
   /** Atomic publish-if-absent — the commit point. On HDFS-like stores,
@@ -250,14 +506,169 @@ object TxnLake extends LakeFormat {
       }
     } else !f.exists(dst) && f.rename(tmp, dst)
 
+  // ---- read -----------------------------------------------------------
+
   /** Read a specific committed version (time travel), resolving the file
-    * list from that version's log entry only — later commits are
-    * invisible. */
+    * list from the log only — later commits are invisible. */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
-    val e = readEntry(spark, table, version)
-    if (e.files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(e.files.map(r => new Path(table, r).toString): _*)
+    val files = resolveFiles(spark, table, version)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.map(fm => new Path(table, fm.path).toString): _*)
   }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    latestVersion(spark, path) match {
+      case Some(v) => readVersion(spark, path, v)
+      case None => spark.emptyDataFrame
+    }
+
+  // ---- data skipping --------------------------------------------------
+
+  /** Data-skipping scan: resolve the snapshot's file list, SKIP every file
+    * whose commit-time column stats prove `predicate` cannot match, and
+    * hand only the survivors to the parquet scan; the predicate is then
+    * re-applied row-level, so pruning is purely an I/O reduction and
+    * unsupported predicate shapes are conservatively kept. This is the
+    * capability that makes a selective query on a 100 TB table open
+    * thousands of files instead of millions — the reference's only pruning
+    * is partitionBy(year, month) (process_bronze_to_silver.py:146);
+    * per-file stats prune on ANY statted column at finer grain. */
+  def readWhere(spark: SparkSession, table: String, predicate: Column,
+                version: Option[Long] = None): DataFrame = {
+    version.orElse(latestVersion(spark, table)) match {
+      case None => spark.emptyDataFrame
+      case Some(v) =>
+        val files = resolveFiles(spark, table, v)
+        if (files.isEmpty) return spark.emptyDataFrame
+        def abs(fms: Seq[FileMeta]) =
+          fms.map(fm => new Path(table, fm.path).toString)
+        val pred = resolvedPredicate(spark, abs(files).head, predicate)
+        val kept = files.filter(fm => mayMatch(fm, pred))
+        if (kept.isEmpty)
+          // schema-preserving empty: the scan folds to nothing under the
+          // constant-false filter (one footer read for schema, no data I/O)
+          spark.read.parquet(abs(files): _*).where(lit(false))
+        else spark.read.parquet(abs(kept): _*).where(predicate)
+    }
+  }
+
+  /** (files kept, files total) under `predicate` at a version — the
+    * data-skipping observability counter specs and gates assert on. */
+  def skippingStats(spark: SparkSession, table: String, predicate: Column,
+                    version: Option[Long] = None): (Int, Int) = {
+    val files = snapshotFiles(spark, table, version)
+    if (files.isEmpty) return (0, 0)
+    val sample = new Path(table, files.head.path).toString
+    val pred = resolvedPredicate(spark, sample, predicate)
+    (files.count(fm => mayMatch(fm, pred)), files.size)
+  }
+
+  /** Resolve `predicate` against the table's actual schema: build a probe
+    * plan over one data file (footer-only — nothing executes) and pull the
+    * ANALYZED filter condition out, so the matcher sees typed catalyst
+    * comparisons (with the analyzer's implicit casts) instead of the lazy
+    * unresolved column graph the public Column API carries. */
+  private def resolvedPredicate(spark: SparkSession, sampleFile: String,
+                                predicate: Column): Expression = {
+    val probe = spark.read.parquet(sampleFile).where(predicate)
+    probe.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.headOption.getOrElse(Literal(true, BooleanType))
+  }
+
+  /** May `e` match at least one row of the file, judged against its
+    * min/max/nullCount stats? Conservative: anything unrecognized keeps
+    * the file. Supports the conjunctive/disjunctive range shapes Catalyst
+    * pushes — the same dialect Delta's data skipping evaluates. */
+  private def mayMatch(fm: FileMeta, e: Expression): Boolean = {
+    def name(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.name)
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    // literals, and analyzer-inserted casts AROUND literals (type
+    // coercion wraps `k >= 12` as `k >= cast(12 as bigint)`): anything
+    // foldable evaluates eagerly on the driver
+    def litOf(x: Expression): Option[(Any, DataType)] = x match {
+      case Literal(v, t) if v != null => Some((v, t))
+      case c: Cast if c.foldable =>
+        try Option(c.eval(null)).map(v => (v, c.dataType))
+        catch { case _: Exception => None }
+      case _ => None
+    }
+    // literal rendered into the column's stat domain, or None → keep
+    def rendered(cs: ColStats, v: Any, t: DataType): Option[String] =
+      (cs.tag, t) match {
+        case ("l", ByteType) => Some(v.asInstanceOf[Byte].toLong.toString)
+        case ("l", ShortType) => Some(v.asInstanceOf[Short].toLong.toString)
+        case ("l", IntegerType | DateType) =>
+          Some(v.asInstanceOf[Int].toLong.toString)
+        case ("l", LongType | TimestampType | TimestampNTZType) =>
+          Some(v.asInstanceOf[Long].toString)
+        case ("d", FloatType) => Some(v.asInstanceOf[Float].toDouble.toString)
+        case ("d", DoubleType) => Some(v.asInstanceOf[Double].toString)
+        case ("d", IntegerType) => Some(v.asInstanceOf[Int].toDouble.toString)
+        case ("d", LongType) => Some(v.asInstanceOf[Long].toDouble.toString)
+        case ("s", StringType) => Some(v.toString)
+        case _ => None
+      }
+    // compare stats bounds against the literal: Some((cmp(min, v), cmp(max, v)))
+    def bounds(col: String, v: Any, t: DataType): Option[(Int, Int)] =
+      for {
+        cs <- fm.stats.get(col)
+        mn <- cs.min
+        mx <- cs.max
+        lv <- rendered(cs, v, t)
+      } yield (cmpStat(cs.tag, mn, lv), cmpStat(cs.tag, mx, lv))
+    def cmpTest(a: Expression, b: Expression)(attrOp: ((Int, Int)) => Boolean)(
+        litOp: ((Int, Int)) => Boolean): Boolean =
+      (name(a), litOf(b), name(b), litOf(a)) match {
+        case (Some(c), Some((v, t)), _, _) =>
+          bounds(c, v, t).forall(attrOp)
+        case (_, _, Some(c), Some((v, t))) =>
+          bounds(c, v, t).forall(litOp)
+        case _ => true
+      }
+    e match {
+      case And(l, r) => mayMatch(fm, l) && mayMatch(fm, r)
+      case Or(l, r) => mayMatch(fm, l) || mayMatch(fm, r)
+      case EqualTo(a, b) =>
+        cmpTest(a, b) { case (mnC, mxC) => mnC <= 0 && mxC >= 0 } {
+          case (mnC, mxC) => mnC <= 0 && mxC >= 0 }
+      case GreaterThan(a, b) => // attr > v: max > v | v > attr: min < v
+        cmpTest(a, b)(_._2 > 0)(_._1 < 0)
+      case GreaterThanOrEqual(a, b) =>
+        cmpTest(a, b)(_._2 >= 0)(_._1 <= 0)
+      case LessThan(a, b) => // attr < v: min < v | v < attr: max > v
+        cmpTest(a, b)(_._1 < 0)(_._2 > 0)
+      case LessThanOrEqual(a, b) =>
+        cmpTest(a, b)(_._1 <= 0)(_._2 >= 0)
+      case In(a, list) if list.forall(litOf(_).isDefined) =>
+        name(a) match {
+          case Some(c) => list.exists { l =>
+            val (v, t) = litOf(l).get
+            bounds(c, v, t).forall { case (mnC, mxC) => mnC <= 0 && mxC >= 0 }
+          }
+          case None => true
+        }
+      case IsNull(a) =>
+        name(a).flatMap(fm.stats.get) match {
+          case Some(cs) if cs.nullCount >= 0 => cs.nullCount > 0
+          case _ => true
+        }
+      case IsNotNull(a) =>
+        name(a).flatMap(fm.stats.get) match {
+          case Some(cs) if cs.nullCount >= 0 && fm.rows >= 0 =>
+            cs.nullCount < fm.rows
+          case _ => true
+        }
+      case Literal(b: Boolean, BooleanType) => b
+      case _ => true
+    }
+  }
+
+  // ---- merge ----------------------------------------------------------
 
   /** MERGE (upsert) at the table layer — the q41 delta-wins semantics as a
     * lake operation: rows matching on `key` are replaced by the delta,
@@ -324,6 +735,53 @@ object TxnLake extends LakeFormat {
       s"TxnLake.merge: $maxAttempts consecutive concurrent commits on $table")
   }
 
+  // ---- optimize -------------------------------------------------------
+
+  /** OPTIMIZE as a transaction — Delta's `OPTIMIZE [ZORDER BY]`: rewrite
+    * the current snapshot into `numFiles` files (optionally Z-order
+    * clustered on two dimensions via [[graft.operators.ZOrder]], or
+    * range-clustered on one), committed as a data-preserving "optimize"
+    * entry that removes every pre-rewrite file and adds the rewritten
+    * ones. Because it goes through the log: concurrent readers keep their
+    * snapshots, pre-optimize versions still time-travel, vacuum reclaims
+    * the replaced files, and a concurrent commit is detected via the
+    * pinned read version and triggers a recompute (Delta aborts instead;
+    * recompute is always safe here because the rewrite re-reads the whole
+    * snapshot). `Storage.Compaction` performs the same bin-packing OUTSIDE
+    * any log — on a TxnLake table that would corrupt snapshot isolation;
+    * this is the in-log form.
+    *
+    * Scale: one full shuffle of the snapshot (range, for clustering) — the
+    * price OPTIMIZE always pays; clustering makes the rewritten files'
+    * min/max stats tight, which is what turns [[readWhere]]'s pruning from
+    * partition-grain to file-grain. */
+  def optimize(spark: SparkSession, table: String,
+               zorderBy: Seq[String] = Seq.empty, numFiles: Int = 4,
+               maxAttempts: Int = 10): Long = {
+    import org.apache.spark.sql.functions.col
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(spark, table)
+        .getOrElse(sys.error(s"TxnLake.optimize: no committed version in $table"))
+      val snap = readVersion(spark, table, base)
+      val rewritten = zorderBy match {
+        case Seq(x, y) =>
+          graft.operators.ZOrder.clusterByZ(snap, x, y, partitions = numFiles)
+            .drop("__z")
+        case Seq(x) => snap.repartitionByRange(numFiles, col(x))
+        case _ => snap.repartition(numFiles)
+      }
+      try return commitImpl(spark, rewritten, table, "optimize", None,
+          maxAttempts = 1, requireBase = Some(Some(base)))
+        .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped"))
+      catch { case _: CommitConflict => attempt += 1 }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"TxnLake.optimize: $maxAttempts consecutive concurrent commits on $table")
+  }
+
+  // ---- vacuum ---------------------------------------------------------
+
   /** Delete data dirs referenced by NO retained version (the newest
     * `retainVersions` stay readable; older log entries remain but their
     * exclusive files are reclaimed). Returns reclaimed dir count. */
@@ -331,7 +789,7 @@ object TxnLake extends LakeFormat {
     val versions = committedVersions(spark, table)
     if (versions.isEmpty) return 0
     val retained = versions.takeRight(math.max(1, retainVersions))
-    val live = retained.flatMap(readEntry(spark, table, _).files)
+    val live = retained.flatMap(resolveFiles(spark, table, _).map(_.path))
       .map(_.split("/").take(2).mkString("/")).toSet // data/vN-salt-a dirs
     val dataRoot = new Path(table, "data")
     val f = fs(spark, dataRoot)
@@ -346,15 +804,9 @@ object TxnLake extends LakeFormat {
   // ---- LakeFormat: overwrite-snapshot semantics, like ParquetLake, but
   // with the log providing atomicity + isolation. partitionBy is accepted
   // for interface parity; the log tracks files, so pruning at this layer
-  // comes from parquet row-group stats rather than dir layout.
+  // comes from per-file stats (readWhere) rather than dir layout.
   def write(df: DataFrame, path: String, partitionBy: Seq[String]): Unit = {
     commit(df.sparkSession, df, path, "overwrite")
     ()
   }
-
-  def read(spark: SparkSession, path: String): DataFrame =
-    latestVersion(spark, path) match {
-      case Some(v) => readVersion(spark, path, v)
-      case None => spark.emptyDataFrame
-    }
 }

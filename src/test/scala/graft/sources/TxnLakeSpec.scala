@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.SparkSpec
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** The transaction-log lake protocol: atomic overwrite snapshots,
   * snapshot-isolated concurrent readers, time travel, append, optimistic
@@ -155,5 +156,197 @@ class TxnLakeSpec extends SparkSpec {
     TxnLake.write(Seq((1, "a"), (2, "b")).toDF("k", "v"), t, Seq.empty)
     val back = TxnLake.read(spark, t).collect().map(r => (r.getInt(0), r.getString(1)))
     assert(back.sorted.toSeq == Seq((1, "a"), (2, "b")))
+  }
+
+  // ---- delta-encoded log + checkpoints --------------------------------
+
+  test("log entries are deltas: an append's entry size is O(changed files)") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, (1 to 100).toDF("x").repartition(8), t, "append")
+    TxnLake.commit(spark, Seq(101).toDF("x").coalesce(1), t, "append")
+    val e0 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t, "_txn_log", "v0.json"))
+    val e1 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t, "_txn_log", "v1.json"))
+    def nFiles(s: String) = """"path":""".r.findAllIn(s).length
+    assert(nFiles(e0) == 8)
+    // the append entry names ONLY its own file — not the 8 it inherits
+    assert(nFiles(e1) == 1, s"append entry re-lists the snapshot: $e1")
+    assert(!e1.contains("v0-"), "append entry references version-0 files")
+    // yet the resolved snapshot is cumulative
+    assert(TxnLake.read(spark, t).count() == 101)
+  }
+
+  test("checkpoints bound tail replay and preserve resolution + time travel") {
+    import spark.implicits._
+    val t = freshTable()
+    (0 to 24).foreach { i =>
+      TxnLake.commit(spark, Seq(i).toDF("x").coalesce(1), t, "append")
+    }
+    val log = java.nio.file.Paths.get(t, "_txn_log")
+    val names = {
+      val st = java.nio.file.Files.list(log)
+      try st.iterator().asScala.map(_.getFileName.toString).toSet
+      finally st.close()
+    }
+    assert(names.contains("v10.ckpt") && names.contains("v20.ckpt"), names)
+    // resolution across checkpoints is exact at every version
+    assert(TxnLake.read(spark, t).count() == 25)
+    assert(TxnLake.readVersion(spark, t, 9).count() == 10)   // pre-ckpt
+    assert(TxnLake.readVersion(spark, t, 10).count() == 11)  // at ckpt
+    assert(TxnLake.readVersion(spark, t, 17).count() == 18)  // ckpt + tail
+    // an overwrite after checkpoints drops history from the resolved state
+    TxnLake.commit(spark, Seq(999).toDF("x"), t, "overwrite")
+    assert(TxnLake.read(spark, t).collect().map(_.getInt(0)).toSeq == Seq(999))
+    assert(TxnLake.readVersion(spark, t, 20).count() == 21)
+  }
+
+  test("a legacy full-list entry still resolves (files field = snapshot)") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1, 2, 3).toDF("x").coalesce(1), t, "overwrite")
+    TxnLake.commit(spark, Seq(4).toDF("x").coalesce(1), t, "append")
+    // rewrite v0 into the pre-delta format: full file list under "files"
+    val p0 = java.nio.file.Paths.get(t, "_txn_log", "v0.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.readTree(java.nio.file.Files.readString(p0))
+    val legacy = mapper.createObjectNode()
+    legacy.put("version", 0L).put("operation", "overwrite")
+    val files = legacy.putArray("files")
+    n.get("add").forEach(a => files.add(a.get("path").asText()))
+    java.nio.file.Files.writeString(p0, mapper.writeValueAsString(legacy))
+    assert(TxnLake.read(spark, t).collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 2, 3, 4))
+  }
+
+  // ---- per-file stats + data skipping ---------------------------------
+
+  test("commits record per-file column min/max stats from the footers") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark,
+      Seq((1L, "a", 1.5), (9L, "m", -2.0)).toDF("k", "s", "d").coalesce(1),
+      t, "overwrite")
+    val files = TxnLake.snapshotFiles(spark, t)
+    assert(files.length == 1)
+    val st = files.head.stats
+    assert(files.head.rows == 2)
+    assert(st("k") == TxnLake.ColStats("l", Some("1"), Some("9"), 0))
+    assert(st("s").min.contains("a") && st("s").max.contains("m"))
+    assert(st("d").tag == "d" &&
+      st("d").min.get.toDouble == -2.0 && st("d").max.get.toDouble == 1.5)
+  }
+
+  test("readWhere skips files whose stats exclude the predicate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // three disjoint-range files via three appends (strings zero-padded so
+    // the lexicographic file ranges are disjoint too)
+    TxnLake.commit(spark, (0 to 9).map(i => (i.toLong, f"r$i%02d")).toDF("k", "v")
+      .coalesce(1), t, "append")
+    TxnLake.commit(spark, (10 to 19).map(i => (i.toLong, f"r$i%02d")).toDF("k", "v")
+      .coalesce(1), t, "append")
+    TxnLake.commit(spark, (20 to 29).map(i => (i.toLong, f"r$i%02d")).toDF("k", "v")
+      .coalesce(1), t, "append")
+    val pred = col("k") >= 12L && col("k") < 15L
+    val (kept, total) = TxnLake.skippingStats(spark, t, pred)
+    assert(total == 3 && kept == 1, s"kept $kept of $total")
+    assert(TxnLake.readWhere(spark, t, pred).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(12L, 13L, 14L))
+    // equality, IN, and disjunction shapes
+    assert(TxnLake.skippingStats(spark, t, col("k") === 25L)._1 == 1)
+    assert(TxnLake.skippingStats(spark, t,
+      col("k").isin(3L, 27L))._1 == 2)
+    assert(TxnLake.skippingStats(spark, t,
+      col("k") === 5L || col("k") === 15L)._1 == 2)
+    // string stats prune too
+    assert(TxnLake.skippingStats(spark, t, col("v") === "r25")._1 == 1)
+    // a predicate no file admits: zero files, schema-preserving empty scan
+    val none = TxnLake.readWhere(spark, t, col("k") > 1000L)
+    assert(TxnLake.skippingStats(spark, t, col("k") > 1000L)._1 == 0)
+    assert(none.columns.toSeq == Seq("k", "v") && none.count() == 0)
+    // unsupported shapes are conservative: kept, and row-level still right
+    val weird = TxnLake.readWhere(spark, t, col("k") % 10 === 3L)
+    assert(weird.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 13L, 23L))
+  }
+
+  test("readWhere honors time travel: pruning runs against the pinned version") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1L).toDF("k").coalesce(1), t, "append")
+    TxnLake.commit(spark, Seq(100L).toDF("k").coalesce(1), t, "append")
+    assert(TxnLake.readWhere(spark, t, col("k") > 50L, version = Some(0L))
+      .count() == 0)
+    assert(TxnLake.readWhere(spark, t, col("k") > 50L).count() == 1)
+  }
+
+  // ---- OPTIMIZE as a commit -------------------------------------------
+
+  test("optimize preserves the row multiset and the version history") {
+    import spark.implicits._
+    val t = freshTable()
+    (0 until 6).foreach { i =>
+      TxnLake.commit(spark,
+        Seq(i * 2, i * 2 + 1).toDF("x").coalesce(1), t, "append")
+    }
+    assert(TxnLake.snapshotFiles(spark, t).length == 6)
+    // a reader resolved BEFORE the optimize keeps its snapshot
+    val reader = TxnLake.read(spark, t)
+    val vOpt = TxnLake.optimize(spark, t, numFiles = 2)
+    assert(vOpt == 6)
+    val after = TxnLake.snapshotFiles(spark, t)
+    assert(after.length == 2, s"expected 2 rewritten files, got ${after.length}")
+    assert(TxnLake.read(spark, t).collect().map(_.getInt(0)).sorted.toSeq
+      == (0 until 12).toSeq)
+    assert(reader.collect().map(_.getInt(0)).sorted.toSeq == (0 until 12).toSeq)
+    // pre-optimize versions still time-travel
+    assert(TxnLake.readVersion(spark, t, 5).count() == 12)
+    assert(TxnLake.readVersion(spark, t, 2).count() == 6)
+    // vacuum reclaims the replaced pre-optimize dirs; latest stays readable
+    val reclaimed = TxnLake.vacuum(spark, t, retainVersions = 1)
+    assert(reclaimed == 6)
+    assert(TxnLake.read(spark, t).count() == 12)
+  }
+
+  test("optimize zorder clusters files so either dimension prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // a grid scattered across commits: pre-optimize, every file spans the
+    // whole range of both dims, so nothing prunes
+    val grid = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    TxnLake.commit(spark,
+      scala.util.Random.shuffle(grid).toDF("x", "y").repartition(8),
+      t, "overwrite")
+    val before = TxnLake.skippingStats(spark, t, col("x") < 4L)
+    assert(before._2 == 8 && before._1 == 8, s"pre-optimize: $before")
+    TxnLake.optimize(spark, t, zorderBy = Seq("x", "y"), numFiles = 4)
+    assert(TxnLake.read(spark, t).count() == 256)
+    val ax = TxnLake.skippingStats(spark, t, col("x") < 4L)
+    val ay = TxnLake.skippingStats(spark, t, col("y") < 4L)
+    assert(ax._1 < ax._2, s"x predicate prunes nothing after zorder: $ax")
+    assert(ay._1 < ay._2, s"y predicate prunes nothing after zorder: $ay")
+  }
+
+  test("optimize racing a concurrent appender loses no rows") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1, 2).toDF("x").coalesce(1), t, "append")
+    TxnLake.commit(spark, Seq(3, 4).toDF("x").coalesce(1), t, "append")
+    // whichever interleaving wins, optimize's pinned-base publish either
+    // precedes the append (append survives on top) or detects it and
+    // recomputes — the appended row must never be erased by the rewrite
+    Await.result(Future.sequence(Seq(
+      Future(TxnLake.optimize(spark, t, numFiles = 1, maxAttempts = 20)),
+      Future(TxnLake.commit(spark, Seq(5).toDF("x").coalesce(1), t, "append",
+        maxAttempts = 20)))), 5.minutes)
+    assert(TxnLake.read(spark, t).collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 2, 3, 4, 5))
   }
 }

@@ -88,12 +88,13 @@ class TxnSinkSpec extends SparkSpec {
     // "txns" field from every committed entry, leaving only the legacy
     // per-entry txnApp/txnBatch markers
     val logDir = java.nio.file.Paths.get(table, "_txn_log")
-    Files.list(logDir).forEach { p =>
+    val st = Files.list(logDir)
+    try st.forEach { p =>
       if (p.getFileName.toString.endsWith(".json")) {
         val stripped = Files.readString(p).replaceAll(""","txns":\{[^}]*\}""", "")
         Files.writeString(p, stripped)
       }
-    }
+    } finally st.close()
     // the first new-format commit must FOLD the legacy markers into the
     // map it introduces — otherwise legacy_app's replay slips past the
     // O(1) nonEmpty-map fast path and double-applies
