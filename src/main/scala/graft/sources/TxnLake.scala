@@ -103,26 +103,29 @@ object TxnLake extends LakeFormat {
   private def statsToJson(o: ObjectNode, fm: FileMeta): Unit = {
     o.put("path", fm.path)
     o.put("rows", fm.rows)
-    val st = o.putObject("stats")
-    fm.stats.toSeq.sortBy(_._1).foreach { case (cn, cs) =>
+    statsObj(o.putObject("stats"), fm.stats)
+  }
+
+  private def statsObj(st: ObjectNode, stats: Map[String, ColStats]): Unit =
+    stats.toSeq.sortBy(_._1).foreach { case (cn, cs) =>
       val c = st.putObject(cn)
       c.put("t", cs.tag)
       cs.min.foreach(c.put("mn", _))
       cs.max.foreach(c.put("mx", _))
       c.put("nc", cs.nullCount)
     }
-  }
+
+  private def statsFromJson(st: JsonNode): Map[String, ColStats] =
+    st.properties().asScala.map { e =>
+      val c = e.getValue
+      e.getKey -> ColStats(c.get("t").asText(),
+        Option(c.get("mn")).map(_.asText()),
+        Option(c.get("mx")).map(_.asText()),
+        Option(c.get("nc")).map(_.asLong()).getOrElse(-1L))
+    }.toMap
 
   private def fileFromJson(n: JsonNode): FileMeta = {
-    val stats = Option(n.get("stats")).map { st =>
-      st.properties().asScala.map { e =>
-        val c = e.getValue
-        e.getKey -> ColStats(c.get("t").asText(),
-          Option(c.get("mn")).map(_.asText()),
-          Option(c.get("mx")).map(_.asText()),
-          Option(c.get("nc")).map(_.asLong()).getOrElse(-1L))
-      }.toMap
-    }.getOrElse(Map.empty)
+    val stats = Option(n.get("stats")).map(statsFromJson).getOrElse(Map.empty)
     FileMeta(n.get("path").asText(),
       Option(n.get("rows")).map(_.asLong()).getOrElse(-1L), stats)
   }
@@ -196,13 +199,50 @@ object TxnLake extends LakeFormat {
       .sorted.toSeq
   }
 
+  /** Checkpoints are PARQUET since round 8 — a JSON full file list is a
+    * multi-hundred-MB driver parse at millions of files; a columnar
+    * checkpoint compresses the (highly repetitive) path column and is the
+    * format Delta uses for exactly this reason. One row per live file:
+    * (path UTF8, rows INT64, stats UTF8-JSON). Legacy JSON checkpoints are
+    * detected by the absent PAR1 magic and still resolve. */
+  private val ckptSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType(
+      """message graft_ckpt {
+        |  required binary path (UTF8);
+        |  required int64 rows;
+        |  required binary stats (UTF8);
+        |}""".stripMargin)
+
   private def readCheckpoint(spark: SparkSession, table: String,
                              v: Long): Seq[FileMeta] = {
     val p = new Path(logDir(table), s"v$v.ckpt")
-    val in = fs(spark, p).open(p)
-    val n = try mapper.readTree(new String(in.readAllBytes(), "UTF-8"))
+    val f = fs(spark, p)
+    val magic = {
+      val in = f.open(p)
+      try { val b = new Array[Byte](4); in.readFully(0, b); b }
       finally in.close()
-    n.get("files").asScala.map(fileFromJson).toSeq
+    }
+    if (java.util.Arrays.equals(magic, "PAR1".getBytes("US-ASCII"))) {
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+        .withConf(spark.sparkContext.hadoopConfiguration)
+        .build()
+      try {
+        val buf = Seq.newBuilder[FileMeta]
+        var g = reader.read()
+        while (g != null) {
+          buf += FileMeta(g.getString("path", 0), g.getLong("rows", 0),
+            statsFromJson(mapper.readTree(g.getString("stats", 0))))
+          g = reader.read()
+        }
+        buf.result()
+      } finally reader.close()
+    } else {
+      val in = f.open(p)
+      val n = try mapper.readTree(new String(in.readAllBytes(), "UTF-8"))
+        finally in.close()
+      n.get("files").asScala.map(fileFromJson).toSeq
+    }
   }
 
   /** Resolve the file list AS OF `version`: newest checkpoint at or below
@@ -252,13 +292,17 @@ object TxnLake extends LakeFormat {
 
   /** Harvest per-column min/max/nullCount from one just-written parquet
     * file's FOOTER — metadata-only, the stats are a byproduct of the write
-    * (Delta collects them in the write transaction the same way; a
-    * distributed variant moves this loop into the write job's commit
-    * protocol). Unsupported physical encodings (INT96 timestamps, nested
-    * paths) simply yield no bounds → pruning stays conservative. */
+    * (Delta collects them in the write transaction the same way; see
+    * [[harvestAll]] for the distributed form). Unsupported physical
+    * encodings (INT96 timestamps, nested paths) simply yield no bounds →
+    * pruning stays conservative. */
   private def harvestMeta(conf: Configuration, file: Path, rel: String,
                           schema: StructType): FileMeta = {
     val tags = schema.fields.flatMap(f => tagOf(f.dataType).map(f.name -> _)).toMap
+    val tsCols = schema.fields.collect {
+      case f if f.dataType == TimestampType || f.dataType == TimestampNTZType =>
+        f.name
+    }.toSet
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -272,7 +316,19 @@ object TxnLake extends LakeFormat {
         tags.get(name).filterNot(bad) match {
           case None => ()
           case Some(tag) =>
-            val st = c.getStatistics
+            // timestamp bounds are recorded in the file's PHYSICAL unit;
+            // prune-time literals are catalyst micros. Only trust bounds
+            // whose annotation says INT64 micros — a session writing
+            // TIMESTAMP_MILLIS would otherwise make readWhere skip files
+            // that contain matching rows (silent row loss)
+            val unitOk = !tsCols(name) ||
+              (c.getPrimitiveType.getLogicalTypeAnnotation match {
+                case ts: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  ts.getUnit ==
+                    org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+                case _ => false
+              })
+            val st = if (unitOk) c.getStatistics else null
             val usable = st != null && st.isNumNullsSet &&
               (st.hasNonNullValue || st.getNumNulls == b.getRowCount)
             if (!usable) { bad += name; acc -= name }
@@ -317,6 +373,55 @@ object TxnLake extends LakeFormat {
       }
       FileMeta(rel, rows, acc)
     } finally reader.close()
+  }
+
+  /** Java-serializable Hadoop Configuration carrier for shipping the
+    * session's FS settings into the harvest job's closures. */
+  private final class SerConf(@transient private var conf: Configuration)
+      extends Serializable {
+    def value: Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** Files at or below this count harvest inline on the driver (a Spark
+    * job costs more than a handful of footer reads — the append hot path);
+    * above it the footer reads run as a distributed job, so an overwrite /
+    * optimize that rewrites a large table never serializes O(files) driver
+    * I/O through the commit path. */
+  private[sources] val DriverHarvestMax = 4
+
+  /** Observability seam for specs: whether the most recent harvest ran as
+    * a distributed job (true) or the driver inline loop (false). */
+  @volatile private[sources] var lastHarvestDistributed: Boolean = false
+
+  /** Harvest footer stats for every committed file. Small commits loop on
+    * the driver; larger ones fan the footer reads out as one Spark job —
+    * per-file work is independent, so this is the executor-side stats
+    * collection Delta performs inside the write transaction, recovered
+    * here from the footers the write already produced. */
+  private def harvestAll(spark: SparkSession, files: Seq[(String, String)],
+                         schema: StructType): Seq[FileMeta] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (files.size <= DriverHarvestMax) {
+      lastHarvestDistributed = false
+      files.map { case (abs, rel) => harvestMeta(conf, new Path(abs), rel, schema) }
+    } else {
+      lastHarvestDistributed = true
+      val ser = new SerConf(conf)
+      val slices = math.min(files.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(files, slices)
+        .map { case (abs, rel) => harvestMeta(ser.value, new Path(abs), rel, schema) }
+        .collect().toSeq.sortBy(_.path)
+    }
   }
 
   /** Compare two rendered stat values within a tag's domain. Strings use
@@ -415,13 +520,13 @@ object TxnLake extends LakeFormat {
       //    until the log entry that names it is published)
       val dataRel = s"data/v$next-$salt-$attempt"
       df.write.mode("overwrite").parquet(new Path(tablePath, dataRel).toString)
-      val conf = spark.sparkContext.hadoopConfiguration
       // add actions: one per written file, with footer-harvested stats
-      val added = f.listStatus(new Path(tablePath, dataRel))
+      // (distributed above DriverHarvestMax files — see harvestAll)
+      val written = f.listStatus(new Path(tablePath, dataRel))
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
-        .map(s => harvestMeta(conf, s.getPath,
-          s"$dataRel/${s.getPath.getName}", df.schema)).toSeq
+        .map(s => (s.getPath.toString, s"$dataRel/${s.getPath.getName}")).toSeq
+      val added = harvestAll(spark, written, df.schema)
       // remove actions: append removes nothing (O(1) log reads — the
       // streaming-sink hot path never resolves the snapshot); overwrite
       // and optimize remove every current file
@@ -475,14 +580,29 @@ object TxnLake extends LakeFormat {
                               table: String, version: Long): Unit = {
     if (version == 0 || version % CheckpointInterval != 0) return
     val state = resolveFiles(spark, table, version)
-    val o = mapper.createObjectNode()
-    o.put("version", version)
-    val arr = o.putArray("files")
-    state.foreach(fm => statsToJson(arr.addObject(), fm))
     val tmp = new Path(logDir(table), s"v$version.ckpt.tmp")
-    val out = f.create(tmp, true)
-    try out.write(mapper.writeValueAsString(o).getBytes("UTF-8"))
-    finally out.close()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, conf))
+      .withConf(conf)
+      .withType(ckptSchema)
+      .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+        ckptSchema)
+      state.foreach { fm =>
+        val g = gf.newGroup()
+        g.append("path", fm.path)
+        g.append("rows", fm.rows)
+        val st = mapper.createObjectNode()
+        statsObj(st, fm.stats)
+        g.append("stats", mapper.writeValueAsString(st))
+        writer.write(g)
+      }
+    } finally writer.close()
     if (!publishExclusive(f, tmp, new Path(logDir(table), s"v$version.ckpt")))
       f.delete(tmp, false)
   }
@@ -508,10 +628,28 @@ object TxnLake extends LakeFormat {
 
   // ---- read -----------------------------------------------------------
 
+  /** Raise a clear error when a resolved snapshot references data dirs
+    * [[vacuum]] has reclaimed — otherwise the read fails later, mid-scan,
+    * with a bare missing-file error. O(#commit dirs) existence probes, not
+    * O(files): files share their commit's dir, so the dir is the unit of
+    * reclamation. */
+  private def requireLive(spark: SparkSession, table: String, version: Long,
+                          files: Seq[FileMeta]): Unit = {
+    val f = fs(spark, new Path(table))
+    val dirs = files.map(_.path.split("/").take(2).mkString("/")).distinct
+    dirs.find(dr => !f.exists(new Path(table, dr))).foreach { dr =>
+      throw new IllegalStateException(
+        s"TxnLake: version $version of $table has been vacuumed " +
+          s"(data dir $dr reclaimed); only versions within the retention " +
+          "window at the last vacuum remain readable")
+    }
+  }
+
   /** Read a specific committed version (time travel), resolving the file
     * list from the log only — later commits are invisible. */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
     val files = resolveFiles(spark, table, version)
+    requireLive(spark, table, version, files)
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files.map(fm => new Path(table, fm.path).toString): _*)
   }
@@ -539,15 +677,17 @@ object TxnLake extends LakeFormat {
       case None => spark.emptyDataFrame
       case Some(v) =>
         val files = resolveFiles(spark, table, v)
+        requireLive(spark, table, v, files)
         if (files.isEmpty) return spark.emptyDataFrame
         def abs(fms: Seq[FileMeta]) =
           fms.map(fm => new Path(table, fm.path).toString)
         val pred = resolvedPredicate(spark, abs(files).head, predicate)
         val kept = files.filter(fm => mayMatch(fm, pred))
         if (kept.isEmpty)
-          // schema-preserving empty: the scan folds to nothing under the
-          // constant-false filter (one footer read for schema, no data I/O)
-          spark.read.parquet(abs(files): _*).where(lit(false))
+          // schema-preserving empty over ONE file: a single footer read
+          // suffices for the schema — building the relation over the whole
+          // snapshot would be an O(table) listing for a proven-empty result
+          spark.read.parquet(abs(files).head).where(lit(false))
         else spark.read.parquet(abs(kept): _*).where(predicate)
     }
   }
@@ -617,10 +757,19 @@ object TxnLake extends LakeFormat {
     def bounds(col: String, v: Any, t: DataType): Option[(Int, Int)] =
       for {
         cs <- fm.stats.get(col)
-        mn <- cs.min
-        mx <- cs.max
+        mn0 <- cs.min
+        mx0 <- cs.max
         lv <- rendered(cs, v, t)
-      } yield (cmpStat(cs.tag, mn, lv), cmpStat(cs.tag, mx, lv))
+      } yield {
+        // ±0.0 guard: parquet-mr normalizes float bounds to min=-0.0 /
+        // max=+0.0, but Double.compare orders -0.0 < 0.0, so a foreign
+        // writer emitting max=-0.0 would let `d === 0.0` prune a file
+        // whose -0.0 rows Spark treats as equal. Widen zero bounds before
+        // comparing; IEEE `== 0.0` matches both signs.
+        val mn = if (cs.tag == "d" && mn0.toDouble == 0.0) "-0.0" else mn0
+        val mx = if (cs.tag == "d" && mx0.toDouble == 0.0) "0.0" else mx0
+        (cmpStat(cs.tag, mn, lv), cmpStat(cs.tag, mx, lv))
+      }
     def cmpTest(a: Expression, b: Expression)(attrOp: ((Int, Int)) => Boolean)(
         litOp: ((Int, Int)) => Boolean): Boolean =
       (name(a), litOf(b), name(b), litOf(a)) match {
@@ -759,6 +908,12 @@ object TxnLake extends LakeFormat {
                zorderBy: Seq[String] = Seq.empty, numFiles: Int = 4,
                maxAttempts: Int = 10): Long = {
     import org.apache.spark.sql.functions.col
+    // refuse, don't silently degrade: a 3+-column request falling through
+    // to plain repartition would leave pruning at pre-optimize grain with
+    // no signal to the caller
+    require(zorderBy.size <= 2,
+      s"TxnLake.optimize: zorderBy supports at most 2 dimensions, " +
+        s"got ${zorderBy.size} (${zorderBy.mkString(", ")})")
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(spark, table)

@@ -331,6 +331,127 @@ class TxnLakeSpec extends SparkSpec {
     assert(ay._1 < ay._2, s"y predicate prunes nothing after zorder: $ay")
   }
 
+  test("large commits harvest footer stats in a job, not a driver loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // 12 files > DriverHarvestMax: the footer reads must fan out
+    TxnLake.commit(spark, (0 until 1200).map(i => (i.toLong, i.toString))
+      .toDF("k", "v").repartition(12), t, "overwrite")
+    assert(TxnLake.lastHarvestDistributed,
+      "a 12-file overwrite harvested stats serially on the driver")
+    val files = TxnLake.snapshotFiles(spark, t)
+    assert(files.length == 12)
+    // the distributed harvest produced real, usable bounds
+    assert(files.forall(_.stats.get("k").exists(s =>
+      s.min.isDefined && s.max.isDefined)))
+    assert(TxnLake.skippingStats(spark, t, col("k") === 3L)._1 < 12)
+    // the append hot path stays an inline driver loop (no job overhead)
+    TxnLake.commit(spark, Seq((9999L, "z")).toDF("k", "v").coalesce(1),
+      t, "append")
+    assert(!TxnLake.lastHarvestDistributed)
+  }
+
+  test("reading a vacuumed version raises a clear error, not a scan failure") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1).toDF("x"), t, "overwrite")
+    TxnLake.commit(spark, Seq(2).toDF("x"), t, "overwrite")
+    TxnLake.vacuum(spark, t, retainVersions = 1)
+    val e = intercept[IllegalStateException] {
+      TxnLake.readVersion(spark, t, 0)
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // readWhere surfaces the same diagnosis
+    import org.apache.spark.sql.functions.col
+    val e2 = intercept[IllegalStateException] {
+      TxnLake.readWhere(spark, t, col("x") === 1, version = Some(0L))
+    }
+    assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+    // the retained version still reads
+    assert(TxnLake.read(spark, t).collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("optimize refuses 3+ zorder dimensions instead of silently degrading") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq((1, 2, 3)).toDF("a", "b", "c"), t, "overwrite")
+    val e = intercept[IllegalArgumentException] {
+      TxnLake.optimize(spark, t, zorderBy = Seq("a", "b", "c"))
+    }
+    assert(e.getMessage.contains("at most 2"), e.getMessage)
+  }
+
+  test("checkpoints are parquet; legacy JSON checkpoints still resolve") {
+    import spark.implicits._
+    val t = freshTable()
+    (0 to 12).foreach { i =>
+      TxnLake.commit(spark, Seq(i).toDF("x").coalesce(1), t, "append")
+    }
+    val ckpt = java.nio.file.Paths.get(t, "_txn_log", "v10.ckpt")
+    val head = java.nio.file.Files.readAllBytes(ckpt).take(4)
+    assert(new String(head, "US-ASCII") == "PAR1",
+      "checkpoint is not parquet")
+    assert(TxnLake.readVersion(spark, t, 11).count() == 12) // ckpt + tail
+    // rewrite the checkpoint into the legacy JSON format: same file list
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val o = mapper.createObjectNode()
+    o.put("version", 10L)
+    val arr = o.putArray("files")
+    TxnLake.snapshotFiles(spark, t, Some(10L)).foreach { fm =>
+      val fo = arr.addObject()
+      fo.put("path", fm.path)
+      fo.put("rows", fm.rows)
+    }
+    java.nio.file.Files.writeString(ckpt, mapper.writeValueAsString(o))
+    assert(TxnLake.readVersion(spark, t, 11).count() == 12)
+  }
+
+  test("timestamp stats are trusted only under INT64-micros physical encoding") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "ts")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try TxnLake.commit(spark, ts.coalesce(1), t, "overwrite")
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val st = TxnLake.snapshotFiles(spark, t).head.stats
+    // millis-encoded bounds must NOT be recorded: prune-time literals are
+    // micros, and comparing the two domains silently loses rows
+    assert(!st.contains("ts"), s"millis bounds recorded: ${st.get("ts")}")
+    // conservative: the file is kept, and the row-level filter still works
+    val pred = col("ts") === java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    assert(TxnLake.skippingStats(spark, t, pred) == (1, 1))
+    assert(TxnLake.readWhere(spark, t, pred).count() == 1)
+    // an explicit INT64-micros write of the same data records bounds and
+    // prunes (the session default is INT96, which never records bounds)
+    val t2 = freshTable()
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try TxnLake.commit(spark, ts.coalesce(1), t2, "overwrite")
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    assert(TxnLake.snapshotFiles(spark, t2).head.stats.contains("ts"))
+    assert(TxnLake.skippingStats(spark, t2,
+      col("ts") > java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))._1 == 0)
+  }
+
+  test("±0.0 stats bounds keep files under equality predicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    TxnLake.commit(spark, Seq((1L, -0.0)).toDF("k", "d").coalesce(1),
+      t, "overwrite")
+    // simulate a foreign writer WITHOUT the parquet-mr ±0.0 normalization:
+    // force the recorded bounds to min = max = -0.0
+    val p0 = java.nio.file.Paths.get(t, "_txn_log", "v0.json")
+    java.nio.file.Files.writeString(p0,
+      java.nio.file.Files.readString(p0)
+        .replaceAll(""""d":\{[^}]*\}""", """"d":{"t":"d","mn":"-0.0","mx":"-0.0","nc":0}"""))
+    // Spark treats -0.0 == 0.0, so d === 0.0 must keep the file
+    assert(TxnLake.skippingStats(spark, t, col("d") === 0.0)._1 == 1)
+    assert(TxnLake.readWhere(spark, t, col("d") === 0.0).count() == 1)
+  }
+
   test("optimize racing a concurrent appender loses no rows") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
