@@ -46,6 +46,7 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    co-located join, PQ-ADC ANN, one-pass table profiling,
   *    integer-exact weighted PageRank, stream-stream outer join,
   *    exactly-once transactional streaming ingest, IVF-PQ composed ANN,
+  *    stats-pruned data-skipping scan with oracled file counters,
   *    change-data-feed snapshot diff, incremental MV maintenance
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end

@@ -1046,6 +1046,66 @@ object OperatorQueries {
     pinned
   }
 
+  /** Data-skipping scan driven END TO END under the oracle — the TxnLake
+    * per-file-stats capability (readWhere + skippingStats) as a hash-gated
+    * query rather than a spec-only behavior. The table is committed as 8
+    * contiguous event_id-range files (one append per range bucket, one
+    * file each), which makes the FILE LAYOUT itself SQL-expressible: the
+    * oracle recomputes each file's min/max from the same bucket formula
+    * and derives (files_kept, files_total) relationally, while the Spark
+    * side reports the counters the actual log-stats pruner produced. A
+    * pruner that reads too few files breaks the aggregate; one that prunes
+    * too few breaks the counters; `require(kept < total)` pins that
+    * skipping genuinely happened.
+    *
+    * Scale: this is THE selective-scan shape at 100 TB — the quarter-range
+    * predicate opens 2 of 8 files here and thousands-of-millions there;
+    * stats ride the commit metadata, so pruning costs zero data I/O. */
+  val txnDataSkipping = OracleQuery(
+    "x24_txn_data_skipping",
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |b AS (SELECT event_id, value,
+      |        CAST((event_id * 8) // (m + 1) AS INT) AS bkt
+      |      FROM ev, mx),
+      |bounds AS (SELECT (m + 1) // 4 AS lo, (m + 1) // 2 - 1 AS hi FROM mx),
+      |res AS (SELECT count(*) AS n_rows,
+      |          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |            AS sum_cents,
+      |          min(event_id) AS min_id, max(event_id) AS max_id
+      |        FROM b, bounds WHERE event_id >= lo AND event_id <= hi),
+      |f AS (SELECT bkt, min(event_id) AS fmn, max(event_id) AS fmx
+      |      FROM b GROUP BY 1),
+      |k AS (SELECT CAST(count(*) AS INT) AS files_kept
+      |      FROM f, bounds WHERE fmx >= lo AND fmn <= hi),
+      |t AS (SELECT CAST(count(*) AS INT) AS files_total FROM f)
+      |SELECT n_rows, sum_cents, min_id, max_id, files_kept, files_total
+      |FROM res, k, t""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+    val m = ev.agg(max("event_id")).head.getLong(0)
+    val table = Scratch.dir("txn_skip") + "/t"
+    // 8 disjoint event_id-range files: one single-file append per bucket
+    // (empty buckets skipped so files_total = the oracle's group count)
+    val bkt = expr(s"event_id * 8 div ${m + 1}")
+    (0 until 8).foreach { i =>
+      val part = ev.filter(bkt === i).coalesce(1)
+      if (!part.isEmpty) TxnLake.commit(s, part, table, "append")
+    }
+    val lo = (m + 1) / 4
+    val hi = (m + 1) / 2 - 1
+    val pred = col("event_id") >= lo && col("event_id") <= hi
+    val (kept, total) = TxnLake.skippingStats(s, table, pred)
+    require(kept < total, s"data skipping pruned nothing: kept $kept of $total")
+    TxnLake.readWhere(s, table, pred)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .withColumn("files_kept", lit(kept))
+      .withColumn("files_total", lit(total))
+  }
+
   /** Change-data-feed between lake snapshots — Delta's `table_changes`
     * read path, the contract every incremental consumer (downstream
     * materialization, CDC replication, streaming backfill) builds on: diff
@@ -1213,5 +1273,5 @@ object OperatorQueries {
       streamIntervalJoin, statefulTotals, streamDedup, freqItemsSketch,
       bloomPruneJoin, pqAdcAnn, tableProfile, pageRank, streamLateDrops,
       streamStaticEnrich, streamOuterJoin, streamTxnIngest, ivfPqAnn,
-      txnChangeFeed, incrementalMv)
+      txnDataSkipping, txnChangeFeed, incrementalMv)
 }
