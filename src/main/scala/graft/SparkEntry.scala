@@ -38,7 +38,7 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    baseline, int8 quantization, quantized-prefilter re-rank ANN,
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation
-  *  - x01–x26 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x27 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -47,7 +47,8 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    integer-exact weighted PageRank, stream-stream outer join,
   *    exactly-once transactional streaming ingest, IVF-PQ composed ANN,
   *    stats-pruned data-skipping scan with oracled file counters,
-  *    change-data-feed snapshot diff, incremental MV maintenance
+  *    change-data-feed snapshot diff, incremental MV maintenance,
+  *    streaming CDF consumer with exactly-once restart recovery
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

@@ -1182,34 +1182,15 @@ object OperatorQueries {
     (table, v0, v1, v2)
   }
 
-  /** Change feed between two pinned versions of an events-shaped TxnLake
-    * table: ONE full-outer key join per hop, with each joined row
-    * classified into its 0–2 change rows through a single exploded
-    * when-chain (an unchanged row maps to a null array → zero rows).
-    * Four filtered union branches would re-execute the join and both
-    * snapshot scans once per branch — 4× the honest cost. */
+  /** Change feed between two pinned versions, tagged with the hop that
+    * produced it — delegates to the library CDF
+    * ([[graft.sources.TxnLake.changeFeed]]): one full-outer key join per
+    * hop with each joined row classified into its 0–2 change rows through
+    * a single exploded when-chain. */
   private def eventsCdf(s: org.apache.spark.sql.SparkSession, table: String,
-                        preV: Long, postV: Long, hop: Int): DataFrame = {
-    import graft.sources.TxnLake
-    def side(a: String, ct: String) = struct(
-      col(s"$a.event_id").as("event_id"),
-      col(s"$a.event_type").as("event_type"),
-      col(s"$a.value").as("value"),
-      lit(ct).as("change_type"))
-    val changed = col("p.value") =!= col("q.value") ||
-      col("p.event_type") =!= col("q.event_type")
-    TxnLake.readVersion(s, table, preV).as("p")
-      .join(TxnLake.readVersion(s, table, postV).as("q"),
-        col("p.event_id") === col("q.event_id"), "full_outer")
-      .select(explode(
-        when(col("p.event_id").isNull, array(side("q", "insert")))
-          .when(col("q.event_id").isNull, array(side("p", "delete")))
-          .when(changed,
-            array(side("p", "update_preimage"), side("q", "update_postimage")))
-          .otherwise(lit(null))).as("c"))
-      .select(col("c.event_id"), col("c.event_type"), col("c.value"),
-        col("c.change_type"), lit(hop).as("hop"))
-  }
+                        preV: Long, postV: Long, hop: Int): DataFrame =
+    graft.sources.TxnLake.changeFeed(s, table, preV, postV, key = "event_id")
+      .withColumn("hop", lit(hop))
 
   /** Incremental materialized-view maintenance — the reason a lake grows
     * a change feed at all: keep a per-type aggregate MV current by folding
@@ -1267,11 +1248,73 @@ object OperatorQueries {
       .orderBy("event_type")
   }
 
+  /** Streaming change-data-feed consumption — the x26 incremental MV
+    * maintained CONTINUOUSLY by [[graft.streaming.TxnCdfFeed]]: every new
+    * source-table version is one micro-batch whose change feed folds into
+    * the MV table through a (appId, version)-keyed `commitOnce`. The query
+    * drives the full consumer lifecycle: initial snapshot load, two
+    * incremental hops (MERGE + pruning overwrite) polled as they land,
+    * then a RESTARTED consumer instance that must resume from the MV
+    * table's recorded transaction state and apply nothing — so both the
+    * incremental math and the exactly-once recovery contract sit under
+    * the hash gate. The oracle recomputes the final aggregate
+    * relationally from `events` (x26's proof: delta application ≡ full
+    * recompute under integer-cents arithmetic).
+    *
+    * Scale: per-version cost is O(changes), and the log IS the offset
+    * sequence — no side checkpoint; restart recovery is one O(1) txn-state
+    * read. This is the lakehouse streaming-CDF consumer shape. */
+  val streamCdfMv = OracleQuery(
+    "x27_stream_cdf_mv",
+    """WITH ev AS (SELECT event_id, event_type, value FROM events),
+      |base AS (SELECT * FROM ev WHERE event_id % 3 <> 0),
+      |delta AS (SELECT event_id, event_type, round(value * 2, 2) AS value
+      |          FROM ev WHERE event_id % 2 = 0),
+      |merged AS (
+      |  SELECT coalesce(d.event_id, b.event_id) AS event_id,
+      |    CASE WHEN d.event_id IS NOT NULL THEN d.event_type
+      |         ELSE b.event_type END AS event_type,
+      |    CASE WHEN d.event_id IS NOT NULL THEN d.value ELSE b.value END AS value
+      |  FROM base b FULL OUTER JOIN delta d ON b.event_id = d.event_id),
+      |pruned AS (SELECT * FROM merged WHERE event_id % 7 <> 0)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    import graft.streaming.TxnCdfFeed
+    val base = Scratch.dir("txn_cdf_stream")
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val feed = new TxnCdfFeed(src, mv, appId = "x27_mv", key = "event_id")
+    // version 0: base snapshot lands; the feed applies it as inserts
+    TxnLake.commit(s, ev.filter(col("event_id") % 3 =!= 0), src, "overwrite")
+    require(feed.poll(s) == 1, "initial snapshot batch not applied")
+    // versions 1–2: MERGE of a doubled-value delta, then a pruning
+    // overwrite — both land before the next poll, which must fold each
+    // version's change feed as its own exactly-once micro-batch
+    TxnLake.merge(s,
+      ev.filter(col("event_id") % 2 === 0)
+        .withColumn("value", round(col("value") * 2, 2)),
+      src, key = "event_id")
+    TxnLake.commit(s,
+      TxnLake.read(s, src).filter(col("event_id") % 7 =!= 0),
+      src, "overwrite")
+    require(feed.poll(s) == 2, "incremental hops not applied")
+    // restart: a FRESH consumer resumes from the MV's txn state — caught
+    // up, so it must apply nothing (replay no-ops at the commit)
+    require(new TxnCdfFeed(src, mv, "x27_mv", "event_id").poll(s) == 0,
+      "restarted consumer re-applied versions")
+    TxnLake.read(s, mv).orderBy("event_type")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
       streamIntervalJoin, statefulTotals, streamDedup, freqItemsSketch,
       bloomPruneJoin, pqAdcAnn, tableProfile, pageRank, streamLateDrops,
       streamStaticEnrich, streamOuterJoin, streamTxnIngest, ivfPqAnn,
-      txnDataSkipping, txnChangeFeed, incrementalMv)
+      txnDataSkipping, txnChangeFeed, incrementalMv, streamCdfMv)
 }

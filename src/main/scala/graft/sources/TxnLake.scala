@@ -817,6 +817,57 @@ object TxnLake extends LakeFormat {
     }
   }
 
+  // ---- change data feed -----------------------------------------------
+
+  /** Change-data-feed between two committed versions — Delta's
+    * `table_changes` read path as a library API: one row per changed row
+    * with every table column plus `change_type` (`insert` /
+    * `update_preimage` / `update_postimage` / `delete`), keyed by `key`.
+    * Row identity is the key; non-key columns compare null-safely, so an
+    * unchanged row emits nothing.
+    *
+    * Scale: ONE full-outer hash join on the key across the two snapshot
+    * scans — the cost Delta pays to materialize CDF without per-commit
+    * change files; classification is a per-row when-chain on the joined
+    * result (a production lake adds change files to make this
+    * O(changes)). */
+  def changeFeed(spark: SparkSession, table: String, preVersion: Long,
+                 postVersion: Long, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
+    val post = readVersion(spark, table, postVersion)
+    val cols = post.columns.toSeq
+    require(cols.contains(key), s"TxnLake.changeFeed: no column $key in $cols")
+    def side(a: String, ct: String) = struct(
+      cols.map(c => col(s"$a.$c").as(c)) :+ lit(ct).as("change_type"): _*)
+    val changed = cols.filterNot(_ == key)
+      .map(c => !(col(s"p.$c") <=> col(s"q.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    readVersion(spark, table, preVersion).as("p")
+      .join(post.as("q"), col(s"p.$key") === col(s"q.$key"), "full_outer")
+      .select(explode(
+        when(col(s"p.$key").isNull, array(side("q", "insert")))
+          .when(col(s"q.$key").isNull, array(side("p", "delete")))
+          .when(changed,
+            array(side("p", "update_preimage"), side("q", "update_postimage")))
+          .otherwise(lit(null))).as("c"))
+      .select(cols.map(c => col(s"c.$c")) :+ col("c.change_type"): _*)
+  }
+
+  /** Latest batch id recorded for `appId` in the table's transaction
+    * state — the recovery read an at-least-once consumer performs on
+    * restart to resume where it left off. O(1) log reads: the cumulative
+    * app→batch map rides the last entry (legacy logs fall back to the
+    * linear scan). */
+  def lastTxn(spark: SparkSession, table: String, appId: String): Option[Long] = {
+    val committed = committedVersions(spark, table)
+    committed.lastOption.flatMap { last =>
+      val e = readEntry(spark, table, last)
+      if (e.hasTxns) e.txns.get(appId)
+      else committed.flatMap(v => readEntry(spark, table, v).txn
+        .filter(_._1 == appId).map(_._2)).maxOption
+    }
+  }
+
   // ---- merge ----------------------------------------------------------
 
   /** MERGE (upsert) at the table layer — the q41 delta-wins semantics as a
