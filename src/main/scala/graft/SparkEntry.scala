@@ -18,7 +18,7 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    date gap-fill, global top-k, z-order clustering keys, typed-
   *    Aggregator group top-K, sequential event funnel, weekly
   *    cohort retention, batch sessionization
-  *  - d01–d20, d25–d27, d29, d33, d35–d36, d38–d40 [[graft.queries.TextQueries]] — token/quality/
+  *  - d01–d20, d25–d27, d29, d33, d35–d36, d38–d41 [[graft.queries.TextQueries]] — token/quality/
   *    langid/fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact
   *    n-gram Jaccard, edit-distance, cluster collapse), chunking, TF-IDF,
   *    corpus curation, token packing, md5-bucket train/eval split,
@@ -27,7 +27,8 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    census, BPE merge discovery, incremental delta-vs-index screening,
   *    hybrid sparse+dense RRF retrieval, length-bucketed batching census,
   *    LSH recall evaluation vs lossless ground truth, BPE segmentation
-  *    application, cross-source duplication matrix
+  *    application, cross-source duplication matrix, repeated-span
+  *    removal (hot-span excision with hash-gated cleaned text)
   *  - d21–d24, d28, d30–d31, d34, d37 [[graft.queries.CurationQueries]] —
   *    PII scrub, stratified corpus mixing, unigram-LM surprisal,
   *    boilerplate n-gram pruning, DSIR importance weighting, bigram-LM

@@ -994,6 +994,84 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Repeated-span REMOVAL — the excision step of Lee et al.'s substring
+    * dedup that d26 only marks: every token position covered by a hot
+    * 5-gram (one recurring in ≥ 2 distinct docs) is dropped, and the
+    * surviving tokens re-join into the cleaned text, emitted per doc with
+    * its removal counts. The hash gate covers the FULL cleaned string (the
+    * d39 pattern), so a one-token-off span boundary fails the round.
+    *
+    * Scale shape: d26's gram-keyed shuffle + equi-join back, plus one
+    * explode of matched spans into (doc, position) coverage — coverage is
+    * bounded by 5 × duplicated-gram occurrences (the minority), the
+    * anti-join is doc-partition-local after the shuffle, and the rebuild
+    * is one sort_array per doc. No driver-side text handling. */
+  val docRepeatedSpanRemoval = OracleQuery(
+    "d41_repeated_span_removal",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok,
+       |          unnest([i for i in generate_series(1, len(toks))]) AS pos
+       |        FROM t),
+       |g AS (
+       |  SELECT doc_id,
+       |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+       |     toks[i+3] || ' ' || toks[i+4]
+       |     for i in generate_series(1, len(toks) - 4)] AS grams
+       |  FROM t WHERE len(toks) >= 5),
+       |e AS (SELECT doc_id, unnest(grams) AS gram,
+       |        unnest([i for i in generate_series(1, len(grams))]) AS gpos
+       |      FROM g),
+       |hot AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, count(DISTINCT doc_id) AS nd FROM e GROUP BY 1)
+       |  WHERE nd >= 2),
+       |cov AS (SELECT DISTINCT doc_id, pos FROM (
+       |  SELECT e.doc_id, unnest([e.gpos + k for k in generate_series(0, 4)]) AS pos
+       |  FROM e JOIN hot USING (gram))),
+       |keep AS (
+       |  SELECT tok.doc_id, tok.pos, tok.tok
+       |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+       |  WHERE cov.pos IS NULL),
+       |a AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+       |  FROM keep GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_toks,
+       |  CAST(len(t.toks) - coalesce(a.n_kept, 0) AS INT) AS n_removed,
+       |  coalesce(a.cleaned_text, '') AS cleaned_text
+       |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+       |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).withColumn("toks", tokens(col("text")))
+    val tok = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val grams = docs.filter(size(col("toks")) >= 5)
+      .select(col("doc_id"),
+        posexplode(orderedGrams(col("toks"), 5)).as(Seq("gpos0", "gram")))
+    val hot = grams.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    // each hot-gram occurrence covers positions gpos..gpos+4 (1-based)
+    val cov = grams.join(hot, Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("gpos0") + 1, col("gpos0") + 5)).as("pos"))
+      .distinct()
+    val agg = tok.join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("cleaned_text"))
+    docs.select(col("doc_id"), size(col("toks")).as("n_toks"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_toks").cast("int").as("n_toks"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).cast("int")
+          .as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** BPE tokenizer-training merge discovery ([[graft.operators.BpeMerges]]):
     * three supersteps of count-adjacent-pairs → pick-most-frequent →
     * apply-merge over the first 120 chars of each doc (bounded per-row
@@ -1510,5 +1588,5 @@ object TextQueries {
     docTrainSplit, docWinnowing, docRepetition, docOovRate,
     docContamination, docBm25, docRepeatedSpans, docBpeMerges,
     docIncrementalNearDup, docHybridRrf, docLengthBatching, docLshRecallEval,
-    docBpeSegmentation, docCrossSourceDup)
+    docBpeSegmentation, docCrossSourceDup, docRepeatedSpanRemoval)
 }
