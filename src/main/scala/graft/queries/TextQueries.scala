@@ -1413,8 +1413,34 @@ object TextQueries {
          |SELECT sim_band, CAST(n_true AS BIGINT) AS n_true, n_found,
          |  round(CAST(n_found AS DOUBLE) / n_true, 4) AS recall
          |FROM b ORDER BY sim_band""".stripMargin
-    }) { (s, d) =>
-    val docs = Tables.documents(s, d)
+    }) { (s, d) => lshRecallEval(s, d, groundTruthSampleRate = 1.0) }
+
+  /** d38's engine, parameterized by a DETERMINISTIC ground-truth sample
+    * rate — the 100 TB form of the evaluation: the exact PPJoin side is
+    * lossless but still super-linear in corpus size, so at scale the
+    * recall estimate runs over an md5-bucketed sub-corpus (the d16 split
+    * machinery: hash the doc ID, keep buckets < rate×100 — content- and
+    * run-independent, so the sample is reproducible across engines and
+    * reruns). Both sides restrict to the SAME sample, so the measured
+    * number is LSH recall on a uniform sub-population — an unbiased
+    * estimator of corpus recall. rate = 1.0 (the registered query's
+    * setting) bypasses the filter entirely: the plan, and therefore the
+    * oracle hash, is identical to the unparameterized form. */
+  private[queries] def lshRecallEval(s: org.apache.spark.sql.SparkSession,
+                                     d: String,
+                                     groundTruthSampleRate: Double)
+      : org.apache.spark.sql.DataFrame = {
+    require(groundTruthSampleRate > 0.0 && groundTruthSampleRate <= 1.0,
+      s"sample rate must be in (0, 1], got $groundTruthSampleRate")
+    val docsAll = Tables.documents(s, d)
+    val docs =
+      if (groundTruthSampleRate >= 1.0) docsAll
+      else {
+        val bucket =
+          expr("conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10)")
+            .cast("long") % 100
+        docsAll.filter(bucket < math.round(groundTruthSampleRate * 100))
+      }
     val truth = graft.operators.JaccardJoin.exactPairs(docs, 0.7)
     val found = graft.operators.MinHashDedup.verifiedPairs(docs, 0.7)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))

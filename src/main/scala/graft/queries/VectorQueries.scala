@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -123,10 +124,19 @@ object VectorQueries {
        |  FROM p)
        |SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, CAST(rnk AS INT) AS rnk
        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    bruteForceTopKRun(s, d, lit(true))
+  }
+
+  /** v04's engine with an extra pushed-down query-set predicate — the seam
+    * v10's sampled evaluation uses to shrink the EXACT side's work (brute
+    * force is per-query corpus-linear, so restricting queries restricts
+    * compute, not just output). */
+  private def bruteForceTopKRun(s: SparkSession, d: String,
+                                queryFilter: Column): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    val q = e.filter(col("vec_id") < 5)
+    val q = e.filter(col("vec_id") < 5 && queryFilter)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
@@ -556,9 +566,33 @@ object VectorQueries {
        |FROM ex e LEFT JOIN srp s
        |  ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin) { (s, d) =>
-    val ex = embAnnTopK.run(s, d).select(col("query_id"), col("neighbor_id"))
-    val srp = graft.queries.OperatorQueries.srpAnn.run(s, d)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    annRecallEvalRun(s, d, querySampleRate = 1.0)
+  }
+
+  /** v10's engine, parameterized by a DETERMINISTIC query sample rate —
+    * the 100 TB form of the evaluation: exact ground truth is per-query
+    * corpus-linear, so at scale recall is estimated over an md5-bucketed
+    * query subset (the d16 split machinery — content- and run-independent,
+    * reproducible across engines). The sample predicate pushes INTO the
+    * brute-force pipeline's query set, so the exact side's compute shrinks
+    * with the rate; the approximate index side is filtered to the same
+    * queries. rate = 1.0 (the registered query's setting) bypasses the
+    * filter: plan and oracle hash identical to the unparameterized form. */
+  private[queries] def annRecallEvalRun(s: SparkSession, d: String,
+                                        querySampleRate: Double): DataFrame = {
+    require(querySampleRate > 0.0 && querySampleRate <= 1.0,
+      s"sample rate must be in (0, 1], got $querySampleRate")
+    def sampled(idCol: String) =
+      expr(s"conv(substring(md5(cast($idCol as string)), 1, 7), 16, 10)")
+        .cast("long") % 100 < math.round(querySampleRate * 100)
+    val ex =
+      (if (querySampleRate >= 1.0) embAnnTopK.run(s, d)
+       else bruteForceTopKRun(s, d, sampled("vec_id")))
+        .select(col("query_id"), col("neighbor_id"))
+    val srpAll = graft.queries.OperatorQueries.srpAnn.run(s, d)
+    val srp =
+      (if (querySampleRate >= 1.0) srpAll else srpAll.filter(sampled("query_id")))
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     ex.join(srp, Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy("query_id")
       .agg(count(lit(1)).as("exact_k"),
