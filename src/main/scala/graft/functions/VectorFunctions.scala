@@ -23,6 +23,13 @@ object VectorFunctions {
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Sequential-fold squared Euclidean distance — one codegen'd pass,
+    * identical element-order accumulation to the oracle's
+    * `list_sum(list_transform(list_zip(a,b), z -> (z[1]-z[2])^2))`. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0d), (acc, x) => acc + x)
+
   /** Cosine similarity of two double arrays (null/NaN-safe only insofar as
     * the inputs are; zero-norm vectors yield NaN, matching the oracle). */
   def cosine(a: Column, b: Column): Column =

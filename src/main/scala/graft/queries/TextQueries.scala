@@ -1606,6 +1606,65 @@ object TextQueries {
       .orderBy("source_a", "source_b")
   }
 
+  // ---- d42 deterministic epoch shuffle / shard plan ------------------
+  /** Deterministic per-epoch shuffle + training-shard assignment — the
+    * data-ordering contract of a large-scale training run: every epoch
+    * needs a DIFFERENT but fully reproducible global permutation of the
+    * corpus, materialized as N shard files each holding its documents in
+    * final read order. Seeding a per-(doc, epoch) md5 gives both levels
+    * from one hash — shard = prefix bucket (pure hash partitioning: no
+    * global sort, any worker can route any doc), within-shard position =
+    * rank of the full digest (d16's split machinery, extended to an
+    * ordering). The census gates the whole permutation, not just counts:
+    * `order_sig` folds every (position × doc_id) product, so two engines
+    * agree only if every document landed at the same position of the same
+    * shard in both epochs.
+    *
+    * Scale: one shuffle per epoch on (epoch, shard) — shard count scales
+    * with cluster width, the window sort is per-shard local, and no stage
+    * ever sees a global ordering. Re-sharding 100 TB per epoch is exactly
+    * this plan with the census replaced by a partitioned write. */
+  val docEpochShards = OracleQuery(
+    "d42_epoch_shard_plan",
+    """WITH p AS (
+      |  SELECT d.doc_id, d.n_chars, v.epoch,
+      |    md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(v.epoch AS VARCHAR))
+      |      AS perm
+      |  FROM documents d, (VALUES (0), (1)) v(epoch)),
+      |s AS (
+      |  SELECT *, CAST(('0x' || substring(perm, 1, 7))::BIGINT % 8 AS INT)
+      |    AS shard
+      |  FROM p),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY epoch, shard
+      |                               ORDER BY perm, doc_id) AS pos
+      |  FROM s)
+      |SELECT epoch, shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min_by(doc_id, perm) AS head_doc, max_by(doc_id, perm) AS tail_doc,
+      |  CAST(sum(pos * doc_id % 1000000007) AS BIGINT) AS order_sig
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("perm"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(array(lit(0), lit(1))).as("epoch"))
+      .withColumn("perm",
+        expr("md5(cast(doc_id as string) || ':' || cast(epoch as string))"))
+      .withColumn("shard",
+        expr("cast(conv(substring(perm, 1, 7), 16, 10) as bigint) % 8")
+          .cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min_by(col("doc_id"), col("perm")).as("head_doc"),
+        max_by(col("doc_id"), col("perm")).as("tail_doc"),
+        sum(col("pos") * col("doc_id") % 1000000007L).as("order_sig"))
+      .orderBy("epoch", "shard")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
@@ -1614,5 +1673,6 @@ object TextQueries {
     docTrainSplit, docWinnowing, docRepetition, docOovRate,
     docContamination, docBm25, docRepeatedSpans, docBpeMerges,
     docIncrementalNearDup, docHybridRrf, docLengthBatching, docLshRecallEval,
-    docBpeSegmentation, docCrossSourceDup, docRepeatedSpanRemoval)
+    docBpeSegmentation, docCrossSourceDup, docRepeatedSpanRemoval,
+    docEpochShards)
 }

@@ -603,7 +603,105 @@ object VectorQueries {
       .orderBy("query_id")
   }
 
+  // ---- v11 distributed k-means ---------------------------------------
+
+  /** One Lloyd iteration as DuckDB CTEs: assign each vector to its nearest
+    * centroid from `c{n-1}` (distance rounded to 8 dp, centroid-id
+    * tie-break — both engines argmin identically), then recompute
+    * per-dimension means rounded to 5 dp (rounding re-synchronizes the two
+    * engines' summation orders before the next iteration's distances).
+    * Empty clusters keep their previous centroid (the LEFT JOIN coalesce). */
+  private def kmIterSql(n: Int): String = {
+    val p = n - 1
+    s"""d$n AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |    round(list_sum(list_transform(list_zip(e.v, c.cv),
+       |      z -> (z[1]-z[2])*(z[1]-z[2]))), 8) AS dist
+       |  FROM e CROSS JOIN c$p c),
+       |a$n AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY dist, cid) AS rn
+       |    FROM d$n) WHERE rn = 1),
+       |m$n AS (
+       |  SELECT cid, i AS dim, round(avg(v[i]), 5) AS c
+       |  FROM a$n, generate_series(1, 64) g(i) GROUP BY 1, 2),
+       |n$n AS (SELECT cid, list(c ORDER BY dim) AS cv FROM m$n GROUP BY cid),
+       |c$n AS (
+       |  SELECT p.cid, coalesce(nn.cv, p.cv) AS cv
+       |  FROM c$p p LEFT JOIN n$n nn USING (cid))""".stripMargin
+  }
+
+  /** Distributed k-means (Lloyd's, k=8, 3 iterations) over the embedding
+    * column — the clustering step under cluster-balanced sampling, SemDeDup
+    * partitioning, and topic bucketing of a training corpus. Fully
+    * deterministic: init is the k lowest vec_ids, assignment breaks
+    * distance ties by centroid id, and every update re-rounds the means so
+    * the iteration stays in lockstep across engines.
+    *
+    * Scale: the canonical broadcast-Lloyd plan — centroids (k·dim doubles)
+    * broadcast to every executor each iteration, assignment is one
+    * narrow codegen'd pass over N vectors, the update is one k·dim-cell
+    * aggregate; only k·64 rows ever reach the driver per iteration (the
+    * same bounded collect MLlib's KMeans performs). No iteration ever
+    * shuffles the vectors themselves. */
+  val kmeansClusters = OracleQuery(
+    "v11_kmeans_clusters",
+    s"""WITH e AS ($embSql),
+       |c0 AS (
+       |  SELECT CAST(rn - 1 AS INT) AS cid, v AS cv FROM (
+       |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+       |  WHERE rn <= 8),
+       |${kmIterSql(1)},
+       |${kmIterSql(2)},
+       |${kmIterSql(3)},
+       |sz AS (SELECT cid, count(*) AS n_vecs FROM a3 GROUP BY cid),
+       |f AS (
+       |  SELECT c.cid, CAST(i AS INT) AS dim, round(c.cv[i], 5) AS centroid
+       |  FROM c3 c, generate_series(1, 64) g(i))
+       |SELECT f.cid, f.dim, f.centroid,
+       |  CAST(coalesce(sz.n_vecs, 0) AS BIGINT) AS n_vecs
+       |FROM f LEFT JOIN sz USING (cid) ORDER BY cid, dim""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val k = 8
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    // deterministic init: the k lowest vec_ids (bounded k-row fetch)
+    var cents: Seq[(Int, Seq[Double])] = e.orderBy("vec_id").limit(k).collect()
+      .sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    var lastAssign: DataFrame = null
+    for (_ <- 1 to 3) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      val assigned = e.crossJoin(broadcast(cents.toDF("cid", "cv")))
+        .withColumn("dist", round(sqDist(col("v"), col("cv")), 8))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+      lastAssign = assigned
+      // k·64 mean cells — the bounded per-iteration driver fetch
+      val means: Map[Int, Seq[Double]] = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(round(avg(col("x")), 5).as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    val sizes = lastAssign.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+    cents.toDF("cid", "cv")
+      .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "c")))
+      .select(col("cid"), (col("pos") + 1).cast("int").as("dim"),
+        round(col("c"), 5).as("centroid"))
+      .join(broadcast(sizes), Seq("cid"), "left_outer")
+      .select(col("cid"), col("dim"), col("centroid"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .orderBy("cid", "dim")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(embNorms, embCentroids, embNearDupPairs, embAnnTopK, embDedup, embQuantize,
-      embQuantRerankAnn, semDedup, mmrRerank, embOutliers, annRecallEval)
+      embQuantRerankAnn, semDedup, mmrRerank, embOutliers, annRecallEval,
+      kmeansClusters)
 }
