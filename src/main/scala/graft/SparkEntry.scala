@@ -18,7 +18,7 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    date gap-fill, global top-k, z-order clustering keys, typed-
   *    Aggregator group top-K, sequential event funnel, weekly
   *    cohort retention, batch sessionization
-  *  - d01–d20, d25–d27, d29, d33, d35–d36, d38–d41 [[graft.queries.TextQueries]] — token/quality/
+  *  - d01–d20, d25–d27, d29, d33, d35–d36, d38–d42 [[graft.queries.TextQueries]] — token/quality/
   *    langid/fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact
   *    n-gram Jaccard, edit-distance, cluster collapse), chunking, TF-IDF,
   *    corpus curation, token packing, md5-bucket train/eval split,
@@ -28,18 +28,20 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    hybrid sparse+dense RRF retrieval, length-bucketed batching census,
   *    LSH recall evaluation vs lossless ground truth, BPE segmentation
   *    application, cross-source duplication matrix, repeated-span
-  *    removal (hot-span excision with hash-gated cleaned text)
+  *    removal (hot-span excision with hash-gated cleaned text),
+  *    deterministic per-epoch shuffle + training-shard assignment
   *  - d21–d24, d28, d30–d31, d34, d37 [[graft.queries.CurationQueries]] —
   *    PII scrub, stratified corpus mixing, unigram-LM surprisal,
   *    boilerplate n-gram pruning, DSIR importance weighting, bigram-LM
   *    conditional surprisal, hashed-feature linear quality classifier,
   *    deterministic weighted priority sampling, temperature-scaled
   *    mixture weights
-  *  - v01–v10, d32 [[graft.queries.VectorQueries]] — embedding math, ANN
+  *  - v01–v11, d32 [[graft.queries.VectorQueries]] — embedding math, ANN
   *    baseline, int8 quantization, quantized-prefilter re-rank ANN,
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
-  *    per-label outlier scores, ANN recall evaluation
-  *  - x01–x27 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
+  *    distributed k-means
+  *  - x01–x29 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -49,7 +51,9 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    exactly-once transactional streaming ingest, IVF-PQ composed ANN,
   *    stats-pruned data-skipping scan with oracled file counters,
   *    change-data-feed snapshot diff, incremental MV maintenance,
-  *    streaming CDF consumer with exactly-once restart recovery
+  *    streaming CDF consumer with exactly-once restart recovery,
+  *    commit-time expectations with transactional quarantine,
+  *    log-carried schema evolution with historical time travel
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

@@ -1310,11 +1310,107 @@ object OperatorQueries {
     TxnLake.read(s, mv).orderBy("event_type")
   }
 
+  /** Commit-time data-quality expectations with a transactional quarantine
+    * — [[graft.sources.Expectations]] end to end: ingest `events` under two
+    * named constraints, rows failing either land in the quarantine table
+    * labeled with the sorted violated-constraint list, rows passing both
+    * commit to the target. The census reads BOTH tables back through the
+    * lake (never the input), so what's gated is the actual split + the
+    * round-trip of the violation labels; the oracle recomputes every
+    * (status, count, cents) cell relationally from `events`.
+    *
+    * Scale: one codegen'd verdict projection + two filtered writes;
+    * quarantine is violation-bounded. The `passed`/`quarantined` counters
+    * come from commit metadata, not extra scans. */
+  val txnExpectations = OracleQuery(
+    "x28_txn_expectations",
+    """WITH ev AS (SELECT event_id, event_type, value FROM events),
+      |lab AS (
+      |  SELECT *,
+      |    CASE WHEN event_type = 'error' AND value > 100
+      |           THEN 'nonerror,value_cap'
+      |         WHEN event_type = 'error' THEN 'nonerror'
+      |         WHEN value > 100 THEN 'value_cap'
+      |         ELSE 'ok' END AS status
+      |  FROM ev)
+      |SELECT status, count(*) AS n_rows,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.sources.{Expectations, TxnLake}
+    import graft.sources.Expectations.Expectation
+    val table = Scratch.dir("txn_expect") + "/t"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val res = Expectations.commitWithExpectations(s, ev, table, "overwrite",
+      Seq(Expectation("nonerror", col("event_type") =!= "error"),
+        Expectation("value_cap", col("value") <= 100)))
+    require(res.quarantined > 0 && res.passed > 0,
+      s"expectations did not split: passed=${res.passed} " +
+        s"quarantined=${res.quarantined}")
+    val good = TxnLake.read(s, table).withColumn("status", lit("ok"))
+    val bad = TxnLake.read(s, Expectations.quarantinePath(table))
+      .withColumnRenamed("violated", "status")
+    good.unionByName(bad)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+      .orderBy("status")
+  }
+
+  /** Schema evolution through the transaction log — Delta's mergeSchema
+    * contract: commit a 2-column snapshot, append a batch carrying a NEW
+    * column, and read the table back under the log's cumulative schema —
+    * pre-evolution rows surface the added column as NULL, while time
+    * travel to version 0 still shows the original 2-column shape (both
+    * asserted in-query before the census). The oracle rebuilds the same
+    * union relationally from `events`.
+    *
+    * Scale: the schema rides the log entry (one O(1) read at snapshot
+    * resolution — never a footer-merge over the file list), and old files
+    * are NOT rewritten: evolution is a metadata operation, as it must be
+    * when the table is 100 TB. */
+  val txnSchemaEvolution = OracleQuery(
+    "x29_txn_schema_evolution",
+    """WITH ev AS (SELECT event_id, event_type, value FROM events),
+      |legacy AS (SELECT event_id, value FROM ev WHERE event_id % 2 = 0),
+      |evolved AS (SELECT event_id, value, event_type FROM ev
+      |            WHERE event_id % 2 = 1),
+      |unioned AS (
+      |  SELECT event_id, value, NULL AS event_type FROM legacy
+      |  UNION ALL SELECT event_id, value, event_type FROM evolved)
+      |SELECT coalesce(event_type, '<pre-evolution>') AS event_type,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM unioned GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val table = Scratch.dir("txn_evolve") + "/t"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    TxnLake.commit(s, ev.filter(col("event_id") % 2 === 0).drop("event_type"),
+      table, "overwrite")
+    TxnLake.commit(s, ev.filter(col("event_id") % 2 === 1),
+      table, "append")
+    val snap = TxnLake.read(s, table)
+    require(snap.columns.toSeq == Seq("event_id", "value", "event_type"),
+      s"evolved schema wrong: ${snap.columns.toSeq}")
+    require(TxnLake.readVersion(s, table, 0).columns.toSeq ==
+      Seq("event_id", "value"),
+      "time travel to v0 must show the pre-evolution schema")
+    snap.groupBy(coalesce(col("event_type"), lit("<pre-evolution>"))
+        .as("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
       streamIntervalJoin, statefulTotals, streamDedup, freqItemsSketch,
       bloomPruneJoin, pqAdcAnn, tableProfile, pageRank, streamLateDrops,
       streamStaticEnrich, streamOuterJoin, streamTxnIngest, ivfPqAnn,
-      txnDataSkipping, txnChangeFeed, incrementalMv, streamCdfMv)
+      txnDataSkipping, txnChangeFeed, incrementalMv, streamCdfMv,
+      txnExpectations, txnSchemaEvolution)
 }

@@ -94,7 +94,8 @@ object TxnLake extends LakeFormat {
                                  legacyFiles: Option[Seq[String]],
                                  txn: Option[(String, Long)],
                                  txns: Map[String, Long],
-                                 hasTxns: Boolean)
+                                 hasTxns: Boolean,
+                                 schemaJson: Option[String] = None)
 
   // ---- JSON (jackson tree API — ships with Spark; no extra deps) ------
 
@@ -146,6 +147,7 @@ object TxnLake extends LakeFormat {
     // commit of a table that never uses commitOnce
     val txns = o.putObject("txns")
     e.txns.toSeq.sorted.foreach { case (a, b) => txns.put(a, b) }
+    e.schemaJson.foreach(o.put("schema", _))
     mapper.writeValueAsString(o)
   }
 
@@ -168,7 +170,9 @@ object TxnLake extends LakeFormat {
     val txnsNode = Option(n.get("txns"))
     val txns = txnsNode.map(_.properties().asScala
       .map(e => e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty)
-    Entry(version, operation, add, remove, legacy, txn, txns, txnsNode.isDefined)
+    val schemaJson = Option(n.get("schema")).map(_.asText())
+    Entry(version, operation, add, remove, legacy, txn, txns, txnsNode.isDefined,
+      schemaJson)
   }
 
   // ---- log access -----------------------------------------------------
@@ -552,9 +556,17 @@ object TxnLake extends LakeFormat {
         case _ => Map.empty
       }
       val txns = legacy ++ lastEntry.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
+      // every commit carries the CUMULATIVE table schema forward (Delta's
+      // metaData action): appends merge new columns in, overwrite resets —
+      // so readers resolve the snapshot schema from ONE log entry instead
+      // of merging footers across the whole file list
+      val tableSchema = mergedSchema(
+        lastEntry.flatMap(_.schemaJson)
+          .map(DataType.fromJson(_).asInstanceOf[StructType]),
+        df.schema, operation)
       // 2. publish: tmp write + atomic link IS the commit
       val entry = render(Entry(next, operation, added, removed, None, txn, txns,
-        hasTxns = true))
+        hasTxns = true, schemaJson = Some(tableSchema.json)))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -633,6 +645,42 @@ object TxnLake extends LakeFormat {
     * with a bare missing-file error. O(#commit dirs) existence probes, not
     * O(files): files share their commit's dir, so the dir is the unit of
     * reclamation. */
+  /** Table schema after committing `incoming` under `operation` — Delta's
+    * schema-evolution rules: overwrite RESETS to the incoming schema;
+    * append/optimize MERGE by name (existing column order preserved,
+    * brand-new columns appended, nullability widened). A same-name type
+    * change is refused — silent coercion would corrupt pruning stats and
+    * every reader's expectations. */
+  private def mergedSchema(prev: Option[StructType], incoming: StructType,
+                           operation: String): StructType =
+    prev match {
+      case None => incoming
+      case Some(_) if operation == "overwrite" => incoming
+      case Some(p) =>
+        val conflicts = incoming.fields.flatMap { f =>
+          p.fields.find(_.name == f.name).collect {
+            case ex if ex.dataType != f.dataType =>
+              s"${f.name}: ${ex.dataType.simpleString} vs ${f.dataType.simpleString}"
+          }
+        }
+        require(conflicts.isEmpty,
+          s"TxnLake: schema merge type conflict — ${conflicts.mkString("; ")}")
+        StructType(
+          p.fields.map { ex =>
+            incoming.fields.find(_.name == ex.name)
+              .map(in => ex.copy(nullable = ex.nullable || in.nullable))
+              .getOrElse(ex)
+          } ++ incoming.fields.filterNot(f => p.fieldNames.contains(f.name)))
+    }
+
+  /** The cumulative table schema recorded at `version`, when the log is
+    * new enough to carry one (one O(1) entry read; legacy logs → None →
+    * readers fall back to footer-derived schemas). */
+  def loggedSchema(spark: SparkSession, table: String,
+                   version: Long): Option[StructType] =
+    readEntry(spark, table, version).schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+
   private def requireLive(spark: SparkSession, table: String, version: Long,
                           files: Seq[FileMeta]): Unit = {
     val f = fs(spark, new Path(table))
@@ -650,8 +698,22 @@ object TxnLake extends LakeFormat {
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
     val files = resolveFiles(spark, table, version)
     requireLive(spark, table, version, files)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(fm => new Path(table, fm.path).toString): _*)
+    // apply the LOGGED schema when present: files written before a column
+    // was added lack it physically — the parquet reader fills nulls, which
+    // is exactly Delta's read-time evolution semantics (and the scan skips
+    // the per-file footer schema merge entirely)
+    val schema = loggedSchema(spark, table, version)
+    if (files.isEmpty)
+      schema.map(st => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), st))
+        .getOrElse(spark.emptyDataFrame)
+    else {
+      val paths = files.map(fm => new Path(table, fm.path).toString)
+      schema match {
+        case Some(st) => spark.read.schema(st).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+    }
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -681,14 +743,21 @@ object TxnLake extends LakeFormat {
         if (files.isEmpty) return spark.emptyDataFrame
         def abs(fms: Seq[FileMeta]) =
           fms.map(fm => new Path(table, fm.path).toString)
-        val pred = resolvedPredicate(spark, abs(files).head, predicate)
+        // logged schema (when present) both evolves old files and lets the
+        // predicate reference columns the SAMPLE file may predate
+        val schema = loggedSchema(spark, table, v)
+        def scan(paths: Seq[String]) = schema match {
+          case Some(st) => spark.read.schema(st).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        }
+        val pred = resolvedPredicate(spark, abs(files).head, predicate, schema)
         val kept = files.filter(fm => mayMatch(fm, pred))
         if (kept.isEmpty)
           // schema-preserving empty over ONE file: a single footer read
           // suffices for the schema — building the relation over the whole
           // snapshot would be an O(table) listing for a proven-empty result
-          spark.read.parquet(abs(files).head).where(lit(false))
-        else spark.read.parquet(abs(kept): _*).where(predicate)
+          scan(Seq(abs(files).head)).where(lit(false))
+        else scan(abs(kept)).where(predicate)
     }
   }
 
@@ -696,10 +765,12 @@ object TxnLake extends LakeFormat {
     * data-skipping observability counter specs and gates assert on. */
   def skippingStats(spark: SparkSession, table: String, predicate: Column,
                     version: Option[Long] = None): (Int, Int) = {
-    val files = snapshotFiles(spark, table, version)
+    val v = version.orElse(latestVersion(spark, table))
+    val files = snapshotFiles(spark, table, v)
     if (files.isEmpty) return (0, 0)
     val sample = new Path(table, files.head.path).toString
-    val pred = resolvedPredicate(spark, sample, predicate)
+    val pred = resolvedPredicate(spark, sample, predicate,
+      v.flatMap(loggedSchema(spark, table, _)))
     (files.count(fm => mayMatch(fm, pred)), files.size)
   }
 
@@ -709,8 +780,10 @@ object TxnLake extends LakeFormat {
     * comparisons (with the analyzer's implicit casts) instead of the lazy
     * unresolved column graph the public Column API carries. */
   private def resolvedPredicate(spark: SparkSession, sampleFile: String,
-                                predicate: Column): Expression = {
-    val probe = spark.read.parquet(sampleFile).where(predicate)
+                                predicate: Column,
+                                schema: Option[StructType] = None): Expression = {
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    val probe = reader.parquet(sampleFile).where(predicate)
     probe.queryExecution.analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.headOption.getOrElse(Literal(true, BooleanType))

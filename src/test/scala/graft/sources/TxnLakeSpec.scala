@@ -470,4 +470,58 @@ class TxnLakeSpec extends SparkSpec {
     assert(TxnLake.read(spark, t).collect().map(_.getInt(0)).sorted.toSeq
       == Seq(1, 2, 3, 4, 5))
   }
+
+  test("append with a new column evolves the schema; old rows read as null") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq((1, "a"), (2, "b")).toDF("k", "s"), t, "overwrite")
+    TxnLake.commit(spark, Seq((3, "c", 30L)).toDF("k", "s", "extra"), t, "append")
+    val snap = TxnLake.read(spark, t)
+    // merged schema preserves existing order, appends the new column
+    assert(snap.columns.toSeq == Seq("k", "s", "extra"))
+    val rows = snap.collect().map(r => (r.getInt(0),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1).toSeq
+    assert(rows == Seq((1, -1L), (2, -1L), (3, 30L)),
+      "pre-evolution rows must surface the added column as null")
+  }
+
+  test("time travel sees the historical schema, not the evolved one") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1).toDF("k"), t, "overwrite")
+    TxnLake.commit(spark, Seq((2, "x")).toDF("k", "s"), t, "append")
+    assert(TxnLake.readVersion(spark, t, 0).columns.toSeq == Seq("k"))
+    assert(TxnLake.read(spark, t).columns.toSeq == Seq("k", "s"))
+  }
+
+  test("overwrite resets the schema; append type conflict is refused") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq((1, "a")).toDF("k", "s"), t, "overwrite")
+    TxnLake.commit(spark, Seq(9).toDF("k"), t, "overwrite")
+    assert(TxnLake.read(spark, t).columns.toSeq == Seq("k"),
+      "overwrite must reset the table schema to the incoming one")
+    val conflict = intercept[IllegalArgumentException] {
+      TxnLake.commit(spark, Seq("not-an-int").toDF("k"), t, "append")
+    }
+    assert(conflict.getMessage.contains("type conflict"))
+  }
+
+  test("readWhere prunes and evolves under a predicate on the NEW column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1, 2).toDF("k").coalesce(1), t, "overwrite")
+    TxnLake.commit(spark, Seq((3, 30L), (4, 40L)).toDF("k", "extra").coalesce(1),
+      t, "append")
+    // predicate on the evolved column: the pre-evolution file has no stats
+    // for it -> conservatively kept; rows resolve via null-fill and the
+    // row-level re-filter drops them
+    val out = TxnLake.readWhere(spark, t, col("extra") === 30L)
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(3))
+    // predicate on the ORIGINAL column still prunes the new file
+    val (kept, total) = TxnLake.skippingStats(spark, t, col("k") <= 2)
+    assert(total == 2 && kept == 1,
+      s"expected the k-range stats to prune the evolved file: $kept/$total")
+  }
 }
