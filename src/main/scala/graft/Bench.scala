@@ -4,6 +4,19 @@ object Bench {
   private def dropAllStorage(spark: SparkSession): Unit =
     SessionHygiene.dropAllStorage(spark)
 
+  /** Stop a recycled session with the root logger OFF: teardown races
+    * (in-flight RPC against the closing NettyRpcEnv, lingering streaming
+    * threads) log multi-KB ERROR traces, and the driver captures only the
+    * LAST 2000 bytes of output — a trace near the end of the run buries
+    * the metric line. The NEXT chunk's GraftSession.local() restores the
+    * normal level via setLogLevel; after the final chunk it stays OFF, so
+    * the JSON line is the last thing in the capture window. */
+  private def quietStop(spark: SparkSession): Unit = {
+    org.apache.logging.log4j.core.config.Configurator
+      .setRootLevel(org.apache.logging.log4j.Level.OFF)
+    spark.stop()
+  }
+
   private def warmSession(spark: SparkSession, sfDir: String): Unit =
     // Warm a fresh session (shuffle service, parquet reader, codegen
     // infrastructure) so one-time init isn't attributed to the first query.
@@ -75,7 +88,7 @@ object Bench {
           dropAllStorage(spark)
           name -> math.min(r1, r2)
         }
-      } finally spark.stop()
+      } finally quietStop(spark)
     }.toMap
     // The driver captures only the LAST 2000 bytes of this process's
     // output (measured from BENCH_r{1,2,3}.json, all of which failed to

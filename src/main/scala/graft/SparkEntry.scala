@@ -41,7 +41,7 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x29 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x30 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -53,7 +53,8 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    change-data-feed snapshot diff, incremental MV maintenance,
   *    streaming CDF consumer with exactly-once restart recovery,
   *    commit-time expectations with transactional quarantine,
-  *    log-carried schema evolution with historical time travel
+  *    log-carried schema evolution with historical time travel,
+  *    metadata-only RESTORE TO VERSION rollback
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

@@ -1405,6 +1405,48 @@ object OperatorQueries {
       .orderBy("event_type")
   }
 
+  /** RESTORE TO VERSION as a metadata-only rollback commit —
+    * [[graft.sources.TxnLake.restore]] end to end: overwrite a base
+    * snapshot with a bad deploy, roll back by re-referencing the base
+    * version's files (zero data I/O — asserted in-query: the restored
+    * snapshot lists the SAME physical files as the base), then append a
+    * post-rollback delta on top. The census reads the final table back
+    * through the log; the rolled-past bad version must still time-travel
+    * (also asserted). The oracle rebuilds base ∪ delta relationally.
+    *
+    * Scale: rolling back a 100 TB table is ONE log-entry write; history
+    * and vacuum-liveness bookkeeping ride the existing delta replay. */
+  val txnRestore = OracleQuery(
+    "x30_txn_restore",
+    """WITH ev AS (SELECT event_id, event_type, value FROM events),
+      |base AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+      |delta AS (SELECT * FROM ev WHERE event_id % 5 = 0),
+      |final AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      |SELECT event_type, count(*) AS n_rows,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val table = Scratch.dir("txn_restore") + "/t"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    TxnLake.commit(s, ev.filter(col("event_id") % 2 === 0), table, "overwrite")
+    TxnLake.commit(s, ev.filter(col("event_id") % 3 === 0), table, "overwrite")
+    val v2 = TxnLake.restore(s, table, 0)
+    require(v2 == 2, s"restore must be a new commit, got $v2")
+    require(TxnLake.snapshotFiles(s, table, Some(2)).map(_.path).toSet ==
+      TxnLake.snapshotFiles(s, table, Some(0)).map(_.path).toSet,
+      "restore must re-reference the base files, not rewrite them")
+    require(!TxnLake.readVersion(s, table, 1).isEmpty,
+      "the rolled-past version must still time-travel")
+    TxnLake.commit(s, ev.filter(col("event_id") % 5 === 0), table, "append")
+    TxnLake.read(s, table)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -1412,5 +1454,5 @@ object OperatorQueries {
       bloomPruneJoin, pqAdcAnn, tableProfile, pageRank, streamLateDrops,
       streamStaticEnrich, streamOuterJoin, streamTxnIngest, ivfPqAnn,
       txnDataSkipping, txnChangeFeed, incrementalMv, streamCdfMv,
-      txnExpectations, txnSchemaEvolution)
+      txnExpectations, txnSchemaEvolution, txnRestore)
 }

@@ -639,12 +639,14 @@ object VectorQueries {
     * distance ties by centroid id, and every update re-rounds the means so
     * the iteration stays in lockstep across engines.
     *
-    * Scale: the canonical broadcast-Lloyd plan — centroids (k·dim doubles)
-    * broadcast to every executor each iteration, assignment is one
-    * narrow codegen'd pass over N vectors, the update is one k·dim-cell
-    * aggregate; only k·64 rows ever reach the driver per iteration (the
-    * same bounded collect MLlib's KMeans performs). No iteration ever
-    * shuffles the vectors themselves. */
+    * Scale: the canonical broadcast-Lloyd plan, with the broadcast done by
+    * the PLAN itself — the k centroids inline as literal arrays into one
+    * codegen'd per-row argmin expression (array_min over (dist, cid)
+    * structs; struct ordering IS the tie-break), so assignment is a pure
+    * narrow map: no join, no window, the vectors never shuffle. The update
+    * is one k·dim-cell aggregate (map-side partials shrink it to k·64 per
+    * partition before the exchange); only k·64 rows reach the driver per
+    * iteration — the same bounded collect MLlib's KMeans performs. */
   val kmeansClusters = OracleQuery(
     "v11_kmeans_clusters",
     s"""WITH e AS ($embSql),
@@ -672,11 +674,12 @@ object VectorQueries {
       .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     var lastAssign: DataFrame = null
     for (_ <- 1 to 3) {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-      val assigned = e.crossJoin(broadcast(cents.toDF("cid", "cv")))
-        .withColumn("dist", round(sqDist(col("v"), col("cv")), 8))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val distStructs = cents.map { case (cid, cv) =>
+        struct(round(sqDist(col("v"), array(cv.map(lit): _*)), 8).as("dist"),
+          lit(cid).as("cid"))
+      }
+      val assigned = e
+        .withColumn("cid", array_min(array(distStructs: _*)).getField("cid"))
         .select(col("vec_id"), col("v"), col("cid"))
       lastAssign = assigned
       // k·64 mean cells — the bounded per-iteration driver fetch

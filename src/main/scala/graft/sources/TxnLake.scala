@@ -81,7 +81,8 @@ object TxnLake extends LakeFormat {
     * footer carried no usable bounds (all-null file, INT96, truncated or
     * foreign-typed stats) — pruning is then conservative for that column. */
   final case class ColStats(tag: String, min: Option[String],
-                            max: Option[String], nullCount: Long)
+                            max: Option[String], nullCount: Long,
+                            bloom: Boolean = false)
 
   /** One data file of a snapshot: table-relative path, row count, and the
     * column stats harvested from its footer at commit time. `rows` is -1
@@ -114,6 +115,7 @@ object TxnLake extends LakeFormat {
       cs.min.foreach(c.put("mn", _))
       cs.max.foreach(c.put("mx", _))
       c.put("nc", cs.nullCount)
+      if (cs.bloom) c.put("bl", true)
     }
 
   private def statsFromJson(st: JsonNode): Map[String, ColStats] =
@@ -122,7 +124,8 @@ object TxnLake extends LakeFormat {
       e.getKey -> ColStats(c.get("t").asText(),
         Option(c.get("mn")).map(_.asText()),
         Option(c.get("mx")).map(_.asText()),
-        Option(c.get("nc")).map(_.asLong()).getOrElse(-1L))
+        Option(c.get("nc")).map(_.asLong()).getOrElse(-1L),
+        Option(c.get("bl")).exists(_.asBoolean()))
     }.toMap
 
   private def fileFromJson(n: JsonNode): FileMeta = {
@@ -1057,6 +1060,68 @@ object TxnLake extends LakeFormat {
     }
     throw new java.util.ConcurrentModificationException(
       s"TxnLake.optimize: $maxAttempts consecutive concurrent commits on $table")
+  }
+
+  // ---- restore --------------------------------------------------------
+
+  /** RESTORE the table to `toVersion` as a NEW commit — Delta's
+    * `RESTORE TABLE … TO VERSION AS OF`: metadata-only. The new entry
+    * re-references the target version's files verbatim (nothing is
+    * rewritten, moved, or copied), removes the current snapshot's, and
+    * carries the target's logged schema — so a bad deploy rolls back in
+    * one log write while the entire history, including the versions being
+    * rolled past, stays time-travelable. Restoring to HEAD is a no-op
+    * (returns the current version, writes nothing). The target's data
+    * dirs must still be live — restoring past a vacuum raises the same
+    * clear error as reading it.
+    *
+    * Scale: O(|files|) metadata and ZERO data I/O — restoring a 100 TB
+    * table costs one entry write. Vacuum afterwards treats the restore
+    * commit as live, so the re-referenced old dirs survive reclamation
+    * for as long as the restore is retained. */
+  def restore(spark: SparkSession, table: String, toVersion: Long,
+              maxAttempts: Int = 10): Long = {
+    val f = fs(spark, new Path(table))
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val committed = committedVersions(spark, table)
+      require(committed.contains(toVersion),
+        s"TxnLake.restore: version $toVersion is not in $table's log")
+      val target = resolveFiles(spark, table, toVersion)
+      requireLive(spark, table, toVersion, target)
+      val lastV = committed.last
+      if (lastV == toVersion) return lastV
+      val lastEntry = readEntry(spark, table, lastV)
+      // carry the cumulative txn state forward; a legacy log (no map yet)
+      // gets the same one-time marker fold commitImpl performs
+      val txns =
+        if (lastEntry.hasTxns) lastEntry.txns
+        else committed.foldLeft(Map.empty[String, Long]) { (m, v) =>
+          readEntry(spark, table, v).txn match {
+            case Some((a, b)) if m.get(a).forall(_ < b) => m + (a -> b)
+            case _ => m
+          }
+        }
+      // remove EVERYTHING current and add the full target list: delta
+      // replay then can't double-count files the two snapshots share
+      val current = resolveFiles(spark, table, lastV).map(_.path)
+      val next = lastV + 1
+      val entry = render(Entry(next, "restore", target, current, None, None,
+        txns, hasTxns = true,
+        schemaJson = readEntry(spark, table, toVersion).schemaJson))
+      val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
+      val out = f.create(tmp, false)
+      try out.write(entry.getBytes("UTF-8")) finally out.close()
+      val dst = new Path(logDir(table), s"v$next.json")
+      if (publishExclusive(f, tmp, dst)) {
+        maybeCheckpoint(spark, f, table, next)
+        return next
+      }
+      f.delete(tmp, false) // lost the race: re-list and retry at N+1
+      attempt += 1
+    }
+    sys.error(s"TxnLake: gave up after $maxAttempts commit conflicts on $table")
   }
 
   // ---- vacuum ---------------------------------------------------------

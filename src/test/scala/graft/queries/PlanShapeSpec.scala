@@ -320,6 +320,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(planOf("q50_cohort_retention").contains("BroadcastHashJoin"))
   }
 
+  test("epoch sharding reuses ONE hash exchange for window and census") {
+    // d42: the window (position rank) and the census aggregate both key on
+    // (epoch, shard) — the plan must carry a single hashpartitioning
+    // exchange through both, plus only the final presentation range sort.
+    // A second hash exchange would double-shuffle the corpus per epoch.
+    val plan = planOf("d42_epoch_shard_plan")
+    val hashExchanges = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("k-means assignment is a pure map; vectors never shuffle") {
+    // v11: the centroids inline as literals into the argmin expression, so
+    // the assignment pass must plan NO join against the corpus and no
+    // vec_id exchange — the only exchanges are the k·64-cell mean/size
+    // aggregates (cid-keyed) and the 8-row size join back (broadcast).
+    val plan = planOf("v11_kmeans_clusters")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"vectors shuffled in the assignment pass:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("recall evaluation harnesses join candidate and truth sets by key") {
     // v10/d38: the eval join is (query,neighbor)/(doc_a,doc_b) equi-join
     // over two bounded result sets — never a nested loop over either side.

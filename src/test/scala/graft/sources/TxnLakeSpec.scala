@@ -471,6 +471,46 @@ class TxnLakeSpec extends SparkSpec {
       == Seq(1, 2, 3, 4, 5))
   }
 
+  test("restore re-references the target's files — metadata-only rollback") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1, 2).toDF("x"), t, "overwrite")
+    TxnLake.commit(spark, Seq(9).toDF("x"), t, "overwrite")
+    val v2 = TxnLake.restore(spark, t, 0)
+    assert(v2 == 2)
+    assert(TxnLake.read(spark, t).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // the SAME physical files — nothing rewritten
+    assert(TxnLake.snapshotFiles(spark, t, Some(2)).map(_.path).toSet ==
+      TxnLake.snapshotFiles(spark, t, Some(0)).map(_.path).toSet)
+    // history preserved: the rolled-past version still time-travels
+    assert(TxnLake.readVersion(spark, t, 1).collect().map(_.getInt(0)).toSeq == Seq(9))
+  }
+
+  test("restore to HEAD is a no-op; restore restores the historical schema") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1).toDF("k"), t, "overwrite")
+    assert(TxnLake.restore(spark, t, 0) == 0, "restore-to-HEAD must not commit")
+    TxnLake.commit(spark, Seq((2, "x")).toDF("k", "s"), t, "append")
+    TxnLake.restore(spark, t, 0)
+    assert(TxnLake.read(spark, t).columns.toSeq == Seq("k"),
+      "restore must carry the target version's schema, not the evolved one")
+  }
+
+  test("vacuum after restore keeps the re-referenced dirs alive") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1, 2).toDF("x"), t, "overwrite")
+    TxnLake.commit(spark, Seq(9).toDF("x"), t, "overwrite")
+    TxnLake.restore(spark, t, 0)
+    TxnLake.vacuum(spark, t, retainVersions = 1)
+    // v0's dirs live on through the retained restore; v1's are reclaimed
+    assert(TxnLake.read(spark, t).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    intercept[IllegalStateException] { TxnLake.readVersion(spark, t, 1).collect() }
+    // restoring past the vacuum to a reclaimed version is refused clearly
+    intercept[IllegalStateException] { TxnLake.restore(spark, t, 1) }
+  }
+
   test("append with a new column evolves the schema; old rows read as null") {
     import spark.implicits._
     val t = freshTable()
