@@ -305,7 +305,7 @@ object AnalyticQueries {
       .rangeBetween(-3600000000L, 0L)
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("t_us"), col("value"))
+        unix_micros(col("event_time")).as("t_us"), col("value"))
       .select(col("user_id"), col("event_id"),
         count(lit(1)).over(w).as("n_last_hour"),
         round(sum(col("value")).over(w), 2).as("value_last_hour"))
@@ -581,7 +581,7 @@ object AnalyticQueries {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
     Tables.events(s, d)
-      .select(col("user_id"), expr("ts div 1000").as("tsu"), col("event_time"))
+      .select(col("user_id"), unix_micros(col("event_time")).as("tsu"), col("event_time"))
       .groupBy(col("user_id"), session_window(col("event_time"), "8 hours"))
       .agg(min(col("tsu")).as("session_start"), max(col("tsu")).as("session_end"),
         count(lit(1)).as("n_events"))
@@ -616,7 +616,7 @@ object AnalyticQueries {
     val wc = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     Tables.events(s, d)
       .select(col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"), col("event_id"), col("ts"))
+        unix_micros(col("event_time")).as("ts_us"), col("event_id"), col("ts"))
       .withColumn("prev", lag(col("event_type"), 1).over(wo))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
       .withColumn("valid_to_us", lead(col("ts_us"), 1).over(wc))

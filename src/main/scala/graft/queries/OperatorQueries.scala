@@ -199,8 +199,25 @@ object OperatorQueries {
                            variant: String = "",
                            build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
                              = identity): String = {
+    // The key must change when the SOURCE DATA changes, not just the dir
+    // path — the driver regenerates /root/testdata between rounds in place,
+    // and a path-only key would keep serving the previous generation's
+    // landing forever. Fingerprint the source files by (name, size, mtime).
+    val srcFingerprint = {
+      import scala.jdk.CollectionConverters._
+      val src = java.nio.file.Paths.get(d, "events.parquet")
+      val paths =
+        if (java.nio.file.Files.isDirectory(src)) {
+          val s = java.nio.file.Files.list(src)
+          try s.iterator().asScala.toSeq.sortBy(_.toString) finally s.close()
+        } else Seq(src)
+      paths.map { p =>
+        s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      }.mkString(",")
+    }
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|${EventStream.eventSchema.json}|$variant".getBytes("UTF-8"))
+      .digest(s"$d|$srcFingerprint|${EventStream.eventSchema.json}|$variant".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val landing = s"/tmp/graft_stream_landing_$key"
     val landingPath = java.nio.file.Paths.get(landing)

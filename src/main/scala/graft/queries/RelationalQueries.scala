@@ -380,7 +380,7 @@ object RelationalQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"))
+        unix_micros(col("event_time")).as("ts_us"))
       .orderBy("user_id")
   }
 
@@ -471,12 +471,13 @@ object RelationalQueries {
       |ORDER BY c.click_id""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      .select(col("user_id"), col("ts"), col("event_time"),
+        col("event_id").as("click_id"))
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts"), col("event_id").as("error_id"),
         col("value").as("error_value"))
     graft.operators.AsOfJoin.asofLeft(clicks, errors, Seq("user_id"), "ts", "ts")
-      .select(col("user_id"), col("click_id"), expr("ts div 1000").as("click_ts_us"),
+      .select(col("user_id"), col("click_id"), unix_micros(col("event_time")).as("click_ts_us"),
         col("right_error_id").as("last_error_id"),
         round(col("right_error_value"), 2).as("last_error_value"))
       .orderBy("click_id")

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -12,15 +13,41 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` carries a nanosecond parquet timestamp which Spark reads as
-    * a long (requires `spark.sql.legacy.parquet.nanosAsLong=true`, set by
-    * [[graft.GraftSession]]). Normalize to a proper micros timestamp with
-    * *integer* division — `ts / 1000` as a double would lose precision at
-    * epoch-nanos magnitude (~1.7e18 > 2^53).
+  /** `events` normalized to a fixed contract regardless of how the driver
+    * encoded `ts` in parquet — downstream code (queries, streaming landing,
+    * lake writers) relies on exactly two columns:
+    *
+    *   - `ts`         : LongType epoch-NANOS (integer arithmetic — interval
+    *                    math like `ts + hourNanos`, `ts DIV week` stays
+    *                    exact; a double divide would lose precision at
+    *                    ~1.7e18 > 2^53)
+    *   - `event_time` : TimestampType (micros), for time functions,
+    *                    windows, and watermarks
+    *
+    * The testdata generator has shipped `ts` as both `timestamp[ns]` (read
+    * as LongType under `spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * [[graft.GraftSession]]) and `timestamp[us]` (read as TimestampNTZType —
+    * pandas writes NTZ; cast to TimestampType is wall-clock-preserving
+    * under the UTC session zone, and `unix_micros` requires TimestampType).
+    * Branch on the resolved type; anything else fails loudly HERE rather
+    * than as scattered analysis errors in every consumer.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events")
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      case TimestampType | TimestampNTZType =>
+        raw
+          .withColumn("event_time", col("ts").cast(TimestampType))
+          .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: expected int64-nanos (LongType) or a timestamp type, got $other — " +
+            "the testdata encoding changed again; extend Tables.events, the single " +
+            "normalization point, rather than patching consumers")
+    }
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
