@@ -361,4 +361,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!scan.contains("props"), scan)
     assert(!scan.contains("value"), scan)
   }
+
+  test("events normalization is projection-only: pushdown and pruning survive") {
+    // The ts/event_time normalization in Tables.events is a per-row
+    // projection, so Catalyst must still (a) push a filter on an untouched
+    // source column into the parquet scan and (b) prune ts itself away when
+    // no derived column is referenced — at 100 TB the difference between
+    // scanning two columns and scanning six is the query.
+    val df = Tables.events(SparkSpec.session, dir)
+      .filter(col("event_type") === "click")
+      .select("user_id", "event_type")
+    val scanLines = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(l => l.contains("ReadSchema") || l.contains("PushedFilters"))
+      .mkString("\n")
+    assert(scanLines.contains("EqualTo(event_type,click)"), scanLines)
+    val readFields = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(scanLines).map(_.group(1)).getOrElse(fail(scanLines))
+      .split(",").map(_.split(":")(0).trim).toSet
+    assert(readFields === Set("user_id", "event_type"), scanLines)
+  }
 }
