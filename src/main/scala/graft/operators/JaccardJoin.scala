@@ -89,4 +89,72 @@ object JaccardJoin {
       out
     }
   }
+
+  /** All ordered pairs (inner, outer), inner ≠ outer, with n-gram
+    * CONTAINMENT |sh(inner) ∩ sh(outer)| / |sh(inner)| ≥ threshold — exact.
+    *
+    * Containment is the asymmetric near-dup relation Jaccard blocking
+    * structurally misses: a short document quoted wholesale inside a long
+    * one has containment ≈ 1 but Jaccard ≈ |inner|/|outer| ≈ 0, so no
+    * Jaccard threshold finds it. Training-data pipelines need this shape
+    * for quote/subset detection (a doc that is mostly a substring of
+    * another is a duplicate even though the pair looks dissimilar).
+    *
+    * Lossless blocking: C(A→B) ≥ t means at most ⌊(1−t)·|A|⌋ of A's
+    * shingles are absent from B, so ANY ⌊(1−t)·|A|⌋+1 of them must hit B —
+    * take that many of A's globally-RAREST shingles as its probe prefix
+    * and equi-join against the full inverted index of all documents.
+    * Unlike the Jaccard join only the PROBE side is prefix-truncated (the
+    * outer side may be arbitrarily larger — that's the point); the join
+    * stays skew-bounded because a stop-shingle has a huge postings list
+    * but almost never enters any rarest-first probe prefix, so the per-key
+    * join product stays small. |B| ≥ t·|A| (intersection ≤ |B|) prunes
+    * size-incompatible candidates inside the join. Verification computes
+    * the exact intersection on the candidate pairs only.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                       materialize: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val sh = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), shingles(col("toks"), n).as("s"))
+      .filter(size(col("s")) > 0)
+      .cache() // scanned by the prefix build, the index build, and verify
+
+    val df = sh.select(explode(col("s")).as("sg"))
+      .groupBy("sg").agg(count(lit(1)).as("df"))
+
+    val exploded = sh
+      .select(col("doc_id"), size(col("s")).as("sz"), explode(col("s")).as("sg"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sg"))
+    // floor-based prefix length |A| − ⌊t·|A|⌋ + 1 ≥ the tight
+    // |A| − ⌈t·|A|⌉ + 1 bound — float error can only over-lengthen
+    val probe = exploded.join(df, Seq("sg"))
+      .withColumn("rnk", row_number().over(byRarity))
+      .filter(col("rnk") <= col("sz") - floor(col("sz") * threshold) + 1)
+      .select("doc_id", "sg", "sz")
+    val index = exploded.select("doc_id", "sg", "sz")
+
+    val cand = probe.as("x")
+      .join(index.as("y"),
+        col("x.sg") === col("y.sg") && col("x.doc_id") =!= col("y.doc_id")
+          && col("y.sz") >= col("x.sz") * threshold)
+      .select(col("x.doc_id").as("doc_inner"), col("y.doc_id").as("doc_outer"))
+      .distinct()
+
+    val pairs = cand
+      .join(sh.select(col("doc_id").as("doc_inner"), col("s").as("sa")), Seq("doc_inner"))
+      .join(sh.select(col("doc_id").as("doc_outer"), col("s").as("sb")), Seq("doc_outer"))
+      .withColumn("containment",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") / size(col("sa")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_inner"), col("doc_outer"),
+        round(col("containment"), 4).as("containment"))
+    if (!materialize) pairs
+    else {
+      val out = pairs.localCheckpoint()
+      sh.unpersist(blocking = false)
+      out
+    }
+  }
 }

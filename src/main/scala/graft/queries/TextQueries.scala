@@ -1665,6 +1665,88 @@ object TextQueries {
       .orderBy("epoch", "shard")
   }
 
+  /** Quality-aware dedup survivor selection — the production completion of
+    * d13's cluster collapse: a real pipeline does not keep the MIN doc_id
+    * of each near-dup cluster, it keeps the BEST member (longest /
+    * highest-quality) and drops the rest. Per cluster, the survivor is the
+    * member with the most tokens, doc_id ascending as the deterministic
+    * tie-break; every clustered doc is emitted with its verdict so the
+    * drop set is auditable.
+    *
+    * Scale: the cluster graph is pair-sized (orders of magnitude smaller
+    * than the corpus — only docs with a ≥0.8 near-dup edge appear), so the
+    * per-cluster window sorts tiny groups; the quality join keys on doc_id
+    * (the same hash partitioning the components output already has). */
+  val docDedupSurvivors = OracleQuery(
+    "d43_doc_dedup_survivors",
+    s"""WITH RECURSIVE ${ngramPairCtes(0.8)},
+       |nodes AS (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT doc_a AS id FROM jpairs
+       |    UNION ALL SELECT doc_b FROM jpairs)),
+       |edges2 AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+       |  UNION SELECT doc_b, doc_a FROM jpairs),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges2 e ON e.src = r.id),
+       |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+       |         FROM reach GROUP BY 1),
+       |q AS (SELECT doc_id, len($tokSql) AS n_tokens FROM documents),
+       |m AS (SELECT c.doc_id, c.cluster_id, q.n_tokens
+       |      FROM comp c JOIN q USING (doc_id)),
+       |sv AS (
+       |  SELECT *, first_value(doc_id) OVER (
+       |      PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id)
+       |    AS survivor_id
+       |  FROM m)
+       |SELECT doc_id, cluster_id, CAST(n_tokens AS INT) AS n_tokens,
+       |  survivor_id, CAST(doc_id = survivor_id AS BOOLEAN) AS kept
+       |FROM sv ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = graft.operators.JaccardJoin
+      .exactPairs(docs, 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val quality = docs
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+    val bySurvivorRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    comp.join(quality, Seq("doc_id"))
+      .withColumn("survivor_id", first(col("doc_id")).over(bySurvivorRank))
+      .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+        col("survivor_id"), (col("doc_id") === col("survivor_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Asymmetric n-gram CONTAINMENT near-dup — the quote/subset relation
+    * Jaccard misses by construction (a short doc wholly inside a long one
+    * has containment ≈ 1 but Jaccard ≈ |inner|/|outer|). Exact, via
+    * rarest-first probe-prefix blocking against the full inverted index
+    * ([[graft.operators.JaccardJoin.containmentPairs]]); the oracle brute-
+    * forces all size-compatible pairs, so this also certifies the blocking
+    * is lossless at sf0.01. */
+  val docContainment = OracleQuery(
+    "d44_doc_containment",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),
+       |nz AS (SELECT doc_id, s, len(s) AS sz FROM sh WHERE len(s) > 0)
+       |SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+       |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / a.sz, 4)
+       |    AS containment
+       |FROM nz a JOIN nz b
+       |  ON a.doc_id <> b.doc_id AND b.sz >= a.sz * 0.9
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / a.sz >= 0.9
+       |ORDER BY doc_inner, doc_outer""".stripMargin) { (s, d) =>
+    graft.operators.JaccardJoin
+      .containmentPairs(Tables.documents(s, d), 0.9)
+      .orderBy("doc_inner", "doc_outer")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
@@ -1674,5 +1756,5 @@ object TextQueries {
     docContamination, docBm25, docRepeatedSpans, docBpeMerges,
     docIncrementalNearDup, docHybridRrf, docLengthBatching, docLshRecallEval,
     docBpeSegmentation, docCrossSourceDup, docRepeatedSpanRemoval,
-    docEpochShards)
+    docEpochShards, docDedupSurvivors, docContainment)
 }

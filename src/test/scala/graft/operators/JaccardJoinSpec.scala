@@ -43,6 +43,60 @@ class JaccardJoinSpec extends SparkSpec {
     }
   }
 
+  test("containment blocking equals naive all-ordered-pairs containment") {
+    val s = SparkSpec.session
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (0 until 25).map { _ =>
+      (0 until 15 + rnd.nextInt(15)).map(_ => vocab(rnd.nextInt(vocab.size)))
+    }
+    // quote-style containment: short excerpts embedded in longer hosts
+    val docs = base.zipWithIndex.flatMap { case (words, i) =>
+      val excerpt = words.slice(2, 2 + 8)
+      val host = words ++ excerpt ++ words.take(3)
+      Seq((i.toLong * 3, words.mkString(" ")),
+        (i.toLong * 3 + 1, excerpt.mkString(" ")),
+        (i.toLong * 3 + 2, host.mkString(" ")))
+    }.toDF("doc_id", "text")
+
+    def naive(threshold: Double) = {
+      val sh = docs.withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), shingles(col("toks"), 3).as("s"))
+        .filter(size(col("s")) > 0)
+      sh.as("x").join(sh.as("y"), col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_inner"), col("y.doc_id").as("doc_outer"),
+          (size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
+            size(col("x.s"))).as("c"))
+        .filter(col("c") >= threshold)
+        .select(col("doc_inner"), col("doc_outer"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    Seq(0.7, 0.9).foreach { t =>
+      val got = JaccardJoin.containmentPairs(docs, t)
+        .select("doc_inner", "doc_outer")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive(t), s"threshold $t")
+      assert(got.nonEmpty, s"threshold $t produced no pairs — fixture too weak")
+    }
+  }
+
+  test("containment finds the short-inside-long pair Jaccard misses") {
+    val s = SparkSpec.session
+    import s.implicits._
+    val inner = (0 until 10).map(i => s"w$i").mkString(" ")
+    val outer = ((0 until 10) ++ (100 until 160)).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, inner), (2L, outer)).toDF("doc_id", "text")
+    // the quote relation: every shingle of `inner` appears in `outer`
+    val cont = JaccardJoin.containmentPairs(docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    // while no useful Jaccard threshold pairs them (8 shared / 68 union)
+    assert(JaccardJoin.exactPairs(docs, 0.5).isEmpty)
+  }
+
   test("identical docs always pair with jaccard 1.0") {
     val s = SparkSpec.session
     import s.implicits._

@@ -145,6 +145,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("containment join probes the inverted index with an equi-join") {
+    // d44's 100 TB contract: probe-prefix × full-index candidates come
+    // from the shingle hash join (with the ≠ and size bounds as residual
+    // predicates), never an all-ordered-pairs theta join
+    val docs = Tables.documents(SparkSpec.session, dir)
+    val plan = graft.operators.JaccardJoin
+      .containmentPairs(docs, 0.9, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("bucketed co-located join has no exchange between scan and join") {
     val s = SparkSpec.session
     val df = graft.SparkEntry.queries("x08_bucketed_colocated_join")(s, dir)
