@@ -66,12 +66,18 @@ object Bench {
       if (args.nonEmpty) Some(args.toSet) else None
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    var contractChecked = false
     val results = names.grouped(math.max(1, group)).flatMap { chunk =>
       val spark = GraftSession.local()
       // stop() in finally: a wedged chunk must not leak its SparkContext —
       // the next chunk's getOrCreate would silently reuse it, defeating
       // the session recycling this loop exists for
       try {
+        if (!contractChecked) {
+          // announce testdata encoding drift up front (outside timings)
+          graft.sources.TableContracts.warn(spark, sfDir)
+          contractChecked = true
+        }
         warmSession(spark, sfDir)
         chunk.map { name =>
           val fn = SparkEntry.queries(name)

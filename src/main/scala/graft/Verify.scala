@@ -11,6 +11,10 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = GraftSession.local()
+    // announce testdata encoding drift ONCE, up front — before it surfaces
+    // as per-query analysis errors (round-9 lesson: events.ts drifted and
+    // failed 27 queries with scattered DATATYPE_MISMATCH instead)
+    graft.sources.TableContracts.warn(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

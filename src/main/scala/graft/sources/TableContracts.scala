@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Schema contracts for the driver-generated testdata tables.
+  *
+  * The testdata is regenerated in place between rounds and has changed
+  * column encodings before (events.ts: timestamp[ns] → timestamp[us] —
+  * 27 queries and 15 tests failed with scattered analysis errors while
+  * the code was unchanged). [[Tables.events]] adapts and fails loudly for
+  * its own table; this contract covers every OTHER table so the NEXT
+  * drift is announced as one clear line per divergence at harness
+  * startup, before any query runs.
+  *
+  * Deliberately a WARNING, not a hard failure: a drifted column kills the
+  * queries that read it either way, but a startup abort would take down
+  * the entire registry including the ~100 queries that never touch the
+  * drifted table.
+  */
+object TableContracts {
+
+  /** column → acceptable read types. Multiple entries where a reader
+    * normalizes (events.ts) or precision is generator-dependent. */
+  private val expected: Map[String, Map[String, Set[DataType]]] = Map(
+    "region" -> Map("r_regionkey" -> Set(IntegerType), "r_name" -> Set(StringType)),
+    "nation" -> Map("n_nationkey" -> Set(IntegerType), "n_name" -> Set(StringType),
+      "n_regionkey" -> Set(IntegerType)),
+    "customer" -> Map("c_custkey" -> Set(LongType), "c_name" -> Set(StringType),
+      "c_nationkey" -> Set(IntegerType), "c_acctbal" -> Set(DoubleType),
+      "c_mktsegment" -> Set(StringType)),
+    "supplier" -> Map("s_suppkey" -> Set(LongType), "s_name" -> Set(StringType),
+      "s_nationkey" -> Set(IntegerType), "s_acctbal" -> Set(DoubleType)),
+    "part" -> Map("p_partkey" -> Set(LongType), "p_name" -> Set(StringType),
+      "p_brand" -> Set(StringType), "p_type" -> Set(StringType),
+      "p_size" -> Set(IntegerType), "p_retailprice" -> Set(DoubleType)),
+    "orders" -> Map("o_orderkey" -> Set(LongType), "o_custkey" -> Set(LongType),
+      "o_orderstatus" -> Set(StringType), "o_totalprice" -> Set(DoubleType),
+      "o_orderdate" -> Set(TimestampType, TimestampNTZType, DateType),
+      "o_orderpriority" -> Set(StringType)),
+    "lineitem" -> Map("l_orderkey" -> Set(LongType), "l_partkey" -> Set(LongType),
+      "l_suppkey" -> Set(LongType), "l_linenumber" -> Set(IntegerType),
+      "l_quantity" -> Set(DoubleType), "l_extendedprice" -> Set(DoubleType),
+      "l_discount" -> Set(DoubleType), "l_tax" -> Set(DoubleType),
+      "l_returnflag" -> Set(StringType), "l_linestatus" -> Set(StringType),
+      "l_shipdate" -> Set(TimestampType, TimestampNTZType, DateType)),
+    "events" -> Map("event_id" -> Set(LongType),
+      // both encodings Tables.events normalizes; anything else is drift
+      "ts" -> Set(LongType, TimestampType, TimestampNTZType),
+      "user_id" -> Set(LongType), "event_type" -> Set(StringType),
+      "value" -> Set(DoubleType), "props" -> Set(StringType)),
+    "documents" -> Map("doc_id" -> Set(LongType), "text" -> Set(StringType),
+      "lang" -> Set(StringType), "source" -> Set(StringType),
+      "n_chars" -> Set(LongType)),
+    "embeddings" -> Map("vec_id" -> Set(LongType),
+      "embedding" -> Set(ArrayType(FloatType), ArrayType(FloatType, containsNull = false)),
+      "label" -> Set(IntegerType)))
+
+  /** One human-readable line per divergence between the contract and what
+    * Spark resolves from `dir` — missing table, missing column, or an
+    * unexpected type. Extra columns are NOT divergences (additive
+    * generator changes are harmless). */
+  def divergences(spark: SparkSession, dir: String): Seq[String] =
+    expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      scala.util.Try(Tables(spark, dir, table).schema) match {
+        case scala.util.Failure(e) =>
+          Seq(s"$table: unreadable (${e.getMessage})")
+        case scala.util.Success(schema) =>
+          val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+          cols.toSeq.sortBy(_._1).flatMap { case (name, ok) =>
+            byName.get(name) match {
+              case None => Some(s"$table.$name: MISSING (expected one of ${ok.mkString("/")})")
+              case Some(t) if !ok.contains(t) =>
+                Some(s"$table.$name: got $t, expected one of ${ok.mkString("/")}")
+              case _ => None
+            }
+          }
+      }
+    }
+
+  /** Startup probe for the harness mains: print one loud stderr line per
+    * divergence so encoding drift is announced before the first query. */
+  def warn(spark: SparkSession, dir: String): Unit =
+    divergences(spark, dir).foreach(d => System.err.println(s"[contract] $d"))
+}
