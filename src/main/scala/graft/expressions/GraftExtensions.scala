@@ -66,5 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product_double"),
       new ExpressionInfo(classOf[DotProductDouble].getName, "dot_product_double"),
       (exprs: Seq[Expression]) => DotProductDouble(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
   }
 }

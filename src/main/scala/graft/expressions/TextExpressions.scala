@@ -156,6 +156,38 @@ case class SimHash60(child: Expression) extends UnaryExpression with CodegenFall
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (java.text.Normalizer) — the canonical-
+  * composition pass every text-curation pipeline runs before hashing or
+  * dedup: "é" as U+0065+U+0301 and as U+00E9 must fingerprint identically
+  * or every downstream exact/near-dup operator silently treats canonically
+  * equal documents as distinct. Spark has no builtin for this; the JDK
+  * normalizer is the reference implementation of UAX #15, so results agree
+  * with any conforming engine (DuckDB's `nfc_normalize` oracles it).
+  *
+  * Fast path: `isNormalized` is a cheap quick-check scan (true for all
+  * ASCII), so the common case allocates nothing — at 100 TB the normalizer
+  * only pays composition work on the rows that actually need it. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected string, got ${t.sql}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def wordShingles(toks: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(toks), n))
@@ -163,4 +195,6 @@ object TextExpressions {
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), as, bs, p))
   def simhash60(hashes: Column): Column =
     ColumnBridge.column(SimHash60(ColumnBridge.expression(hashes)))
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 }

@@ -1747,6 +1747,38 @@ object TextQueries {
       .orderBy("doc_inner", "doc_outer")
   }
 
+  /** Unicode scrub — the canonicalization pass that must run BEFORE any
+    * hashing/dedup operator: NFC-compose (é as e+combining-acute vs U+00E9
+    * must fingerprint identically) and strip C0/DEL control characters
+    * (keeping tab/newline/CR). The FULL scrubbed string is emitted, so the
+    * driver hash-gates every byte of the result against DuckDB's
+    * `nfc_normalize` — two independent UAX #15 implementations agreeing.
+    * Native Catalyst expression ([[graft.expressions.NfcNormalize]], also
+    * SQL-registered); the strip is builtin regexp_replace, so the whole
+    * scrub is one zero-shuffle per-row projection. */
+  val docUnicodeScrub = OracleQuery(
+    "d45_doc_unicode_scrub",
+    """SELECT doc_id,
+      |  regexp_replace(nfc_normalize(text),
+      |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS scrubbed,
+      |  CAST(regexp_replace(nfc_normalize(text),
+      |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') <> text AS BOOLEAN)
+      |    AS changed,
+      |  CAST(length(regexp_replace(nfc_normalize(text),
+      |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS INT)
+      |    AS n_chars_scrubbed
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        regexp_replace(
+          graft.expressions.TextExpressions.nfcNormalize(col("text")),
+          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "").as("scrubbed"))
+      .select(col("doc_id"), col("scrubbed"),
+        (col("scrubbed") =!= col("text")).as("changed"),
+        length(col("scrubbed")).as("n_chars_scrubbed"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
@@ -1756,5 +1788,5 @@ object TextQueries {
     docContamination, docBm25, docRepeatedSpans, docBpeMerges,
     docIncrementalNearDup, docHybridRrf, docLengthBatching, docLshRecallEval,
     docBpeSegmentation, docCrossSourceDup, docRepeatedSpanRemoval,
-    docEpochShards, docDedupSurvivors, docContainment)
+    docEpochShards, docDedupSurvivors, docContainment, docUnicodeScrub)
 }
