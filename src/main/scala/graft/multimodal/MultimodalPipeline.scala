@@ -242,6 +242,76 @@ object MultimodalPipeline {
   /** Frame sampling (every Nth decoded frame) — the video keyframe-extract
     * shape: one input row explodes to its sampled decoded frames (pixel
     * bytes for image/video, 2000-sample PCM chunks for audio). */
+  /** Dimensions of the perceptual-hash fixture: fixed 16×8 so every image
+    * shares one 64-bit hash grid. */
+  val PHashW = 16
+  val PHashH = 8
+
+  /** Deterministic image corpus WITH PLANTED NEAR-DUPS for the perceptual
+    * dedup operator (x31): every id is a 16×8 BMP of md5-derived pixels;
+    * ids with id % 4 == 3 carry the PREVIOUS id's payload with one sampled
+    * pixel's blue channel complemented (255 − b) — a visually-identical
+    * variant whose aHash sits within a couple of bits of its source. The
+    * perturbation arithmetic is pure integer math on (id), so the DuckDB
+    * oracle rebuilds the exact bytes without a codec. */
+  def synthesizeImageDups(spark: SparkSession, n: Int,
+                          partitions: Int = 4): Dataset[MediaItem] = {
+    import spark.implicits._
+    val len = PHashW * PHashH * 3
+    spark.range(0, n, 1, partitions).map { boxedId =>
+      val id: Long = boxedId
+      val srcId = if (id % 4 == 3) id - 1 else id
+      val data = md5Stream(srcId, len)
+      if (id % 4 == 3) {
+        // blue channel of sampled pixel (x = 2·((id·7) mod 8), y = (id·11) mod 8)
+        val o = 3 * (2 * ((id * 7) % 8) + PHashW * ((id * 11) % 8)).toInt
+        data(o) = (255 - (data(o) & 0xff)).toByte
+      }
+      MediaItem(id, MediaMeta("image", PHashW, PHashH, 0, 0L, "bmp"),
+        JdkCodec.encodeBmp(PHashW, PHashH, data))
+    }
+  }
+
+  /** 64-bit average hash over a decoded 16×8 pixel grid: sample every
+    * second column (8×8 grid), gray = (b+g+r) div 3, bit k set iff
+    * 64·gray_k > Σgray (strict — integer-exact, no float mean). The
+    * standard aHash shape with the resampling grid-aligned so an oracle
+    * can recompute it bit for bit. */
+  def imageAHash64(px: Array[Byte], w: Int, h: Int): Long = {
+    require(w == PHashW && h == PHashH, s"aHash expects ${PHashW}x$PHashH, got ${w}x$h")
+    val grays = new Array[Int](64)
+    var sum = 0L
+    var k = 0
+    while (k < 64) {
+      val y = k / 8
+      val x = 2 * (k % 8)
+      val i = (y * w + x) * 3
+      val g = ((px(i) & 0xff) + (px(i + 1) & 0xff) + (px(i + 2) & 0xff)) / 3
+      grays(k) = g
+      sum += g
+      k += 1
+    }
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (64L * grays(k) > sum) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
+  /** REAL-decode each image and emit its 64-bit perceptual hash — the
+    * per-row map stage of the multimodal dedup (no shuffle). */
+  def imageHashes(media: Dataset[MediaItem]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { item =>
+        val (img, px) = JdkCodec.decodeBmp(item.content)
+        (item.media_id, imageAHash64(px, img.getWidth, img.getHeight))
+      }
+    }.toDF("media_id", "phash")
+  }
+
   def sampleFrames(media: Dataset[MediaItem], stride: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { item =>

@@ -1464,6 +1464,79 @@ object OperatorQueries {
       .orderBy("event_type")
   }
 
+  /** Multimodal near-dup: perceptual-hash image dedup — DataComp-style
+    * image dedup over BINARY media columns. REAL JDK BMP decode feeds a
+    * 64-bit integer-exact average hash ([[MultimodalPipeline.imageAHash64]]);
+    * candidates come from a 4×16-bit banded self-join (LOSSLESS for the
+    * hamming ≤ 3 verify threshold: 3 differing bits cannot touch all 4
+    * bands, so some band matches exactly — pigeonhole), then exact
+    * bit_count(xor) verification on candidates only. The corpus plants
+    * near-dups (id % 4 == 3 carries the previous id's pixels with one
+    * sampled blue channel complemented), and the oracle rebuilds payload
+    * bytes, grays, hash bits, and hammings from md5 arithmetic alone — a
+    * codec-free second implementation of the entire operator.
+    *
+    * Scale: decode+hash is a per-row map; the only shuffle is the
+    * (band, value) equi-join whose per-key cardinality banding bounds —
+    * the same no-cross-join discipline as every LSH tier here. */
+  val imagePHashDedup = OracleQuery(
+    "x31_image_phash_dedup",
+    """WITH ids AS (SELECT i AS media_id FROM generate_series(0, 199) g(i)),
+      |src AS (SELECT media_id,
+      |         CASE WHEN media_id % 4 = 3 THEN media_id - 1 ELSE media_id END AS sid,
+      |         CASE WHEN media_id % 4 = 3
+      |              THEN 3 * (2 * ((media_id * 7) % 8) + 16 * ((media_id * 11) % 8))
+      |              ELSE -1 END AS po
+      |        FROM ids),
+      |px AS (SELECT media_id, sid, po, k, 3 * ((k // 8) * 16 + 2 * (k % 8)) AS o
+      |       FROM src, generate_series(0, 63) g(k)),
+      |byts AS (SELECT media_id, k,
+      |          CASE WHEN o + c = po
+      |               THEN 255 - ('0x' || substr(md5(sid || ':' || ((o + c) // 16)),
+      |                                          2 * ((o + c) % 16) + 1, 2))::INT
+      |               ELSE ('0x' || substr(md5(sid || ':' || ((o + c) // 16)),
+      |                                    2 * ((o + c) % 16) + 1, 2))::INT END AS b
+      |        FROM px, generate_series(0, 2) g(c)),
+      |grays AS (SELECT media_id, k, sum(b) // 3 AS gray FROM byts GROUP BY 1, 2),
+      |sums AS (SELECT media_id, sum(gray) AS s FROM grays GROUP BY 1),
+      |hashes AS (SELECT grays.media_id,
+      |            CAST(sum(CASE WHEN 64 * grays.gray <= sums.s THEN 0
+      |                 WHEN k = 63 THEN -9223372036854775808
+      |                 ELSE (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS phash
+      |           FROM grays JOIN sums ON grays.media_id = sums.media_id
+      |           GROUP BY 1)
+      |SELECT a.media_id AS media_a, b.media_id AS media_b,
+      |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+      |FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+      |ORDER BY media_a, media_b""".stripMargin) { (s, _) =>
+    // decoded + hashed exactly once (tiny: one long per image); the band
+    // self-join and the verify both read the materialized hashes
+    val hashes = MultimodalPipeline.imageHashes(
+      MultimodalPipeline.synthesizeImageDups(s, 200)).localCheckpoint()
+    val bands = hashes.select(col("media_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bval"))): _*))
+        .as("bb"))
+      .select(col("media_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval")
+          && col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("media_id").as("media_a"), col("phash").as("ha")),
+        Seq("media_a"))
+      .join(hashes.select(col("media_id").as("media_b"), col("phash").as("hb")),
+        Seq("media_b"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      .filter(col("hamming") <= 3)
+      .select("media_a", "media_b", "hamming")
+      .orderBy("media_a", "media_b")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -1471,5 +1544,5 @@ object OperatorQueries {
       bloomPruneJoin, pqAdcAnn, tableProfile, pageRank, streamLateDrops,
       streamStaticEnrich, streamOuterJoin, streamTxnIngest, ivfPqAnn,
       txnDataSkipping, txnChangeFeed, incrementalMv, streamCdfMv,
-      txnExpectations, txnSchemaEvolution, txnRestore)
+      txnExpectations, txnSchemaEvolution, txnRestore, imagePHashDedup)
 }

@@ -53,7 +53,8 @@ object ExplainDump {
       "d43_doc_dedup_survivors" -> "dedup survivors — survivor window runs over the pair-sized cluster graph (checkpoint scan), never the corpus",
       "d45_doc_unicode_scrub" -> "unicode scrub — native NFC expression + builtin strip, zero exchanges before the output sort",
       "d44_doc_containment" -> "containment join — rarest-first probe prefix × full inverted index equi-join, no cross join",
-      "v11_kmeans_clusters" -> "k-means — centroids inline as literals (pure-map argmin), vectors never shuffle")
+      "v11_kmeans_clusters" -> "k-means — centroids inline as literals (pure-map argmin), vectors never shuffle",
+      "x31_image_phash_dedup" -> "image phash dedup — per-row decode+hash, (band, value) equi-join candidates, no cross join")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.tools.ExplainDump` at sf0.001. What to look for\n")

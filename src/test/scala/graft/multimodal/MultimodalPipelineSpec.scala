@@ -98,6 +98,44 @@ class MultimodalPipelineSpec extends SparkSpec {
     }
   }
 
+  test("image aHash survives the BMP encode→decode round trip") {
+    import MultimodalPipeline._
+    // hash of the decoded container == hash of the raw payload bytes: the
+    // codec must not alter a single pixel the hash reads
+    val items = synthesizeImageDups(spark, 24).collect()
+    items.foreach { item =>
+      val (img, px) = JdkCodec.decodeBmp(item.content)
+      val viaCodec = imageAHash64(px, img.getWidth, img.getHeight)
+      val srcId = if (item.media_id % 4 == 3) item.media_id - 1 else item.media_id
+      val raw = md5Stream(srcId, PHashW * PHashH * 3)
+      if (item.media_id % 4 == 3) {
+        val o = 3 * (2 * ((item.media_id * 7) % 8) + PHashW * ((item.media_id * 11) % 8)).toInt
+        raw(o) = (255 - (raw(o) & 0xff)).toByte
+      }
+      assert(viaCodec == imageAHash64(raw, PHashW, PHashH), s"id ${item.media_id}")
+    }
+  }
+
+  test("planted near-dups hash within the banded verify threshold") {
+    import MultimodalPipeline._
+    val hashes = imageHashes(synthesizeImageDups(spark, 200))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted pair (4k+2 → 4k+3) is within hamming 3 — the banding
+    // (4×16-bit, lossless for ≤3 by pigeonhole) must surface all of them
+    val planted = (0 until 200).filter(_ % 4 == 3).map(i => (i - 1, i))
+    planted.foreach { case (a, b) =>
+      val d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      assert(d <= 3, s"planted pair ($a,$b) hamming $d")
+    }
+    // and no un-planted pair sneaks under the threshold in this fixture
+    // (deterministic corpus — random 64-bit hashes sit ~32 bits apart)
+    val all = for {
+      a <- 0 until 200; b <- a + 1 until 200
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+    } yield (a, b)
+    assert(all == planted, s"unexpected pairs: ${all.diff(planted)}")
+  }
+
   test("resize really rescales: decoded dims, sample counts, durations halve") {
     import MultimodalPipeline._
     val resized = MultimodalPipeline.resize(media, 2)

@@ -145,6 +145,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("image phash dedup candidates come from the band equi-join") {
+    // x31: same no-cross-join discipline as every LSH tier — candidates
+    // from the (band, value) hash join, never hashes × hashes
+    val plan = planOf("x31_image_phash_dedup")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("containment join probes the inverted index with an equi-join") {
     // d44's 100 TB contract: probe-prefix × full-index candidates come
     // from the shingle hash join (with the ≠ and size bounds as residual
