@@ -97,6 +97,38 @@ class JaccardJoinSpec extends SparkSpec {
     assert(JaccardJoin.exactPairs(docs, 0.5).isEmpty)
   }
 
+  test("containment blocking is lossless across random corpora") {
+    val s = SparkSpec.session
+    import s.implicits._
+    // five independently-seeded corpora with containment structure at
+    // several scales — the blocking must equal brute force on every one
+    for (seed <- Seq(1, 7, 19, 41, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 8 + rnd.nextInt(8)).map(i => s"v$i")
+      val docs = (0 until 20).flatMap { i =>
+        val words = (0 until 5 + rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        val sliceLen = math.min(words.length, 4 + rnd.nextInt(8))
+        val excerpt = words.take(sliceLen)
+        Seq((i.toLong * 2, words.mkString(" ")),
+          (i.toLong * 2 + 1, excerpt.mkString(" ")))
+      }.toDF("doc_id", "text")
+
+      val sh = docs.withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), shingles(col("toks"), 3).as("s"))
+        .filter(size(col("s")) > 0)
+      val naive = sh.as("x").join(sh.as("y"), col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          (size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
+            size(col("x.s"))).as("c"))
+        .filter(col("c") >= 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = JaccardJoin.containmentPairs(docs, 0.8)
+        .select("doc_inner", "doc_outer")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"seed $seed")
+    }
+  }
+
   test("identical docs always pair with jaccard 1.0") {
     val s = SparkSpec.session
     import s.implicits._
