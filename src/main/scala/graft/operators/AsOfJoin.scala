@@ -28,7 +28,7 @@ object AsOfJoin {
     * right side with no payload columns still works (empty struct). */
   private def asofCore(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTime: String, rightTime: String): (DataFrame, Seq[String]) = {
-    val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
+    val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toIndexedSeq
     // carry the right timestamp inside the payload so the struct is never
     // field-less and a match is observable even with empty user payload
     val packed = struct(

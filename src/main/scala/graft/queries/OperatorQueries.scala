@@ -1100,7 +1100,7 @@ object OperatorQueries {
       |FROM res, k, t""".stripMargin) { (s, d) =>
     import graft.sources.TxnLake
     val ev = Tables.events(s, d).select(col("event_id"), col("value"))
-    val m = ev.agg(max("event_id")).head.getLong(0)
+    val m = ev.agg(max("event_id")).head().getLong(0)
     val table = Scratch.dir("txn_skip") + "/t"
     // 8 disjoint event_id-range files: one single-file append per bucket
     // (empty buckets skipped so files_total = the oracle's group count)

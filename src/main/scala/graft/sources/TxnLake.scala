@@ -993,7 +993,7 @@ object TxnLake extends LakeFormat {
             df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
           require(sig(cur) == sig(delta),
             s"TxnLake.merge: schema mismatch ${sig(cur)} vs ${sig(delta)}")
-          val others = delta.columns.filterNot(_ == key)
+          val others = delta.columns.filterNot(_ == key).toIndexedSeq
           // presence marker, not coalesce: a delta row legitimately updating
           // a column TO null must win over the old value
           cur.as("c").join(delta.withColumn("__d", lit(true)).as("d"),
