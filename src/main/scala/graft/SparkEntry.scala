@@ -18,7 +18,7 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    date gap-fill, global top-k, z-order clustering keys, typed-
   *    Aggregator group top-K, sequential event funnel, weekly
   *    cohort retention, batch sessionization
-  *  - d01–d20, d25–d27, d29, d33, d35–d36, d38–d42 [[graft.queries.TextQueries]] — token/quality/
+  *  - d01–d20, d25–d27, d29, d33, d35–d36, d38–d45 [[graft.queries.TextQueries]] — token/quality/
   *    langid/fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact
   *    n-gram Jaccard, edit-distance, cluster collapse), chunking, TF-IDF,
   *    corpus curation, token packing, md5-bucket train/eval split,
@@ -29,7 +29,10 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    LSH recall evaluation vs lossless ground truth, BPE segmentation
   *    application, cross-source duplication matrix, repeated-span
   *    removal (hot-span excision with hash-gated cleaned text),
-  *    deterministic per-epoch shuffle + training-shard assignment
+  *    deterministic per-epoch shuffle + training-shard assignment,
+  *    quality-aware dedup survivor selection, exact asymmetric n-gram
+  *    containment join (quote/subset near-dup), unicode NFC
+  *    canonicalization + control-char scrub (native expression)
   *  - d21–d24, d28, d30–d31, d34, d37 [[graft.queries.CurationQueries]] —
   *    PII scrub, stratified corpus mixing, unigram-LM surprisal,
   *    boilerplate n-gram pruning, DSIR importance weighting, bigram-LM
@@ -41,7 +44,7 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x30 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x31 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -54,7 +57,8 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    streaming CDF consumer with exactly-once restart recovery,
   *    commit-time expectations with transactional quarantine,
   *    log-carried schema evolution with historical time travel,
-  *    metadata-only RESTORE TO VERSION rollback
+  *    metadata-only RESTORE TO VERSION rollback,
+  *    perceptual-hash image dedup over binary media columns
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated
