@@ -5,26 +5,59 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
-/** EXACT n-gram Jaccard similarity join over a (doc_id, text) DataFrame:
+/** EXACT n-gram set-similarity joins over a (doc_id, text) DataFrame:
   * word-n-gram shingles → rarest-first prefix filter → inverted-index
-  * candidate join → exact-Jaccard verification.
+  * candidate join → exact verification. Two relations share the machinery:
   *
-  * Unlike MinHash-LSH (probabilistic recall) this is lossless: prefix
+  *  - [[exactPairs]]: symmetric Jaccard ≥ t (near-dup pairs)
+  *  - [[containmentPairs]]: asymmetric containment |A∩B|/|A| ≥ t (the
+  *    quote/subset relation Jaccard blocking structurally misses)
+  *
+  * Unlike MinHash-LSH (probabilistic recall) both are lossless: prefix
   * filtering (Chaudhuri et al. SSJoin / Xiao et al. PPJoin) guarantees that
-  * any pair with Jaccard ≥ t shares at least one shingle inside both docs'
-  * prefixes under a single global shingle ordering, so candidate generation
-  * misses nothing. Prefix length for Jaccard t is |s| − ⌈t·|s|⌉ + 1
-  * (computed as |s| − floor(t·|s|) + 1, which only ever over-lengthens by
-  * one — float error can never shorten the prefix below the safe bound).
+  * any qualifying pair shares at least one shingle inside the probe
+  * prefix(es) under a single global shingle ordering. The prefix length for
+  * threshold t is |s| − ⌈t·|s|⌉ + 1, computed as |s| − floor(t·|s|) + 1 —
+  * float error can only ever over-lengthen, never cut below the safe bound.
   *
   * Scale contract: ordering shingles by ascending document frequency puts
   * the RAREST shingles in the prefixes, so the inverted index the candidate
-  * self-join runs on has tiny, skew-bounded postings lists (a stop-shingle
-  * like "of the and" never enters a prefix). The plan is three hash
-  * shuffles — by shingle (df join), by doc_id (prefix ranking window), by
-  * prefix shingle (candidate join) — and never an all-pairs cross join.
+  * join probes has tiny, skew-bounded postings lists (a stop-shingle like
+  * "of the and" never enters a prefix). Every join is a hash equi-join on
+  * the shingle — never an all-pairs cross join (PlanShapeSpec pins).
   */
 object JaccardJoin {
+
+  /** Distinct-shingle table (doc_id, s). Cached only when the caller will
+    * materialize and free it — a plan-only caller (explain, plan tests)
+    * must not pin corpus-sized blocks it never unpersists. */
+  private def shingled(docs: DataFrame, n: Int, cache: Boolean): DataFrame = {
+    val sh = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), shingles(col("toks"), n).as("s"))
+      .filter(size(col("s")) > 0)
+    if (cache) sh.cache() else sh
+  }
+
+  /** One row per (doc, shingle) with the doc's shingle count. */
+  private def explodedGrams(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), size(col("s")).as("sz"), explode(col("s")).as("sg"))
+
+  /** The rarest-first probe prefix of every document at `threshold`:
+    * global document frequency per shingle → ascending-df rank within each
+    * doc → keep rank ≤ |s| − ⌊t·|s|⌋ + 1. The same bound serves both
+    * relations (Jaccard and containment both allow at most ⌊(1−t)·|s|⌋
+    * probe shingles to miss the other side). */
+  private def rarestFirstPrefix(sh: DataFrame, threshold: Double): DataFrame = {
+    val df = sh.select(explode(col("s")).as("sg"))
+      .groupBy("sg").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sg"))
+    explodedGrams(sh)
+      .join(df, Seq("sg"))
+      .withColumn("rnk", row_number().over(byRarity))
+      .filter(col("rnk") <= col("sz") - floor(col("sz") * threshold) + 1)
+      .select("doc_id", "sg", "sz")
+  }
 
   /** All pairs (doc_a < doc_b) with word-n-gram Jaccard ≥ threshold —
     * exact result, prefix-filtered candidate generation.
@@ -39,28 +72,12 @@ object JaccardJoin {
   def exactPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                  materialize: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
-    val sh = docs
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), shingles(col("toks"), n).as("s"))
-      .filter(size(col("s")) > 0)
-      .cache() // scanned by the prefix build and both verification probes
-
-    // global document frequency per shingle → rarest-first total order
-    val df = sh.select(explode(col("s")).as("sg"))
-      .groupBy("sg").agg(count(lit(1)).as("df"))
-
-    val exploded = sh
-      .select(col("doc_id"), size(col("s")).as("sz"), explode(col("s")).as("sg"))
-      .join(df, Seq("sg"))
-    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sg"))
+    val sh = shingled(docs, n, cache = materialize)
     // cached: the candidate self-join scans the prefix table twice, and
     // without this each side re-executes the df-join + ranking subtree
     // (measured 15 s → ~4 s at sf0.1)
-    val prefix = exploded
-      .withColumn("rnk", row_number().over(byRarity))
-      .filter(col("rnk") <= col("sz") - floor(col("sz") * threshold) + 1)
-      .select("doc_id", "sg", "sz")
-      .cache()
+    val prefixPlan = rarestFirstPrefix(sh, threshold)
+    val prefix = if (materialize) prefixPlan.cache() else prefixPlan
 
     // length filter (PPJoin): Jaccard ≥ t forces t·|a| ≤ |b| ≤ |a|/t, so
     // size-incompatible collisions are pruned BEFORE the distinct/verify —
@@ -102,38 +119,22 @@ object JaccardJoin {
     *
     * Lossless blocking: C(A→B) ≥ t means at most ⌊(1−t)·|A|⌋ of A's
     * shingles are absent from B, so ANY ⌊(1−t)·|A|⌋+1 of them must hit B —
-    * take that many of A's globally-RAREST shingles as its probe prefix
-    * and equi-join against the full inverted index of all documents.
-    * Unlike the Jaccard join only the PROBE side is prefix-truncated (the
-    * outer side may be arbitrarily larger — that's the point); the join
-    * stays skew-bounded because a stop-shingle has a huge postings list
-    * but almost never enters any rarest-first probe prefix, so the per-key
-    * join product stays small. |B| ≥ t·|A| (intersection ≤ |B|) prunes
-    * size-incompatible candidates inside the join. Verification computes
-    * the exact intersection on the candidate pairs only.
+    * A's rarest-first prefix probes the FULL inverted index of all
+    * documents. Unlike the Jaccard join only the PROBE side is
+    * prefix-truncated (the outer side may be arbitrarily larger — that's
+    * the point); the join stays skew-bounded because a stop-shingle has a
+    * huge postings list but almost never enters any rarest-first probe
+    * prefix, so the per-key join product stays small. |B| ≥ t·|A|
+    * (intersection ≤ |B|) prunes size-incompatible candidates inside the
+    * join. Verification computes the exact intersection on the candidate
+    * pairs only.
     */
   def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                        materialize: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
-    val sh = docs
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), shingles(col("toks"), n).as("s"))
-      .filter(size(col("s")) > 0)
-      .cache() // scanned by the prefix build, the index build, and verify
-
-    val df = sh.select(explode(col("s")).as("sg"))
-      .groupBy("sg").agg(count(lit(1)).as("df"))
-
-    val exploded = sh
-      .select(col("doc_id"), size(col("s")).as("sz"), explode(col("s")).as("sg"))
-    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sg"))
-    // floor-based prefix length |A| − ⌊t·|A|⌋ + 1 ≥ the tight
-    // |A| − ⌈t·|A|⌉ + 1 bound — float error can only over-lengthen
-    val probe = exploded.join(df, Seq("sg"))
-      .withColumn("rnk", row_number().over(byRarity))
-      .filter(col("rnk") <= col("sz") - floor(col("sz") * threshold) + 1)
-      .select("doc_id", "sg", "sz")
-    val index = exploded.select("doc_id", "sg", "sz")
+    val sh = shingled(docs, n, cache = materialize)
+    val probe = rarestFirstPrefix(sh, threshold)
+    val index = explodedGrams(sh)
 
     val cand = probe.as("x")
       .join(index.as("y"),

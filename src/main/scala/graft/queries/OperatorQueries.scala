@@ -206,15 +206,20 @@ object OperatorQueries {
     val srcFingerprint = {
       import scala.jdk.CollectionConverters._
       val src = java.nio.file.Paths.get(d, "events.parquet")
-      val paths =
-        if (java.nio.file.Files.isDirectory(src)) {
-          val s = java.nio.file.Files.list(src)
-          try s.iterator().asScala.toSeq.sortBy(_.toString) finally s.close()
-        } else Seq(src)
-      paths.map { p =>
-        s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
-          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
-      }.mkString(",")
+      // a missing/unreadable source must not throw HERE (key derivation) —
+      // fall through to a sentinel so the failure surfaces downstream in
+      // Tables.events as Spark's clear "Path does not exist" analysis error
+      scala.util.Try {
+        val paths =
+          if (java.nio.file.Files.isDirectory(src)) {
+            val s = java.nio.file.Files.list(src)
+            try s.iterator().asScala.toSeq.sortBy(_.toString) finally s.close()
+          } else Seq(src)
+        paths.map { p =>
+          s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+        }.mkString(",")
+      }.getOrElse("absent")
     }
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d|$srcFingerprint|${EventStream.eventSchema.json}|$variant".getBytes("UTF-8"))

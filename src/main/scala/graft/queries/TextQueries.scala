@@ -1711,12 +1711,16 @@ object TextQueries {
     val comp = graft.operators.ConnectedComponents
       .components(pairs, "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("cluster_id"))
-    val quality = docs
-      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
     val bySurvivorRank = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id")
       .orderBy(col("n_tokens").desc, col("doc_id"))
-    comp.join(quality, Seq("doc_id"))
+    // broadcast the pair-sized member set INTO the corpus scan, then
+    // tokenize the survivors only — scoring before the join would pay a
+    // full corpus tokenization pass for rows the join immediately drops
+    docs.select(col("doc_id"), col("text"))
+      .join(broadcast(comp), Seq("doc_id"))
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .drop("text")
       .withColumn("survivor_id", first(col("doc_id")).over(bySurvivorRank))
       .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
         col("survivor_id"), (col("doc_id") === col("survivor_id")).as("kept"))
