@@ -33,12 +33,14 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *    quality-aware dedup survivor selection, exact asymmetric n-gram
   *    containment join (quote/subset near-dup), unicode NFC
   *    canonicalization + control-char scrub (native expression)
-  *  - d21–d24, d28, d30–d31, d34, d37 [[graft.queries.CurationQueries]] —
+  *  - d21–d24, d28, d30–d31, d34, d37, d46 [[graft.queries.CurationQueries]] —
   *    PII scrub, stratified corpus mixing, unigram-LM surprisal,
   *    boilerplate n-gram pruning, DSIR importance weighting, bigram-LM
   *    conditional surprisal, hashed-feature linear quality classifier,
   *    deterministic weighted priority sampling, temperature-scaled
-  *    mixture weights
+  *    mixture weights,
+  *    surprisal-quantile bucketed mixing (exact quartiles via
+  *    distributed prefix-sum ranks, per-quartile md5 sampling)
   *  - v01–v11, d32 [[graft.queries.VectorQueries]] — embedding math, ANN
   *    baseline, int8 quantization, quantized-prefilter re-rank ANN,
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,

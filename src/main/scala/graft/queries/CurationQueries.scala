@@ -492,8 +492,81 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  // ---- d46 surprisal-quantile bucket mixing ---------------------------
+  /** Surprisal-quantile bucketed sampling — the Nemotron-CC curation
+    * shape: score every document with the unigram-LM surprisal proxy
+    * (d23's integer-exact bits), split the corpus into exact population
+    * quartiles of mean surprisal, and sample each quartile at its own
+    * deterministic rate (downweight the most-predictable quartile —
+    * boilerplate — AND the noisiest top quartile; keep the informative
+    * middle-high band nearly whole).
+    *
+    * Exact quartiles WITHOUT a single-reducer global window: documents
+    * are ranked by a quantized integer order key
+    * ((sum_bits·2^20) div n_tokens)·2^24 + doc_id — unique, integer-exact,
+    * identical in both engines — via the two-pass distributed prefix sum
+    * ([[graft.operators.PrefixSum]]); only per-bucket totals ever see a
+    * global window. bucket = (4·rank) div N assigns ntile-balanced
+    * quartiles. The keep decision is the d22 md5-bucket rule — hash-based,
+    * so the same document decides the same way across reruns and engines. */
+  private val BucketRatesPermille = Seq(200, 500, 900, 600)
+
+  val surprisalBucketMix = OracleQuery(
+    "d46_surprisal_bucket_mix", {
+      val rateCases = BucketRatesPermille.zipWithIndex
+        .map { case (r, b) => s"WHEN $b THEN $r" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         |gc AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM gc),
+         |b AS (SELECT term, CAST(length(bin(total // c)) - 1 AS BIGINT) AS bits
+         |      FROM gc, tot),
+         |ds AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(bits) AS BIGINT) AS sum_bits
+         |       FROM t JOIN b USING (term) GROUP BY 1),
+         |k AS (SELECT doc_id,
+         |        (sum_bits * 1048576 // n_tokens) * 16777216 + doc_id AS okey
+         |      FROM ds),
+         |r AS (SELECT doc_id, row_number() OVER (ORDER BY okey) - 1 AS rk,
+         |        (SELECT count(*) FROM ds) AS n
+         |      FROM k),
+         |m AS (SELECT doc_id, CAST((4 * rk) // n AS INT) AS bucket FROM r)
+         |SELECT doc_id, bucket,
+         |  CAST(CASE bucket $rateCases END AS INT) AS rate_permille,
+         |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix46'), 1, 7))::BIGINT
+         |         % 1000 < CASE bucket $rateCases END AS BOOLEAN) AS kept
+         |FROM m ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val gc = t.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = gc.agg(sum(col("c")).as("total"))
+    val bits = gc.crossJoin(broadcast(total))
+      .select(col("term"),
+        (length(bin(expr("total div c"))) - 1).cast("long").as("bits"))
+    val ds = t.join(broadcast(bits), Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+    val keyed = ds.select(col("doc_id"),
+      (expr("(sum_bits * 1048576) div n_tokens") * lit(16777216L) + col("doc_id"))
+        .as("okey"),
+      lit(1L).as("one"))
+    val nDocs = ds.agg(count(lit(1)).as("n"))
+    val rate = BucketRatesPermille.zipWithIndex.foldRight(lit(-1): org.apache.spark.sql.Column) {
+      case ((r, b), els) => when(col("bucket") === b, r).otherwise(els)
+    }
+    val hb = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":mix46"))), 1, 7),
+      16, 10).cast("long") % 1000
+    graft.operators.PrefixSum.exclusivePrefixSum(keyed, "okey", "one", "rk")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("bucket", expr("cast((4 * rk) div n as int)"))
+      .select(col("doc_id"), col("bucket"),
+        rate.cast("int").as("rate_permille"),
+        (hb < rate).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(piiScrub, corpusMixing, unigramSurprisal, boilerplatePrune,
       dsirImportance, bigramSurprisal, hashedClassifier, prioritySample,
-      temperatureMixing)
+      temperatureMixing, surprisalBucketMix)
 }
