@@ -54,7 +54,8 @@ object ExplainDump {
       "d45_doc_unicode_scrub" -> "unicode scrub — native NFC expression + builtin strip, zero exchanges before the output sort",
       "d44_doc_containment" -> "containment join — rarest-first probe prefix × full inverted index equi-join, no cross join",
       "v11_kmeans_clusters" -> "k-means — centroids inline as literals (pure-map argmin), vectors never shuffle",
-      "x31_image_phash_dedup" -> "image phash dedup — per-row decode+hash, (band, value) equi-join candidates, no cross join")
+      "x31_image_phash_dedup" -> "image phash dedup — per-row decode+hash, (band, value) equi-join candidates, no cross join",
+      "d46_surprisal_bucket_mix" -> "surprisal bucket mix — prefix-sum quartile ranks, broadcast vocab probe, no single-reducer window")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.tools.ExplainDump` at sf0.001. What to look for\n")
