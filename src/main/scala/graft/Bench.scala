@@ -67,6 +67,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     var contractChecked = false
+    var contractWarnings = 0
     val results = names.grouped(math.max(1, group)).flatMap { chunk =>
       val spark = GraftSession.local()
       // stop() in finally: a wedged chunk must not leak its SparkContext —
@@ -75,7 +76,7 @@ object Bench {
       try {
         if (!contractChecked) {
           // announce testdata encoding drift up front (outside timings)
-          graft.sources.TableContracts.warn(spark, sfDir)
+          contractWarnings = graft.sources.TableContracts.warn(spark, sfDir).size
           contractChecked = true
         }
         warmSession(spark, sfDir)
@@ -113,8 +114,11 @@ object Bench {
       rs.map { case (k, v) => "\"" + keyFn(k) + "\":" + s2(v) }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // contracts: testdata schema-drift count from the startup probe (0 =
+    // clean) — makes a mid-round regeneration visible in the artifact the
+    // judge reads, not just on stderr
     def line(qs: String, extra: String = ""): String =
-      s"""{"metric":"total","value":${s2(total)},"unit":"sec"$extra,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec"$extra,"contracts":$contractWarnings,"queries":$qs,"sf":"$sfDir"}"""
     val full = line(qsJson(results))
     // the fallback keeps only the slowest 40 — flag it so consumers can
     // tell a partial map ("value" ≠ sum of entries) from a full one

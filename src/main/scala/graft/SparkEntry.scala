@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQuery, PipelineQueries, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, OperatorQueries, OracleQuery, PipelineQueries, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -64,6 +64,13 @@ import graft.queries.{AnalyticQueries, CurationQueries, OperatorQueries, OracleQ
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated
+  *  - d47 [[graft.queries.CurationPipeline]] — the LLM-curation tier
+  *    composed end to end (scrub → quality/langid → exact + near dedup
+  *    with quality survivors → containment prune → PII redaction →
+  *    surprisal-quantile mixing → epoch shards), the q48 analog for
+  *    training data, final shard assignment order-signature gated
+  *  - d38s/v10s — the recall evaluations at their deterministic 25 %
+  *    md5-bucket sample rate, the 100 TB-realistic estimator cost
   *
   * COVERAGE.md maps every SURVEY §2 operator ID to its implementation,
   * query, and test.
@@ -73,7 +80,7 @@ object SparkEntry {
   private def registry: Seq[OracleQuery] =
     RelationalQueries.all ++ AnalyticQueries.all ++ TextQueries.all ++
       CurationQueries.all ++ VectorQueries.all ++ OperatorQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++ CurationPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -14,7 +14,7 @@ object Verify {
     // announce testdata encoding drift ONCE, up front — before it surfaces
     // as per-query analysis errors (round-9 lesson: events.ts drifted and
     // failed 27 queries with scattered DATATYPE_MISMATCH instead)
-    graft.sources.TableContracts.warn(spark, sfDir)
+    val contractWarnings = graft.sources.TableContracts.warn(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -44,6 +44,11 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // contract probe outcome as a driver-visible artifact (empty array =
+    // probe ran clean); a mid-round testdata regeneration shows up HERE,
+    // not only on stderr
+    Files.writeString(Paths.get(s"$outDir/contract_warnings.json"),
+      contractWarnings.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -27,56 +27,39 @@ object CurationQueries {
   // DuckDB oracle reproduces byte-for-byte (the x03 multimodal pattern) —
   // then runs the real detection + redaction pass over the laced text.
   // Detection and redaction are what ship; the lacing is test scaffolding.
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[queries] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[queries] val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private[queries] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** PII detection + redaction: count emails/phones/IPv4s and emit the md5
-    * of the redacted text (EMAIL → IP → PHONE replacement order; the
-    * patterns are disjoint here but the order is part of the contract).
-    *
-    * Scale: a pure per-row projection — no shuffle, no join; the plan is a
-    * single WholeStageCodegen map over the scan (PlanShapeSpec pins
-    * zero exchanges). At 100 TB this runs at scan speed. */
-  val piiScrub = OracleQuery(
-    "d21_pii_scrub",
-    s"""WITH laced AS (
-       |  SELECT doc_id,
-       |    CASE WHEN doc_id % 2 = 0
-       |      THEN 'user' || substring(md5(CAST(doc_id AS VARCHAR) || ':e'), 1, 6)
-       |           || '@example.com ' ELSE '' END ||
-       |    CASE WHEN doc_id % 3 = 0
-       |      THEN '555-' ||
-       |        lpad(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':p1'), 1, 6))::BIGINT
-       |             % 1000 AS VARCHAR), 3, '0') || '-' ||
-       |        lpad(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':p2'), 1, 6))::BIGINT
-       |             % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END ||
-       |    CASE WHEN doc_id % 5 = 0
-       |      THEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':i1'), 1, 2))::BIGINT AS VARCHAR)
-       |        || '.' ||
-       |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':i2'), 1, 2))::BIGINT AS VARCHAR)
-       |        || '.' ||
-       |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':i3'), 1, 2))::BIGINT AS VARCHAR)
-       |        || '.' ||
-       |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':i4'), 1, 2))::BIGINT AS VARCHAR)
-       |        || ' ' ELSE '' END ||
-       |    text AS t
-       |  FROM documents),
-       |r AS (
-       |  SELECT doc_id,
-       |    len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
-       |    len(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
-       |    len(regexp_extract_all(t, '$Ipv4Re')) AS n_ipv4,
-       |    regexp_replace(regexp_replace(regexp_replace(t,
-       |      '$EmailRe', '<EMAIL>', 'g'),
-       |      '$Ipv4Re', '<IP>', 'g'),
-       |      '$PhoneRe', '<PHONE>', 'g') AS redacted
-       |  FROM laced)
-       |SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
-       |  CAST(n_phones AS INT) AS n_phones, CAST(n_ipv4 AS INT) AS n_ipv4,
-       |  md5(redacted) AS redacted_md5,
-       |  CAST(length(redacted) AS INT) AS n_redacted_chars
-       |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+  /** The deterministic synthetic-PII lacing PREFIX as a SQL expression
+    * (a pure function of doc_id — the caller appends `|| text`) and its
+    * Spark twin; shared by d21 and the d47 composed pipeline so the two
+    * call sites can't drift. */
+  // NOTE: this value is interpolated into s"""...""".stripMargin templates,
+  // so no line may BEGIN with '|' (a leading `||` operator would be eaten
+  // as a margin pipe by the OUTER template's stripMargin) — every `||`
+  // lands at end of line.
+  private[queries] val piiLacePrefixSql: String =
+    """CASE WHEN doc_id % 2 = 0
+      |      THEN 'user' || substring(md5(CAST(doc_id AS VARCHAR) || ':e'), 1, 6) ||
+      |           '@example.com ' ELSE '' END ||
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN '555-' ||
+      |        lpad(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':p1'), 1, 6))::BIGINT
+      |             % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |        lpad(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':p2'), 1, 6))::BIGINT
+      |             % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':i1'), 1, 2))::BIGINT AS VARCHAR) ||
+      |        '.' ||
+      |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':i2'), 1, 2))::BIGINT AS VARCHAR) ||
+      |        '.' ||
+      |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':i3'), 1, 2))::BIGINT AS VARCHAR) ||
+      |        '.' ||
+      |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':i4'), 1, 2))::BIGINT AS VARCHAR) ||
+      |        ' ' ELSE '' END""".stripMargin
+
+  private[queries] def piiLacePrefix: org.apache.spark.sql.Column = {
     def h(salt: String, hexLen: Int) =
       conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))), 1, hexLen), 16, 10)
         .cast("long")
@@ -92,12 +75,52 @@ object CurationQueries {
       concat(h(":i1", 2).cast("string"), lit("."), h(":i2", 2).cast("string"),
         lit("."), h(":i3", 2).cast("string"), lit("."), h(":i4", 2).cast("string"),
         lit(" "))).otherwise("")
-    val laced = Tables.documents(s, d)
-      .select(col("doc_id"), concat(email, phone, ip, col("text")).as("t"))
-    val redacted = regexp_replace(regexp_replace(regexp_replace(col("t"),
+    concat(email, phone, ip)
+  }
+
+  /** EMAIL → IP → PHONE redaction chain (order is part of the contract). */
+  private[queries] def piiRedact(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(t,
       lit(EmailRe), lit("<EMAIL>")),
       lit(Ipv4Re), lit("<IP>")),
       lit(PhoneRe), lit("<PHONE>"))
+
+  /** The same chain as SQL over expression `t`. */
+  private[queries] def piiRedactSql(t: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($t,
+       |      '$EmailRe', '<EMAIL>', 'g'),
+       |      '$Ipv4Re', '<IP>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g')""".stripMargin
+
+  /** PII detection + redaction: count emails/phones/IPv4s and emit the md5
+    * of the redacted text (EMAIL → IP → PHONE replacement order; the
+    * patterns are disjoint here but the order is part of the contract).
+    *
+    * Scale: a pure per-row projection — no shuffle, no join; the plan is a
+    * single WholeStageCodegen map over the scan (PlanShapeSpec pins
+    * zero exchanges). At 100 TB this runs at scan speed. */
+  val piiScrub = OracleQuery(
+    "d21_pii_scrub",
+    s"""WITH laced AS (
+       |  SELECT doc_id,
+       |    $piiLacePrefixSql ||
+       |    text AS t
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+       |    len(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
+       |    len(regexp_extract_all(t, '$Ipv4Re')) AS n_ipv4,
+       |    ${piiRedactSql("t")} AS redacted
+       |  FROM laced)
+       |SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+       |  CAST(n_phones AS INT) AS n_phones, CAST(n_ipv4 AS INT) AS n_ipv4,
+       |  md5(redacted) AS redacted_md5,
+       |  CAST(length(redacted) AS INT) AS n_redacted_chars
+       |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val laced = Tables.documents(s, d)
+      .select(col("doc_id"), concat(piiLacePrefix, col("text")).as("t"))
+    val redacted = piiRedact(col("t"))
     laced.select(
       col("doc_id"),
       size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
@@ -509,7 +532,27 @@ object CurationQueries {
     * global window. bucket = (4·rank) div N assigns ntile-balanced
     * quartiles. The keep decision is the d22 md5-bucket rule — hash-based,
     * so the same document decides the same way across reruns and engines. */
-  private val BucketRatesPermille = Seq(200, 500, 900, 600)
+  private[queries] val BucketRatesPermille = Seq(200, 500, 900, 600)
+
+  /** The quantile order key `(quantized_surprisal)·2^24 + doc_id` is only
+    * unique — and therefore only cross-engine deterministic — while
+    * doc_id < 2^24: beyond that, adjacent quantized values can collide on
+    * okey and rank ties become engine-dependent. Fail loudly at the scale
+    * ceiling (the Tables.events pattern; a 1-row aggregate, the d33
+    * precedent) instead of silently returning engine-dependent buckets.
+    * Past the ceiling, widen the multiplier or order by the
+    * (quantized, doc_id) composite in BOTH engines. */
+  /** Call on the BASE documents scan (a superset of any derived doc set) —
+    * a bare max over the parquet scan is near-free, whereas probing the
+    * derived relation would re-execute its whole subtree for the assert. */
+  private[queries] def requireOkeyIdBound(ds: org.apache.spark.sql.DataFrame,
+                                          qname: String): Unit = {
+    val maxId = ds.agg(max(col("doc_id"))).collect()(0)
+    require(maxId.isNullAt(0) || maxId.getLong(0) < (1L << 24),
+      s"$qname: okey = quantized_surprisal * 2^24 + doc_id requires doc_id < 2^24 " +
+        s"for uniqueness, got max doc_id ${maxId.get(0)} — widen the multiplier or " +
+        "switch both engines to a (quantized, doc_id) composite ordering")
+  }
 
   val surprisalBucketMix = OracleQuery(
     "d46_surprisal_bucket_mix", {
@@ -546,6 +589,7 @@ object CurationQueries {
     val ds = t.join(broadcast(bits), Seq("term"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+    requireOkeyIdBound(Tables.documents(s, d), "d46")
     val keyed = ds.select(col("doc_id"),
       (expr("(sum_bits * 1048576) div n_tokens") * lit(16777216L) + col("doc_id"))
         .as("okey"),

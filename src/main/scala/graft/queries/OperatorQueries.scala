@@ -221,11 +221,33 @@ object OperatorQueries {
         }.mkString(",")
       }.getOrElse("absent")
     }
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|$srcFingerprint|${EventStream.eventSchema.json}|$variant".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    val landing = s"/tmp/graft_stream_landing_$key"
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // Two-part key: a GENERATION component (source dir + file fingerprint +
+    // schema — shared by every variant of the current testdata) and a
+    // variant component. Each regeneration mints a new generation, so any
+    // landing whose name does not carry the current generation is provably
+    // stale (no live variant can reference it) and safe to sweep below.
+    val gen = md5hex(s"$d|$srcFingerprint|${EventStream.eventSchema.json}").take(12)
+    val landing = s"/tmp/graft_stream_landing_${gen}_v${md5hex(variant).take(8)}"
     val landingPath = java.nio.file.Paths.get(landing)
+    // Best-effort sweep of superseded generations (one full landing copy
+    // per testdata regeneration otherwise accumulates across rounds) —
+    // never the current generation's dirs (other variants are live).
+    scala.util.Try {
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Paths.get("/tmp")
+      val stream = java.nio.file.Files.list(tmp)
+      val stale =
+        try stream.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("graft_stream_landing_") &&
+            !n.startsWith(s"graft_stream_landing_${gen}_")
+        }.toList
+        finally stream.close()
+      stale.foreach(p => scala.util.Try(
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)))
+    }
     if (!java.nio.file.Files.exists(landingPath.resolve("_SUCCESS"))) {
       val scratch = java.nio.file.Paths.get(
         s"${landing}_tmp_${java.lang.ProcessHandle.current.pid}")

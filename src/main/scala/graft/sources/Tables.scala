@@ -13,6 +13,14 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The `events.ts` encodings [[events]] can normalize — the SINGLE
+    * source of truth shared with [[TableContracts]], so the next encoding
+    * flip is extended in one place and the contract probe can never drift
+    * from the reader (a contract update without a reader update, or vice
+    * versa, previously required editing two files in lockstep). */
+  val EventsTsAcceptedTypes: Set[org.apache.spark.sql.types.DataType] =
+    Set(LongType, TimestampType, TimestampNTZType)
+
   /** `events` normalized to a fixed contract regardless of how the driver
     * encoded `ts` in parquet — downstream code (queries, streaming landing,
     * lake writers) relies on exactly two columns:
@@ -34,6 +42,14 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = apply(spark, dir, "events")
+    // column drift (rename/drop), not just type drift, must fail with the
+    // same guided message — raw.schema("ts") alone would throw a bare
+    // "Field ts does not exist" with no pointer to this seam
+    if (!raw.schema.fieldNames.contains("ts"))
+      throw new IllegalStateException(
+        s"events: column `ts` is missing (found ${raw.schema.fieldNames.mkString(", ")}) — " +
+          "the testdata generator renamed or dropped it; extend Tables.events, the single " +
+          "normalization point, rather than patching consumers")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("event_time", timestamp_micros(expr("ts div 1000")))

@@ -400,4 +400,29 @@ class PlanShapeSpec extends SparkSpec {
       .split(",").map(_.split(":")(0).trim).toSet
     assert(readFields === Set("user_id", "event_type"), scanLines)
   }
+
+  test("composed curation pipeline (d47) keeps its composition scale-safe") {
+    // The stages' own shapes are pinned standalone (Jaccard/containment
+    // no-cross-join, components salted supersteps, PrefixSum two-pass);
+    // this pins what only COMPOSITION can regress. The upstream stages
+    // materialize eagerly (checkpoint/cache boundaries), so the returned
+    // plan is the lazy tail: anti-joins → PII projection → surprisal probe
+    // → quartile rank → mix filter → shard plan.
+    val df = graft.SparkEntry.queries("d47_curation_pipeline")(SparkSpec.session, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the only nested-loop joins allowed are the two 1-row broadcasts
+    // (surprisal total, quartile denominator); anything larger is a
+    // composition regression
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"$bnlj nested-loop joins: ${plan.take(3000)}")
+    // the shard position window partitions by (epoch, shard) — the corpus
+    // is never funneled through an unpartitioned window
+    assert(plan.contains("hashpartitioning(epoch"), plan.take(3000))
+    // composition tripwire: the lazy tail stays within a bounded exchange
+    // budget (measured 10 at sf0.001; headroom for AQE variance, but a
+    // stage accidentally un-pinned or a join degrading to shuffle trips it)
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 14, s"$exchanges exchanges: ${plan.take(3000)}")
+  }
 }
