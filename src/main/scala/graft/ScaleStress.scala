@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-growth stress harness for the skew-sensitive tier — the queries
+  * whose 100 TB claim rests on candidate-join / iterative-graph plan
+  * shape rather than on a single keyed shuffle: d07 (MinHash-LSH
+  * near-dup), d10 (exact n-gram Jaccard join), d13 (connected-component
+  * collapse), d44 (asymmetric containment join), x18 (iterative
+  * PageRank over a fact-fact edge build), and the composed d47 pipeline.
+  *
+  * Methodology: the sf0.1 corpus is replicated K times into DISJOINT
+  * token spaces — replica i rewrites every whitespace token `t` to
+  * `t⁀ri` (an injective per-token remap, so shingle/Jaccard/containment
+  * structure inside each replica is exactly isomorphic to the original)
+  * and offsets `doc_id` by i·100000. Cross-replica token sets are
+  * disjoint, so the TRUE pair/cluster output grows exactly linearly in K
+  * by construction — which makes runtime growth attributable to the
+  * engine, not to a quadratically-growing answer. The fact tables
+  * (lineitem/orders) replicate with an order-key offset against the SAME
+  * dimensions — 10x edges into the same aggregate graph, the realistic
+  * fact-growth shape for x18.
+  *
+  * Each (factor, query) measurement follows the Bench protocol (warm run,
+  * then best-of-two with storage drops) and captures task-metric totals —
+  * shuffle read/write bytes, mem+disk spill, max per-task peak execution
+  * memory — via a listener. Results print as one JSON line per factor;
+  * SCALE.md records the adjudicated table.
+  *
+  * Usage: runMain graft.ScaleStress <baseSfDir> <factors csv> [queries csv]
+  */
+object ScaleStress {
+
+  private final class MetricsListener extends SparkListener {
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val spill = new AtomicLong
+    val peakMem = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peakMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+      }
+    }
+    def reset(): Unit = {
+      shuffleRead.set(0); shuffleWrite.set(0); spill.set(0); peakMem.set(0)
+    }
+  }
+
+  /** Tables the stressed queries read. Everything else is omitted — the
+    * scaled dirs are query inputs, not full testdata generations. */
+  private val ScaledFacts = Seq("documents", "lineitem", "orders")
+  private val CopiedDims = Seq("supplier", "customer", "nation", "region", "part")
+
+  /** All langId stopwords, lowercase — these keep their surface form in
+    * every replica so the quality/language gate sees the same votes. */
+  private val Stopwords: Set[String] =
+    graft.functions.TextFunctions.LangStopwords.flatMap(_._2).toSet
+
+  private def replicaDocs(docs: DataFrame, i: Int): DataFrame =
+    if (i == 0) docs
+    else {
+      // Injective per-token remap into a (nearly) replica-private
+      // vocabulary: every non-stopword token gets an `r<i>` suffix;
+      // stopwords keep their surface form so langId/quality gates score
+      // replicas identically to the original. Cross-replica overlap is
+      // then stopwords-only — far below the 0.7 Jaccard / 0.9 containment
+      // thresholds — so true pair/cluster output still grows linearly.
+      val stopArr = array(Stopwords.toSeq.sorted.map(lit): _*)
+      val remap = concat_ws(" ",
+        transform(split(col("text"), "\\s+"),
+          t => when(array_contains(stopArr, lower(t)), t)
+            .otherwise(concat(t, lit(s"r$i")))))
+      docs.select(
+        (col("doc_id") + lit(i * 100000L)).as("doc_id"),
+        remap.as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+
+  private def buildScaled(spark: SparkSession, baseDir: String,
+                          factor: Int, outDir: String): Unit = {
+    val done = Paths.get(outDir, "_SCALED_OK")
+    if (Files.exists(done)) return
+    Files.createDirectories(Paths.get(outDir))
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    (0 until factor).map(replicaDocs(docs, _)).reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    (0 until factor).map { i =>
+      if (i == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$baseDir/orders.parquet")
+    (0 until factor).map { i =>
+      if (i == 0) ord
+      else ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    CopiedDims.foreach { t =>
+      Files.copy(Paths.get(baseDir, s"$t.parquet"),
+        Paths.get(outDir, s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.write(done, Array.emptyByteArray)
+  }
+
+  private val DefaultQueries = Seq(
+    "d07_doc_neardup_minhash_lsh", "d10_doc_neardup_ngram_jaccard",
+    "d13_doc_dedup_clusters", "d44_doc_containment",
+    "x18_pagerank_trade", "d47_curation_pipeline")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factors = (if (args.length > 1) args(1) else "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val queries =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSeq
+      else DefaultQueries
+    val spark = GraftSession.local()
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      factors.foreach { f =>
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_scale_f$f"
+        buildScaled(spark, baseDir, f, dir)
+        val perQ = queries.map { name =>
+          val fn = SparkEntry.queries(name)
+          def once(): (Double, Long) = {
+            val t0 = System.nanoTime()
+            val n = fn(spark, dir).count()
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          once() // warm: codegen + JIT for this plan at this factor
+          SessionHygiene.dropAllStorage(spark)
+          val a = once()
+          SessionHygiene.dropAllStorage(spark)
+          listener.reset()
+          val b = once()
+          SessionHygiene.dropAllStorage(spark)
+          Thread.sleep(500) // listener bus drain (async delivery)
+          val mb = 1024.0 * 1024.0
+          (name.takeWhile(_ != '_'),
+            math.min(a._1, b._1), b._2,
+            listener.shuffleRead.get / mb, listener.shuffleWrite.get / mb,
+            listener.spill.get / mb, listener.peakMem.get / mb)
+        }
+        def s2(v: Double) =
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        val qs = perQ.map { case (k, sec, rows, sr, sw, sp, pk) =>
+          s""""$k":{"sec":${s2(sec)},"rows":$rows,"shuf_read_mb":${s2(sr)},""" +
+            s""""shuf_write_mb":${s2(sw)},"spill_mb":${s2(sp)},"peak_task_mb":${s2(pk)}}"""
+        }.mkString("{", ",", "}")
+        println(s"""SCALE {"factor":$f,"queries":$qs}""")
+      }
+    } finally spark.stop()
+  }
+}
