@@ -81,4 +81,61 @@ object PrefixSum {
       .withColumn(out, col("__local") + col("__off"))
       .drop("__pid", "__local")
   }
+
+  /** Adds `out` = 1-based COMPETITION rank of this row's composite key
+    * `orderCols` (rank = 1 + number of ROWS with a strictly smaller key;
+    * rows with equal keys share a rank, and the next distinct key's rank
+    * jumps by the group size — so within a tied group the values
+    * rank .. rank+groupSize-1 are "reserved", the property prefix-doubling
+    * suffix ranking relies on). With `cntOut` set, also emits each row's
+    * tie-group size — computed inside the same partitioning, no extra
+    * exchange.
+    *
+    * Unlike [[exclusivePrefixSum]] this accepts ARBITRARY orderable
+    * composite keys (strings, multi-column): the rows are range-partitioned
+    * by the key (`repartitionByRange` — sampled boundaries absorb key-
+    * frequency skew, and equal keys always land in ONE partition, which is
+    * what makes the per-partition `rank()` + cross-partition row-count
+    * offset exact), pinned with a `localCheckpoint` so the local-rank
+    * branch and the per-partition-totals branch observe the SAME partition
+    * assignment (the correctness hazard the fixed-grid variant designs
+    * away; here the pin removes it at the cost of one materialization).
+    * The only global window runs over #partitions rows. Keys must be
+    * non-null (nulls would rank first silently; callers coalesce first).
+    * The tie flag needs no peer frame: a row's key is shared iff it is
+    * not both first-of-group (row_number = rank) and followed by a
+    * different rank — all offset functions inside the SAME window spec.
+    *
+    * Scale: one range exchange of the full input plus the partition-id
+    * window — no distinct-key aggregate and no join back (the rank is
+    * computed ON the rows). Rank a pre-aggregated key set instead when the
+    * input is dominated by a few heavy keys. */
+  def competitionRankByRange(df: DataFrame, orderCols: Seq[String],
+                             out: String, tiedOut: String = null): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keys = orderCols.map(col)
+    val rp = df.repartitionByRange(n, keys: _*)
+      .localCheckpoint()
+      // materialized AFTER the checkpoint pins assignment, so the column
+      // is a stable property of the data, not of a re-evaluated exchange
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy("__pid").orderBy(keys: _*)
+    val local = rp.withColumn("__lr", rank().over(localW).cast("long"))
+    val withTied =
+      if (tiedOut == null) local
+      else local
+        .withColumn(tiedOut,
+          row_number().over(localW).cast("long") > col("__lr") ||
+            coalesce(lead(col("__lr"), 1).over(localW) === col("__lr"),
+              lit(false)))
+    val offW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rp.groupBy("__pid").agg(count(lit(1)).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(offW), lit(0L)))
+      .select("__pid", "__off")
+    withTied.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(out, col("__off") + col("__lr"))
+      .drop("__pid", "__lr")
+  }
 }

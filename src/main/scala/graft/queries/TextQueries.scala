@@ -1819,6 +1819,77 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Longest repeated token span via a DISTRIBUTED SUFFIX ARRAY
+    * ([[graft.operators.SuffixArray]], prefix doubling) — the
+    * arbitrary-length exact-substring discovery of Lee et al.'s suffix-
+    * array dedup path, which the fixed-n gram census (d26/d41) cannot
+    * express: n must be chosen in advance there, while the suffix array
+    * finds the true maximum (93 tokens on this corpus, vs the 5-gram
+    * ceiling).
+    *
+    * Input is the exact-dedup survivor set (d05 canon semantics — the
+    * pipeline position substring dedup actually occupies), so the answer
+    * is the longest span shared by genuinely DISTINCT documents. The
+    * suffix machinery derives only the maximum adjacent-LCP length L;
+    * the emitted spans at L then come from one linear sliding-window
+    * census (gram-keyed shuffle), which is also exactly what the oracle
+    * brute-forces — the oracle enumerates ALL O(n·len) spans, the Spark
+    * side runs the O(n log len) algorithm, and the driver hash-compares
+    * the results: algorithm vs ground truth, the d38 pattern.
+    *
+    * Scale shape: log2(longest doc) supersteps, each a distinct-key
+    * aggregate + range-partitioned rank + keyed join back; the lookahead
+    * is a (doc_id,pos)-keyed equi-join; L flows through a broadcast 1-row
+    * aggregate (no driver collect); the census shuffles once on the span
+    * key. No all-pairs stage, no corpus-wide window. */
+  val docSuffixLrs = OracleQuery(
+    "d48_suffix_lrs",
+    s"""WITH fpt AS (
+       |  SELECT doc_id, text,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM fpt GROUP BY fp),
+       |sv AS (SELECT f.doc_id, f.text FROM fpt f JOIN canon c ON f.doc_id = c.doc_id),
+       |t AS (SELECT doc_id, $tokSql AS toks FROM sv),
+       |p1 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS p FROM t),
+       |p2 AS (SELECT doc_id, toks, p,
+       |         unnest(generate_series(1, len(toks) - p + 1)) AS l FROM p1),
+       |spans AS (SELECT doc_id, l,
+       |            array_to_string(toks[p : p + l - 1], ' ') AS span FROM p2),
+       |rep AS (SELECT span, l AS span_len, count(*) AS n_occ,
+       |          count(DISTINCT doc_id) AS n_docs
+       |        FROM spans GROUP BY 1, 2 HAVING count(*) >= 2),
+       |mx AS (SELECT max(span_len) AS max_len FROM rep)
+       |SELECT span, CAST(span_len AS INT) AS span_len,
+       |  CAST(n_occ AS BIGINT) AS n_occ, CAST(n_docs AS BIGINT) AS n_docs
+       |FROM rep, mx WHERE span_len = max_len ORDER BY span""".stripMargin) { (s, d) =>
+    import graft.operators.SuffixArray
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), fingerprint(col("text")).as("fp"))
+    val canon = fp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    // cached: scanned by the maxLen probe, every doubling superstep's
+    // token base, the suffix-slice join, and the census
+    val sv = fp.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .cache()
+    val sa = SuffixArray.saPositions(SuffixArray.suffixRanks(sv))
+    val lrow = SuffixArray.adjacentLcp(sv, sa)
+      .agg(max(col("lcp")).cast("int").as("max_len"))
+      .filter(col("max_len") >= 1) // L = 0 → no repeat anywhere → no rows
+    sv.crossJoin(broadcast(lrow))
+      .filter(size(col("toks")) >= col("max_len")) // guard: sequence(1,0) descends
+      .select(col("doc_id"), col("max_len"), col("toks"),
+        explode(expr("sequence(1, size(toks) - max_len + 1)")).as("p"))
+      .select(col("doc_id"), col("max_len"),
+        array_join(slice(col("toks"), col("p"), col("max_len")), " ").as("span"))
+      .groupBy("span", "max_len")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") >= 2)
+      .select(col("span"), col("max_len").as("span_len"),
+        col("n_occ"), col("n_docs"))
+      .orderBy("span")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
@@ -1829,5 +1900,6 @@ object TextQueries {
     docIncrementalNearDup, docHybridRrf, docLengthBatching, docLshRecallEval,
     docLshRecallEvalSampled,
     docBpeSegmentation, docCrossSourceDup, docRepeatedSpanRemoval,
-    docEpochShards, docDedupSurvivors, docContainment, docUnicodeScrub)
+    docEpochShards, docDedupSurvivors, docContainment, docUnicodeScrub,
+    docSuffixLrs)
 }

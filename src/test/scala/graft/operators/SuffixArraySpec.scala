@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.SparkSpec
+
+/** Prefix-doubling suffix ranking vs brute force. Test tokens are pure
+  * lowercase alpha, where the implementation's effective token order
+  * (space-joined block strings) coincides with plain element-wise string
+  * order — so the brute-force comparator below is the ground truth. */
+class SuffixArraySpec extends SparkSpec {
+
+  private def docsDf(docs: Seq[(Long, Seq[String])]) = {
+    val s = spark
+    import s.implicits._
+    docs.toDF("doc_id", "toks")
+  }
+
+  /** All (doc_id, pos, suffix) triples, brute force. */
+  private def allSuffixes(docs: Seq[(Long, Seq[String])]): Seq[(Long, Int, Seq[String])] =
+    for {
+      (id, toks) <- docs
+      p <- 1 to toks.length
+    } yield (id, p, toks.drop(p - 1))
+
+  private def lexLt(a: Seq[String], b: Seq[String]): Boolean = {
+    val it = a.zip(b).iterator
+    while (it.hasNext) {
+      val (x, y) = it.next()
+      if (x != y) return x < y
+    }
+    a.length < b.length
+  }
+
+  private def checkRanks(docs: Seq[(Long, Seq[String])]): Unit = {
+    val sfx = allSuffixes(docs)
+    val got = SuffixArray.suffixRanks(docsDf(docs)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.size == sfx.size, "one rank per suffix")
+    val byKey = sfx.map { case (id, p, t) => (id, p) -> t }.toMap
+    for {
+      (ka, ta) <- byKey
+      (kb, tb) <- byKey
+    } {
+      if (ta == tb)
+        assert(got(ka) == got(kb), s"equal suffixes share a rank: $ta")
+      else if (lexLt(ta, tb))
+        assert(got(ka) < got(kb), s"$ta < $tb but ranks ${got(ka)} >= ${got(kb)}")
+    }
+    // competition semantics: rank = 1 + #suffixes strictly smaller
+    for ((k, t) <- byKey) {
+      val smaller = byKey.values.count(o => lexLt(o, t))
+      assert(got(k) == smaller + 1,
+        s"rank of $t is ${got(k)}, expected ${smaller + 1}")
+    }
+  }
+
+  test("ranks match brute force on a hand corpus with shared prefixes") {
+    checkRanks(Seq(
+      1L -> Seq("a", "b", "a", "b", "c"),
+      2L -> Seq("b", "a", "b", "c"),
+      3L -> Seq("a", "b", "a", "b", "c"), // identical to doc 1
+      4L -> Seq("c")))
+  }
+
+  test("ranks match brute force on long shared runs (doubling must iterate)") {
+    // 40-token docs sharing a 35-token run: the g8 base cannot separate
+    // these, so at least two doubling supersteps must do real work
+    val shared = (1 to 35).map(i => s"t${i % 3}")
+    checkRanks(Seq(
+      1L -> (shared ++ Seq("x", "y", "z", "w", "q")),
+      2L -> (Seq("p", "r") ++ shared ++ Seq("x", "y", "k")),
+      3L -> shared))
+  }
+
+  test("randomized corpora match brute force") {
+    val gTok = Gen.oneOf("a", "b", "ab", "ba", "c")
+    val gDoc = Gen.choose(0, 14).flatMap(n => Gen.listOfN(n, gTok))
+    val gCorpus = Gen.choose(2, 7).flatMap(n => Gen.listOfN(n, gDoc))
+    val seed = org.scalacheck.rng.Seed(4242L)
+    var s = seed
+    (1 to 6).foreach { _ =>
+      val docs = gCorpus.pureApply(Gen.Parameters.default, s)
+        .zipWithIndex.map { case (t, i) => (i + 1).toLong -> t.toSeq }
+      s = s.next
+      checkRanks(docs.filter(_._2.nonEmpty))
+    }
+  }
+
+  test("saPositions is a permutation with identical suffixes adjacent") {
+    val docs = Seq(
+      1L -> Seq("a", "b", "c"),
+      2L -> Seq("a", "b", "c"), // identical doc → identical suffixes
+      3L -> Seq("b", "c", "a"))
+    val sa = SuffixArray.saPositions(SuffixArray.suffixRanks(docsDf(docs)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = allSuffixes(docs).size
+    assert(sa.map(_._3).sorted.toSeq == (1L to n), "sa_pos is 1..n")
+    // the three identical-pair suffixes of docs 1/2 must sit adjacent
+    val byPos = sa.map(t => t._3 -> (t._1, t._2)).toMap
+    val sfx = allSuffixes(docs).map { case (id, p, t) => (id, p) -> t }.toMap
+    (1L until n).foreach { i =>
+      val (a, b) = (sfx(byPos(i)), sfx(byPos(i + 1)))
+      assert(!lexLt(b, a), s"sa order violated at $i: $a after $b")
+    }
+  }
+
+  test("adjacentLcp max equals the brute-force longest repeated span") {
+    val gTok = Gen.oneOf("a", "b", "c")
+    val gDoc = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, gTok))
+    val gCorpus = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, gDoc))
+    var s = org.scalacheck.rng.Seed(777L)
+    (1 to 5).foreach { _ =>
+      val docs = gCorpus.pureApply(Gen.Parameters.default, s)
+        .zipWithIndex.map { case (t, i) => (i + 1).toLong -> t.toSeq }
+      s = s.next
+      val df = docsDf(docs)
+      val sa = SuffixArray.saPositions(SuffixArray.suffixRanks(df))
+      val gotMax = SuffixArray.adjacentLcp(df, sa)
+        .agg(max(col("lcp"))).collect()(0) match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      // brute force: longest span occurring at ≥ 2 distinct positions
+      val spans = for {
+        (_, t) <- docs
+        p <- t.indices
+        l <- 1 to (t.length - p)
+      } yield t.slice(p, p + l)
+      val bruteMax = spans.groupBy(identity).collect {
+        case (k, vs) if vs.size >= 2 => k.length
+      }.foldLeft(0)(math.max)
+      assert(gotMax == bruteMax.toLong,
+        s"LRS mismatch: got $gotMax brute $bruteMax on $docs")
+    }
+  }
+}

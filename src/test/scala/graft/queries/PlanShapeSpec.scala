@@ -425,4 +425,20 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 14, s"$exchanges exchanges: ${plan.take(3000)}")
   }
+
+  test("suffix-array LRS (d48) stays candidate-bounded") {
+    // The doubling supersteps materialize eagerly (checkpoint per step);
+    // the returned plan is the lazy tail: sa window → suffix slices →
+    // adjacency join → LCP max → census. Pins: the only cross join is the
+    // broadcast of the 1-row L aggregate; adjacency is an equi-join on
+    // sa_pos (never a nested loop over suffix pairs); the census groups by
+    // span hash-partitioned — the corpus never funnels through a single
+    // unpartitioned window or a quadratic pair build.
+    val df = graft.SparkEntry.queries("d48_suffix_lrs")(SparkSpec.session, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"$bnlj nested-loop joins: ${plan.take(3000)}")
+    assert(plan.contains("hashpartitioning(span"), plan.take(3000))
+  }
 }
