@@ -121,48 +121,104 @@ object ScaleStress {
     "d13_doc_dedup_clusters", "d44_doc_containment",
     "x18_pagerank_trade", "d47_curation_pipeline")
 
+  /** Skew corpus: sf0.1 documents plus MANUFACTURED mega-clusters — the
+    * dup-heavy shape the replica construction deliberately avoids. 3000
+    * exact copies of one document (the cluster exact dedup must collapse
+    * before LSH ever sees it) and 500 near-copies of another with ~5% of
+    * tokens rewritten per copy (pairwise Jaccard ≈ 0.8 — a genuine
+    * 501-member near-dup cluster that lands WHOLE in LSH buckets). */
+  private def buildSkewed(spark: SparkSession, baseDir: String,
+                          outDir: String): Unit = {
+    val done = Paths.get(outDir, "_SCALED_OK")
+    if (Files.exists(done)) return
+    Files.createDirectories(Paths.get(outDir))
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val exactSeed = docs.orderBy("doc_id").limit(1)
+    val exactCopies = exactSeed
+      .crossJoin(spark.range(3000).select(col("id")))
+      .select((lit(200000L) + col("id")).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val nearSeed = docs.orderBy(col("doc_id").desc).limit(1)
+    val nearCopies = nearSeed
+      .crossJoin(spark.range(500).select(col("id")))
+      .select((lit(300000L) + col("id")).as("doc_id"),
+        concat_ws(" ", expr(
+          """transform(split(text, '\\s+'),
+            |  (t, j) -> CASE WHEN (j + id) % 20 = 0
+            |            THEN concat('zz', cast(id AS string))
+            |            ELSE t END)""".stripMargin)).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.unionByName(exactCopies).unionByName(nearCopies)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    Files.write(done, Array.emptyByteArray)
+  }
+
+  /** d07 (unguarded) is run LAST and for contrast: the 3000-copy exact
+    * cluster shares every band, so its candidate set is quadratic —
+    * the failure mode the d49 cap exists to bound. */
+  private val SkewQueries = Seq(
+    "d05_doc_exact_dedup", "d49_neardup_capped_lsh",
+    "d47_curation_pipeline", "d07_doc_neardup_minhash_lsh")
+
+  private def measure(spark: SparkSession, listener: MetricsListener,
+                      dir: String, queries: Seq[String], tag: String): Unit = {
+    val perQ = queries.map { name =>
+      val fn = SparkEntry.queries(name)
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      once() // warm: codegen + JIT for this plan at this input
+      SessionHygiene.dropAllStorage(spark)
+      val a = once()
+      SessionHygiene.dropAllStorage(spark)
+      listener.reset()
+      val b = once()
+      SessionHygiene.dropAllStorage(spark)
+      Thread.sleep(500) // listener bus drain (async delivery)
+      val mb = 1024.0 * 1024.0
+      (name.takeWhile(_ != '_'),
+        math.min(a._1, b._1), b._2,
+        listener.shuffleRead.get / mb, listener.shuffleWrite.get / mb,
+        listener.spill.get / mb, listener.peakMem.get / mb)
+    }
+    def s2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = perQ.map { case (k, sec, rows, sr, sw, sp, pk) =>
+      s""""$k":{"sec":${s2(sec)},"rows":$rows,"shuf_read_mb":${s2(sr)},""" +
+        s""""shuf_write_mb":${s2(sw)},"spill_mb":${s2(sp)},"peak_task_mb":${s2(pk)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""SCALE {$tag,"queries":$qs}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val factors = (if (args.length > 1) args(1) else "1,3,10")
-      .split(",").map(_.trim.toInt).toSeq
-    val queries =
-      if (args.length > 2) args(2).split(",").map(_.trim).toSeq
-      else DefaultQueries
+    val spec = if (args.length > 1) args(1) else "1,3,10"
     val spark = GraftSession.local()
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
+    val tmp = System.getProperty("java.io.tmpdir")
     try {
-      factors.foreach { f =>
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_scale_f$f"
-        buildScaled(spark, baseDir, f, dir)
-        val perQ = queries.map { name =>
-          val fn = SparkEntry.queries(name)
-          def once(): (Double, Long) = {
-            val t0 = System.nanoTime()
-            val n = fn(spark, dir).count()
-            ((System.nanoTime() - t0) / 1e9, n)
-          }
-          once() // warm: codegen + JIT for this plan at this factor
-          SessionHygiene.dropAllStorage(spark)
-          val a = once()
-          SessionHygiene.dropAllStorage(spark)
-          listener.reset()
-          val b = once()
-          SessionHygiene.dropAllStorage(spark)
-          Thread.sleep(500) // listener bus drain (async delivery)
-          val mb = 1024.0 * 1024.0
-          (name.takeWhile(_ != '_'),
-            math.min(a._1, b._1), b._2,
-            listener.shuffleRead.get / mb, listener.shuffleWrite.get / mb,
-            listener.spill.get / mb, listener.peakMem.get / mb)
+      if (spec == "skew") {
+        val dir = s"$tmp/graft_scale_skew"
+        buildSkewed(spark, baseDir, dir)
+        val queries =
+          if (args.length > 2) args(2).split(",").map(_.trim).toSeq
+          else SkewQueries
+        measure(spark, listener, dir, queries, "\"mode\":\"skew\"")
+      } else {
+        val factors = spec.split(",").map(_.trim.toInt).toSeq
+        val queries =
+          if (args.length > 2) args(2).split(",").map(_.trim).toSeq
+          else DefaultQueries
+        factors.foreach { f =>
+          val dir = s"$tmp/graft_scale_f$f"
+          buildScaled(spark, baseDir, f, dir)
+          measure(spark, listener, dir, queries, s""""factor":$f""")
         }
-        def s2(v: Double) =
-          String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-        val qs = perQ.map { case (k, sec, rows, sr, sw, sp, pk) =>
-          s""""$k":{"sec":${s2(sec)},"rows":$rows,"shuf_read_mb":${s2(sr)},""" +
-            s""""shuf_write_mb":${s2(sw)},"spill_mb":${s2(sp)},"peak_task_mb":${s2(pk)}}"""
-        }.mkString("{", ",", "}")
-        println(s"""SCALE {"factor":$f,"queries":$qs}""")
       }
     } finally spark.stop()
   }

@@ -18,7 +18,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    date gap-fill, global top-k, z-order clustering keys, typed-
   *    Aggregator group top-K, sequential event funnel, weekly
   *    cohort retention, batch sessionization
-  *  - d01–d20, d25–d27, d29, d33, d35–d36, d38–d45, d48 [[graft.queries.TextQueries]] — token/quality/
+  *  - d01–d20, d25–d27, d29, d33, d35–d36, d38–d45, d48–d49 [[graft.queries.TextQueries]] — token/quality/
   *    langid/fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact
   *    n-gram Jaccard, edit-distance, cluster collapse), chunking, TF-IDF,
   *    corpus curation, token packing, md5-bucket train/eval split,
@@ -35,7 +35,9 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    canonicalization + control-char scrub (native expression),
   *    distributed suffix-array longest-repeated-span discovery
   *    (prefix-doubling supersteps over range-partitioned competition
-  *    ranks; oracle brute-forces the O(n·len) span census)
+  *    ranks; oracle brute-forces the O(n·len) span census),
+  *    mega-bucket-guarded LSH near-dup (oversized band buckets emit a
+  *    representative star — linear in the cluster; see SCALE.md skew run)
   *  - d21–d24, d28, d30–d31, d34, d37, d46 [[graft.queries.CurationQueries]] —
   *    PII scrub, stratified corpus mixing, unigram-LM surprisal,
   *    boilerplate n-gram pruning, DSIR importance weighting, bigram-LM

@@ -19,9 +19,24 @@ object MinHashDedup {
 
   /** Verified near-dup pairs (doc_a < doc_b, word-3-gram Jaccard ≥
     * threshold). `materialize = false` returns the raw lazy plan and
-    * leaves the shingle cache pinned — for plan inspection only. */
+    * leaves the shingle cache pinned — for plan inspection only.
+    *
+    * `maxBucketSize` is the MEGA-BUCKET GUARD: a band bucket holding a
+    * near-identical cluster of k documents (identical docs share every
+    * band, so exact-dup mega-clusters that skipped exact dedup land
+    * whole) would emit k·(k−1)/2 candidates — quadratic in the cluster,
+    * the one place LSH degenerates at scale. With the guard set, buckets
+    * larger than the cap emit a REPRESENTATIVE STAR instead (min doc_id ×
+    * each other member): linear in the cluster, connectivity-preserving
+    * for downstream component collapse when members verify against the
+    * representative (the near-identical case that creates mega-buckets is
+    * exactly the case where they do). The tradeoff is documented recall:
+    * a bucket-collision pair inside an oversized bucket whose members are
+    * similar to each other but NOT to the representative is no longer
+    * probed. 0 (default) = unguarded exact candidates. */
   def verifiedPairs(docs: DataFrame, threshold: Double = 0.7,
-                    materialize: Boolean = true): DataFrame = {
+                    materialize: Boolean = true,
+                    maxBucketSize: Int = 0): DataFrame = {
     val sh = docs
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), shingles(col("toks"), 3).as("s"))
@@ -32,12 +47,32 @@ object MinHashDedup {
       .select(col("doc_id"), minhashSignature(col("h")).as("sig"))
     val bands = sig.select(col("doc_id"),
       posexplode(bandKeys(col("sig"), 4, 4)).as(Seq("b", "bh")))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.b") === col("y.b") && col("x.bh") === col("y.bh")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand =
+      if (maxBucketSize <= 0)
+        bands.as("x")
+          .join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.bh") === col("y.bh")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+      else {
+        // bucket size + representative in ONE bucket-keyed window pass —
+        // linear in the bucket even when the bucket is the whole cluster
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("b", "bh")
+        val sized = bands
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("m", min(col("doc_id")).over(w))
+        val small = sized.filter(col("n") <= maxBucketSize)
+        val smallPairs = small.as("x")
+          .join(small.as("y"),
+            col("x.b") === col("y.b") && col("x.bh") === col("y.bh")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        val starPairs = sized
+          .filter(col("n") > maxBucketSize && col("doc_id") =!= col("m"))
+          .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
+        smallPairs.unionByName(starPairs).distinct()
+      }
     val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
       size(array_union(col("sa"), col("sb")))
     val pairs = cand

@@ -224,6 +224,34 @@ object TextQueries {
        |  JOIN sh sa ON sa.doc_id = doc_a
        |  JOIN sh sb ON sb.doc_id = doc_b)""".stripMargin
 
+  /** The capped-bucket candidate chain: buckets up to `cap` emit exact
+    * pairs, larger buckets a representative star (min doc_id × members) —
+    * mirrors [[graft.operators.MinHashDedup.verifiedPairs]]'s mega-bucket
+    * guard arithmetic exactly. */
+  private def minhashCappedPairCtes(cap: Int): String =
+    s"""$minhashBandCtes,
+       |bsz AS (
+       |  SELECT doc_id, b, bh,
+       |    count(*) OVER (PARTITION BY b, bh) AS n,
+       |    min(doc_id) OVER (PARTITION BY b, bh) AS m
+       |  FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |    FROM bsz x JOIN bsz y
+       |      ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |      AND x.n <= $cap
+       |    UNION ALL
+       |    SELECT m AS doc_a, doc_id AS doc_b FROM bsz
+       |    WHERE n > $cap AND doc_id <> m)),
+       |verify AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b)""".stripMargin
+
   /** MinHash signatures + LSH banding + exact-Jaccard verification: the
     * scalable near-dup pipeline (candidates from band-bucket joins, never
     * an all-pairs cross join). K=16 permutations, 4 bands × 4 rows;
@@ -236,6 +264,26 @@ object TextQueries {
        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
        |FROM verify WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     graft.operators.MinHashDedup.verifiedPairs(Tables.documents(s, d), 0.7)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d07 under the MEGA-BUCKET GUARD (cap deliberately tight at 2 so the
+    * oracle exercises BOTH candidate paths on this corpus — production
+    * sets it in the thousands): band buckets up to the cap emit exact
+    * pairs, larger buckets a representative star, linear in the bucket.
+    * This is the shape that survives a mega-cluster of near-identical
+    * documents landing whole in one bucket — the one input that turns
+    * unguarded LSH quadratic (see SCALE.md skew run). Verification is
+    * unchanged exact Jaccard, so every reported pair is still true; the
+    * guard only bounds which candidates are probed. */
+  val docMinhashNearDupCapped = OracleQuery(
+    "d49_neardup_capped_lsh",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |${minhashCappedPairCtes(2)}
+       |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+       |FROM verify WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    graft.operators.MinHashDedup
+      .verifiedPairs(Tables.documents(s, d), 0.7, maxBucketSize = 2)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1901,5 +1949,5 @@ object TextQueries {
     docLshRecallEvalSampled,
     docBpeSegmentation, docCrossSourceDup, docRepeatedSpanRemoval,
     docEpochShards, docDedupSurvivors, docContainment, docUnicodeScrub,
-    docSuffixLrs)
+    docSuffixLrs, docMinhashNearDupCapped)
 }

@@ -57,7 +57,8 @@ object ExplainDump {
       "x31_image_phash_dedup" -> "image phash dedup — per-row decode+hash, (band, value) equi-join candidates, no cross join",
       "d46_surprisal_bucket_mix" -> "surprisal bucket mix — prefix-sum quartile ranks, broadcast vocab probe, no single-reducer window",
       "d47_curation_pipeline" -> "composed curation pipeline — lazy tail only (upstream stages pin at checkpoint/cache boundaries); shard window partitioned by (epoch, shard)",
-      "d48_suffix_lrs" -> "suffix-array LRS — doubling supersteps pin at checkpoints; tail is sa window → adjacency equi-join → broadcast L → span census, no pair cross join")
+      "d48_suffix_lrs" -> "suffix-array LRS — doubling supersteps pin at checkpoints; tail is sa window → adjacency equi-join → broadcast L → span census, no pair cross join",
+      "d49_neardup_capped_lsh" -> "mega-bucket-guarded LSH — bucket-keyed window sizes buckets, small buckets equi-join pairs, oversized buckets emit a linear representative star")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.tools.ExplainDump` at sf0.001. What to look for\n")
