@@ -18,7 +18,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    date gap-fill, global top-k, z-order clustering keys, typed-
   *    Aggregator group top-K, sequential event funnel, weekly
   *    cohort retention, batch sessionization
-  *  - d01–d20, d25–d27, d29, d33, d35–d36, d38–d45, d48–d49 [[graft.queries.TextQueries]] — token/quality/
+  *  - d01–d20, d25–d27, d29, d33, d35–d36, d38–d45, d48–d50 [[graft.queries.TextQueries]] — token/quality/
   *    langid/fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact
   *    n-gram Jaccard, edit-distance, cluster collapse), chunking, TF-IDF,
   *    corpus curation, token packing, md5-bucket train/eval split,
@@ -37,7 +37,9 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    (prefix-doubling supersteps over range-partitioned competition
   *    ranks; oracle brute-forces the O(n·len) span census),
   *    mega-bucket-guarded LSH near-dup (oversized band buckets emit a
-  *    representative star — linear in the cluster; see SCALE.md skew run)
+  *    representative star — linear in the cluster; see SCALE.md skew
+  *    run), order-sensitive n-gram novelty (first-seen attribution — the
+  *    curation-stream dedup-rate curve)
   *  - d21–d24, d28, d30–d31, d34, d37, d46 [[graft.queries.CurationQueries]] —
   *    PII scrub, stratified corpus mixing, unigram-LM surprisal,
   *    boilerplate n-gram pruning, DSIR importance weighting, bigram-LM
@@ -46,8 +48,9 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    mixture weights,
   *    surprisal-quantile bucketed mixing (exact quartiles via
   *    distributed prefix-sum ranks, per-quartile md5 sampling)
-  *  - v01–v11, d32 [[graft.queries.VectorQueries]] — embedding math, ANN
+  *  - v01–v12, d32 [[graft.queries.VectorQueries]] — embedding math, ANN
   *    baseline, int8 quantization, quantized-prefilter re-rank ANN,
+  *    Johnson–Lindenstrauss random-projection coarse ANN + exact re-rank,
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means

@@ -76,7 +76,7 @@ object CurationPipeline {
          |ex AS (SELECT f.doc_id, f.text, f.toks, f.n_tokens
          |       FROM fpt f JOIN canon c ON f.doc_id = c.doc_id),
          |t AS (SELECT doc_id, toks FROM ex),
-         |${TextQueries.minhashPairCtes},
+         |${TextQueries.minhashCappedPairCtes(64)},
          |jp AS (SELECT doc_a, doc_b FROM verify WHERE jac >= 0.7),
          |nodes AS (
          |  SELECT DISTINCT id FROM (
@@ -185,7 +185,12 @@ object CurationPipeline {
       .select("doc_id", "text", "n_tokens")
       .cache()
     // ---- stage 3: near-dup clusters, quality-aware survivors -----------
-    val pairs = graft.operators.MinHashDedup.verifiedPairs(ex, 0.7)
+    // production LSH config: the mega-bucket guard bounds any
+    // near-identical cluster that survived exact dedup (exact copies
+    // can't — stage 2 collapsed them); cap 64 never binds on honest data,
+    // only on dup-storms (SCALE.md skew run)
+    val pairs = graft.operators.MinHashDedup
+      .verifiedPairs(ex, 0.7, maxBucketSize = 64)
       .select("doc_a", "doc_b")
     val comp = graft.operators.ConnectedComponents
       .components(pairs, "doc_a", "doc_b")

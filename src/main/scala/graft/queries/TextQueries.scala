@@ -228,7 +228,7 @@ object TextQueries {
     * pairs, larger buckets a representative star (min doc_id × members) —
     * mirrors [[graft.operators.MinHashDedup.verifiedPairs]]'s mega-bucket
     * guard arithmetic exactly. */
-  private def minhashCappedPairCtes(cap: Int): String =
+  private[queries] def minhashCappedPairCtes(cap: Int): String =
     s"""$minhashBandCtes,
        |bsz AS (
        |  SELECT doc_id, b, bh,
@@ -1938,6 +1938,56 @@ object TextQueries {
       .orderBy("span")
   }
 
+  /** Order-sensitive n-gram NOVELTY — the dedup-rate/curation-stream
+    * curve: treating doc_id as ingestion order, a 5-gram position is
+    * novel iff its gram first appears in THIS document (min doc_id over
+    * the corpus). Per doc: gram positions, novel positions, novelty
+    * fraction. This is what d26's symmetric duplication census cannot
+    * express — d26 asks "is this span shared?", novelty asks "who paid
+    * for it first?", the quantity a streaming curation pipeline tracks
+    * to decide when a source is mined out.
+    *
+    * Scale shape: gram → min(doc_id) is one map-side-combined gram-keyed
+    * shuffle; the join back reuses the gram partitioning; the per-doc
+    * rollup is a doc-keyed aggregate. A hot gram is its own skew bound
+    * (at most once per (doc, position)). */
+  val docNovelty = OracleQuery(
+    "d50_doc_novelty",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+       |     toks[i+3] || ' ' || toks[i+4]
+       |     for i in generate_series(1, len(toks) - 4)] AS grams
+       |  FROM t WHERE len(toks) >= 5),
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |fs AS (SELECT gram, min(doc_id) AS first_doc FROM e GROUP BY 1),
+       |p AS (
+       |  SELECT e.doc_id, count(*) AS n_grams,
+       |    sum(CASE WHEN fs.first_doc = e.doc_id THEN 1 ELSE 0 END) AS n_novel
+       |  FROM e JOIN fs USING (gram)
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+       |  CAST(n_novel AS INT) AS n_novel,
+       |  round(CAST(n_novel AS DOUBLE) / n_grams, 4) AS novelty_frac
+       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val grams = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(orderedGrams(col("toks"), 5)).as("gram"))
+    val firstSeen = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstSeen, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams").cast("int").as("n_grams"),
+        col("n_novel").cast("int").as("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 4)
+          .as("novelty_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] = Seq(
     docTokenStats, docQuality, docLangId, docFingerprint,
     docExactDedup, docSimhash, docMinhashNearDup, docCorpusCuration,
@@ -1949,5 +1999,5 @@ object TextQueries {
     docLshRecallEvalSampled,
     docBpeSegmentation, docCrossSourceDup, docRepeatedSpanRemoval,
     docEpochShards, docDedupSurvivors, docContainment, docUnicodeScrub,
-    docSuffixLrs, docMinhashNearDupCapped)
+    docSuffixLrs, docMinhashNearDupCapped, docNovelty)
 }

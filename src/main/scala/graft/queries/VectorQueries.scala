@@ -731,9 +731,113 @@ object VectorQueries {
       .orderBy("cid", "dim")
   }
 
+  /** Johnson–Lindenstrauss random-projection ANN: vectors project from
+    * 64 to 16 dimensions through a deterministic Rademacher (±1) matrix
+    * (entry sign = parity of the first md5 hex digit of "jl:k:j", so both
+    * engines build the identical matrix), the coarse top-50 ranks by
+    * projected dot product, and exact cosine re-ranks the top-10 — the
+    * dimensionality-reduction ANN tier alongside quantization (v07),
+    * SRP-LSH (x01), IVF (x02) and PQ (x16).
+    *
+    * Scale: the projection is one broadcast of the 16-row matrix against
+    * a single corpus scan (4× fewer bytes downstream of it); the coarse
+    * pass scores 16-d vectors instead of 64-d — the JL tradeoff paid
+    * once per corpus, amortized across every query batch. Exact math is
+    * confined to |Q|·50 candidates. Coarse scores are unrounded doubles
+    * in identical sequential fold order (the v03/v07 determinism rule). */
+  val embJlRerankAnn = OracleQuery(
+    "v12_emb_jl_rerank_ann",
+    s"""WITH e AS ($embSql),
+       |rm AS (
+       |  SELECT k, list(CASE
+       |      WHEN ('0x' || substring(md5('jl:' || k || ':' || j), 1, 1))::INT % 2 = 0
+       |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY j) AS rvec
+       |  FROM generate_series(1, 16) gk(k), generate_series(1, 64) gj(j)
+       |  GROUP BY k),
+       |proj AS (
+       |  SELECT vec_id, list(p ORDER BY k) AS pv FROM (
+       |    SELECT e.vec_id, rm.k,
+       |      list_sum(list_transform(list_zip(e.v, rm.rvec), z -> z[1] * z[2])) AS p
+       |    FROM e, rm)
+       |  GROUP BY vec_id),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    list_sum(list_transform(list_zip(q.pv, c.pv), z -> z[1] * z[2])) AS pscore
+       |  FROM proj q JOIN proj c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY pscore DESC, vec_id) AS crnk
+       |  FROM scored),
+       |n AS ($normSql),
+       |rr AS (
+       |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(q.v, c.v), z -> z[1] * z[2]))
+       |      / (q.nrm * c.nrm) AS cos
+       |  FROM cand JOIN n q ON q.vec_id = cand.query_id
+       |            JOIN n c ON c.vec_id = cand.vec_id
+       |  WHERE crnk <= 50),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM rr)
+       |SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, CAST(rnk AS INT) AS rnk
+       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val rm = s.range(1, 17).select(col("id").cast("int").as("k"))
+      .crossJoin(s.range(1, 65).select(col("id").cast("int").as("j")))
+      .withColumn("r",
+        when(conv(substring(md5(concat(lit("jl:"), col("k"), lit(":"), col("j"))),
+          1, 1), 16, 10).cast("int") % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
+      .groupBy("k")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("r")))),
+        st => st.getField("r")).as("rvec"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val proj = e.crossJoin(broadcast(rm))
+      .withColumn("p",
+        aggregate(zip_with(col("v"), col("rvec"), (a, b) => a * b),
+          lit(0.0), (acc, z) => acc + z))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("k"), col("p")))),
+        st => st.getField("p")).as("pv"))
+      .cache() // scanned as both the query side and the corpus side
+    val qp = proj.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("pv").as("qpv"))
+    val w50 = Window.partitionBy("query_id").orderBy(col("pscore").desc, col("vec_id"))
+    // coarse candidates pinned eagerly so the projection cache can be
+    // released instead of leaking corpus-sized storage to the session
+    val cand = broadcast(qp).join(proj, col("vec_id") =!= col("query_id"))
+      .withColumn("pscore",
+        aggregate(zip_with(col("qpv"), col("pv"), (a, b) => a * b),
+          lit(0.0), (acc, z) => acc + z))
+      .withColumn("crnk", row_number().over(w50))
+      .filter(col("crnk") <= 50)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .localCheckpoint()
+    proj.unpersist()
+    val n = e.withColumn("nrm", l2Norm(col("v")))
+    val qv = n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cv = n.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    val w10 = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("cos",
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b),
+          lit(0.0), (acc, z) => acc + z) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w10))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"), col("rnk").cast("int").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(embNorms, embCentroids, embNearDupPairs, embAnnTopK, embDedup, embQuantize,
       embQuantRerankAnn, semDedup, mmrRerank, embOutliers, annRecallEval,
       annRecallEvalSampled,
-      kmeansClusters)
+      kmeansClusters, embJlRerankAnn)
 }

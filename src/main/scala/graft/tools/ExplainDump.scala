@@ -58,7 +58,9 @@ object ExplainDump {
       "d46_surprisal_bucket_mix" -> "surprisal bucket mix — prefix-sum quartile ranks, broadcast vocab probe, no single-reducer window",
       "d47_curation_pipeline" -> "composed curation pipeline — lazy tail only (upstream stages pin at checkpoint/cache boundaries); shard window partitioned by (epoch, shard)",
       "d48_suffix_lrs" -> "suffix-array LRS — doubling supersteps pin at checkpoints; tail is sa window → adjacency equi-join → broadcast L → span census, no pair cross join",
-      "d49_neardup_capped_lsh" -> "mega-bucket-guarded LSH — bucket-keyed window sizes buckets, small buckets equi-join pairs, oversized buckets emit a linear representative star")
+      "d49_neardup_capped_lsh" -> "mega-bucket-guarded LSH — bucket-keyed window sizes buckets, small buckets equi-join pairs, oversized buckets emit a linear representative star",
+      "d50_doc_novelty" -> "n-gram novelty — gram→min(doc) map-side-combined shuffle, join back reuses the gram partitioning, doc-keyed rollup",
+      "v12_emb_jl_rerank_ann" -> "JL projection ANN — 16-row Rademacher matrix broadcast, one corpus scan projects, coarse pass scores 16-d, exact math on |Q|*50 candidates")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.tools.ExplainDump` at sf0.001. What to look for\n")
