@@ -60,6 +60,23 @@ object ScaleStress {
   private val ScaledFacts = Seq("documents", "lineitem", "orders")
   private val CopiedDims = Seq("supplier", "customer", "nation", "region", "part")
 
+  /** Generation fingerprint of the base corpus, recorded inside the
+    * done-marker: a marker from a different baseDir or a superseded
+    * testdata generation must NOT satisfy the cache check, or measure()
+    * silently attributes stale-corpus numbers to the current corpus. */
+  private def baseFingerprint(baseDir: String): String =
+    (ScaledFacts ++ CopiedDims).map { t =>
+      val p = Paths.get(baseDir, s"$t.parquet")
+      if (Files.exists(p))
+        s"$t:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+      else s"$t:absent"
+    }.mkString(s"$baseDir|", ",", "")
+
+  /** True when the marker exists AND records the current base corpus. */
+  private def upToDate(marker: java.nio.file.Path, fp: String): Boolean =
+    Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == fp
+
   /** All langId stopwords, lowercase — these keep their surface form in
     * every replica so the quality/language gate sees the same votes. */
   private val Stopwords: Set[String] =
@@ -70,14 +87,25 @@ object ScaleStress {
     else {
       // Injective per-token remap into a (nearly) replica-private
       // vocabulary: every non-stopword token gets an `r<i>` suffix;
-      // stopwords keep their surface form so langId/quality gates score
-      // replicas identically to the original. Cross-replica overlap is
-      // then stopwords-only — far below the 0.7 Jaccard / 0.9 containment
-      // thresholds — so true pair/cluster output still grows linearly.
+      // stopwords keep their surface form so langId scores replicas like
+      // the original (the suffix and whitespace renormalization DO shift
+      // alpha_ratio/n_chars slightly — a doc sitting exactly on a quality
+      // threshold can flip in replicas, which is why the harness prints
+      // output ROW COUNTS: exact ×K growth in the measured runs is the
+      // empirical certificate that no gate flipped). Cross-replica overlap
+      // is stopwords-only — far below the 0.7 Jaccard / 0.9 containment
+      // thresholds — so true pair/cluster output grows linearly. A doc
+      // with NO non-stopword token would replicate verbatim and mint the
+      // exact cross-replica mega-cluster this construction exists to
+      // avoid, so such docs suffix EVERY token instead (sacrificing their
+      // langId votes for disjointness — the property the near-dup tier's
+      // linearity claim actually rests on).
       val stopArr = array(Stopwords.toSeq.sorted.map(lit): _*)
+      val toks = split(col("text"), "\\s+")
+      val allStop = forall(toks, t => array_contains(stopArr, lower(t)))
       val remap = concat_ws(" ",
-        transform(split(col("text"), "\\s+"),
-          t => when(array_contains(stopArr, lower(t)), t)
+        transform(toks,
+          t => when(!allStop && array_contains(stopArr, lower(t)), t)
             .otherwise(concat(t, lit(s"r$i")))))
       docs.select(
         (col("doc_id") + lit(i * 100000L)).as("doc_id"),
@@ -89,8 +117,10 @@ object ScaleStress {
   private def buildScaled(spark: SparkSession, baseDir: String,
                           factor: Int, outDir: String): Unit = {
     val done = Paths.get(outDir, "_SCALED_OK")
-    if (Files.exists(done)) return
+    val fp = baseFingerprint(baseDir)
+    if (upToDate(done, fp)) return
     Files.createDirectories(Paths.get(outDir))
+    Files.deleteIfExists(done)
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     (0 until factor).map(replicaDocs(docs, _)).reduce(_ unionByName _)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -113,7 +143,7 @@ object ScaleStress {
       Files.copy(Paths.get(baseDir, s"$t.parquet"),
         Paths.get(outDir, s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
     }
-    Files.write(done, Array.emptyByteArray)
+    Files.write(done, fp.getBytes("UTF-8"))
   }
 
   private val DefaultQueries = Seq(
@@ -130,8 +160,10 @@ object ScaleStress {
   private def buildSkewed(spark: SparkSession, baseDir: String,
                           outDir: String): Unit = {
     val done = Paths.get(outDir, "_SCALED_OK")
-    if (Files.exists(done)) return
+    val fp = baseFingerprint(baseDir)
+    if (upToDate(done, fp)) return
     Files.createDirectories(Paths.get(outDir))
+    Files.deleteIfExists(done)
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val exactSeed = docs.orderBy("doc_id").limit(1)
     val exactCopies = exactSeed
@@ -152,7 +184,7 @@ object ScaleStress {
     docs.unionByName(exactCopies).unionByName(nearCopies)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    Files.write(done, Array.emptyByteArray)
+    Files.write(done, fp.getBytes("UTF-8"))
   }
 
   /** d07 (unguarded) is run LAST and for contrast: the 3000-copy exact

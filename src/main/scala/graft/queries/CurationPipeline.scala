@@ -46,8 +46,10 @@ import graft.sources.Tables
   */
 object CurationPipeline {
 
-  private val CtrlClassSql = """[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"""
-  private val CtrlClassSpark = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  // shared with d45 — TextQueries owns the scrub class so the composed
+  // stage-0 and the standalone operator can't drift
+  private def CtrlClassSql = TextQueries.CtrlClassSql
+  private def CtrlClassSpark = TextQueries.CtrlClassSpark
 
   val curationPipeline: OracleQuery = OracleQuery(
     "d47_curation_pipeline", {

@@ -223,17 +223,24 @@ object OperatorQueries {
     }
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    // Two-part key: a GENERATION component (source dir + file fingerprint +
-    // schema — shared by every variant of the current testdata) and a
-    // variant component. Each regeneration mints a new generation, so any
-    // landing whose name does not carry the current generation is provably
-    // stale (no live variant can reference it) and safe to sweep below.
-    val gen = md5hex(s"$d|$srcFingerprint|${EventStream.eventSchema.json}").take(12)
-    val landing = s"/tmp/graft_stream_landing_${gen}_v${md5hex(variant).take(8)}"
+    // Three-part key: a SOURCE-DIR component (which corpus), a GENERATION
+    // component (file fingerprint + schema — shared by every variant of
+    // the current testdata), and a variant component. Each regeneration
+    // mints a new generation FOR ITS DIR, so a landing carrying this dir's
+    // hash but a different generation is provably stale (no live variant
+    // of this corpus can reference it) and safe to sweep below.
+    val dirHash = md5hex(d).take(8)
+    val gen = md5hex(s"$srcFingerprint|${EventStream.eventSchema.json}").take(12)
+    val landing =
+      s"/tmp/graft_stream_landing_${dirHash}_${gen}_v${md5hex(variant).take(8)}"
     val landingPath = java.nio.file.Paths.get(landing)
-    // Best-effort sweep of superseded generations (one full landing copy
-    // per testdata regeneration otherwise accumulates across rounds) —
-    // never the current generation's dirs (other variants are live).
+    // Best-effort sweep of THIS dir's superseded generations (one full
+    // landing copy per testdata regeneration otherwise accumulates across
+    // rounds). Never the current generation's dirs (other variants are
+    // live), never OTHER source dirs' landings (a concurrent harness on a
+    // different sfDir may be mid-read — deleting its published landing or
+    // in-flight scratch would fail its queries), and never a _tmp scratch
+    // whose embedded pid is still alive.
     scala.util.Try {
       import scala.jdk.CollectionConverters._
       val tmp = java.nio.file.Paths.get("/tmp")
@@ -241,8 +248,12 @@ object OperatorQueries {
       val stale =
         try stream.iterator().asScala.filter { p =>
           val n = p.getFileName.toString
-          n.startsWith("graft_stream_landing_") &&
-            !n.startsWith(s"graft_stream_landing_${gen}_")
+          val liveScratch = "_tmp_(\\d+)$".r.findFirstMatchIn(n).exists(m =>
+            scala.util.Try(java.lang.ProcessHandle.of(m.group(1).toLong)
+              .isPresent).getOrElse(true))
+          n.startsWith(s"graft_stream_landing_${dirHash}_") &&
+            !n.startsWith(s"graft_stream_landing_${dirHash}_${gen}_") &&
+            !liveScratch
         }.toList
         finally stream.close()
       stale.foreach(p => scala.util.Try(

@@ -25,6 +25,12 @@ object TextQueries {
     * `private[queries]`: the d47 composed pipeline re-reads the same
     * fragments over its intermediate relations. */
   private[queries] val tokSql = """regexp_split_to_array(lower(text), '\s+')"""
+  /** C0/DEL control-char class (tab/newline/CR kept) — the d45 scrub
+    * class, shared with the composed pipeline's stage-0 so the two call
+    * sites can't drift. One value per dialect (DuckDB regex literal vs
+    * Java regex with escaped backslashes). */
+  private[queries] val CtrlClassSql = """[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"""
+  private[queries] val CtrlClassSpark = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
   private[queries] def shingleSql(toks: String) =
     s"""list_distinct(CASE WHEN len($toks) >= 3
        | THEN [$toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]
@@ -1846,21 +1852,21 @@ object TextQueries {
     * scrub is one zero-shuffle per-row projection. */
   val docUnicodeScrub = OracleQuery(
     "d45_doc_unicode_scrub",
-    """SELECT doc_id,
-      |  regexp_replace(nfc_normalize(text),
-      |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS scrubbed,
-      |  CAST(regexp_replace(nfc_normalize(text),
-      |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') <> text AS BOOLEAN)
-      |    AS changed,
-      |  CAST(length(regexp_replace(nfc_normalize(text),
-      |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS INT)
-      |    AS n_chars_scrubbed
-      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    s"""SELECT doc_id,
+       |  regexp_replace(nfc_normalize(text),
+       |    '$CtrlClassSql', '', 'g') AS scrubbed,
+       |  CAST(regexp_replace(nfc_normalize(text),
+       |    '$CtrlClassSql', '', 'g') <> text AS BOOLEAN)
+       |    AS changed,
+       |  CAST(length(regexp_replace(nfc_normalize(text),
+       |    '$CtrlClassSql', '', 'g')) AS INT)
+       |    AS n_chars_scrubbed
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
         regexp_replace(
           graft.expressions.TextExpressions.nfcNormalize(col("text")),
-          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "").as("scrubbed"))
+          CtrlClassSpark, "").as("scrubbed"))
       .select(col("doc_id"), col("scrubbed"),
         (col("scrubbed") =!= col("text")).as("changed"),
         length(col("scrubbed")).as("n_chars_scrubbed"))
