@@ -163,7 +163,29 @@ object CurationPipeline {
          |  min_by(doc_id, perm) AS head_doc, max_by(doc_id, perm) AS tail_doc,
          |  CAST(sum(pos * doc_id % 1000000007) AS BIGINT) AS order_sig
          |FROM r7 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    }) { (s, d) =>
+    }) { (s, d) => shardAssignments(s, d)
+    .groupBy("epoch", "shard")
+    .agg(count(lit(1)).as("n_docs"),
+      sum(col("n_red_chars")).as("sum_red_chars"),
+      sum(col("n_toks")).as("sum_toks"),
+      sum(col("sum_bits")).as("sum_bits"),
+      min_by(col("doc_id"), col("perm")).as("head_doc"),
+      max_by(col("doc_id"), col("perm")).as("tail_doc"),
+      sum(col("pos") * col("doc_id") % 1000000007L).as("order_sig"))
+    .orderBy("epoch", "shard")
+  }
+
+  /** The pipeline's per-(doc, epoch) SHARD ASSIGNMENT — every stage of
+    * d47 up to (and including) the within-shard position, one row per
+    * curated document per epoch. The registered query is exactly the
+    * (epoch, shard) rollup of this relation; [[graft.jobs.CurateCorpus]]
+    * materializes it to a transactional lake table, so the lake contents
+    * provably reproduce the oracle-gated plan. `withText = true` carries
+    * the redacted document text for sinks (the rollup never needs it —
+    * don't push corpus bytes through the shard window when only counts
+    * are consumed). */
+  def shardAssignments(s: org.apache.spark.sql.SparkSession, d: String,
+                       withText: Boolean = false): org.apache.spark.sql.DataFrame = {
     // ---- stage 0/1: scrub, quality gate, language-ID filter ------------
     val scrubbed = Tables.documents(s, d).select(col("doc_id"),
       regexp_replace(
@@ -260,24 +282,21 @@ object CurationPipeline {
     // ---- stage 7: deterministic epoch/shard plan (the d42 contract) ----
     val w7 = Window.partitionBy(col("epoch"), col("shard"))
       .orderBy(col("perm"), col("doc_id"))
-    kept.join(red.select("doc_id", "n_red_chars"), Seq("doc_id"))
-      .select(col("doc_id"), col("n_toks"), col("sum_bits"), col("n_red_chars"),
-        explode(array(lit(0), lit(1))).as("epoch"))
+    val redCols =
+      if (withText) red.select("doc_id", "rtext", "n_red_chars")
+      else red.select("doc_id", "n_red_chars")
+    val carried =
+      (if (withText) Seq(col("rtext")) else Nil) ++
+        Seq(col("n_toks"), col("sum_bits"), col("n_red_chars"))
+    kept.join(redCols, Seq("doc_id"))
+      .select(col("doc_id") +: carried :+
+        explode(array(lit(0), lit(1))).as("epoch"): _*)
       .withColumn("perm",
         expr("md5(cast(doc_id as string) || ':' || cast(epoch as string))"))
       .withColumn("shard",
         expr("cast(conv(substring(perm, 1, 7), 16, 10) as bigint) % 8")
           .cast("int"))
       .withColumn("pos", row_number().over(w7).cast("long"))
-      .groupBy("epoch", "shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_red_chars")).as("sum_red_chars"),
-        sum(col("n_toks")).as("sum_toks"),
-        sum(col("sum_bits")).as("sum_bits"),
-        min_by(col("doc_id"), col("perm")).as("head_doc"),
-        max_by(col("doc_id"), col("perm")).as("tail_doc"),
-        sum(col("pos") * col("doc_id") % 1000000007L).as("order_sig"))
-      .orderBy("epoch", "shard")
   }
 
   val all: Seq[OracleQuery] = Seq(curationPipeline)

@@ -70,4 +70,46 @@ object Expectations {
     val passed = snapshotRows(table, Some(version)) - prevRows
     ExpectationResult(version, qv, passed, badCount)
   }
+
+  /** Idempotent [[commitWithExpectations]] — the exactly-once variant an
+    * at-least-once scheduler retry needs: returns None when a committed
+    * version already records (appId, batchId) for the TARGET table (the
+    * whole batch is a replay; nothing is re-committed or re-quarantined).
+    * The quarantine append commits FIRST under its own derived txn id
+    * (`appId + "#quarantine"`), so a crash between the two commits
+    * replays as: quarantine txn found → skipped, target commit absent →
+    * performed — both tables land exactly once in every interleaving. */
+  def commitOnceWithExpectations(spark: SparkSession, df: DataFrame,
+                                 table: String, operation: String,
+                                 appId: String, batchId: Long,
+                                 expectations: Seq[Expectation]): Option[ExpectationResult] = {
+    require(expectations.nonEmpty, "Expectations: empty constraint set")
+    require(expectations.map(_.name).distinct.size == expectations.size,
+      "Expectations: duplicate constraint names")
+    if (TxnLake.lastTxn(spark, table, appId).exists(_ >= batchId)) return None
+    val violated = sort_array(concat(expectations.map(e =>
+      when(e.predicate, array().cast("array<string>"))
+        .otherwise(array(lit(e.name)))): _*))
+    val labeled = df.withColumn("violated", array_join(violated, ","))
+    val good = labeled.filter(col("violated") === "").drop("violated")
+    val bad = labeled.filter(col("violated") =!= "")
+    def snapshotRows(t: String, v: Option[Long]): Long =
+      v.map(vv => TxnLake.snapshotFiles(spark, t, Some(vv))
+        .map(_.rows).filterNot(_ < 0).sum).getOrElse(0L)
+    val prevRows =
+      if (operation == "append")
+        snapshotRows(table, TxnLake.latestVersion(spark, table))
+      else 0L
+    val badCount = bad.count()
+    val qv =
+      if (badCount == 0) None
+      else TxnLake.commitOnce(spark, bad, quarantinePath(table), "append",
+        appId + "#quarantine", batchId)
+    TxnLake.commitOnce(spark, good, table, operation, appId, batchId) match {
+      case None => None // lost a replay race after the txn pre-check
+      case Some(version) =>
+        val passed = snapshotRows(table, Some(version)) - prevRows
+        Some(ExpectationResult(version, qv, passed, badCount))
+    }
+  }
 }

@@ -441,4 +441,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(bnlj <= 1, s"$bnlj nested-loop joins: ${plan.take(3000)}")
     assert(plan.contains("hashpartitioning(span"), plan.take(3000))
   }
+
+  test("guarded LSH (d49) candidates stay bucket-keyed") {
+    // The guard must not cost the plan its shape: candidates still come
+    // from (band, bucket) hash exchanges — never a cartesian pair build —
+    // and the star path adds only window functions inside the same
+    // bucket partitioning. Inspect the raw lazy plan (the registered
+    // query materializes, leaving only an ExistingRDD tail).
+    val docs = Tables.documents(SparkSpec.session, dir)
+    val df = graft.operators.MinHashDedup
+      .verifiedPairs(docs, 0.7, materialize = false, maxBucketSize = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(b"), plan.take(3000))
+  }
+
+  test("novelty (d50) is two gram-keyed exchanges plus the doc rollup") {
+    // first-seen aggregate and join back both key on gram; the rollup
+    // keys on doc_id; nothing corpus-wide funnels through one partition
+    val df = graft.SparkEntry.queries("d50_doc_novelty")(SparkSpec.session, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(gram"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(doc_id"), plan.take(3000))
+  }
+
+  test("JL ANN (v12) broadcasts the matrix and the query side") {
+    // the 16-row Rademacher matrix and the |Q|-row projected query set
+    // broadcast; the corpus never shuffles for the coarse pass, and the
+    // only nested-loop joins are those two broadcasts (the =!= predicate)
+    val df = graft.SparkEntry.queries("v12_emb_jl_rerank_ann")(SparkSpec.session, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"$bnlj nested-loop joins: ${plan.take(3000)}")
+  }
 }
