@@ -29,8 +29,8 @@ import org.apache.spark.sql.functions._
   * prefix length covers the longest document; surviving ties are
   * exactly-identical suffixes.
   *
-  * Scale shape: the base ranking runs over token BIGRAMS through
-  * [[PrefixSum.competitionRankByRange]] (range-partitioned — token/bigram
+  * Scale shape: the base ranking runs over 8-token BLOCK STRINGS through
+  * [[PrefixSum.competitionRankByRange]] (range-partitioned — block
   * frequency skew is absorbed by the sampled range sort, not a group
   * window). Each superstep then touches only the still-TIED positions
   * (refine-only-ties): a group-size window and a within-group re-rank
