@@ -54,7 +54,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x31 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x32 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -68,7 +68,9 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    commit-time expectations with transactional quarantine,
   *    log-carried schema evolution with historical time travel,
   *    metadata-only RESTORE TO VERSION rollback,
-  *    perceptual-hash image dedup over binary media columns
+  *    perceptual-hash image dedup over binary media columns,
+  *    streaming curated ingest (two-wave scrub/gate/dedup-vs-table with
+  *    exactly-once expectations commits and checkpoint-loss replay)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

@@ -198,17 +198,37 @@ object OperatorQueries {
   private def eventLanding(s: org.apache.spark.sql.SparkSession, d: String,
                            variant: String = "",
                            build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
-                             = identity): String = {
+                             = identity): String =
+    sourceLanding(s, d, "events.parquet", EventStream.eventSchema.json, variant,
+      () => build(Tables.events(s, d)
+        .select("event_id", "event_time", "user_id", "event_type", "value")))
+
+  /** Normalized parquet landing for DOCUMENT streams (the x32 curation
+    * ingest) — same key/sweep/publish discipline as [[eventLanding]].
+    * `coalesce(1)` pins each wave to ONE file so a wave is exactly one
+    * micro-batch regardless of the source's maxFilesPerTrigger default —
+    * the within-wave dedup semantics the oracle mirrors depend on it. */
+  private[queries] def docLanding(s: org.apache.spark.sql.SparkSession, d: String,
+                                  variant: String,
+                                  build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String =
+    sourceLanding(s, d, "documents.parquet",
+      graft.streaming.CurationStream.docSchema.json, variant,
+      () => build(Tables.documents(s, d)).coalesce(1))
+
+  private def sourceLanding(s: org.apache.spark.sql.SparkSession, d: String,
+                            sourceFile: String, schemaTag: String,
+                            variant: String,
+                            buildDf: () => org.apache.spark.sql.DataFrame): String = {
     // The key must change when the SOURCE DATA changes, not just the dir
     // path — the driver regenerates /root/testdata between rounds in place,
     // and a path-only key would keep serving the previous generation's
     // landing forever. Fingerprint the source files by (name, size, mtime).
     val srcFingerprint = {
       import scala.jdk.CollectionConverters._
-      val src = java.nio.file.Paths.get(d, "events.parquet")
+      val src = java.nio.file.Paths.get(d, sourceFile)
       // a missing/unreadable source must not throw HERE (key derivation) —
       // fall through to a sentinel so the failure surfaces downstream in
-      // Tables.events as Spark's clear "Path does not exist" analysis error
+      // the table reader as Spark's clear "Path does not exist" error
       scala.util.Try {
         val paths =
           if (java.nio.file.Files.isDirectory(src)) {
@@ -230,9 +250,9 @@ object OperatorQueries {
     // hash but a different generation is provably stale (no live variant
     // of this corpus can reference it) and safe to sweep below.
     val dirHash = md5hex(d).take(8)
-    val gen = md5hex(s"$srcFingerprint|${EventStream.eventSchema.json}").take(12)
+    val gen = md5hex(s"$srcFingerprint|$schemaTag").take(12)
     val landing =
-      s"/tmp/graft_stream_landing_${dirHash}_${gen}_v${md5hex(variant).take(8)}"
+      s"/tmp/graft_stream_landing_${dirHash}_${gen}_v${md5hex(sourceFile + "|" + variant).take(8)}"
     val landingPath = java.nio.file.Paths.get(landing)
     // Best-effort sweep of THIS dir's superseded generations (one full
     // landing copy per testdata regeneration otherwise accumulates across
@@ -262,9 +282,7 @@ object OperatorQueries {
     if (!java.nio.file.Files.exists(landingPath.resolve("_SUCCESS"))) {
       val scratch = java.nio.file.Paths.get(
         s"${landing}_tmp_${java.lang.ProcessHandle.current.pid}")
-      build(Tables.events(s, d)
-        .select("event_id", "event_time", "user_id", "event_type", "value"))
-        .write.mode("overwrite").parquet(scratch.toString)
+      buildDf().write.mode("overwrite").parquet(scratch.toString)
       // Publish loop. Invariants: a landing dir is only ever CREATED by an
       // atomic rename of a complete scratch, and only ever REMOVED by an
       // atomic rename aside (single winner — losers see NoSuchFile and
@@ -1575,6 +1593,56 @@ object OperatorQueries {
       .orderBy("media_a", "media_b")
   }
 
+  /** Streaming CURATION ingest — the composed daily-batch production
+    * shape: two document waves stream through the d47 stage-1/2 contract
+    * (scrub → quality/language gate → within-batch exact-dedup survivor →
+    * anti-join against already-committed fingerprints) into an
+    * exactly-once expectations-gated TxnLake append, then the whole
+    * landing REPLAYS under a fresh checkpoint — the lost-checkpoint
+    * disaster case — and the table log must absorb it as a no-op. The
+    * oracle is the batch equivalent: first-arriving wave owns a
+    * fingerprint (rank over (ingest_batch, doc_id)); any duplicate batch
+    * application, survivor drift, or replay leak changes rows and fails
+    * the hash compare. Implementation:
+    * [[graft.streaming.CurationStream]]. */
+  val streamCuratedIngest = OracleQuery(
+    "x32_stream_curated_ingest",
+    s"""WITH scrub AS (
+       |  SELECT doc_id,
+       |    regexp_replace(nfc_normalize(text), '${TextQueries.CtrlClassSql}', '', 'g') AS text
+       |  FROM documents),
+       |t0 AS (SELECT doc_id, text, ${TextQueries.tokSql} AS toks FROM scrub),
+       |v AS (
+       |  SELECT doc_id, text, toks, len(toks) AS n_tokens,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS alpha_ratio,
+       |    ${TextQueries.langScoreColsSql}
+       |  FROM t0),
+       |vb AS (SELECT *, ${TextQueries.langBestSql} AS best FROM v),
+       |st1 AS (
+       |  SELECT doc_id, text, n_tokens FROM vb
+       |  WHERE n_tokens >= 20 AND alpha_ratio >= 0.5
+       |    AND ${TextQueries.langCaseSql} <> 'und'),
+       |f AS (
+       |  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS ingest_batch
+       |  FROM st1),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY fp
+       |                                   ORDER BY ingest_batch, doc_id) AS rn
+       |      FROM f)
+       |SELECT doc_id, fp, n_tokens, ingest_batch
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w1 = docLanding(s, d, "curwave1", _.filter(col("doc_id") % 3 =!= 0))
+    val w2 = docLanding(s, d, "curwave2", _.filter(col("doc_id") % 3 === 0))
+    val base = Scratch.dir("cur_ingest")
+    graft.streaming.CurationStream.runCuratedTwoWaveIngest(
+      w1, w2, s"$base/t", s"$base/ckpt", "x32_ingest", s)
+    graft.sources.TxnLake.read(s, s"$base/t")
+      .select("doc_id", "fp", "n_tokens", "ingest_batch")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -1582,5 +1650,6 @@ object OperatorQueries {
       bloomPruneJoin, pqAdcAnn, tableProfile, pageRank, streamLateDrops,
       streamStaticEnrich, streamOuterJoin, streamTxnIngest, ivfPqAnn,
       txnDataSkipping, txnChangeFeed, incrementalMv, streamCdfMv,
-      txnExpectations, txnSchemaEvolution, txnRestore, imagePHashDedup)
+      txnExpectations, txnSchemaEvolution, txnRestore, imagePHashDedup,
+      streamCuratedIngest)
 }

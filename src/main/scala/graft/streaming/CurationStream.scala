@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions._
+import graft.sources.{Expectations, TxnLake}
+import graft.sources.Expectations.Expectation
+
+/** Streaming document-curation ingest — the daily-batch production shape
+  * composed from three verified tiers: Structured Streaming micro-batches
+  * (the x04–x22 surface), the d47 stage-1 curation contract (scrub →
+  * quality gate → exact dedup), and the exactly-once transactional sink
+  * with commit-time expectations
+  * ([[graft.sources.Expectations.commitOnceWithExpectations]]).
+  *
+  * Per micro-batch: NFC scrub + control-char strip, quality/language
+  * gate, WITHIN-batch exact-dedup survivor (min doc_id per fingerprint),
+  * then an anti-join against the fingerprints ALREADY COMMITTED to the
+  * target table (first-arriving batch owns a fingerprint forever — the
+  * streaming analog of d05's min-doc_id canon under arrival order), and
+  * an idempotent expectations-gated append. foreachBatch is officially
+  * at-least-once; the (appId, batchId) txn in the table log makes the
+  * table observe each batch exactly once even when the CHECKPOINT is
+  * lost (x32 replays with a fresh checkpoint to prove it — the batch is
+  * re-delivered and the log skips it).
+  *
+  * Scale: the anti-join probes the table's fingerprint column only (at
+  * 100 TB, the committed-fp side is the lake's own column pruned to one
+  * 128-bit key — a broadcast for daily volumes, an fp-keyed shuffle
+  * beyond); everything else is per-row or batch-local. State lives in
+  * the checkpoint, idempotence in the table log, recovering
+  * independently (the x22 doctrine).
+  */
+object CurationStream {
+
+  /** documents.parquet schema as landed (matches TESTDATA.md). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocs(spark: SparkSession, landing: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(landing)
+
+  /** The curated-corpus commit contract (mirrors CurateCorpus's spirit at
+    * the streaming grain). */
+  val IngestExpectations: Seq[Expectation] = Seq(
+    Expectation("doc_id_present", col("doc_id").isNotNull),
+    Expectation("fp_wellformed", length(col("fp")) === 32),
+    Expectation("tokens_at_least_20", col("n_tokens") >= 20))
+
+  /** d47 stage-1 + stage-2 over one micro-batch: scrub, gate, within-batch
+    * survivor, committed-fp anti-join. Exposed for the batch mirror. */
+  def curateBatch(batch: DataFrame, table: String, batchId: Long): DataFrame = {
+    val s = batch.sparkSession
+    val scrubbed = batch.select(col("doc_id"),
+      regexp_replace(
+        graft.expressions.TextExpressions.nfcNormalize(col("text")),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "").as("text"))
+    val gated = scrubbed
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
+          / length(col("text")))
+      .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.5
+        && langId(col("toks")) =!= "und")
+      .withColumn("fp", fingerprint(col("text")))
+      .select("doc_id", "fp", "n_tokens")
+    val canon = gated.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val survivors = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+    val committedFps =
+      if (TxnLake.latestVersion(s, table).isDefined)
+        TxnLake.read(s, table).select("fp")
+      else s.range(0).select(lit("").as("fp"))
+    survivors.join(committedFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"), col("n_tokens"),
+        lit(batchId).cast("int").as("ingest_batch"))
+  }
+
+  /** Drive the curated ingest over TWO waves (each exactly one micro-batch
+    * — files land between `processAllAvailable` barriers, and each wave's
+    * landing is a single coalesced file), committing each batch through
+    * the exactly-once expectations sink. */
+  def runCuratedTwoWaveIngest(wave1Dir: String, wave2Dir: String,
+                              table: String, checkpointDir: String,
+                              appId: String, spark: SparkSession): Unit = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_cur_ingest")
+    def land(src: String, prefix: String): Unit = {
+      val dir = java.nio.file.Paths.get(src)
+      val files = java.nio.file.Files.list(dir).iterator()
+      var i = 0
+      while (files.hasNext) {
+        val f = files.next()
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(f, scratch.resolve(s"${prefix}_$i.parquet"))
+          i += 1
+        }
+      }
+    }
+    land(wave1Dir, "w1")
+    val q = readDocs(spark, scratch.toString).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Expectations.commitOnceWithExpectations(
+          batch.sparkSession, curateBatch(batch, table, batchId),
+          table, "append", appId, batchId, IngestExpectations)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable() // wave 1 = batch 0
+    land(wave2Dir, "w2")
+    q.processAllAvailable() // wave 2 = batch 1, deduped against the table
+    q.stop()
+    // CHECKPOINT-LOSS replay: a fresh checkpoint re-delivers everything as
+    // batch 0; the (appId, 0) txn is already in the table log, so the
+    // exactly-once guarantee must come from the LOG, not the checkpoint.
+    val q2 = readDocs(spark, scratch.toString).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Expectations.commitOnceWithExpectations(
+          batch.sparkSession, curateBatch(batch, table, batchId),
+          table, "append", appId, batchId, IngestExpectations)
+        ()
+      }
+      .option("checkpointLocation", s"${checkpointDir}_replay")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+  }
+}
