@@ -110,6 +110,15 @@ object TextFunctions {
   def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
     size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
 
+  /** C0/DEL control-char class (tab/newline/CR kept) — the d45 scrub
+    * contract, owned HERE so every consumer (the d45 operator, the d47
+    * composed pipeline, the x32 streaming ingest, and the generated
+    * oracle SQL) derives from one value and cannot drift. One form per
+    * dialect: DuckDB regex literal vs Java regex with escaped
+    * backslashes. */
+  val CtrlClassSql = """[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"""
+  val CtrlClassSpark = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
   /** Per-language stopword lists for the n-gram language-ID heuristic.
     * Order is the tie-break priority. */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(

@@ -45,8 +45,14 @@ object CurateCorpus {
   def run(spark: SparkSession, sfDir: String, table: String,
           appId: String = "curate_corpus", batchId: Long = 0L,
           expectations: Seq[Expectation] = DefaultExpectations): Option[ExpectationResult] = {
+    // pinned: the expectations commit runs three actions (violation count,
+    // quarantine write, target write) over this — the Expectations
+    // persist-your-expensive-upstream contract; without it the pipeline's
+    // tail stages execute three times
     val shards = CurationPipeline.shardAssignments(spark, sfDir, withText = true)
-    Expectations.commitOnceWithExpectations(
+      .persist()
+    try Expectations.commitOnceWithExpectations(
       spark, shards, table, "overwrite", appId, batchId, expectations)
+    finally shards.unpersist()
   }
 }

@@ -80,18 +80,27 @@ object TrainQualityClassifier {
     * holdout AUC, score the WHOLE corpus (gray zone included). */
   def run(spark: SparkSession, docs: DataFrame,
           modelPath: Option[String] = None): Result = {
-    val labeled = weakLabels(featurize(docs)).filter(col("label").isNotNull)
-    val Array(train, holdout) = labeled.randomSplit(Array(0.8, 0.2), seed = 42)
-    val model = pipeline().fit(train)
-    val auc = new BinaryClassificationEvaluator()
-      .setLabelCol("label").setMetricName("areaUnderROC")
-      .evaluate(model.transform(holdout))
-    modelPath.foreach(p => model.write.overwrite().save(p))
-    val scored = model.transform(weakLabels(featurize(docs)))
-      .select(col("doc_id"),
-        org.apache.spark.ml.functions.vector_to_array(col("probability"))
-          .getItem(1).as("p_quality"),
-        col("q_score"), col("label").as("weak_label"))
-    Result(model, scored, auc, train.count(), holdout.count())
+    // pinned: labeling runs an approxQuantile scan, and training /
+    // evaluation / scoring / the result counts all re-consume it —
+    // without the persist the dominant feature+quantile pass re-executes
+    // once per action
+    val wl = weakLabels(featurize(docs)).persist()
+    try {
+      val labeled = wl.filter(col("label").isNotNull)
+      val Array(train, holdout) = labeled.randomSplit(Array(0.8, 0.2), seed = 42)
+      val model = pipeline().fit(train)
+      val auc = new BinaryClassificationEvaluator()
+        .setLabelCol("label").setMetricName("areaUnderROC")
+        .evaluate(model.transform(holdout))
+      modelPath.foreach(p => model.write.overwrite().save(p))
+      val scored = model.transform(wl)
+        .select(col("doc_id"),
+          org.apache.spark.ml.functions.vector_to_array(col("probability"))
+            .getItem(1).as("p_quality"),
+          col("q_score"), col("label").as("weak_label"))
+        // materialized before the backing cache is released below
+        .localCheckpoint()
+      Result(model, scored, auc, train.count(), holdout.count())
+    } finally wl.unpersist()
   }
 }

@@ -249,10 +249,16 @@ object OperatorQueries {
     // mints a new generation FOR ITS DIR, so a landing carrying this dir's
     // hash but a different generation is provably stale (no live variant
     // of this corpus can reference it) and safe to sweep below.
-    val dirHash = md5hex(d).take(8)
+    // dirHash covers the SOURCE FAMILY (dir + source file), not just the
+    // dir: events and documents landings of the same testdata dir have
+    // different generations by construction, and a dir-only prefix would
+    // make each family's sweep delete the other family's LIVE landings —
+    // re-copying sources every alternation and, concurrently, deleting a
+    // landing another process's FileStreamSource is mid-read on.
+    val dirHash = md5hex(s"$d|$sourceFile").take(8)
     val gen = md5hex(s"$srcFingerprint|$schemaTag").take(12)
     val landing =
-      s"/tmp/graft_stream_landing_${dirHash}_${gen}_v${md5hex(sourceFile + "|" + variant).take(8)}"
+      s"/tmp/graft_stream_landing_${dirHash}_${gen}_v${md5hex(variant).take(8)}"
     val landingPath = java.nio.file.Paths.get(landing)
     // Best-effort sweep of THIS dir's superseded generations (one full
     // landing copy per testdata regeneration otherwise accumulates across

@@ -25,12 +25,10 @@ object TextQueries {
     * `private[queries]`: the d47 composed pipeline re-reads the same
     * fragments over its intermediate relations. */
   private[queries] val tokSql = """regexp_split_to_array(lower(text), '\s+')"""
-  /** C0/DEL control-char class (tab/newline/CR kept) — the d45 scrub
-    * class, shared with the composed pipeline's stage-0 so the two call
-    * sites can't drift. One value per dialect (DuckDB regex literal vs
-    * Java regex with escaped backslashes). */
-  private[queries] val CtrlClassSql = """[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"""
-  private[queries] val CtrlClassSpark = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  // the d45 scrub class lives in TextFunctions (shared beyond this
+  // package — CurationStream's per-batch scrub uses it too)
+  private[queries] val CtrlClassSql = TextFunctions.CtrlClassSql
+  private[queries] val CtrlClassSpark = TextFunctions.CtrlClassSpark
   private[queries] def shingleSql(toks: String) =
     s"""list_distinct(CASE WHEN len($toks) >= 3
        | THEN [$toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]

@@ -33,41 +33,53 @@ object Expectations {
   /** Quarantine table path for `table`. */
   def quarantinePath(table: String): String = table + "_quarantine"
 
-  /** Split `df` on `expectations`, commit passing rows to `table` and
-    * failing rows (+ `violated` labels) to the quarantine table; returns
-    * both versions and the row counts. A constraint evaluating to NULL
-    * (e.g. a range check over a null column) counts as a violation — the
-    * DLT `EXPECT` rule, not SQL CHECK's null-passes rule. `operation`
-    * applies to the target table; quarantine always appends (violations
-    * accumulate — it is an audit log, not a snapshot). `passed` is derived
-    * from the commit's own file row-stats (metadata-only, no extra scan). */
-  def commitWithExpectations(spark: SparkSession, df: DataFrame, table: String,
-                             operation: String,
-                             expectations: Seq[Expectation]): ExpectationResult = {
+  /** Shared evaluation: one projection computes every verdict (sort_array
+    * makes the label deterministic regardless of declaration order; a
+    * constraint evaluating to NULL counts as a violation — the DLT
+    * `EXPECT` rule, not SQL CHECK's null-passes rule), split into the
+    * passing and labeled-failing relations. Owned here so the plain and
+    * idempotent commit paths can never fork semantics. */
+  private def split(df: DataFrame,
+                    expectations: Seq[Expectation]): (DataFrame, DataFrame) = {
     require(expectations.nonEmpty, "Expectations: empty constraint set")
     require(expectations.map(_.name).distinct.size == expectations.size,
       "Expectations: duplicate constraint names")
-    // one projection computes every verdict; sort_array makes the label
-    // deterministic regardless of constraint declaration order
     val violated = sort_array(concat(expectations.map(e =>
       when(e.predicate, array().cast("array<string>"))
         .otherwise(array(lit(e.name)))): _*))
-    val labeled = df.withColumn("violated",
-      array_join(violated, ","))
-    val good = labeled.filter(col("violated") === "").drop("violated")
-    val bad = labeled.filter(col("violated") =!= "")
-    def snapshotRows(t: String, v: Option[Long]): Long =
-      v.map(vv => TxnLake.snapshotFiles(spark, t, Some(vv))
-        .map(_.rows).filterNot(_ < 0).sum).getOrElse(0L)
-    val prevRows =
-      if (operation == "append") snapshotRows(table, TxnLake.latestVersion(spark, table))
-      else 0L
+    val labeled = df.withColumn("violated", array_join(violated, ","))
+    (labeled.filter(col("violated") === "").drop("violated"),
+      labeled.filter(col("violated") =!= ""))
+  }
+
+  private def snapshotRows(spark: SparkSession, t: String,
+                           v: Option[Long]): Long =
+    v.map(vv => TxnLake.snapshotFiles(spark, t, Some(vv))
+      .map(_.rows).filterNot(_ < 0).sum).getOrElse(0L)
+
+  private def prevRowsFor(spark: SparkSession, table: String,
+                          operation: String): Long =
+    if (operation == "append")
+      snapshotRows(spark, table, TxnLake.latestVersion(spark, table))
+    else 0L
+
+  /** Split `df` on `expectations`, commit passing rows to `table` and
+    * failing rows (+ `violated` labels) to the quarantine table; returns
+    * both versions and the row counts. `operation` applies to the target
+    * table; quarantine always appends (violations accumulate — it is an
+    * audit log, not a snapshot). `passed` is derived from the commit's
+    * own file row-stats (metadata-only, no extra scan). */
+  def commitWithExpectations(spark: SparkSession, df: DataFrame, table: String,
+                             operation: String,
+                             expectations: Seq[Expectation]): ExpectationResult = {
+    val (good, bad) = split(df, expectations)
+    val prevRows = prevRowsFor(spark, table, operation)
     val version = TxnLake.commit(spark, good, table, operation)
     val badCount = bad.count()
     val qv =
       if (badCount == 0) None
       else Some(TxnLake.commit(spark, bad, quarantinePath(table), "append"))
-    val passed = snapshotRows(table, Some(version)) - prevRows
+    val passed = snapshotRows(spark, table, Some(version)) - prevRows
     ExpectationResult(version, qv, passed, badCount)
   }
 
@@ -77,38 +89,30 @@ object Expectations {
     * whole batch is a replay; nothing is re-committed or re-quarantined).
     * The quarantine append commits FIRST under its own derived txn id
     * (`appId + "#quarantine"`), so a crash between the two commits
-    * replays as: quarantine txn found → skipped, target commit absent →
-    * performed — both tables land exactly once in every interleaving. */
+    * replays as: quarantine txn found → skipped (its latest committed
+    * version is reported, keeping the result's "both versions" promise),
+    * target commit absent → performed — both tables land exactly once in
+    * every interleaving. */
   def commitOnceWithExpectations(spark: SparkSession, df: DataFrame,
                                  table: String, operation: String,
                                  appId: String, batchId: Long,
                                  expectations: Seq[Expectation]): Option[ExpectationResult] = {
-    require(expectations.nonEmpty, "Expectations: empty constraint set")
-    require(expectations.map(_.name).distinct.size == expectations.size,
-      "Expectations: duplicate constraint names")
+    val (good, bad) = split(df, expectations)
     if (TxnLake.lastTxn(spark, table, appId).exists(_ >= batchId)) return None
-    val violated = sort_array(concat(expectations.map(e =>
-      when(e.predicate, array().cast("array<string>"))
-        .otherwise(array(lit(e.name)))): _*))
-    val labeled = df.withColumn("violated", array_join(violated, ","))
-    val good = labeled.filter(col("violated") === "").drop("violated")
-    val bad = labeled.filter(col("violated") =!= "")
-    def snapshotRows(t: String, v: Option[Long]): Long =
-      v.map(vv => TxnLake.snapshotFiles(spark, t, Some(vv))
-        .map(_.rows).filterNot(_ < 0).sum).getOrElse(0L)
-    val prevRows =
-      if (operation == "append")
-        snapshotRows(table, TxnLake.latestVersion(spark, table))
-      else 0L
+    val prevRows = prevRowsFor(spark, table, operation)
     val badCount = bad.count()
     val qv =
       if (badCount == 0) None
       else TxnLake.commitOnce(spark, bad, quarantinePath(table), "append",
         appId + "#quarantine", batchId)
+        // crash-replay: the quarantine txn already holds this batch; the
+        // rows are THERE, so report the version they live at rather than
+        // a None that reads as "nothing quarantined"
+        .orElse(TxnLake.latestVersion(spark, quarantinePath(table)))
     TxnLake.commitOnce(spark, good, table, operation, appId, batchId) match {
       case None => None // lost a replay race after the txn pre-check
       case Some(version) =>
-        val passed = snapshotRows(table, Some(version)) - prevRows
+        val passed = snapshotRows(spark, table, Some(version)) - prevRows
         Some(ExpectationResult(version, qv, passed, badCount))
     }
   }

@@ -60,7 +60,7 @@ object CurationStream {
     val scrubbed = batch.select(col("doc_id"),
       regexp_replace(
         graft.expressions.TextExpressions.nfcNormalize(col("text")),
-        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "").as("text"))
+        graft.functions.TextFunctions.CtrlClassSpark, "").as("text"))
     val gated = scrubbed
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")))
@@ -90,45 +90,57 @@ object CurationStream {
                               table: String, checkpointDir: String,
                               appId: String, spark: SparkSession): Unit = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_cur_ingest")
+    // Copy to a non-.parquet temp name, then ATOMIC_MOVE into place: the
+    // running FileStreamSource polls the scratch dir continuously and
+    // dedups by path, so a listing that caught a half-copied .parquet
+    // would pin the partial file forever.
     def land(src: String, prefix: String): Unit = {
       val dir = java.nio.file.Paths.get(src)
-      val files = java.nio.file.Files.list(dir).iterator()
-      var i = 0
-      while (files.hasNext) {
-        val f = files.next()
-        if (f.getFileName.toString.endsWith(".parquet")) {
-          java.nio.file.Files.copy(f, scratch.resolve(s"${prefix}_$i.parquet"))
-          i += 1
+      val stream = java.nio.file.Files.list(dir)
+      try {
+        val files = stream.iterator()
+        var i = 0
+        while (files.hasNext) {
+          val f = files.next()
+          if (f.getFileName.toString.endsWith(".parquet")) {
+            val tmp = scratch.resolve(s"${prefix}_$i.inflight")
+            java.nio.file.Files.copy(f, tmp)
+            java.nio.file.Files.move(tmp,
+              scratch.resolve(s"${prefix}_$i.parquet"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            i += 1
+          }
         }
-      }
+      } finally stream.close()
     }
-    land(wave1Dir, "w1")
-    val q = readDocs(spark, scratch.toString).writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Expectations.commitOnceWithExpectations(
-          batch.sparkSession, curateBatch(batch, table, batchId),
-          table, "append", appId, batchId, IngestExpectations)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .start()
-    q.processAllAvailable() // wave 1 = batch 0
-    land(wave2Dir, "w2")
-    q.processAllAvailable() // wave 2 = batch 1, deduped against the table
-    q.stop()
-    // CHECKPOINT-LOSS replay: a fresh checkpoint re-delivers everything as
-    // batch 0; the (appId, 0) txn is already in the table log, so the
-    // exactly-once guarantee must come from the LOG, not the checkpoint.
-    val q2 = readDocs(spark, scratch.toString).writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Expectations.commitOnceWithExpectations(
-          batch.sparkSession, curateBatch(batch, table, batchId),
-          table, "append", appId, batchId, IngestExpectations)
-        ()
-      }
-      .option("checkpointLocation", s"${checkpointDir}_replay")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q2.awaitTermination()
+    // ONE sink definition serves both the primary ingest and the replay —
+    // the replay must exercise the exact sink whose idempotence it proves
+    val sink = (batch: DataFrame, batchId: Long) => {
+      Expectations.commitOnceWithExpectations(
+        batch.sparkSession, curateBatch(batch, table, batchId),
+        table, "append", appId, batchId, IngestExpectations)
+      ()
+    }
+    try {
+      land(wave1Dir, "w1")
+      val q = readDocs(spark, scratch.toString).writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpointDir)
+        .start()
+      q.processAllAvailable() // wave 1 = batch 0
+      land(wave2Dir, "w2")
+      q.processAllAvailable() // wave 2 = batch 1, deduped against the table
+      q.stop()
+      // CHECKPOINT-LOSS replay: a fresh checkpoint re-delivers everything
+      // as batch 0; the (appId, 0) txn is already in the table log, so the
+      // exactly-once guarantee must come from the LOG, not the checkpoint.
+      val q2 = readDocs(spark, scratch.toString).writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", s"${checkpointDir}_replay")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    } finally scala.util.Try(
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile))
   }
 }

@@ -200,17 +200,28 @@ object EventStream {
                       spark: SparkSession,
                       statePartitions: Int = 8): DataFrame = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_two_wave")
+    // Copy to a non-.parquet temp name, then ATOMIC_MOVE into place: the
+    // running FileStreamSource polls the scratch dir continuously (not
+    // only inside processAllAvailable), and the source dedups by path —
+    // a listing that catches a half-copied .parquet would pin its partial
+    // length forever (failed footer read or silently truncated rows).
     def land(src: String, prefix: String): Unit = {
       val dir = java.nio.file.Paths.get(src)
-      val files = java.nio.file.Files.list(dir).iterator()
-      var i = 0
-      while (files.hasNext) {
-        val f = files.next()
-        if (f.getFileName.toString.endsWith(".parquet")) {
-          java.nio.file.Files.copy(f, scratch.resolve(s"${prefix}_$i.parquet"))
-          i += 1
+      val stream = java.nio.file.Files.list(dir)
+      try {
+        val files = stream.iterator()
+        var i = 0
+        while (files.hasNext) {
+          val f = files.next()
+          if (f.getFileName.toString.endsWith(".parquet")) {
+            val tmp = scratch.resolve(s"${prefix}_$i.inflight")
+            java.nio.file.Files.copy(f, tmp)
+            java.nio.file.Files.move(tmp, scratch.resolve(s"${prefix}_$i.parquet"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            i += 1
+          }
         }
-      }
+      } finally stream.close()
     }
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
