@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   * memory — via a listener. Results print as one JSON line per factor;
   * SCALE.md records the adjudicated table.
   *
-  * Usage: runMain graft.ScaleStress <baseSfDir> <factors csv> [queries csv]
+  * Usage: runMain graft.ScaleStress <baseSfDir> <factors csv|skew|bigdoc>
+  * [queries csv]
   */
 object ScaleStress {
 
@@ -194,28 +195,70 @@ object ScaleStress {
     "d05_doc_exact_dedup", "d49_neardup_capped_lsh",
     "d47_curation_pipeline", "d07_doc_neardup_minhash_lsh")
 
+  /** Long-document corpus: sf0.1 documents plus ONE synthetic
+    * 100,000-token document whose first and last 30,000 tokens are the
+    * same block (tokens unique otherwise) — the shape that makes the
+    * slice-based LCP compare materialize ~5·10⁹ cells and forces the
+    * suffix tier onto the binary-lifted path
+    * ([[graft.operators.SuffixArray.adjacentLcpLifted]], selected
+    * automatically above 1024 tokens). The 30k internal repeat also
+    * keeps ~60k suffix positions tied for ~12 doubling supersteps — the
+    * worst-case rank-refinement load a single document can produce. */
+  private def buildBigDoc(spark: SparkSession, baseDir: String,
+                          outDir: String): Unit = {
+    val done = Paths.get(outDir, "_SCALED_OK")
+    val fp = baseFingerprint(baseDir)
+    if (upToDate(done, fp)) return
+    Files.createDirectories(Paths.get(outDir))
+    Files.deleteIfExists(done)
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    // one row, one deterministic expression — token order is part of the
+    // corpus definition, so never assembled via collect_list merge order
+    val bigDoc = spark.range(1).select(
+      lit(900000L).as("doc_id"),
+      expr("""array_join(transform(sequence(0, 99999), i ->
+        CASE WHEN i < 30000 THEN concat('blk', i)
+             WHEN i >= 70000 THEN concat('blk', i - 70000)
+             ELSE concat('mid', i) END), ' ')""").as("text"),
+      lit("en").as("lang"), lit("synthetic").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.unionByName(bigDoc)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    Files.write(done, fp.getBytes("UTF-8"))
+  }
+
+  /** The suffix tier on the long-document corpus: LRS discovery (must
+    * report the 30k block) and exact-substring dedup (must excise both
+    * copies), both flipping to the lifted LCP. */
+  private val BigDocQueries = Seq(
+    "d48_suffix_lrs", "d51_exact_substring_dedup")
+
   private def measure(spark: SparkSession, listener: MetricsListener,
                       dir: String, queries: Seq[String], tag: String): Unit = {
     val perQ = queries.map { name =>
       val fn = SparkEntry.queries(name)
-      def once(): (Double, Long) = {
+      // Each timed run resets the listener before and snapshots after a
+      // bus drain, so the reported task metrics always belong to the run
+      // whose wall time is reported (an earlier draft only reset before
+      // run b, pairing run a's time with run b's metrics when a won).
+      def once(): (Double, Long, (Long, Long, Long, Long)) = {
+        listener.reset()
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
-        ((System.nanoTime() - t0) / 1e9, n)
+        val sec = (System.nanoTime() - t0) / 1e9
+        SessionHygiene.dropAllStorage(spark)
+        Thread.sleep(500) // listener bus drain (async delivery)
+        (sec, n, (listener.shuffleRead.get, listener.shuffleWrite.get,
+          listener.spill.get, listener.peakMem.get))
       }
       once() // warm: codegen + JIT for this plan at this input
-      SessionHygiene.dropAllStorage(spark)
       val a = once()
-      SessionHygiene.dropAllStorage(spark)
-      listener.reset()
       val b = once()
-      SessionHygiene.dropAllStorage(spark)
-      Thread.sleep(500) // listener bus drain (async delivery)
+      val (sec, rows, m) = if (a._1 <= b._1) a else b
       val mb = 1024.0 * 1024.0
-      (name.takeWhile(_ != '_'),
-        math.min(a._1, b._1), b._2,
-        listener.shuffleRead.get / mb, listener.shuffleWrite.get / mb,
-        listener.spill.get / mb, listener.peakMem.get / mb)
+      (name.takeWhile(_ != '_'), sec, rows,
+        m._1 / mb, m._2 / mb, m._3 / mb, m._4 / mb)
     }
     def s2(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
@@ -241,6 +284,13 @@ object ScaleStress {
           if (args.length > 2) args(2).split(",").map(_.trim).toSeq
           else SkewQueries
         measure(spark, listener, dir, queries, "\"mode\":\"skew\"")
+      } else if (spec == "bigdoc") {
+        val dir = s"$tmp/graft_scale_bigdoc"
+        buildBigDoc(spark, baseDir, dir)
+        val queries =
+          if (args.length > 2) args(2).split(",").map(_.trim).toSeq
+          else BigDocQueries
+        measure(spark, listener, dir, queries, "\"mode\":\"bigdoc\"")
       } else {
         val factors = spec.split(",").map(_.trim.toInt).toSeq
         val queries =

@@ -29,10 +29,10 @@ import org.apache.spark.sql.functions._
   * prefix length covers the longest document; surviving ties are
   * exactly-identical suffixes.
   *
-  * Scale shape: the base ranking runs over 8-token BLOCK STRINGS through
-  * [[PrefixSum.competitionRankByRange]] (range-partitioned — block
-  * frequency skew is absorbed by the sampled range sort, not a group
-  * window). Each superstep then touches only the still-TIED positions
+  * Scale shape: the base ranking runs over each suffix's first 8 tokens
+  * as a composite sort key through [[PrefixSum.competitionRankByRange]]
+  * (range-partitioned — block frequency skew is absorbed by the sampled
+  * range sort, not a group window). Each superstep then touches only the still-TIED positions
   * (refine-only-ties): a group-size window and a within-group re-rank
   * window partitioned by tie group (positions sharing an entire
   * 2^k-token context — a population that collapses geometrically), plus
@@ -44,8 +44,8 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
-  /** Prefix length the base ranking pass covers (8-token block strings);
-    * doubling supersteps start from here. */
+  /** Prefix length the base ranking pass covers (a composite 8-token
+    * sort key); doubling supersteps start from here. */
   val BaseLen = 8
 
   /** doc_id, pos (1-based), tok — one row per token position. */
@@ -58,35 +58,52 @@ object SuffixArray {
     * `doc_id, pos, rank` where rank is 1-based, order-consistent with the
     * lexicographic suffix order under the engine's string collation, and
     * two suffixes share a rank iff their token sequences are identical. */
-  def suffixRanks(docs: DataFrame): DataFrame = {
+  def suffixRanks(docs: DataFrame): DataFrame =
+    suffixRanksWithSnapshots(docs)._1
+
+  /** [[suffixRanks]] plus the per-superstep FULL rank tables keyed by the
+    * prefix length they cover (8, 16, 32, …) — the binary-lifting index
+    * [[adjacentLcpLifted]] probes. Each snapshot is localCheckpoint-pinned
+    * by the doubling loop itself, so keeping them costs no extra
+    * computation; at 100 TB these are exactly the rank tables a
+    * production suffix-array pipeline would persist between supersteps
+    * anyway. Snapshot invariant: two suffixes share a rank in the
+    * prefix-length-L table iff their first min(L, len) tokens are
+    * identical AND neither is a proper prefix of the other within L. */
+  def suffixRanksWithSnapshots(docs: DataFrame): (DataFrame, Seq[(Long, DataFrame)]) = {
     val maxLen = docs.agg(max(size(col("toks")))).collect()(0) match {
       case r if r.isNullAt(0) => 0
       case r => r.getInt(0)
     }
-    // Base pass over 8-TOKEN BLOCK STRINGS (suffix prefix length 8): one
-    // skew-free range-ranked pass replaces the first three doubling
+    // Base pass over the first 8 TOKENS of each suffix (prefix length 8):
+    // one skew-free range-ranked pass replaces the first three doubling
     // supersteps, and the heavy short-context tie groups ("the ...")
     // never reach a group window — after this base, the only positions
-    // still tied are those inside ≥8-token repeated regions. The
-    // space-joined block string is order-isomorphic to the token
-    // sequence: tokens are \s+-split so they cannot contain the
-    // separator, making the join INJECTIVE (equal string ⟺ equal
-    // block), and the string order is sequence-lexicographic under the
-    // token order "t sorts as t + ' '" — any fixed total token order is
-    // valid for suffix ranking, it only has to be one order throughout.
-    // A truncated end-of-document block is a proper prefix and sorts
-    // first, which is exactly the suffix-order convention.
+    // still tied are those inside ≥8-token repeated regions. The 8
+    // tokens are passed as a COMPOSITE sort key (__k0..__k7), so the
+    // induced order is sequence-lexicographic under the engine's plain
+    // per-token string collation — one consistent total token order
+    // throughout, with no separator artifact. (An earlier draft ranked a
+    // space-joined block string, which silently assumes 0x20 sorts below
+    // every token character; tokens are only \s+-split, so C0 controls
+    // \x00-\x1F inside a token broke that order.) A position past the
+    // document end yields NULL, which sorts FIRST under the default asc
+    // ordering — exactly the proper-prefix-sorts-first suffix convention.
+    val keyCols = (0 until BaseLen).map(k => s"__k$k")
     val tp8 = docs
       // empty documents contribute no suffixes (and sequence(1, 0) would
       // DESCEND, minting phantom positions 1 and 0)
       .filter(size(col("toks")) >= 1)
       .select(col("doc_id"),
         explode(expr("sequence(1, size(toks))")).as("pos"), col("toks"))
-      .select(col("doc_id"), col("pos"),
-        array_join(expr(s"slice(toks, pos, $BaseLen)"), " ").as("__g"))
+      .select(Seq(col("doc_id"), col("pos")) ++
+        (0 until BaseLen).map(k =>
+          // get() is 0-based and null-safe past the array end (never
+          // throws under ANSI, unlike element_at)
+          get(col("toks"), col("pos") + lit(k) - 1).as(s"__k$k")): _*)
     val t0 = System.nanoTime()
     val base = PrefixSum
-      .competitionRankByRange(tp8, Seq("__g"), "rank", tiedOut = "__tied")
+      .competitionRankByRange(tp8, keyCols, "rank", tiedOut = "__tied")
       .select("doc_id", "pos", "rank", "__tied")
       .localCheckpoint()
     if (sys.env.contains("GRAFT_SA_DEBUG"))
@@ -102,6 +119,7 @@ object SuffixArray {
     var resolvedPieces =
       List(base.filter(!col("__tied")).select("doc_id", "pos", "rank"))
     var fullRanks = base.select("doc_id", "pos", "rank")
+    var snapshots = List(BaseLen.toLong -> fullRanks)
     var step = BaseLen.toLong
     var done = false
     while (!done && step < maxLen) {
@@ -132,15 +150,15 @@ object SuffixArray {
       resolvedPieces ::= upd.filter(col("__c") === 1)
         .select("doc_id", "pos", "rank")
       active = upd.filter(col("__c") > 1).select("doc_id", "pos", "rank")
+      // this superstep extended the compared prefix from `step` to 2·step
+      fullRanks = (active :: resolvedPieces).reduce(_ unionByName _)
+      step *= 2
+      snapshots ::= step -> fullRanks
       if (upd.filter(col("__c") > 1).isEmpty) done = true
-      else {
-        fullRanks = (active :: resolvedPieces).reduce(_ unionByName _)
-        step *= 2
-        if (sys.env.contains("GRAFT_SA_DEBUG"))
-          println(f"[sa] step=$step ${(System.nanoTime() - t0) / 1e9}%.2f s active=${active.count()}")
-      }
+      else if (sys.env.contains("GRAFT_SA_DEBUG"))
+        println(f"[sa] step=$step ${(System.nanoTime() - t0) / 1e9}%.2f s active=${active.count()}")
     }
-    (active :: resolvedPieces).reduce(_ unionByName _)
+    (fullRanks, snapshots.reverse)
   }
 
   /** Resolves [[suffixRanks]] ties (identical suffixes) by `(doc_id,
@@ -185,5 +203,154 @@ object SuffixArray {
           least(size(col("sfx")), size(col("sfx_b"))))
           .otherwise(array_position(col("__z"), 0) - 1))
       .select("sa_pos", "lcp")
+  }
+
+  /** [[adjacentLcp]] via BINARY LIFTING over the superstep rank
+    * snapshots — O(log maxLen) keyed probes per adjacent pair instead of
+    * materializing each suffix's token slice, whose total size is
+    * quadratic in document length (a single 10⁵-token document makes the
+    * slice variant materialize ~5·10⁹ cells; this variant touches
+    * ~2·17 narrow join rows per suffix).
+    *
+    * Greedy descent: levels L = topmost snapshot … 8, each tried once.
+    * Equal non-null ranks at probe positions (a_pos+off, b_pos+off) in
+    * the length-L table mean the next min(L, cap−off) tokens agree, so
+    * off advances by that much; a distinct-suffix pair's remaining match
+    * after the level pass is < 8 (binary decomposition — any lcp < top
+    * snapshot length, else the pair would still be tied there), finished
+    * by one bounded 8-token slice compare. Identical suffixes saturate at
+    * cap (the shorter length) because every level matches and the advance
+    * is min-capped. Each level costs two (doc_id, pos)-keyed equi-joins
+    * of the pair table against that snapshot — the full-width-but-keyed
+    * shape every superstep of the construction already pays. */
+  def adjacentLcpLifted(docs: DataFrame, sa: DataFrame,
+                        snapshots: Seq[(Long, DataFrame)]): DataFrame = {
+    val withLen = sa
+      .join(docs.select(col("doc_id"), size(col("toks")).as("__len")), Seq("doc_id"))
+    val aSide = withLen.select(col("sa_pos"), col("doc_id").as("a_doc"),
+      col("pos").as("a_pos"), (col("__len") - col("pos") + 1).as("a_len"))
+    val bSide = withLen.select((col("sa_pos") - 1).as("sa_pos"),
+      col("doc_id").as("b_doc"), col("pos").as("b_pos"),
+      (col("__len") - col("pos") + 1).as("b_len"))
+    var pairs = aSide.join(bSide, Seq("sa_pos"))
+      .withColumn("cap", least(col("a_len"), col("b_len")).cast("long"))
+      .withColumn("off", lit(0L))
+      .localCheckpoint()
+    for ((plen, ranks) <- snapshots.sortBy(-_._1)) {
+      val ra = ranks.select(col("doc_id").as("__ad"), col("pos").as("__ap"),
+        col("rank").as("__ra"))
+      val rb = ranks.select(col("doc_id").as("__bd"), col("pos").as("__bp"),
+        col("rank").as("__rb"))
+      pairs = pairs
+        .join(ra, col("a_doc") === col("__ad") &&
+          (col("a_pos") + col("off")) === col("__ap"), "left")
+        .join(rb, col("b_doc") === col("__bd") &&
+          (col("b_pos") + col("off")) === col("__bp"), "left")
+        .withColumn("off",
+          when(col("__ra").isNotNull && col("__ra") === col("__rb"),
+            least(col("off") + lit(plen), col("cap"))).otherwise(col("off")))
+        .drop("__ad", "__ap", "__ra", "__bd", "__bp", "__rb")
+        // pin per level: each level's plan otherwise nests the previous
+        // level's joins, and the final slice compare would re-execute the
+        // whole tower once per consumer
+        .localCheckpoint()
+    }
+    // remainder < BaseLen: one bounded 8-token slice compare (same
+    // zip_with convention as the slice variant, cost capped at 8 cells)
+    val fin = pairs
+      .join(docs.select(col("doc_id").as("a_doc"), col("toks").as("__at")),
+        Seq("a_doc"))
+      .join(docs.select(col("doc_id").as("b_doc"), col("toks").as("__bt")),
+        Seq("b_doc"))
+      .withColumn("__s8a",
+        slice(col("__at"), (col("a_pos") + col("off")).cast("int"), lit(BaseLen)))
+      .withColumn("__s8b",
+        slice(col("__bt"), (col("b_pos") + col("off")).cast("int"), lit(BaseLen)))
+      .withColumn("__z", zip_with(col("__s8a"), col("__s8b"),
+        (x, y) => when(x === y, 1).otherwise(0)))
+      .withColumn("__extra",
+        when(array_position(col("__z"), 0) === 0,
+          least(size(col("__s8a")), size(col("__s8b"))).cast("long"))
+          .otherwise(array_position(col("__z"), 0) - 1))
+    fin.select(col("sa_pos"),
+      least(col("off") + col("__extra"), col("cap")).as("lcp"))
+  }
+
+  /** Documents whose length exceeds this use the lifted LCP; shorter
+    * corpora keep the slice compare (fewer joins, bounded quadratic). */
+  val LcpLiftThreshold = 1024
+
+  /** [[adjacentLcp]] with the implementation chosen by the corpus' longest
+    * document: the slice compare's per-document cost is quadratic in
+    * length, acceptable only under [[LcpLiftThreshold]]. `maxLen` is the
+    * corpus maximum document token count (the caller usually has it). */
+  def adjacentLcpAuto(docs: DataFrame, sa: DataFrame,
+                      snapshots: Seq[(Long, DataFrame)],
+                      maxLen: Long): DataFrame =
+    if (maxLen > LcpLiftThreshold) adjacentLcpLifted(docs, sa, snapshots)
+    else adjacentLcp(docs, sa)
+
+  /** Start positions of corpus-wide repeated spans of length ≥ `minLen`:
+    * for every suffix, `lmax` = the longest prefix it shares with ANY
+    * other suffix in the corpus — by the adjacency theorem that maximum
+    * is achieved against one of its two suffix-array neighbors, so one
+    * keyed join against the adjacent-LCP table on each side suffices.
+    * A row `(doc_id, pos, lmax)` asserts tokens `[pos, pos+lmax)` occur
+    * ≥ 2 times corpus-wide (within-document repeats included). */
+  def repeatedSpanStarts(lcp: DataFrame, sa: DataFrame,
+                         minLen: Int): DataFrame =
+    sa
+      .join(lcp.select(col("sa_pos"), col("lcp").as("__dn")), Seq("sa_pos"), "left")
+      .join(lcp.select((col("sa_pos") + 1).as("sa_pos"), col("lcp").as("__up")),
+        Seq("sa_pos"), "left")
+      .select(col("doc_id"), col("pos"),
+        greatest(coalesce(col("__dn"), lit(0L)), coalesce(col("__up"), lit(0L)))
+          .as("lmax"))
+      .filter(col("lmax") >= minLen)
+
+  /** Exact-substring dedup (the actual Lee et al. §4.1 application the
+    * suffix array exists for): REMOVE every token covered by a span of
+    * ≥ `minLen` tokens occurring ≥ 2 times corpus-wide, and re-join the
+    * survivors into cleaned text. Coverage is the union of `[pos,
+    * pos+lmax)` over [[repeatedSpanStarts]] rows — complete because any
+    * position inside some repeated ≥ minLen window lies inside the
+    * interval minted by that window's own start.
+    *
+    * Scale shape: the interval union is ONE per-document window pass
+    * (running max of interval ends over token positions — linear, never
+    * an interval explode whose size is quadratic in span length), the
+    * rebuild is the d41 collect_list-per-doc pattern, and everything
+    * upstream is the suffix machinery's own log-superstep shape. Input
+    * needs `doc_id` + `toks`; emits one row per input document:
+    * `doc_id, n_toks, n_removed, cleaned_text`. */
+  def removeRepeatedSpans(docs: DataFrame, minLen: Int): DataFrame = {
+    val (ranks, snapshots) = suffixRanksWithSnapshots(docs)
+    val sa = saPositions(ranks)
+    val maxLen = docs.agg(max(size(col("toks")))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getInt(0).toLong
+    }
+    val lcp = adjacentLcpAuto(docs, sa, snapshots, maxLen)
+    val starts = repeatedSpanStarts(lcp, sa, minLen)
+      .select(col("doc_id"), col("pos"), (col("pos") + col("lmax")).as("__end"))
+    val tok = tokenPositions(docs)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = tok.join(starts, Seq("doc_id", "pos"), "left")
+      // covered ⟺ some start at p' ≤ pos reaches past pos (ends are
+      // exclusive); the running max over the doc's positions is that test
+      .withColumn("__reach", max(col("__end")).over(w))
+      .filter(coalesce(col("__reach") > col("pos"), lit(false)) === false)
+    val agg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("cleaned_text"))
+    docs.select(col("doc_id"), size(col("toks")).as("__n_toks"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("__n_toks").cast("int").as("n_toks"),
+        (col("__n_toks") - coalesce(col("__n_kept"), lit(0L))).cast("int")
+          .as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 }

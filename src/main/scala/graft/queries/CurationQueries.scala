@@ -421,6 +421,93 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  // ---- d52 frozen TRAINED quality classifier -------------------------
+  /** Inference with a TRAINED-then-FROZEN logistic regression — the d31
+    * hashed-feature scoring shape with real learned parameters: the
+    * weights below are the verbatim 6-decimal freeze of the LR trained by
+    * [[graft.jobs.FreezeQualityLr]] (seed-42 split over the
+    * [[graft.jobs.TrainQualityClassifier]] weak labels at sf0.01,
+    * holdout AUC 1.0 — the labels are quartiles of a near-linear
+    * function of these features, and the model recovers it). Features:
+    * 64 md5-bucket hashed term-frequency counts (the d31 device) plus
+    * three structural ratios (length-capped token count, alpha ratio,
+    * unique-token ratio) — the TrainQualityClassifier feature contract
+    * re-expressed as oracle-exact arithmetic.
+    *
+    * The registered output is the LOGIT and the keep decision (z > 0 ⟺
+    * p > 0.5): sigmoid is strictly monotone, so the decision needs no
+    * transcendental — exp's last-bit libm rounding is the one piece of
+    * LR inference that is NOT cross-engine-reproducible (the d34
+    * doctrine), and a production filter thresholds the logit anyway.
+    * Every term is IEEE arithmetic both engines execute in the IDENTICAL
+    * sequence: a left-to-right per-token fold of weight lookups (one md5,
+    * one modulo, one list index per token), then the three weighted
+    * ratios added in fixed order. Do not re-associate.
+    *
+    * Scale: the frozen model is a literal baked into one codegen'd
+    * projection — no join, no shuffle, no model service; at 100 TB this
+    * scores at scan speed (the d31 adjudication), which is exactly why
+    * corpus-scale quality filters freeze weights instead of calling a
+    * model endpoint. */
+  private val D52TfWeights: Seq[String] = Seq(
+    "0.000000", "0.426046", "0.000000", "0.472589", "0.370231", "0.476863",
+    "0.417316", "0.000000", "0.147896", "0.000000", "0.000000", "0.000000",
+    "0.000000", "0.000000", "0.000000", "0.489883", "0.000000", "0.000000",
+    "0.000000", "0.000000", "0.000000", "0.000000", "0.282719", "0.000000",
+    "0.000000", "0.000000", "0.000000", "0.382362", "0.000000", "0.058400",
+    "0.000000", "0.000000", "0.000000", "0.000000", "0.000000", "0.000000",
+    "0.000000", "0.000000", "0.217196", "0.000000", "0.305937", "0.000000",
+    "0.000000", "0.323276", "0.201289", "0.274656", "0.211681", "0.000000",
+    "0.000000", "0.000000", "0.000000", "0.335159", "0.283182", "0.000000",
+    "0.000000", "0.353368", "0.325131", "0.232316", "0.000000", "0.000000",
+    "0.000000", "0.000000", "0.359410", "0.337749")
+  private val D52Intercept = "-162.165203"
+  private val D52WLen = "3.585552"
+  private val D52WAlpha = "142.588014"
+  private val D52WUniq = "50.756480"
+
+  val trainedQualityInference = OracleQuery(
+    "d52_trained_quality_inference",
+    s"""WITH w AS (SELECT CAST([${D52TfWeights.mkString(", ")}] AS DOUBLE[]) AS tw),
+       |t AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
+       |s AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |  CAST($D52Intercept AS DOUBLE)
+       |  + coalesce(list_sum(list_transform(toks, tk ->
+       |      tw[(('0x' || substring(md5(tk), 1, 7))::BIGINT % 64) + 1])), 0.0)
+       |  + CAST($D52WLen AS DOUBLE)
+       |    * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+       |  + CAST($D52WAlpha AS DOUBLE)
+       |    * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+       |       / greatest(length(text), 1))
+       |  + CAST($D52WUniq AS DOUBLE)
+       |    * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1))
+       |  AS z
+       |  FROM t, w)
+       |SELECT doc_id, n_tokens, round(z, 4) AS logit, z > 0 AS label
+       |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tfArr = D52TfWeights.map(_ + "D").mkString(", ")
+    val tfFold = expr(
+      s"""aggregate(toks, 0.0D, (acc, t) -> acc +
+         |  element_at(array($tfArr),
+         |    CAST(CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT)
+         |         % 64 AS INT) + 1))""".stripMargin)
+    val z = lit(D52Intercept.toDouble) + tfFold +
+      lit(D52WLen.toDouble) *
+        least(size(col("toks")).cast("double") / lit(100.0), lit(1.0)) +
+      lit(D52WAlpha.toDouble) *
+        (length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
+          / greatest(length(col("text")), lit(1))) +
+      lit(D52WUniq.toDouble) *
+        (size(array_distinct(col("toks"))).cast("double")
+          / greatest(size(col("toks")), lit(1)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .withColumn("z", z)
+      .select(col("doc_id"), size(col("toks")).cast("int").as("n_tokens"),
+        round(col("z"), 4).as("logit"), (col("z") > 0).as("label"))
+      .orderBy("doc_id")
+  }
+
   // ---- d34 weighted priority sampling --------------------------------
   /** Deterministic weighted sampling without replacement — priority
     * sampling (Duffield/Lund/Thorup 2007; the top-k form of
@@ -612,5 +699,5 @@ object CurationQueries {
   val all: Seq[OracleQuery] =
     Seq(piiScrub, corpusMixing, unigramSurprisal, boilerplatePrune,
       dsirImportance, bigramSurprisal, hashedClassifier, prioritySample,
-      temperatureMixing, surprisalBucketMix)
+      temperatureMixing, surprisalBucketMix, trainedQualityInference)
 }

@@ -277,8 +277,18 @@ object OperatorQueries {
           val liveScratch = "_tmp_(\\d+)$".r.findFirstMatchIn(n).exists(m =>
             scala.util.Try(java.lang.ProcessHandle.of(m.group(1).toLong)
               .isPresent).getOrElse(true))
-          n.startsWith(s"graft_stream_landing_${dirHash}_") &&
-            !n.startsWith(s"graft_stream_landing_${dirHash}_${gen}_") &&
+          // Landings from the superseded TWO-part naming scheme
+          // (graft_stream_landing_<12-hex gen>_v...) predate the dirHash
+          // segment entirely: no live variant can reference them, but the
+          // prefix filter below never matches them, so they'd accumulate
+          // in /tmp forever — exactly the leak this sweep exists to stop.
+          // Distinguishable by segment width: the current format leads
+          // with an 8-hex dirHash, the legacy one with a 12-hex gen.
+          val legacy =
+            "^graft_stream_landing_[0-9a-f]{12}_v".r.findFirstIn(n).isDefined
+          (legacy ||
+            (n.startsWith(s"graft_stream_landing_${dirHash}_") &&
+              !n.startsWith(s"graft_stream_landing_${dirHash}_${gen}_"))) &&
             !liveScratch
         }.toList
         finally stream.close()
@@ -1649,6 +1659,84 @@ object OperatorQueries {
       .orderBy("doc_id")
   }
 
+  /** Streaming curated ingest WITH the incremental near-dup gate — the
+    * complete d47 stage-1/2/3 contract at the streaming grain: scrub →
+    * quality/language gate → within-batch exact-dedup survivor →
+    * committed-fp anti-join → [[graft.operators.MinHashDedup
+    * .incrementalMatches]] probe of the batch survivors against the
+    * committed corpus' text (the table carries the scrubbed text, acting
+    * as its own LSH index), dropping any document with a verified ≥ 0.7
+    * near-dup already committed. The same checkpoint-loss replay as x32
+    * then proves the whole composition — including the recomputed
+    * near-dup decision — is absorbed by the table log as a no-op.
+    *
+    * The oracle mirrors batch-equivalently: first-arriving wave owns a
+    * fingerprint (rn over (ingest_batch, doc_id)), then wave-1-committed
+    * docs serve as the band index wave-2 survivors probe through the
+    * SAME minhash/band CTEs the d07/d29 oracles use; a verified match
+    * deletes the wave-2 row. A survivor drift, band drift, replay leak,
+    * or jaccard-threshold error changes rows and fails the hash.
+    *
+    * Scale: per batch the probe is delta-vs-index (d29's adjudicated
+    * shape — cost scales with the day's delta, not the corpus); the
+    * corpus side reads only (doc_id, text) off the table. */
+  val streamCuratedIngestNearDup = OracleQuery(
+    "x33_stream_curated_ingest_neardup",
+    s"""WITH scrub AS (
+       |  SELECT doc_id,
+       |    regexp_replace(nfc_normalize(text), '${TextQueries.CtrlClassSql}', '', 'g') AS text
+       |  FROM documents),
+       |t0 AS (SELECT doc_id, text, ${TextQueries.tokSql} AS toks FROM scrub),
+       |v AS (
+       |  SELECT doc_id, text, toks, len(toks) AS n_tokens,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS alpha_ratio,
+       |    ${TextQueries.langScoreColsSql}
+       |  FROM t0),
+       |vb AS (SELECT *, ${TextQueries.langBestSql} AS best FROM v),
+       |st1 AS (
+       |  SELECT doc_id, text, n_tokens FROM vb
+       |  WHERE n_tokens >= 20 AND alpha_ratio >= 0.5
+       |    AND ${TextQueries.langCaseSql} <> 'und'),
+       |f AS (
+       |  SELECT doc_id, text, CAST(n_tokens AS INT) AS n_tokens,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS ingest_batch
+       |  FROM st1),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY fp
+       |                                   ORDER BY ingest_batch, doc_id) AS rn
+       |      FROM f),
+       |surv AS (SELECT doc_id, text, n_tokens, fp, ingest_batch
+       |         FROM r WHERE rn = 1),
+       |t AS (SELECT doc_id, ${TextQueries.tokSql} AS toks FROM surv),
+       |${TextQueries.minhashBandCtes},
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh
+       |  JOIN surv sx ON sx.doc_id = x.doc_id
+       |  JOIN surv sy ON sy.doc_id = y.doc_id
+       |  WHERE sx.ingest_batch = 1 AND sy.ingest_batch = 0),
+       |verify AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b),
+       |nd AS (SELECT DISTINCT doc_a AS doc_id FROM verify WHERE jac >= 0.7)
+       |SELECT doc_id, fp, n_tokens, ingest_batch FROM surv
+       |WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w1 = docLanding(s, d, "curwave1", _.filter(col("doc_id") % 3 =!= 0))
+    val w2 = docLanding(s, d, "curwave2", _.filter(col("doc_id") % 3 === 0))
+    val base = Scratch.dir("cur_ingest_nd")
+    graft.streaming.CurationStream.runCuratedTwoWaveIngestNearDup(
+      w1, w2, s"$base/t", s"$base/ckpt", "x33_ingest", s)
+    graft.sources.TxnLake.read(s, s"$base/t")
+      .select("doc_id", "fp", "n_tokens", "ingest_batch")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -1657,5 +1745,5 @@ object OperatorQueries {
       streamStaticEnrich, streamOuterJoin, streamTxnIngest, ivfPqAnn,
       txnDataSkipping, txnChangeFeed, incrementalMv, streamCdfMv,
       txnExpectations, txnSchemaEvolution, txnRestore, imagePHashDedup,
-      streamCuratedIngest)
+      streamCuratedIngest, streamCuratedIngestNearDup)
 }

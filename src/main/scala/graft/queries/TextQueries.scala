@@ -194,7 +194,7 @@ object TextQueries {
   /** The shingle→signature→band CTEs reading from `t(doc_id, toks)` —
     * the index-build half of the MinHash pipeline, shared by the
     * all-pairs chain below and d29's delta-vs-index probe. */
-  private def minhashBandCtes: String = {
+  private[queries] def minhashBandCtes: String = {
     val sigEntries = MinhashPerms.map { case (a, b) =>
       s"list_min(list_transform(h, x -> (x * $a + $b) % $MinhashPrime))"
     }.mkString(",\n      ")
@@ -1924,8 +1924,16 @@ object TextQueries {
     val sv = fp.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .cache()
-    val sa = SuffixArray.saPositions(SuffixArray.suffixRanks(sv))
-    val lrow = SuffixArray.adjacentLcp(sv, sa)
+    val (ranks, snaps) = SuffixArray.suffixRanksWithSnapshots(sv)
+    val sa = SuffixArray.saPositions(ranks)
+    val maxDocLen = sv.agg(max(size(col("toks")))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getInt(0).toLong
+    }
+    // short-doc corpora keep the bounded slice compare; a long-document
+    // corpus (> LcpLiftThreshold tokens) flips to the binary-lifted LCP
+    // so no single document can make the compare quadratic
+    val lrow = SuffixArray.adjacentLcpAuto(sv, sa, snaps, maxDocLen)
       .agg(max(col("lcp")).cast("int").as("max_len"))
       .filter(col("max_len") >= 1) // L = 0 → no repeat anywhere → no rows
     sv.crossJoin(broadcast(lrow))
@@ -1940,6 +1948,82 @@ object TextQueries {
       .select(col("span"), col("max_len").as("span_len"),
         col("n_occ"), col("n_docs"))
       .orderBy("span")
+  }
+
+  /** Suffix-array-driven EXACT-SUBSTRING DEDUP
+    * ([[graft.operators.SuffixArray.removeRepeatedSpans]]) — the actual
+    * Lee et al. §4.1 application the suffix machinery exists for, and the
+    * arbitrary-length generalization of the fixed-n excision d41 runs:
+    * every token covered by a span of ≥ 50 tokens occurring ≥ 2 times
+    * corpus-wide (within-document repeats included — the self-plagiarism
+    * case fixed-n census with DISTINCT-doc counting misses) is removed,
+    * and the survivors re-join into cleaned text. Runs on the d05 canon
+    * survivor set — the pipeline position substring dedup occupies (after
+    * whole-document dedup, which would otherwise mark every token of
+    * every duplicated document).
+    *
+    * The hash gate covers the FULL cleaned string (the d41/d39 pattern):
+    * a one-token-off interval boundary, a missed within-doc repeat, or an
+    * SA adjacency error changes `cleaned_text` and fails the round. The
+    * oracle brute-forces the equivalent characterization — positions
+    * covered by repeated ≥50-spans are exactly the positions covered by
+    * repeated EXACTLY-50 windows (a sub-window of a repeated span is
+    * repeated; a covered position lies in some 50-sub-window) — so the
+    * O(n·50) window census is ground truth for the O(n log n) algorithm,
+    * the d48 adjudication pattern.
+    *
+    * Scale shape: suffix ranks + adjacent LCP as in d48 (log₂(longest
+    * doc) supersteps, lifted LCP beyond 1024-token docs), then the span
+    * mask is ONE per-document window pass (running max of interval ends —
+    * linear even when one repeated region spans most of a document,
+    * where an explode of [pos, pos+lmax) rows would be quadratic), and
+    * the text rebuild is the d41 per-doc collect. No all-pairs stage. */
+  val docExactSubstringDedup = OracleQuery(
+    "d51_exact_substring_dedup",
+    s"""WITH fpt AS (
+       |  SELECT doc_id, text,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM fpt GROUP BY fp),
+       |sv AS (SELECT f.doc_id, f.text FROM fpt f JOIN canon c ON f.doc_id = c.doc_id),
+       |t AS (SELECT doc_id, $tokSql AS toks FROM sv),
+       |p1 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 49)) AS i
+       |       FROM t WHERE len(toks) >= 50),
+       |spans AS (SELECT doc_id, i, array_to_string(toks[i : i + 49], ' ') AS g
+       |          FROM p1),
+       |hot AS (SELECT g FROM spans GROUP BY g HAVING count(*) >= 2),
+       |cov AS (SELECT DISTINCT s.doc_id, s.i + k AS pos
+       |        FROM spans s JOIN hot USING (g), generate_series(0, 49) g2(k)),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok,
+       |          unnest([i for i in generate_series(1, len(toks))]) AS pos
+       |        FROM t),
+       |keep AS (
+       |  SELECT tok.doc_id, tok.pos, tok.tok
+       |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+       |  WHERE cov.pos IS NULL),
+       |a AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+       |  FROM keep GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_toks,
+       |  CAST(len(t.toks) - coalesce(a.n_kept, 0) AS INT) AS n_removed,
+       |  coalesce(a.cleaned_text, '') AS cleaned_text
+       |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+       |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.SuffixArray
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), fingerprint(col("text")).as("fp"))
+    val canon = fp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    // cached: the suffix machinery scans the survivor corpus once per
+    // superstep plus the LCP compare, the mask pass, and the rebuild
+    val sv = fp.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .cache()
+    val out = SuffixArray.removeRepeatedSpans(sv, minLen = 50)
+      .orderBy("doc_id")
+      .localCheckpoint()
+    sv.unpersist()
+    out
   }
 
   /** Order-sensitive n-gram NOVELTY — the dedup-rate/curation-stream
@@ -2003,5 +2087,6 @@ object TextQueries {
     docLshRecallEvalSampled,
     docBpeSegmentation, docCrossSourceDup, docRepeatedSpanRemoval,
     docEpochShards, docDedupSurvivors, docContainment, docUnicodeScrub,
-    docSuffixLrs, docMinhashNearDupCapped, docNovelty)
+    docSuffixLrs, docMinhashNearDupCapped, docNovelty,
+    docExactSubstringDedup)
 }

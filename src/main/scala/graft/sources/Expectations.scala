@@ -107,8 +107,11 @@ object Expectations {
         appId + "#quarantine", batchId)
         // crash-replay: the quarantine txn already holds this batch; the
         // rows are THERE, so report the version they live at rather than
-        // a None that reads as "nothing quarantined"
-        .orElse(TxnLake.latestVersion(spark, quarantinePath(table)))
+        // a None that reads as "nothing quarantined". Resolved from the
+        // LOG (the version that committed this exact txn) — the table's
+        // latest version may belong to a later batch or another app.
+        .orElse(TxnLake.txnVersion(spark, quarantinePath(table),
+          appId + "#quarantine", batchId))
     TxnLake.commitOnce(spark, good, table, operation, appId, batchId) match {
       case None => None // lost a replay race after the txn pre-check
       case Some(version) =>

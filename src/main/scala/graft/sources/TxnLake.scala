@@ -934,6 +934,16 @@ object TxnLake extends LakeFormat {
     * restart to resume where it left off. O(1) log reads: the cumulative
     * app→batch map rides the last entry (legacy logs fall back to the
     * linear scan). */
+  /** Version whose commit recorded exactly (appId, batchId) — the
+    * precise answer to "where did this batch's rows land?" that
+    * [[lastTxn]]'s cumulative map cannot give. Linear scan of the log
+    * (newest first — replays ask about recent batches); reporting-path
+    * only, never on the commit hot path. */
+  def txnVersion(spark: SparkSession, table: String, appId: String,
+                 batchId: Long): Option[Long] =
+    committedVersions(spark, table).reverse.find(v =>
+      readEntry(spark, table, v).txn.contains((appId, batchId)))
+
   def lastTxn(spark: SparkSession, table: String, appId: String): Option[Long] = {
     val committed = committedVersions(spark, table)
     committed.lastOption.flatMap { last =>

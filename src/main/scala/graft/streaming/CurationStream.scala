@@ -82,13 +82,85 @@ object CurationStream {
         lit(batchId).cast("int").as("ingest_batch"))
   }
 
+  /** d47 stage-3 at the streaming grain (x33): [[curateBatch]] plus an
+    * INCREMENTAL NEAR-DUP gate — the batch's exact-dedup survivors probe
+    * the committed corpus' text through
+    * [[graft.operators.MinHashDedup.incrementalMatches]] (delta-vs-index:
+    * band keys of the delta equi-join the table's band index, exact
+    * Jaccard verifies), and any document with a verified ≥ `threshold`
+    * match already in the table is dropped. The table therefore carries
+    * the scrubbed `text` column — it IS the LSH index a production
+    * pipeline would materialize alongside the corpus. Within-batch
+    * near-dups are NOT collapsed (only exact ones): that is
+    * `verifiedPairs`' batch job, and keeping the gates orthogonal keeps
+    * each one's oracle exact.
+    *
+    * Scale: per batch the delta side is one day's volume; the corpus
+    * side is the table's (doc_id, text) pruned to band keys — the probe
+    * cost scales with the delta, never the corpus (the d29 adjudication).
+    * Idempotence is unchanged: the near-dup decision is recomputed on
+    * replay but the (appId, batchId) txn guard skips the commit before
+    * any plan executes. */
+  def curateBatchNearDup(batch: DataFrame, table: String, batchId: Long,
+                         threshold: Double = 0.7): DataFrame = {
+    val s = batch.sparkSession
+    val scrubbed = batch.select(col("doc_id"),
+      regexp_replace(
+        graft.expressions.TextExpressions.nfcNormalize(col("text")),
+        graft.functions.TextFunctions.CtrlClassSpark, "").as("text"))
+    val gated = scrubbed
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
+          / length(col("text")))
+      .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.5
+        && langId(col("toks")) =!= "und")
+      .withColumn("fp", fingerprint(col("text")))
+      .select("doc_id", "fp", "n_tokens", "text")
+    val canon = gated.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val survivors = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+    val committed =
+      if (TxnLake.latestVersion(s, table).isDefined)
+        Some(TxnLake.read(s, table))
+      else None
+    val deduped = committed match {
+      case None => survivors // first batch: nothing to collide with
+      case Some(tbl) =>
+        val afterExact = survivors.join(tbl.select("fp"), Seq("fp"), "left_anti")
+        val nearDupIds = graft.operators.MinHashDedup
+          .incrementalMatches(afterExact.select("doc_id", "text"),
+            tbl.select("doc_id", "text"), threshold)
+          .select(col("doc_a").as("doc_id")).distinct()
+        afterExact.join(nearDupIds, Seq("doc_id"), "left_anti")
+    }
+    deduped.select(col("doc_id"), col("fp"), col("n_tokens"), col("text"),
+      lit(batchId).cast("int").as("ingest_batch"))
+  }
+
   /** Drive the curated ingest over TWO waves (each exactly one micro-batch
     * — files land between `processAllAvailable` barriers, and each wave's
     * landing is a single coalesced file), committing each batch through
     * the exactly-once expectations sink. */
   def runCuratedTwoWaveIngest(wave1Dir: String, wave2Dir: String,
                               table: String, checkpointDir: String,
-                              appId: String, spark: SparkSession): Unit = {
+                              appId: String, spark: SparkSession): Unit =
+    runTwoWave(wave1Dir, wave2Dir, table, checkpointDir, appId, spark,
+      curateBatch)
+
+  /** [[runCuratedTwoWaveIngest]] with the incremental near-dup gate
+    * ([[curateBatchNearDup]]) — the x33 shape, same exactly-once +
+    * checkpoint-loss-replay proof. */
+  def runCuratedTwoWaveIngestNearDup(wave1Dir: String, wave2Dir: String,
+                                     table: String, checkpointDir: String,
+                                     appId: String, spark: SparkSession): Unit =
+    runTwoWave(wave1Dir, wave2Dir, table, checkpointDir, appId, spark,
+      curateBatchNearDup(_, _, _))
+
+  private def runTwoWave(wave1Dir: String, wave2Dir: String,
+                         table: String, checkpointDir: String,
+                         appId: String, spark: SparkSession,
+                         curate: (DataFrame, String, Long) => DataFrame): Unit = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_cur_ingest")
     // Copy to a non-.parquet temp name, then ATOMIC_MOVE into place: the
     // running FileStreamSource polls the scratch dir continuously and
@@ -117,7 +189,7 @@ object CurationStream {
     // the replay must exercise the exact sink whose idempotence it proves
     val sink = (batch: DataFrame, batchId: Long) => {
       Expectations.commitOnceWithExpectations(
-        batch.sparkSession, curateBatch(batch, table, batchId),
+        batch.sparkSession, curate(batch, table, batchId),
         table, "append", appId, batchId, IngestExpectations)
       ()
     }

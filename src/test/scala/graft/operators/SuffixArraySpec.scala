@@ -4,10 +4,12 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import graft.SparkSpec
 
-/** Prefix-doubling suffix ranking vs brute force. Test tokens are pure
-  * lowercase alpha, where the implementation's effective token order
-  * (space-joined block strings) coincides with plain element-wise string
-  * order — so the brute-force comparator below is the ground truth. */
+/** Prefix-doubling suffix ranking vs brute force. The implementation's
+  * token order is the engine's plain per-token string collation (the base
+  * pass sorts a composite 8-token key, never a joined string), so the
+  * element-wise brute-force comparator below is the ground truth for ANY
+  * token content — including tokens containing characters that sort below
+  * space. */
 class SuffixArraySpec extends SparkSpec {
 
   private def docsDf(docs: Seq[(Long, Seq[String])]) = {
@@ -87,6 +89,22 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("ranks stay consistent when tokens contain sub-space C0 characters") {
+    // Regression for the joined-string base pass: with tokens 'a' and
+    // "a\u0001", the joined strings gave "a t" < "a\u0001 t" (0x20 < 0x01
+    // is false — 0x01 sorts below space) while single-token comparison
+    // gave "a" < "a\u0001" — no consistent token order existed, so ranks
+    // could violate the adjacent-LCP theorem. The composite-key base pass
+    // uses one collation throughout; brute force must now agree exactly.
+    checkRanks(Seq(
+      1L -> Seq("a", "t", "q"),
+      2L -> Seq("a\u0001", "t", "q"),
+      3L -> Seq("a", "t"),
+      4L -> Seq("a\u0001", "t"),
+      5L -> Seq("a\u0001"),
+      6L -> Seq("a", "t", "q", "a\u0001", "t", "q")))
+  }
+
   test("saPositions is a permutation with identical suffixes adjacent") {
     val docs = Seq(
       1L -> Seq("a", "b", "c"),
@@ -103,6 +121,99 @@ class SuffixArraySpec extends SparkSpec {
       val (a, b) = (sfx(byPos(i)), sfx(byPos(i + 1)))
       assert(!lexLt(b, a), s"sa order violated at $i: $a after $b")
     }
+  }
+
+  test("adjacentLcpLifted equals the slice-based adjacentLcp (property)") {
+    // the lifted variant must be a pure re-implementation: identical
+    // (sa_pos, lcp) pairs on arbitrary token arrays, including identical
+    // suffixes (cap saturation) and C0-bearing tokens
+    val gTok = Gen.oneOf("a", "b", "c", "a\u0001")
+    val gDoc = Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, gTok))
+    val gCorpus = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, gDoc))
+    var s = org.scalacheck.rng.Seed(90125L)
+    (1 to 5).foreach { _ =>
+      val docs = gCorpus.pureApply(Gen.Parameters.default, s)
+        .zipWithIndex.map { case (t, i) => (i + 1).toLong -> t.toSeq }
+      s = s.next
+      val df = docsDf(docs)
+      val (ranks, snaps) = SuffixArray.suffixRanksWithSnapshots(df)
+      val sa = SuffixArray.saPositions(ranks).localCheckpoint()
+      val slice = SuffixArray.adjacentLcp(df, sa).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lifted = SuffixArray.adjacentLcpLifted(df, sa, snaps).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lifted == slice, s"lifted LCP diverged on $docs:\n" +
+        s"  slice=$slice\n  lifted=$lifted")
+    }
+  }
+
+  test("lifted LCP descends through multiple snapshot levels (long runs)") {
+    // 70-token shared run forces snapshots at 8/16/32/64/128 and a
+    // greedy descent that must take several levels plus a remainder
+    val shared = (1 to 70).map(i => s"t${i % 5}")
+    val docs = Seq(
+      1L -> (shared ++ Seq("x")),
+      2L -> (Seq("p") ++ shared ++ Seq("y", "z")),
+      3L -> shared.take(40))
+    val df = docsDf(docs)
+    val (ranks, snaps) = SuffixArray.suffixRanksWithSnapshots(df)
+    assert(snaps.map(_._1).toList == snaps.map(_._1).toList.sorted &&
+      snaps.map(_._1).max >= 64, s"snapshot levels: ${snaps.map(_._1)}")
+    val sa = SuffixArray.saPositions(ranks).localCheckpoint()
+    val slice = SuffixArray.adjacentLcp(df, sa).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lifted = SuffixArray.adjacentLcpLifted(df, sa, snaps).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lifted == slice)
+    assert(slice.values.max >= 70L, "the shared 70-run must surface")
+  }
+
+  test("removeRepeatedSpans matches brute-force window coverage (property)") {
+    // ground truth: a position is removed iff it lies inside some
+    // EXACTLY-minLen window whose token string occurs >= 2 times
+    // corpus-wide (equivalent to coverage by >= minLen repeated spans)
+    val minLen = 3
+    val gTok = Gen.oneOf("a", "b", "c")
+    val gDoc = Gen.choose(1, 16).flatMap(n => Gen.listOfN(n, gTok))
+    val gCorpus = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, gDoc))
+    var s = org.scalacheck.rng.Seed(31337L)
+    (1 to 6).foreach { _ =>
+      val docs = gCorpus.pureApply(Gen.Parameters.default, s)
+        .zipWithIndex.map { case (t, i) => (i + 1).toLong -> t.toSeq }
+      s = s.next
+      val windows = docs.flatMap { case (id, t) =>
+        t.indices.dropRight(minLen - 1).map(p => (id, p, t.slice(p, p + minLen)))
+      }
+      val hot = windows.groupBy(_._3).collect {
+        case (k, vs) if vs.size >= 2 => k
+      }.toSet
+      val covered = windows.filter(w => hot(w._3))
+        .flatMap { case (id, p, _) => (p until p + minLen).map(id -> _) }.toSet
+      val expected = docs.map { case (id, t) =>
+        val keptToks = t.indices.filterNot(i => covered((id, i))).map(t)
+        (id, t.length, t.length - keptToks.length, keptToks.mkString(" "))
+      }.toSet
+      val got = SuffixArray.removeRepeatedSpans(docsDf(docs), minLen)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toSet
+      assert(got == expected,
+        s"substring dedup diverged on $docs:\n  got=$got\n  exp=$expected")
+    }
+  }
+
+  test("removeRepeatedSpans removes a within-document repeat") {
+    // self-plagiarism: one doc repeats its own 4-token block; with
+    // minLen 4 both occurrences are covered and removed
+    val block = Seq("q", "r", "s", "t")
+    val docs = Seq(
+      1L -> (block ++ Seq("m") ++ block),
+      2L -> Seq("u", "v", "w"))
+    val got = SuffixArray.removeRepeatedSpans(docsDf(docs), 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toMap
+    assert(got(1L) == ((9, 8, "m")), s"got ${got(1L)}")
+    assert(got(2L) == ((3, 0, "u v w")))
   }
 
   test("adjacentLcp max equals the brute-force longest repeated span") {

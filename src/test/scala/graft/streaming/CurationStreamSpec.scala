@@ -34,4 +34,49 @@ class CurationStreamSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet
     assert(batches == Set(0, 1), s"got batches $batches")
   }
+
+  test("near-dup gate drops a wave-2 doc similar to a committed wave-1 doc") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("cur_stream_nd_spec").toString
+    // 30 alpha tokens with English stopwords pass the quality/lang gate;
+    // waves here are split by LANDING DIR (not doc_id % 3), so ids are
+    // free: doc 1 lands in wave 1, docs 2 (near-dup of 1) and 3 (fresh)
+    // in wave 2.
+    val toks = Seq("the", "quick", "brown", "fox", "jumps", "over", "his",
+      "lazy", "dog", "while", "the", "cat", "naps", "on", "a", "warm",
+      "mat", "and", "the", "sun", "sets", "slowly", "behind", "green",
+      "hills", "as", "birds", "sing", "their", "songs")
+    val w1text = toks.mkString(" ")
+    // only the LAST token changed → exactly one 3-gram shingle differs,
+    // jaccard ≈ 0.93 — far above 0.7 and near-certain to share a band
+    val w2near = toks.updated(29, "owls").mkString(" ")
+    val w2fresh = Seq("completely", "different", "words", "for", "another",
+      "story", "about", "boats", "on", "rivers", "that", "flow", "to",
+      "distant", "seas", "under", "grey", "skies", "where", "sailors",
+      "watch", "for", "land", "and", "dream", "of", "home", "ports",
+      "every", "night").mkString(" ")
+    def land(dir: String, rows: Seq[(Long, String)]): String = {
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("spec").as("source"), length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.parquet(dir)
+      dir
+    }
+    val w1 = land(s"$base/w1", Seq(1L -> w1text))
+    val w2 = land(s"$base/w2", Seq(2L -> w2near, 3L -> w2fresh))
+    val table = s"$base/t"
+    CurationStream.runCuratedTwoWaveIngestNearDup(
+      w1, w2, table, s"$base/ckpt", "spec_nd_ingest", spark)
+    val rows = TxnLake.read(spark, table)
+      .select("doc_id", "ingest_batch").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.keySet == Set(1L, 3L),
+      s"doc 2 near-dups committed doc 1 and must be dropped; got $rows")
+    assert(rows(1L) == 0 && rows(3L) == 1)
+    // replay proof: two waves = versions 0 and 1, replay committed nothing
+    assert(TxnLake.latestVersion(spark, table).contains(1L))
+    // the table carries the scrubbed text (it is its own LSH index)
+    assert(TxnLake.read(spark, table).columns.contains("text"))
+  }
 }
