@@ -18,7 +18,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    date gap-fill, global top-k, z-order clustering keys, typed-
   *    Aggregator group top-K, sequential event funnel, weekly
   *    cohort retention, batch sessionization
-  *  - d01–d20, d25–d27, d29, d33, d35–d36, d38–d45, d48–d50 [[graft.queries.TextQueries]] — token/quality/
+  *  - d01–d20, d25–d27, d29, d33, d35–d36, d38–d45, d48–d51 [[graft.queries.TextQueries]] — token/quality/
   *    langid/fingerprint/dedup family (exact, MinHash-LSH, SimHash, exact
   *    n-gram Jaccard, edit-distance, cluster collapse), chunking, TF-IDF,
   *    corpus curation, token packing, md5-bucket train/eval split,
@@ -39,22 +39,28 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    mega-bucket-guarded LSH near-dup (oversized band buckets emit a
   *    representative star — linear in the cluster; see SCALE.md skew
   *    run), order-sensitive n-gram novelty (first-seen attribution — the
-  *    curation-stream dedup-rate curve)
-  *  - d21–d24, d28, d30–d31, d34, d37, d46 [[graft.queries.CurationQueries]] —
+  *    curation-stream dedup-rate curve), suffix-array exact-substring
+  *    dedup (excise every ≥50-token span occurring ≥2× corpus-wide —
+  *    the Lee et al. §4.1 application, cleaned text hash-gated against
+  *    a window-census oracle)
+  *  - d21–d24, d28, d30–d31, d34, d37, d46, d52 [[graft.queries.CurationQueries]] —
   *    PII scrub, stratified corpus mixing, unigram-LM surprisal,
   *    boilerplate n-gram pruning, DSIR importance weighting, bigram-LM
   *    conditional surprisal, hashed-feature linear quality classifier,
   *    deterministic weighted priority sampling, temperature-scaled
   *    mixture weights,
   *    surprisal-quantile bucketed mixing (exact quartiles via
-  *    distributed prefix-sum ranks, per-quartile md5 sampling)
+  *    distributed prefix-sum ranks, per-quartile md5 sampling),
+  *    trained-then-frozen LR quality inference (FreezeQualityLr's
+  *    learned weights as oracle-exact arithmetic — logit + decision,
+  *    no transcendental)
   *  - v01–v12, d32 [[graft.queries.VectorQueries]] — embedding math, ANN
   *    baseline, int8 quantization, quantized-prefilter re-rank ANN,
   *    Johnson–Lindenstrauss random-projection coarse ANN + exact re-rank,
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x32 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x33 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -70,7 +76,9 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    metadata-only RESTORE TO VERSION rollback,
   *    perceptual-hash image dedup over binary media columns,
   *    streaming curated ingest (two-wave scrub/gate/dedup-vs-table with
-  *    exactly-once expectations commits and checkpoint-loss replay)
+  *    exactly-once expectations commits and checkpoint-loss replay),
+  *    plus the same ingest with the incremental delta-vs-index near-dup
+  *    gate (the committed table doubles as its own LSH index)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

@@ -48,6 +48,17 @@ object SuffixArray {
     * sort key); doubling supersteps start from here. */
   val BaseLen = 8
 
+  /** localCheckpoint + carried-statistics reset — REQUIRED for every
+    * superstep/level boundary in this file: Spark 4's localCheckpoint
+    * copies the pre-checkpoint plan's size estimate onto the new leaf,
+    * and size-only join estimation multiplies child sizes, so across an
+    * iterative loop the carried BigInt's bit length DOUBLES per
+    * superstep — at ~14 supersteps the driver stalls for minutes in
+    * BigInteger.multiply evaluating statistics (observed on a 10⁵-token
+    * document). See [[org.apache.spark.sql.GraftCheckpointShim]]. */
+  private def pinned(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftCheckpointShim.dropCarriedStats(df.localCheckpoint())
+
   /** doc_id, pos (1-based), tok — one row per token position. */
   def tokenPositions(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "tok")))
@@ -102,10 +113,9 @@ object SuffixArray {
           // throws under ANSI, unlike element_at)
           get(col("toks"), col("pos") + lit(k) - 1).as(s"__k$k")): _*)
     val t0 = System.nanoTime()
-    val base = PrefixSum
+    val base = pinned(PrefixSum
       .competitionRankByRange(tp8, keyCols, "rank", tiedOut = "__tied")
-      .select("doc_id", "pos", "rank", "__tied")
-      .localCheckpoint()
+      .select("doc_id", "pos", "rank", "__tied"))
     if (sys.env.contains("GRAFT_SA_DEBUG"))
       println(f"[sa] base ${(System.nanoTime() - t0) / 1e9}%.2f s n=${base.count()}")
     // Refine-only-ties: a resolved (unique-rank) suffix stays resolved
@@ -139,14 +149,13 @@ object SuffixArray {
       // formula rank + sub − 1 is the identity for already-unique rows
       // (sub = 1), so a single projection serves both populations. One
       // materialization per superstep.
-      val upd = active.join(r2rows, Seq("doc_id", "pos"), "left")
+      val upd = pinned(active.join(r2rows, Seq("doc_id", "pos"), "left")
         .withColumn("__r2", coalesce(col("__r2"), lit(0L)))
         .withColumn("__c", count(lit(1)).over(Window.partitionBy("rank")))
         .withColumn("__sub",
           rank().over(Window.partitionBy("rank").orderBy("__r2")))
         .select(col("doc_id"), col("pos"),
-          (col("rank") + col("__sub") - 1).as("rank"), col("__c"))
-        .localCheckpoint()
+          (col("rank") + col("__sub") - 1).as("rank"), col("__c")))
       resolvedPieces ::= upd.filter(col("__c") === 1)
         .select("doc_id", "pos", "rank")
       active = upd.filter(col("__c") > 1).select("doc_id", "pos", "rank")
@@ -232,10 +241,9 @@ object SuffixArray {
     val bSide = withLen.select((col("sa_pos") - 1).as("sa_pos"),
       col("doc_id").as("b_doc"), col("pos").as("b_pos"),
       (col("__len") - col("pos") + 1).as("b_len"))
-    var pairs = aSide.join(bSide, Seq("sa_pos"))
+    var pairs = pinned(aSide.join(bSide, Seq("sa_pos"))
       .withColumn("cap", least(col("a_len"), col("b_len")).cast("long"))
-      .withColumn("off", lit(0L))
-      .localCheckpoint()
+      .withColumn("off", lit(0L)))
     for ((plen, ranks) <- snapshots.sortBy(-_._1)) {
       val ra = ranks.select(col("doc_id").as("__ad"), col("pos").as("__ap"),
         col("rank").as("__ra"))
@@ -250,10 +258,10 @@ object SuffixArray {
           when(col("__ra").isNotNull && col("__ra") === col("__rb"),
             least(col("off") + lit(plen), col("cap"))).otherwise(col("off")))
         .drop("__ad", "__ap", "__ra", "__bd", "__bp", "__rb")
-        // pin per level: each level's plan otherwise nests the previous
-        // level's joins, and the final slice compare would re-execute the
-        // whole tower once per consumer
-        .localCheckpoint()
+      // pin per level: each level's plan otherwise nests the previous
+      // level's joins, and the final slice compare would re-execute the
+      // whole tower once per consumer
+      pairs = pinned(pairs)
     }
     // remainder < BaseLen: one bounded 8-token slice compare (same
     // zip_with convention as the slice variant, cost capped at 8 cells)

@@ -1882,18 +1882,20 @@ object TextQueries {
     * Input is the exact-dedup survivor set (d05 canon semantics — the
     * pipeline position substring dedup actually occupies), so the answer
     * is the longest span shared by genuinely DISTINCT documents. The
-    * suffix machinery derives only the maximum adjacent-LCP length L;
-    * the emitted spans at L then come from one linear sliding-window
-    * census (gram-keyed shuffle), which is also exactly what the oracle
-    * brute-forces — the oracle enumerates ALL O(n·len) spans, the Spark
-    * side runs the O(n log len) algorithm, and the driver hash-compares
-    * the results: algorithm vs ground truth, the d38 pattern.
+    * suffix machinery derives the maximum adjacent-LCP length L AND the
+    * occurrence set: a position starts a maximal span iff its lmax (max
+    * adjacent LCP, the global max by the adjacency theorem) equals L —
+    * so span text is built exactly n_occ times. The oracle enumerates
+    * ALL O(n·len) spans, the Spark side runs the O(n log len)
+    * algorithm, and the driver hash-compares the results: algorithm vs
+    * ground truth, the d38 pattern.
     *
     * Scale shape: log2(longest doc) supersteps, each a distinct-key
     * aggregate + range-partitioned rank + keyed join back; the lookahead
     * is a (doc_id,pos)-keyed equi-join; L flows through a broadcast 1-row
     * aggregate (no driver collect); the census shuffles once on the span
-    * key. No all-pairs stage, no corpus-wide window. */
+    * key over n_occ rows. No all-pairs stage, no corpus-wide window, no
+    * per-position span materialization. */
   val docSuffixLrs = OracleQuery(
     "d48_suffix_lrs",
     s"""WITH fpt AS (
@@ -1933,15 +1935,27 @@ object TextQueries {
     // short-doc corpora keep the bounded slice compare; a long-document
     // corpus (> LcpLiftThreshold tokens) flips to the binary-lifted LCP
     // so no single document can make the compare quadratic
-    val lrow = SuffixArray.adjacentLcpAuto(sv, sa, snaps, maxDocLen)
+    val lcp = SuffixArray.adjacentLcpAuto(sv, sa, snaps, maxDocLen)
+      .localCheckpoint() // consumed twice: the L aggregate + the start mask
+    val lrow = lcp
       .agg(max(col("lcp")).cast("int").as("max_len"))
       .filter(col("max_len") >= 1) // L = 0 → no repeat anywhere → no rows
-    sv.crossJoin(broadcast(lrow))
-      .filter(size(col("toks")) >= col("max_len")) // guard: sequence(1,0) descends
-      .select(col("doc_id"), col("max_len"), col("toks"),
-        explode(expr("sequence(1, size(toks) - max_len + 1)")).as("p"))
+    // The occurrence set comes from the SUFFIX ARRAY, not a sliding
+    // window: a position starts a maximal repeated span iff its lmax
+    // (max adjacent LCP on either side — the global max by the
+    // adjacency theorem) equals L exactly. An earlier draft enumerated
+    // every window of length L per document, which materializes
+    // n_positions·L cells — at a 30,000-token maximal span over a
+    // 100k-token document that is 2·10⁹ cells and 52 GB of spill
+    // (measured, SCALE.md bigdoc run); the lmax filter touches only the
+    // true occurrences, so span text is built n_occ times, never per
+    // position.
+    val cand = SuffixArray.repeatedSpanStarts(lcp, sa, minLen = 1)
+      .crossJoin(broadcast(lrow))
+      .filter(col("lmax") === col("max_len"))
+    cand.join(sv, Seq("doc_id"))
       .select(col("doc_id"), col("max_len"),
-        array_join(slice(col("toks"), col("p"), col("max_len")), " ").as("span"))
+        array_join(slice(col("toks"), col("pos"), col("max_len")), " ").as("span"))
       .groupBy("span", "max_len")
       .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_occ") >= 2)

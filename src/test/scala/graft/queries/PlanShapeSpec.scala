@@ -442,6 +442,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(span"), plan.take(3000))
   }
 
+  test("exact-substring dedup (d51) masks via doc-keyed windows, no pair build") {
+    // The suffix construction materializes eagerly (checkpoint per
+    // superstep); the lazy tail is: sa window → adjacency equi-join on
+    // sa_pos → lmax side-joins → start/token join → per-doc running-max
+    // window → rebuild rollup. Pins: no cartesian/nested-loop anywhere
+    // (there is no 1-row broadcast in this query — unlike d48 it never
+    // crosses with an L aggregate); the adjacency and LCP joins key on
+    // sa_pos; the interval-union mask and the rebuild partition by
+    // doc_id — a span explode or corpus-wide window would change shape.
+    import graft.functions.TextFunctions.{fingerprint, tokens}
+    val fpd = Tables.documents(SparkSpec.session, dir)
+      .select(col("doc_id"), col("text"), fingerprint(col("text")).as("fp"))
+    val canon = fpd.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val sv = fpd.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val df = graft.operators.SuffixArray.removeRepeatedSpans(sv, 50)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(sa_pos"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(doc_id"), plan.take(3000))
+  }
+
   test("guarded LSH (d49) candidates stay bucket-keyed") {
     // The guard must not cost the plan its shape: candidates still come
     // from (band, bucket) hash exchanges — never a cartesian pair build —
