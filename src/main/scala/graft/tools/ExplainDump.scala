@@ -60,7 +60,9 @@ object ExplainDump {
       "d48_suffix_lrs" -> "suffix-array LRS — doubling supersteps pin at checkpoints; tail is sa window → adjacency equi-join → broadcast L → span census, no pair cross join",
       "d49_neardup_capped_lsh" -> "mega-bucket-guarded LSH — bucket-keyed window sizes buckets, small buckets equi-join pairs, oversized buckets emit a linear representative star",
       "d50_doc_novelty" -> "n-gram novelty — gram→min(doc) map-side-combined shuffle, join back reuses the gram partitioning, doc-keyed rollup",
-      "v12_emb_jl_rerank_ann" -> "JL projection ANN — 16-row Rademacher matrix broadcast, one corpus scan projects, coarse pass scores 16-d, exact math on |Q|*50 candidates")
+      "v12_emb_jl_rerank_ann" -> "JL projection ANN — 16-row Rademacher matrix broadcast, one corpus scan projects, coarse pass scores 16-d, exact math on |Q|*50 candidates",
+      "d51_exact_substring_dedup" -> "exact-substring dedup — lazy tail: lmax side-joins on sa_pos → start/token join → per-doc running-max mask window → doc-keyed rebuild; no pair build, no span explode",
+      "d52_trained_quality_inference" -> "frozen trained-LR scoring — zero exchanges before the output sort, weights baked into one codegen'd per-token fold")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.tools.ExplainDump` at sf0.001. What to look for\n")
@@ -77,6 +79,16 @@ object ExplainDump {
       "d44_doc_containment" -> graft.operators.JaccardJoin
         .containmentPairs(graft.sources.Tables.documents(spark, dir), 0.9,
           materialize = false),
+      "d51_exact_substring_dedup" -> {
+        import org.apache.spark.sql.functions.{col, min}
+        import graft.functions.TextFunctions.{fingerprint, tokens}
+        val fpd = graft.sources.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"), fingerprint(col("text")).as("fp"))
+        val canon = fpd.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        val sv = fpd.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        graft.operators.SuffixArray.removeRepeatedSpans(sv, 50)
+      },
       "x16_pq_adc_ann" -> {
         import org.apache.spark.sql.functions.col
         import graft.operators.ProductQuantization
