@@ -449,7 +449,7 @@ object CurationQueries {
     * scores at scan speed (the d31 adjudication), which is exactly why
     * corpus-scale quality filters freeze weights instead of calling a
     * model endpoint. */
-  private val D52TfWeights: Seq[String] = Seq(
+  private[queries] val D52TfWeights: Seq[String] = Seq(
     "0.000000", "0.426046", "0.000000", "0.472589", "0.370231", "0.476863",
     "0.417316", "0.000000", "0.147896", "0.000000", "0.000000", "0.000000",
     "0.000000", "0.000000", "0.000000", "0.489883", "0.000000", "0.000000",
@@ -461,10 +461,10 @@ object CurationQueries {
     "0.000000", "0.000000", "0.000000", "0.335159", "0.283182", "0.000000",
     "0.000000", "0.353368", "0.325131", "0.232316", "0.000000", "0.000000",
     "0.000000", "0.000000", "0.359410", "0.337749")
-  private val D52Intercept = "-162.165203"
-  private val D52WLen = "3.585552"
-  private val D52WAlpha = "142.588014"
-  private val D52WUniq = "50.756480"
+  private[queries] val D52Intercept = "-162.165203"
+  private[queries] val D52WLen = "3.585552"
+  private[queries] val D52WAlpha = "142.588014"
+  private[queries] val D52WUniq = "50.756480"
 
   val trainedQualityInference = OracleQuery(
     "d52_trained_quality_inference",
