@@ -14,7 +14,13 @@ object GraftSession {
     SparkSession.builder()
       .withExtensions(new graft.expressions.GraftExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle parallelism follows core count locally; a cluster scales
+      // this with data volume (or lets AQE coalesce from a high target) —
+      // the override exists so ScaleStress can demonstrate exactly that
+      // (SCALE.md factor-100: spill at 32 partitions is the pinned-knob
+      // artifact, not an operator property)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
