@@ -291,11 +291,14 @@ object SuffixArray {
   /** [[adjacentLcp]] with the implementation chosen by the corpus' longest
     * document: the slice compare's per-document cost is quadratic in
     * length, acceptable only under [[LcpLiftThreshold]]. `maxLen` is the
-    * corpus maximum document token count (the caller usually has it). */
+    * corpus maximum document token count (the caller usually has it).
+    * `GRAFT_SA_FORCE_LIFT` forces the lifted path (measurement escape
+    * hatch for the SCALE harness). */
   def adjacentLcpAuto(docs: DataFrame, sa: DataFrame,
                       snapshots: Seq[(Long, DataFrame)],
                       maxLen: Long): DataFrame =
-    if (maxLen > LcpLiftThreshold) adjacentLcpLifted(docs, sa, snapshots)
+    if (maxLen > LcpLiftThreshold || sys.env.contains("GRAFT_SA_FORCE_LIFT"))
+      adjacentLcpLifted(docs, sa, snapshots)
     else adjacentLcp(docs, sa)
 
   /** Start positions of corpus-wide repeated spans of length ≥ `minLen`:
