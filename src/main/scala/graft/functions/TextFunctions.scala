@@ -82,6 +82,20 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** d05 canon survivor set as `(doc_id, toks)` — whole-document exact
+    * dedup (min doc_id per [[fingerprint]]), the pipeline position the
+    * suffix tier runs at. ONE definition shared by the d48/d51 queries,
+    * their plan dumps, and the plan-shape specs, so the canon semantics
+    * cannot drift between the gated query and its pinned plan. Input
+    * needs `doc_id` + `text`. */
+  def canonSurvivorToks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val fp = docs.select(col("doc_id"), col("text"),
+      fingerprint(col("text")).as("fp"))
+    val canon = fp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    fp.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+  }
+
   /** Ordered (non-distinct) space-joined k-grams — winnowing needs the
     * positional gram SEQUENCE, unlike [[shingles]] which dedupes. Total:
     * inputs shorter than k yield an empty array (an unclamped

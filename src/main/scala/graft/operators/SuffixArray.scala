@@ -73,7 +73,10 @@ object SuffixArray {
     suffixRanksWithSnapshots(docs)._1
 
   /** [[suffixRanks]] plus the per-superstep FULL rank tables keyed by the
-    * prefix length they cover (8, 16, 32, …) — the binary-lifting index
+    * prefix length they cover (8, 16, 32, …) and the corpus' longest
+    * document length (computed here anyway for the loop bound — callers
+    * need it for [[adjacentLcpAuto]] and would otherwise re-scan) — the
+    * snapshot list is the binary-lifting index
     * [[adjacentLcpLifted]] probes. Each snapshot is localCheckpoint-pinned
     * by the doubling loop itself, so keeping them costs no extra
     * computation; at 100 TB these are exactly the rank tables a
@@ -81,7 +84,7 @@ object SuffixArray {
     * anyway. Snapshot invariant: two suffixes share a rank in the
     * prefix-length-L table iff their first min(L, len) tokens are
     * identical AND neither is a proper prefix of the other within L. */
-  def suffixRanksWithSnapshots(docs: DataFrame): (DataFrame, Seq[(Long, DataFrame)]) = {
+  def suffixRanksWithSnapshots(docs: DataFrame): (DataFrame, Seq[(Long, DataFrame)], Long) = {
     val maxLen = docs.agg(max(size(col("toks")))).collect()(0) match {
       case r if r.isNullAt(0) => 0
       case r => r.getInt(0)
@@ -167,7 +170,7 @@ object SuffixArray {
       else if (sys.env.contains("GRAFT_SA_DEBUG"))
         println(f"[sa] step=$step ${(System.nanoTime() - t0) / 1e9}%.2f s active=${active.count()}")
     }
-    (fullRanks, snapshots.reverse)
+    (fullRanks, snapshots.reverse, maxLen.toLong)
   }
 
   /** Resolves [[suffixRanks]] ties (identical suffixes) by `(doc_id,
@@ -335,13 +338,13 @@ object SuffixArray {
     * needs `doc_id` + `toks`; emits one row per input document:
     * `doc_id, n_toks, n_removed, cleaned_text`. */
   def removeRepeatedSpans(docs: DataFrame, minLen: Int): DataFrame = {
-    val (ranks, snapshots) = suffixRanksWithSnapshots(docs)
-    val sa = saPositions(ranks)
-    val maxLen = docs.agg(max(size(col("toks")))).collect()(0) match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getInt(0).toLong
-    }
-    val lcp = adjacentLcpAuto(docs, sa, snapshots, maxLen)
+    val (ranks, snapshots, maxLen) = suffixRanksWithSnapshots(docs)
+    // pinned: sa feeds the lmax side-joins (twice) and the LCP compare;
+    // lcp feeds both side-joins of repeatedSpanStarts — without the pins
+    // the post-checkpoint LCP tail and the rank window re-execute per
+    // consumer (the d48 caller pins the same way)
+    val sa = pinned(saPositions(ranks))
+    val lcp = pinned(adjacentLcpAuto(docs, sa, snapshots, maxLen))
     val starts = repeatedSpanStarts(lcp, sa, minLen)
       .select(col("doc_id"), col("pos"), (col("pos") + col("lmax")).as("__end"))
     val tok = tokenPositions(docs)

@@ -283,9 +283,17 @@ object OperatorQueries {
           // prefix filter below never matches them, so they'd accumulate
           // in /tmp forever — exactly the leak this sweep exists to stop.
           // Distinguishable by segment width: the current format leads
-          // with an 8-hex dirHash, the legacy one with a 12-hex gen.
+          // with an 8-hex dirHash, the legacy one with a 12-hex gen. The
+          // age guard (>1 h untouched) is the liveness proxy the name
+          // cannot carry: a harness built from a pre-dirHash checkout
+          // could still be mid-read on a FRESH legacy landing, and
+          // deleting it under that reader is the one thing this sweep
+          // must never do.
           val legacy =
-            "^graft_stream_landing_[0-9a-f]{12}_v".r.findFirstIn(n).isDefined
+            "^graft_stream_landing_[0-9a-f]{12}_v".r.findFirstIn(n).isDefined &&
+              scala.util.Try(
+                java.nio.file.Files.getLastModifiedTime(p).toMillis <
+                  System.currentTimeMillis() - 3600000L).getOrElse(false)
           (legacy ||
             (n.startsWith(s"graft_stream_landing_${dirHash}_") &&
               !n.startsWith(s"graft_stream_landing_${dirHash}_${gen}_"))) &&

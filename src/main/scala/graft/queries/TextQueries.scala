@@ -1918,20 +1918,11 @@ object TextQueries {
        |  CAST(n_occ AS BIGINT) AS n_occ, CAST(n_docs AS BIGINT) AS n_docs
        |FROM rep, mx WHERE span_len = max_len ORDER BY span""".stripMargin) { (s, d) =>
     import graft.operators.SuffixArray
-    val fp = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), fingerprint(col("text")).as("fp"))
-    val canon = fp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
     // cached: scanned by the maxLen probe, every doubling superstep's
-    // token base, the suffix-slice join, and the census
-    val sv = fp.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .cache()
-    val (ranks, snaps) = SuffixArray.suffixRanksWithSnapshots(sv)
+    // token base, the LCP compare, and the census
+    val sv = canonSurvivorToks(Tables.documents(s, d)).cache()
+    val (ranks, snaps, maxDocLen) = SuffixArray.suffixRanksWithSnapshots(sv)
     val sa = SuffixArray.saPositions(ranks)
-    val maxDocLen = sv.agg(max(size(col("toks")))).collect()(0) match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getInt(0).toLong
-    }
     // short-doc corpora keep the bounded slice compare; a long-document
     // corpus (> LcpLiftThreshold tokens) flips to the binary-lifted LCP
     // so no single document can make the compare quadratic
@@ -2025,14 +2016,9 @@ object TextQueries {
        |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
     import graft.operators.SuffixArray
-    val fp = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), fingerprint(col("text")).as("fp"))
-    val canon = fp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
     // cached: the suffix machinery scans the survivor corpus once per
     // superstep plus the LCP compare, the mask pass, and the rebuild
-    val sv = fp.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .cache()
+    val sv = canonSurvivorToks(Tables.documents(s, d)).cache()
     val out = SuffixArray.removeRepeatedSpans(sv, minLen = 50)
       .orderBy("doc_id")
       .localCheckpoint()

@@ -929,11 +929,6 @@ object TxnLake extends LakeFormat {
       .select(cols.map(c => col(s"c.$c")) :+ col("c.change_type"): _*)
   }
 
-  /** Latest batch id recorded for `appId` in the table's transaction
-    * state — the recovery read an at-least-once consumer performs on
-    * restart to resume where it left off. O(1) log reads: the cumulative
-    * app→batch map rides the last entry (legacy logs fall back to the
-    * linear scan). */
   /** Version whose commit recorded exactly (appId, batchId) — the
     * precise answer to "where did this batch's rows land?" that
     * [[lastTxn]]'s cumulative map cannot give. Linear scan of the log
@@ -944,6 +939,11 @@ object TxnLake extends LakeFormat {
     committedVersions(spark, table).reverse.find(v =>
       readEntry(spark, table, v).txn.contains((appId, batchId)))
 
+  /** Latest batch id recorded for `appId` in the table's transaction
+    * state — the recovery read an at-least-once consumer performs on
+    * restart to resume where it left off. O(1) log reads: the cumulative
+    * app→batch map rides the last entry (legacy logs fall back to the
+    * linear scan). */
   def lastTxn(spark: SparkSession, table: String, appId: String): Option[Long] = {
     val committed = committedVersions(spark, table)
     committed.lastOption.flatMap { last =>

@@ -98,9 +98,11 @@ object CurationStream {
     * Scale: per batch the delta side is one day's volume; the corpus
     * side is the table's (doc_id, text) pruned to band keys — the probe
     * cost scales with the delta, never the corpus (the d29 adjudication).
-    * Idempotence is unchanged: the near-dup decision is recomputed on
-    * replay but the (appId, batchId) txn guard skips the commit before
-    * any plan executes. */
+    * Idempotence is unchanged: the runner's replay fast-path skips an
+    * already-committed batch before the probe is even built (the probe
+    * materializes eagerly, so this matters for cost), and the (appId,
+    * batchId) txn guard inside the commit remains the correctness
+    * mechanism. */
   def curateBatchNearDup(batch: DataFrame, table: String, batchId: Long,
                          threshold: Double = 0.7): DataFrame = {
     val s = batch.sparkSession
@@ -188,9 +190,19 @@ object CurationStream {
     // ONE sink definition serves both the primary ingest and the replay —
     // the replay must exercise the exact sink whose idempotence it proves
     val sink = (batch: DataFrame, batchId: Long) => {
-      Expectations.commitOnceWithExpectations(
-        batch.sparkSession, curate(batch, table, batchId),
-        table, "append", appId, batchId, IngestExpectations)
+      // Replay fast-path: a batch already in the table log must not even
+      // BUILD the curation gate — curateBatchNearDup's delta-vs-index
+      // probe materializes eagerly, so a replayed batch would pay a full
+      // discarded LSH job before the commit guard fires.
+      // commitOnceWithExpectations re-checks under the same (appId,
+      // batchId) txn, so this is a cost short-circuit, not the
+      // correctness mechanism.
+      if (!TxnLake.lastTxn(batch.sparkSession, table, appId)
+            .exists(_ >= batchId)) {
+        Expectations.commitOnceWithExpectations(
+          batch.sparkSession, curate(batch, table, batchId),
+          table, "append", appId, batchId, IngestExpectations)
+      }
       ()
     }
     try {

@@ -79,16 +79,9 @@ object ExplainDump {
       "d44_doc_containment" -> graft.operators.JaccardJoin
         .containmentPairs(graft.sources.Tables.documents(spark, dir), 0.9,
           materialize = false),
-      "d51_exact_substring_dedup" -> {
-        import org.apache.spark.sql.functions.{col, min}
-        import graft.functions.TextFunctions.{fingerprint, tokens}
-        val fpd = graft.sources.Tables.documents(spark, dir)
-          .select(col("doc_id"), col("text"), fingerprint(col("text")).as("fp"))
-        val canon = fpd.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-        val sv = fpd.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-        graft.operators.SuffixArray.removeRepeatedSpans(sv, 50)
-      },
+      "d51_exact_substring_dedup" -> graft.operators.SuffixArray
+        .removeRepeatedSpans(graft.functions.TextFunctions
+          .canonSurvivorToks(graft.sources.Tables.documents(spark, dir)), 50),
       "x16_pq_adc_ann" -> {
         import org.apache.spark.sql.functions.col
         import graft.operators.ProductQuantization

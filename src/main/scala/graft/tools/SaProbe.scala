@@ -26,7 +26,7 @@ object SaProbe {
         println(f"[probe] $tag ${(System.nanoTime() - t0) / 1e9}%.1f s")
         r
       }
-      val (ranks, snaps) = t("ranks") {
+      val (ranks, snaps, _) = t("ranks") {
         val rs = SuffixArray.suffixRanksWithSnapshots(docs)
         rs._1.count(); rs
       }

@@ -136,7 +136,7 @@ class SuffixArraySpec extends SparkSpec {
         .zipWithIndex.map { case (t, i) => (i + 1).toLong -> t.toSeq }
       s = s.next
       val df = docsDf(docs)
-      val (ranks, snaps) = SuffixArray.suffixRanksWithSnapshots(df)
+      val (ranks, snaps, _) = SuffixArray.suffixRanksWithSnapshots(df)
       val sa = SuffixArray.saPositions(ranks).localCheckpoint()
       val slice = SuffixArray.adjacentLcp(df, sa).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -156,7 +156,7 @@ class SuffixArraySpec extends SparkSpec {
       2L -> (Seq("p") ++ shared ++ Seq("y", "z")),
       3L -> shared.take(40))
     val df = docsDf(docs)
-    val (ranks, snaps) = SuffixArray.suffixRanksWithSnapshots(df)
+    val (ranks, snaps, _) = SuffixArray.suffixRanksWithSnapshots(df)
     assert(snaps.map(_._1).toList == snaps.map(_._1).toList.sorted &&
       snaps.map(_._1).max >= 64, s"snapshot levels: ${snaps.map(_._1)}")
     val sa = SuffixArray.saPositions(ranks).localCheckpoint()

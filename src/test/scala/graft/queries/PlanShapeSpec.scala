@@ -451,12 +451,8 @@ class PlanShapeSpec extends SparkSpec {
     // crosses with an L aggregate); the adjacency and LCP joins key on
     // sa_pos; the interval-union mask and the rebuild partition by
     // doc_id — a span explode or corpus-wide window would change shape.
-    import graft.functions.TextFunctions.{fingerprint, tokens}
-    val fpd = Tables.documents(SparkSpec.session, dir)
-      .select(col("doc_id"), col("text"), fingerprint(col("text")).as("fp"))
-    val canon = fpd.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-    val sv = fpd.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val sv = graft.functions.TextFunctions
+      .canonSurvivorToks(Tables.documents(SparkSpec.session, dir))
     val df = graft.operators.SuffixArray.removeRepeatedSpans(sv, 50)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
