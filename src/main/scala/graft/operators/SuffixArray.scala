@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -347,10 +347,23 @@ object SuffixArray {
     val lcp = pinned(adjacentLcpAuto(docs, sa, snapshots, maxLen))
     val starts = repeatedSpanStarts(lcp, sa, minLen)
       .select(col("doc_id"), col("pos"), (col("pos") + col("lmax")).as("__end"))
+    removeCoveredTokens(docs, starts)
+  }
+
+  /** Excises from every document the tokens covered by `spans` (rows
+    * `doc_id, pos, __end` — half-open token intervals, at most one per
+    * (doc_id, pos)) and re-joins the survivors into cleaned text. The
+    * interval union is ONE per-document window pass (running max of
+    * interval ends over token positions — linear even when one interval
+    * covers most of a document, where an explode of [pos, __end) rows
+    * would be quadratic); the rebuild is the d41 collect_list-per-doc
+    * pattern. Emits one row per `docs` row:
+    * `doc_id, n_toks, n_removed, cleaned_text`. */
+  def removeCoveredTokens(docs: DataFrame, spans: DataFrame): DataFrame = {
     val tok = tokenPositions(docs)
     val w = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val kept = tok.join(starts, Seq("doc_id", "pos"), "left")
+    val kept = tok.join(spans, Seq("doc_id", "pos"), "left")
       // covered ⟺ some start at p' ≤ pos reaches past pos (ends are
       // exclusive); the running max over the doc's positions is that test
       .withColumn("__reach", max(col("__end")).over(w))
@@ -366,5 +379,85 @@ object SuffixArray {
         (col("__n_toks") - coalesce(col("__n_kept"), lit(0L))).cast("int")
           .as("n_removed"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  /** Start positions in the NON-bench partition of spans of ≥ `minLen`
+    * tokens that ALSO occur somewhere in the bench partition — the
+    * cross-set counterpart of [[repeatedSpanStarts]], where "hot" means
+    * shared ACROSS the split rather than occurring ≥ 2 times anywhere.
+    *
+    * Device: at a fixed threshold the suffix array decomposes into
+    * maximal RUNS of consecutive entries whose adjacent LCP is ≥ minLen;
+    * by the adjacency theorem every two suffixes in a run share their
+    * first minLen tokens, and conversely two suffixes sharing minLen
+    * tokens sandwich only ≥-minLen adjacencies — so "train suffix shares
+    * a ≥ minLen span with the bench set" is EXACTLY "train suffix sits in
+    * a run containing a bench suffix". Run ids come from a distributed
+    * prefix count of run-boundary flags over `sa_pos`
+    * ([[PrefixSum.exclusivePrefixSum]] — dense unique ids, so the fixed
+    * bucket grid is perfectly balanced and the only global window runs
+    * over #buckets rows, never a corpus-wide ordering); the bench-member
+    * test is one run-keyed aggregate joined back.
+    *
+    * `isBench` is an unbound predicate over `doc_id` (e.g.
+    * `col("doc_id") % 40 === 0`). Emits `doc_id, pos` — non-bench rows
+    * only, at most one per (doc_id, pos). */
+  def crossSetSpanStarts(lcp: DataFrame, sa: DataFrame, isBench: Column,
+                         minLen: Int): DataFrame = {
+    // suffix at sa_pos s opens a new run iff the adjacency (s-1, s) has
+    // LCP < minLen (or has no predecessor); run id = inclusive prefix
+    // count of open flags in sa order
+    val bnd = sa.join(
+      lcp.select((col("sa_pos") + 1).as("sa_pos"), col("lcp").as("__lp")),
+      Seq("sa_pos"), "left")
+      .withColumn("__b",
+        when(coalesce(col("__lp") >= minLen, lit(false)), 0L).otherwise(1L))
+      .drop("__lp")
+    val grouped = PrefixSum.exclusivePrefixSum(bnd, "sa_pos", "__b", "__g0")
+      .withColumn("__run", col("__g0") + col("__b"))
+      .withColumn("__isb", when(isBench, 1).otherwise(0))
+    // runs are contiguous shared-prefix families; a run with a bench
+    // member marks every non-bench member as a contaminated start. The
+    // run aggregate is map-side combined; the join back is run-keyed
+    // (run size = shared-prefix multiplicity, the same bound every
+    // group stage of the suffix machinery already carries).
+    val hasBench = grouped.groupBy("__run")
+      .agg(max(col("__isb")).as("__hb"))
+      .filter(col("__hb") === 1)
+      .select("__run")
+    grouped.join(hasBench, Seq("__run"), "left_semi")
+      .filter(col("__isb") === 0)
+      .select("doc_id", "pos")
+  }
+
+  /** Benchmark DECONTAMINATION (Lee et al. §4.1 applied across a
+    * train/eval split, the arbitrary-length generalization of fixed-n
+    * overlap screens à la GPT-3's 13-gram eval dedup): REMOVE from every
+    * non-bench document the tokens covered by a span of ≥ `minLen`
+    * tokens that also occurs in the bench partition, and re-join the
+    * survivors into cleaned text. Coverage by shared ≥ minLen spans
+    * equals coverage by shared EXACTLY-minLen windows (any covered
+    * position lies in some minLen-sub-window of its span, and a
+    * sub-window of a shared span is shared), so fixed-length intervals
+    * at [[crossSetSpanStarts]] rows are an exact mask.
+    *
+    * Input is the FULL corpus (bench ∪ train, `doc_id` + `toks`); output
+    * is one row per non-bench document: `doc_id, n_toks, n_removed,
+    * cleaned_text`. Scale shape: the suffix machinery's own
+    * log-superstep construction over the union, one balanced prefix-sum
+    * pass for run ids, one run-keyed aggregate, then the linear
+    * per-document mask — no all-pairs stage, and the bench side needs no
+    * broadcast (it rides the same suffix array). */
+  def removeSharedSpans(docs: DataFrame, isBench: Column,
+                        minLen: Int): DataFrame = {
+    val (ranks, snapshots, maxLen) = suffixRanksWithSnapshots(docs)
+    // same pin discipline as removeRepeatedSpans: sa feeds the boundary
+    // join and the LCP compare, lcp feeds the boundary join
+    val sa = pinned(saPositions(ranks))
+    val lcp = pinned(adjacentLcpAuto(docs, sa, snapshots, maxLen))
+    val starts = crossSetSpanStarts(lcp, sa, isBench, minLen)
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + lit(minLen)).as("__end"))
+    removeCoveredTokens(docs.filter(!isBench), starts)
   }
 }

@@ -2026,6 +2026,77 @@ object TextQueries {
     out
   }
 
+  /** Suffix-array benchmark DECONTAMINATION
+    * ([[graft.operators.SuffixArray.removeSharedSpans]]) — the
+    * arbitrary-length generalization of d20's fixed-4-gram contamination
+    * SCREEN, and the cross-set counterpart of d51's corpus-internal
+    * substring dedup: using d20's deterministic benchmark split (doc_id ≡
+    * 0 mod 40 = the held-out eval slice), every token of a TRAINING
+    * document covered by a span of ≥ 13 tokens that also occurs in the
+    * benchmark slice is removed, and the survivors re-join into cleaned
+    * text. 13 tokens is the GPT-3 decontamination window; unlike that
+    * fixed-n device the suffix array masks the FULL shared span whatever
+    * its length (the exactly-13 interval mask is provably the same
+    * cover: any covered position lies in some 13-sub-window of its
+    * shared span, and a sub-window of a shared span is shared). Where
+    * d20 reports "how contaminated", d53 emits the decontaminated corpus
+    * itself — one row per training document, hash-gated on the full
+    * cleaned string (the d51 pattern), so a one-token-off run boundary
+    * or a missed bench suffix fails the round.
+    *
+    * Spark side: ONE suffix array over the union corpus (bench rides the
+    * same ranking — no broadcast of bench grams, no second structure),
+    * threshold-run ids via the balanced two-pass prefix count
+    * ([[graft.operators.PrefixSum.exclusivePrefixSum]] over the dense
+    * sa_pos grid — the only global window runs over #buckets rows), one
+    * run-keyed bench-membership aggregate, then d51's linear
+    * interval-union mask and per-doc rebuild. The oracle brute-forces
+    * the window characterization (O(n·13) cells): hot = the bench
+    * slice's distinct 13-windows, cover = train windows ∩ hot — ground
+    * truth for the O(n log n) algorithm, the d48/d51 adjudication
+    * pattern. */
+  val docBenchDecontaminate = OracleQuery(
+    "d53_bench_decontaminate",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |p1 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 12)) AS i
+       |       FROM t WHERE len(toks) >= 13),
+       |w AS (SELECT doc_id, i, array_to_string(toks[i : i + 12], ' ') AS g
+       |      FROM p1),
+       |hot AS (SELECT DISTINCT g FROM w WHERE doc_id % 40 = 0),
+       |cov AS (SELECT DISTINCT s.doc_id, s.i + k AS pos
+       |        FROM w s JOIN hot USING (g), generate_series(0, 12) g2(k)
+       |        WHERE s.doc_id % 40 <> 0),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok,
+       |          unnest([i for i in generate_series(1, len(toks))]) AS pos
+       |        FROM t WHERE doc_id % 40 <> 0),
+       |keep AS (
+       |  SELECT tok.doc_id, tok.pos, tok.tok
+       |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+       |  WHERE cov.pos IS NULL),
+       |a AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+       |  FROM keep GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_toks,
+       |  CAST(len(t.toks) - coalesce(a.n_kept, 0) AS INT) AS n_removed,
+       |  coalesce(a.cleaned_text, '') AS cleaned_text
+       |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+       |WHERE t.doc_id % 40 <> 0
+       |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.SuffixArray
+    // cached: the suffix machinery scans the union corpus once per
+    // superstep plus the LCP compare, the mask pass, and the rebuild
+    val all = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .cache()
+    val out = SuffixArray
+      .removeSharedSpans(all, col("doc_id") % 40 === 0, minLen = 13)
+      .orderBy("doc_id")
+      .localCheckpoint()
+    all.unpersist()
+    out
+  }
+
   /** Order-sensitive n-gram NOVELTY — the dedup-rate/curation-stream
     * curve: treating doc_id as ingestion order, a 5-gram position is
     * novel iff its gram first appears in THIS document (min doc_id over
@@ -2088,5 +2159,5 @@ object TextQueries {
     docBpeSegmentation, docCrossSourceDup, docRepeatedSpanRemoval,
     docEpochShards, docDedupSurvivors, docContainment, docUnicodeScrub,
     docSuffixLrs, docMinhashNearDupCapped, docNovelty,
-    docExactSubstringDedup)
+    docExactSubstringDedup, docBenchDecontaminate)
 }

@@ -62,7 +62,8 @@ object ExplainDump {
       "d50_doc_novelty" -> "n-gram novelty — gram→min(doc) map-side-combined shuffle, join back reuses the gram partitioning, doc-keyed rollup",
       "v12_emb_jl_rerank_ann" -> "JL projection ANN — 16-row Rademacher matrix broadcast, one corpus scan projects, coarse pass scores 16-d, exact math on |Q|*50 candidates",
       "d51_exact_substring_dedup" -> "exact-substring dedup — lazy tail: lmax side-joins on sa_pos → start/token join → per-doc running-max mask window → doc-keyed rebuild; no pair build, no span explode",
-      "d52_trained_quality_inference" -> "frozen trained-LR scoring — zero exchanges before the output sort, weights baked into one codegen'd per-token fold")
+      "d52_trained_quality_inference" -> "frozen trained-LR scoring — zero exchanges before the output sort, weights baked into one codegen'd per-token fold",
+      "d53_bench_decontaminate" -> "bench decontamination — lazy tail: boundary equi-join on sa_pos → bucket-keyed prefix-count windows + broadcast offsets → run-keyed semi-join → per-doc mask window → rebuild; the only unpartitioned window runs over bucket totals")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.tools.ExplainDump` at sf0.001. What to look for\n")
@@ -82,6 +83,14 @@ object ExplainDump {
       "d51_exact_substring_dedup" -> graft.operators.SuffixArray
         .removeRepeatedSpans(graft.functions.TextFunctions
           .canonSurvivorToks(graft.sources.Tables.documents(spark, dir)), 50),
+      "d53_bench_decontaminate" -> {
+        import org.apache.spark.sql.functions.col
+        graft.operators.SuffixArray.removeSharedSpans(
+          graft.sources.Tables.documents(spark, dir)
+            .select(col("doc_id"),
+              graft.functions.TextFunctions.tokens(col("text")).as("toks")),
+          col("doc_id") % 40 === 0, 13)
+      },
       "x16_pq_adc_ann" -> {
         import org.apache.spark.sql.functions.col
         import graft.operators.ProductQuantization

@@ -216,6 +216,66 @@ class SuffixArraySpec extends SparkSpec {
     assert(got(2L) == ((3, 0, "u v w")))
   }
 
+  test("removeSharedSpans matches brute-force cross-set coverage (property)") {
+    // ground truth: a TRAIN position is removed iff it lies inside some
+    // EXACTLY-minLen window whose token string also occurs in a BENCH
+    // document (equivalent to coverage by >= minLen shared spans);
+    // train-internal and bench-internal repeats must NOT remove anything
+    val minLen = 3
+    val gTok = Gen.oneOf("a", "b", "c")
+    val gDoc = Gen.choose(1, 16).flatMap(n => Gen.listOfN(n, gTok))
+    val gCorpus = Gen.choose(3, 7).flatMap(n => Gen.listOfN(n, gDoc))
+    var s = org.scalacheck.rng.Seed(24601L)
+    (1 to 6).foreach { _ =>
+      val docs = gCorpus.pureApply(Gen.Parameters.default, s)
+        .zipWithIndex.map { case (t, i) => (i + 1).toLong -> t.toSeq }
+      s = s.next
+      val isBench = (id: Long) => id % 3 == 0
+      val windows = docs.flatMap { case (id, t) =>
+        t.indices.dropRight(minLen - 1).map(p => (id, p, t.slice(p, p + minLen)))
+      }
+      val hot = windows.collect { case (id, _, w) if isBench(id) => w }.toSet
+      val covered = windows
+        .filter { case (id, _, w) => !isBench(id) && hot(w) }
+        .flatMap { case (id, p, _) => (p until p + minLen).map(id -> _) }.toSet
+      val expected = docs.filterNot(d => isBench(d._1)).map { case (id, t) =>
+        val keptToks = t.indices.filterNot(i => covered((id, i))).map(t)
+        (id, t.length, t.length - keptToks.length, keptToks.mkString(" "))
+      }.toSet
+      val got = SuffixArray
+        .removeSharedSpans(docsDf(docs), col("doc_id") % 3 === 0, minLen)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toSet
+      assert(got == expected,
+        s"decontamination diverged on $docs:\n  got=$got\n  exp=$expected")
+    }
+  }
+
+  test("removeSharedSpans is one-directional and span-complete") {
+    // bench doc 3 shares a 4-token block with train doc 1 (masked), the
+    // train docs 1/2 share a 5-token block only with EACH OTHER (kept —
+    // hotness needs a bench occurrence), and train doc 4 is an exact
+    // copy of bench doc 6 (fully masked). minLen 4; the shared block
+    // inside doc 1 sits mid-document, so both mask boundaries matter.
+    val block = Seq("q", "r", "s", "t")
+    val trainOnly = Seq("f", "g", "h", "i", "j")
+    val docs = Seq(
+      1L -> (Seq("m") ++ block ++ trainOnly),
+      2L -> (trainOnly ++ Seq("n")),
+      3L -> (block ++ Seq("z")), // bench
+      4L -> Seq("u", "v", "w", "x", "y"),
+      6L -> Seq("u", "v", "w", "x", "y")) // bench
+    val got = SuffixArray
+      .removeSharedSpans(docsDf(docs), col("doc_id") % 3 === 0, 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 4L), s"non-bench rows only: ${got.keySet}")
+    assert(got(1L) == ((10, 4, "m f g h i j")), s"got ${got(1L)}")
+    assert(got(2L) == ((6, 0, "f g h i j n")), s"train-train repeat kept: ${got(2L)}")
+    assert(got(4L) == ((5, 5, "")), s"bench-identical doc fully masked: ${got(4L)}")
+  }
+
   test("adjacentLcp max equals the brute-force longest repeated span") {
     val gTok = Gen.oneOf("a", "b", "c")
     val gDoc = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, gTok))

@@ -461,6 +461,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(doc_id"), plan.take(3000))
   }
 
+  test("bench decontamination (d53) run ids are balanced, no pair build") {
+    // The suffix construction materializes eagerly (checkpoint per
+    // superstep); the lazy tail is: boundary equi-join on sa_pos →
+    // two-pass prefix count (bucket-keyed local windows + a broadcast of
+    // the #buckets-row offset table — the only unpartitioned window in
+    // the plan runs over bucket totals, never corpus rows) → run-keyed
+    // bench-membership semi-join → per-doc running-max mask → rebuild
+    // rollup. Pins: no cartesian/nested-loop pair build anywhere; the
+    // adjacency join keys on sa_pos; run grouping hash-partitions on the
+    // run id; mask and rebuild partition by doc_id.
+    val all = Tables.documents(SparkSpec.session, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val df = graft.operators.SuffixArray
+      .removeSharedSpans(all, col("doc_id") % 40 === 0, 13)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(sa_pos"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(__run"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(doc_id"), plan.take(3000))
+  }
+
   test("guarded LSH (d49) candidates stay bucket-keyed") {
     // The guard must not cost the plan its shape: candidates still come
     // from (band, bucket) hash exchanges — never a cartesian pair build —
