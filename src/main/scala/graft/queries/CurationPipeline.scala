@@ -43,6 +43,16 @@ import graft.sources.Tables
   * shard window partitions by (epoch, shard). Stage boundaries that feed
   * multiple consumers are pinned (cache/localCheckpoint) exactly once —
   * at 100 TB those boundaries become lake writes, same topology.
+  *
+  * Oracle formulation: multiply-referenced CTEs are `AS MATERIALIZED` —
+  * DuckDB otherwise inlines each reference, re-executing the whole
+  * upstream pipeline per reference (the minhash chain alone references
+  * the token CTE 13 times; profiling showed 21 recursive-CTE
+  * re-evaluations) — and the containment prune scores pairs via
+  * inverted-index intersection counts instead of an all-pairs
+  * nested-loop (exact: a ≥0.9-containment pair shares shingles).
+  * Result-identical at sf0.01 and sf0.1; sf0.1 oracle wall time
+  * 886 s → 1.9 s, which is what makes full-scale oracle sweeps routine.
   */
 object CurationPipeline {
 
@@ -60,7 +70,7 @@ object CurationPipeline {
          |    regexp_replace(nfc_normalize(text), '$CtrlClassSql', '', 'g') AS text
          |  FROM documents),
          |t0 AS (SELECT doc_id, text, ${TextQueries.tokSql} AS toks FROM scrub),
-         |v AS (
+         |v AS MATERIALIZED (
          |  SELECT doc_id, text, toks, len(toks) AS n_tokens,
          |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
          |      / length(text) AS alpha_ratio,
@@ -71,15 +81,15 @@ object CurationPipeline {
          |  SELECT doc_id, text, toks, n_tokens FROM vb
          |  WHERE n_tokens >= 20 AND alpha_ratio >= 0.5
          |    AND ${TextQueries.langCaseSql} <> 'und'),
-         |fpt AS (
+         |fpt AS MATERIALIZED (
          |  SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
          |  FROM st1),
          |canon AS (SELECT min(doc_id) AS doc_id FROM fpt GROUP BY fp),
-         |ex AS (SELECT f.doc_id, f.text, f.toks, f.n_tokens
+         |ex AS MATERIALIZED (SELECT f.doc_id, f.text, f.toks, f.n_tokens
          |       FROM fpt f JOIN canon c ON f.doc_id = c.doc_id),
-         |t AS (SELECT doc_id, toks FROM ex),
+         |t AS MATERIALIZED (SELECT doc_id, toks FROM ex),
          |${TextQueries.minhashCappedPairCtes(64)},
-         |jp AS (SELECT doc_a, doc_b FROM verify WHERE jac >= 0.7),
+         |jp AS MATERIALIZED (SELECT doc_a, doc_b FROM verify WHERE jac >= 0.7),
          |nodes AS (
          |  SELECT DISTINCT id FROM (
          |    SELECT doc_a AS id FROM jp UNION ALL SELECT doc_b FROM jp)),
@@ -100,16 +110,20 @@ object CurationPipeline {
          |  FROM (SELECT c.doc_id, c.cluster_id, e.n_tokens
          |        FROM comp c JOIN ex e USING (doc_id)) m),
          |drop3 AS (SELECT doc_id FROM sv WHERE doc_id <> survivor_id),
-         |s3 AS (SELECT e.* FROM ex e
+         |s3 AS MATERIALIZED (SELECT e.* FROM ex e
          |       WHERE NOT EXISTS (SELECT 1 FROM drop3 x WHERE x.doc_id = e.doc_id)),
          |shc AS (SELECT doc_id, ${TextQueries.shingleSql("toks")} AS s FROM s3),
-         |nz AS (SELECT doc_id, s, len(s) AS sz FROM shc WHERE len(s) > 0),
+         |nz AS MATERIALIZED (SELECT doc_id, s, len(s) AS sz FROM shc WHERE len(s) > 0),
+         |ev AS (SELECT doc_id, sz, unnest(s) AS sg FROM nz),
+         |ic AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+         |    any_value(a.sz) AS sza, any_value(b.sz) AS szb
+         |  FROM ev a JOIN ev b ON a.sg = b.sg AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
          |drop4 AS (
-         |  SELECT DISTINCT a.doc_id
-         |  FROM nz a JOIN nz b
-         |    ON a.doc_id <> b.doc_id
-         |    AND (b.sz > a.sz OR (b.sz = a.sz AND b.doc_id < a.doc_id))
-         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / a.sz >= 0.9),
+         |  SELECT DISTINCT doc_a AS doc_id FROM ic
+         |  WHERE (szb > sza OR (szb = sza AND doc_b < doc_a))
+         |    AND CAST(inter AS DOUBLE) / sza >= 0.9),
          |s4 AS (SELECT e.doc_id, e.text FROM s3 e
          |       WHERE NOT EXISTS (SELECT 1 FROM drop4 x WHERE x.doc_id = e.doc_id)),
          |laced AS (
@@ -117,18 +131,18 @@ object CurationPipeline {
          |    ${CurationQueries.piiLacePrefixSql} ||
          |    text AS t
          |  FROM s4),
-         |red AS (
+         |red AS MATERIALIZED (
          |  SELECT doc_id, rtext, CAST(length(rtext) AS BIGINT) AS n_red_chars
          |  FROM (SELECT doc_id, ${CurationQueries.piiRedactSql("t")} AS rtext
          |        FROM laced)),
-         |t6 AS (SELECT doc_id,
+         |t6 AS MATERIALIZED (SELECT doc_id,
          |    unnest(regexp_split_to_array(lower(rtext), '\\s+')) AS term
          |  FROM red),
-         |gc6 AS (SELECT term, count(*) AS c FROM t6 GROUP BY 1),
+         |gc6 AS MATERIALIZED (SELECT term, count(*) AS c FROM t6 GROUP BY 1),
          |tot6 AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM gc6),
          |b6 AS (SELECT term, CAST(length(bin(total // c)) - 1 AS BIGINT) AS bits
          |       FROM gc6, tot6),
-         |ds6 AS (SELECT t6.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |ds6 AS MATERIALIZED (SELECT t6.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
          |          CAST(sum(bits) AS BIGINT) AS sum_bits
          |        FROM t6 JOIN b6 USING (term) GROUP BY 1),
          |k6 AS (SELECT doc_id, n_toks, sum_bits,

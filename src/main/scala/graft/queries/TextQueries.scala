@@ -188,22 +188,24 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** The MinHash-LSH CTE chain reading from a relation `t(doc_id, toks)` —
-    * shared by d07 (raw documents) and d08 (curation survivors). Mirrors
-    * [[graft.operators.MinHashDedup.verifiedPairs]] arithmetic exactly. */
   /** The shingle→signature→band CTEs reading from `t(doc_id, toks)` —
     * the index-build half of the MinHash pipeline, shared by the
-    * all-pairs chain below and d29's delta-vs-index probe. */
+    * all-pairs chain below and d29's delta-vs-index probe. Multiply-
+    * referenced CTEs are `AS MATERIALIZED`: DuckDB otherwise INLINES each
+    * reference and re-executes the whole upstream chain per reference
+    * (profiling d47 showed its token CTE evaluated 13× and 21
+    * recursive-CTE re-evaluations — the "~14 min oracle" was that, not
+    * exhaustive verification; hints cut it to seconds, result-identical). */
   private[queries] def minhashBandCtes: String = {
     val sigEntries = MinhashPerms.map { case (a, b) =>
       s"list_min(list_transform(h, x -> (x * $a + $b) % $MinhashPrime))"
     }.mkString(",\n      ")
-    s"""sh AS (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),
+    s"""sh AS MATERIALIZED (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),
        |hs AS (
        |  SELECT doc_id, s,
        |    list_transform(s, x -> ('0x' || substring(md5(x), 1, 7))::BIGINT) AS h
        |  FROM sh WHERE len(s) > 0),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id, s, [
        |      $sigEntries
        |    ] AS sig
@@ -214,6 +216,10 @@ object TextQueries {
        |  FROM sig, generate_series(0, 3) g(b))""".stripMargin
   }
 
+  /** The full MinHash-LSH CTE chain (bands → candidate pairs → exact
+    * Jaccard verify) reading from `t(doc_id, toks)` — shared by d07 (raw
+    * documents) and d08 (curation survivors). Mirrors
+    * [[graft.operators.MinHashDedup.verifiedPairs]] arithmetic exactly. */
   private[queries] def minhashPairCtes: String =
     s"""$minhashBandCtes,
        |cand AS (
@@ -234,7 +240,7 @@ object TextQueries {
     * guard arithmetic exactly. */
   private[queries] def minhashCappedPairCtes(cap: Int): String =
     s"""$minhashBandCtes,
-       |bsz AS (
+       |bsz AS MATERIALIZED (
        |  SELECT doc_id, b, bh,
        |    count(*) OVER (PARTITION BY b, bh) AS n,
        |    min(doc_id) OVER (PARTITION BY b, bh) AS m
@@ -405,7 +411,7 @@ object TextQueries {
     * `documents` by default, a sampled CTE for d38s. */
   private def ngramPairCtes(threshold: Double, rel: String = "documents"): String =
     s"""t AS (SELECT doc_id, $tokSql AS toks FROM $rel),
-       |sh AS (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),
+       |sh AS MATERIALIZED (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),
        |e AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg
        |      FROM sh WHERE len(s) > 0),
        |i AS (
@@ -1456,7 +1462,7 @@ object TextQueries {
     // minhashPairCtes opens with `sh AS (...)` — identical to the sh the
     // ngram CTEs already define (same tokSql + shingleSql) — so compose
     // by stripping that one duplicate CTE rather than renaming the chain
-    val shCte = s"sh AS (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),\n"
+    val shCte = s"sh AS MATERIALIZED (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),\n"
     require(minhashPairCtes.startsWith(shCte),
       "d38: minhash CTE chain no longer opens with the shared sh CTE")
     val minhashTail = minhashPairCtes.stripPrefix(shCte)
@@ -1819,20 +1825,28 @@ object TextQueries {
     * Jaccard misses by construction (a short doc wholly inside a long one
     * has containment ≈ 1 but Jaccard ≈ |inner|/|outer|). Exact, via
     * rarest-first probe-prefix blocking against the full inverted index
-    * ([[graft.operators.JaccardJoin.containmentPairs]]); the oracle brute-
-    * forces all size-compatible pairs, so this also certifies the blocking
-    * is lossless at sf0.01. */
+    * ([[graft.operators.JaccardJoin.containmentPairs]]); the oracle scores
+    * EVERY pair sharing at least one shingle exactly (inverted-index
+    * intersection counts — a ≥0.9-containment pair must share shingles,
+    * so nothing in range is missed), so this also certifies the blocking
+    * is lossless at sf0.01. The earlier all-pairs nested-loop oracle was
+    * result-identical but O(n²·|s|): 214 s at sf0.1 vs 2 s for this form,
+    * which is what keeps full sf0.1 oracle sweeps practical. */
   val docContainment = OracleQuery(
     "d44_doc_containment",
     s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
        |sh AS (SELECT doc_id, ${shingleSql("toks")} AS s FROM t),
-       |nz AS (SELECT doc_id, s, len(s) AS sz FROM sh WHERE len(s) > 0)
-       |SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
-       |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / a.sz, 4)
-       |    AS containment
-       |FROM nz a JOIN nz b
-       |  ON a.doc_id <> b.doc_id AND b.sz >= a.sz * 0.9
-       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / a.sz >= 0.9
+       |nz AS (SELECT doc_id, s, len(s) AS sz FROM sh WHERE len(s) > 0),
+       |ev AS (SELECT doc_id, sz, unnest(s) AS sg FROM nz),
+       |ic AS (
+       |  SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+       |    count(*) AS inter, any_value(a.sz) AS sza, any_value(b.sz) AS szb
+       |  FROM ev a JOIN ev b ON a.sg = b.sg AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_inner, doc_outer,
+       |  round(CAST(inter AS DOUBLE) / sza, 4) AS containment
+       |FROM ic
+       |WHERE szb >= sza * 0.9 AND CAST(inter AS DOUBLE) / sza >= 0.9
        |ORDER BY doc_inner, doc_outer""".stripMargin) { (s, d) =>
     graft.operators.JaccardJoin
       .containmentPairs(Tables.documents(s, d), 0.9)
