@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftx.ColumnBridge
 import org.apache.spark.sql.types._
@@ -188,6 +188,117 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Exact Jaccard of two DISTINCT-element string arrays in ONE pass:
+  * |A∩B| by hash-set probe (build over the smaller side), |A∪B| by the
+  * inclusion–exclusion identity |A|+|B|−|A∩B| — arithmetically identical
+  * to size(array_intersect)/size(array_union) on distinct inputs (both
+  * operands here come from [[WordShingles]], which dedupes), including
+  * the 0/0 → NaN case for two empty arrays. The built-in pair allocates
+  * and materializes TWO result arrays per row and walks both inputs
+  * twice; this kernel allocates one set and no arrays. It sits on the
+  * LSH verification path — millions of candidate pairs on a dup-storm
+  * corpus — so unlike the per-document kernels above it implements
+  * doGenCode (the [[DotProductDouble]] doctrine: full codegen for
+  * join-path kernels), delegating to a static JVM loop. */
+case class DistinctSetJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "distinct_set_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.distinctJaccard(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.TextKernels.distinctJaccard($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** |A∩B| of two DISTINCT-element string arrays — the asymmetric-containment
+  * verification kernel (containment = overlap/|A| with |A| an O(1) size
+  * read, so only the intersection needs a pass). Same doctrine and same
+  * hash-set loop as [[DistinctSetJaccard]]. */
+case class DistinctSetOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "distinct_set_overlap"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.distinctOverlap(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.TextKernels.distinctOverlap($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static kernels callable from generated code. */
+object TextKernels {
+  /** See [[DistinctSetOverlap]]. Null elements participate as a single
+    * set member (HashSet admits null), matching array_intersect. */
+  def distinctOverlap(x: ArrayData, y: ArrayData): Int = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val (s, l, ns, nl) = if (nx <= ny) (x, y, nx, ny) else (y, x, ny, nx)
+    val set = new java.util.HashSet[UTF8String](ns * 2)
+    var i = 0
+    while (i < ns) {
+      set.add(if (s.isNullAt(i)) null else s.getUTF8String(i))
+      i += 1
+    }
+    var inter = 0
+    i = 0
+    while (i < nl) {
+      if (set.contains(if (l.isNullAt(i)) null else l.getUTF8String(i))) inter += 1
+      i += 1
+    }
+    inter
+  }
+
+  /** See [[DistinctSetJaccard]]: |A∩B| by hash-set probe, |A∪B| by
+    * inclusion–exclusion. */
+  def distinctJaccard(x: ArrayData, y: ArrayData): Double = {
+    val inter = distinctOverlap(x, y)
+    inter.toDouble / (x.numElements() + y.numElements() - inter)
+  }
+}
+
 object TextExpressions {
   def wordShingles(toks: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(toks), n))
@@ -197,4 +308,10 @@ object TextExpressions {
     ColumnBridge.column(SimHash60(ColumnBridge.expression(hashes)))
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+  def distinctSetJaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(DistinctSetJaccard(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def distinctSetOverlap(a: Column, b: Column): Column =
+    ColumnBridge.column(DistinctSetOverlap(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

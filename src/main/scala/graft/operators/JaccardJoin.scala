@@ -90,9 +90,16 @@ object JaccardJoin {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
-      size(array_union(col("sa"), col("sb")))
-    val pairs = cand
+    // one-pass native Jaccard kernel + explicit verification spread — the
+    // same pair of fixes as MinHashDedup.verifiedPairs: pair rows are 16
+    // bytes so byte-based AQE coalescing under-parallelizes the CPU-bound
+    // set ops, and the built-in intersect/union pair materializes two
+    // throwaway arrays per candidate
+    val jac = graft.expressions.TextExpressions
+      .distinctSetJaccard(col("sa"), col("sb"))
+    val spread = cand.repartition(
+      docs.sparkSession.sessionState.conf.numShufflePartitions)
+    val pairs = spread
       .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
       .withColumn("jac", jac)
@@ -143,11 +150,16 @@ object JaccardJoin {
       .select(col("x.doc_id").as("doc_inner"), col("y.doc_id").as("doc_outer"))
       .distinct()
 
-    val pairs = cand
+    // same verification spread + native kernel as exactPairs; containment
+    // needs only |A∩B| (|A| is an O(1) size read)
+    val spread = cand.repartition(
+      docs.sparkSession.sessionState.conf.numShufflePartitions)
+    val pairs = spread
       .join(sh.select(col("doc_id").as("doc_inner"), col("s").as("sa")), Seq("doc_inner"))
       .join(sh.select(col("doc_id").as("doc_outer"), col("s").as("sb")), Seq("doc_outer"))
       .withColumn("containment",
-        size(array_intersect(col("sa"), col("sb"))).cast("double") / size(col("sa")))
+        graft.expressions.TextExpressions.distinctSetOverlap(col("sa"), col("sb"))
+          .cast("double") / size(col("sa")))
       .filter(col("containment") >= threshold)
       .select(col("doc_inner"), col("doc_outer"),
         round(col("containment"), 4).as("containment"))
