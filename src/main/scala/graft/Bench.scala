@@ -117,8 +117,11 @@ object Bench {
     // contracts: testdata schema-drift count from the startup probe (0 =
     // clean) — makes a mid-round regeneration visible in the artifact the
     // judge reads, not just on stderr
+    // threads: executor-thread count the sessions actually ran with — a
+    // silent local[4] fallback once inflated CPU-bound queries 3x, so the
+    // artifact records it rather than leaving core count to assumption
     def line(qs: String, extra: String = ""): String =
-      s"""{"metric":"total","value":${s2(total)},"unit":"sec"$extra,"contracts":$contractWarnings,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec"$extra,"contracts":$contractWarnings,"threads":${GraftSession.resolvedCpus},"queries":$qs,"sf":"$sfDir"}"""
     val full = line(qsJson(results))
     // the fallback keeps only the slowest 40 — flag it so consumers can
     // tell a partial map ("value" ≠ sum of entries) from a full one

@@ -193,7 +193,8 @@ object ScaleStress {
     * the failure mode the d49 cap exists to bound. */
   private val SkewQueries = Seq(
     "d05_doc_exact_dedup", "d49_neardup_capped_lsh",
-    "d47_curation_pipeline", "d07_doc_neardup_minhash_lsh")
+    "d47_curation_pipeline", "d53_bench_decontaminate",
+    "d07_doc_neardup_minhash_lsh")
 
   /** Long-document corpus: sf0.1 documents plus ONE synthetic
     * 100,000-token document whose first and last 30,000 tokens are the
@@ -229,10 +230,14 @@ object ScaleStress {
   }
 
   /** The suffix tier on the long-document corpus: LRS discovery (must
-    * report the 30k block) and exact-substring dedup (must excise both
-    * copies), both flipping to the lifted LCP. */
+    * report the 30k block), exact-substring dedup (must excise both
+    * copies), and bench decontamination (the 100k-token doc lands on the
+    * BENCH side of the doc_id % 40 split, so its 60k tied positions
+    * stress the union ranking while contributing no cross-set spans) —
+    * all flipping to the lifted LCP. */
   private val BigDocQueries = Seq(
-    "d48_suffix_lrs", "d51_exact_substring_dedup")
+    "d48_suffix_lrs", "d51_exact_substring_dedup",
+    "d53_bench_decontaminate")
 
   private def measure(spark: SparkSession, listener: MetricsListener,
                       dir: String, queries: Seq[String], tag: String): Unit = {
@@ -266,7 +271,11 @@ object ScaleStress {
       s""""$k":{"sec":${s2(sec)},"rows":$rows,"shuf_read_mb":${s2(sr)},""" +
         s""""shuf_write_mb":${s2(sw)},"spill_mb":${s2(sp)},"peak_task_mb":${s2(pk)}}"""
     }.mkString("{", ",", "}")
-    println(s"""SCALE {$tag,"queries":$qs}""")
+    // self-describing: a run at the wrong thread count must be visible in
+    // the evidence line itself (a silent local[4] fallback once produced
+    // 3x-inflated "skew" numbers that looked like an operator regression)
+    println(s"""SCALE {$tag,"cpus":${spark.sparkContext.defaultParallelism},""" +
+      s""""queries":$qs}""")
   }
 
   def main(args: Array[String]): Unit = {
