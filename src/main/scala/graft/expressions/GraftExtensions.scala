@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 /** Optimizer rule: rewrite the higher-order-function dot-product pattern
   *
@@ -55,13 +55,82 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
     }
 }
 
-/** Session extensions: the optimizer rule above plus SQL registration of
-  * `dot_product_double(a, b)` — install with
+/** Optimizer rule: rewrite the built-in set-similarity idioms over
+  * string arrays into the one-pass codegen'd kernels —
+  *
+  *   size(array_intersect(a, b)) / size(array_union(a, b))
+  *     → [[DistinctSetJaccard]](a, b)          (casts on either side ok)
+  *   size(array_intersect(a, b))
+  *     → [[DistinctSetOverlap]](a, b)          (anywhere it appears)
+  *
+  * Sound for ARBITRARY array<string> inputs (duplicates and null
+  * elements included): the kernels compute the distinct-set semantics
+  * the built-ins define, without materializing the two intermediate
+  * arrays per row (TextKernels scaladoc; DistinctSetJaccardSpec pins
+  * equality). The union side of the division accepts the operand pair
+  * in either order — both built-ins are symmetric in SIZE. The one
+  * divergence is division of 0 by 0 (two empty arrays): ANSI raises,
+  * the kernel yields NaN; a raise-vs-NaN difference only manifests on
+  * rows the similarity filter would drop anyway, and matches the
+  * [[RewriteHofDotProduct]] precedent of assuming the documented input
+  * contract. */
+object RewriteSetSimilarity extends Rule[LogicalPlan] {
+
+  private def stripCasts(e: Expression): Expression = e match {
+    case c: Cast => stripCasts(c.child)
+    case other => other
+  }
+
+  private def isStringArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  private def samePair(a1: Expression, b1: Expression,
+                       a2: Expression, b2: Expression): Boolean =
+    (a1.semanticEquals(a2) && b1.semanticEquals(b2)) ||
+      (a1.semanticEquals(b2) && b1.semanticEquals(a2))
+
+  // legacySizeOfNull=false only: under the legacy conf size(null) is -1
+  // while the kernels return null — the rewrite must not change that
+  private object SizeOfIntersect {
+    def unapply(e: Expression): Option[(Expression, Expression)] =
+      stripCasts(e) match {
+        case Size(ArrayIntersect(a, b), false)
+            if isStringArray(a) && isStringArray(b) => Some((a, b))
+        case _ => None
+      }
+  }
+
+  private object SizeOfUnion {
+    def unapply(e: Expression): Option[(Expression, Expression)] =
+      stripCasts(e) match {
+        case Size(ArrayUnion(a, b), false) => Some((a, b))
+        case _ => None
+      }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithPruning(_ => true) {
+      // full Jaccard idiom first (transformDown visits Divide before its
+      // Size children, so the standalone-overlap case can't shadow it)
+      case d @ Divide(SizeOfIntersect(a, b), SizeOfUnion(a2, b2), _)
+          if d.resolved && d.dataType == DoubleType && samePair(a, b, a2, b2) =>
+        DistinctSetJaccard(a, b)
+      case s @ Size(ArrayIntersect(a, b), false)
+          if s.resolved && isStringArray(a) && isStringArray(b) =>
+        DistinctSetOverlap(a, b)
+    }
+}
+
+/** Session extensions: the optimizer rules above plus SQL registration of
+  * the native kernels — install with
   * `SparkSession.builder.withExtensions(new GraftExtensions)` (done by
   * [[graft.GraftSession]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
+    e.injectOptimizerRule(_ => RewriteSetSimilarity)
     e.injectFunction((
       FunctionIdentifier("dot_product_double"),
       new ExpressionInfo(classOf[DotProductDouble].getName, "dot_product_double"),
@@ -70,5 +139,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("distinct_set_jaccard"),
+      new ExpressionInfo(classOf[DistinctSetJaccard].getName, "distinct_set_jaccard"),
+      (exprs: Seq[Expression]) => DistinctSetJaccard(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("distinct_set_overlap"),
+      new ExpressionInfo(classOf[DistinctSetOverlap].getName, "distinct_set_overlap"),
+      (exprs: Seq[Expression]) => DistinctSetOverlap(exprs(0), exprs(1))))
   }
 }

@@ -188,15 +188,19 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
-/** Exact Jaccard of two DISTINCT-element string arrays in ONE pass:
-  * |A∩B| by hash-set probe (build over the smaller side), |A∪B| by the
-  * inclusion–exclusion identity |A|+|B|−|A∩B| — arithmetically identical
-  * to size(array_intersect)/size(array_union) on distinct inputs (both
-  * operands here come from [[WordShingles]], which dedupes), including
-  * the 0/0 → NaN case for two empty arrays. The built-in pair allocates
-  * and materializes TWO result arrays per row and walks both inputs
-  * twice; this kernel allocates one set and no arrays. It sits on the
-  * LSH verification path — millions of candidate pairs on a dup-storm
+/** DISTINCT-set Jaccard of two string arrays in one pass per side:
+  * |distinct(A) ∩ distinct(B)| / |distinct(A) ∪ distinct(B)| — exactly
+  * size(array_intersect(a,b)) / size(array_union(a,b)) for ARBITRARY
+  * inputs (duplicates collapse, a null element counts once), which is
+  * what licenses [[RewriteSetSimilarity]] to substitute this kernel for
+  * the built-in idiom wherever it appears. Intersection by hash-set
+  * probe, union by the inclusion–exclusion identity |A|+|B|−|A∩B| over
+  * the DISTINCT counts. Two-empty-arrays gives 0/0 → NaN where the
+  * ANSI built-in division raises — strictly more lenient, and the
+  * operators filter empty shingle sets upstream anyway. The built-in
+  * pair allocates and materializes TWO result arrays per row; this
+  * kernel allocates two sets and no arrays. It sits on the LSH
+  * verification path — millions of candidate pairs on a dup-storm
   * corpus — so unlike the per-document kernels above it implements
   * doGenCode (the [[DotProductDouble]] doctrine: full codegen for
   * join-path kernels), delegating to a static JVM loop. */
@@ -232,8 +236,10 @@ case class DistinctSetJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** |A∩B| of two DISTINCT-element string arrays — the asymmetric-containment
-  * verification kernel (containment = overlap/|A| with |A| an O(1) size
+/** |distinct(A) ∩ distinct(B)| of two string arrays — exactly
+  * size(array_intersect(a,b)) for ARBITRARY inputs. The
+  * asymmetric-containment verification kernel (containment = overlap
+  * over whatever denominator the caller writes; |A| is an O(1) size
   * read, so only the intersection needs a pass). Same doctrine and same
   * hash-set loop as [[DistinctSetJaccard]]. */
 case class DistinctSetOverlap(left: Expression, right: Expression)
@@ -270,7 +276,11 @@ case class DistinctSetOverlap(left: Expression, right: Expression)
 
 /** Static kernels callable from generated code. */
 object TextKernels {
-  /** See [[DistinctSetOverlap]]. Null elements participate as a single
+  /** See [[DistinctSetOverlap]]: |distinct(A) ∩ distinct(B)|, duplicate-
+    * safe. Build a set over the smaller side, then count REMOVALS while
+    * walking the other — removal both dedupes the probe side and counts
+    * each common element exactly once; the set-emptied early exit bounds
+    * pathological long-probe rows. Null elements participate as a single
     * set member (HashSet admits null), matching array_intersect. */
   def distinctOverlap(x: ArrayData, y: ArrayData): Int = {
     val nx = x.numElements()
@@ -284,18 +294,40 @@ object TextKernels {
     }
     var inter = 0
     i = 0
-    while (i < nl) {
-      if (set.contains(if (l.isNullAt(i)) null else l.getUTF8String(i))) inter += 1
+    while (i < nl && !set.isEmpty) {
+      if (set.remove(if (l.isNullAt(i)) null else l.getUTF8String(i))) inter += 1
       i += 1
     }
     inter
   }
 
-  /** See [[DistinctSetJaccard]]: |A∩B| by hash-set probe, |A∪B| by
-    * inclusion–exclusion. */
+  /** See [[DistinctSetJaccard]]: distinct intersection and distinct
+    * union (inclusion–exclusion over the DISTINCT counts), duplicate-
+    * safe — |setA| is read off the built set, B's distinct count and the
+    * common count accumulate in one walk guarded by a B-side set. */
   def distinctJaccard(x: ArrayData, y: ArrayData): Double = {
-    val inter = distinctOverlap(x, y)
-    inter.toDouble / (x.numElements() + y.numElements() - inter)
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val setA = new java.util.HashSet[UTF8String](nx * 2)
+    var i = 0
+    while (i < nx) {
+      setA.add(if (x.isNullAt(i)) null else x.getUTF8String(i))
+      i += 1
+    }
+    val da = setA.size
+    val setB = new java.util.HashSet[UTF8String](ny * 2)
+    var inter = 0
+    var db = 0
+    i = 0
+    while (i < ny) {
+      val e = if (y.isNullAt(i)) null else y.getUTF8String(i)
+      if (setB.add(e)) {
+        db += 1
+        if (setA.contains(e)) inter += 1
+      }
+      i += 1
+    }
+    inter.toDouble / (da + db - inter)
   }
 }
 

@@ -4,87 +4,121 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import graft.SparkSpec
 
-/** [[DistinctSetJaccard]] must be arithmetically identical to the
-  * size(array_intersect)/size(array_union) pair it replaces on the LSH
-  * verification path — the oracle SQL still computes Jaccard the
-  * list_intersect/list_distinct way, so any divergence here would surface
-  * as a d07/d29/d40/d47/x33 hash mismatch at the driver gate. The
-  * DataFrame route exercises the codegen path (doGenCode), the direct
-  * kernel call the eval path. */
+/** [[DistinctSetJaccard]] / [[DistinctSetOverlap]] and the
+  * [[RewriteSetSimilarity]] optimizer rule. Ground truth is a plain Scala
+  * set model — it CANNOT be the built-in
+  * size(array_intersect)/size(array_union) idiom evaluated in-session,
+  * because the session installs GraftExtensions and the rule rewrites
+  * that idiom into the very kernel under test (a comparison would be
+  * vacuous). Comparing BOTH the kernel column and the built-in-idiom
+  * column against the model therefore pins the kernel arithmetic and the
+  * rewrite's semantics in one pass. The oracle SQL side still computes
+  * Jaccard via DuckDB list functions, so any divergence would also
+  * surface as a d07/d10/d29/d40/d44/d47/x33 hash mismatch at the driver
+  * gate. */
 class DistinctSetJaccardSpec extends SparkSpec {
 
-  private def viaBuiltins(a: Seq[String], b: Seq[String]): Double = {
-    val sess = SparkSpec.session
-    import sess.implicits._
-    Seq((a, b)).toDF("sa", "sb")
-      .select((size(array_intersect(col("sa"), col("sb"))).cast("double") /
-        size(array_union(col("sa"), col("sb")))).as("j"))
-      .head().getDouble(0)
+  private def modelJac(a: Seq[String], b: Seq[String]): Double = {
+    val sa = a.toSet
+    val sb = b.toSet
+    (sa & sb).size.toDouble / (sa | sb).size
   }
 
-  private def viaKernel(a: Seq[String], b: Seq[String]): Double = {
+  private def kernelDf(cases: Seq[(Seq[String], Seq[String])]) = {
     val sess = SparkSpec.session
     import sess.implicits._
-    Seq((a, b)).toDF("sa", "sb")
-      .select(TextExpressions.distinctSetJaccard(col("sa"), col("sb")).as("j"))
-      .head().getDouble(0)
+    // repartition blocks ConvertToLocalRelation from evaluating the whole
+    // projection at optimization time — the idiom columns must survive to
+    // the optimizer so RewriteSetSimilarity (a post-hoc batch) sees them
+    cases.toDF("sa", "sb").repartition(2).select(
+      TextExpressions.distinctSetJaccard(col("sa"), col("sb")).as("k"),
+      (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb")))).as("idiom"),
+      TextExpressions.distinctSetOverlap(col("sa"), col("sb")).as("ov"),
+      size(array_intersect(col("sa"), col("sb"))).as("ovIdiom"),
+      col("sa"), col("sb"))
   }
 
-  private val distinctArr: Gen[Seq[String]] =
-    Gen.listOf(Gen.oneOf((0 to 30).map(i => s"g$i"))).map(_.distinct)
+  // duplicates NOT removed — duplicate-safety is part of the contract
+  private val arr: Gen[Seq[String]] =
+    Gen.listOf(Gen.oneOf((0 to 20).map(i => s"g$i")))
 
-  test("kernel equals the built-in intersect/union pair on distinct arrays") {
-    // raw scalacheck generation with a fixed seed (the TablesSpec pattern)
-    // so the case set is deterministic; one DataFrame evaluates all cases
-    // through the codegen path in a single pass
+  test("kernel and rewritten idiom both match the Scala set model") {
     val seed = org.scalacheck.rng.Seed(4712L)
-    val cases = Gen.listOfN(60, Gen.zip(distinctArr, distinctArr))
+    val cases = Gen.listOfN(80, Gen.zip(arr, arr))
       .apply(Gen.Parameters.default, seed)
       .getOrElse(fail("generator exhausted"))
       .filter { case (a, b) => a.nonEmpty || b.nonEmpty }
-    assert(cases.size > 40)
-    val sess = SparkSpec.session
-    import sess.implicits._
-    val rows = cases.toDF("sa", "sb")
-      .select(
-        TextExpressions.distinctSetJaccard(col("sa"), col("sb")).as("k"),
-        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb")))).as("ref"),
-        TextExpressions.distinctSetOverlap(col("sa"), col("sb")).as("ov"),
-        size(array_intersect(col("sa"), col("sb"))).as("ovRef"),
-        col("sa"), col("sb"))
-      .collect()
-    rows.foreach { r =>
-      assert(r.getDouble(0) == r.getDouble(1),
-        s"jac: sa=${r.getSeq[String](4)} sb=${r.getSeq[String](5)}")
-      assert(r.getInt(2) == r.getInt(3),
-        s"overlap: sa=${r.getSeq[String](4)} sb=${r.getSeq[String](5)}")
+    assert(cases.size > 80 * 3 / 4)
+    assert(cases.exists { case (a, b) => a.size != a.distinct.size },
+      "seed must produce duplicate-bearing cases")
+    kernelDf(cases).collect().foreach { r =>
+      val (a, b) = (r.getSeq[String](4), r.getSeq[String](5))
+      val m = modelJac(a, b)
+      assert(r.getDouble(0) == m, s"kernel: sa=$a sb=$b")
+      assert(r.getDouble(1) == m, s"idiom-after-rewrite: sa=$a sb=$b")
+      val ov = (a.toSet & b.toSet).size
+      assert(r.getInt(2) == ov, s"overlap: sa=$a sb=$b")
+      assert(r.getInt(3) == ov, s"overlap-idiom: sa=$a sb=$b")
     }
   }
 
-  test("identical, disjoint, and subset shapes give exact values") {
-    assert(viaKernel(Seq("a", "b"), Seq("a", "b")) == 1.0)
-    assert(viaKernel(Seq("a"), Seq("b")) == 0.0)
-    assert(viaKernel(Seq("a"), Seq("a", "b", "c", "d")) == 0.25)
+  test("identical, disjoint, subset, and duplicate-bearing shapes are exact") {
+    // keyed by input — repartition scrambles row order
+    val byInput = kernelDf(Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a"), Seq("b")),
+      (Seq("a"), Seq("a", "b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("b", "b", "c"))))
+      .collect()
+      .map(r => (r.getSeq[String](4), r.getSeq[String](5)) ->
+        ((r.getDouble(0), r.getInt(2)))).toMap
+    assert(byInput((Seq("a", "b"), Seq("a", "b"))) == ((1.0, 2)))
+    assert(byInput((Seq("a"), Seq("b"))) == ((0.0, 0)))
+    assert(byInput((Seq("a"), Seq("a", "b", "c", "d"))) == ((0.25, 1)))
+    assert(byInput((Seq("a", "a", "b"), Seq("b", "b", "c"))) == ((1.0 / 3.0, 1)))
   }
 
-  test("two empty arrays give NaN (the built-in 0/0 raises under ANSI)") {
-    // the built-in division THROWS DIVIDE_BY_ZERO under Spark 4 ANSI mode;
-    // the kernel's Java division yields NaN, which fails every >= threshold
-    // filter — strictly more lenient, and unreachable in the operators
-    // anyway (the shingle table filters size(s) > 0 before any pairing)
-    assert(viaKernel(Nil, Nil).isNaN)
-    val ex = intercept[Exception](viaBuiltins(Nil, Nil))
-    assert(ex.getMessage.contains("DIVIDE_BY_ZERO"), ex.getMessage)
+  test("the optimizer rule rewrites the idiom in the plan") {
+    val sess = SparkSpec.session
+    import sess.implicits._
+    val df = Seq((Seq("a"), Seq("a"))).toDF("sa", "sb").repartition(2).select(
+      (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb")))).as("jac"),
+      size(array_intersect(col("sa"), col("sb"))).as("inter"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("distinct_set_jaccard"), optimized)
+    assert(optimized.contains("distinct_set_overlap"), optimized)
+    assert(!optimized.contains("array_union"), optimized)
+  }
+
+  test("two empty arrays give NaN from kernel AND rewritten idiom") {
+    // pre-rewrite the ANSI division raised DIVIDE_BY_ZERO here; the kernel
+    // yields NaN, which fails every >= threshold filter — strictly more
+    // lenient, unreachable in the operators (shingle tables filter
+    // size(s) > 0), and now pinned as the rewrite's one visible divergence
+    val rows = kernelDf(Seq((Seq.empty[String], Seq.empty[String]))).collect()
+    assert(rows.head.getDouble(0).isNaN)
+    assert(rows.head.getDouble(1).isNaN)
   }
 
   test("null input yields null") {
     val sess = SparkSpec.session
     import sess.implicits._
     val r = Seq((Some(Seq("a")), Option.empty[Seq[String]])).toDF("sa", "sb")
-      .select(TextExpressions.distinctSetJaccard(col("sa"), col("sb")).as("j"))
+      .select(TextExpressions.distinctSetJaccard(col("sa"), col("sb")).as("j"),
+        TextExpressions.distinctSetOverlap(col("sa"), col("sb")).as("o"))
       .head()
-    assert(r.isNullAt(0))
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("SQL registration: distinct_set_jaccard / distinct_set_overlap") {
+    val sess = SparkSpec.session
+    val r = sess.sql(
+      """SELECT distinct_set_jaccard(array('a','b'), array('b','c')) AS j,
+        |       distinct_set_overlap(array('a','b'), array('b','c')) AS o
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0 / 3.0 && r.getInt(1) == 1)
   }
 
   test("whole-stage codegen compiles the kernel call (no fallback plan)") {
