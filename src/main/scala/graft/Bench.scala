@@ -68,12 +68,20 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     var contractChecked = false
     var contractWarnings = 0
+    // the thread count the measured sessions ACTUALLY ran with (the first
+    // chunk's defaultParallelism — all chunks build identical sessions),
+    // not the env intent: a pre-existing SparkContext makes getOrCreate
+    // ignore the requested master, and that silent divergence is exactly
+    // what this field exists to expose
+    var threadsActual = 0
     val results = names.grouped(math.max(1, group)).flatMap { chunk =>
       val spark = GraftSession.local()
       // stop() in finally: a wedged chunk must not leak its SparkContext —
       // the next chunk's getOrCreate would silently reuse it, defeating
       // the session recycling this loop exists for
       try {
+        if (threadsActual == 0)
+          threadsActual = spark.sparkContext.defaultParallelism
         if (!contractChecked) {
           // announce testdata encoding drift up front (outside timings)
           contractWarnings = graft.sources.TableContracts.warn(spark, sfDir).size
@@ -121,7 +129,7 @@ object Bench {
     // silent local[4] fallback once inflated CPU-bound queries 3x, so the
     // artifact records it rather than leaving core count to assumption
     def line(qs: String, extra: String = ""): String =
-      s"""{"metric":"total","value":${s2(total)},"unit":"sec"$extra,"contracts":$contractWarnings,"threads":${GraftSession.resolvedCpus},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec"$extra,"contracts":$contractWarnings,"threads":$threadsActual,"queries":$qs,"sf":"$sfDir"}"""
     val full = line(qsJson(results))
     // the fallback keeps only the slowest 40 — flag it so consumers can
     // tell a partial map ("value" ≠ sum of entries) from a full one

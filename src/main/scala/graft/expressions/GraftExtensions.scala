@@ -69,11 +69,12 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   * arrays per row (TextKernels scaladoc; DistinctSetJaccardSpec pins
   * equality). The union side of the division accepts the operand pair
   * in either order — both built-ins are symmetric in SIZE. The one
-  * divergence is division of 0 by 0 (two empty arrays): ANSI raises,
-  * the kernel yields NaN; a raise-vs-NaN difference only manifests on
-  * rows the similarity filter would drop anyway, and matches the
-  * [[RewriteHofDotProduct]] precedent of assuming the documented input
-  * contract. */
+  * divergence is division of 0 by 0 (two empty arrays): the kernel
+  * returns NULL — the exact value legacy (non-ANSI) division and
+  * try_divide produce, so the rewrite is value-exact in those modes —
+  * where ANSI division raises; a raise-vs-NULL difference only
+  * manifests on rows a similarity filter drops anyway, and erring
+  * lenient matches the [[RewriteHofDotProduct]] precedent. */
 object RewriteSetSimilarity extends Rule[LogicalPlan] {
 
   private def stripCasts(e: Expression): Expression = e match {

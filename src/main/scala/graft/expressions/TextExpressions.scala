@@ -188,25 +188,12 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
-/** DISTINCT-set Jaccard of two string arrays in one pass per side:
-  * |distinct(A) ∩ distinct(B)| / |distinct(A) ∪ distinct(B)| — exactly
-  * size(array_intersect(a,b)) / size(array_union(a,b)) for ARBITRARY
-  * inputs (duplicates collapse, a null element counts once), which is
-  * what licenses [[RewriteSetSimilarity]] to substitute this kernel for
-  * the built-in idiom wherever it appears. Intersection by hash-set
-  * probe, union by the inclusion–exclusion identity |A|+|B|−|A∩B| over
-  * the DISTINCT counts. Two-empty-arrays gives 0/0 → NaN where the
-  * ANSI built-in division raises — strictly more lenient, and the
-  * operators filter empty shingle sets upstream anyway. The built-in
-  * pair allocates and materializes TWO result arrays per row; this
-  * kernel allocates two sets and no arrays. It sits on the LSH
-  * verification path — millions of candidate pairs on a dup-storm
-  * corpus — so unlike the per-document kernels above it implements
-  * doGenCode (the [[DotProductDouble]] doctrine: full codegen for
-  * join-path kernels), delegating to a static JVM loop. */
-case class DistinctSetJaccard(left: Expression, right: Expression)
-    extends BinaryExpression {
-
+/** Shared scaffolding for the binary string-array kernels below: the
+  * array<string>-pair type check and the codegen shape (delegate to a
+  * static [[TextKernels]] JVM loop inside whole-stage codegen — the
+  * [[DotProductDouble]] doctrine for join-path kernels, unlike the
+  * per-document CodegenFallback expressions above). */
+trait StringArrayPairExpression extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(StringType, _) => true
@@ -217,19 +204,49 @@ case class DistinctSetJaccard(left: Expression, right: Expression)
       s"$prettyName requires two array<string> inputs, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
+}
+
+/** DISTINCT-set Jaccard of two string arrays in one pass per side:
+  * |distinct(A) ∩ distinct(B)| / |distinct(A) ∪ distinct(B)| — exactly
+  * size(array_intersect(a,b)) / size(array_union(a,b)) for ARBITRARY
+  * inputs (duplicates collapse, a null element counts once), which is
+  * what licenses [[RewriteSetSimilarity]] to substitute this kernel for
+  * the built-in idiom wherever it appears. Intersection by hash-set
+  * probe, union by the inclusion–exclusion identity |A|+|B|−|A∩B| over
+  * the DISTINCT counts. Two EMPTY arrays give NULL — the same value the
+  * legacy (non-ANSI) division and try_divide produce for 0/0, so the
+  * rewrite is value-exact in those modes; under ANSI the built-in
+  * raises where this returns NULL, strictly more lenient (and
+  * null-propagating, unlike NaN, which would poison aggregates). The
+  * built-in pair allocates and materializes TWO result arrays per row;
+  * this kernel allocates two sets and no arrays. It sits on the LSH
+  * verification path — millions of candidate pairs on a dup-storm
+  * corpus. */
+case class DistinctSetJaccard(left: Expression, right: Expression)
+    extends StringArrayPairExpression {
+
   override def dataType: DataType = DoubleType
+  // NULL on null input OR two empty arrays (the 0/0 case)
+  override def nullable: Boolean = true
   override def prettyName: String = "distinct_set_jaccard"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    TextKernels.distinctJaccard(
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val j = TextKernels.distinctJaccard(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (java.lang.Double.isNaN(j)) null else j
+  }
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.expressions.TextKernels.distinctJaccard($a, $b);")
+      // the ratio of non-negative counts is NaN iff 0/0 (two empty
+      // distinct sets) — fold that into the null channel
+      s"""
+         |${ev.value} = graft.expressions.TextKernels.distinctJaccard($a, $b);
+         |${ev.isNull} = Double.isNaN(${ev.value});
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -243,18 +260,8 @@ case class DistinctSetJaccard(left: Expression, right: Expression)
   * read, so only the intersection needs a pass). Same doctrine and same
   * hash-set loop as [[DistinctSetJaccard]]. */
 case class DistinctSetOverlap(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends StringArrayPairExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(StringType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<string> inputs, " +
-        s"got ${left.dataType.sql} and ${right.dataType.sql}")
-  }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "distinct_set_overlap"
 

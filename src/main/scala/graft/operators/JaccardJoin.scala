@@ -94,7 +94,9 @@ object JaccardJoin {
     // same pair of fixes as MinHashDedup.verifiedPairs: pair rows are 16
     // bytes so byte-based AQE coalescing under-parallelizes the CPU-bound
     // set ops, and the built-in intersect/union pair materializes two
-    // throwaway arrays per candidate
+    // throwaway arrays per candidate (see the regime discussion there:
+    // round-robin by design; under a sort-merge verify join the spread
+    // degenerates to a cheap pass-through, not a pessimization)
     val jac = graft.expressions.TextExpressions
       .distinctSetJaccard(col("sa"), col("sb"))
     val spread = cand.repartition(

@@ -89,7 +89,13 @@ object MinHashDedup {
     // by contract). On
     // honest corpora the pair set is small and the extra exchange is
     // sub-millisecond noise; at cluster scale shuffle.partitions is the
-    // knob deployments already size to the data.
+    // knob deployments already size to the data. Round-robin (not
+    // hash(doc_a)) is deliberate: a guarded star's pairs share ONE doc_a,
+    // so key-hashing would re-concentrate exactly the storm this spreads.
+    // In the sort-merge regime (shingle table too big to broadcast) the
+    // verify join re-shuffles by key anyway — there the spread is a cheap
+    // 16-byte-row pass-through and AQE's skew-join split governs the
+    // star-key concentration instead.
     val spread = cand.repartition(
       docs.sparkSession.sessionState.conf.numShufflePartitions)
     val pairs = spread

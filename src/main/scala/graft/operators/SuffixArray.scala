@@ -413,9 +413,14 @@ object SuffixArray {
       .withColumn("__b",
         when(coalesce(col("__lp") >= minLen, lit(false)), 0L).otherwise(1L))
       .drop("__lp")
-    val grouped = PrefixSum.exclusivePrefixSum(bnd, "sa_pos", "__b", "__g0")
-      .withColumn("__run", col("__g0") + col("__b"))
-      .withColumn("__isb", when(isBench, 1).otherwise(0))
+    // pinned: the run table feeds BOTH the bench-member aggregate and
+    // the semi-join probe side; unpinned, the boundary join + two-pass
+    // prefix sum re-execute per consumer (the removeRepeatedSpans
+    // multi-consumer discipline)
+    val grouped = pinned(
+      PrefixSum.exclusivePrefixSum(bnd, "sa_pos", "__b", "__g0")
+        .withColumn("__run", col("__g0") + col("__b"))
+        .withColumn("__isb", when(isBench, 1).otherwise(0)))
     // runs are contiguous shared-prefix families; a run with a bench
     // member marks every non-bench member as a contaminated start. The
     // run aggregate is map-side combined; the join back is run-keyed

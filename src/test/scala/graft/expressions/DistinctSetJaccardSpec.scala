@@ -92,14 +92,16 @@ class DistinctSetJaccardSpec extends SparkSpec {
     assert(!optimized.contains("array_union"), optimized)
   }
 
-  test("two empty arrays give NaN from kernel AND rewritten idiom") {
-    // pre-rewrite the ANSI division raised DIVIDE_BY_ZERO here; the kernel
-    // yields NaN, which fails every >= threshold filter — strictly more
-    // lenient, unreachable in the operators (shingle tables filter
-    // size(s) > 0), and now pinned as the rewrite's one visible divergence
+  test("two empty arrays give NULL from kernel AND rewritten idiom") {
+    // the 0/0 case: legacy (non-ANSI) division and try_divide both give
+    // NULL, so the kernel returning NULL keeps the rewrite value-exact in
+    // those modes; under ANSI the built-in raised DIVIDE_BY_ZERO where
+    // this propagates NULL — strictly more lenient, unreachable in the
+    // operators (shingle tables filter size(s) > 0), and pinned here as
+    // the rewrite's one visible divergence
     val rows = kernelDf(Seq((Seq.empty[String], Seq.empty[String]))).collect()
-    assert(rows.head.getDouble(0).isNaN)
-    assert(rows.head.getDouble(1).isNaN)
+    assert(rows.head.isNullAt(0))
+    assert(rows.head.isNullAt(1))
   }
 
   test("null input yields null") {

@@ -21,17 +21,20 @@ class JaccardJoinSpec extends SparkSpec {
       Seq((i.toLong * 2, words.mkString(" ")), (i.toLong * 2 + 1, copy.mkString(" ")))
     }.toDF("doc_id", "text")
 
+    // naive reference computed with PLAIN SCALA sets over the collected
+    // shingle table: the in-session array_intersect/array_union idiom is
+    // rewritten by RewriteSetSimilarity into the very kernel the operator
+    // uses, which would make this equivalence test vacuous for the
+    // verification arithmetic (the DistinctSetJaccardSpec lesson)
     def naive(threshold: Double) = {
       val sh = docs.withColumn("toks", tokens(col("text")))
         .select(col("doc_id"), shingles(col("toks"), 3).as("s"))
         .filter(size(col("s")) > 0)
-      sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          (size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
-            size(array_union(col("x.s"), col("y.s")))).as("jac"))
-        .filter(col("jac") >= threshold)
-        .select(col("doc_a"), col("doc_b"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      (for {
+        (a, sa) <- sh; (b, sb) <- sh if a < b
+        if (sa & sb).size.toDouble / (sa | sb).size >= threshold
+      } yield (a, b)).toSet
     }
 
     Seq(0.5, 0.8).foreach { t =>
@@ -61,17 +64,17 @@ class JaccardJoinSpec extends SparkSpec {
         (i.toLong * 3 + 2, host.mkString(" ")))
     }.toDF("doc_id", "text")
 
+    // plain-Scala reference (see the Jaccard test for why the in-session
+    // idiom can't serve as an independent baseline)
     def naive(threshold: Double) = {
       val sh = docs.withColumn("toks", tokens(col("text")))
         .select(col("doc_id"), shingles(col("toks"), 3).as("s"))
         .filter(size(col("s")) > 0)
-      sh.as("x").join(sh.as("y"), col("x.doc_id") =!= col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_inner"), col("y.doc_id").as("doc_outer"),
-          (size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
-            size(col("x.s"))).as("c"))
-        .filter(col("c") >= threshold)
-        .select(col("doc_inner"), col("doc_outer"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      (for {
+        (a, sa) <- sh; (b, sb) <- sh if a != b
+        if (sa & sb).size.toDouble / sa.size >= threshold
+      } yield (a, b)).toSet
     }
 
     Seq(0.7, 0.9).foreach { t =>
@@ -116,12 +119,11 @@ class JaccardJoinSpec extends SparkSpec {
       val sh = docs.withColumn("toks", tokens(col("text")))
         .select(col("doc_id"), shingles(col("toks"), 3).as("s"))
         .filter(size(col("s")) > 0)
-      val naive = sh.as("x").join(sh.as("y"), col("x.doc_id") =!= col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          (size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
-            size(col("x.s"))).as("c"))
-        .filter(col("c") >= 0.8)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      val naive = (for {
+        (a, sa) <- sh; (b, sb) <- sh if a != b
+        if (sa & sb).size.toDouble / sa.size >= 0.8
+      } yield (a, b)).toSet
       val got = JaccardJoin.containmentPairs(docs, 0.8)
         .select("doc_inner", "doc_outer")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
