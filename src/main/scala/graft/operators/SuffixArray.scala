@@ -166,7 +166,7 @@ object SuffixArray {
       fullRanks = (active :: resolvedPieces).reduce(_ unionByName _)
       step *= 2
       snapshots ::= step -> fullRanks
-      if (upd.filter(col("__c") > 1).isEmpty) done = true
+      if (active.isEmpty) done = true
       else if (sys.env.contains("GRAFT_SA_DEBUG"))
         println(f"[sa] step=$step ${(System.nanoTime() - t0) / 1e9}%.2f s active=${active.count()}")
     }
