@@ -101,7 +101,11 @@ object TextFunctions {
     * inputs shorter than k yield an empty array (an unclamped
     * `sequence(1, size-k+1)` would COUNT DOWN for short inputs — Spark's
     * sequence defaults to step -1 when start > stop — and element_at(0)
-    * throws). */
+    * throws). `toks` MUST be a materialized attribute (a prior
+    * `.withColumn`/`.select` alias), never an inline `tokens(text)`
+    * subtree: each of the k element_at's re-evaluates its argument, so an
+    * inline split() runs k times per window — measured 19 s vs 1.1 s for
+    * the x34 window index over the same corpus. */
   def orderedGrams(toks: Column, k: Int): Column =
     when(size(toks) < k, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), size(toks) - (k - 1)),

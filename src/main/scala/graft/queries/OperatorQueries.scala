@@ -1745,6 +1745,98 @@ object OperatorQueries {
       .orderBy("doc_id")
   }
 
+  /** Streaming curated ingest WITH the incremental exact-substring
+    * DECONTAMINATION gate — the delta-vs-index counterpart of d53's
+    * union-suffix-array batch job, at the grain a 100 TB corpus actually
+    * grows: [[graft.streaming.CurationStream.curateBatchDecontam]] runs
+    * x32's scrub → gate → exact-dedup → committed-fp anti-join, then
+    * EXCISES from each batch survivor every token covered by a 13-token
+    * window already present in the committed corpus (the d53 equivalence
+    * makes the fixed-13 window join an exact mask for shared spans of
+    * ANY length ≥ 13), committing the cleaned text. The same
+    * checkpoint-loss replay as x32/x33 proves the composition — including
+    * the recomputed mask — is absorbed by the table log as a no-op.
+    *
+    * The oracle mirrors batch-equivalently: first-arriving wave owns a
+    * fingerprint, wave-1 survivors' distinct 13-windows form the hot set,
+    * wave-2 survivors' covered positions are masked and the kept tokens
+    * re-join (the d41/d53 string_agg pattern). The hash gate covers the
+    * FULL cleaned string, so a one-token-off window boundary, a mask
+    * against the wrong wave, or a replay leak fails the round.
+    *
+    * Scale: per batch the window join's delta side is the day's volume;
+    * the corpus side reads only the table's text column (at 100 TB the
+    * window-fingerprint index — linear in corpus tokens — would be
+    * materialized alongside the corpus, the x33 index adjudication), and
+    * the mask/rebuild is d51's linear per-document pass. */
+  val streamCuratedIngestDecontam = OracleQuery(
+    "x34_stream_curated_ingest_decontam",
+    s"""WITH scrub AS (
+       |  SELECT doc_id,
+       |    regexp_replace(nfc_normalize(text), '${TextQueries.CtrlClassSql}', '', 'g') AS text
+       |  FROM documents),
+       |t0 AS (SELECT doc_id, text, ${TextQueries.tokSql} AS toks FROM scrub),
+       |v AS (
+       |  SELECT doc_id, text, toks, len(toks) AS n_tokens,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS alpha_ratio,
+       |    ${TextQueries.langScoreColsSql}
+       |  FROM t0),
+       |vb AS (SELECT *, ${TextQueries.langBestSql} AS best FROM v),
+       |st1 AS (
+       |  SELECT doc_id, text, toks, n_tokens FROM vb
+       |  WHERE n_tokens >= 20 AND alpha_ratio >= 0.5
+       |    AND ${TextQueries.langCaseSql} <> 'und'),
+       |f AS (
+       |  SELECT doc_id, text, toks, CAST(n_tokens AS INT) AS n_tokens,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS ingest_batch
+       |  FROM st1),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY fp
+       |                                   ORDER BY ingest_batch, doc_id) AS rn
+       |      FROM f),
+       |surv AS (SELECT doc_id, text, toks, n_tokens, fp, ingest_batch
+       |         FROM r WHERE rn = 1),
+       |p1 AS (SELECT doc_id, toks, ingest_batch,
+       |         unnest(generate_series(1, len(toks) - 12)) AS i
+       |       FROM surv WHERE len(toks) >= 13),
+       |w AS (SELECT doc_id, ingest_batch, i,
+       |        array_to_string(toks[i : i + 12], ' ') AS g
+       |      FROM p1),
+       |hot AS (SELECT DISTINCT g FROM w WHERE ingest_batch = 0),
+       |cov AS (SELECT DISTINCT s.doc_id, s.i + k AS pos
+       |        FROM w s JOIN hot USING (g), generate_series(0, 12) g2(k)
+       |        WHERE s.ingest_batch = 1),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok,
+       |          unnest([i for i in generate_series(1, len(toks))]) AS pos
+       |        FROM surv WHERE ingest_batch = 1),
+       |keep AS (
+       |  SELECT tok.doc_id, tok.pos, tok.tok
+       |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+       |  WHERE cov.pos IS NULL),
+       |a AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+       |  FROM keep GROUP BY 1)
+       |SELECT s.doc_id, s.fp, s.n_tokens,
+       |  CAST(CASE WHEN s.ingest_batch = 1
+       |       THEN s.n_tokens - coalesce(a.n_kept, 0) ELSE 0 END AS INT)
+       |    AS n_removed,
+       |  CASE WHEN s.ingest_batch = 1 THEN coalesce(a.cleaned_text, '')
+       |       ELSE s.text END AS text,
+       |  s.ingest_batch
+       |FROM surv s LEFT JOIN a ON s.doc_id = a.doc_id
+       |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+    val w1 = docLanding(s, d, "curwave1", _.filter(col("doc_id") % 3 =!= 0))
+    val w2 = docLanding(s, d, "curwave2", _.filter(col("doc_id") % 3 === 0))
+    val base = Scratch.dir("cur_ingest_dc")
+    graft.streaming.CurationStream.runCuratedTwoWaveIngestDecontam(
+      w1, w2, s"$base/t", s"$base/ckpt", "x34_ingest", s)
+    graft.sources.TxnLake.read(s, s"$base/t")
+      .select("doc_id", "fp", "n_tokens", "n_removed", "text", "ingest_batch")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -1753,5 +1845,6 @@ object OperatorQueries {
       streamStaticEnrich, streamOuterJoin, streamTxnIngest, ivfPqAnn,
       txnDataSkipping, txnChangeFeed, incrementalMv, streamCdfMv,
       txnExpectations, txnSchemaEvolution, txnRestore, imagePHashDedup,
-      streamCuratedIngest, streamCuratedIngestNearDup)
+      streamCuratedIngest, streamCuratedIngestNearDup,
+      streamCuratedIngestDecontam)
 }

@@ -140,6 +140,114 @@ object CurationStream {
       lit(batchId).cast("int").as("ingest_batch"))
   }
 
+  /** INCREMENTAL exact-substring decontamination at the streaming grain
+    * (x34) — the delta-vs-index counterpart of d53's union-suffix-array
+    * batch job, the way a 100 TB corpus actually grows: a new crawl
+    * snapshot is screened against the ALREADY-COMMITTED corpus without
+    * re-ranking the union. [[curateBatch]]'s scrub → gate → exact-dedup →
+    * committed-fp anti-join stages run unchanged; then every token of a
+    * surviving batch document covered by a `window`-token span that
+    * already occurs in the committed table is EXCISED (not the whole doc
+    * dropped — the d41/d51/d53 cleaning doctrine), and the cleaned text
+    * is what commits. Masking exactly-`window` shared windows covers
+    * every shared span of length ≥ `window` (the d53 equivalence: any
+    * covered position lies in some `window`-sub-window of its span, and
+    * a sub-window of a shared span is shared), so the fixed-length gram
+    * join is an EXACT arbitrary-length mask, with no suffix machinery
+    * per batch.
+    *
+    * The committed corpus' window set is recomputed from the table's
+    * `text` column — the same "the table IS its own index" adjudication
+    * as the x33 LSH probe; at 100 TB a production pipeline would
+    * materialize the window-fingerprint index alongside the corpus
+    * (linear in corpus tokens) and this probe becomes one fp-keyed
+    * equi-join whose delta side is the day's volume. Batch docs are NOT
+    * decontaminated against each other (that is d51's corpus-internal
+    * batch job; keeping the gates orthogonal keeps each oracle exact).
+    * The interval-union mask and rebuild are
+    * [[graft.operators.SuffixArray.removeCoveredTokens]] — one linear
+    * per-document window pass, shared verbatim with d51/d53. */
+  def curateBatchDecontam(batch: DataFrame, table: String, batchId: Long,
+                          window: Int = 13): DataFrame = {
+    val s = batch.sparkSession
+    val scrubbed = batch.select(col("doc_id"),
+      regexp_replace(
+        graft.expressions.TextExpressions.nfcNormalize(col("text")),
+        graft.functions.TextFunctions.CtrlClassSpark, "").as("text"))
+    val gated = scrubbed
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
+          / length(col("text")))
+      .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.5
+        && langId(col("toks")) =!= "und")
+      .withColumn("fp", fingerprint(col("text")))
+      .select("doc_id", "fp", "n_tokens", "text")
+    val canon = gated.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val survivors = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+    val committed =
+      if (TxnLake.latestVersion(s, table).isDefined)
+        Some(TxnLake.read(s, table))
+      else None
+    committed match {
+      case None => // first batch founds the corpus: nothing to share with
+        survivors.select(col("doc_id"), col("fp"), col("n_tokens"),
+          lit(0).cast("int").as("n_removed"), col("text"),
+          lit(batchId).cast("int").as("ingest_batch"))
+      case Some(tbl) =>
+        // pinned: the gate/canon/anti-join tier below feeds THREE
+        // consumers of this plan (the window explode, the mask's token
+        // positions, and the final join back), and the expectations
+        // commit then evaluates the returned plan itself for both the
+        // quarantine count and the target write (the Expectations
+        // "persist expensive upstreams" contract — the same eager
+        // materialization x33's incrementalMatches probe does)
+        val afterExact = org.apache.spark.sql.GraftCheckpointShim
+          .dropCarriedStats(survivors
+            .join(tbl.select("fp"), Seq("fp"), "left_anti").localCheckpoint())
+        // committed window set — distinct space-joined `window`-grams of
+        // the table's text (injective for equality: tokens are \s+-split,
+        // so the separator can't be confused with token content). The
+        // token array MUST be a materialized projection before
+        // orderedGrams: passing the split() subtree as `toks` makes every
+        // element_at re-run the regex split — 13 re-splits per window,
+        // measured 20 s vs sub-second on this corpus (the winnowing
+        // doctrine in TextFunctions).
+        val hot = tbl
+          .select(tokens(col("text")).as("__t"))
+          .select(explode(orderedGrams(col("__t"), window)).as("__g"))
+          .distinct()
+        val docsT = afterExact.select(col("doc_id"), tokens(col("text")).as("toks"))
+        // at most one span per (doc_id, pos): gram positions are unique
+        val spans = docsT
+          .select(col("doc_id"),
+            posexplode(orderedGrams(col("toks"), window)).as(Seq("__p0", "__g")))
+          .join(hot, Seq("__g"))
+          .select(col("doc_id"), (col("__p0") + 1).as("pos"),
+            (col("__p0") + 1 + window).as("__end"))
+        val cleaned = graft.operators.SuffixArray
+          .removeCoveredTokens(docsT, spans)
+        org.apache.spark.sql.GraftCheckpointShim.dropCarriedStats(afterExact
+          .join(cleaned.select(col("doc_id"), col("n_removed"),
+            col("cleaned_text")), Seq("doc_id"))
+          .select(col("doc_id"), col("fp"), col("n_tokens"),
+            col("n_removed").cast("int").as("n_removed"),
+            col("cleaned_text").as("text"),
+            lit(batchId).cast("int").as("ingest_batch"))
+          .localCheckpoint())
+    }
+  }
+
+  /** [[runCuratedTwoWaveIngest]] with the incremental exact-substring
+    * decontamination gate ([[curateBatchDecontam]]) — the x34 shape, same
+    * exactly-once + checkpoint-loss-replay proof. */
+  def runCuratedTwoWaveIngestDecontam(wave1Dir: String, wave2Dir: String,
+                                      table: String, checkpointDir: String,
+                                      appId: String, spark: SparkSession): Unit =
+    runTwoWave(wave1Dir, wave2Dir, table, checkpointDir, appId, spark,
+      curateBatchDecontam(_, _, _))
+
   /** Drive the curated ingest over TWO waves (each exactly one micro-batch
     * — files land between `processAllAvailable` barriers, and each wave's
     * landing is a single coalesced file), committing each batch through

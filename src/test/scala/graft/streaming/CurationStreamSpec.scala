@@ -79,4 +79,52 @@ class CurationStreamSpec extends SparkSpec {
     // the table carries the scrubbed text (it is its own LSH index)
     assert(TxnLake.read(spark, table).columns.contains("text"))
   }
+
+  test("decontam gate excises exactly the committed shared span from a wave-2 doc") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("cur_stream_dc_spec").toString
+    // a 13-token run shared verbatim between a wave-1 doc and a wave-2 doc
+    val run = Seq("the", "quick", "brown", "fox", "jumps", "over", "the",
+      "lazy", "dog", "while", "birds", "sing", "songs")
+    val w1text = (run ++ Seq("and", "the", "cat", "naps", "on", "a", "warm",
+      "mat", "today", "happily")).mkString(" ")
+    val pre = Seq("every", "morning", "in", "summer", "we", "watch", "as",
+      "they", "play")
+    val post = Seq("before", "dusk", "falls", "again")
+    val w2contaminated = (pre ++ run ++ post).mkString(" ")
+    val w2fresh = Seq("completely", "different", "words", "for", "another",
+      "story", "about", "boats", "on", "rivers", "that", "flow", "to",
+      "distant", "seas", "under", "grey", "skies", "where", "sailors",
+      "watch", "for", "land", "and", "dream", "of", "home", "ports",
+      "every", "night").mkString(" ")
+    def land(dir: String, rows: Seq[(Long, String)]): String = {
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("spec").as("source"), length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.parquet(dir)
+      dir
+    }
+    val w1 = land(s"$base/w1", Seq(1L -> w1text))
+    val w2 = land(s"$base/w2", Seq(2L -> w2contaminated, 3L -> w2fresh))
+    val table = s"$base/t"
+    CurationStream.runCuratedTwoWaveIngestDecontam(
+      w1, w2, table, s"$base/ckpt", "spec_dc_ingest", spark)
+    val rows = TxnLake.read(spark, table)
+      .select("doc_id", "ingest_batch", "n_removed", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), s"got ${rows.keySet}")
+    // wave 1 founds the corpus untouched
+    assert(rows(1L) == ((0, 0, w1text)))
+    // the contaminated doc commits CLEANED: exactly the 13 shared tokens
+    // excised (only the window aligned with the run matches — one token
+    // either side differs between the docs), survivors re-joined
+    assert(rows(2L) == ((1, 13, (pre ++ post).mkString(" "))),
+      s"got ${rows(2L)}")
+    // the fresh doc passes whole (rebuilt from its tokens, here identical)
+    assert(rows(3L) == ((1, 0, w2fresh)))
+    // replay proof: exactly versions 0 and 1
+    assert(TxnLake.latestVersion(spark, table).contains(1L))
+  }
 }
