@@ -127,4 +127,67 @@ class CurationStreamSpec extends SparkSpec {
     // replay proof: exactly versions 0 and 1
     assert(TxnLake.latestVersion(spark, table).contains(1L))
   }
+
+  test("decontam ingest equals the suffix-array decontamination (cross-algorithm)") {
+    // x34's 13-window equi-join mask and d53's union-suffix-array mask
+    // (SuffixArray.removeSharedSpans) implement the SAME semantics by the
+    // exactly-L-window equivalence — two independent algorithms, one
+    // answer. Seeded corpus: gate-passing stopword-heavy docs, a 14-token
+    // run planted across both waves (longer than the window, so the
+    // arbitrary-length path must agree with the fixed-13 mask), every doc
+    // made distinct so the exact-dedup stage drops nothing.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(24601L)
+    val vocab = Vector("the", "and", "of", "to", "in", "river", "stone",
+      "light", "garden", "window", "carries", "morning", "quiet", "voices")
+    val planted = Vector("the", "old", "mill", "by", "the", "river", "turns",
+      "slowly", "under", "grey", "skies", "every", "cold", "morning")
+    def mkDoc(id: Long, plant: Boolean): (Long, String) = {
+      val n = 24 + rnd.nextInt(16)
+      val body = Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val withRun =
+        if (plant) {
+          val at = rnd.nextInt(body.size - 1) + 1
+          body.take(at) ++ planted ++ body.drop(at)
+        } else body
+      // unique head token keeps every fingerprint distinct
+      id -> (s"uniq${('a' + id).toChar}doc" +: withRun).mkString(" ")
+    }
+    val wave1 = (0L until 12L by 2).map(i => mkDoc(i, plant = i % 4 == 0))
+    val wave2 = (1L until 12L by 2).map(i => mkDoc(i, plant = i % 3 == 0))
+    val base = Files.createTempDirectory("cur_stream_xalg_spec").toString
+    def land(dir: String, rows: Seq[(Long, String)]): String = {
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("spec").as("source"), length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.parquet(dir)
+      dir
+    }
+    val w1 = land(s"$base/w1", wave1)
+    val w2 = land(s"$base/w2", wave2)
+    val table = s"$base/t"
+    CurationStream.runCuratedTwoWaveIngestDecontam(
+      w1, w2, table, s"$base/ckpt", "spec_xalg_ingest", spark)
+    val got = TxnLake.read(spark, table)
+      .filter(col("ingest_batch") === 1)
+      .select("doc_id", "n_removed", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    // suffix-array path over the SAME union corpus, bench = wave 1
+    val all = (wave1 ++ wave2).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val expected = graft.operators.SuffixArray
+      .removeSharedSpans(all, col("doc_id") % 2 === 0, minLen = 13)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getString(3)))).toMap
+    assert(got.keySet == expected.keySet,
+      s"wave-2 survivor sets diverge: ${got.keySet} vs ${expected.keySet}")
+    got.keySet.foreach { id =>
+      assert(got(id) == expected(id),
+        s"doc $id: window-join gave ${got(id)}, suffix array gave ${expected(id)}")
+    }
+    // the planted run actually bit: some wave-2 doc lost >= 14 tokens
+    assert(got.values.exists(_._1 >= 14), s"plant never fired: $got")
+  }
 }
