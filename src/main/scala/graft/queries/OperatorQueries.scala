@@ -1765,9 +1765,9 @@ object OperatorQueries {
     * against the wrong wave, or a replay leak fails the round.
     *
     * Scale: per batch the window join's delta side is the day's volume;
-    * the corpus side reads only the table's text column (at 100 TB the
-    * window-fingerprint index — linear in corpus tokens — would be
-    * materialized alongside the corpus, the x33 index adjudication), and
+    * the corpus side is the MATERIALIZED `_windex` sibling table the sink
+    * maintains (one exactly-once append per batch, watermark-reconciled
+    * on replay/loss — linear in corpus tokens, never re-tokenized), and
     * the mask/rebuild is d51's linear per-document pass. */
   val streamCuratedIngestDecontam = OracleQuery(
     "x34_stream_curated_ingest_decontam",

@@ -156,14 +156,18 @@ object CurationStream {
     * join is an EXACT arbitrary-length mask, with no suffix machinery
     * per batch.
     *
-    * The committed corpus' window set is recomputed from the table's
-    * `text` column — the same "the table IS its own index" adjudication
-    * as the x33 LSH probe; at 100 TB a production pipeline would
-    * materialize the window-fingerprint index alongside the corpus
-    * (linear in corpus tokens) and this probe becomes one fp-keyed
-    * equi-join whose delta side is the day's volume. Batch docs are NOT
-    * decontaminated against each other (that is d51's corpus-internal
-    * batch job; keeping the gates orthogonal keeps each oracle exact).
+    * The committed corpus' window set comes from the MATERIALIZED
+    * [[windowIndexPath]] table the x34 sink maintains (one exactly-once
+    * append of the batch's own windows per commit) — so the probe is one
+    * keyed semi-join whose build cost is the day's delta, and the corpus
+    * text is never re-tokenized per batch; that index is linear in
+    * corpus tokens, the structure a production pipeline carries
+    * alongside the corpus. (x33's LSH probe still recomputes band keys
+    * from the table's text — "the table IS its own index" — the
+    * adjudicated-but-weaker shape this query upgrades.) Batch docs are
+    * NOT decontaminated against each other (that is d51's
+    * corpus-internal batch job; keeping the gates orthogonal keeps each
+    * oracle exact).
     * The interval-union mask and rebuild are
     * [[graft.operators.SuffixArray.removeCoveredTokens]] — one linear
     * per-document window pass, shared verbatim with d51/d53. */
@@ -206,24 +210,36 @@ object CurationStream {
         val afterExact = org.apache.spark.sql.GraftCheckpointShim
           .dropCarriedStats(survivors
             .join(tbl.select("fp"), Seq("fp"), "left_anti").localCheckpoint())
-        // committed window set — distinct space-joined `window`-grams of
-        // the table's text (injective for equality: tokens are \s+-split,
-        // so the separator can't be confused with token content). The
-        // token array MUST be a materialized projection before
-        // orderedGrams: passing the split() subtree as `toks` makes every
-        // element_at re-run the regex split — 13 re-splits per window,
-        // measured 20 s vs sub-second on this corpus (the winnowing
-        // doctrine in TextFunctions).
-        val hot = tbl
-          .select(tokens(col("text")).as("__t"))
-          .select(explode(orderedGrams(col("__t"), window)).as("__g"))
-          .distinct()
+        // committed window set — space-joined `window`-grams of the
+        // committed corpus (injective for equality: tokens are \s+-split,
+        // so the separator can't be confused with token content).
+        // Primary source: the MATERIALIZED window index the x34 sink
+        // maintains (one exactly-once append per committed batch), so the
+        // probe never re-tokenizes the corpus — per-batch cost scales
+        // with the delta plus one fp-keyed join against the index, the
+        // 100 TB shape. Fallback (index absent — only reachable mid-heal
+        // of a crashed sink invocation, which streaming retries before
+        // advancing the checkpoint): recompute from the table's text,
+        // identical semantics. The token array MUST be a materialized
+        // projection before orderedGrams: passing the split() subtree as
+        // `toks` makes every element_at re-run the regex split — 13
+        // re-splits per window, measured 20 s vs sub-second here.
+        val windex = windowIndexPath(table)
+        val hot =
+          if (TxnLake.latestVersion(s, windex).isDefined)
+            TxnLake.read(s, windex).select("__g")
+          else tbl
+            .select(tokens(col("text")).as("__t"))
+            .select(explode(orderedGrams(col("__t"), window)).as("__g"))
         val docsT = afterExact.select(col("doc_id"), tokens(col("text")).as("toks"))
         // at most one span per (doc_id, pos): gram positions are unique
+        // and the SEMI join can't duplicate them (the index dedups per
+        // batch, not globally — an inner join would mint one span per
+        // duplicate index row)
         val spans = docsT
           .select(col("doc_id"),
             posexplode(orderedGrams(col("toks"), window)).as(Seq("__p0", "__g")))
-          .join(hot, Seq("__g"))
+          .join(hot, Seq("__g"), "left_semi")
           .select(col("doc_id"), (col("__p0") + 1).as("pos"),
             (col("__p0") + 1 + window).as("__end"))
         val cleaned = graft.operators.SuffixArray
@@ -239,14 +255,71 @@ object CurationStream {
     }
   }
 
+  /** Sibling window-index table for `table`: one row per distinct
+    * 13-window of each committed batch's text — the materialized index a
+    * production decontamination pipeline maintains alongside the corpus
+    * (linear in corpus tokens), so each batch's probe is one keyed join,
+    * never a corpus re-tokenization. */
+  def windowIndexPath(table: String): String = table + "_windex"
+
+  /** The index increment for `batchId`: distinct `window`-token windows
+    * of the rows `table` actually committed for that batch. Reading the
+    * TABLE (not the curated batch plan) scopes the windows to
+    * expectation-PASSING rows only — quarantined rows never index — and
+    * makes the heal path below self-contained (it can rebuild the
+    * increment from the log alone). */
+  private def batchWindows(spark: SparkSession, table: String,
+                           batchId: Long, window: Int): DataFrame =
+    TxnLake.read(spark, table)
+      .filter(col("ingest_batch") === batchId)
+      .select(tokens(col("text")).as("__t"))
+      .select(explode(orderedGrams(col("__t"), window)).as("__g"))
+      .distinct()
+
   /** [[runCuratedTwoWaveIngest]] with the incremental exact-substring
     * decontamination gate ([[curateBatchDecontam]]) — the x34 shape, same
-    * exactly-once + checkpoint-loss-replay proof. */
+    * exactly-once + checkpoint-loss-replay proof, PLUS the window-index
+    * maintenance: each batch lands TWO exactly-once commits, the corpus
+    * rows under (appId, batchId) and the batch's window increment under
+    * (appId#windex, batchId). Corpus first — once the corpus txn is
+    * present the batch's rows are final — then the index RECONCILES to
+    * the corpus txn watermark: every increment the index log is missing
+    * rebuilds from the table's own ingest_batch column. That watermark
+    * scan (not a this-batch-only check) is what makes every interleaving
+    * heal: a crash between the two commits retries into the index-only
+    * path, a crash PLUS checkpoint loss re-delivers everything as batch 0
+    * yet still back-fills the crashed batch's increment, and even a fully
+    * lost index table rebuilds from the corpus on the next sink
+    * invocation. */
   def runCuratedTwoWaveIngestDecontam(wave1Dir: String, wave2Dir: String,
                                       table: String, checkpointDir: String,
-                                      appId: String, spark: SparkSession): Unit =
-    runTwoWave(wave1Dir, wave2Dir, table, checkpointDir, appId, spark,
-      curateBatchDecontam(_, _, _))
+                                      appId: String, spark: SparkSession): Unit = {
+    val windex = windowIndexPath(table)
+    val sink = (batch: DataFrame, batchId: Long) => {
+      val s = batch.sparkSession
+      if (!TxnLake.lastTxn(s, table, appId).exists(_ >= batchId)) {
+        Expectations.commitOnceWithExpectations(
+          s, curateBatchDecontam(batch, table, batchId),
+          table, "append", appId, batchId, IngestExpectations)
+      }
+      // Reconcile the index to the corpus txn WATERMARK, not just this
+      // batchId: a crash after the corpus commit combined with a
+      // checkpoint loss re-delivers everything as batch 0, and a
+      // "this-batch-only" check would skip the crashed batch's increment
+      // forever (future probes would silently under-mask). Each missing
+      // increment rebuilds from the table's own ingest_batch column —
+      // corpus batch ids are the streaming batch sequence 0..C under
+      // this appId, so the gap scan is exact.
+      val c = TxnLake.lastTxn(s, table, appId).getOrElse(-1L)
+      val w = TxnLake.lastTxn(s, windex, appId + "#windex").getOrElse(-1L)
+      ((w + 1) to c).foreach { b =>
+        TxnLake.commitOnce(s, batchWindows(s, table, b, 13), windex,
+          "append", appId + "#windex", b)
+      }
+      ()
+    }
+    runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark, sink)
+  }
 
   /** Drive the curated ingest over TWO waves (each exactly one micro-batch
     * — files land between `processAllAvailable` barriers, and each wave's
@@ -271,6 +344,34 @@ object CurationStream {
                          table: String, checkpointDir: String,
                          appId: String, spark: SparkSession,
                          curate: (DataFrame, String, Long) => DataFrame): Unit = {
+    // ONE sink definition serves both the primary ingest and the replay —
+    // the replay must exercise the exact sink whose idempotence it proves
+    val sink = (batch: DataFrame, batchId: Long) => {
+      // Replay fast-path: a batch already in the table log must not even
+      // BUILD the curation gate — curateBatchNearDup's delta-vs-index
+      // probe materializes eagerly, so a replayed batch would pay a full
+      // discarded LSH job before the commit guard fires.
+      // commitOnceWithExpectations re-checks under the same (appId,
+      // batchId) txn, so this is a cost short-circuit, not the
+      // correctness mechanism.
+      if (!TxnLake.lastTxn(batch.sparkSession, table, appId)
+            .exists(_ >= batchId)) {
+        Expectations.commitOnceWithExpectations(
+          batch.sparkSession, curate(batch, table, batchId),
+          table, "append", appId, batchId, IngestExpectations)
+      }
+      ()
+    }
+    runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark, sink)
+  }
+
+  /** The two-wave driver itself: land wave 1, micro-batch it, land wave 2,
+    * micro-batch it, then re-deliver EVERYTHING under a fresh checkpoint
+    * (the checkpoint-loss replay — exactly-once must come from the table
+    * log, not streaming state). `sink` owns all commit semantics. */
+  private def runTwoWaveSink(wave1Dir: String, wave2Dir: String,
+                             checkpointDir: String, spark: SparkSession,
+                             sink: (DataFrame, Long) => Unit): Unit = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_cur_ingest")
     // Copy to a non-.parquet temp name, then ATOMIC_MOVE into place: the
     // running FileStreamSource polls the scratch dir continuously and
@@ -294,24 +395,6 @@ object CurationStream {
           }
         }
       } finally stream.close()
-    }
-    // ONE sink definition serves both the primary ingest and the replay —
-    // the replay must exercise the exact sink whose idempotence it proves
-    val sink = (batch: DataFrame, batchId: Long) => {
-      // Replay fast-path: a batch already in the table log must not even
-      // BUILD the curation gate — curateBatchNearDup's delta-vs-index
-      // probe materializes eagerly, so a replayed batch would pay a full
-      // discarded LSH job before the commit guard fires.
-      // commitOnceWithExpectations re-checks under the same (appId,
-      // batchId) txn, so this is a cost short-circuit, not the
-      // correctness mechanism.
-      if (!TxnLake.lastTxn(batch.sparkSession, table, appId)
-            .exists(_ >= batchId)) {
-        Expectations.commitOnceWithExpectations(
-          batch.sparkSession, curate(batch, table, batchId),
-          table, "append", appId, batchId, IngestExpectations)
-      }
-      ()
     }
     try {
       land(wave1Dir, "w1")

@@ -189,5 +189,34 @@ class CurationStreamSpec extends SparkSpec {
     }
     // the planted run actually bit: some wave-2 doc lost >= 14 tokens
     assert(got.values.exists(_._1 >= 14), s"plant never fired: $got")
+
+    // ---- window-index maintenance on the SAME completed ingest ----
+    val windex = CurationStream.windowIndexPath(table)
+    // two increments committed, the replay added none
+    assert(TxnLake.latestVersion(spark, windex).contains(1L),
+      s"index versions: ${TxnLake.latestVersion(spark, windex)}")
+    // the index IS the committed corpus' window set (index ≡ recompute)
+    def tableWindows() = TxnLake.read(spark, table)
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("__t"))
+      .select(explode(graft.functions.TextFunctions
+        .orderedGrams(col("__t"), 13)).as("__g"))
+      .distinct().collect().map(_.getString(0)).toSet
+    def indexWindows() = TxnLake.read(spark, windex)
+      .select("__g").distinct().collect().map(_.getString(0)).toSet
+    val expectedIdx = tableWindows()
+    assert(indexWindows() == expectedIdx, "index diverged from recompute")
+    // total index loss rebuilds from the corpus via the watermark
+    // reconciliation: delete the index table, re-run the SAME ingest
+    // (fresh checkpoints; every corpus commit skips as a replay) — the
+    // first sink invocation must back-fill BOTH increments
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(windex))
+    CurationStream.runCuratedTwoWaveIngestDecontam(
+      w1, w2, table, s"$base/ckpt2", "spec_xalg_ingest", spark)
+    assert(TxnLake.latestVersion(spark, table).contains(1L),
+      "corpus must not re-commit during the index rebuild")
+    assert(TxnLake.latestVersion(spark, windex).contains(1L),
+      s"rebuilt index versions: ${TxnLake.latestVersion(spark, windex)}")
+    assert(indexWindows() == expectedIdx, "rebuilt index diverged")
   }
 }
