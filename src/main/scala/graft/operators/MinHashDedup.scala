@@ -154,13 +154,49 @@ object MinHashDedup {
         col("x.b") === col("y.b") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    verifyIncremental(cand, shD, shC, threshold, materialize)
+  }
+
+  /** The persistable LSH band index of `docs` — one (doc_id, b, bh) row
+    * per band key, the structure [[incrementalMatchesIndexed]] probes and
+    * a production pipeline maintains alongside the corpus (the x33 sink
+    * appends each committed batch's rows exactly once). */
+  def bandIndex(docs: DataFrame): DataFrame = bandTable(shingleTable(docs))
+
+  /** [[incrementalMatches]] against a PREBUILT [[bandIndex]]: candidates
+    * come from one (band, bucket) equi-join of the delta's bands against
+    * `index`, and corpus shingle sets are rebuilt ONLY for candidate
+    * partners (a doc_id semi-join against `corpus` — candidate
+    * multiplicity tracks true matches, the d29 adjudication) — so the
+    * per-batch cost is the delta's own minhashing plus candidate-bounded
+    * work, never a corpus re-tokenization. Semantics identical to
+    * [[incrementalMatches]]: same bands, same exact-Jaccard verify. */
+  def incrementalMatchesIndexed(delta: DataFrame, index: DataFrame,
+                                corpus: DataFrame, threshold: Double = 0.7,
+                                materialize: Boolean = true): DataFrame = {
+    val shD = shingleTable(delta).cache()
+    val cand = bandTable(shD).as("x")
+      .join(index.as("y"),
+        col("x.b") === col("y.b") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val needed = corpus.join(
+      cand.select(col("doc_b").as("doc_id")), Seq("doc_id"), "left_semi")
+    val shC = shingleTable(needed).cache()
+    verifyIncremental(cand, shD, shC, threshold, materialize)
+  }
+
+  /** Shared exact-Jaccard verification of delta-vs-corpus candidates. */
+  private def verifyIncremental(cand: DataFrame, shD: DataFrame,
+                                shC: DataFrame, threshold: Double,
+                                materialize: Boolean): DataFrame = {
     val jac = graft.expressions.TextExpressions
       .distinctSetJaccard(col("sa"), col("sb"))
     // same verification spread as verifiedPairs: pair rows are 16 bytes,
     // their set-op cost is not — don't let byte-based AQE coalescing
     // serialize a storm batch's probe
     val spread = cand.repartition(
-      delta.sparkSession.sessionState.conf.numShufflePartitions)
+      cand.sparkSession.sessionState.conf.numShufflePartitions)
     val pairs = spread
       .join(shD.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
       .join(shC.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))

@@ -1671,12 +1671,14 @@ object OperatorQueries {
     * complete d47 stage-1/2/3 contract at the streaming grain: scrub →
     * quality/language gate → within-batch exact-dedup survivor →
     * committed-fp anti-join → [[graft.operators.MinHashDedup
-    * .incrementalMatches]] probe of the batch survivors against the
-    * committed corpus' text (the table carries the scrubbed text, acting
-    * as its own LSH index), dropping any document with a verified ≥ 0.7
-    * near-dup already committed. The same checkpoint-loss replay as x32
-    * then proves the whole composition — including the recomputed
-    * near-dup decision — is absorbed by the table log as a no-op.
+    * .incrementalMatchesIndexed]] probe of the batch survivors against
+    * the MATERIALIZED `_bindex` band-index sibling table (one
+    * exactly-once append per committed batch, watermark-reconciled;
+    * corpus shingles rebuild only for candidate partners), dropping any
+    * document with a verified ≥ 0.7 near-dup already committed. The same
+    * checkpoint-loss replay as x32 then proves the whole composition —
+    * including the re-derived near-dup decision — is absorbed by the
+    * table log as a no-op.
     *
     * The oracle mirrors batch-equivalently: first-arriving wave owns a
     * fingerprint (rn over (ingest_batch, doc_id)), then wave-1-committed
@@ -1687,7 +1689,8 @@ object OperatorQueries {
     *
     * Scale: per batch the probe is delta-vs-index (d29's adjudicated
     * shape — cost scales with the day's delta, not the corpus); the
-    * corpus side reads only (doc_id, text) off the table. */
+    * corpus side is one keyed probe of the band index plus
+    * candidate-bounded shingle rebuilds off the table's text. */
   val streamCuratedIngestNearDup = OracleQuery(
     "x33_stream_curated_ingest_neardup",
     s"""WITH scrub AS (

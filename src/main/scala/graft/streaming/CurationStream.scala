@@ -84,25 +84,29 @@ object CurationStream {
 
   /** d47 stage-3 at the streaming grain (x33): [[curateBatch]] plus an
     * INCREMENTAL NEAR-DUP gate — the batch's exact-dedup survivors probe
-    * the committed corpus' text through
-    * [[graft.operators.MinHashDedup.incrementalMatches]] (delta-vs-index:
-    * band keys of the delta equi-join the table's band index, exact
-    * Jaccard verifies), and any document with a verified ≥ `threshold`
-    * match already in the table is dropped. The table therefore carries
-    * the scrubbed `text` column — it IS the LSH index a production
-    * pipeline would materialize alongside the corpus. Within-batch
-    * near-dups are NOT collapsed (only exact ones): that is
+    * the MATERIALIZED [[bandIndexPath]] table through
+    * [[graft.operators.MinHashDedup.incrementalMatchesIndexed]]
+    * (delta-vs-index: the delta's band keys equi-join the committed band
+    * index, corpus shingle sets rebuild only for candidate partners,
+    * exact Jaccard verifies), and any document with a verified ≥
+    * `threshold` match already in the table is dropped. The sink appends
+    * each committed batch's band keys to the index exactly once; the
+    * table's scrubbed `text` column remains the verification source and
+    * the fallback index origin (mid-heal, before the first index commit
+    * lands, the probe recomputes bands from it — identical semantics).
+    * Within-batch near-dups are NOT collapsed (only exact ones): that is
     * `verifiedPairs`' batch job, and keeping the gates orthogonal keeps
     * each one's oracle exact.
     *
     * Scale: per batch the delta side is one day's volume; the corpus
-    * side is the table's (doc_id, text) pruned to band keys — the probe
-    * cost scales with the delta, never the corpus (the d29 adjudication).
-    * Idempotence is unchanged: the runner's replay fast-path skips an
-    * already-committed batch before the probe is even built (the probe
-    * materializes eagerly, so this matters for cost), and the (appId,
-    * batchId) txn guard inside the commit remains the correctness
-    * mechanism. */
+    * side is one (band, bucket) keyed probe of the index plus
+    * candidate-bounded shingle rebuilds — the probe cost scales with the
+    * delta, never the corpus (the d29 adjudication, now with the corpus
+    * never re-minhashed either). Idempotence is unchanged: the runner's
+    * replay fast-path skips an already-committed batch before the probe
+    * is even built (the probe materializes eagerly, so this matters for
+    * cost), and the (appId, batchId) txn guard inside the commit remains
+    * the correctness mechanism. */
   def curateBatchNearDup(batch: DataFrame, table: String, batchId: Long,
                          threshold: Double = 0.7): DataFrame = {
     val s = batch.sparkSession
@@ -130,9 +134,20 @@ object CurationStream {
       case None => survivors // first batch: nothing to collide with
       case Some(tbl) =>
         val afterExact = survivors.join(tbl.select("fp"), Seq("fp"), "left_anti")
-        val nearDupIds = graft.operators.MinHashDedup
-          .incrementalMatches(afterExact.select("doc_id", "text"),
-            tbl.select("doc_id", "text"), threshold)
+        // probe the MATERIALIZED band index when the sink has built it
+        // (one exactly-once append per batch — delta-scaled probe, the
+        // corpus is never re-minhashed); fall back to the recompute shape
+        // mid-heal (same semantics, see curateBatchDecontam's fallback)
+        val bindex = bandIndexPath(table)
+        val nearDupIds = (
+          if (TxnLake.latestVersion(s, bindex).isDefined)
+            graft.operators.MinHashDedup.incrementalMatchesIndexed(
+              afterExact.select("doc_id", "text"),
+              TxnLake.read(s, bindex).select("doc_id", "b", "bh"),
+              tbl.select("doc_id", "text"), threshold)
+          else graft.operators.MinHashDedup
+            .incrementalMatches(afterExact.select("doc_id", "text"),
+              tbl.select("doc_id", "text"), threshold))
           .select(col("doc_a").as("doc_id")).distinct()
         afterExact.join(nearDupIds, Seq("doc_id"), "left_anti")
     }
@@ -162,9 +177,8 @@ object CurationStream {
     * keyed semi-join whose build cost is the day's delta, and the corpus
     * text is never re-tokenized per batch; that index is linear in
     * corpus tokens, the structure a production pipeline carries
-    * alongside the corpus. (x33's LSH probe still recomputes band keys
-    * from the table's text — "the table IS its own index" — the
-    * adjudicated-but-weaker shape this query upgrades.) Batch docs are
+    * alongside the corpus (x33's band index gets the identical
+    * treatment via [[bandIndexPath]]). Batch docs are
     * NOT decontaminated against each other (that is d51's
     * corpus-internal batch job; keeping the gates orthogonal keeps each
     * oracle exact).
@@ -331,14 +345,49 @@ object CurationStream {
     runTwoWave(wave1Dir, wave2Dir, table, checkpointDir, appId, spark,
       curateBatch)
 
+  /** Sibling LSH band-index table for `table`: one (doc_id, b, bh) row
+    * per band key of each committed batch — x33's counterpart of
+    * [[windowIndexPath]]. */
+  def bandIndexPath(table: String): String = table + "_bindex"
+
+  /** The band-index increment for `batchId`: band keys of the rows
+    * `table` committed for that batch (expectation-passing rows only,
+    * rebuildable from the log alone — the [[batchWindows]] doctrine). */
+  private def batchBands(spark: SparkSession, table: String,
+                         batchId: Long): DataFrame =
+    graft.operators.MinHashDedup.bandIndex(
+      TxnLake.read(spark, table)
+        .filter(col("ingest_batch") === batchId)
+        .select("doc_id", "text"))
+
   /** [[runCuratedTwoWaveIngest]] with the incremental near-dup gate
     * ([[curateBatchNearDup]]) — the x33 shape, same exactly-once +
-    * checkpoint-loss-replay proof. */
+    * checkpoint-loss-replay proof, plus band-index maintenance under
+    * (appId#bindex, batchId) with the same corpus-watermark
+    * reconciliation as the x34 window index (every crash / replay /
+    * index-loss interleaving heals from the table's own ingest_batch
+    * column). */
   def runCuratedTwoWaveIngestNearDup(wave1Dir: String, wave2Dir: String,
                                      table: String, checkpointDir: String,
-                                     appId: String, spark: SparkSession): Unit =
-    runTwoWave(wave1Dir, wave2Dir, table, checkpointDir, appId, spark,
-      curateBatchNearDup(_, _, _))
+                                     appId: String, spark: SparkSession): Unit = {
+    val bindex = bandIndexPath(table)
+    val sink = (batch: DataFrame, batchId: Long) => {
+      val s = batch.sparkSession
+      if (!TxnLake.lastTxn(s, table, appId).exists(_ >= batchId)) {
+        Expectations.commitOnceWithExpectations(
+          s, curateBatchNearDup(batch, table, batchId),
+          table, "append", appId, batchId, IngestExpectations)
+      }
+      val c = TxnLake.lastTxn(s, table, appId).getOrElse(-1L)
+      val w = TxnLake.lastTxn(s, bindex, appId + "#bindex").getOrElse(-1L)
+      ((w + 1) to c).foreach { b =>
+        TxnLake.commitOnce(s, batchBands(s, table, b), bindex,
+          "append", appId + "#bindex", b)
+      }
+      ()
+    }
+    runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark, sink)
+  }
 
   private def runTwoWave(wave1Dir: String, wave2Dir: String,
                          table: String, checkpointDir: String,

@@ -76,8 +76,26 @@ class CurationStreamSpec extends SparkSpec {
     assert(rows(1L) == 0 && rows(3L) == 1)
     // replay proof: two waves = versions 0 and 1, replay committed nothing
     assert(TxnLake.latestVersion(spark, table).contains(1L))
-    // the table carries the scrubbed text (it is its own LSH index)
+    // the table carries the scrubbed text (the verification source and
+    // the band index's rebuild origin)
     assert(TxnLake.read(spark, table).columns.contains("text"))
+    // ---- band-index maintenance (x33's _bindex sibling table) ----
+    val bindex = CurationStream.bandIndexPath(table)
+    assert(TxnLake.latestVersion(spark, bindex).contains(1L),
+      s"bindex versions: ${TxnLake.latestVersion(spark, bindex)}")
+    def idxBands() = TxnLake.read(spark, bindex)
+      .select("doc_id", "b", "bh").collect().map(_.toString).toSet
+    val expB = graft.operators.MinHashDedup
+      .bandIndex(TxnLake.read(spark, table).select("doc_id", "text"))
+      .select("doc_id", "b", "bh").collect().map(_.toString).toSet
+    assert(idxBands() == expB, "band index diverged from recompute")
+    // total index loss rebuilds via the corpus-watermark reconciliation
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bindex))
+    CurationStream.runCuratedTwoWaveIngestNearDup(
+      w1, w2, table, s"$base/ckpt2", "spec_nd_ingest", spark)
+    assert(TxnLake.latestVersion(spark, table).contains(1L),
+      "corpus must not re-commit during the index rebuild")
+    assert(idxBands() == expB, "rebuilt band index diverged")
   }
 
   test("decontam gate excises exactly the committed shared span from a wave-2 doc") {
