@@ -36,6 +36,27 @@ class TxnLakeSpec extends SparkSpec {
     assert(TxnLake.read(spark, t).collect().map(_.getInt(0)).toSeq == Seq(99))
   }
 
+  test("an EMPTY append still records its txn and keeps the table readable") {
+    // the index-reconciliation edge (x33/x34 sinks): a batch whose rows
+    // were all quarantined commits an empty index increment — the txn
+    // MUST land (or the watermark never advances and every later sink
+    // invocation re-runs the rebuild), and reads must survive a version
+    // with zero data rows
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commitOnce(spark, Seq((1L, "a")).toDF("k", "v"), t, "append",
+      "spec_empty", 0L)
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val v = TxnLake.commitOnce(spark, empty, t, "append", "spec_empty", 1L)
+    assert(v.contains(1L), s"empty append must commit a version, got $v")
+    assert(TxnLake.lastTxn(spark, t, "spec_empty").contains(1L),
+      "empty append must advance the app's txn watermark")
+    assert(TxnLake.read(spark, t).collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "table with an empty version must read back its real rows")
+    // replay of the empty batch is still a no-op
+    assert(TxnLake.commitOnce(spark, empty, t, "append", "spec_empty", 1L).isEmpty)
+  }
+
   test("append accumulates rows across versions") {
     import spark.implicits._
     val t = freshTable()
