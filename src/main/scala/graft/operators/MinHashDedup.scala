@@ -175,11 +175,16 @@ object MinHashDedup {
                                 corpus: DataFrame, threshold: Double = 0.7,
                                 materialize: Boolean = true): DataFrame = {
     val shD = shingleTable(delta).cache()
-    val cand = bandTable(shD).as("x")
+    val candLazy = bandTable(shD).as("x")
       .join(index.as("y"),
         col("x.b") === col("y.b") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // pinned: cand feeds BOTH the corpus semi-join (via shC's cache
+    // build) and the verification spread — unpinned, the full index
+    // equi-join would execute twice per batch, the exact cost the index
+    // exists to avoid (the cache boundary blocks exchange reuse)
+    val cand = if (materialize) candLazy.localCheckpoint() else candLazy
     val needed = corpus.join(
       cand.select(col("doc_b").as("doc_id")), Seq("doc_id"), "left_semi")
     val shC = shingleTable(needed).cache()

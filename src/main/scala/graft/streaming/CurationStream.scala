@@ -53,10 +53,11 @@ object CurationStream {
     Expectation("fp_wellformed", length(col("fp")) === 32),
     Expectation("tokens_at_least_20", col("n_tokens") >= 20))
 
-  /** d47 stage-1 + stage-2 over one micro-batch: scrub, gate, within-batch
-    * survivor, committed-fp anti-join. Exposed for the batch mirror. */
-  def curateBatch(batch: DataFrame, table: String, batchId: Long): DataFrame = {
-    val s = batch.sparkSession
+  /** The shared stage-1/2 tier — scrub → quality/language gate →
+    * within-batch exact-dedup survivor — factored to ONE definition so
+    * the three batch curators (x32/x33/x34) can never skew on a gate
+    * threshold or the canon rule. Emits (doc_id, fp, n_tokens, text). */
+  private def gatedSurvivors(batch: DataFrame): DataFrame = {
     val scrubbed = batch.select(col("doc_id"),
       regexp_replace(
         graft.expressions.TextExpressions.nfcNormalize(col("text")),
@@ -70,9 +71,28 @@ object CurationStream {
       .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.5
         && langId(col("toks")) =!= "und")
       .withColumn("fp", fingerprint(col("text")))
-      .select("doc_id", "fp", "n_tokens")
+      .select("doc_id", "fp", "n_tokens", "text")
     val canon = gated.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-    val survivors = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+    gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+  }
+
+  /** A sibling index is trusted only while its version history matches
+    * the corpus table's 1:1 — the indexed sinks commit exactly one
+    * increment per corpus append, so a foreign writer's append to the
+    * table, a partially restored index, or a mid-heal gap all break the
+    * equality and drop the probe to the recompute path (which reads the
+    * table directly and is therefore always complete). */
+  private def indexCurrent(s: SparkSession, table: String,
+                           index: String): Boolean = {
+    val iv = TxnLake.latestVersion(s, index)
+    iv.isDefined && iv == TxnLake.latestVersion(s, table)
+  }
+
+  /** d47 stage-1 + stage-2 over one micro-batch: scrub, gate, within-batch
+    * survivor, committed-fp anti-join. Exposed for the batch mirror. */
+  def curateBatch(batch: DataFrame, table: String, batchId: Long): DataFrame = {
+    val s = batch.sparkSession
+    val survivors = gatedSurvivors(batch)
     val committedFps =
       if (TxnLake.latestVersion(s, table).isDefined)
         TxnLake.read(s, table).select("fp")
@@ -110,22 +130,7 @@ object CurationStream {
   def curateBatchNearDup(batch: DataFrame, table: String, batchId: Long,
                          threshold: Double = 0.7): DataFrame = {
     val s = batch.sparkSession
-    val scrubbed = batch.select(col("doc_id"),
-      regexp_replace(
-        graft.expressions.TextExpressions.nfcNormalize(col("text")),
-        graft.functions.TextFunctions.CtrlClassSpark, "").as("text"))
-    val gated = scrubbed
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("alpha_ratio",
-        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
-          / length(col("text")))
-      .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.5
-        && langId(col("toks")) =!= "und")
-      .withColumn("fp", fingerprint(col("text")))
-      .select("doc_id", "fp", "n_tokens", "text")
-    val canon = gated.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-    val survivors = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+    val survivors = gatedSurvivors(batch)
     val committed =
       if (TxnLake.latestVersion(s, table).isDefined)
         Some(TxnLake.read(s, table))
@@ -134,13 +139,14 @@ object CurationStream {
       case None => survivors // first batch: nothing to collide with
       case Some(tbl) =>
         val afterExact = survivors.join(tbl.select("fp"), Seq("fp"), "left_anti")
-        // probe the MATERIALIZED band index when the sink has built it
+        // probe the MATERIALIZED band index while it is provably current
         // (one exactly-once append per batch — delta-scaled probe, the
-        // corpus is never re-minhashed); fall back to the recompute shape
-        // mid-heal (same semantics, see curateBatchDecontam's fallback)
+        // corpus is never re-minhashed); a version mismatch — mid-heal
+        // gap, foreign writer, partial restore — falls back to the
+        // recompute shape, identical semantics off the table itself
         val bindex = bandIndexPath(table)
         val nearDupIds = (
-          if (TxnLake.latestVersion(s, bindex).isDefined)
+          if (indexCurrent(s, table, bindex))
             graft.operators.MinHashDedup.incrementalMatchesIndexed(
               afterExact.select("doc_id", "text"),
               TxnLake.read(s, bindex).select("doc_id", "b", "bh"),
@@ -186,24 +192,9 @@ object CurationStream {
     * [[graft.operators.SuffixArray.removeCoveredTokens]] — one linear
     * per-document window pass, shared verbatim with d51/d53. */
   def curateBatchDecontam(batch: DataFrame, table: String, batchId: Long,
-                          window: Int = 13): DataFrame = {
+                          window: Int = DecontamWindow): DataFrame = {
     val s = batch.sparkSession
-    val scrubbed = batch.select(col("doc_id"),
-      regexp_replace(
-        graft.expressions.TextExpressions.nfcNormalize(col("text")),
-        graft.functions.TextFunctions.CtrlClassSpark, "").as("text"))
-    val gated = scrubbed
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("alpha_ratio",
-        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
-          / length(col("text")))
-      .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.5
-        && langId(col("toks")) =!= "und")
-      .withColumn("fp", fingerprint(col("text")))
-      .select("doc_id", "fp", "n_tokens", "text")
-    val canon = gated.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-    val survivors = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+    val survivors = gatedSurvivors(batch)
     val committed =
       if (TxnLake.latestVersion(s, table).isDefined)
         Some(TxnLake.read(s, table))
@@ -231,16 +222,16 @@ object CurationStream {
         // maintains (one exactly-once append per committed batch), so the
         // probe never re-tokenizes the corpus — per-batch cost scales
         // with the delta plus one fp-keyed join against the index, the
-        // 100 TB shape. Fallback (index absent — only reachable mid-heal
-        // of a crashed sink invocation, which streaming retries before
-        // advancing the checkpoint): recompute from the table's text,
-        // identical semantics. The token array MUST be a materialized
-        // projection before orderedGrams: passing the split() subtree as
-        // `toks` makes every element_at re-run the regex split — 13
-        // re-splits per window, measured 20 s vs sub-second here.
+        // 100 TB shape. Fallback (index version history diverges from
+        // the corpus table's — mid-heal gap, foreign writer, partial
+        // restore): recompute from the table's text, identical
+        // semantics. The token array MUST be a materialized projection
+        // before orderedGrams: passing the split() subtree as `toks`
+        // makes every element_at re-run the regex split — 13 re-splits
+        // per window, measured 20 s vs sub-second here.
         val windex = windowIndexPath(table)
         val hot =
-          if (TxnLake.latestVersion(s, windex).isDefined)
+          if (indexCurrent(s, table, windex))
             TxnLake.read(s, windex).select("__g")
           else tbl
             .select(tokens(col("text")).as("__t"))
@@ -276,6 +267,14 @@ object CurationStream {
     * never a corpus re-tokenization. */
   def windowIndexPath(table: String): String = table + "_windex"
 
+  /** Decontamination window length (GPT-3's 13-token eval-overlap
+    * window, the d53 choice). ONE constant shared by the probe
+    * ([[curateBatchDecontam]]'s default) and the index increments the
+    * sink commits — if they diverged, the probe would semi-join k-grams
+    * against an index of different-length grams: zero matches, every
+    * batch committed uncleaned, and no error anywhere. */
+  val DecontamWindow = 13
+
   /** The index increment for `batchId`: distinct `window`-token windows
     * of the rows `table` actually committed for that batch. Reading the
     * TABLE (not the curated batch plan) scopes the windows to
@@ -307,32 +306,45 @@ object CurationStream {
     * invocation. */
   def runCuratedTwoWaveIngestDecontam(wave1Dir: String, wave2Dir: String,
                                       table: String, checkpointDir: String,
-                                      appId: String, spark: SparkSession): Unit = {
-    val windex = windowIndexPath(table)
-    val sink = (batch: DataFrame, batchId: Long) => {
-      val s = batch.sparkSession
-      if (!TxnLake.lastTxn(s, table, appId).exists(_ >= batchId)) {
-        Expectations.commitOnceWithExpectations(
-          s, curateBatchDecontam(batch, table, batchId),
-          table, "append", appId, batchId, IngestExpectations)
-      }
-      // Reconcile the index to the corpus txn WATERMARK, not just this
-      // batchId: a crash after the corpus commit combined with a
-      // checkpoint loss re-delivers everything as batch 0, and a
-      // "this-batch-only" check would skip the crashed batch's increment
-      // forever (future probes would silently under-mask). Each missing
-      // increment rebuilds from the table's own ingest_batch column —
-      // corpus batch ids are the streaming batch sequence 0..C under
-      // this appId, so the gap scan is exact.
-      val c = TxnLake.lastTxn(s, table, appId).getOrElse(-1L)
-      val w = TxnLake.lastTxn(s, windex, appId + "#windex").getOrElse(-1L)
-      ((w + 1) to c).foreach { b =>
-        TxnLake.commitOnce(s, batchWindows(s, table, b, 13), windex,
-          "append", appId + "#windex", b)
-      }
-      ()
+                                      appId: String, spark: SparkSession): Unit =
+    runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark,
+      indexedIngestSink(table, appId,
+        windowIndexPath(table), appId + "#windex",
+        curateBatchDecontam(_, _, _),
+        (s, b) => batchWindows(s, table, b, DecontamWindow)))
+
+  /** ONE definition of the indexed-ingest sink (x33/x34 — they differ
+    * only in index table, txn id, curator, and increment builder; a
+    * replay-guard or reconcile fix must hit both at once). Commits the
+    * curated batch under (appId, batchId), then RECONCILES the sibling
+    * index to the corpus txn WATERMARK — not just this batchId: a crash
+    * after the corpus commit combined with a checkpoint loss re-delivers
+    * everything as batch 0, and a "this-batch-only" check would skip the
+    * crashed batch's increment forever (future probes would silently
+    * under-mask). Each missing increment rebuilds from the table's own
+    * ingest_batch column — corpus batch ids are the streaming batch
+    * sequence 0..C under this appId, so the gap scan is exact. The
+    * corpus-commit fast-path also spares a replayed batch the curator's
+    * eagerly-materializing probe (a cost short-circuit; the txn guard
+    * inside the commit remains the correctness mechanism). */
+  private def indexedIngestSink(table: String, appId: String,
+                                indexPath: String, indexTxnId: String,
+                                curate: (DataFrame, String, Long) => DataFrame,
+                                increment: (SparkSession, Long) => DataFrame)
+      : (DataFrame, Long) => Unit = (batch, batchId) => {
+    val s = batch.sparkSession
+    if (!TxnLake.lastTxn(s, table, appId).exists(_ >= batchId)) {
+      Expectations.commitOnceWithExpectations(
+        s, curate(batch, table, batchId),
+        table, "append", appId, batchId, IngestExpectations)
     }
-    runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark, sink)
+    val c = TxnLake.lastTxn(s, table, appId).getOrElse(-1L)
+    val w = TxnLake.lastTxn(s, indexPath, indexTxnId).getOrElse(-1L)
+    ((w + 1) to c).foreach { b =>
+      TxnLake.commitOnce(s, increment(s, b), indexPath, "append",
+        indexTxnId, b)
+    }
+    ()
   }
 
   /** Drive the curated ingest over TWO waves (each exactly one micro-batch
@@ -369,40 +381,26 @@ object CurationStream {
     * column). */
   def runCuratedTwoWaveIngestNearDup(wave1Dir: String, wave2Dir: String,
                                      table: String, checkpointDir: String,
-                                     appId: String, spark: SparkSession): Unit = {
-    val bindex = bandIndexPath(table)
-    val sink = (batch: DataFrame, batchId: Long) => {
-      val s = batch.sparkSession
-      if (!TxnLake.lastTxn(s, table, appId).exists(_ >= batchId)) {
-        Expectations.commitOnceWithExpectations(
-          s, curateBatchNearDup(batch, table, batchId),
-          table, "append", appId, batchId, IngestExpectations)
-      }
-      val c = TxnLake.lastTxn(s, table, appId).getOrElse(-1L)
-      val w = TxnLake.lastTxn(s, bindex, appId + "#bindex").getOrElse(-1L)
-      ((w + 1) to c).foreach { b =>
-        TxnLake.commitOnce(s, batchBands(s, table, b), bindex,
-          "append", appId + "#bindex", b)
-      }
-      ()
-    }
-    runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark, sink)
-  }
+                                     appId: String, spark: SparkSession): Unit =
+    runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark,
+      indexedIngestSink(table, appId,
+        bandIndexPath(table), appId + "#bindex",
+        curateBatchNearDup(_, _, _),
+        (s, b) => batchBands(s, table, b)))
 
   private def runTwoWave(wave1Dir: String, wave2Dir: String,
                          table: String, checkpointDir: String,
                          appId: String, spark: SparkSession,
                          curate: (DataFrame, String, Long) => DataFrame): Unit = {
     // ONE sink definition serves both the primary ingest and the replay —
-    // the replay must exercise the exact sink whose idempotence it proves
+    // the replay must exercise the exact sink whose idempotence it proves.
+    // (Only curateBatch/x32 routes through here now; the index-maintaining
+    // gates use indexedIngestSink.)
     val sink = (batch: DataFrame, batchId: Long) => {
       // Replay fast-path: a batch already in the table log must not even
-      // BUILD the curation gate — curateBatchNearDup's delta-vs-index
-      // probe materializes eagerly, so a replayed batch would pay a full
-      // discarded LSH job before the commit guard fires.
-      // commitOnceWithExpectations re-checks under the same (appId,
-      // batchId) txn, so this is a cost short-circuit, not the
-      // correctness mechanism.
+      // BUILD the curation gate. commitOnceWithExpectations re-checks
+      // under the same (appId, batchId) txn, so this is a cost
+      // short-circuit, not the correctness mechanism.
       if (!TxnLake.lastTxn(batch.sparkSession, table, appId)
             .exists(_ >= batchId)) {
         Expectations.commitOnceWithExpectations(
