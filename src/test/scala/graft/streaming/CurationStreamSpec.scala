@@ -237,4 +237,55 @@ class CurationStreamSpec extends SparkSpec {
       s"rebuilt index versions: ${TxnLake.latestVersion(spark, windex)}")
     assert(indexWindows() == expectedIdx, "rebuilt index diverged")
   }
+
+  test("a foreign corpus append drops the probe to the recompute path") {
+    // the indexCurrent guard: rows a DIFFERENT writer appended to the
+    // corpus table are invisible to the sibling index (the sink's
+    // watermark reconcile is appId-scoped), so the probe must detect the
+    // version mismatch and fall back to recomputing windows from the
+    // table itself — otherwise the foreign doc's spans silently stop
+    // masking
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("cur_stream_foreign_spec").toString
+    val run = Seq("the", "quick", "brown", "fox", "jumps", "over", "the",
+      "lazy", "dog", "while", "birds", "sing", "songs")
+    val filler = Seq("and", "the", "cat", "naps", "on", "a", "warm",
+      "mat", "today", "happily", "under", "sun")
+    def land(dir: String, rows: Seq[(Long, String)]): String = {
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("spec").as("source"), length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.parquet(dir)
+      dir
+    }
+    // waves 1/2 carry only benign docs — the index ends current and empty
+    // of the run's windows
+    val w1 = land(s"$base/w1", Seq(1L -> (filler ++ filler).mkString(" ")))
+    val w2 = land(s"$base/w2",
+      Seq(2L -> (filler ++ Seq("but", "never", "twice", "over", "water",
+        "this", "evening", "for", "the", "boats")).mkString(" ")))
+    val table = s"$base/t"
+    CurationStream.runCuratedTwoWaveIngestDecontam(
+      w1, w2, table, s"$base/ckpt", "spec_foreign_ingest", spark)
+    // a FOREIGN writer appends a doc carrying the run, bypassing the sink
+    val foreign = Seq((9L, "x" * 32, 25,
+      0, (run ++ filler).mkString(" "), 7))
+      .toDF("doc_id", "fp", "n_tokens", "n_removed", "text", "ingest_batch")
+    TxnLake.commit(spark, foreign, table, "append")
+    assert(TxnLake.latestVersion(spark, table) !=
+      TxnLake.latestVersion(spark, CurationStream.windowIndexPath(table)),
+      "precondition: the foreign append must desynchronize the versions")
+    // a new batch sharing the run with ONLY the foreign doc must still be
+    // cleaned — the probe may not trust the stale index
+    val newBatch = Seq((20L,
+      (Seq("every", "morning", "we", "watch") ++ run ++
+        Seq("before", "dusk", "falls", "again")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = CurationStream.curateBatchDecontam(newBatch, table, 2L)
+      .select("doc_id", "n_removed").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(20L) == 13,
+      s"foreign doc's span must mask via the recompute fallback: $out")
+  }
 }
