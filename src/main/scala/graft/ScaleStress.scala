@@ -253,7 +253,12 @@ object ScaleStress {
         val n = fn(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         SessionHygiene.dropAllStorage(spark)
-        Thread.sleep(500) // listener bus drain (async delivery)
+        // deterministic listener-bus drain: waitUntilEmpty is the barrier
+        // the async delivery actually honors — a fixed sleep raced on a
+        // loaded machine and attributed late task-end events to the next
+        // run's snapshot
+        org.apache.spark.GraftListenerShim
+          .waitUntilListenerBusEmpty(spark.sparkContext)
         (sec, n, (listener.shuffleRead.get, listener.shuffleWrite.get,
           listener.spill.get, listener.peakMem.get))
       }

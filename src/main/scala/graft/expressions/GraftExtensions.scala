@@ -69,12 +69,15 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   * arrays per row (TextKernels scaladoc; DistinctSetJaccardSpec pins
   * equality). The union side of the division accepts the operand pair
   * in either order — both built-ins are symmetric in SIZE. The one
-  * divergence is division of 0 by 0 (two empty arrays): the kernel
-  * returns NULL — the exact value legacy (non-ANSI) division and
-  * try_divide produce, so the rewrite is value-exact in those modes —
-  * where ANSI division raises; a raise-vs-NULL difference only
-  * manifests on rows a similarity filter drops anyway, and erring
-  * lenient matches the [[RewriteHofDotProduct]] precedent. */
+  * edge is division of 0 by 0 (two empty arrays): the rewrite carries
+  * the matched Divide's eval mode into the kernel's `failOnError`, so
+  * an ANSI division keeps raising DIVIDE_BY_ZERO and legacy division /
+  * try_divide keep producing NULL — value-exact in EVERY mode, which
+  * matters because this rule is installed session-wide and ANY user
+  * SQL using the idiom must keep the built-in contract (Spark 4
+  * defaults `spark.sql.ansi.enabled=true`, so the engine's own
+  * operators run the raising variant; their filtered shingle tables
+  * never produce the 0/0 row). */
 object RewriteSetSimilarity extends Rule[LogicalPlan] {
 
   private def stripCasts(e: Expression): Expression = e match {
@@ -114,10 +117,12 @@ object RewriteSetSimilarity extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressionsWithPruning(_ => true) {
       // full Jaccard idiom first (transformDown visits Divide before its
-      // Size children, so the standalone-overlap case can't shadow it)
+      // Size children, so the standalone-overlap case can't shadow it);
+      // the Divide's eval mode rides along so ANSI 0/0 keeps raising
       case d @ Divide(SizeOfIntersect(a, b), SizeOfUnion(a2, b2), _)
           if d.resolved && d.dataType == DoubleType && samePair(a, b, a2, b2) =>
-        DistinctSetJaccard(a, b)
+        DistinctSetJaccard(a, b,
+          failOnError = d.evalContext.evalMode == EvalMode.ANSI)
       case s @ Size(ArrayIntersect(a, b), false)
           if s.resolved && isStringArray(a) && isStringArray(b) =>
         DistinctSetOverlap(a, b)

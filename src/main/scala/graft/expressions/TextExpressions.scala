@@ -1,9 +1,10 @@
 package graft.expressions
 
+import org.apache.spark.QueryContext
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, SupportQueryContext, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftx.ColumnBridge
 import org.apache.spark.sql.types._
@@ -213,40 +214,60 @@ trait StringArrayPairExpression extends BinaryExpression {
   * what licenses [[RewriteSetSimilarity]] to substitute this kernel for
   * the built-in idiom wherever it appears. Intersection by hash-set
   * probe, union by the inclusion–exclusion identity |A|+|B|−|A∩B| over
-  * the DISTINCT counts. Two EMPTY arrays give NULL — the same value the
-  * legacy (non-ANSI) division and try_divide produce for 0/0, so the
-  * rewrite is value-exact in those modes; under ANSI the built-in
-  * raises where this returns NULL, strictly more lenient (and
-  * null-propagating, unlike NaN, which would poison aggregates). The
-  * built-in pair allocates and materializes TWO result arrays per row;
-  * this kernel allocates two sets and no arrays. It sits on the LSH
-  * verification path — millions of candidate pairs on a dup-storm
-  * corpus. */
-case class DistinctSetJaccard(left: Expression, right: Expression)
-    extends StringArrayPairExpression {
+  * the DISTINCT counts. The one edge is two EMPTY arrays (a 0/0
+  * division in the built-in idiom): `failOnError` carries the matched
+  * Divide's eval mode through the rewrite — ANSI divisions raise the
+  * same DIVIDE_BY_ZERO the built-in raises (with the expression's query
+  * context in the message), while legacy division and try_divide get
+  * NULL, the value those modes produce (null-propagating, unlike NaN,
+  * which would poison aggregates). Direct kernel calls default to the
+  * lenient NULL — the operators filter empty shingle sets and pin that
+  * contract in their oracles. The built-in pair allocates and
+  * materializes TWO result arrays per row; this kernel allocates two
+  * sets and no arrays. It sits on the LSH verification path — millions
+  * of candidate pairs on a dup-storm corpus. */
+case class DistinctSetJaccard(left: Expression, right: Expression,
+                              failOnError: Boolean = false)
+    extends StringArrayPairExpression with SupportQueryContext {
 
   override def dataType: DataType = DoubleType
-  // NULL on null input OR two empty arrays (the 0/0 case)
+  // NULL on null input OR (lenient mode) two empty arrays
   override def nullable: Boolean = true
   override def prettyName: String = "distinct_set_jaccard"
+
+  override def initQueryContext(): Option[QueryContext] =
+    if (failOnError) Some(origin.context) else None
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val j = TextKernels.distinctJaccard(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (java.lang.Double.isNaN(j)) null else j
+    if (java.lang.Double.isNaN(j)) {
+      if (failOnError) {
+        throw org.apache.spark.sql.graftx.ErrorBridge
+          .divideByZeroError(getContextOrNull())
+      }
+      null
+    } else j
   }
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, { (a, b) =>
       // the ratio of non-negative counts is NaN iff 0/0 (two empty
-      // distinct sets) — fold that into the null channel
+      // distinct sets) — route that to the mode's 0/0 channel
+      val onZero =
+        if (failOnError) {
+          val errorContext = getContextOrNullCode(ctx)
+          "throw org.apache.spark.sql.graftx.ErrorBridge" +
+            s".divideByZeroError($errorContext);"
+        } else s"${ev.isNull} = true;"
       s"""
          |${ev.value} = graft.expressions.TextKernels.distinctJaccard($a, $b);
-         |${ev.isNull} = Double.isNaN(${ev.value});
-       """.stripMargin)
+         |if (Double.isNaN(${ev.value})) { $onZero }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

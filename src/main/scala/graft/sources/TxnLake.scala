@@ -931,13 +931,26 @@ object TxnLake extends LakeFormat {
 
   /** Version whose commit recorded exactly (appId, batchId) — the
     * precise answer to "where did this batch's rows land?" that
-    * [[lastTxn]]'s cumulative map cannot give. Linear scan of the log
-    * (newest first — replays ask about recent batches); reporting-path
-    * only, never on the commit hot path. */
+    * [[lastTxn]]'s cumulative map cannot give. Newest-first scan
+    * (replays ask about recent batches), BOUNDED by the cumulative
+    * app→batch map each new-format entry carries: batch ids per app are
+    * monotone in version order, so the first version whose map records
+    * no batch ≥ `batchId` for `appId` proves no earlier version can
+    * carry the marker either and the scan stops — cost is
+    * O(versions since the batch landed), not O(table history), on
+    * every crash-replay report. Legacy entries (no map) keep scanning:
+    * there is nothing to prove absence with. */
   def txnVersion(spark: SparkSession, table: String, appId: String,
-                 batchId: Long): Option[Long] =
-    committedVersions(spark, table).reverse.find(v =>
-      readEntry(spark, table, v).txn.contains((appId, batchId)))
+                 batchId: Long): Option[Long] = {
+    val it = committedVersions(spark, table).reverseIterator
+    while (it.hasNext) {
+      val v = it.next()
+      val e = readEntry(spark, table, v)
+      if (e.txn.contains((appId, batchId))) return Some(v)
+      if (e.hasTxns && e.txns.get(appId).forall(_ < batchId)) return None
+    }
+    None
+  }
 
   /** Latest batch id recorded for `appId` in the table's transaction
     * state — the recovery read an at-least-once consumer performs on

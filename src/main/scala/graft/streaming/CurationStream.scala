@@ -76,16 +76,36 @@ object CurationStream {
     gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
   }
 
-  /** A sibling index is trusted only while its version history matches
-    * the corpus table's 1:1 — the indexed sinks commit exactly one
-    * increment per corpus append, so a foreign writer's append to the
-    * table, a partially restored index, or a mid-heal gap all break the
-    * equality and drop the probe to the recompute path (which reads the
-    * table directly and is therefore always complete). */
-  private def indexCurrent(s: SparkSession, table: String,
-                           index: String): Boolean = {
-    val iv = TxnLake.latestVersion(s, index)
-    iv.isDefined && iv == TxnLake.latestVersion(s, table)
+  /** A sibling index is trusted only while the COMMITTED TXN WATERMARKS
+    * prove it covers exactly the corpus table's rows. Four conditions,
+    * all read from the two logs' O(1) cumulative txn maps:
+    *
+    *  1. the corpus carries a txn watermark `c` for this app at all;
+    *  2. the index's watermark under the index txn id equals `c`
+    *     (every corpus batch has its increment — no mid-heal gap);
+    *  3. the corpus' latest version IS `c`: batches 0..c each commit
+    *     exactly one version (the pinned empty-append edge included), so
+    *     latest == c means, by pigeonhole, EVERY corpus commit is one of
+    *     this app's batches — a foreign append anywhere in the history,
+    *     not just at the tail, pushes latest past `c` and the probe must
+    *     not trust an index that never saw those rows (under-masking);
+    *  4. symmetrically the index's latest version is `c` — a foreign
+    *     append TO THE INDEX would inject spurious keys the corpus never
+    *     committed (over-masking).
+    *
+    * An earlier draft compared raw latest-version COUNTS of the two
+    * tables, which an equal number of foreign commits to both sides can
+    * coincidentally re-align; watermarks anchored to the app's own txns
+    * cannot be re-aligned by writers that don't hold the app id. Any
+    * failed condition drops the probe to the recompute path, which reads
+    * the table directly and is therefore always complete. */
+  private def indexCurrent(s: SparkSession, table: String, appId: String,
+                           index: String, indexTxnId: String): Boolean = {
+    val c = TxnLake.lastTxn(s, table, appId)
+    c.isDefined &&
+      TxnLake.lastTxn(s, index, indexTxnId) == c &&
+      TxnLake.latestVersion(s, table) == c &&
+      TxnLake.latestVersion(s, index) == c
   }
 
   /** d47 stage-1 + stage-2 over one micro-batch: scrub, gate, within-batch
@@ -128,7 +148,7 @@ object CurationStream {
     * cost), and the (appId, batchId) txn guard inside the commit remains
     * the correctness mechanism. */
   def curateBatchNearDup(batch: DataFrame, table: String, batchId: Long,
-                         threshold: Double = 0.7): DataFrame = {
+                         appId: String, threshold: Double = 0.7): DataFrame = {
     val s = batch.sparkSession
     val survivors = gatedSurvivors(batch)
     val committed =
@@ -146,7 +166,7 @@ object CurationStream {
         // recompute shape, identical semantics off the table itself
         val bindex = bandIndexPath(table)
         val nearDupIds = (
-          if (indexCurrent(s, table, bindex))
+          if (indexCurrent(s, table, appId, bindex, bandIndexTxn(appId)))
             graft.operators.MinHashDedup.incrementalMatchesIndexed(
               afterExact.select("doc_id", "text"),
               TxnLake.read(s, bindex).select("doc_id", "b", "bh"),
@@ -192,7 +212,7 @@ object CurationStream {
     * [[graft.operators.SuffixArray.removeCoveredTokens]] — one linear
     * per-document window pass, shared verbatim with d51/d53. */
   def curateBatchDecontam(batch: DataFrame, table: String, batchId: Long,
-                          window: Int = DecontamWindow): DataFrame = {
+                          appId: String, window: Int = DecontamWindow): DataFrame = {
     val s = batch.sparkSession
     val survivors = gatedSurvivors(batch)
     val committed =
@@ -231,7 +251,7 @@ object CurationStream {
         // per window, measured 20 s vs sub-second here.
         val windex = windowIndexPath(table)
         val hot =
-          if (indexCurrent(s, table, windex))
+          if (indexCurrent(s, table, appId, windex, windowIndexTxn(appId)))
             TxnLake.read(s, windex).select("__g")
           else tbl
             .select(tokens(col("text")).as("__t"))
@@ -266,6 +286,15 @@ object CurationStream {
     * (linear in corpus tokens), so each batch's probe is one keyed join,
     * never a corpus re-tokenization. */
   def windowIndexPath(table: String): String = table + "_windex"
+
+  /** Txn id the x34 sink commits window-index increments under — ONE
+    * derivation shared by the sink wiring and the probe's
+    * [[indexCurrent]] watermark read (a drift here would silently pin
+    * the probe to the recompute path forever). */
+  def windowIndexTxn(appId: String): String = appId + "#windex"
+
+  /** x33's band-index counterpart of [[windowIndexTxn]]. */
+  def bandIndexTxn(appId: String): String = appId + "#bindex"
 
   /** Decontamination window length (GPT-3's 13-token eval-overlap
     * window, the d53 choice). ONE constant shared by the probe
@@ -309,8 +338,8 @@ object CurationStream {
                                       appId: String, spark: SparkSession): Unit =
     runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark,
       indexedIngestSink(table, appId,
-        windowIndexPath(table), appId + "#windex",
-        curateBatchDecontam(_, _, _),
+        windowIndexPath(table), windowIndexTxn(appId),
+        curateBatchDecontam(_, _, _, appId),
         (s, b) => batchWindows(s, table, b, DecontamWindow)))
 
   /** ONE definition of the indexed-ingest sink (x33/x34 — they differ
@@ -384,8 +413,8 @@ object CurationStream {
                                      appId: String, spark: SparkSession): Unit =
     runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark,
       indexedIngestSink(table, appId,
-        bandIndexPath(table), appId + "#bindex",
-        curateBatchNearDup(_, _, _),
+        bandIndexPath(table), bandIndexTxn(appId),
+        curateBatchNearDup(_, _, _, appId),
         (s, b) => batchBands(s, table, b)))
 
   private def runTwoWave(wave1Dir: String, wave2Dir: String,

@@ -92,16 +92,46 @@ class DistinctSetJaccardSpec extends SparkSpec {
     assert(!optimized.contains("array_union"), optimized)
   }
 
-  test("two empty arrays give NULL from kernel AND rewritten idiom") {
-    // the 0/0 case: legacy (non-ANSI) division and try_divide both give
-    // NULL, so the kernel returning NULL keeps the rewrite value-exact in
-    // those modes; under ANSI the built-in raised DIVIDE_BY_ZERO where
-    // this propagates NULL — strictly more lenient, unreachable in the
-    // operators (shingle tables filter size(s) > 0), and pinned here as
-    // the rewrite's one visible divergence
-    val rows = kernelDf(Seq((Seq.empty[String], Seq.empty[String]))).collect()
+  test("two empty arrays: direct kernel and try_divide idiom give NULL") {
+    // the 0/0 case in the lenient modes: a direct kernel call defaults to
+    // failOnError=false, and the try_divide form of the idiom rewrites to
+    // the same lenient kernel — both produce the NULL try_divide defines
+    val sess = SparkSpec.session
+    import sess.implicits._
+    val df = Seq((Seq.empty[String], Seq.empty[String])).toDF("sa", "sb")
+      .repartition(2).select(
+        TextExpressions.distinctSetJaccard(col("sa"), col("sb")).as("k"),
+        expr("""try_divide(size(array_intersect(sa, sb)),
+                           size(array_union(sa, sb)))""").as("tryIdiom"))
+    // the TRY-mode division must also have been rewritten into the kernel
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("array_union"), optimized)
+    val rows = df.collect()
     assert(rows.head.isNullAt(0))
     assert(rows.head.isNullAt(1))
+  }
+
+  test("ANSI session: the rewritten idiom still raises DIVIDE_BY_ZERO on 0/0") {
+    // RewriteSetSimilarity is installed session-wide and the session runs
+    // Spark 4's default spark.sql.ansi.enabled=true, so the rewrite must
+    // keep the built-in contract: size(array_intersect)/size(array_union)
+    // on two empty arrays raises DIVIDE_BY_ZERO. The rule carries the
+    // Divide's eval mode into the kernel's failOnError — verified here as
+    // (a) the rewrite still fires under ANSI, (b) the error survives it.
+    val sess = SparkSpec.session
+    assert(sess.conf.get("spark.sql.ansi.enabled") == "true",
+      "precondition: the engine session is ANSI")
+    val df = kernelDf(Seq((Seq.empty[String], Seq.empty[String])))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("distinct_set_jaccard"), optimized)
+    assert(!optimized.contains("array_union"), optimized)
+    val e = intercept[Exception](df.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("DIVIDE_BY_ZERO") || m.contains("Division by zero")),
+      s"expected ANSI divide-by-zero, got: ${messages(e).mkString(" | ")}")
   }
 
   test("null input yields null") {

@@ -90,6 +90,25 @@ class TxnLakeSpec extends SparkSpec {
     assert(rows.length == threads * perThread, s"lost commits: $rows")
   }
 
+  test("txnVersion locates each batch's commit and proves absence early") {
+    import spark.implicits._
+    val t = freshTable()
+    // app txns interleaved with plain commits: the bounded newest-first
+    // scan must keep walking past non-matching entries whose cumulative
+    // map still records batch >= target, and stop (None) the moment the
+    // map proves the target batch hadn't committed yet
+    val va = TxnLake.commitOnce(spark, Seq(1).toDF("x"), t, "append", "appA", 0L)
+    TxnLake.commit(spark, Seq(2).toDF("x"), t, "append")
+    val vb = TxnLake.commitOnce(spark, Seq(3).toDF("x"), t, "append", "appA", 1L)
+    TxnLake.commit(spark, Seq(4).toDF("x"), t, "append")
+    assert(TxnLake.txnVersion(spark, t, "appA", 0L) == va)
+    assert(TxnLake.txnVersion(spark, t, "appA", 1L) == vb)
+    // beyond the app's watermark and unknown app: absent, proven from the
+    // FIRST entry's cumulative map without scanning the history
+    assert(TxnLake.txnVersion(spark, t, "appA", 2L).isEmpty)
+    assert(TxnLake.txnVersion(spark, t, "appB", 0L).isEmpty)
+  }
+
   test("vacuum reclaims only versions outside the retention window") {
     import spark.implicits._
     val t = freshTable()

@@ -282,10 +282,29 @@ class CurationStreamSpec extends SparkSpec {
       (Seq("every", "morning", "we", "watch") ++ run ++
         Seq("before", "dusk", "falls", "again")).mkString(" ")))
       .toDF("doc_id", "text")
-    val out = CurationStream.curateBatchDecontam(newBatch, table, 2L)
+    val out = CurationStream.curateBatchDecontam(
+        newBatch, table, 2L, "spec_foreign_ingest")
       .select("doc_id", "n_removed").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out(20L) == 13,
       s"foreign doc's span must mask via the recompute fallback: $out")
+
+    // coincidental re-alignment: a foreign append to the INDEX as well
+    // makes the two tables' raw version counts equal again — the trap a
+    // version-count check falls into. The txn-watermark check must still
+    // refuse the index: neither foreign commit carries the app's txns,
+    // so the corpus' latest version (2) exceeds the app watermark (1).
+    val windex = CurationStream.windowIndexPath(table)
+    TxnLake.commit(spark,
+      Seq("never committed by the corpus").toDF("__g"), windex, "append")
+    assert(TxnLake.latestVersion(spark, table) ==
+      TxnLake.latestVersion(spark, windex),
+      "precondition: version counts must have coincidentally re-aligned")
+    val out2 = CurationStream.curateBatchDecontam(
+        newBatch, table, 3L, "spec_foreign_ingest")
+      .select("doc_id", "n_removed").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out2(20L) == 13,
+      s"re-aligned version counts must not resurrect the stale index: $out2")
   }
 }
