@@ -60,7 +60,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x34 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x37 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -78,7 +78,11 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    streaming curated ingest (two-wave scrub/gate/dedup-vs-table with
   *    exactly-once expectations commits and checkpoint-loss replay),
   *    plus the same ingest with the incremental delta-vs-index near-dup
-  *    gate (the committed table doubles as its own LSH index)
+  *    gate (the committed table doubles as its own LSH index),
+  *    OPTIMIZE ZORDER layout maintenance with before/after skipping
+  *    counters, VACUUM with retention-window time-travel proof, and
+  *    streaming ingest under continuous compaction (exactly-once
+  *    surviving interleaved maintenance commits)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

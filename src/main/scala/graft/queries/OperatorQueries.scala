@@ -1629,8 +1629,11 @@ object OperatorQueries {
     * application, survivor drift, or replay leak changes rows and fails
     * the hash compare. Implementation:
     * [[graft.streaming.CurationStream]]. */
-  val streamCuratedIngest = OracleQuery(
-    "x32_stream_curated_ingest",
+  /** The batch-equivalent oracle of the curated two-wave ingest (x32),
+    * shared verbatim by x37: lake maintenance interleaved with the ingest
+    * must be observationally invisible, so the oracle literally cannot
+    * mention it. */
+  private val curatedIngestOracleSql: String =
     s"""WITH scrub AS (
        |  SELECT doc_id,
        |    regexp_replace(nfc_normalize(text), '${TextQueries.CtrlClassSql}', '', 'g') AS text
@@ -1656,7 +1659,11 @@ object OperatorQueries {
        |                                   ORDER BY ingest_batch, doc_id) AS rn
        |      FROM f)
        |SELECT doc_id, fp, n_tokens, ingest_batch
-       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  val streamCuratedIngest = OracleQuery(
+    "x32_stream_curated_ingest",
+    curatedIngestOracleSql) { (s, d) =>
     val w1 = docLanding(s, d, "curwave1", _.filter(col("doc_id") % 3 =!= 0))
     val w2 = docLanding(s, d, "curwave2", _.filter(col("doc_id") % 3 === 0))
     val base = Scratch.dir("cur_ingest")
@@ -1840,6 +1847,181 @@ object OperatorQueries {
       .orderBy("doc_id")
   }
 
+  /** OPTIMIZE ZORDER as a registered lake operation — the maintenance
+    * command that turns an append-ordered ingest layout into a
+    * multi-dimensionally clustered one (Delta's `OPTIMIZE … ZORDER BY`).
+    * The query drives the full lifecycle: 8 single-file event_id-range
+    * appends (the x24 ingest layout — every file spans the FULL value
+    * range, so a value predicate can prune nothing), a Z-order rewrite
+    * on (event_id, value-cents) into 4 files, then a stats-pruned read
+    * under a central value-band predicate. In-engine gates: the rewrite
+    * preserved the row multiset exactly (exceptAll both ways), and the
+    * kept-file FRACTION under the value predicate strictly improved —
+    * the point of clustering. The oracle recomputes the band's content
+    * and the BEFORE-side file counters from the same deterministic
+    * bucketing (the after-side counters are engine-internal layout, so
+    * they live in requires, not emitted columns).
+    *
+    * Scale: OPTIMIZE is one range shuffle of the snapshot — the price
+    * the command always pays at any scale; on a 100 TB table it runs
+    * partition-by-partition as separate transactions, which the
+    * optimistic log (pinned read version, recompute on conflict)
+    * already supports. Reference analog: the lake tier's layout
+    * maintenance duty (SURVEY §2.1 S5). */
+  val txnOptimizeZorder = OracleQuery(
+    "x35_txn_optimize_zorder",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |b AS (SELECT event_id, vc,
+      |        CAST((event_id * 8) // (m + 1) AS INT) AS bkt FROM ev, mx),
+      |vr AS (SELECT min(vc) AS vmn, max(vc) AS vmx FROM ev),
+      |bounds AS (SELECT vmn + (vmx - vmn) // 4 AS lo,
+      |                  vmn + (vmx - vmn) // 2 AS hi FROM vr),
+      |res AS (SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |          min(event_id) AS min_id, max(event_id) AS max_id
+      |        FROM b, bounds WHERE vc >= lo AND vc <= hi),
+      |f AS (SELECT bkt, min(vc) AS fmn, max(vc) AS fmx FROM b GROUP BY 1),
+      |k AS (SELECT CAST(count(*) AS INT) AS files_kept_before
+      |      FROM f, bounds WHERE fmx >= lo AND fmn <= hi),
+      |t AS (SELECT CAST(count(*) AS INT) AS files_total_before FROM f)
+      |SELECT n_rows, sum_cents, min_id, max_id, files_kept_before,
+      |  files_total_before
+      |FROM res, k, t""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val table = Scratch.dir("txn_optimize") + "/t"
+    val bkt = expr(s"event_id * 8 div ${m + 1}")
+    (0 until 8).foreach { i =>
+      val part = ev.filter(bkt === i).coalesce(1)
+      if (!part.isEmpty) TxnLake.commit(s, part, table, "append")
+    }
+    val preV = TxnLake.latestVersion(s, table).get
+    val vr = ev.agg(min(col("vc")), max(col("vc"))).head()
+    val (vmn, vmx) = (vr.getLong(0), vr.getLong(1))
+    val lo = vmn + (vmx - vmn) / 4
+    val hi = vmn + (vmx - vmn) / 2
+    val pred = col("vc") >= lo && col("vc") <= hi
+    val (kept0, total0) = TxnLake.skippingStats(s, table, pred)
+    val postV = TxnLake.optimize(s, table, zorderBy = Seq("event_id", "vc"),
+      numFiles = 4)
+    val (kept1, total1) = TxnLake.skippingStats(s, table, pred)
+    require(kept1.toDouble / total1 < kept0.toDouble / total0,
+      s"z-order did not improve value pruning: kept $kept1/$total1 after " +
+        s"vs $kept0/$total0 before")
+    val pre = TxnLake.readVersion(s, table, preV)
+    val post = TxnLake.readVersion(s, table, postV)
+    require(pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty,
+      "optimize changed the row multiset")
+    TxnLake.readWhere(s, table, pred)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .withColumn("files_kept_before", lit(kept0))
+      .withColumn("files_total_before", lit(total0))
+  }
+
+  /** VACUUM with a retention window as a registered lake operation — the
+    * storage-reclamation command a 100 TB lake runs continuously. The
+    * query builds three snapshots (two disjoint overwrites, one append),
+    * vacuums with retainVersions=2, and proves the contract from both
+    * sides: the reclaimed-dir count is exactly the oldest snapshot's
+    * exclusive data dir; reading the vacuumed version now raises the
+    * guided error (gated in-engine — never a mid-scan file-not-found);
+    * and BOTH retained versions still time-travel, emitted as one
+    * aggregate row per snapshot that the oracle recomputes relationally
+    * from `events` alone. A vacuum that reclaimed too much (breaking
+    * retained time travel), too little, or corrupted the live snapshot
+    * changes rows and fails the hash.
+    *
+    * Scale: vacuum is a metadata diff (retained log entries' file sets)
+    * plus deletes of the dead dirs — zero data reads at any table size. */
+  val txnVacuumRetention = OracleQuery(
+    "x36_txn_vacuum_retention",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |s1 AS (SELECT 1 AS snapshot, count(*) AS n_rows,
+      |         CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |         min(event_id) AS min_id, max(event_id) AS max_id
+      |       FROM ev WHERE event_id % 3 = 1),
+      |s2 AS (SELECT 2 AS snapshot, count(*) AS n_rows,
+      |         CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |         min(event_id) AS min_id, max(event_id) AS max_id
+      |       FROM ev WHERE event_id % 3 IN (1, 2))
+      |SELECT snapshot, n_rows, sum_cents, min_id, max_id,
+      |  CAST(1 AS INT) AS reclaimed_dirs
+      |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+      |ORDER BY snapshot""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val table = Scratch.dir("txn_vacuum") + "/t"
+    // v0: the snapshot that will fall OUT of retention (disjoint rows, so
+    // its single data dir is referenced by no retained version)
+    val v0 = TxnLake.commit(s,
+      ev.filter(col("event_id") % 3 === 0).coalesce(1), table, "overwrite")
+    val v1 = TxnLake.commit(s,
+      ev.filter(col("event_id") % 3 === 1).coalesce(1), table, "overwrite")
+    val v2 = TxnLake.commit(s,
+      ev.filter(col("event_id") % 3 === 2).coalesce(1), table, "append")
+    val reclaimed = TxnLake.vacuum(s, table, retainVersions = 2)
+    require(reclaimed == 1,
+      s"expected exactly v$v0's one exclusive dir reclaimed, got $reclaimed")
+    // the vacuumed version must fail loudly and immediately…
+    val v0Read = scala.util.Try(TxnLake.readVersion(s, table, v0).count())
+    require(v0Read.isFailure &&
+      v0Read.failed.get.getMessage.contains("vacuum"),
+      s"reading the vacuumed v$v0 must raise the guided error, got $v0Read")
+    // …while every retained version still time-travels (checked by the
+    // emitted rows the oracle recomputes)
+    def snap(v: Long, tag: Int) = TxnLake.readVersion(s, table, v)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .select(lit(tag).as("snapshot"), col("n_rows"), col("sum_cents"),
+        col("min_id"), col("max_id"))
+    snap(v1, 1).unionAll(snap(v2, 2))
+      .withColumn("reclaimed_dirs", lit(reclaimed))
+      .orderBy("snapshot")
+  }
+
+  /** Streaming curated ingest with CONTINUOUS COMPACTION (x37) — lake
+    * maintenance running INSIDE the ingest loop, the shape a 100 TB
+    * deployment actually operates: every committed micro-batch is
+    * followed by an OPTIMIZE that rewrites the table into ≤2
+    * doc_id-range-clustered files, and the x32 checkpoint-loss replay
+    * then re-delivers everything. The oracle is x32's, verbatim — lake
+    * maintenance must be observationally invisible to readers, so the
+    * oracle literally cannot mention it; what the maintenance DID do is
+    * gated in-engine (bounded file count, txn watermark intact through
+    * the interleaved optimize commits, replay added neither rows nor
+    * maintenance runs). Exactly-once survives because every optimize
+    * entry carries the cumulative (appId, batchId) map forward — the
+    * invariant this query pins end to end. */
+  val streamIngestCompaction = OracleQuery(
+    "x37_stream_ingest_compaction",
+    curatedIngestOracleSql) { (s, d) =>
+    import graft.sources.TxnLake
+    val w1 = docLanding(s, d, "curwave1", _.filter(col("doc_id") % 3 =!= 0))
+    val w2 = docLanding(s, d, "curwave2", _.filter(col("doc_id") % 3 === 0))
+    val base = Scratch.dir("cur_ingest_opt")
+    val table = s"$base/t"
+    graft.streaming.CurationStream.runCuratedTwoWaveIngestCompacting(
+      w1, w2, table, s"$base/ckpt", "x37_ingest", s, numFiles = 2)
+    require(TxnLake.snapshotFiles(s, table).size <= 2,
+      "continuous compaction must bound the snapshot to <= 2 files")
+    // two data batches + two maintenance commits, and the replay added
+    // NOTHING — neither a duplicate append nor a redundant optimize
+    require(TxnLake.lastTxn(s, table, "x37_ingest").contains(1L),
+      "the txn watermark must survive the interleaved optimize commits")
+    require(TxnLake.latestVersion(s, table).contains(3L),
+      s"expected versions 0..3 (append,optimize)x2 with a no-op replay, " +
+        s"got ${TxnLake.latestVersion(s, table)}")
+    TxnLake.read(s, table)
+      .select("doc_id", "fp", "n_tokens", "ingest_batch")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -1849,5 +2031,6 @@ object OperatorQueries {
       txnDataSkipping, txnChangeFeed, incrementalMv, streamCdfMv,
       txnExpectations, txnSchemaEvolution, txnRestore, imagePHashDedup,
       streamCuratedIngest, streamCuratedIngestNearDup,
-      streamCuratedIngestDecontam)
+      streamCuratedIngestDecontam, txnOptimizeZorder, txnVacuumRetention,
+      streamIngestCompaction)
 }

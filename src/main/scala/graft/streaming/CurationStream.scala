@@ -417,6 +417,39 @@ object CurationStream {
         curateBatchNearDup(_, _, _, appId),
         (s, b) => batchBands(s, table, b)))
 
+  /** [[runCuratedTwoWaveIngest]] with CONTINUOUS LAKE MAINTENANCE (x37):
+    * after each batch that actually lands, the sink runs
+    * [[graft.sources.TxnLake.optimize]] on the corpus table — the
+    * production pattern where small streaming appends are compacted into
+    * few range-clustered files WITHOUT pausing the ingest. Everything the
+    * x32 proof establishes must survive the interleaved maintenance
+    * commits: exactly-once holds because every optimize entry carries
+    * the cumulative (appId, batchId) txn map forward, so the
+    * checkpoint-loss replay still sees its batches in the log; readers
+    * are isolated because optimize is one data-preserving snapshot swap.
+    * A replayed (skipped) batch triggers NO maintenance — compaction
+    * happens exactly as often as data actually lands. */
+  def runCuratedTwoWaveIngestCompacting(wave1Dir: String, wave2Dir: String,
+                                        table: String, checkpointDir: String,
+                                        appId: String, spark: SparkSession,
+                                        numFiles: Int = 2): Unit = {
+    val sink = (batch: DataFrame, batchId: Long) => {
+      val s = batch.sparkSession
+      if (!TxnLake.lastTxn(s, table, appId).exists(_ >= batchId)) {
+        val committed = Expectations.commitOnceWithExpectations(
+          s, curateBatch(batch, table, batchId),
+          table, "append", appId, batchId, IngestExpectations)
+        if (committed.isDefined) {
+          TxnLake.optimize(s, table, zorderBy = Seq("doc_id"),
+            numFiles = numFiles)
+          ()
+        }
+      }
+      ()
+    }
+    runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark, sink)
+  }
+
   private def runTwoWave(wave1Dir: String, wave2Dir: String,
                          table: String, checkpointDir: String,
                          appId: String, spark: SparkSession,
