@@ -43,7 +43,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    dedup (excise every ≥50-token span occurring ≥2× corpus-wide —
   *    the Lee et al. §4.1 application, cleaned text hash-gated against
   *    a window-census oracle)
-  *  - d21–d24, d28, d30–d31, d34, d37, d46, d52 [[graft.queries.CurationQueries]] —
+  *  - d21–d24, d28, d30–d31, d34, d37, d46, d52, d54 [[graft.queries.CurationQueries]] —
   *    PII scrub, stratified corpus mixing, unigram-LM surprisal,
   *    boilerplate n-gram pruning, DSIR importance weighting, bigram-LM
   *    conditional surprisal, hashed-feature linear quality classifier,
@@ -53,7 +53,9 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    distributed prefix-sum ranks, per-quartile md5 sampling),
   *    trained-then-frozen LR quality inference (FreezeQualityLr's
   *    learned weights as oracle-exact arithmetic — logit + decision,
-  *    no transcendental)
+  *    no transcendental), greedy token-budget corpus selection
+  *    (quality-ordered weighted prefix sum of token counts, full-fit
+  *    keep rule — the "top-quality B tokens" training-set construction)
   *  - v01–v12, d32 [[graft.queries.VectorQueries]] — embedding math, ANN
   *    baseline, int8 quantization, quantized-prefilter re-rank ANN,
   *    Johnson–Lindenstrauss random-projection coarse ANN + exact re-rank,

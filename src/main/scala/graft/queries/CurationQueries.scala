@@ -696,8 +696,72 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  // ---- d54 token-budget corpus selection -------------------------------
+  /** Greedy token-budget selection — the stage that turns a scored corpus
+    * into a TRAINING SET of a fixed size: order documents by quality
+    * (best first), keep each document whose tokens still fit the budget
+    * in that order, stop charging once full (the Pile/DoReMi-style
+    * "top-quality B tokens" construction; budget here = half the corpus'
+    * total tokens, so the decision boundary cuts through the middle of
+    * the quality distribution where it is hardest to get right).
+    *
+    * Quality is an integer-exact alpha-ratio permille (the d02 signal
+    * quantized so both engines order identically), and the greedy
+    * cumulative charge is the okey-ordered WEIGHTED prefix sum of
+    * n_tokens — [[graft.operators.PrefixSum]] summing a real value
+    * column rather than d46's constant 1, so the whole selection runs as
+    * the two-pass distributed cumsum: no single-reducer window anywhere.
+    * Keep rule: cum_before + n_tokens <= budget (full documents only —
+    * a straggler that does not fit is skipped but later smaller docs may
+    * still fit, the exact greedy-by-rank semantics the window recomputes
+    * in the oracle).
+    *
+    * Scale: one token-count aggregate, one bucketed cumsum (global
+    * window over #buckets rows only), one broadcast of the 1-row budget
+    * — the same shapes d36/d46 adjudicated; selection at 100 TB is
+    * exactly this plan with more buckets. */
+  val tokenBudgetSelect = OracleQuery(
+    "d54_token_budget_select",
+    s"""WITH t AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
+       |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |        (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1000)
+       |          // length(text) AS alpha_permille
+       |      FROM t),
+       |b AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM m),
+       |k AS (SELECT doc_id, n_tokens, alpha_permille,
+       |        (999 - alpha_permille) * 16777216 + doc_id AS okey
+       |      FROM m),
+       |r AS (SELECT doc_id, n_tokens, alpha_permille,
+       |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY okey
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS cum_before
+       |      FROM k)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(alpha_permille AS BIGINT) AS alpha_permille, cum_before,
+       |  CAST(cum_before + n_tokens <= budget AS BOOLEAN) AS kept
+       |FROM r, b ORDER BY doc_id""".stripMargin) { (s, d) =>
+    requireOkeyIdBound(Tables.documents(s, d), "d54")
+    val m = Tables.documents(s, d).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      expr("(length(regexp_replace(lower(text), '[^a-z]', '')) * 1000)" +
+        " div length(text)").as("alpha_permille"))
+    // integer division in BOTH engines: `/` on a Spark long sum is DOUBLE
+    // division and would shift the boundary by a fractional token
+    val budget = m.agg(expr("sum(n_tokens) div 2").cast("long").as("budget"))
+    val keyed = m.withColumn("okey",
+      (lit(999L) - col("alpha_permille")) * lit(16777216L) + col("doc_id"))
+    graft.operators.PrefixSum
+      .exclusivePrefixSum(keyed, "okey", "n_tokens", "cum_before")
+      .crossJoin(broadcast(budget))
+      .select(col("doc_id"), col("n_tokens"), col("alpha_permille"),
+        col("cum_before"),
+        (col("cum_before") + col("n_tokens") <= col("budget")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(piiScrub, corpusMixing, unigramSurprisal, boilerplatePrune,
       dsirImportance, bigramSurprisal, hashedClassifier, prioritySample,
-      temperatureMixing, surprisalBucketMix, trainedQualityInference)
+      temperatureMixing, surprisalBucketMix, trainedQualityInference,
+      tokenBudgetSelect)
 }
