@@ -58,7 +58,7 @@ object ScaleStress {
 
   /** Tables the stressed queries read. Everything else is omitted — the
     * scaled dirs are query inputs, not full testdata generations. */
-  private val ScaledFacts = Seq("documents", "lineitem", "orders")
+  private val ScaledFacts = Seq("documents", "lineitem", "orders", "events")
   private val CopiedDims = Seq("supplier", "customer", "nation", "region", "part")
 
   /** Generation fingerprint of the base corpus, recorded inside the
@@ -140,6 +140,17 @@ object ScaleStress {
     }.reduce(_ unionByName _)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    // events: the replica rewrite lands `ts` as epoch-nano longs under
+    // nanosAsLong — one of the two encodings Tables.events accepts
+    // (TablesSpec pins their equivalence); the event_id offset keeps ids
+    // unique so the x24/x35 range-bucket layouts stay well-defined
+    val evt = spark.read.parquet(s"$baseDir/events.parquet")
+    (0 until factor).map { i =>
+      if (i == 0) evt
+      else evt.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     CopiedDims.foreach { t =>
       Files.copy(Paths.get(baseDir, s"$t.parquet"),
         Paths.get(outDir, s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)

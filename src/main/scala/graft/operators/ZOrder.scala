@@ -34,24 +34,44 @@ object ZOrder {
         .bitwiseOR(shiftleft(shiftright(cy, b).bitwiseAND(lit(1L)), 2 * b + 1))
     }
 
-  /** Clusters `df` by the z-order of (xCol, yCol): one global min/max
-    * aggregate (broadcast back — no driver round-trip in the plan), the
-    * Morton key, then a range repartition + within-partition sort on it.
-    * Each output partition owns a contiguous z-range = a compact region of
-    * the (x, y) space; writing these as files gives min/max footers that
-    * prune on either dimension. */
+  /** Clusters `df` by the z-order of (xCol, yCol): RANK-quantized cell
+    * coordinates per dimension, the Morton key, then a range repartition
+    * + within-partition sort on it. Each output partition owns a
+    * contiguous z-range = a compact region of RANK space; writing these
+    * as files gives min/max footers that prune on either dimension.
+    *
+    * Cells are rank-based — each dimension's cell id is the row's range
+    * partition under `repartitionByRange(2^bits, dim)` (Delta's
+    * `range_partition_id`, sampled boundaries) — NOT a linear min/max
+    * normalization. Linear quantization breaks on exactly the
+    * distributions a grown lake has: clustered/sparse keys (e.g. ids
+    * arriving in widely-offset blocks) collapse into a handful of linear
+    * cells, the interleave degenerates to a 1-D sort on the other
+    * dimension, and file pruning on the collapsed dimension dies — the
+    * failure mode the factor-10 growth run of x35 caught. Rank cells
+    * equidistribute ANY distribution by construction. AQE may coalesce
+    * small adjacent range partitions, which only coarsens cells while
+    * keeping them monotone in the dimension — pruning structure is
+    * preserved.
+    *
+    * Cost: two extra full shuffles (one per dimension) over the
+    * min/max-aggregate approach — the price of distribution-robust
+    * layout, paid by a maintenance command that already rewrites every
+    * byte it touches. */
   def clusterByZ(df: DataFrame, xCol: String, yCol: String, bits: Int = 8,
                  partitions: Int = 0): DataFrame = {
     val n = if (partitions > 0) partitions
             else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val bounds = df.agg(
-      min(col(xCol)).as("__xmin"), max(col(xCol)).as("__xmax"),
-      min(col(yCol)).as("__ymin"), max(col(yCol)).as("__ymax"))
-    val keyed = df.crossJoin(broadcast(bounds))
-      .withColumn("__z", zValue2(
-        cell(col(xCol), col("__xmin"), col("__xmax"), bits),
-        cell(col(yCol), col("__ymin"), col("__ymax"), bits), bits))
-      .drop("__xmin", "__xmax", "__ymin", "__ymax")
+    val cells = 1 << bits
+    // spark_partition_id is non-deterministic to the optimizer, so each
+    // projection stays pinned to the stage right after its exchange —
+    // the id read IS that exchange's range bucket
+    val cx = df.repartitionByRange(cells, col(xCol))
+      .withColumn("__cx", spark_partition_id().cast("long"))
+    val cy = cx.repartitionByRange(cells, col(yCol))
+      .withColumn("__cy", spark_partition_id().cast("long"))
+    val keyed = cy.withColumn("__z", zValue2(col("__cx"), col("__cy"), bits))
+      .drop("__cx", "__cy")
     keyed.repartitionByRange(n, col("__z")).sortWithinPartitions("__z")
   }
 }

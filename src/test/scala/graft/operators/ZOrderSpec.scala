@@ -50,6 +50,28 @@ class ZOrderSpec extends SparkSpec {
     assert(clustered.count() == 64L * 64L)
   }
 
+  test("rank cells keep pruning under clustered/sparse key distributions") {
+    val s = SparkSpec.session
+    import s.implicits._
+    // 10 widely-offset id islands × uniform values — the x35 factor-10
+    // growth shape. LINEAR min/max cells collapse each island to ~one id
+    // cell and the count-quantile z cuts stop aligning with value
+    // geometry, so a central value band kept EVERY file; rank cells make
+    // the cuts quadrant-exact for any distribution.
+    val pts = (for (isl <- 0 until 10; i <- 0 until 500)
+      yield (isl * 10000000L + i.toLong, (i % 100).toDouble)).toDF("id", "v")
+    val z = ZOrder.clusterByZ(pts, "id", "v", bits = 6, partitions = 4)
+    val stats = z.groupBy(spark_partition_id())
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx")).collect()
+    val (lo, hi) = (25.0, 49.0)
+    // at least one partition's [mn, mx] lies wholly outside the central
+    // band — the file a stats-pruned scan skips
+    assert(stats.exists(r =>
+      r.getAs[Double]("mn") > hi || r.getAs[Double]("mx") < lo),
+      stats.map(r => (r.getAs[Double]("mn"), r.getAs[Double]("mx"))).mkString(","))
+    assert(z.count() == 5000L)
+  }
+
   test("z-order clustering bounds per-partition spatial extent vs a 1-D sort") {
     val s = SparkSpec.session
     import s.implicits._
