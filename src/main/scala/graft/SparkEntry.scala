@@ -62,7 +62,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x37 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x38 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -82,9 +82,11 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    plus the same ingest with the incremental delta-vs-index near-dup
   *    gate (the committed table doubles as its own LSH index),
   *    OPTIMIZE ZORDER layout maintenance with before/after skipping
-  *    counters, VACUUM with retention-window time-travel proof, and
+  *    counters, VACUUM with retention-window time-travel proof,
   *    streaming ingest under continuous compaction (exactly-once
-  *    surviving interleaved maintenance commits)
+  *    surviving interleaved maintenance commits), and incremental
+  *    small-file compaction (pack only sub-threshold files, large
+  *    files carry over verbatim — O(debt), never O(table))
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

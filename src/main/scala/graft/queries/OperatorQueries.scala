@@ -2022,6 +2022,64 @@ object OperatorQueries {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL small-file compaction as a registered lake operation —
+    * Delta's OPTIMIZE bin-packing: the snapshot's sub-threshold files are
+    * packed into one file while every already-large file carries over
+    * with its PHYSICAL PATH untouched (asserted in-engine), so the
+    * command costs O(small-file debt), never O(table) — the maintenance
+    * a table under micro-batch ingest runs at cadence, where x35's
+    * whole-snapshot re-cluster would rewrite 100 TB per day. Fixture:
+    * one big half-corpus file plus one file per upper event_id-range
+    * bucket; the oracle recomputes the content and BOTH file counters
+    * from that deterministic construction (files_after = big + 1 packed). */
+  val txnIncrementalCompaction = OracleQuery(
+    "x38_txn_incremental_compaction",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |b AS (SELECT event_id, vc,
+      |        CAST((event_id * 8) // (m + 1) AS INT) AS bkt FROM ev, mx),
+      |res AS (SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |          min(event_id) AS min_id, max(event_id) AS max_id FROM b),
+      |sm AS (SELECT CAST(count(DISTINCT bkt) AS INT) AS n_small
+      |       FROM b WHERE bkt >= 4)
+      |SELECT n_rows, sum_cents, min_id, max_id,
+      |  CAST(n_small + 1 AS INT) AS files_before,
+      |  CAST(2 AS INT) AS files_after
+      |FROM res, sm""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val table = Scratch.dir("txn_compact") + "/t"
+    val bkt = expr(s"event_id * 8 div ${m + 1}")
+    // the big file: the lower half of the id range in ONE append
+    TxnLake.commit(s, ev.filter(bkt < 4).coalesce(1), table, "append")
+    // the small-file debt: one single-file append per upper bucket
+    (4 until 8).foreach { i =>
+      val part = ev.filter(bkt === i).coalesce(1)
+      if (!part.isEmpty) TxnLake.commit(s, part, table, "append")
+    }
+    val sized = TxnLake.snapshotFileSizes(s, table)
+    val filesBefore = sized.size
+    val bigPath = sized.maxBy(_._2)._1
+    // threshold = the big file's own size: strict < keeps it out of the
+    // pack set, everything else (quarter-bucket files) is debt
+    val v = TxnLake.compactSmallFiles(s, table,
+      minFileBytes = sized.map(_._2).max)
+    require(v.isDefined, "compaction found no small-file debt to pack")
+    val after = TxnLake.snapshotFiles(s, table)
+    require(after.exists(_.path == bigPath),
+      "incremental compaction must carry the big file over verbatim")
+    require(after.size == 2,
+      s"expected big + packed = 2 files, got ${after.size}")
+    TxnLake.read(s, table)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .withColumn("files_before", lit(filesBefore))
+      .withColumn("files_after", lit(after.size))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -2032,5 +2090,5 @@ object OperatorQueries {
       txnExpectations, txnSchemaEvolution, txnRestore, imagePHashDedup,
       streamCuratedIngest, streamCuratedIngestNearDup,
       streamCuratedIngestDecontam, txnOptimizeZorder, txnVacuumRetention,
-      streamIngestCompaction)
+      streamIngestCompaction, txnIncrementalCompaction)
 }

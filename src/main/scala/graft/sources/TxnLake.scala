@@ -485,7 +485,8 @@ object TxnLake extends LakeFormat {
   private def commitImpl(spark: SparkSession, df: DataFrame, table: String,
                          operation: String, txn: Option[(String, Long)],
                          maxAttempts: Int,
-                         requireBase: Option[Option[Long]] = None): Option[Long] = {
+                         requireBase: Option[Option[Long]] = None,
+                         removePaths: Option[Seq[String]] = None): Option[Long] = {
     require(operation == "overwrite" || operation == "append"
       || operation == "optimize", s"TxnLake: unknown operation $operation")
     val tablePath = new Path(table)
@@ -536,11 +537,14 @@ object TxnLake extends LakeFormat {
       val added = harvestAll(spark, written, df.schema)
       // remove actions: append removes nothing (O(1) log reads — the
       // streaming-sink hot path never resolves the snapshot); overwrite
-      // and optimize remove every current file
-      val removed: Seq[String] =
+      // and optimize remove every current file, unless the caller scoped
+      // the rewrite to an explicit subset (incremental compaction — the
+      // untouched files carry over into the new snapshot verbatim)
+      val removed: Seq[String] = removePaths.getOrElse {
         if (operation == "append") Seq.empty
         else committed.lastOption
           .map(resolveFiles(spark, table, _).map(_.path)).getOrElse(Seq.empty)
+      }
       // carry the cumulative txn state through EVERY commit (plain commits
       // included) so the O(1) replay check above stays sound. UPGRADE
       // path: a log written before the map existed carries per-entry txn
@@ -1083,6 +1087,64 @@ object TxnLake extends LakeFormat {
     }
     throw new java.util.ConcurrentModificationException(
       s"TxnLake.optimize: $maxAttempts consecutive concurrent commits on $table")
+  }
+
+  /** On-disk byte size of every file in the snapshot, table-relative path
+    * → bytes (driver-side listing, O(|files|) metadata calls — the same
+    * cost any size-aware planner pays). */
+  def snapshotFileSizes(spark: SparkSession, table: String,
+                        version: Option[Long] = None): Seq[(String, Long)] = {
+    val f = fs(spark, new Path(table))
+    snapshotFiles(spark, table, version).map { fm =>
+      fm.path -> f.getFileStatus(new Path(table, fm.path)).getLen
+    }
+  }
+
+  /** INCREMENTAL compaction — Delta's OPTIMIZE bin-packing semantics:
+    * rewrite ONLY the snapshot's files smaller than `minFileBytes` into
+    * `ceil(smallBytes / targetFileBytes)` packed files, leaving every
+    * already-large file in place VERBATIM (same physical path carries
+    * over into the new snapshot). This is the maintenance command a
+    * table under continuous streaming ingest actually runs: cost is
+    * O(small files) per invocation, not O(table) — the whole-snapshot
+    * [[optimize]] re-clusters, this reclaims the small-file debt a
+    * micro-batch cadence accrues. No-op (returns None) below two small
+    * files: packing one file into one file would churn versions forever
+    * under a periodic scheduler.
+    *
+    * Transactionally identical to [[optimize]]: the rewrite is pinned to
+    * its read version (requireBase), so a concurrent append/overwrite
+    * forces a recompute from the fresh snapshot rather than resurrecting
+    * the files the concurrent writer removed — and the small files are
+    * re-chosen from that fresh snapshot. Reads the small files under the
+    * LOGGED schema (older files null-fill evolved columns, exactly as a
+    * snapshot scan would). */
+  def compactSmallFiles(spark: SparkSession, table: String,
+                        minFileBytes: Long,
+                        targetFileBytes: Long = 128L << 20,
+                        maxAttempts: Int = 10): Option[Long] = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(spark, table).getOrElse(
+        sys.error(s"TxnLake.compactSmallFiles: no committed version in $table"))
+      val sized = snapshotFileSizes(spark, table, Some(base))
+      val small = sized.filter(_._2 < minFileBytes)
+      if (small.size < 2) return None
+      val numOut = math.max(1L,
+        (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
+      val schema = loggedSchema(spark, table, base)
+      val paths = small.map(p => new Path(table, p._1).toString)
+      val reader = schema.map(st => spark.read.schema(st)).getOrElse(spark.read)
+      val packed = reader.parquet(paths: _*).repartition(numOut)
+      try return Some(commitImpl(spark, packed, table, "optimize", None,
+          maxAttempts = 1, requireBase = Some(Some(base)),
+          removePaths = Some(small.map(_._1)))
+        .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped")))
+      catch { case _: CommitConflict => attempt += 1 }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"TxnLake.compactSmallFiles: $maxAttempts consecutive concurrent " +
+        s"commits on $table")
   }
 
   // ---- restore --------------------------------------------------------

@@ -109,6 +109,35 @@ class TxnLakeSpec extends SparkSpec {
     assert(TxnLake.txnVersion(spark, t, "appB", 0L).isEmpty)
   }
 
+  test("compactSmallFiles packs only small files; big files carry over verbatim") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, (0 until 5000).toDF("x").coalesce(1), t, "append")
+    (0 until 4).foreach { i =>
+      TxnLake.commit(spark, Seq(10000 + i).toDF("x").coalesce(1), t, "append")
+    }
+    val preV = TxnLake.latestVersion(spark, t).get
+    val sized = TxnLake.snapshotFileSizes(spark, t)
+    assert(sized.size == 5)
+    val bigPath = sized.maxBy(_._2)._1
+    val v = TxnLake.compactSmallFiles(spark, t,
+      minFileBytes = sized.map(_._2).max)
+    assert(v.isDefined)
+    val after = TxnLake.snapshotFiles(spark, t)
+    // the big file's PHYSICAL path carries over — incremental compaction
+    // must never rewrite bytes it did not pack
+    assert(after.exists(_.path == bigPath), after.map(_.path).mkString(","))
+    assert(after.size == 2, after.map(_.path).mkString(","))
+    val rows = TxnLake.read(spark, t).collect().map(_.getInt(0)).sorted
+    assert(rows.length == 5004 && rows.takeRight(4).toSeq ==
+      Seq(10000, 10001, 10002, 10003))
+    // pre-compaction version still time-travels (the log carries deltas)
+    assert(TxnLake.readVersion(spark, t, preV).count() == 5004)
+    // a single remaining small file is NOT re-packed forever
+    assert(TxnLake.compactSmallFiles(spark, t,
+      minFileBytes = sized.map(_._2).max).isEmpty)
+  }
+
   test("vacuum reclaims only versions outside the retention window") {
     import spark.implicits._
     val t = freshTable()
