@@ -690,12 +690,19 @@ object TxnLake extends LakeFormat {
 
   private def requireLive(spark: SparkSession, table: String, version: Long,
                           files: Seq[FileMeta]): Unit = {
+    // the LATEST version is fully live by construction (vacuum retains at
+    // least one version) — keep the hot read path at O(dirs); time-travel
+    // reads pay the per-FILE check because a file-granular vacuum can
+    // reclaim individual files out of an otherwise-live dir
     val f = fs(spark, new Path(table))
-    val dirs = files.map(_.path.split("/").take(2).mkString("/")).distinct
-    dirs.find(dr => !f.exists(new Path(table, dr))).foreach { dr =>
+    val fileGrain = !latestVersion(spark, table).contains(version)
+    val probes =
+      if (fileGrain) files.map(_.path)
+      else files.map(_.path.split("/").take(2).mkString("/")).distinct
+    probes.find(p => !f.exists(new Path(table, p))).foreach { p =>
       throw new IllegalStateException(
         s"TxnLake: version $version of $table has been vacuumed " +
-          s"(data dir $dr reclaimed); only versions within the retention " +
+          s"($p reclaimed); only versions within the retention " +
           "window at the last vacuum remain readable")
     }
   }
@@ -1211,23 +1218,42 @@ object TxnLake extends LakeFormat {
 
   // ---- vacuum ---------------------------------------------------------
 
-  /** Delete data dirs referenced by NO retained version (the newest
+  /** Delete data FILES referenced by NO retained version (the newest
     * `retainVersions` stay readable; older log entries remain but their
-    * exclusive files are reclaimed). Returns reclaimed dir count. */
+    * exclusive files are reclaimed), then any dir left empty. Returns the
+    * reclaimed parquet-file count.
+    *
+    * File granularity matters since [[compactSmallFiles]]: an
+    * incremental compaction can remove SOME files of a multi-file commit
+    * dir, leaving a dir that is live (other files still referenced) yet
+    * carries dead bytes — a dir-granular vacuum would never reclaim
+    * those, a storage leak that compounds at ingest cadence. */
   def vacuum(spark: SparkSession, table: String, retainVersions: Int = 1): Int = {
     val versions = committedVersions(spark, table)
     if (versions.isEmpty) return 0
     val retained = versions.takeRight(math.max(1, retainVersions))
-    val live = retained.flatMap(resolveFiles(spark, table, _).map(_.path))
-      .map(_.split("/").take(2).mkString("/")).toSet // data/vN-salt-a dirs
+    val live = retained.flatMap(resolveFiles(spark, table, _).map(_.path)).toSet
     val dataRoot = new Path(table, "data")
     val f = fs(spark, dataRoot)
     if (!f.exists(dataRoot)) return 0
-    val dead = f.listStatus(dataRoot)
-      .filter(_.isDirectory)
-      .filterNot(s => live.contains(s"data/${s.getPath.getName}"))
-    dead.foreach(s => f.delete(s.getPath, true))
-    dead.length
+    var reclaimed = 0
+    f.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
+      val dirRel = s"data/${d.getPath.getName}"
+      val files = f.listStatus(d.getPath).filter(_.isFile)
+      val (alive, dead) = files.partition(s =>
+        live.contains(s"$dirRel/${s.getPath.getName}"))
+      if (alive.isEmpty) {
+        // whole dir dead: one recursive delete takes markers with it
+        reclaimed += dead.count(_.getPath.getName.endsWith(".parquet"))
+        f.delete(d.getPath, true)
+      } else {
+        dead.filter(_.getPath.getName.endsWith(".parquet")).foreach { s =>
+          f.delete(s.getPath, false)
+          reclaimed += 1
+        }
+      }
+    }
+    reclaimed
   }
 
   // ---- LakeFormat: overwrite-snapshot semantics, like ParquetLake, but

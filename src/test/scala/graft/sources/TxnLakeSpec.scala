@@ -138,6 +138,42 @@ class TxnLakeSpec extends SparkSpec {
       minFileBytes = sized.map(_._2).max).isEmpty)
   }
 
+  test("vacuum reclaims dead files inside still-live dirs (compaction debt)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // one commit writes a MIXED dir — a big file and a small file (skewed
+    // range split) — then a single-file append provides the second small
+    // file; compaction packs the two smalls, so the mixed dir stays LIVE
+    // (big file referenced) while carrying one dead file
+    val mixed = (0 until 5000).map(i => (if (i < 4900) 0 else 1, i))
+      .toDF("k", "x").repartitionByRange(2, col("k"))
+    TxnLake.commit(spark, mixed, t, "append")
+    TxnLake.commit(spark, Seq((9, 99999)).toDF("k", "x").coalesce(1), t, "append")
+    val sized = TxnLake.snapshotFileSizes(spark, t)
+    assert(sized.size == 3, sized.mkString(","))
+    val bigPath = sized.maxBy(_._2)._1
+    TxnLake.compactSmallFiles(spark, t, minFileBytes = sized.map(_._2).max)
+    val reclaimed = TxnLake.vacuum(spark, t, retainVersions = 1)
+    assert(reclaimed == 2,
+      s"both packed-away small files must reclaim (one inside a live dir), " +
+        s"got $reclaimed")
+    // the mixed dir survives with ONLY the big file physically present…
+    val after = TxnLake.snapshotFiles(spark, t)
+    assert(after.exists(_.path == bigPath))
+    val bigDir = new java.io.File(t, bigPath.split("/").take(2).mkString("/"))
+    assert(bigDir.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+      bigDir.listFiles().map(_.getName).mkString(","))
+    // …content intact, and time travel to the partially-reclaimed version
+    // raises the GUIDED error (a dir-granular liveness check would pass
+    // and fail mid-scan instead)
+    assert(TxnLake.read(spark, t).count() == 5001)
+    val e = intercept[IllegalStateException] {
+      TxnLake.readVersion(spark, t, 0)
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
   test("vacuum reclaims only versions outside the retention window") {
     import spark.implicits._
     val t = freshTable()
