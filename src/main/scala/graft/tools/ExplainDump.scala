@@ -63,7 +63,8 @@ object ExplainDump {
       "v12_emb_jl_rerank_ann" -> "JL projection ANN — 16-row Rademacher matrix broadcast, one corpus scan projects, coarse pass scores 16-d, exact math on |Q|*50 candidates",
       "d51_exact_substring_dedup" -> "exact-substring dedup — lazy tail: lmax side-joins on sa_pos → start/token join → per-doc running-max mask window → doc-keyed rebuild; no pair build, no span explode",
       "d52_trained_quality_inference" -> "frozen trained-LR scoring — zero exchanges before the output sort, weights baked into one codegen'd per-token fold",
-      "d53_bench_decontaminate" -> "bench decontamination — lazy tail: boundary equi-join on sa_pos → bucket-keyed prefix-count windows + broadcast offsets → run-keyed semi-join → per-doc mask window → rebuild; the only unpartitioned window runs over bucket totals")
+      "d53_bench_decontaminate" -> "bench decontamination — lazy tail: boundary equi-join on sa_pos → bucket-keyed prefix-count windows + broadcast offsets → run-keyed semi-join → per-doc mask window → rebuild; the only unpartitioned window runs over bucket totals",
+      "d54_token_budget_select" -> "token-budget selection — __pid-bucketed weighted cumsum, ONE single-partition exchange carrying bucket totals, budget broadcast as a 1-row side")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.tools.ExplainDump` at sf0.001. What to look for\n")

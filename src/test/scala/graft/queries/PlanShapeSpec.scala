@@ -352,6 +352,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("token-budget selection (d54) cumsum is bucketed, never a global window") {
+    // the greedy charge must run as PrefixSum's two-pass shape: a
+    // __pid-keyed local cumsum (hash exchange on the bucket id) plus ONE
+    // SinglePartition exchange carrying only the per-bucket totals — a
+    // naive Window.orderBy(okey) would show no __pid exchange and drag
+    // every row through the single partition
+    val plan = planOf("d54_token_budget_select")
+    assert(plan.contains("hashpartitioning(__pid"),
+      s"missing the bucketed local-cumsum exchange:\n${plan.take(3000)}")
+    val singles = plan.sliding("Exchange SinglePartition".length)
+      .count(_ == "Exchange SinglePartition")
+    // two tiny single-partition exchanges are structural: the per-bucket
+    // totals (one row per bucket) and the 1-row budget aggregate — a
+    // third would mean corpus rows entered a global stage
+    assert(singles <= 2, s"expected at most the bucket-total + budget " +
+      s"single-partition exchanges, got $singles:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("k-means assignment is a pure map; vectors never shuffle") {
     // v11: the centroids inline as literals into the argmin expression, so
     // the assignment pass must plan NO join against the corpus and no
