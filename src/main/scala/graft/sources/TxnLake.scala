@@ -692,18 +692,27 @@ object TxnLake extends LakeFormat {
                           files: Seq[FileMeta]): Unit = {
     // the LATEST version is fully live by construction (vacuum retains at
     // least one version) — keep the hot read path at O(dirs); time-travel
-    // reads pay the per-FILE check because a file-granular vacuum can
-    // reclaim individual files out of an otherwise-live dir
+    // reads pay a FILE-granular check (one listing per dir, not one RPC
+    // per file) because a file-granular vacuum can reclaim individual
+    // files out of an otherwise-live dir
     val f = fs(spark, new Path(table))
-    val fileGrain = !latestVersion(spark, table).contains(version)
-    val probes =
-      if (fileGrain) files.map(_.path)
-      else files.map(_.path.split("/").take(2).mkString("/")).distinct
-    probes.find(p => !f.exists(new Path(table, p))).foreach { p =>
+    def reclaimed(what: String): Nothing =
       throw new IllegalStateException(
         s"TxnLake: version $version of $table has been vacuumed " +
-          s"($p reclaimed); only versions within the retention " +
+          s"($what reclaimed); only versions within the retention " +
           "window at the last vacuum remain readable")
+    val byDir = files.groupBy(_.path.split("/").take(2).mkString("/"))
+    if (latestVersion(spark, table).contains(version)) {
+      byDir.keys.find(dr => !f.exists(new Path(table, dr))).foreach(reclaimed)
+    } else {
+      byDir.foreach { case (dr, fms) =>
+        val dirPath = new Path(table, dr)
+        if (!f.exists(dirPath)) reclaimed(dr)
+        val present = f.listStatus(dirPath)
+          .filter(_.isFile).map(_.getPath.getName).toSet
+        fms.find(fm => !present.contains(fm.path.split("/").last))
+          .foreach(fm => reclaimed(fm.path))
+      }
     }
   }
 
