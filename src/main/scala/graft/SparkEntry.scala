@@ -62,7 +62,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x38 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x39 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -84,9 +84,12 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    OPTIMIZE ZORDER layout maintenance with before/after skipping
   *    counters, VACUUM with retention-window time-travel proof,
   *    streaming ingest under continuous compaction (exactly-once
-  *    surviving interleaved maintenance commits), and incremental
+  *    surviving interleaved maintenance commits), incremental
   *    small-file compaction (pack only sub-threshold files, large
-  *    files carry over verbatim — O(debt), never O(table))
+  *    files carry over verbatim — O(debt), never O(table)), and
+  *    streaming embedding ingest with an incremental cell-scoped
+  *    SemDeDup gate (first-arrival-wins vs the committed corpus,
+  *    quadratic confined per cell)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

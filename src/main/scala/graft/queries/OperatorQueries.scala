@@ -215,6 +215,15 @@ object OperatorQueries {
       graft.streaming.CurationStream.docSchema.json, variant,
       () => build(Tables.documents(s, d)).coalesce(1))
 
+  /** Normalized parquet landing for EMBEDDING streams (the x39 vector
+    * ingest) — the [[docLanding]] discipline on embeddings.parquet. */
+  private[queries] def embLanding(s: org.apache.spark.sql.SparkSession, d: String,
+                                  variant: String,
+                                  build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String =
+    sourceLanding(s, d, "embeddings.parquet",
+      graft.streaming.VectorStream.embSchema.json, variant,
+      () => build(Tables.embeddings(s, d)).coalesce(1))
+
   private def sourceLanding(s: org.apache.spark.sql.SparkSession, d: String,
                             sourceFile: String, schemaTag: String,
                             variant: String,
@@ -2080,6 +2089,54 @@ object OperatorQueries {
       .withColumn("files_after", lit(after.size))
   }
 
+  /** Streaming EMBEDDING ingest with the incremental cell-scoped
+    * semantic-dedup gate (x39) — the vector-modality counterpart of
+    * x33: per micro-batch, arrivals whose cosine to an ALREADY-COMMITTED
+    * same-label vector reaches 0.3 are dropped (d32's SemDeDup rule at
+    * the delta-vs-corpus grain, first-arrival-wins), survivors commit
+    * exactly-once, and the x32 checkpoint-loss replay proves the log
+    * absorbs re-delivery. The oracle mirrors batch-equivalently: wave-1
+    * vectors (vec_id % 3 ≠ 0, batch 0) serve as the committed corpus
+    * wave-2 arrivals probe — one label-keyed join with the exact
+    * sequential-fold cosine both engines compute bit-identically (the
+    * d32 doctrine). Scale: the probe is one cell-keyed equi-join of the
+    * day's delta against the corpus, quadratic confined per cell; the
+    * cell key lives IN the table, so the vector store is its own
+    * inverted index (no sibling to maintain). */
+  val streamVectorIngest = OracleQuery(
+    "x39_stream_vector_ingest_semdedup",
+    """WITH e AS (SELECT vec_id, label,
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |        sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+      |w AS (SELECT *, CAST(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+      |        AS ingest_batch FROM n),
+      |drp AS (SELECT DISTINCT b.vec_id
+      |        FROM w a JOIN w b ON a.label = b.label
+      |        WHERE a.ingest_batch = 0 AND b.ingest_batch = 1
+      |          AND list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+      |                / (a.nrm * b.nrm) >= 0.3)
+      |SELECT vec_id, label, ingest_batch FROM w
+      |WHERE NOT EXISTS (SELECT 1 FROM drp d WHERE d.vec_id = w.vec_id)
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val w1 = embLanding(s, d, "vecwave1", _.filter(col("vec_id") % 3 =!= 0))
+    val w2 = embLanding(s, d, "vecwave2", _.filter(col("vec_id") % 3 === 0))
+    val base = Scratch.dir("vec_ingest")
+    val table = s"$base/t"
+    graft.streaming.VectorStream.runVectorTwoWaveIngest(
+      w1, w2, table, s"$base/ckpt", "x39_ingest", s)
+    // two batches, one commit each; the replay added neither
+    require(TxnLake.lastTxn(s, table, "x39_ingest").contains(1L),
+      "the replay must be absorbed by the table log")
+    require(TxnLake.latestVersion(s, table).contains(1L),
+      s"expected versions 0..1, got ${TxnLake.latestVersion(s, table)}")
+    TxnLake.read(s, table)
+      .select("vec_id", "label", "ingest_batch")
+      .orderBy("vec_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -2090,5 +2147,5 @@ object OperatorQueries {
       txnExpectations, txnSchemaEvolution, txnRestore, imagePHashDedup,
       streamCuratedIngest, streamCuratedIngestNearDup,
       streamCuratedIngestDecontam, txnOptimizeZorder, txnVacuumRetention,
-      streamIngestCompaction, txnIncrementalCompaction)
+      streamIngestCompaction, txnIncrementalCompaction, streamVectorIngest)
 }

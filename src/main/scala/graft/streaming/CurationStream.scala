@@ -340,7 +340,7 @@ object CurationStream {
       indexedIngestSink(table, appId,
         windowIndexPath(table), windowIndexTxn(appId),
         curateBatchDecontam(_, _, _, appId),
-        (s, b) => batchWindows(s, table, b, DecontamWindow)))
+        (s, b) => batchWindows(s, table, b, DecontamWindow)))()
 
   /** ONE definition of the indexed-ingest sink (x33/x34 — they differ
     * only in index table, txn id, curator, and increment builder; a
@@ -415,7 +415,7 @@ object CurationStream {
       indexedIngestSink(table, appId,
         bandIndexPath(table), bandIndexTxn(appId),
         curateBatchNearDup(_, _, _, appId),
-        (s, b) => batchBands(s, table, b)))
+        (s, b) => batchBands(s, table, b)))()
 
   /** [[runCuratedTwoWaveIngest]] with CONTINUOUS LAKE MAINTENANCE (x37):
     * after each batch that actually lands, the sink runs
@@ -447,7 +447,7 @@ object CurationStream {
       }
       ()
     }
-    runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark, sink)
+    runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark, sink)()
   }
 
   private def runTwoWave(wave1Dir: String, wave2Dir: String,
@@ -471,16 +471,21 @@ object CurationStream {
       }
       ()
     }
-    runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark, sink)
+    runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark, sink)()
   }
 
   /** The two-wave driver itself: land wave 1, micro-batch it, land wave 2,
     * micro-batch it, then re-deliver EVERYTHING under a fresh checkpoint
     * (the checkpoint-loss replay — exactly-once must come from the table
-    * log, not streaming state). `sink` owns all commit semantics. */
-  private def runTwoWaveSink(wave1Dir: String, wave2Dir: String,
+    * log, not streaming state). `sink` owns all commit semantics;
+    * `readSource` builds the streaming read for the landing dir (defaults
+    * to the document schema; [[VectorStream]] passes its own). */
+  private[streaming] def runTwoWaveSink(wave1Dir: String, wave2Dir: String,
                              checkpointDir: String, spark: SparkSession,
-                             sink: (DataFrame, Long) => Unit): Unit = {
+                             sink: (DataFrame, Long) => Unit)
+                            (readSource: String => DataFrame =
+                               readDocs(spark, _)): Unit = {
+    val source = readSource
     val scratch = java.nio.file.Files.createTempDirectory("graft_cur_ingest")
     // Copy to a non-.parquet temp name, then ATOMIC_MOVE into place: the
     // running FileStreamSource polls the scratch dir continuously and
@@ -507,7 +512,7 @@ object CurationStream {
     }
     try {
       land(wave1Dir, "w1")
-      val q = readDocs(spark, scratch.toString).writeStream
+      val q = source(scratch.toString).writeStream
         .foreachBatch(sink)
         .option("checkpointLocation", checkpointDir)
         .start()
@@ -518,7 +523,7 @@ object CurationStream {
       // CHECKPOINT-LOSS replay: a fresh checkpoint re-delivers everything
       // as batch 0; the (appId, 0) txn is already in the table log, so the
       // exactly-once guarantee must come from the LOG, not the checkpoint.
-      val q2 = readDocs(spark, scratch.toString).writeStream
+      val q2 = source(scratch.toString).writeStream
         .foreachBatch(sink)
         .option("checkpointLocation", s"${checkpointDir}_replay")
         .trigger(Trigger.AvailableNow())

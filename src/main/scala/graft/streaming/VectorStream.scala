@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.VectorFunctions._
+import graft.sources.{Expectations, TxnLake}
+import graft.sources.Expectations.Expectation
+
+/** Streaming EMBEDDING ingest with an incremental cell-scoped semantic
+  * dedup gate — the vector-modality counterpart of [[CurationStream]]'s
+  * document ingests (x32–x34), the motion an embedding store runs as new
+  * vectors arrive: per micro-batch, drop every vector whose cosine to an
+  * ALREADY-COMMITTED vector in the SAME coarse cell reaches `eps` (the
+  * d32 SemDeDup rule at the delta-vs-corpus grain), then commit the
+  * survivors through the exactly-once expectations sink. The coarse cell
+  * is the `label` quantizer (the x06/d32 convention — production swaps
+  * in IVF centroid assignment and nothing else changes).
+  *
+  * Scale: the probe is one label-keyed equi-join of the day's delta
+  * against the committed corpus, with the quadratic confined to each
+  * cell (the published SemDeDup cost model); the corpus side prunes to
+  * (vec_id, label, embedding) — no index sibling is needed because the
+  * CELL KEY already lives in the table (where x33/x34 must derive band
+  * keys / windows from text, the vector table IS its own inverted
+  * index). Exactly-once is the x32 doctrine verbatim: (appId, batchId)
+  * txns in the table log absorb the checkpoint-loss replay.
+  */
+object VectorStream {
+
+  /** embeddings.parquet schema as landed (matches TESTDATA.md). */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  def readEmbeddings(spark: SparkSession, landing: String): DataFrame =
+    spark.readStream.schema(embSchema).parquet(landing)
+
+  /** The vector-store commit contract. */
+  val IngestExpectations: Seq[Expectation] = Seq(
+    Expectation("vec_id_present", col("vec_id").isNotNull),
+    Expectation("dim_64", size(col("embedding")) === 64),
+    Expectation("label_present", col("label").isNotNull))
+
+  /** One micro-batch through the incremental SemDeDup gate: batch
+    * vectors probe the committed corpus label-by-label; cosine ≥ `eps`
+    * to ANY committed cell-mate drops the arrival (the committed vector
+    * is the semantic representative — first-arrival-wins, the streaming
+    * analog of d32's min-id survivor). Within-batch near-dups are NOT
+    * collapsed (that is d32's batch job; orthogonal gates keep each
+    * oracle exact). Emits (vec_id, embedding, label, ingest_batch). */
+  def curateVecBatch(batch: DataFrame, table: String, batchId: Long,
+                     eps: Double = 0.3): DataFrame = {
+    val s = batch.sparkSession
+    val out = (df: DataFrame) => df.select(col("vec_id"), col("embedding"),
+      col("label"), lit(batchId).cast("int").as("ingest_batch"))
+    if (TxnLake.latestVersion(s, table).isEmpty) return out(batch)
+    val norm = (df: DataFrame, idAs: String, vAs: String, nAs: String) => df
+      .select(col("vec_id").as(idAs), col("label"),
+        toDouble(col("embedding")).as(vAs))
+      .withColumn(nAs, l2Norm(col(vAs)))
+    val arrivals = norm(batch, "vec_id", "va", "na")
+    val committed = norm(TxnLake.read(s, table), "id_b", "vb", "nb")
+    val dropped = arrivals.join(committed, Seq("label"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= eps)
+      .select("vec_id").distinct()
+    out(batch.join(dropped, Seq("vec_id"), "left_anti"))
+  }
+
+  /** Drive the vector ingest over TWO waves with the same exactly-once +
+    * checkpoint-loss-replay proof as [[CurationStream]] (shared two-wave
+    * runner; only the source schema and the gate differ). */
+  def runVectorTwoWaveIngest(wave1Dir: String, wave2Dir: String,
+                             table: String, checkpointDir: String,
+                             appId: String, spark: SparkSession,
+                             eps: Double = 0.3): Unit = {
+    val sink = (batch: DataFrame, batchId: Long) => {
+      // replay fast-path (cost short-circuit; the txn guard inside the
+      // commit remains the correctness mechanism)
+      if (!TxnLake.lastTxn(batch.sparkSession, table, appId)
+            .exists(_ >= batchId)) {
+        Expectations.commitOnceWithExpectations(
+          batch.sparkSession, curateVecBatch(batch, table, batchId, eps),
+          table, "append", appId, batchId, IngestExpectations)
+      }
+      ()
+    }
+    CurationStream.runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark,
+      sink)(readEmbeddings(spark, _))
+  }
+}
