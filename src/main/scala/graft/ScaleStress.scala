@@ -58,7 +58,8 @@ object ScaleStress {
 
   /** Tables the stressed queries read. Everything else is omitted — the
     * scaled dirs are query inputs, not full testdata generations. */
-  private val ScaledFacts = Seq("documents", "lineitem", "orders", "events")
+  private val ScaledFacts =
+    Seq("documents", "lineitem", "orders", "events", "embeddings")
   private val CopiedDims = Seq("supplier", "customer", "nation", "region", "part")
 
   /** Generation fingerprint of the base corpus, recorded inside the
@@ -151,6 +152,16 @@ object ScaleStress {
     }.reduce(_ unionByName _)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    // embeddings: id-offset replicas, labels (= coarse cells) unchanged —
+    // so cell COUNT stays fixed while cell size grows with the factor,
+    // the worst case for cell-scoped quadratic work (x39/d32)
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    (0 until factor).map { i =>
+      if (i == 0) emb
+      else emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     CopiedDims.foreach { t =>
       Files.copy(Paths.get(baseDir, s"$t.parquet"),
         Paths.get(outDir, s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
