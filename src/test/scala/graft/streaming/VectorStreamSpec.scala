@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.sources.TxnLake
+import org.apache.spark.sql.functions._
+
+/** [[VectorStream]]'s incremental cell-scoped SemDeDup gate — the
+  * batch-grain decisions the x39 driver query exercises end to end,
+  * pinned here on handcrafted vectors where every cosine is exact by
+  * construction. */
+class VectorStreamSpec extends SparkSpec {
+
+  private def emb(id: Long, label: Int, v: Seq[Double]) =
+    (id, v.map(_.toFloat) ++ Seq.fill(64 - v.size)(0.0f), label)
+
+  test("arrivals near a committed cell-mate drop; far or cross-cell ones keep") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("vec_stream_spec").toString
+    val table = s"$base/t"
+    // committed corpus: e1 in cell 0, e2 (orthogonal to e1) in cell 1
+    val corpus = Seq(
+      emb(1L, 0, Seq(1.0, 0.0)),
+      emb(2L, 1, Seq(0.0, 1.0))).toDF("vec_id", "embedding", "label")
+    TxnLake.commitOnce(s, VectorStream.curateVecBatch(corpus, table, 0L),
+      table, "append", "spec_vec", 0L)
+    // batch 1 arrivals:
+    //  10: same cell 0, cosine 1.0 to e1            -> dropped
+    //  11: same cell 0, orthogonal to e1 (cos 0.0)  -> kept
+    //  12: cell 1, cosine 1.0 to e1's DIRECTION but
+    //      its cell-mate e2 is orthogonal            -> kept (cell-scoped!)
+    val batch = Seq(
+      emb(10L, 0, Seq(2.0, 0.0)),
+      emb(11L, 0, Seq(0.0, 3.0)),
+      emb(12L, 1, Seq(4.0, 0.0))).toDF("vec_id", "embedding", "label")
+    val kept = VectorStream.curateVecBatch(batch, table, 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L), s"gate decisions: kept $kept")
+  }
+
+  test("the first batch founds the corpus ungated") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("vec_stream_spec2").toString
+    // two IDENTICAL vectors in one founding batch: within-batch near-dups
+    // are NOT collapsed (d32's batch job — orthogonal gates)
+    val batch = Seq(
+      emb(1L, 0, Seq(1.0, 0.0)),
+      emb(2L, 0, Seq(1.0, 0.0))).toDF("vec_id", "embedding", "label")
+    val out = VectorStream.curateVecBatch(batch, s"$base/t", 0L)
+    assert(out.count() == 2)
+    assert(out.columns.toSeq ==
+      Seq("vec_id", "embedding", "label", "ingest_batch"))
+  }
+}
