@@ -82,6 +82,40 @@ object PrefixSum {
       .drop("__pid", "__local")
   }
 
+  /** Adds `out` = sum of `valueCol` over all rows strictly before this
+    * row in ascending composite `orderCols` order — [[exclusivePrefixSum]]
+    * for ARBITRARY orderable composite keys, with no synthetic-single-key
+    * ceiling (the `quality·2^24 + doc_id` okey trick caps doc_id at 2^24
+    * for uniqueness; a composite (quality, doc_id) ordering has no cap).
+    * Same machinery as [[competitionRankByRange]]: range-partition by the
+    * key (sampled boundaries absorb skew), pin the assignment with ONE
+    * localCheckpoint so the local-cumsum branch and the per-partition-
+    * totals branch observe identical partitions, per-partition exclusive
+    * window cumsum, and a global offset window over #partitions rows
+    * only. The composite key should be a total order (unique) — with
+    * ties, which rows count as "before" within the tie group is
+    * partition-order-arbitrary. Keys must be non-null. */
+  def exclusivePrefixSumByRange(df: DataFrame, orderCols: Seq[String],
+                                valueCol: String, out: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keys = orderCols.map(col)
+    val rp = df.repartitionByRange(n, keys: _*)
+      .localCheckpoint()
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy("__pid").orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = rp.withColumn("__local",
+      coalesce(sum(col(valueCol)).over(localW), lit(0L)))
+    val offW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rp.groupBy("__pid").agg(sum(col(valueCol)).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(offW), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(out, col("__local") + col("__off"))
+      .drop("__pid", "__local")
+  }
+
   /** Adds `out` = 1-based COMPETITION rank of this row's composite key
     * `orderCols` (rank = 1 + number of ROWS with a strictly smaller key;
     * rows with equal keys share a rank, and the next distinct key's rank

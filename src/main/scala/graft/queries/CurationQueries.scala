@@ -707,14 +707,18 @@ object CurationQueries {
     *
     * Quality is an integer-exact alpha-ratio permille (the d02 signal
     * quantized so both engines order identically), and the greedy
-    * cumulative charge is the okey-ordered WEIGHTED prefix sum of
-    * n_tokens — [[graft.operators.PrefixSum]] summing a real value
-    * column rather than d46's constant 1, so the whole selection runs as
-    * the two-pass distributed cumsum: no single-reducer window anywhere.
-    * Keep rule: cum_before + n_tokens <= budget (full documents only —
-    * a straggler that does not fit is skipped but later smaller docs may
-    * still fit, the exact greedy-by-rank semantics the window recomputes
-    * in the oracle).
+    * cumulative charge is the (quality desc, doc_id)-ordered WEIGHTED
+    * prefix sum of n_tokens —
+    * [[graft.operators.PrefixSum.exclusivePrefixSumByRange]] over the
+    * COMPOSITE key, so the whole selection runs as the two-pass
+    * distributed cumsum with no single-reducer window AND no id ceiling
+    * (the d46 okey trick needs doc_id < 2^24 for uniqueness; the
+    * composite order is unique for any id range — the shape that
+    * actually survives 100 TB doc-id spaces). Keep rule:
+    * cum_before + n_tokens <= budget (full documents only — a straggler
+    * that does not fit is skipped but later smaller docs may still fit,
+    * the exact greedy-by-rank semantics the window recomputes in the
+    * oracle).
     *
     * Scale: one token-count aggregate, one bucketed cumsum (global
     * window over #buckets rows only), one broadcast of the 1-row budget
@@ -728,19 +732,16 @@ object CurationQueries {
        |          // length(text) AS alpha_permille
        |      FROM t),
        |b AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM m),
-       |k AS (SELECT doc_id, n_tokens, alpha_permille,
-       |        (999 - alpha_permille) * 16777216 + doc_id AS okey
-       |      FROM m),
        |r AS (SELECT doc_id, n_tokens, alpha_permille,
-       |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY okey
+       |        CAST(coalesce(sum(n_tokens) OVER (
+       |          ORDER BY alpha_permille DESC, doc_id
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |          AS BIGINT) AS cum_before
-       |      FROM k)
+       |      FROM m)
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        |  CAST(alpha_permille AS BIGINT) AS alpha_permille, cum_before,
        |  CAST(cum_before + n_tokens <= budget AS BOOLEAN) AS kept
        |FROM r, b ORDER BY doc_id""".stripMargin) { (s, d) =>
-    requireOkeyIdBound(Tables.documents(s, d), "d54")
     val m = Tables.documents(s, d).select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"),
       expr("(length(regexp_replace(lower(text), '[^a-z]', '')) * 1000)" +
@@ -748,10 +749,12 @@ object CurationQueries {
     // integer division in BOTH engines: `/` on a Spark long sum is DOUBLE
     // division and would shift the boundary by a fractional token
     val budget = m.agg(expr("sum(n_tokens) div 2").cast("long").as("budget"))
-    val keyed = m.withColumn("okey",
-      (lit(999L) - col("alpha_permille")) * lit(16777216L) + col("doc_id"))
+    // ascending (999 - quality, doc_id) ≡ ORDER BY quality DESC, doc_id
+    val keyed = m.withColumn("__q", lit(999L) - col("alpha_permille"))
     graft.operators.PrefixSum
-      .exclusivePrefixSum(keyed, "okey", "n_tokens", "cum_before")
+      .exclusivePrefixSumByRange(keyed, Seq("__q", "doc_id"),
+        "n_tokens", "cum_before")
+      .drop("__q")
       .crossJoin(broadcast(budget))
       .select(col("doc_id"), col("n_tokens"), col("alpha_permille"),
         col("cum_before"),

@@ -64,7 +64,7 @@ object ExplainDump {
       "d51_exact_substring_dedup" -> "exact-substring dedup — lazy tail: lmax side-joins on sa_pos → start/token join → per-doc running-max mask window → doc-keyed rebuild; no pair build, no span explode",
       "d52_trained_quality_inference" -> "frozen trained-LR scoring — zero exchanges before the output sort, weights baked into one codegen'd per-token fold",
       "d53_bench_decontaminate" -> "bench decontamination — lazy tail: boundary equi-join on sa_pos → bucket-keyed prefix-count windows + broadcast offsets → run-keyed semi-join → per-doc mask window → rebuild; the only unpartitioned window runs over bucket totals",
-      "d54_token_budget_select" -> "token-budget selection — __pid-bucketed weighted cumsum, ONE single-partition exchange carrying bucket totals, budget broadcast as a 1-row side")
+      "d54_token_budget_select" -> "token-budget selection — composite-key (quality, doc_id) range-partitioned weighted cumsum (no okey id ceiling), single-partition exchanges carry only partition totals + the 1-row budget")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.tools.ExplainDump` at sf0.001. What to look for\n")

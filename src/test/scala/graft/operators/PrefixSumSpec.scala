@@ -32,6 +32,29 @@ class PrefixSumSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("composite-key prefix sum equals the single-window reference") {
+    val s = SparkSpec.session
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // small primary domain forces heavy primary ties — the case the
+    // composite exists for — with ids far beyond any 2^24-style ceiling
+    val df = (1 to 4000).map(i =>
+      (rnd.nextInt(5).toLong, i.toLong * 1000000007L, rnd.nextInt(50).toLong))
+      .toDF("q", "id", "v")
+    val got = PrefixSum
+      .exclusivePrefixSumByRange(df, Seq("q", "id"), "v", "off")
+      .select("id", "off").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy("q", "id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = df.withColumn("off", coalesce(sum(col("v")).over(w), lit(0L)))
+      .select("id", "off").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // empty input degenerates cleanly
+    assert(PrefixSum.exclusivePrefixSumByRange(
+      Seq.empty[(Long, Long, Long)].toDF("q", "id", "v"),
+      Seq("q", "id"), "v", "off").count() == 0)
+  }
+
   test("competition rank matches brute force on a random composite-key multiset") {
     val s = SparkSpec.session
     import s.implicits._

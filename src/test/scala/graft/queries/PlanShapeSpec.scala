@@ -353,14 +353,15 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("token-budget selection (d54) cumsum is bucketed, never a global window") {
-    // the greedy charge must run as PrefixSum's two-pass shape: a
-    // __pid-keyed local cumsum (hash exchange on the bucket id) plus ONE
-    // SinglePartition exchange carrying only the per-bucket totals — a
-    // naive Window.orderBy(okey) would show no __pid exchange and drag
-    // every row through the single partition
+    // the greedy charge must run as the composite-key two-pass shape: a
+    // range exchange on (quality, doc_id) pinned at a checkpoint, a
+    // __pid-keyed local cumsum (hash exchange on the partition id), plus
+    // at most the two structural SinglePartition exchanges — a naive
+    // Window.orderBy would show no __pid exchange and drag every row
+    // through the single partition
     val plan = planOf("d54_token_budget_select")
     assert(plan.contains("hashpartitioning(__pid"),
-      s"missing the bucketed local-cumsum exchange:\n${plan.take(3000)}")
+      s"missing the partitioned local-cumsum exchange:\n${plan.take(3000)}")
     val singles = plan.sliding("Exchange SinglePartition".length)
       .count(_ == "Exchange SinglePartition")
     // two tiny single-partition exchanges are structural: the per-bucket
