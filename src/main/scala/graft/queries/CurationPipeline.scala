@@ -146,9 +146,9 @@ object CurationPipeline {
          |          CAST(sum(bits) AS BIGINT) AS sum_bits
          |        FROM t6 JOIN b6 USING (term) GROUP BY 1),
          |k6 AS (SELECT doc_id, n_toks, sum_bits,
-         |         (sum_bits * 1048576 // n_toks) * 16777216 + doc_id AS okey
+         |         sum_bits * 1048576 // n_toks AS qs
          |       FROM ds6),
-         |r6 AS (SELECT *, row_number() OVER (ORDER BY okey) - 1 AS rk,
+         |r6 AS (SELECT *, row_number() OVER (ORDER BY qs, doc_id) - 1 AS rk,
          |         (SELECT count(*) FROM ds6) AS n
          |       FROM k6),
          |m6 AS (SELECT doc_id, n_toks, sum_bits,
@@ -275,10 +275,10 @@ object CurationPipeline {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum(col("bits")).as("sum_bits"))
       .localCheckpoint()
-    CurationQueries.requireOkeyIdBound(Tables.documents(s, d), "d47")
+    // composite (quantized surprisal, doc_id) ordering — unique for any
+    // id range (the synthetic okey packing capped doc_id at 2^24)
     val keyed = ds.select(col("doc_id"), col("n_toks"), col("sum_bits"),
-      (expr("(sum_bits * 1048576) div n_toks") * lit(16777216L) + col("doc_id"))
-        .as("okey"),
+      expr("(sum_bits * 1048576) div n_toks").as("__qs"),
       lit(1L).as("one"))
     val nDocs = ds.agg(count(lit(1)).as("n"))
     val rate = CurationQueries.BucketRatesPermille.zipWithIndex
@@ -288,7 +288,7 @@ object CurationPipeline {
     val hb = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":mix47"))),
       1, 7), 16, 10).cast("long") % 1000
     val kept = graft.operators.PrefixSum
-      .exclusivePrefixSum(keyed, "okey", "one", "rk")
+      .exclusivePrefixSumByRange(keyed, Seq("__qs", "doc_id"), "one", "rk")
       .crossJoin(broadcast(nDocs))
       .withColumn("bucket", expr("cast((4 * rk) div n as int)"))
       .filter(hb < rate)

@@ -612,34 +612,19 @@ object CurationQueries {
     * middle-high band nearly whole).
     *
     * Exact quartiles WITHOUT a single-reducer global window: documents
-    * are ranked by a quantized integer order key
-    * ((sum_bits·2^20) div n_tokens)·2^24 + doc_id — unique, integer-exact,
-    * identical in both engines — via the two-pass distributed prefix sum
-    * ([[graft.operators.PrefixSum]]); only per-bucket totals ever see a
-    * global window. bucket = (4·rank) div N assigns ntile-balanced
+    * are ranked by the COMPOSITE (quantized surprisal, doc_id) order —
+    * integer-exact, unique for ANY id range, identical in both engines —
+    * via the composite-key two-pass distributed prefix sum
+    * ([[graft.operators.PrefixSum.exclusivePrefixSumByRange]]); only
+    * per-partition totals ever see a global window. Earlier rounds
+    * packed the order into one synthetic key
+    * (quantized·2^24 + doc_id), which is unique only while
+    * doc_id < 2^24 — a ceiling a 100 TB id space blows through — and
+    * carried a loud runtime guard; the composite ordering removes both.
+    * bucket = (4·rank) div N assigns ntile-balanced
     * quartiles. The keep decision is the d22 md5-bucket rule — hash-based,
     * so the same document decides the same way across reruns and engines. */
   private[queries] val BucketRatesPermille = Seq(200, 500, 900, 600)
-
-  /** The quantile order key `(quantized_surprisal)·2^24 + doc_id` is only
-    * unique — and therefore only cross-engine deterministic — while
-    * doc_id < 2^24: beyond that, adjacent quantized values can collide on
-    * okey and rank ties become engine-dependent. Fail loudly at the scale
-    * ceiling (the Tables.events pattern; a 1-row aggregate, the d33
-    * precedent) instead of silently returning engine-dependent buckets.
-    * Past the ceiling, widen the multiplier or order by the
-    * (quantized, doc_id) composite in BOTH engines. */
-  /** Call on the BASE documents scan (a superset of any derived doc set) —
-    * a bare max over the parquet scan is near-free, whereas probing the
-    * derived relation would re-execute its whole subtree for the assert. */
-  private[queries] def requireOkeyIdBound(ds: org.apache.spark.sql.DataFrame,
-                                          qname: String): Unit = {
-    val maxId = ds.agg(max(col("doc_id"))).collect()(0)
-    require(maxId.isNullAt(0) || maxId.getLong(0) < (1L << 24),
-      s"$qname: okey = quantized_surprisal * 2^24 + doc_id requires doc_id < 2^24 " +
-        s"for uniqueness, got max doc_id ${maxId.get(0)} — widen the multiplier or " +
-        "switch both engines to a (quantized, doc_id) composite ordering")
-  }
 
   val surprisalBucketMix = OracleQuery(
     "d46_surprisal_bucket_mix", {
@@ -653,10 +638,9 @@ object CurationQueries {
          |ds AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |         CAST(sum(bits) AS BIGINT) AS sum_bits
          |       FROM t JOIN b USING (term) GROUP BY 1),
-         |k AS (SELECT doc_id,
-         |        (sum_bits * 1048576 // n_tokens) * 16777216 + doc_id AS okey
-         |      FROM ds),
-         |r AS (SELECT doc_id, row_number() OVER (ORDER BY okey) - 1 AS rk,
+         |k AS (SELECT doc_id, sum_bits * 1048576 // n_tokens AS qs FROM ds),
+         |r AS (SELECT doc_id,
+         |        row_number() OVER (ORDER BY qs, doc_id) - 1 AS rk,
          |        (SELECT count(*) FROM ds) AS n
          |      FROM k),
          |m AS (SELECT doc_id, CAST((4 * rk) // n AS INT) AS bucket FROM r)
@@ -676,10 +660,8 @@ object CurationQueries {
     val ds = t.join(broadcast(bits), Seq("term"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
-    requireOkeyIdBound(Tables.documents(s, d), "d46")
     val keyed = ds.select(col("doc_id"),
-      (expr("(sum_bits * 1048576) div n_tokens") * lit(16777216L) + col("doc_id"))
-        .as("okey"),
+      expr("(sum_bits * 1048576) div n_tokens").as("__qs"),
       lit(1L).as("one"))
     val nDocs = ds.agg(count(lit(1)).as("n"))
     val rate = BucketRatesPermille.zipWithIndex.foldRight(lit(-1): org.apache.spark.sql.Column) {
@@ -687,7 +669,8 @@ object CurationQueries {
     }
     val hb = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":mix46"))), 1, 7),
       16, 10).cast("long") % 1000
-    graft.operators.PrefixSum.exclusivePrefixSum(keyed, "okey", "one", "rk")
+    graft.operators.PrefixSum
+      .exclusivePrefixSumByRange(keyed, Seq("__qs", "doc_id"), "one", "rk")
       .crossJoin(broadcast(nDocs))
       .withColumn("bucket", expr("cast((4 * rk) div n as int)"))
       .select(col("doc_id"), col("bucket"),
@@ -712,9 +695,9 @@ object CurationQueries {
     * [[graft.operators.PrefixSum.exclusivePrefixSumByRange]] over the
     * COMPOSITE key, so the whole selection runs as the two-pass
     * distributed cumsum with no single-reducer window AND no id ceiling
-    * (the d46 okey trick needs doc_id < 2^24 for uniqueness; the
-    * composite order is unique for any id range — the shape that
-    * actually survives 100 TB doc-id spaces). Keep rule:
+    * (earlier rounds packed a synthetic okey needing doc_id < 2^24 for
+    * uniqueness; the composite order is unique for any id range — the
+    * shape that actually survives 100 TB doc-id spaces). Keep rule:
     * cum_before + n_tokens <= budget (full documents only — a straggler
     * that does not fit is skipped but later smaller docs may still fit,
     * the exact greedy-by-rank semantics the window recomputes in the
