@@ -142,8 +142,11 @@ object Bench {
         val sorted = results.toSeq.sortBy(-_._2)
         var n = sorted.size
         var cand = full
+        // step of 1: on a <200-element list rebuilding the line per step
+        // is microseconds, and a coarser step would silently drop entries
+        // that actually fit
         while (cand.length > 1800 && n > 0) {
-          n -= 8
+          n -= 1
           cand = line(qsJson(sorted.take(n)),
             s""","truncated":true,"nq":${results.size}""")
         }

@@ -127,41 +127,28 @@ object ScaleStress {
     (0 until factor).map(replicaDocs(docs, _)).reduce(_ unionByName _)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
-    (0 until factor).map { i =>
-      if (i == 0) li
-      else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
-    }.reduce(_ unionByName _)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-    val ord = spark.read.parquet(s"$baseDir/orders.parquet")
-    (0 until factor).map { i =>
-      if (i == 0) ord
-      else ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
-    }.reduce(_ unionByName _)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
-    // events: the replica rewrite lands `ts` as epoch-nano longs under
-    // nanosAsLong — one of the two encodings Tables.events accepts
-    // (TablesSpec pins their equivalence); the event_id offset keeps ids
-    // unique so the x24/x35 range-bucket layouts stay well-defined
-    val evt = spark.read.parquet(s"$baseDir/events.parquet")
-    (0 until factor).map { i =>
-      if (i == 0) evt
-      else evt.withColumn("event_id", col("event_id") + lit(i * 10000000L))
-    }.reduce(_ unionByName _)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
-    // embeddings: id-offset replicas, labels (= coarse cells) unchanged —
-    // so cell COUNT stays fixed while cell size grows with the factor,
-    // the worst case for cell-scoped quadratic work (x39/d32)
-    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
-    (0 until factor).map { i =>
-      if (i == 0) emb
-      else emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
-    }.reduce(_ unionByName _)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // id-offset replication, one definition for every fact table: replica
+    // i offsets `idCol` by i·10M so ids stay globally unique (the
+    // range-bucket fixtures x24/x35/x38 depend on it) while every other
+    // column repeats verbatim. Notes per table: events' replica rewrite
+    // lands `ts` as epoch-nano longs under nanosAsLong — one of the two
+    // encodings Tables.events accepts (TablesSpec pins the equivalence);
+    // embeddings keep their labels, so cell COUNT stays fixed while cell
+    // size grows with the factor — the deliberate worst case for
+    // cell-scoped quadratic work (x39/d32).
+    def replicateByIdOffset(table: String, idCol: String): Unit = {
+      val base = spark.read.parquet(s"$baseDir/$table.parquet")
+      (0 until factor).map { i =>
+        if (i == 0) base
+        else base.withColumn(idCol, col(idCol) + lit(i * 10000000L))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    replicateByIdOffset("lineitem", "l_orderkey")
+    replicateByIdOffset("orders", "o_orderkey")
+    replicateByIdOffset("events", "event_id")
+    replicateByIdOffset("embeddings", "vec_id")
     CopiedDims.foreach { t =>
       Files.copy(Paths.get(baseDir, s"$t.parquet"),
         Paths.get(outDir, s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)

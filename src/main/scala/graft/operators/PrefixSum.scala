@@ -97,23 +97,39 @@ object PrefixSum {
     * partition-order-arbitrary. Keys must be non-null. */
   def exclusivePrefixSumByRange(df: DataFrame, orderCols: Seq[String],
                                 valueCol: String, out: String): DataFrame = {
-    val spark = df.sparkSession
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val keys = orderCols.map(col)
-    val rp = df.repartitionByRange(n, keys: _*)
-      .localCheckpoint()
-      .withColumn("__pid", spark_partition_id())
-    val localW = Window.partitionBy("__pid").orderBy(keys: _*)
+    val rp = rangePinned(df, orderCols)
+    val localW = Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = rp.withColumn("__local",
       coalesce(sum(col(valueCol)).over(localW), lit(0L)))
+    local.join(broadcast(partitionOffsets(rp, sum(col(valueCol)))), Seq("__pid"))
+      .withColumn(out, col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off")
+  }
+
+  /** The shared composite-key core: range-partition by the key (sampled
+    * boundaries absorb frequency skew; equal keys land in ONE partition)
+    * and PIN the assignment with one localCheckpoint so every branch
+    * built on the result observes identical partitions — the correctness
+    * hazard the fixed-grid [[exclusivePrefixSum]] designs away is
+    * removed here by the pin; `__pid` is materialized AFTER it so the
+    * column is a stable property of the data, not of a re-evaluated
+    * exchange. */
+  private def rangePinned(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartitionByRange(n, orderCols.map(col): _*)
+      .localCheckpoint()
+      .withColumn("__pid", spark_partition_id())
+  }
+
+  /** Exclusive cross-partition offsets: fold each partition to ONE row
+    * with `agg`, then the only global window runs over #partitions rows. */
+  private def partitionOffsets(rp: DataFrame,
+                               agg: org.apache.spark.sql.Column): DataFrame = {
     val offW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = rp.groupBy("__pid").agg(sum(col(valueCol)).as("__t"))
+    rp.groupBy("__pid").agg(agg.as("__t"))
       .withColumn("__off", coalesce(sum(col("__t")).over(offW), lit(0L)))
       .select("__pid", "__off")
-    local.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(out, col("__local") + col("__off"))
-      .drop("__pid", "__local")
   }
 
   /** Adds `out` = 1-based COMPETITION rank of this row's composite key
@@ -146,14 +162,8 @@ object PrefixSum {
     * input is dominated by a few heavy keys. */
   def competitionRankByRange(df: DataFrame, orderCols: Seq[String],
                              out: String, tiedOut: String = null): DataFrame = {
-    val spark = df.sparkSession
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val keys = orderCols.map(col)
-    val rp = df.repartitionByRange(n, keys: _*)
-      .localCheckpoint()
-      // materialized AFTER the checkpoint pins assignment, so the column
-      // is a stable property of the data, not of a re-evaluated exchange
-      .withColumn("__pid", spark_partition_id())
+    val rp = rangePinned(df, orderCols)
     val localW = Window.partitionBy("__pid").orderBy(keys: _*)
     val local = rp.withColumn("__lr", rank().over(localW).cast("long"))
     val withTied =
@@ -163,12 +173,7 @@ object PrefixSum {
           row_number().over(localW).cast("long") > col("__lr") ||
             coalesce(lead(col("__lr"), 1).over(localW) === col("__lr"),
               lit(false)))
-    val offW = Window.orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = rp.groupBy("__pid").agg(count(lit(1)).as("__t"))
-      .withColumn("__off", coalesce(sum(col("__t")).over(offW), lit(0L)))
-      .select("__pid", "__off")
-    withTied.join(broadcast(offsets), Seq("__pid"))
+    withTied.join(broadcast(partitionOffsets(rp, count(lit(1)))), Seq("__pid"))
       .withColumn(out, col("__off") + col("__lr"))
       .drop("__pid", "__lr")
   }

@@ -698,10 +698,15 @@ object CurationQueries {
     * (earlier rounds packed a synthetic okey needing doc_id < 2^24 for
     * uniqueness; the composite order is unique for any id range — the
     * shape that actually survives 100 TB doc-id spaces). Keep rule:
-    * cum_before + n_tokens <= budget (full documents only — a straggler
-    * that does not fit is skipped but later smaller docs may still fit,
-    * the exact greedy-by-rank semantics the window recomputes in the
-    * oracle).
+    * cum_before + n_tokens <= budget — a PREFIX CUT: the kept set is
+    * the maximal quality-prefix whose inclusive token sum fits, and the
+    * first document that does not fit ends the fill (cum_before charges
+    * every prior document, so nothing after the boundary can re-enter).
+    * That is deliberate: the skip-and-continue greedy variant makes
+    * every decision depend on the running KEPT sum — an inherently
+    * sequential scan no prefix-sum (or SQL window) parallelizes — while
+    * the prefix cut is the order-respecting rule a distributed engine
+    * can compute exactly, and the one the oracle's window recomputes.
     *
     * Scale: one token-count aggregate, one bucketed cumsum (global
     * window over #buckets rows only), one broadcast of the 1-row budget
@@ -711,8 +716,9 @@ object CurationQueries {
     "d54_token_budget_select",
     s"""WITH t AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-       |        (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1000)
-       |          // length(text) AS alpha_permille
+       |        (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+       |           AS BIGINT) * 1000)
+       |          // greatest(length(text), 1) AS alpha_permille
        |      FROM t),
        |b AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM m),
        |r AS (SELECT doc_id, n_tokens, alpha_permille,
@@ -725,10 +731,14 @@ object CurationQueries {
        |  CAST(alpha_permille AS BIGINT) AS alpha_permille, cum_before,
        |  CAST(cum_before + n_tokens <= budget AS BOOLEAN) AS kept
        |FROM r, b ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // greatest(…, 1) + the BIGINT cast before *1000: an empty text must
+    // not raise ANSI DIVIDE_BY_ZERO where DuckDB's `// 0` yields NULL,
+    // and a >2.1M-char document must not overflow the INT multiply (the
+    // d52 alpha-ratio precedent)
     val m = Tables.documents(s, d).select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"),
-      expr("(length(regexp_replace(lower(text), '[^a-z]', '')) * 1000)" +
-        " div length(text)").as("alpha_permille"))
+      expr("(cast(length(regexp_replace(lower(text), '[^a-z]', '')) as bigint)" +
+        " * 1000) div greatest(length(text), 1)").as("alpha_permille"))
     // integer division in BOTH engines: `/` on a Spark long sum is DOUBLE
     // division and would shift the boundary by a fractional token
     val budget = m.agg(expr("sum(n_tokens) div 2").cast("long").as("budget"))

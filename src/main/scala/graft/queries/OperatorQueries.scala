@@ -1935,8 +1935,9 @@ object OperatorQueries {
     * storage-reclamation command a 100 TB lake runs continuously. The
     * query builds three snapshots (two disjoint overwrites, one append),
     * vacuums with retainVersions=2, and proves the contract from both
-    * sides: the reclaimed-dir count is exactly the oldest snapshot's
-    * exclusive data dir; reading the vacuumed version now raises the
+    * sides: the reclaimed-FILE count is exactly the oldest snapshot's
+    * one exclusive data file (vacuum reclaims at file granularity since
+    * incremental compaction can strand dead files inside live dirs); reading the vacuumed version now raises the
     * guided error (gated in-engine — never a mid-scan file-not-found);
     * and BOTH retained versions still time-travel, emitted as one
     * aggregate row per snapshot that the oracle recomputes relationally
@@ -1959,7 +1960,7 @@ object OperatorQueries {
       |         min(event_id) AS min_id, max(event_id) AS max_id
       |       FROM ev WHERE event_id % 3 IN (1, 2))
       |SELECT snapshot, n_rows, sum_cents, min_id, max_id,
-      |  CAST(1 AS INT) AS reclaimed_dirs
+      |  CAST(1 AS INT) AS reclaimed_files
       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
       |ORDER BY snapshot""".stripMargin) { (s, d) =>
     import graft.sources.TxnLake
@@ -1976,7 +1977,7 @@ object OperatorQueries {
       ev.filter(col("event_id") % 3 === 2).coalesce(1), table, "append")
     val reclaimed = TxnLake.vacuum(s, table, retainVersions = 2)
     require(reclaimed == 1,
-      s"expected exactly v$v0's one exclusive dir reclaimed, got $reclaimed")
+      s"expected exactly v$v0's one exclusive file reclaimed, got $reclaimed")
     // the vacuumed version must fail loudly and immediately…
     val v0Read = scala.util.Try(TxnLake.readVersion(s, table, v0).count())
     require(v0Read.isFailure &&
@@ -1990,7 +1991,7 @@ object OperatorQueries {
       .select(lit(tag).as("snapshot"), col("n_rows"), col("sum_cents"),
         col("min_id"), col("max_id"))
     snap(v1, 1).unionAll(snap(v2, 2))
-      .withColumn("reclaimed_dirs", lit(reclaimed))
+      .withColumn("reclaimed_files", lit(reclaimed))
       .orderBy("snapshot")
   }
 

@@ -98,7 +98,16 @@ object CurationStream {
     * coincidentally re-align; watermarks anchored to the app's own txns
     * cannot be re-aligned by writers that don't hold the app id. Any
     * failed condition drops the probe to the recompute path, which reads
-    * the table directly and is therefore always complete. */
+    * the table directly and is therefore always complete.
+    *
+    * Conditions 3/4 hard-code "version number == batch id", so ANY
+    * non-batch commit on the corpus — a foreign writer, but also in-log
+    * maintenance like an x37-style per-batch OPTIMIZE — permanently
+    * pins the probe to the recompute path (correct, just O(corpus) per
+    * batch). Composing an indexed ingest with in-log maintenance needs
+    * a trust model that records which corpus VERSIONS the index covers
+    * rather than inferring coverage from version arithmetic; until then
+    * the two patterns are deliberately exclusive. */
   private def indexCurrent(s: SparkSession, table: String, appId: String,
                            index: String, indexTxnId: String): Boolean = {
     val c = TxnLake.lastTxn(s, table, appId)
