@@ -2100,8 +2100,10 @@ object OperatorQueries {
     * vectors (vec_id % 3 ≠ 0, batch 0) serve as the committed corpus
     * wave-2 arrivals probe — one label-keyed join with the exact
     * sequential-fold cosine both engines compute bit-identically (the
-    * d32 doctrine). Scale: the probe is one cell-keyed equi-join of the
-    * day's delta against the corpus, quadratic confined per cell; the
+    * d32 doctrine), and the d32 mega-cell guard mirrored (committed
+    * cells over 4096 skip the probe; inert at test SFs). Scale: the
+    * probe is one cell-keyed equi-join of the day's delta against the
+    * corpus, quadratic confined per cell AND capped per cell; the
     * cell key lives IN the table, so the vector store is its own
     * inverted index (no sibling to maintain). */
   val streamVectorIngest = OracleQuery(
@@ -2113,8 +2115,10 @@ object OperatorQueries {
       |        sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
       |w AS (SELECT *, CAST(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
       |        AS ingest_batch FROM n),
+      |kc AS (SELECT label FROM w WHERE ingest_batch = 0
+      |       GROUP BY label HAVING count(*) <= 4096),
       |drp AS (SELECT DISTINCT b.vec_id
-      |        FROM w a JOIN w b ON a.label = b.label
+      |        FROM w a JOIN kc USING (label) JOIN w b ON a.label = b.label
       |        WHERE a.ingest_batch = 0 AND b.ingest_batch = 1
       |          AND list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
       |                / (a.nrm * b.nrm) >= 0.3)

@@ -49,9 +49,19 @@ object VectorStream {
     * is the semantic representative — first-arrival-wins, the streaming
     * analog of d32's min-id survivor). Within-batch near-dups are NOT
     * collapsed (that is d32's batch job; orthogonal gates keep each
-    * oracle exact). Emits (vec_id, embedding, label, ingest_batch). */
+    * oracle exact).
+    *
+    * `maxCell` is the d32 mega-cluster doctrine at the streaming grain:
+    * a cell whose COMMITTED population exceeds the cap skips the probe
+    * entirely (arrivals keep — conservative), because the per-arrival
+    * probe cost is the cell size and a degenerate cell would otherwise
+    * make every future batch pay it forever (the factor-30 growth run
+    * measures exactly that quadratic when the cap is lifted). Inert at
+    * test SFs by design; production re-clusters (grows k) instead of
+    * letting any cell reach the cap. Emits
+    * (vec_id, embedding, label, ingest_batch). */
   def curateVecBatch(batch: DataFrame, table: String, batchId: Long,
-                     eps: Double = 0.3): DataFrame = {
+                     eps: Double = 0.3, maxCell: Int = 4096): DataFrame = {
     val s = batch.sparkSession
     val out = (df: DataFrame) => df.select(col("vec_id"), col("embedding"),
       col("label"), lit(batchId).cast("int").as("ingest_batch"))
@@ -60,8 +70,13 @@ object VectorStream {
       .select(col("vec_id").as(idAs), col("label"),
         toDouble(col("embedding")).as(vAs))
       .withColumn(nAs, l2Norm(col(vAs)))
+    val committedAll = TxnLake.read(s, table)
+    val keptCells = committedAll.groupBy("label")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxCell)
+      .select("label")
     val arrivals = norm(batch, "vec_id", "va", "na")
-    val committed = norm(TxnLake.read(s, table), "id_b", "vb", "nb")
+    val committed = norm(committedAll, "id_b", "vb", "nb")
+      .join(broadcast(keptCells), Seq("label"))
     val dropped = arrivals.join(committed, Seq("label"))
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= eps)
       .select("vec_id").distinct()

@@ -39,6 +39,26 @@ class VectorStreamSpec extends SparkSpec {
     assert(kept == Set(11L, 12L), s"gate decisions: kept $kept")
   }
 
+  test("a committed cell over maxCell skips the probe (mega-cell guard)") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("vec_stream_spec3").toString
+    val table = s"$base/t"
+    // two committed cell-mates in cell 0 — over a cap of 1
+    val corpus = Seq(
+      emb(1L, 0, Seq(1.0, 0.0)),
+      emb(2L, 0, Seq(1.0, 0.1))).toDF("vec_id", "embedding", "label")
+    TxnLake.commitOnce(s, VectorStream.curateVecBatch(corpus, table, 0L),
+      table, "append", "spec_vec_cap", 0L)
+    // an arrival identical to e1: dropped under the default cap, KEPT
+    // (conservative) when the cell is over the cap
+    val batch = Seq(emb(10L, 0, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding", "label")
+    assert(VectorStream.curateVecBatch(batch, table, 1L).count() == 0)
+    assert(VectorStream.curateVecBatch(batch, table, 1L, maxCell = 1)
+      .count() == 1)
+  }
+
   test("the first batch founds the corpus ungated") {
     val s = spark
     import s.implicits._
