@@ -129,15 +129,33 @@ object Bench {
     // silent local[4] fallback once inflated CPU-bound queries 3x, so the
     // artifact records it rather than leaving core count to assumption
     def line(qs: String, extra: String = ""): String =
-      s"""{"metric":"total","value":${s2(total)},"unit":"sec"$extra,"contracts":$contractWarnings,"threads":$threadsActual,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec"$extra,"contracts":$contractWarnings,"threads":$threadsActual,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    // SIDECAR: the complete, never-truncated metric JSON lands in a FILE
+    // (r13 lost 8 per-query entries to the stdout tail window); the
+    // printed line remains as the capture-window fallback. Written to
+    // the working dir (the repo root under sbt), atomically via rename
+    // so a mid-write crash can't leave a torn artifact.
+    val sidecar = line(qsJson(results.toSeq.sortBy(_._1)),
+      s""","nq":${results.size}""")
+    try {
+      val tmp = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get("."), ".bench", ".tmp")
+      java.nio.file.Files.writeString(tmp, sidecar + "\n")
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_FULL.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Exception => () } // the println below still carries the metric
     val full = line(qsJson(results))
-    // the fallback keeps AS MANY of the slowest queries as fit the budget
-    // (the dropped tail is the fastest, least-informative entries) — at
-    // 158 registered queries the full map first overflowed and a fixed
-    // top-40 would have hidden 118 per-query times; flagged so consumers
-    // can tell a partial map ("value" ≠ sum of entries) from a full one
+    // Fallback budget 1950: the driver's capture window is the LAST 2000
+    // bytes of output and quietStop() guarantees the metric line ends the
+    // capture (r11–r13 artifacts all terminate with it), so a ≤1950-char
+    // line survives whole. If the registry outgrows even that, keep AS
+    // MANY of the slowest queries as fit (the dropped tail is the
+    // fastest, least-informative entries), flagged so consumers can tell
+    // a partial map from a full one — and the sidecar above still
+    // carries every entry.
     val out =
-      if (full.length <= 1800) full
+      if (full.length <= 1950) full
       else {
         val sorted = results.toSeq.sortBy(-_._2)
         var n = sorted.size
@@ -145,7 +163,7 @@ object Bench {
         // step of 1: on a <200-element list rebuilding the line per step
         // is microseconds, and a coarser step would silently drop entries
         // that actually fit
-        while (cand.length > 1800 && n > 0) {
+        while (cand.length > 1950 && n > 0) {
           n -= 1
           cand = line(qsJson(sorted.take(n)),
             s""","truncated":true,"nq":${results.size}""")

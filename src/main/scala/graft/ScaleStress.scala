@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   * memory — via a listener. Results print as one JSON line per factor;
   * SCALE.md records the adjudicated table.
   *
-  * Usage: runMain graft.ScaleStress <baseSfDir> <factors csv|skew|bigdoc>
+  * Usage: runMain graft.ScaleStress <baseSfDir> <factors csv|skew|bigdoc|vecprune>
   * [queries csv]
   */
 object ScaleStress {
@@ -292,6 +292,58 @@ object ScaleStress {
       s""""queries":$qs}""")
   }
 
+  /** x39 probe-pruning evidence (mode "vecprune"): grow a label-clustered
+    * vector store through 8 sequential ingest commits (the multi-day
+    * shape — file count grows with ingest history), then probe it with a
+    * SINGLE-CELL delta and report the probe's file-skipping counters and
+    * wall time. The gate the round-13 verdict asked for: files read <
+    * files total at factor 10 (pre-x39-pruning the probe scanned every
+    * file every batch). The batch itself is one curateVecBatch call —
+    * the exact code path the x39 sink runs. */
+  private def measureVecPrune(spark: SparkSession, listener: MetricsListener,
+                              dir: String, tag: String): Unit = {
+    import graft.sources.TxnLake
+    import graft.streaming.VectorStream
+    val table = s"$dir/vecprune_t"
+    val f = new java.io.File(table)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding", "label")
+    // found the store through 8 direct commits in the sink's exact
+    // layout contract (clusterForCommit) — fixture setup, deliberately
+    // WITHOUT the per-batch probe so the one measured probe below is the
+    // only gate execution in the run
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+    val mx = corpus.agg(max("vec_id")).head().getLong(0)
+    (0 until 8).foreach { i =>
+      val part = corpus.filter(expr(s"vec_id * 8 div ${mx + 1}") === i)
+        .withColumn("ingest_batch", lit(i).cast("int"))
+      TxnLake.commitOnce(spark, VectorStream.clusterForCommit(part),
+        table, "append", "scale_vecprune", i)
+    }
+    val lbl = emb.agg(min("label")).head().getInt(0)
+    val delta = emb.filter(col("vec_id") % 3 === 0 && col("label") === lbl)
+    def once(): (Double, Long) = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val n = VectorStream.curateVecBatch(delta, table, 8L).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      SessionHygiene.dropAllStorage(spark)
+      org.apache.spark.GraftListenerShim
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      (sec, n)
+    }
+    once() // warm
+    val a = once(); val b = once()
+    val (sec, rows) = if (a._1 <= b._1) a else b
+    val (kept, total) = VectorStream.lastProbeSkipping
+    def s2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    println(s"""SCALE {$tag,"mode":"vecprune","cpus":${spark.sparkContext
+      .defaultParallelism},"probe_sec":${s2(sec)},"rows":$rows,""" +
+      s""""files_kept":$kept,"files_total":$total}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spec = if (args.length > 1) args(1) else "1,3,10"
@@ -314,6 +366,14 @@ object ScaleStress {
           if (args.length > 2) args(2).split(",").map(_.trim).toSeq
           else BigDocQueries
         measure(spark, listener, dir, queries, "\"mode\":\"bigdoc\"")
+      } else if (spec == "vecprune") {
+        val factors = (if (args.length > 2) args(2) else "1,10")
+          .split(",").map(_.trim.toInt).toSeq
+        factors.foreach { fct =>
+          val dir = s"$tmp/graft_scale_f$fct"
+          buildScaled(spark, baseDir, fct, dir)
+          measureVecPrune(spark, listener, dir, s""""factor":$fct""")
+        }
       } else {
         val factors = spec.split(",").map(_.trim.toInt).toSeq
         val queries =

@@ -62,7 +62,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x39 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x41 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -89,7 +89,12 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    files carry over verbatim — O(debt), never O(table)), and
   *    streaming embedding ingest with an incremental cell-scoped
   *    SemDeDup gate (first-arrival-wins vs the committed corpus,
-  *    quadratic confined per cell)
+  *    quadratic confined per cell, label-clustered commits + a
+  *    cell-pruned delta-vs-corpus probe), indexed near-dup ingest UNDER
+  *    continuous compaction (version-coverage index trust — maintenance
+  *    commits classify as data-preserving, the probe path survives),
+  *    and predicate-scoped OPTIMIZE … WHERE (re-cluster only in-scope
+  *    files, out-of-scope files carry over verbatim)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

@@ -28,11 +28,22 @@ object ZOrder {
   /** Morton interleave of two cell coordinates (x even bits, y odd bits) —
     * a fold over bit positions producing one static codegen'd expression. */
   def zValue2(cx: Column, cy: Column, bits: Int): Column =
-    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(cx, b).bitwiseAND(lit(1L)), 2 * b))
-        .bitwiseOR(shiftleft(shiftright(cy, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    zValueK(Seq(cx, cy), bits)
+
+  /** Morton interleave of K cell coordinates: bit `b` of dimension `i`
+    * lands at position `b*K + i` (for K=2 this is exactly [[zValue2]]'s
+    * even/odd layout). Still one static fold — K·bits OR/shift terms,
+    * all inside whole-stage codegen. K·bits must fit a signed long. */
+  def zValueK(cells: Seq[Column], bits: Int): Column = {
+    val k = cells.size
+    require(k >= 1 && k * bits < 64,
+      s"ZOrder.zValueK: $k dims x $bits bits exceeds a signed long")
+    cells.zipWithIndex.foldLeft(lit(0L)) { case (acc0, (c, i)) =>
+      (0 until bits).foldLeft(acc0) { (acc, b) =>
+        acc.bitwiseOR(shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * k + i))
+      }
     }
+  }
 
   /** Clusters `df` by the z-order of (xCol, yCol): RANK-quantized cell
     * coordinates per dimension, the Morton key, then a range repartition
@@ -59,19 +70,39 @@ object ZOrder {
     * layout, paid by a maintenance command that already rewrites every
     * byte it touches. */
   def clusterByZ(df: DataFrame, xCol: String, yCol: String, bits: Int = 8,
-                 partitions: Int = 0): DataFrame = {
+                 partitions: Int = 0): DataFrame =
+    clusterByZN(df, Seq(xCol, yCol), bits, partitions)
+
+  /** K-dimensional [[clusterByZ]] — lakehouse Z-order routinely takes 3–4
+    * keys. One rank-quantization shuffle per dimension (the
+    * distribution-robustness price documented on the 2-D form), then the
+    * single interleaved key drives the final range layout. `bits` defaults
+    * scale down so K·bits stays within a long (8 bits/dim up to 4 dims).
+    *
+    * Caveat shared with Delta's range_partition_id cube: a dimension with
+    * fewer distinct values than 2^bits occupies only the LOW rank cells
+    * (the range partitioner emits ids 0..k-1), leaving its high interleave
+    * bits constant and weighting the layout toward the other dimensions.
+    * When clustering a low-cardinality key, pass bits ≈ log2(its distinct
+    * count) so every dimension's cells span the full bit range. */
+  def clusterByZN(df: DataFrame, dims: Seq[String], bits: Int = 8,
+                  partitions: Int = 0): DataFrame = {
+    require(dims.nonEmpty, "ZOrder.clusterByZN: no dimensions")
+    val b = math.min(bits, 63 / dims.size)
     val n = if (partitions > 0) partitions
             else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val cells = 1 << bits
+    val cells = 1 << b
     // spark_partition_id is non-deterministic to the optimizer, so each
     // projection stays pinned to the stage right after its exchange —
     // the id read IS that exchange's range bucket
-    val cx = df.repartitionByRange(cells, col(xCol))
-      .withColumn("__cx", spark_partition_id().cast("long"))
-    val cy = cx.repartitionByRange(cells, col(yCol))
-      .withColumn("__cy", spark_partition_id().cast("long"))
-    val keyed = cy.withColumn("__z", zValue2(col("__cx"), col("__cy"), bits))
-      .drop("__cx", "__cy")
+    val ranked = dims.zipWithIndex.foldLeft(df) { case (acc, (d, i)) =>
+      acc.repartitionByRange(cells, col(d))
+        .withColumn(s"__c$i", spark_partition_id().cast("long"))
+    }
+    val keyed = ranked
+      .withColumn("__z",
+        zValueK(dims.indices.map(i => col(s"__c$i")), b))
+      .drop(dims.indices.map(i => s"__c$i"): _*)
     keyed.repartitionByRange(n, col("__z")).sortWithinPartitions("__z")
   }
 }

@@ -1707,8 +1707,11 @@ object OperatorQueries {
     * shape — cost scales with the day's delta, not the corpus); the
     * corpus side is one keyed probe of the band index plus
     * candidate-bounded shingle rebuilds off the table's text. */
-  val streamCuratedIngestNearDup = OracleQuery(
-    "x33_stream_curated_ingest_neardup",
+  /** The batch-equivalent mirror of the two-wave near-dup ingest — shared
+    * verbatim by x33 and x40 (lake maintenance is observationally
+    * invisible to readers, so the x40 oracle literally cannot mention
+    * it; what maintenance DID do is gated in-engine there). */
+  private lazy val curatedNearDupIngestOracleSql =
     s"""WITH scrub AS (
        |  SELECT doc_id,
        |    regexp_replace(nfc_normalize(text), '${TextQueries.CtrlClassSql}', '', 'g') AS text
@@ -1753,7 +1756,11 @@ object OperatorQueries {
        |nd AS (SELECT DISTINCT doc_a AS doc_id FROM verify WHERE jac >= 0.7)
        |SELECT doc_id, fp, n_tokens, ingest_batch FROM surv
        |WHERE doc_id NOT IN (SELECT doc_id FROM nd)
-       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |ORDER BY doc_id""".stripMargin
+
+  val streamCuratedIngestNearDup = OracleQuery(
+    "x33_stream_curated_ingest_neardup",
+    curatedNearDupIngestOracleSql) { (s, d) =>
     val w1 = docLanding(s, d, "curwave1", _.filter(col("doc_id") % 3 =!= 0))
     val w2 = docLanding(s, d, "curwave2", _.filter(col("doc_id") % 3 === 0))
     val base = Scratch.dir("cur_ingest_nd")
@@ -1917,9 +1924,28 @@ object OperatorQueries {
     val postV = TxnLake.optimize(s, table, zorderBy = Seq("event_id", "vc"),
       numFiles = 4)
     val (kept1, total1) = TxnLake.skippingStats(s, table, pred)
-    require(kept1.toDouble / total1 < kept0.toDouble / total0,
-      s"z-order did not improve value pruning: kept $kept1/$total1 after " +
+    // Distribution-robust gate (vs the earlier strict-only form, which a
+    // value distribution where every post-z file still overlaps the
+    // central band could fail spuriously): the kept FRACTION must not
+    // degrade, AND the layout must show genuine 2-D clustering — at
+    // least one post file spans strictly less than the full range on
+    // EACH dimension (rank-quantized z-quarters bound both coordinates
+    // per file, so this holds by construction for any non-constant
+    // column, while append-ordered full-range files fail it). At the
+    // tested SFs the strict improvement also holds; the structural form
+    // is what makes the gate a z-order property rather than a fixture
+    // property.
+    require(kept1.toDouble / total1 <= kept0.toDouble / total0,
+      s"z-order degraded value pruning: kept $kept1/$total1 after " +
         s"vs $kept0/$total0 before")
+    val postStats = TxnLake.snapshotFiles(s, table, Some(postV))
+    def narrower(colName: String, fullMin: Long, fullMax: Long): Boolean =
+      postStats.exists(_.stats.get(colName).exists(cs =>
+        (for (a <- cs.min; b <- cs.max) yield
+          b.toLong - a.toLong < fullMax - fullMin).getOrElse(false)))
+    require(narrower("vc", vmn, vmx) &&
+      narrower("event_id", 0L, m),
+      "z-order produced no file with sub-full-range bounds on both dims")
     val pre = TxnLake.readVersion(s, table, preV)
     val post = TxnLake.readVersion(s, table, postV)
     require(pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty,
@@ -2137,9 +2163,157 @@ object OperatorQueries {
       "the replay must be absorbed by the table log")
     require(TxnLake.latestVersion(s, table).contains(1L),
       s"expected versions 0..1, got ${TxnLake.latestVersion(s, table)}")
+    // cell-pruned layout gate: commits are label-range-clustered, so a
+    // single-cell predicate skips files — the property that turns the
+    // per-batch probe from O(table) into O(touched cells) at a 100 TB
+    // store (both waves here touch every label, so the REGISTERED probe
+    // legitimately reads all files; the VectorStreamSpec and the scale
+    // harness gate the probe-side skip with label-restricted deltas)
+    val lbl = TxnLake.read(s, table).agg(min(col("label"))).head().getInt(0)
+    val (cellKept, cellTotal) = TxnLake.skippingStats(s, table,
+      col("label") === lbl)
+    require(cellTotal >= 4 && cellKept < cellTotal,
+      s"label-clustered commits must prune a single-cell scan: " +
+        s"$cellKept/$cellTotal")
     TxnLake.read(s, table)
       .select("vec_id", "label", "ingest_batch")
       .orderBy("vec_id")
+  }
+
+  /** The x33 indexed near-dup ingest UNDER CONTINUOUS COMPACTION (x40) —
+    * the composition the pre-x40 trust model deliberately excluded:
+    * every committed micro-batch is followed by an OPTIMIZE of the
+    * corpus (the x37 cadence), and the VERSION-COVERAGE trust model
+    * ([[graft.streaming.CurationStream]]'s `indexCovered`: classify every
+    * new corpus/index commit as own-batch-or-data-preserving, walking
+    * from persisted verified-through markers) must keep the band index
+    * trusted across the interleaved maintenance commits. The oracle is
+    * x33's verbatim — maintenance must be observationally invisible —
+    * and what maintenance+trust DID do is gated in-engine: the
+    * post-maintenance batch was served by the delta-vs-index PROBE path
+    * (never the O(corpus) recompute — the probePaths seam), the txn
+    * watermark survived the interleaving, the version history is exactly
+    * (append, optimize)×2 with the checkpoint-loss replay absorbed, and
+    * the snapshot stayed compacted. Under the pre-x40 arithmetic
+    * ("latest version == watermark") the first optimize commit would
+    * have pinned every later batch to recompute forever — the 100 TB
+    * scale cliff this query exists to prove closed. */
+  val streamIndexedIngestMaintained = OracleQuery(
+    "x40_stream_indexed_ingest_maintained",
+    curatedNearDupIngestOracleSql) { (s, d) =>
+    import graft.sources.TxnLake
+    val w1 = docLanding(s, d, "curwave1", _.filter(col("doc_id") % 3 =!= 0))
+    val w2 = docLanding(s, d, "curwave2", _.filter(col("doc_id") % 3 === 0))
+    val base = Scratch.dir("cur_ingest_ndm")
+    val table = s"$base/t"
+    graft.streaming.CurationStream.runCuratedTwoWaveIngestNearDupMaintained(
+      w1, w2, table, s"$base/ckpt", "x40_ingest", s, numFiles = 2)
+    // THE x40 point: the batch that arrived AFTER maintenance commits
+    // landed must still have been served by the indexed probe path
+    require(graft.streaming.CurationStream.probePaths.get((table, 1L))
+        .contains("indexed"),
+      s"post-maintenance batch must use the delta-vs-index probe, got " +
+        s"${graft.streaming.CurationStream.probePaths.get((table, 1L))}")
+    require(TxnLake.lastTxn(s, table, "x40_ingest").contains(1L),
+      "the txn watermark must survive the interleaved optimize commits")
+    require(TxnLake.latestVersion(s, table).contains(3L),
+      s"expected versions 0..3 ((append,optimize)x2, replay a no-op), " +
+        s"got ${TxnLake.latestVersion(s, table)}")
+    require(TxnLake.snapshotFiles(s, table).size <= 2,
+      "continuous compaction must bound the snapshot to <= 2 files")
+    TxnLake.read(s, table)
+      .select("doc_id", "fp", "n_tokens", "ingest_batch")
+      .orderBy("doc_id")
+  }
+
+  /** PREDICATE-SCOPED OPTIMIZE (x41) — `OPTIMIZE … WHERE`, the command
+    * that makes lake maintenance affordable at 100 TB: only the snapshot
+    * files whose commit-time stats admit the scope predicate are
+    * re-clustered (whole files, rows never split); every out-of-scope
+    * file carries into the new snapshot with its physical path VERBATIM
+    * (asserted in-engine, the x38 pattern) — cost O(scoped bytes), never
+    * O(table). Fixture: 8 single-file event_id-range appends (tight id
+    * stats per file, full value range each — the x35 ingest layout);
+    * scope = the lower half of the id range; the scoped files are
+    * re-clustered by value into 4 range files. In-engine gates: the 4
+    * out-of-scope files carried verbatim and only they survived from the
+    * pre-snapshot, the row multiset is exactly preserved, and file
+    * pruning under a central value band WITHIN the scope strictly
+    * improved. The oracle recomputes the band's content and both file
+    * counters from the same deterministic bucketing. */
+  val txnOptimizeWhere = OracleQuery(
+    "x41_txn_optimize_where",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |b AS (SELECT event_id, vc,
+      |        CAST((event_id * 8) // (m + 1) AS INT) AS bkt FROM ev, mx),
+      |scope AS (SELECT event_id, vc FROM b, mx WHERE event_id <= m // 2),
+      |vr AS (SELECT min(vc) AS vmn, max(vc) AS vmx FROM scope),
+      |bounds AS (SELECT vmn + (vmx - vmn) // 4 AS lo,
+      |                  vmn + (vmx - vmn) // 2 AS hi FROM vr),
+      |res AS (SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |          min(event_id) AS min_id, max(event_id) AS max_id
+      |        FROM scope, bounds WHERE vc >= lo AND vc <= hi),
+      |cnt AS (SELECT
+      |    CAST(count(DISTINCT CASE WHEN bkt <= 3 THEN bkt END) AS INT)
+      |      AS files_scoped,
+      |    CAST(count(DISTINCT CASE WHEN bkt >= 4 THEN bkt END) AS INT)
+      |      AS files_untouched
+      |  FROM b)
+      |SELECT n_rows, sum_cents, min_id, max_id, files_scoped,
+      |  files_untouched
+      |FROM res, cnt""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val table = Scratch.dir("txn_optimize_where") + "/t"
+    val bkt = expr(s"event_id * 8 div ${m + 1}")
+    (0 until 8).foreach { i =>
+      val part = ev.filter(bkt === i).coalesce(1)
+      if (!part.isEmpty) TxnLake.commit(s, part, table, "append")
+    }
+    val preV = TxnLake.latestVersion(s, table).get
+    // scope: buckets 0..3 exactly (id <= floor(m/2) ⇔ id*8 div (m+1) <= 3)
+    val idHi = m / 2
+    val scopePred = col("event_id") <= idHi
+    val vr = ev.filter(scopePred).agg(min(col("vc")), max(col("vc"))).head()
+    val (vmn, vmx) = (vr.getLong(0), vr.getLong(1))
+    val lo = vmn + (vmx - vmn) / 4
+    val hi = vmn + (vmx - vmn) / 2
+    val bandPred = scopePred && col("vc") >= lo && col("vc") <= hi
+    val (kept0, total0) = TxnLake.skippingStats(s, table, bandPred)
+    val preFiles = TxnLake.snapshotFiles(s, table, Some(preV)).map(_.path).toSet
+    val postV = TxnLake.optimizeWhere(s, table, scopePred,
+      zorderBy = Seq("vc"), numFiles = 4)
+      .getOrElse(sys.error("optimizeWhere found no scoped files"))
+    val postFiles = TxnLake.snapshotFiles(s, table, Some(postV)).map(_.path).toSet
+    val carried = preFiles intersect postFiles
+    val rewritten = preFiles -- postFiles
+    // scope boundary: exactly the out-of-scope files (id stats above the
+    // scope cut) carried verbatim; exactly the in-scope ones rewritten
+    val preStats = TxnLake.snapshotFiles(s, table, Some(preV))
+    def inScope(path: String): Boolean = preStats.find(_.path == path)
+      .flatMap(_.stats.get("event_id")).flatMap(_.min)
+      .forall(_.toLong <= idHi)
+    require(rewritten.nonEmpty && rewritten.forall(inScope) &&
+      carried.forall(p => !inScope(p)),
+      s"scoped optimize crossed the scope boundary: rewrote $rewritten, " +
+        s"carried $carried")
+    val pre = TxnLake.readVersion(s, table, preV)
+    val post = TxnLake.readVersion(s, table, postV)
+    require(pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty,
+      "scoped optimize changed the row multiset")
+    val (kept1, total1) = TxnLake.skippingStats(s, table, bandPred)
+    require(kept1 < kept0,
+      s"scoped re-cluster did not improve in-scope value pruning: " +
+        s"kept $kept1/$total1 after vs $kept0/$total0 before")
+    TxnLake.readWhere(s, table, bandPred)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .withColumn("files_scoped", lit(rewritten.size))
+      .withColumn("files_untouched", lit(carried.size))
   }
 
   val all: Seq[OracleQuery] =
@@ -2152,5 +2326,6 @@ object OperatorQueries {
       txnExpectations, txnSchemaEvolution, txnRestore, imagePHashDedup,
       streamCuratedIngest, streamCuratedIngestNearDup,
       streamCuratedIngestDecontam, txnOptimizeZorder, txnVacuumRetention,
-      streamIngestCompaction, txnIncrementalCompaction, streamVectorIngest)
+      streamIngestCompaction, txnIncrementalCompaction, streamVectorIngest,
+      streamIndexedIngestMaintained, txnOptimizeWhere)
 }

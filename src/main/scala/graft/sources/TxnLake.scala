@@ -287,6 +287,29 @@ object TxnLake extends LakeFormat {
   def latestVersion(spark: SparkSession, table: String): Option[Long] =
     committedVersions(spark, table).lastOption
 
+  /** One commit's public metadata — Delta's DESCRIBE HISTORY row:
+    * operation tag, the idempotence txn the commit carried (if any), and
+    * whether the operation is DATA-PRESERVING ("optimize" — layout
+    * rewrites: Z-order, bin-packing compaction — changes files, never the
+    * row multiset; the log's own contract). This is the classification
+    * the version-coverage index trust walks (x40). */
+  final case class CommitInfo(version: Long, operation: String,
+                              txn: Option[(String, Long)]) {
+    def dataPreserving: Boolean = operation == "optimize"
+  }
+
+  /** Metadata of one committed version — a single O(1) entry read. */
+  def commitInfo(spark: SparkSession, table: String, version: Long): CommitInfo = {
+    val e = readEntry(spark, table, version)
+    CommitInfo(e.version, e.operation, e.txn)
+  }
+
+  /** The full commit history, oldest first — DESCRIBE HISTORY. O(log)
+    * entry reads; incremental consumers should walk
+    * [[commitInfo]] from their own persisted watermark instead. */
+  def history(spark: SparkSession, table: String): Seq[CommitInfo] =
+    committedVersions(spark, table).map(commitInfo(spark, table, _))
+
   // ---- footer stats harvesting ----------------------------------------
 
   private def tagOf(dt: DataType): Option[String] = dt match {
@@ -475,8 +498,10 @@ object TxnLake extends LakeFormat {
     * written before the map existed fall back to the linear scan. */
   def commitOnce(spark: SparkSession, df: DataFrame, table: String,
                  operation: String, appId: String, batchId: Long,
-                 maxAttempts: Int = 10): Option[Long] =
-    commitImpl(spark, df, table, operation, Some((appId, batchId)), maxAttempts)
+                 maxAttempts: Int = 10,
+                 extraTxns: Map[String, Long] = Map.empty): Option[Long] =
+    commitImpl(spark, df, table, operation, Some((appId, batchId)), maxAttempts,
+      extraTxns = extraTxns)
 
   /** Raised (internally) when `requireBase` no longer matches the log —
     * the caller's read snapshot is stale and it must recompute. */
@@ -486,7 +511,8 @@ object TxnLake extends LakeFormat {
                          operation: String, txn: Option[(String, Long)],
                          maxAttempts: Int,
                          requireBase: Option[Option[Long]] = None,
-                         removePaths: Option[Seq[String]] = None): Option[Long] = {
+                         removePaths: Option[Seq[String]] = None,
+                         extraTxns: Map[String, Long] = Map.empty): Option[Long] = {
     require(operation == "overwrite" || operation == "append"
       || operation == "optimize", s"TxnLake: unknown operation $operation")
     val tablePath = new Path(table)
@@ -562,7 +588,14 @@ object TxnLake extends LakeFormat {
           }
         case _ => Map.empty
       }
-      val txns = legacy ++ lastEntry.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
+      // extraTxns are auxiliary watermarks a caller piggybacks on the same
+      // atomic commit (e.g. the index-coverage markers the streaming sinks
+      // record — see CurationStream.indexCovered). Monotone merge: a stale
+      // caller must never regress a marker another commit already advanced.
+      val prior = legacy ++ lastEntry.map(_.txns).getOrElse(Map.empty)
+      val extra = extraTxns.map { case (a, b) =>
+        a -> math.max(b, prior.getOrElse(a, Long.MinValue)) }
+      val txns = prior ++ extra ++ txn.toMap
       // every commit carries the CUMULATIVE table schema forward (Delta's
       // metaData action): appends merge new columns in, overwrite resets —
       // so readers resolve the snapshot schema from ONE log entry instead
@@ -1077,25 +1110,12 @@ object TxnLake extends LakeFormat {
   def optimize(spark: SparkSession, table: String,
                zorderBy: Seq[String] = Seq.empty, numFiles: Int = 4,
                maxAttempts: Int = 10): Long = {
-    import org.apache.spark.sql.functions.col
-    // refuse, don't silently degrade: a 3+-column request falling through
-    // to plain repartition would leave pruning at pre-optimize grain with
-    // no signal to the caller
-    require(zorderBy.size <= 2,
-      s"TxnLake.optimize: zorderBy supports at most 2 dimensions, " +
-        s"got ${zorderBy.size} (${zorderBy.mkString(", ")})")
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(spark, table)
         .getOrElse(sys.error(s"TxnLake.optimize: no committed version in $table"))
       val snap = readVersion(spark, table, base)
-      val rewritten = zorderBy match {
-        case Seq(x, y) =>
-          graft.operators.ZOrder.clusterByZ(snap, x, y, partitions = numFiles)
-            .drop("__z")
-        case Seq(x) => snap.repartitionByRange(numFiles, col(x))
-        case _ => snap.repartition(numFiles)
-      }
+      val rewritten = clusterFor(snap, zorderBy, numFiles)
       try return commitImpl(spark, rewritten, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)))
         .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped"))
@@ -1103,6 +1123,69 @@ object TxnLake extends LakeFormat {
     }
     throw new java.util.ConcurrentModificationException(
       s"TxnLake.optimize: $maxAttempts consecutive concurrent commits on $table")
+  }
+
+  /** The layout a (scoped or whole-snapshot) OPTIMIZE writes: K-dim
+    * Z-order interleave for 2+ cluster keys ([[graft.operators.ZOrder]]
+    * — rank-quantized, distribution-robust), a range layout for one, and
+    * plain bin-packing for none. */
+  private def clusterFor(snap: DataFrame, zorderBy: Seq[String],
+                         numFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    zorderBy match {
+      case dims if dims.size >= 2 =>
+        graft.operators.ZOrder.clusterByZN(snap, dims, partitions = numFiles)
+          .drop("__z")
+      case Seq(x) => snap.repartitionByRange(numFiles, col(x))
+      case _ => snap.repartition(numFiles)
+    }
+  }
+
+  /** Predicate-scoped OPTIMIZE — Delta's `OPTIMIZE t WHERE …`: rewrite
+    * ONLY the snapshot files whose commit-time stats admit `predicate`
+    * (judged by the same [[readWhere]] skipping matcher, so the scope is
+    * conservative — an unstatted file counts as in-scope), cluster them
+    * via `zorderBy`, and carry every out-of-scope file into the new
+    * snapshot with its physical path verbatim. Files are rewritten WHOLE
+    * — rows are never split by the predicate — so the row multiset is
+    * preserved by construction. Returns None (no commit) when fewer than
+    * two files are in scope: there is nothing to co-cluster, and a no-op
+    * rewrite would churn versions forever under a periodic scheduler.
+    *
+    * This is how OPTIMIZE operates at 100 TB: maintenance runs
+    * region-by-region (yesterday's partition, one tenant, one id range)
+    * as separate bounded transactions — cost O(scoped bytes), never
+    * O(table) — with the optimistic log (pinned read version, recompute
+    * on conflict) serializing it against concurrent ingest, exactly as
+    * [[compactSmallFiles]] does for size-scoped packing. */
+  def optimizeWhere(spark: SparkSession, table: String, predicate: Column,
+                    zorderBy: Seq[String] = Seq.empty, numFiles: Int = 4,
+                    maxAttempts: Int = 10): Option[Long] = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(spark, table).getOrElse(
+        sys.error(s"TxnLake.optimizeWhere: no committed version in $table"))
+      val files = resolveFiles(spark, table, base)
+      if (files.isEmpty) return None
+      requireLive(spark, table, base, files)
+      val schema = loggedSchema(spark, table, base)
+      val sample = new Path(table, files.head.path).toString
+      val pred = resolvedPredicate(spark, sample, predicate, schema)
+      val scoped = files.filter(fm => mayMatch(fm, pred))
+      if (scoped.size < 2) return None
+      val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+      val snap = reader.parquet(
+        scoped.map(fm => new Path(table, fm.path).toString): _*)
+      val rewritten = clusterFor(snap, zorderBy, numFiles)
+      try return Some(commitImpl(spark, rewritten, table, "optimize", None,
+          maxAttempts = 1, requireBase = Some(Some(base)),
+          removePaths = Some(scoped.map(_.path)))
+        .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped")))
+      catch { case _: CommitConflict => attempt += 1 }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"TxnLake.optimizeWhere: $maxAttempts consecutive concurrent commits " +
+        s"on $table")
   }
 
   /** On-disk byte size of every file in the snapshot, table-relative path
@@ -1181,7 +1264,15 @@ object TxnLake extends LakeFormat {
     * commit as live, so the re-referenced old dirs survive reclamation
     * for as long as the restore is retained. */
   def restore(spark: SparkSession, table: String, toVersion: Long,
-              maxAttempts: Int = 10): Long = {
+              maxAttempts: Int = 10): Long =
+    restoreImpl(spark, table, toVersion, maxAttempts, () => ())
+
+  /** Test seam: `beforePublish` runs between the liveness pre-check and
+    * the entry publish, letting specs interleave a concurrent [[vacuum]]
+    * deterministically (the TOCTOU the post-publish re-verify closes). */
+  private[sources] def restoreImpl(spark: SparkSession, table: String,
+                                   toVersion: Long, maxAttempts: Int,
+                                   beforePublish: () => Unit): Long = {
     val f = fs(spark, new Path(table))
     val salt = java.util.UUID.randomUUID().toString.take(8)
     var attempt = 0
@@ -1214,8 +1305,29 @@ object TxnLake extends LakeFormat {
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
+      beforePublish()
       val dst = new Path(logDir(table), s"v$next.json")
       if (publishExclusive(f, tmp, dst)) {
+        // Re-verify the target's files AFTER the publish: a vacuum that
+        // resolved its live set between our pre-check and this publish may
+        // have reclaimed them (the restore/vacuum TOCTOU). Once our entry
+        // is visible, any vacuum that STARTS now treats the restore as
+        // live — so detect the lost race, withdraw the entry, and raise,
+        // rather than leaving a snapshot that references reclaimed files.
+        // (Vacuum narrows its side of the window symmetrically: it
+        // re-lists the log after computing the dead set and recomputes if
+        // a commit landed — see vacuum. The residual instant where both
+        // checks pass and the delete still lands is the same window Delta
+        // accepts.)
+        try requireLive(spark, table, toVersion, target)
+        catch {
+          case e: IllegalStateException =>
+            f.delete(dst, false)
+            throw new IllegalStateException(
+              s"TxnLake.restore: a concurrent vacuum reclaimed version " +
+                s"$toVersion's files during the restore; the restore entry " +
+                "was withdrawn", e)
+        }
         maybeCheckpoint(spark, f, table, next)
         return next
       }
@@ -1237,11 +1349,35 @@ object TxnLake extends LakeFormat {
     * dir, leaving a dir that is live (other files still referenced) yet
     * carries dead bytes — a dir-granular vacuum would never reclaim
     * those, a storage leak that compounds at ingest cadence. */
-  def vacuum(spark: SparkSession, table: String, retainVersions: Int = 1): Int = {
-    val versions = committedVersions(spark, table)
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int = 1): Int =
+    vacuumImpl(spark, table, retainVersions, () => ())
+
+  /** Test seam: `beforeDelete` runs between the live-set resolution and
+    * the re-list check, letting specs land a concurrent [[restore]]
+    * deterministically (vacuum must then recompute and spare its files). */
+  private[sources] def vacuumImpl(spark: SparkSession, table: String,
+                                  retainVersions: Int,
+                                  beforeDelete: () => Unit): Int = {
+    var versions = committedVersions(spark, table)
     if (versions.isEmpty) return 0
-    val retained = versions.takeRight(math.max(1, retainVersions))
-    val live = retained.flatMap(resolveFiles(spark, table, _).map(_.path)).toSet
+    var live = Set.empty[String]
+    // Resolve the retained versions' live set, then RE-LIST the log: a
+    // restore (or any commit) that published while we were resolving can
+    // re-reference files the stale live set would reclaim. Loop until the
+    // listing is stable — each iteration is O(retained) metadata reads,
+    // and a busy table converges as soon as one resolution window sees no
+    // commit. (Restore closes its side with a post-publish re-verify.)
+    var stable = false
+    while (!stable) {
+      val retained = versions.takeRight(math.max(1, retainVersions))
+      live = retained.flatMap(resolveFiles(spark, table, _).map(_.path)).toSet
+      if (versions == committedVersions(spark, table)) stable = true
+      else versions = committedVersions(spark, table)
+    }
+    beforeDelete()
+    val check = committedVersions(spark, table)
+    if (check != versions) return vacuumImpl(spark, table, retainVersions,
+      () => ())
     val dataRoot = new Path(table, "data")
     val f = fs(spark, dataRoot)
     if (!f.exists(dataRoot)) return 0

@@ -76,45 +76,87 @@ object CurationStream {
     gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
   }
 
-  /** A sibling index is trusted only while the COMMITTED TXN WATERMARKS
-    * prove it covers exactly the corpus table's rows. Four conditions,
-    * all read from the two logs' O(1) cumulative txn maps:
+  /** Marker txn ids under which the sink persists how far the coverage
+    * classification in [[indexCovered]] has VERIFIED each log — the scan
+    * lower bounds that keep per-batch trust evaluation O(commits since
+    * the last verified probe) instead of O(log). Stored in the INDEX
+    * log's cumulative txn map (one O(1) read), piggybacked atomically on
+    * the increment commit via `commitOnce(extraTxns)`. A missing or
+    * stale marker only widens the scan — never unsoundly narrows it,
+    * because markers are recorded exclusively AFTER a successful
+    * classification of exactly the versions they point past. */
+  private def covTxn(indexTxnId: String) = indexTxnId + "@cov"
+  private def icovTxn(indexTxnId: String) = indexTxnId + "@icov"
+
+  /** In-JVM handoff from the probe's classification to the sink's marker
+    * persistence within the SAME micro-batch: index path → (corpus
+    * version verified through, index version verified through). Consumed
+    * (removed) by the sink when it commits the increment; cleared by the
+    * runners at start so a Scratch-path reuse in one JVM can never
+    * persist a stale tuple onto a fresh log. */
+  private val verifiedCoverage =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  /** Observability seam: which path served each (corpus table, batchId)
+    * near-dup/decontam probe — "indexed" (delta-vs-index), "recompute"
+    * (trust failed, O(corpus) fallback), or "first" (empty corpus, no
+    * probe). The x40 gate reads this to PROVE maintenance commits did
+    * not de-trust the index. */
+  private[graft] val probePaths =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+  private[graft] def clearProbeLog(table: String): Unit = {
+    probePaths.keys.filter(_._1 == table).foreach(probePaths.remove)
+    ()
+  }
+
+  /** VERSION-COVERAGE index trust (the x40 model): a sibling index is
+    * trusted iff the two logs prove it covers exactly the corpus table's
+    * ROWS — which, unlike the pre-x40 "latest version == txn watermark"
+    * arithmetic, survives in-log maintenance. Conditions:
     *
-    *  1. the corpus carries a txn watermark `c` for this app at all;
-    *  2. the index's watermark under the index txn id equals `c`
-    *     (every corpus batch has its increment — no mid-heal gap);
-    *  3. the corpus' latest version IS `c`: batches 0..c each commit
-    *     exactly one version (the pinned empty-append edge included), so
-    *     latest == c means, by pigeonhole, EVERY corpus commit is one of
-    *     this app's batches — a foreign append anywhere in the history,
-    *     not just at the tail, pushes latest past `c` and the probe must
-    *     not trust an index that never saw those rows (under-masking);
-    *  4. symmetrically the index's latest version is `c` — a foreign
-    *     append TO THE INDEX would inject spurious keys the corpus never
-    *     committed (over-masking).
+    *  1. the corpus carries a txn watermark `c` for this app, and the
+    *     index's watermark under the index txn id equals `c` (every
+    *     corpus batch has its increment — no mid-heal gap);
+    *  2. EVERY corpus commit is either one of this app's batches with
+    *     id ≤ `c` (its rows are in the index by 1) or a DATA-PRESERVING
+    *     maintenance commit (`operation == "optimize"` — Z-order
+    *     rewrites, bin-packed compaction; the log protocol's contract is
+    *     that such commits change layout, never the row multiset, which
+    *     is exactly the adjudication Delta makes from its own commit
+    *     tags). A foreign append, overwrite, or restore anywhere fails
+    *     classification — the index never saw those rows (under-masking);
+    *  3. symmetrically every INDEX commit is one of this sink's
+    *     increments (id ≤ `c`) or index-side maintenance — a foreign
+    *     index append would inject spurious keys (over-masking).
     *
-    * An earlier draft compared raw latest-version COUNTS of the two
-    * tables, which an equal number of foreign commits to both sides can
-    * coincidentally re-align; watermarks anchored to the app's own txns
-    * cannot be re-aligned by writers that don't hold the app id. Any
-    * failed condition drops the probe to the recompute path, which reads
-    * the table directly and is therefore always complete.
-    *
-    * Conditions 3/4 hard-code "version number == batch id", so ANY
-    * non-batch commit on the corpus — a foreign writer, but also in-log
-    * maintenance like an x37-style per-batch OPTIMIZE — permanently
-    * pins the probe to the recompute path (correct, just O(corpus) per
-    * batch). Composing an indexed ingest with in-log maintenance needs
-    * a trust model that records which corpus VERSIONS the index covers
-    * rather than inferring coverage from version arithmetic; until then
-    * the two patterns are deliberately exclusive. */
-  private def indexCurrent(s: SparkSession, table: String, appId: String,
+    * Classification walks [[graft.sources.TxnLake.commitInfo]] from the
+    * persisted verified-through markers ([[covTxn]]/[[icovTxn]]), so the
+    * steady-state per-batch cost is O(commits since the last verified
+    * probe) — a handful of O(1) entry reads — no matter how long the
+    * table has been compacting at cadence. Any failed condition drops
+    * the probe to the recompute path, which reads the table directly and
+    * is therefore always complete. */
+  private def indexCovered(s: SparkSession, table: String, appId: String,
                            index: String, indexTxnId: String): Boolean = {
     val c = TxnLake.lastTxn(s, table, appId)
-    c.isDefined &&
-      TxnLake.lastTxn(s, index, indexTxnId) == c &&
-      TxnLake.latestVersion(s, table) == c &&
-      TxnLake.latestVersion(s, index) == c
+    val w = TxnLake.lastTxn(s, index, indexTxnId)
+    if (c.isEmpty || w != c) return false
+    val tableLatest = TxnLake.latestVersion(s, table)
+    val indexLatest = TxnLake.latestVersion(s, index)
+    if (tableLatest.isEmpty || indexLatest.isEmpty) return false
+    def covered(tbl: String, ownApp: String, own: Long,
+                from: Long, to: Long): Boolean =
+      ((from + 1) to to).forall { v =>
+        val e = TxnLake.commitInfo(s, tbl, v)
+        e.dataPreserving ||
+          e.txn.exists { case (a, b) => a == ownApp && b <= own }
+      }
+    val cov = TxnLake.lastTxn(s, index, covTxn(indexTxnId)).getOrElse(-1L)
+    val icov = TxnLake.lastTxn(s, index, icovTxn(indexTxnId)).getOrElse(-1L)
+    val ok = covered(table, appId, c.get, cov, tableLatest.get) &&
+      covered(index, indexTxnId, w.get, icov, indexLatest.get)
+    if (ok) verifiedCoverage(index) = (tableLatest.get, indexLatest.get)
+    ok
   }
 
   /** d47 stage-1 + stage-2 over one micro-batch: scrub, gate, within-batch
@@ -165,17 +207,24 @@ object CurationStream {
         Some(TxnLake.read(s, table))
       else None
     val deduped = committed match {
-      case None => survivors // first batch: nothing to collide with
+      case None => // first batch: nothing to collide with
+        probePaths((table, batchId)) = "first"
+        survivors
       case Some(tbl) =>
         val afterExact = survivors.join(tbl.select("fp"), Seq("fp"), "left_anti")
-        // probe the MATERIALIZED band index while it is provably current
-        // (one exactly-once append per batch — delta-scaled probe, the
-        // corpus is never re-minhashed); a version mismatch — mid-heal
-        // gap, foreign writer, partial restore — falls back to the
-        // recompute shape, identical semantics off the table itself
+        // probe the MATERIALIZED band index while the version-coverage
+        // model proves it covers the corpus' rows (one exactly-once
+        // append per batch — delta-scaled probe, the corpus is never
+        // re-minhashed); a coverage failure — mid-heal gap, foreign
+        // writer, partial restore — falls back to the recompute shape,
+        // identical semantics off the table itself. In-log maintenance
+        // (optimize/compaction) classifies as data-preserving, so a
+        // compacting table keeps its indexed probe (x40).
         val bindex = bandIndexPath(table)
+        val trusted = indexCovered(s, table, appId, bindex, bandIndexTxn(appId))
+        probePaths((table, batchId)) = if (trusted) "indexed" else "recompute"
         val nearDupIds = (
-          if (indexCurrent(s, table, appId, bindex, bandIndexTxn(appId)))
+          if (trusted)
             graft.operators.MinHashDedup.incrementalMatchesIndexed(
               afterExact.select("doc_id", "text"),
               TxnLake.read(s, bindex).select("doc_id", "b", "bh"),
@@ -230,6 +279,7 @@ object CurationStream {
       else None
     committed match {
       case None => // first batch founds the corpus: nothing to share with
+        probePaths((table, batchId)) = "first"
         survivors.select(col("doc_id"), col("fp"), col("n_tokens"),
           lit(0).cast("int").as("n_removed"), col("text"),
           lit(batchId).cast("int").as("ingest_batch"))
@@ -259,8 +309,10 @@ object CurationStream {
         // makes every element_at re-run the regex split — 13 re-splits
         // per window, measured 20 s vs sub-second here.
         val windex = windowIndexPath(table)
+        val trusted = indexCovered(s, table, appId, windex, windowIndexTxn(appId))
+        probePaths((table, batchId)) = if (trusted) "indexed" else "recompute"
         val hot =
-          if (indexCurrent(s, table, appId, windex, windowIndexTxn(appId)))
+          if (trusted)
             TxnLake.read(s, windex).select("__g")
           else tbl
             .select(tokens(col("text")).as("__t"))
@@ -298,7 +350,7 @@ object CurationStream {
 
   /** Txn id the x34 sink commits window-index increments under — ONE
     * derivation shared by the sink wiring and the probe's
-    * [[indexCurrent]] watermark read (a drift here would silently pin
+    * [[indexCovered]] watermark read (a drift here would silently pin
     * the probe to the recompute path forever). */
   def windowIndexTxn(appId: String): String = appId + "#windex"
 
@@ -344,43 +396,61 @@ object CurationStream {
     * invocation. */
   def runCuratedTwoWaveIngestDecontam(wave1Dir: String, wave2Dir: String,
                                       table: String, checkpointDir: String,
-                                      appId: String, spark: SparkSession): Unit =
+                                      appId: String, spark: SparkSession): Unit = {
+    verifiedCoverage.remove(windowIndexPath(table))
+    clearProbeLog(table)
     runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark,
       indexedIngestSink(table, appId,
         windowIndexPath(table), windowIndexTxn(appId),
         curateBatchDecontam(_, _, _, appId),
         (s, b) => batchWindows(s, table, b, DecontamWindow)))()
+  }
 
-  /** ONE definition of the indexed-ingest sink (x33/x34 — they differ
-    * only in index table, txn id, curator, and increment builder; a
-    * replay-guard or reconcile fix must hit both at once). Commits the
-    * curated batch under (appId, batchId), then RECONCILES the sibling
-    * index to the corpus txn WATERMARK — not just this batchId: a crash
-    * after the corpus commit combined with a checkpoint loss re-delivers
-    * everything as batch 0, and a "this-batch-only" check would skip the
-    * crashed batch's increment forever (future probes would silently
-    * under-mask). Each missing increment rebuilds from the table's own
-    * ingest_batch column — corpus batch ids are the streaming batch
-    * sequence 0..C under this appId, so the gap scan is exact. The
-    * corpus-commit fast-path also spares a replayed batch the curator's
-    * eagerly-materializing probe (a cost short-circuit; the txn guard
-    * inside the commit remains the correctness mechanism). */
+  /** ONE definition of the indexed-ingest sink (x33/x34/x40 — they
+    * differ only in index table, txn id, curator, increment builder,
+    * and maintenance hook; a replay-guard or reconcile fix must hit all
+    * at once). Commits the curated batch under (appId, batchId), runs
+    * `maintain` after a batch that actually landed (x40's in-loop
+    * OPTIMIZE; a replayed batch triggers NO maintenance), then
+    * RECONCILES the sibling index to the corpus txn WATERMARK — not
+    * just this batchId: a crash after the corpus commit combined with a
+    * checkpoint loss re-delivers everything as batch 0, and a
+    * "this-batch-only" check would skip the crashed batch's increment
+    * forever (future probes would silently under-mask). Each missing
+    * increment rebuilds from the table's own ingest_batch column —
+    * corpus batch ids are the streaming batch sequence 0..C under this
+    * appId, so the gap scan is exact. The corpus-commit fast-path also
+    * spares a replayed batch the curator's eagerly-materializing probe
+    * (a cost short-circuit; the txn guard inside the commit remains the
+    * correctness mechanism).
+    *
+    * The first increment commit of the reconcile also persists the
+    * coverage markers this batch's probe verified (consumed from
+    * [[verifiedCoverage]], atomically with the increment via
+    * `extraTxns`) — the scan bounds that keep [[indexCovered]] O(new
+    * commits) per batch. */
   private def indexedIngestSink(table: String, appId: String,
                                 indexPath: String, indexTxnId: String,
                                 curate: (DataFrame, String, Long) => DataFrame,
-                                increment: (SparkSession, Long) => DataFrame)
+                                increment: (SparkSession, Long) => DataFrame,
+                                maintain: SparkSession => Unit = _ => ())
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val s = batch.sparkSession
     if (!TxnLake.lastTxn(s, table, appId).exists(_ >= batchId)) {
-      Expectations.commitOnceWithExpectations(
+      val committed = Expectations.commitOnceWithExpectations(
         s, curate(batch, table, batchId),
         table, "append", appId, batchId, IngestExpectations)
+      if (committed.isDefined) maintain(s)
     }
     val c = TxnLake.lastTxn(s, table, appId).getOrElse(-1L)
     val w = TxnLake.lastTxn(s, indexPath, indexTxnId).getOrElse(-1L)
-    ((w + 1) to c).foreach { b =>
+    val marks = verifiedCoverage.remove(indexPath)
+      .map { case (tv, iv) =>
+        Map(covTxn(indexTxnId) -> tv, icovTxn(indexTxnId) -> iv) }
+      .getOrElse(Map.empty)
+    ((w + 1) to c).zipWithIndex.foreach { case (b, i) =>
       TxnLake.commitOnce(s, increment(s, b), indexPath, "append",
-        indexTxnId, b)
+        indexTxnId, b, extraTxns = if (i == 0) marks else Map.empty)
     }
     ()
   }
@@ -419,25 +489,71 @@ object CurationStream {
     * column). */
   def runCuratedTwoWaveIngestNearDup(wave1Dir: String, wave2Dir: String,
                                      table: String, checkpointDir: String,
-                                     appId: String, spark: SparkSession): Unit =
+                                     appId: String, spark: SparkSession): Unit = {
+    verifiedCoverage.remove(bandIndexPath(table))
+    clearProbeLog(table)
     runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark,
       indexedIngestSink(table, appId,
         bandIndexPath(table), bandIndexTxn(appId),
         curateBatchNearDup(_, _, _, appId),
         (s, b) => batchBands(s, table, b)))()
+  }
+
+  /** The x33 indexed near-dup ingest composed WITH continuous in-log
+    * maintenance (x40) — the composition the pre-x40 trust model
+    * deliberately excluded and a production table cannot avoid: every
+    * committed micro-batch is followed by an OPTIMIZE of the corpus
+    * (doc_id-range re-cluster, the x37 cadence), and the VERSION-COVERAGE
+    * model ([[indexCovered]]) must keep the band index trusted across
+    * the interleaved maintenance commits — the post-maintenance batch
+    * must be served by the delta-vs-index PROBE path, never the
+    * O(corpus) recompute (gated through [[probePaths]]). Exactly-once is
+    * the x32/x37 doctrine: optimize entries carry the cumulative
+    * (appId, batchId) map forward, so the checkpoint-loss replay is
+    * absorbed by the log, and a replayed batch triggers no maintenance.
+    * The per-batch whole-snapshot OPTIMIZE is the deliberate proof
+    * fixture (maximum maintenance pressure per data commit);
+    * [[graft.sources.TxnLake.compactSmallFiles]] /
+    * [[graft.sources.TxnLake.optimizeWhere]] carry the production cost
+    * model — the trust model is indifferent to WHICH data-preserving
+    * command produced the commits. */
+  def runCuratedTwoWaveIngestNearDupMaintained(
+      wave1Dir: String, wave2Dir: String, table: String,
+      checkpointDir: String, appId: String, spark: SparkSession,
+      numFiles: Int = 2): Unit = {
+    verifiedCoverage.remove(bandIndexPath(table))
+    clearProbeLog(table)
+    runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark,
+      indexedIngestSink(table, appId,
+        bandIndexPath(table), bandIndexTxn(appId),
+        curateBatchNearDup(_, _, _, appId),
+        (s, b) => batchBands(s, table, b),
+        maintain = s => {
+          TxnLake.optimize(s, table, zorderBy = Seq("doc_id"),
+            numFiles = numFiles)
+          ()
+        }))()
+  }
 
   /** [[runCuratedTwoWaveIngest]] with CONTINUOUS LAKE MAINTENANCE (x37):
     * after each batch that actually lands, the sink runs
-    * [[graft.sources.TxnLake.optimize]] on the corpus table — the
-    * production pattern where small streaming appends are compacted into
-    * few range-clustered files WITHOUT pausing the ingest. Everything the
-    * x32 proof establishes must survive the interleaved maintenance
-    * commits: exactly-once holds because every optimize entry carries
-    * the cumulative (appId, batchId) txn map forward, so the
-    * checkpoint-loss replay still sees its batches in the log; readers
-    * are isolated because optimize is one data-preserving snapshot swap.
-    * A replayed (skipped) batch triggers NO maintenance — compaction
-    * happens exactly as often as data actually lands. */
+    * [[graft.sources.TxnLake.optimize]] on the corpus table — a
+    * WHOLE-SNAPSHOT re-cluster per batch, deliberately: this runner is
+    * the exactly-once-under-maximum-maintenance-pressure proof, paying
+    * O(table) rewrite per micro-batch to interleave the heaviest
+    * possible maintenance commit after every data commit. At production
+    * cadence that cost model is wrong — a deployment runs
+    * [[graft.sources.TxnLake.compactSmallFiles]] (O(small-file debt)) or
+    * [[graft.sources.TxnLake.optimizeWhere]] (O(scoped bytes)) between
+    * batches and reserves the full re-cluster for scheduled windows; the
+    * exactly-once invariants proven here are identical for all three,
+    * since each is one data-preserving "optimize" log commit. What must
+    * survive the interleaving: exactly-once holds because every optimize
+    * entry carries the cumulative (appId, batchId) txn map forward, so
+    * the checkpoint-loss replay still sees its batches in the log;
+    * readers are isolated because optimize is one data-preserving
+    * snapshot swap. A replayed (skipped) batch triggers NO maintenance —
+    * compaction happens exactly as often as data actually lands. */
   def runCuratedTwoWaveIngestCompacting(wave1Dir: String, wave2Dir: String,
                                         table: String, checkpointDir: String,
                                         appId: String, spark: SparkSession,

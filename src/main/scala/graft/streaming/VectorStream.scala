@@ -19,12 +19,20 @@ import graft.sources.Expectations.Expectation
   *
   * Scale: the probe is one label-keyed equi-join of the day's delta
   * against the committed corpus, with the quadratic confined to each
-  * cell (the published SemDeDup cost model); the corpus side prunes to
-  * (vec_id, label, embedding) — no index sibling is needed because the
-  * CELL KEY already lives in the table (where x33/x34 must derive band
-  * keys / windows from text, the vector table IS its own inverted
-  * index). Exactly-once is the x32 doctrine verbatim: (appId, batchId)
-  * txns in the table log absorb the checkpoint-loss replay.
+  * cell (the published SemDeDup cost model); the corpus side prunes
+  * BOTH ways — to (vec_id, label, embedding) column-wise, and to the
+  * BATCH'S CELLS file-wise: commits land label-range-clustered, so the
+  * probe's [[graft.sources.TxnLake.readWhere]] scan skips every file
+  * whose label stats miss the arrivals' distinct labels (collected to
+  * the driver — bounded by the quantizer's cell count, k centroids in
+  * production, never by row volume). At a 100 TB vector store with a
+  * fixed-size daily delta, the probe therefore reads only the touched
+  * cells' files, never the full table. No index sibling is needed
+  * because the CELL KEY already lives in the table (where x33/x34 must
+  * derive band keys / windows from text, the vector table IS its own
+  * inverted index). Exactly-once is the x32 doctrine verbatim:
+  * (appId, batchId) txns in the table log absorb the checkpoint-loss
+  * replay.
   */
 object VectorStream {
 
@@ -63,25 +71,59 @@ object VectorStream {
   def curateVecBatch(batch: DataFrame, table: String, batchId: Long,
                      eps: Double = 0.3, maxCell: Int = 4096): DataFrame = {
     val s = batch.sparkSession
-    val out = (df: DataFrame) => df.select(col("vec_id"), col("embedding"),
-      col("label"), lit(batchId).cast("int").as("ingest_batch"))
+    // commits land RANGE-CLUSTERED on the cell key, so every data file
+    // carries tight label min/max stats and future probes skip untouched
+    // cells at file grain (the x35 clustering + x24 skipping machinery)
+    val out = (df: DataFrame) => clusterForCommit(
+      df.select(col("vec_id"), col("embedding"),
+        col("label"), lit(batchId).cast("int").as("ingest_batch")))
     if (TxnLake.latestVersion(s, table).isEmpty) return out(batch)
     val norm = (df: DataFrame, idAs: String, vAs: String, nAs: String) => df
       .select(col("vec_id").as(idAs), col("label"),
         toDouble(col("embedding")).as(vAs))
       .withColumn(nAs, l2Norm(col(vAs)))
-    val committedAll = TxnLake.read(s, table)
-    val keptCells = committedAll.groupBy("label")
+    // prune the corpus scan to the batch's cells: the distinct labels are
+    // bounded by the quantizer's cell count (k centroids in production),
+    // so the driver-side collect is O(k), and the In-predicate drives
+    // file-level stats skipping on the label-clustered table
+    val labels = batch.select("label").distinct()
+      .filter(col("label").isNotNull).collect().map(_.getInt(0)).sorted
+    val cellPred = col("label").isin(labels.toSeq.map(x => x: Any): _*)
+    lastProbeSkipping = TxnLake.skippingStats(s, table, cellPred)
+    val committedCells = TxnLake.readWhere(s, table, cellPred)
+    val keptCells = committedCells.groupBy("label")
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxCell)
       .select("label")
     val arrivals = norm(batch, "vec_id", "va", "na")
-    val committed = norm(committedAll, "id_b", "vb", "nb")
+    val committed = norm(committedCells, "id_b", "vb", "nb")
       .join(broadcast(keptCells), Seq("label"))
+    // zero-norm guard: `when` nulls the divisor instead of letting the
+    // session's ANSI mode raise DIVIDE_BY_ZERO mid-batch on a degenerate
+    // (all-zero) embedding — the NULL cosine fails the >= and the
+    // arrival is KEPT, exactly the oracle's NULL semantics
+    val denom = col("na") * col("nb")
     val dropped = arrivals.join(committed, Seq("label"))
-      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= eps)
+      .filter(dot(col("va"), col("vb")) / when(denom =!= 0.0, denom) >= eps)
       .select("vec_id").distinct()
     out(batch.join(dropped, Seq("vec_id"), "left_anti"))
   }
+
+  /** Files per commit (label-range buckets). Small at test SF; a
+    * production store sizes this so file count tracks cell count. */
+  private val CommitFiles = 4
+
+  /** The commit LAYOUT contract in one place — label-range clustering
+    * into [[CommitFiles]] files — shared by [[curateVecBatch]]'s output
+    * and any harness that founds a store without the probe (the scale
+    * harness's fixture setup); a drift here would silently un-prune
+    * every future probe. */
+  private[graft] def clusterForCommit(df: DataFrame): DataFrame =
+    df.repartitionByRange(CommitFiles, col("label"))
+
+  /** Observability seam: (files kept, files total) of the most recent
+    * probe's cell-pruned corpus scan — the files-skipped gate the
+    * VectorStreamSpec and the scale harness assert on. */
+  @volatile private[graft] var lastProbeSkipping: (Int, Int) = (0, 0)
 
   /** Drive the vector ingest over TWO waves with the same exactly-once +
     * checkpoint-loss-replay proof as [[CurationStream]] (shared two-wave

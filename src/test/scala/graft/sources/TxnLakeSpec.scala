@@ -477,14 +477,36 @@ class TxnLakeSpec extends SparkSpec {
     assert(TxnLake.read(spark, t).collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
-  test("optimize refuses 3+ zorder dimensions instead of silently degrading") {
+  test("optimize clusters 3 zorder dimensions (k-dim Morton interleave)") {
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val t = freshTable()
-    TxnLake.commit(spark, Seq((1, 2, 3)).toDF("a", "b", "c"), t, "overwrite")
-    val e = intercept[IllegalArgumentException] {
-      TxnLake.optimize(spark, t, zorderBy = Seq("a", "b", "c"))
+    // 4096 rows over three independent high-cardinality dimensions (odd
+    // multipliers mod 2^12 are bijections, so each dim is a uniform
+    // permutation of 0..4095 — enough distinct values to occupy every
+    // rank cell; a dim with fewer distinct values than 2^bits would
+    // occupy only the LOW cells and weight the interleave toward the
+    // others, the same property Delta's range_partition_id cube has)
+    val df = spark.range(4096).select(
+      ((col("id") * 7919) % 4096).as("a"),
+      ((col("id") * 104729) % 4096).as("b"),
+      ((col("id") * 15485863) % 4096).as("c"))
+    TxnLake.commit(spark, df.repartition(8), t, "overwrite")
+    val v = TxnLake.optimize(spark, t, zorderBy = Seq("a", "b", "c"),
+      numFiles = 8)
+    // multiset preserved
+    assert(TxnLake.readVersion(spark, t, v).count() == 4096)
+    assert(TxnLake.read(spark, t).select("a").distinct().count() == 4096)
+    // every dimension gains per-file locality: for each of a/b/c some
+    // file's min/max span is strictly below the full 0..4095 range (the
+    // 3-way interleave bounds all three coordinates per z-octant)
+    val stats = TxnLake.snapshotFiles(spark, t, Some(v))
+    Seq("a", "b", "c").foreach { d =>
+      assert(stats.exists(_.stats.get(d).exists(cs =>
+        (for (mn <- cs.min; mx <- cs.max)
+          yield mx.toLong - mn.toLong < 4095L).getOrElse(false))),
+        s"no file has a sub-full-range span on $d")
     }
-    assert(e.getMessage.contains("at most 2"), e.getMessage)
   }
 
   test("checkpoints are parquet; legacy JSON checkpoints still resolve") {
@@ -668,5 +690,106 @@ class TxnLakeSpec extends SparkSpec {
     val (kept, total) = TxnLake.skippingStats(spark, t, col("k") <= 2)
     assert(total == 2 && kept == 1,
       s"expected the k-range stats to prune the evolved file: $kept/$total")
+  }
+
+  test("restore racing a vacuum withdraws its entry and raises (TOCTOU)") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1, 2).toDF("x").coalesce(1), t, "overwrite") // v0
+    TxnLake.commit(spark, Seq(3, 4).toDF("x").coalesce(1), t, "overwrite") // v1
+    // interleaving: restore(v0) passes its liveness pre-check, then a
+    // vacuum reclaims v0's files BEFORE the restore entry publishes. The
+    // post-publish re-verify must detect the lost race, withdraw the
+    // just-published entry, and raise — never leave a snapshot that
+    // references reclaimed files.
+    val e = intercept[IllegalStateException] {
+      TxnLake.restoreImpl(spark, t, 0L, maxAttempts = 10,
+        beforePublish = () => { TxnLake.vacuum(spark, t, retainVersions = 1); () })
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    // the withdrawn entry left the log at v1, and the table still reads
+    assert(TxnLake.latestVersion(spark, t).contains(1L))
+    assert(TxnLake.read(spark, t).collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(3, 4))
+  }
+
+  test("vacuum racing a restore recomputes and spares the restored files") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1, 2).toDF("x").coalesce(1), t, "overwrite") // v0
+    TxnLake.commit(spark, Seq(3, 4).toDF("x").coalesce(1), t, "overwrite") // v1
+    // interleaving: vacuum resolves its live set (v1 only — v0's file is
+    // dead), then a restore to v0 publishes BEFORE the deletes run. The
+    // re-list must see the restore commit, recompute, and spare v0's
+    // files — they are live again.
+    var restored = -1L
+    val reclaimed = TxnLake.vacuumImpl(spark, t, retainVersions = 1,
+      beforeDelete = () => { restored = TxnLake.restore(spark, t, 0L) })
+    assert(restored == 2L)
+    // after recompute with retain=1, only the restore snapshot (= v0's
+    // files) is live; v1's file is reclaimed instead
+    assert(reclaimed == 1, s"expected v1's file reclaimed, got $reclaimed")
+    assert(TxnLake.read(spark, t).collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 2), "the restored snapshot lost its files to the vacuum")
+  }
+
+  test("optimizeWhere re-clusters only in-scope files; rest carry verbatim") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // 4 files: ids 0-9 / 10-19 / 20-29 / 30-39, values interleaved so
+    // every file spans the full value range
+    (0 until 4).foreach { i =>
+      val df = spark.range(i * 10, i * 10 + 10)
+        .select(col("id"), (col("id") % 10).as("v"))
+      TxnLake.commit(spark, df.coalesce(1), t, "append")
+    }
+    val preV = TxnLake.latestVersion(spark, t).get
+    val pre = TxnLake.snapshotFiles(spark, t, Some(preV)).map(_.path).toSet
+    assert(pre.size == 4)
+    val v = TxnLake.optimizeWhere(spark, t, col("id") < 20,
+      zorderBy = Seq("v"), numFiles = 2).get
+    val post = TxnLake.snapshotFiles(spark, t, Some(v)).map(_.path).toSet
+    // the two out-of-scope files carried over with identical paths
+    assert((pre intersect post).size == 2, s"pre=$pre post=$post")
+    // rows preserved exactly
+    assert(TxnLake.read(spark, t).count() == 40)
+    assert(TxnLake.readVersion(spark, t, preV).exceptAll(
+      TxnLake.readVersion(spark, t, v)).isEmpty)
+    // the rewritten region is now value-clustered: v=0 lives in exactly
+    // one of the two range files, so the lowest-band predicate prunes
+    // the other (pre-rewrite BOTH in-scope files spanned the full range
+    // and both were kept — asserted via the pre-version counter)
+    val (kept0, _) = TxnLake.skippingStats(spark, t,
+      col("id") < 20 && col("v") < 1, version = Some(preV))
+    assert(kept0 == 2, s"fixture drift: expected 2 full-range files, $kept0")
+    val (kept, _) = TxnLake.skippingStats(spark, t,
+      col("id") < 20 && col("v") < 1)
+    assert(kept == 1, s"expected 1 in-scope file kept under v<1, got $kept")
+    // fewer than two in-scope files → no-op, no version churn
+    assert(TxnLake.optimizeWhere(spark, t, col("id") >= 35,
+      zorderBy = Seq("v")).isEmpty)
+    assert(TxnLake.latestVersion(spark, t).contains(v))
+  }
+
+  test("commitInfo/history classify operations; extraTxns merge monotonically") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1).toDF("x"), t, "overwrite")
+    TxnLake.commitOnce(spark, Seq(2).toDF("x"), t, "append", "app", 0L,
+      extraTxns = Map("m" -> 5L))
+    TxnLake.optimize(spark, t, numFiles = 1)
+    val h = TxnLake.history(spark, t)
+    assert(h.map(_.operation) == Seq("overwrite", "append", "optimize"))
+    assert(h.map(_.dataPreserving) == Seq(false, false, true))
+    assert(h(1).txn.contains(("app", 0L)))
+    assert(TxnLake.commitInfo(spark, t, 2L).dataPreserving)
+    // the auxiliary watermark rides the cumulative txn map…
+    assert(TxnLake.lastTxn(spark, t, "m").contains(5L))
+    // …and a stale writer cannot regress it
+    TxnLake.commitOnce(spark, Seq(3).toDF("x"), t, "append", "app", 1L,
+      extraTxns = Map("m" -> 3L))
+    assert(TxnLake.lastTxn(spark, t, "m").contains(5L),
+      "extraTxns merge must be monotone")
   }
 }

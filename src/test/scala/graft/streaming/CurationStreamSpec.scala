@@ -239,7 +239,7 @@ class CurationStreamSpec extends SparkSpec {
   }
 
   test("a foreign corpus append drops the probe to the recompute path") {
-    // the indexCurrent guard: rows a DIFFERENT writer appended to the
+    // the indexCovered guard: rows a DIFFERENT writer appended to the
     // corpus table are invisible to the sibling index (the sink's
     // watermark reconcile is appId-scoped), so the probe must detect the
     // version mismatch and fall back to recomputing windows from the
@@ -306,5 +306,86 @@ class CurationStreamSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out2(20L) == 13,
       s"re-aligned version counts must not resurrect the stale index: $out2")
+  }
+
+  test("maintained ingest: optimize commits keep the indexed probe (x40)") {
+    // the version-coverage trust model: in-log maintenance classifies as
+    // data-preserving, so the post-maintenance batch probes the index;
+    // a FOREIGN append still de-trusts it — and correctness holds either
+    // way because the fallback recomputes off the table
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("cur_stream_ndm_spec").toString
+    val toks = Seq("the", "quick", "brown", "fox", "jumps", "over", "his",
+      "lazy", "dog", "while", "the", "cat", "naps", "on", "a", "warm",
+      "mat", "and", "the", "sun", "sets", "slowly", "behind", "green",
+      "hills", "as", "birds", "sing", "their", "songs")
+    val w2near = toks.updated(29, "owls").mkString(" ")
+    val w2fresh = Seq("completely", "different", "words", "for", "another",
+      "story", "about", "boats", "on", "rivers", "that", "flow", "to",
+      "distant", "seas", "under", "grey", "skies", "where", "sailors",
+      "watch", "for", "land", "and", "dream", "of", "home", "ports",
+      "every", "night").mkString(" ")
+    def land(dir: String, rows: Seq[(Long, String)]): String = {
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("spec").as("source"), length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.parquet(dir)
+      dir
+    }
+    val w1 = land(s"$base/w1", Seq(1L -> toks.mkString(" ")))
+    val w2 = land(s"$base/w2", Seq(2L -> w2near, 3L -> w2fresh))
+    val table = s"$base/t"
+    val appId = "spec_ndm_ingest"
+    CurationStream.runCuratedTwoWaveIngestNearDupMaintained(
+      w1, w2, table, s"$base/ckpt", appId, spark)
+    // same semantic outcome as the unmaintained x33 ingest
+    val rows = TxnLake.read(spark, table)
+      .select("doc_id", "ingest_batch").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.keySet == Set(1L, 3L), s"got $rows")
+    // history: every data commit was followed by its maintenance commit,
+    // and the checkpoint-loss replay added neither
+    assert(TxnLake.history(spark, table).map(_.operation)
+      == Seq("append", "optimize", "append", "optimize"))
+    assert(TxnLake.lastTxn(spark, table, appId).contains(1L))
+    // THE x40 point: batch 1 arrived after an optimize commit and was
+    // still served by the delta-vs-index probe — under the pre-x40
+    // version arithmetic this would have been "recompute" forever
+    assert(CurationStream.probePaths.get((table, 1L)).contains("indexed"),
+      s"probe paths: ${CurationStream.probePaths.toMap}")
+    // the verified-through markers rode the increment commit into the
+    // index log's cumulative txn map (the scan bounds that keep trust
+    // evaluation O(new commits) per batch)
+    val bindex = CurationStream.bandIndexPath(table)
+    assert(TxnLake.lastTxn(spark, bindex, s"$appId#bindex@cov")
+      .exists(_ >= 1L), "corpus coverage marker missing")
+    assert(TxnLake.lastTxn(spark, bindex, s"$appId#bindex@icov")
+      .exists(_ >= 0L), "index coverage marker missing")
+    // a FOREIGN append (not a maintenance commit, no app txn) must still
+    // fail classification…
+    val foreignText = Seq("seven", "silver", "planes", "cross", "the",
+      "quiet", "valley", "at", "dawn", "when", "farmers", "walk", "their",
+      "long", "fields", "and", "count", "sheep", "beside", "old", "stone",
+      "walls", "under", "pale", "morning", "light", "that", "warms",
+      "sleeping", "villages").mkString(" ")
+    val foreign = Seq((9L, "f" * 32, 30, foreignText, 7))
+      .toDF("doc_id", "fp", "n_tokens", "text", "ingest_batch")
+    TxnLake.commit(spark, foreign, table, "append")
+    // only the LAST token changed → exactly one 3-gram shingle differs,
+    // jaccard ≈ 0.93 — far above 0.7 and near-certain to share a band
+    val probe = Seq(20L -> foreignText.replace("villages", "hamlets"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("spec").as("source"), length(col("text")).cast("long").as("n_chars"))
+    val out = CurationStream.curateBatchNearDup(probe, table, 2L, appId)
+      .select("doc_id").collect()
+    assert(CurationStream.probePaths.get((table, 2L)).contains("recompute"),
+      "a foreign append must drop the probe to the recompute path")
+    // …and the recompute path still catches the near-dup of the foreign
+    // doc (which the index never saw)
+    assert(out.isEmpty,
+      s"near-dup of the foreign doc must be dropped via recompute: " +
+        out.mkString(","))
   }
 }

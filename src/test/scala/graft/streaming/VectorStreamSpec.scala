@@ -59,6 +59,54 @@ class VectorStreamSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("the probe scan prunes to the batch's cells at file grain") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("vec_stream_spec4").toString
+    val table = s"$base/t"
+    // founding corpus spans four labels; the label-range-clustered commit
+    // writes files with tight label stats
+    val corpus = (0 until 4).flatMap(l => Seq(
+      emb(l * 10L, l, Seq(1.0, 0.0)),
+      emb(l * 10L + 1, l, Seq(0.0, 1.0))))
+      .toDF("vec_id", "embedding", "label")
+    TxnLake.commitOnce(s, VectorStream.curateVecBatch(corpus, table, 0L),
+      table, "append", "spec_vec_prune", 0L)
+    val (_, total) = TxnLake.skippingStats(s, table, lit(true))
+    assert(total >= 2, s"fixture needs a multi-file layout, got $total")
+    // a delta touching ONE cell must scan fewer files than the table has
+    val batch = Seq(emb(100L, 2, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding", "label")
+    val kept = VectorStream.curateVecBatch(batch, table, 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.isEmpty, s"arrival 100 cosines 1.0 to cell-mate 20: $kept")
+    val (probeKept, probeTotal) = VectorStream.lastProbeSkipping
+    assert(probeTotal == total && probeKept < probeTotal,
+      s"probe must skip untouched cells' files: $probeKept/$probeTotal")
+  }
+
+  test("a zero-norm embedding is kept, not a DIVIDE_BY_ZERO abort") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("vec_stream_spec5").toString
+    val table = s"$base/t"
+    val corpus = Seq(
+      emb(1L, 0, Seq(1.0, 0.0)),
+      emb(2L, 0, Seq(0.0))) // all-zero committed vector in the same cell
+      .toDF("vec_id", "embedding", "label")
+    TxnLake.commitOnce(s, VectorStream.curateVecBatch(corpus, table, 0L),
+      table, "append", "spec_vec_zero", 0L)
+    // one all-zero arrival (cosine undefined vs everything -> NULL ->
+    // kept), one near-dup of e1 (still dropped despite the degenerate
+    // cell-mate also being probed)
+    val batch = Seq(
+      emb(10L, 0, Seq(0.0)),
+      emb(11L, 0, Seq(2.0, 0.0))).toDF("vec_id", "embedding", "label")
+    val kept = VectorStream.curateVecBatch(batch, table, 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L), s"NULL-cosine row must be kept: $kept")
+  }
+
   test("the first batch founds the corpus ungated") {
     val s = spark
     import s.implicits._
