@@ -1795,8 +1795,10 @@ object OperatorQueries {
     * maintains (one exactly-once append per batch, watermark-reconciled
     * on replay/loss — linear in corpus tokens, never re-tokenized), and
     * the mask/rebuild is d51's linear per-document pass. */
-  val streamCuratedIngestDecontam = OracleQuery(
-    "x34_stream_curated_ingest_decontam",
+  /** The batch-equivalent mirror of the two-wave decontamination ingest
+    * — shared verbatim by x34 and x42 (the [[curatedNearDupIngestOracleSql]]
+    * doctrine for the window-index composition). */
+  private lazy val curatedDecontamIngestOracleSql =
     s"""WITH scrub AS (
        |  SELECT doc_id,
        |    regexp_replace(nfc_normalize(text), '${TextQueries.CtrlClassSql}', '', 'g') AS text
@@ -1852,7 +1854,11 @@ object OperatorQueries {
        |       ELSE s.text END AS text,
        |  s.ingest_batch
        |FROM surv s LEFT JOIN a ON s.doc_id = a.doc_id
-       |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+       |ORDER BY s.doc_id""".stripMargin
+
+  val streamCuratedIngestDecontam = OracleQuery(
+    "x34_stream_curated_ingest_decontam",
+    curatedDecontamIngestOracleSql) { (s, d) =>
     val w1 = docLanding(s, d, "curwave1", _.filter(col("doc_id") % 3 =!= 0))
     val w2 = docLanding(s, d, "curwave2", _.filter(col("doc_id") % 3 === 0))
     val base = Scratch.dir("cur_ingest_dc")
@@ -2316,6 +2322,41 @@ object OperatorQueries {
       .withColumn("files_untouched", lit(carried.size))
   }
 
+  /** The x34 decontamination ingest UNDER CONTINUOUS COMPACTION (x42) —
+    * x40's proof for the OTHER sibling-index type: the `_windex` window
+    * index must stay trusted across interleaved optimize commits, so
+    * the post-maintenance batch's excision mask probes the materialized
+    * index rather than re-tokenizing the corpus. Registering both
+    * compositions pins that the version-coverage model is
+    * index-type-agnostic (same `indexCovered` + marker machinery, only
+    * the index table/txn/increment differ). Oracle = x34's verbatim;
+    * the maintenance + probe-path evidence is gated in-engine. */
+  val streamDecontamIngestMaintained = OracleQuery(
+    "x42_stream_decontam_ingest_maintained",
+    curatedDecontamIngestOracleSql) { (s, d) =>
+    import graft.sources.TxnLake
+    val w1 = docLanding(s, d, "curwave1", _.filter(col("doc_id") % 3 =!= 0))
+    val w2 = docLanding(s, d, "curwave2", _.filter(col("doc_id") % 3 === 0))
+    val base = Scratch.dir("cur_ingest_dcm")
+    val table = s"$base/t"
+    graft.streaming.CurationStream.runCuratedTwoWaveIngestDecontamMaintained(
+      w1, w2, table, s"$base/ckpt", "x42_ingest", s, numFiles = 2)
+    require(graft.streaming.CurationStream.probePaths.get((table, 1L))
+        .contains("indexed"),
+      s"post-maintenance batch must use the window-index probe, got " +
+        s"${graft.streaming.CurationStream.probePaths.get((table, 1L))}")
+    require(TxnLake.lastTxn(s, table, "x42_ingest").contains(1L),
+      "the txn watermark must survive the interleaved optimize commits")
+    require(TxnLake.latestVersion(s, table).contains(3L),
+      s"expected versions 0..3 ((append,optimize)x2, replay a no-op), " +
+        s"got ${TxnLake.latestVersion(s, table)}")
+    require(TxnLake.snapshotFiles(s, table).size <= 2,
+      "continuous compaction must bound the snapshot to <= 2 files")
+    TxnLake.read(s, table)
+      .select("doc_id", "fp", "n_tokens", "n_removed", "text", "ingest_batch")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -2327,5 +2368,6 @@ object OperatorQueries {
       streamCuratedIngest, streamCuratedIngestNearDup,
       streamCuratedIngestDecontam, txnOptimizeZorder, txnVacuumRetention,
       streamIngestCompaction, txnIncrementalCompaction, streamVectorIngest,
-      streamIndexedIngestMaintained, txnOptimizeWhere)
+      streamIndexedIngestMaintained, txnOptimizeWhere,
+      streamDecontamIngestMaintained)
 }

@@ -790,13 +790,22 @@ object TxnLake extends LakeFormat {
     * is partitionBy(year, month) (process_bronze_to_silver.py:146);
     * per-file stats prune on ANY statted column at finer grain. */
   def readWhere(spark: SparkSession, table: String, predicate: Column,
-                version: Option[Long] = None): DataFrame = {
+                version: Option[Long] = None): DataFrame =
+    readWherePruned(spark, table, predicate, version)._1
+
+  /** [[readWhere]] plus the (files kept, files total) skipping counters
+    * from the SAME single snapshot resolution — for callers that need the
+    * scan and its pruning evidence together (the x39 probe), where a
+    * separate [[skippingStats]] call would resolve the log and re-run the
+    * stats matcher a second time per micro-batch. */
+  def readWherePruned(spark: SparkSession, table: String, predicate: Column,
+                      version: Option[Long] = None): (DataFrame, (Int, Int)) = {
     version.orElse(latestVersion(spark, table)) match {
-      case None => spark.emptyDataFrame
+      case None => (spark.emptyDataFrame, (0, 0))
       case Some(v) =>
         val files = resolveFiles(spark, table, v)
         requireLive(spark, table, v, files)
-        if (files.isEmpty) return spark.emptyDataFrame
+        if (files.isEmpty) return (spark.emptyDataFrame, (0, 0))
         def abs(fms: Seq[FileMeta]) =
           fms.map(fm => new Path(table, fm.path).toString)
         // logged schema (when present) both evolves old files and lets the
@@ -808,12 +817,14 @@ object TxnLake extends LakeFormat {
         }
         val pred = resolvedPredicate(spark, abs(files).head, predicate, schema)
         val kept = files.filter(fm => mayMatch(fm, pred))
-        if (kept.isEmpty)
-          // schema-preserving empty over ONE file: a single footer read
-          // suffices for the schema — building the relation over the whole
-          // snapshot would be an O(table) listing for a proven-empty result
-          scan(Seq(abs(files).head)).where(lit(false))
-        else scan(abs(kept)).where(predicate)
+        val df =
+          if (kept.isEmpty)
+            // schema-preserving empty over ONE file: a single footer read
+            // suffices for the schema — building the relation over the whole
+            // snapshot would be an O(table) listing for a proven-empty result
+            scan(Seq(abs(files).head)).where(lit(false))
+          else scan(abs(kept)).where(predicate)
+        (df, (kept.size, files.size))
     }
   }
 

@@ -575,6 +575,32 @@ object CurationStream {
     runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark, sink)()
   }
 
+  /** The x34 indexed decontamination ingest composed WITH continuous
+    * in-log maintenance (x42) — [[runCuratedTwoWaveIngestNearDupMaintained]]'s
+    * proof for the OTHER sibling-index type: the `_windex` window index
+    * must stay trusted across interleaved optimize commits, so the
+    * post-maintenance batch's mask probes the materialized index rather
+    * than re-tokenizing the corpus. Identical trust machinery
+    * ([[indexCovered]] + markers) — registering both compositions pins
+    * that the model is index-type-agnostic. */
+  def runCuratedTwoWaveIngestDecontamMaintained(
+      wave1Dir: String, wave2Dir: String, table: String,
+      checkpointDir: String, appId: String, spark: SparkSession,
+      numFiles: Int = 2): Unit = {
+    verifiedCoverage.remove(windowIndexPath(table))
+    clearProbeLog(table)
+    runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark,
+      indexedIngestSink(table, appId,
+        windowIndexPath(table), windowIndexTxn(appId),
+        curateBatchDecontam(_, _, _, appId),
+        (s, b) => batchWindows(s, table, b, DecontamWindow),
+        maintain = s => {
+          TxnLake.optimize(s, table, zorderBy = Seq("doc_id"),
+            numFiles = numFiles)
+          ()
+        }))()
+  }
+
   private def runTwoWave(wave1Dir: String, wave2Dir: String,
                          table: String, checkpointDir: String,
                          appId: String, spark: SparkSession,

@@ -89,8 +89,9 @@ object VectorStream {
     val labels = batch.select("label").distinct()
       .filter(col("label").isNotNull).collect().map(_.getInt(0)).sorted
     val cellPred = col("label").isin(labels.toSeq.map(x => x: Any): _*)
-    lastProbeSkipping = TxnLake.skippingStats(s, table, cellPred)
-    val committedCells = TxnLake.readWhere(s, table, cellPred)
+    val (committedCells, skipping) =
+      TxnLake.readWherePruned(s, table, cellPred)
+    lastProbeSkipping = skipping
     val keptCells = committedCells.groupBy("label")
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxCell)
       .select("label")
