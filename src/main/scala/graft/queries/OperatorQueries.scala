@@ -2357,6 +2357,49 @@ object OperatorQueries {
       .orderBy("doc_id")
   }
 
+  /** Streaming ingest with INCREMENTAL compaction in the loop (x43) —
+    * x37's exactly-once-under-maintenance proof re-run with the
+    * PRODUCTION cost model: each landed batch is followed by
+    * [[graft.sources.TxnLake.compactSmallFiles]] (pack only the new
+    * batch's small-file debt; the packed history carries over with its
+    * physical path VERBATIM — O(debt) per batch, never O(table)),
+    * instead of x37's deliberate whole-snapshot re-cluster. Oracle is
+    * x32's verbatim (maintenance observationally invisible); in-engine
+    * gates pin what the maintenance DID: the founding batch's packed
+    * file survives the second batch's compaction with its path
+    * untouched (the O(debt) claim inside the streaming loop), the
+    * snapshot stays at 2 files, the txn watermark survives, and the
+    * checkpoint-loss replay adds neither rows nor maintenance runs. */
+  val streamIngestIncrementalCompaction = OracleQuery(
+    "x43_stream_ingest_incremental_compaction",
+    curatedIngestOracleSql) { (s, d) =>
+    import graft.sources.TxnLake
+    val w1 = docLanding(s, d, "curwave1", _.filter(col("doc_id") % 3 =!= 0))
+    val w2 = docLanding(s, d, "curwave2", _.filter(col("doc_id") % 3 === 0))
+    val base = Scratch.dir("cur_ingest_inc")
+    val table = s"$base/t"
+    graft.streaming.CurationStream.runCuratedTwoWaveIngestCompactingIncremental(
+      w1, w2, table, s"$base/ckpt", "x43_ingest", s)
+    require(TxnLake.lastTxn(s, table, "x43_ingest").contains(1L),
+      "the txn watermark must survive the interleaved compaction commits")
+    require(TxnLake.latestVersion(s, table).contains(3L),
+      s"expected versions 0..3 ((append,compact)x2, replay a no-op), " +
+        s"got ${TxnLake.latestVersion(s, table)}")
+    val finalFiles = TxnLake.snapshotFiles(s, table).map(_.path).toSet
+    require(finalFiles.size == 2,
+      s"expected packed-history + packed-debt = 2 files, got $finalFiles")
+    // THE x43 point: batch 0's packed file (the v1 snapshot) carried
+    // through batch 1's compaction verbatim — O(debt), never O(table)
+    val packedHistory = TxnLake.snapshotFiles(s, table, Some(1L)).map(_.path)
+    require(packedHistory.size == 1 &&
+      finalFiles.contains(packedHistory.head),
+      s"the packed history must carry over verbatim: $packedHistory " +
+        s"vs $finalFiles")
+    TxnLake.read(s, table)
+      .select("doc_id", "fp", "n_tokens", "ingest_batch")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -2369,5 +2412,5 @@ object OperatorQueries {
       streamCuratedIngestDecontam, txnOptimizeZorder, txnVacuumRetention,
       streamIngestCompaction, txnIncrementalCompaction, streamVectorIngest,
       streamIndexedIngestMaintained, txnOptimizeWhere,
-      streamDecontamIngestMaintained)
+      streamDecontamIngestMaintained, streamIngestIncrementalCompaction)
 }

@@ -575,6 +575,47 @@ object CurationStream {
     runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark, sink)()
   }
 
+  /** [[runCuratedTwoWaveIngestCompacting]] with the PRODUCTION cost model
+    * in the loop (x43): after each landed batch the sink runs
+    * [[graft.sources.TxnLake.compactSmallFiles]] — pack only the
+    * sub-threshold small-file debt, carry every already-packed file over
+    * with its physical path VERBATIM — instead of x37's deliberate
+    * whole-snapshot re-cluster. Per batch the threshold is the current
+    * largest file's size (strict `<` keeps that file out of the pack
+    * set), so the first batch's compaction packs its own small appends
+    * into one file and every later compaction packs ONLY the new batch's
+    * debt around it: maintenance cost is O(day's small files) at any
+    * table size, the cadence command a 100 TB deployment actually
+    * schedules. Appends land `repartition(2)` so every batch provably
+    * accrues debt (AQE would otherwise coalesce a small batch into one
+    * file and the no-op guard would skip the maintenance this runner
+    * exists to exercise). Exactly-once is x37's doctrine unchanged —
+    * compaction commits carry the cumulative txn map, a replayed batch
+    * triggers NO maintenance. */
+  def runCuratedTwoWaveIngestCompactingIncremental(
+      wave1Dir: String, wave2Dir: String, table: String,
+      checkpointDir: String, appId: String, spark: SparkSession): Unit = {
+    val sink = (batch: DataFrame, batchId: Long) => {
+      val s = batch.sparkSession
+      if (!TxnLake.lastTxn(s, table, appId).exists(_ >= batchId)) {
+        val committed = Expectations.commitOnceWithExpectations(
+          s, curateBatch(batch, table, batchId).repartition(2),
+          table, "append", appId, batchId, IngestExpectations)
+        if (committed.isDefined) {
+          val mx = TxnLake.snapshotFileSizes(s, table).map(_._2).max
+          // founding batch: everything is debt (pack to one file);
+          // thereafter the largest file is the packed history and only
+          // the new batch's files sit below it
+          TxnLake.compactSmallFiles(s, table,
+            minFileBytes = if (batchId == 0) mx + 1 else mx)
+          ()
+        }
+      }
+      ()
+    }
+    runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark, sink)()
+  }
+
   /** The x34 indexed decontamination ingest composed WITH continuous
     * in-log maintenance (x42) — [[runCuratedTwoWaveIngestNearDupMaintained]]'s
     * proof for the OTHER sibling-index type: the `_windex` window index
