@@ -137,25 +137,42 @@ object Bench {
     // so a mid-write crash can't leave a torn artifact.
     val sidecar = line(qsJson(results.toSeq.sortBy(_._1)),
       s""","nq":${results.size}""")
+    // a sidecar failure must be VISIBLE (stderr) and leave no torn temp —
+    // a silently-stale BENCH_FULL.json would attribute the previous run's
+    // times to this one, worse than no sidecar at all
+    var tmp: java.nio.file.Path = null
     try {
-      val tmp = java.nio.file.Files.createTempFile(
+      tmp = java.nio.file.Files.createTempFile(
         java.nio.file.Paths.get("."), ".bench", ".tmp")
       java.nio.file.Files.writeString(tmp, sidecar + "\n")
       java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_FULL.json"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch { case _: Exception => () } // the println below still carries the metric
+      tmp = null
+    } catch {
+      case e: Exception => // the println below still carries the metric
+        System.err.println(s"[bench] sidecar write failed: $e — " +
+          "BENCH_FULL.json may be stale")
+    } finally {
+      if (tmp != null)
+        try java.nio.file.Files.deleteIfExists(tmp)
+        catch { case _: Exception => () }
+    }
     val full = line(qsJson(results))
-    // Fallback budget 1950: the driver's capture window is the LAST 2000
-    // bytes of output and quietStop() guarantees the metric line ends the
-    // capture (r11–r13 artifacts all terminate with it), so a ≤1950-char
-    // line survives whole. If the registry outgrows even that, keep AS
-    // MANY of the slowest queries as fit (the dropped tail is the
+    // Fallback budget 1920: the driver's capture window is the LAST 2000
+    // bytes of output; quietStop() has ended every recorded capture with
+    // the metric line (r11–r14 artifacts), but the budget still reserves
+    // the ~80 bytes sbt's "[success] Total time..." trailer would occupy
+    // if it ever reappears — a 1921+-char line followed by the trailer
+    // would be HEAD-clipped and unparseable, the exact r1–r3 failure the
+    // budget exists to prevent. If the registry outgrows the budget, keep
+    // AS MANY of the slowest queries as fit (the dropped tail is the
     // fastest, least-informative entries), flagged so consumers can tell
     // a partial map from a full one — and the sidecar above still
     // carries every entry.
+    val budget = 1920
     val out =
-      if (full.length <= 1950) full
+      if (full.length <= budget) full
       else {
         val sorted = results.toSeq.sortBy(-_._2)
         var n = sorted.size
@@ -163,7 +180,7 @@ object Bench {
         // step of 1: on a <200-element list rebuilding the line per step
         // is microseconds, and a coarser step would silently drop entries
         // that actually fit
-        while (cand.length > 1950 && n > 0) {
+        while (cand.length > budget && n > 0) {
           n -= 1
           cand = line(qsJson(sorted.take(n)),
             s""","truncated":true,"nq":${results.size}""")

@@ -323,7 +323,7 @@ object ScaleStress {
     }
     val lbl = emb.agg(min("label")).head().getInt(0)
     val delta = emb.filter(col("vec_id") % 3 === 0 && col("label") === lbl)
-    def once(): (Double, Long) = {
+    def once(): (Double, Long, (Long, Long, Long, Long)) = {
       listener.reset()
       val t0 = System.nanoTime()
       val n = VectorStream.curateVecBatch(delta, table, 8L).count()
@@ -331,17 +331,21 @@ object ScaleStress {
       SessionHygiene.dropAllStorage(spark)
       org.apache.spark.GraftListenerShim
         .waitUntilListenerBusEmpty(spark.sparkContext)
-      (sec, n)
+      (sec, n, (listener.shuffleRead.get, listener.shuffleWrite.get,
+        listener.spill.get, listener.peakMem.get))
     }
     once() // warm
     val a = once(); val b = once()
-    val (sec, rows) = if (a._1 <= b._1) a else b
+    val (sec, rows, mtr) = if (a._1 <= b._1) a else b
     val (kept, total) = VectorStream.lastProbeSkipping
     def s2(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val mb = 1024.0 * 1024.0
     println(s"""SCALE {$tag,"mode":"vecprune","cpus":${spark.sparkContext
       .defaultParallelism},"probe_sec":${s2(sec)},"rows":$rows,""" +
-      s""""files_kept":$kept,"files_total":$total}""")
+      s""""files_kept":$kept,"files_total":$total,""" +
+      s""""shuf_read_mb":${s2(mtr._1 / mb)},"spill_mb":${s2(mtr._3 / mb)},""" +
+      s""""peak_task_mb":${s2(mtr._4 / mb)}}""")
   }
 
   def main(args: Array[String]): Unit = {

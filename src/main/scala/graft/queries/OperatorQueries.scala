@@ -1913,7 +1913,8 @@ object OperatorQueries {
     import graft.sources.TxnLake
     val ev = Tables.events(s, d).select(col("event_id"),
       floor(col("value") * 100 + 0.5).cast("long").as("vc"))
-    val m = ev.agg(max("event_id")).head().getLong(0)
+    val idr = ev.agg(min("event_id"), max("event_id")).head()
+    val (idMin, m) = (idr.getLong(0), idr.getLong(1))
     val table = Scratch.dir("txn_optimize") + "/t"
     val bkt = expr(s"event_id * 8 div ${m + 1}")
     (0 until 8).foreach { i =>
@@ -1950,7 +1951,7 @@ object OperatorQueries {
         (for (a <- cs.min; b <- cs.max) yield
           b.toLong - a.toLong < fullMax - fullMin).getOrElse(false)))
     require(narrower("vc", vmn, vmx) &&
-      narrower("event_id", 0L, m),
+      narrower("event_id", idMin, m),
       "z-order produced no file with sub-full-range bounds on both dims")
     val pre = TxnLake.readVersion(s, table, preV)
     val post = TxnLake.readVersion(s, table, postV)

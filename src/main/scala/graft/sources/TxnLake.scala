@@ -1184,9 +1184,9 @@ object TxnLake extends LakeFormat {
       val pred = resolvedPredicate(spark, sample, predicate, schema)
       val scoped = files.filter(fm => mayMatch(fm, pred))
       if (scoped.size < 2) return None
-      val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-      val snap = reader.parquet(
-        scoped.map(fm => new Path(table, fm.path).toString): _*)
+      val snap = spark.read
+        .schema(subsetReadSchema(spark, table, schema, files))
+        .parquet(scoped.map(fm => new Path(table, fm.path).toString): _*)
       val rewritten = clusterFor(snap, zorderBy, numFiles)
       try return Some(commitImpl(spark, rewritten, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
@@ -1198,6 +1198,24 @@ object TxnLake extends LakeFormat {
       s"TxnLake.optimizeWhere: $maxAttempts consecutive concurrent commits " +
         s"on $table")
   }
+
+  /** Schema for a PARTIAL-snapshot read inside a scoped rewrite
+    * ([[optimizeWhere]], [[compactSmallFiles]]): the logged schema when
+    * the log carries one; on a LEGACY log (no schemaJson yet), the
+    * footer-merged schema of the WHOLE snapshot — never of the subset
+    * being rewritten. The scoped commit records the table's FIRST
+    * schemaJson, and a subset-derived schema would silently drop any
+    * column that exists only in carried-over files: every later
+    * logged-schema read would then hide that column's data (column-level
+    * loss). One extra footer sweep, paid only on the one legacy-upgrade
+    * commit. */
+  private def subsetReadSchema(spark: SparkSession, table: String,
+                               logged: Option[StructType],
+                               snapshot: Seq[FileMeta]): StructType =
+    logged.getOrElse(
+      spark.read.option("mergeSchema", "true")
+        .parquet(snapshot.map(fm => new Path(table, fm.path).toString): _*)
+        .schema)
 
   /** On-disk byte size of every file in the snapshot, table-relative path
     * → bytes (driver-side listing, O(|files|) metadata calls — the same
@@ -1244,8 +1262,10 @@ object TxnLake extends LakeFormat {
         (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
       val schema = loggedSchema(spark, table, base)
       val paths = small.map(p => new Path(table, p._1).toString)
-      val reader = schema.map(st => spark.read.schema(st)).getOrElse(spark.read)
-      val packed = reader.parquet(paths: _*).repartition(numOut)
+      val packed = spark.read
+        .schema(subsetReadSchema(spark, table, schema,
+          resolveFiles(spark, table, base)))
+        .parquet(paths: _*).repartition(numOut)
       try return Some(commitImpl(spark, packed, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
           removePaths = Some(small.map(_._1)))
@@ -1308,7 +1328,8 @@ object TxnLake extends LakeFormat {
         }
       // remove EVERYTHING current and add the full target list: delta
       // replay then can't double-count files the two snapshots share
-      val current = resolveFiles(spark, table, lastV).map(_.path)
+      val currentMeta = resolveFiles(spark, table, lastV)
+      val current = currentMeta.map(_.path)
       val next = lastV + 1
       val entry = render(Entry(next, "restore", target, current, None, None,
         txns, hasTxns = true,
@@ -1323,21 +1344,27 @@ object TxnLake extends LakeFormat {
         // resolved its live set between our pre-check and this publish may
         // have reclaimed them (the restore/vacuum TOCTOU). Once our entry
         // is visible, any vacuum that STARTS now treats the restore as
-        // live — so detect the lost race, withdraw the entry, and raise,
-        // rather than leaving a snapshot that references reclaimed files.
-        // (Vacuum narrows its side of the window symmetrically: it
-        // re-lists the log after computing the dead set and recomputes if
-        // a commit landed — see vacuum. The residual instant where both
-        // checks pass and the delete still lands is the same window Delta
-        // accepts.)
+        // live — so the lost race must be detected here. A PUBLISHED entry
+        // can never be deleted (a concurrent commit may already chain on
+        // it; removing it would leave a version gap that breaks every
+        // later snapshot resolution) — instead publish a COMPENSATING
+        // restore back to the pre-restore snapshot through the normal
+        // optimistic loop, then raise. Concurrent appends that landed on
+        // the failed restore survive: the compensation removes only the
+        // reclaimed target's paths. (Vacuum narrows its side of the window
+        // symmetrically: it re-lists the log after computing the dead set
+        // and recomputes if a commit landed — see vacuum. The residual
+        // instant where both checks pass and the delete still lands is the
+        // same window Delta accepts.)
         try requireLive(spark, table, toVersion, target)
         catch {
           case e: IllegalStateException =>
-            f.delete(dst, false)
+            compensateRestore(spark, f, table, next, currentMeta,
+              target.map(_.path), txns, lastEntry.schemaJson, maxAttempts)
             throw new IllegalStateException(
               s"TxnLake.restore: a concurrent vacuum reclaimed version " +
-                s"$toVersion's files during the restore; the restore entry " +
-                "was withdrawn", e)
+                s"$toVersion's files during the restore; a compensating " +
+                s"commit restored the pre-restore snapshot", e)
         }
         maybeCheckpoint(spark, f, table, next)
         return next
@@ -1346,6 +1373,43 @@ object TxnLake extends LakeFormat {
       attempt += 1
     }
     sys.error(s"TxnLake: gave up after $maxAttempts commit conflicts on $table")
+  }
+
+  /** Publish the metadata-only commit that undoes a restore whose target
+    * files a concurrent vacuum reclaimed: add the pre-restore snapshot
+    * back, remove (only) the reclaimed target's paths, carry the txn
+    * state. Normal optimistic publish — retries past any commits that
+    * chained onto the failed restore in the meantime. */
+  private def compensateRestore(spark: SparkSession, f: FileSystem,
+                                table: String, failedVersion: Long,
+                                priorSnapshot: Seq[FileMeta],
+                                removePaths: Seq[String],
+                                txns: Map[String, Long],
+                                schemaJson: Option[String],
+                                maxAttempts: Int): Unit = {
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val lastV = committedVersions(spark, table).last
+      val next = lastV + 1
+      val carried =
+        if (lastV == failedVersion) txns
+        else readEntry(spark, table, lastV).txns
+      val entry = render(Entry(next, "restore", priorSnapshot, removePaths,
+        None, None, carried ++ txns, hasTxns = true, schemaJson = schemaJson))
+      val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
+      val out = f.create(tmp, false)
+      try out.write(entry.getBytes("UTF-8")) finally out.close()
+      if (publishExclusive(f, tmp, new Path(logDir(table), s"v$next.json"))) {
+        maybeCheckpoint(spark, f, table, next)
+        return
+      }
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    sys.error(s"TxnLake: compensating restore on $table gave up after " +
+      s"$maxAttempts conflicts — manual log repair required (latest " +
+      s"snapshot references vacuum-reclaimed files)")
   }
 
   // ---- vacuum ---------------------------------------------------------
@@ -1376,14 +1440,24 @@ object TxnLake extends LakeFormat {
     // restore (or any commit) that published while we were resolving can
     // re-reference files the stale live set would reclaim. Loop until the
     // listing is stable — each iteration is O(retained) metadata reads,
-    // and a busy table converges as soon as one resolution window sees no
-    // commit. (Restore closes its side with a post-publish re-verify.)
+    // and BOUNDED like every other concurrency loop in this file: a table
+    // committing faster than the live set can be resolved, forever, must
+    // fail loudly (ConcurrentModificationException, the merge/optimize
+    // convention) rather than livelock the maintenance job. (Restore
+    // closes its side with a post-publish re-verify + compensation.)
+    val maxAttempts = 10
+    var attempt = 0
     var stable = false
     while (!stable) {
+      if (attempt >= maxAttempts)
+        throw new java.util.ConcurrentModificationException(
+          s"TxnLake.vacuum: log of $table advanced on every one of " +
+            s"$maxAttempts live-set resolutions")
       val retained = versions.takeRight(math.max(1, retainVersions))
       live = retained.flatMap(resolveFiles(spark, table, _).map(_.path)).toSet
-      if (versions == committedVersions(spark, table)) stable = true
-      else versions = committedVersions(spark, table)
+      val now = committedVersions(spark, table)
+      if (now == versions) stable = true else versions = now
+      attempt += 1
     }
     beforeDelete()
     val check = committedVersions(spark, table)

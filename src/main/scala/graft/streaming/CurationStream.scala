@@ -89,13 +89,17 @@ object CurationStream {
   private def icovTxn(indexTxnId: String) = indexTxnId + "@icov"
 
   /** In-JVM handoff from the probe's classification to the sink's marker
-    * persistence within the SAME micro-batch: index path → (corpus
-    * version verified through, index version verified through). Consumed
-    * (removed) by the sink when it commits the increment; cleared by the
-    * runners at start so a Scratch-path reuse in one JVM can never
-    * persist a stale tuple onto a fresh log. */
+    * persistence within the SAME micro-batch: (index path, index txn id)
+    * → (corpus version verified through, index version verified
+    * through). Keyed by BOTH — two apps sharing one index path in one
+    * JVM must never hand one app's verified tuple to the other's marker
+    * (the scan bound would then skip versions the receiving app never
+    * classified: unsound under-masking). Consumed (removed) by the sink
+    * when it commits the increment; cleared by the runners at start so a
+    * Scratch-path reuse in one JVM can never persist a stale tuple onto
+    * a fresh log. */
   private val verifiedCoverage =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Long, Long)]
 
   /** Observability seam: which path served each (corpus table, batchId)
     * near-dup/decontam probe — "indexed" (delta-vs-index), "recompute"
@@ -155,7 +159,8 @@ object CurationStream {
     val icov = TxnLake.lastTxn(s, index, icovTxn(indexTxnId)).getOrElse(-1L)
     val ok = covered(table, appId, c.get, cov, tableLatest.get) &&
       covered(index, indexTxnId, w.get, icov, indexLatest.get)
-    if (ok) verifiedCoverage(index) = (tableLatest.get, indexLatest.get)
+    if (ok) verifiedCoverage((index, indexTxnId)) =
+      (tableLatest.get, indexLatest.get)
     ok
   }
 
@@ -397,7 +402,7 @@ object CurationStream {
   def runCuratedTwoWaveIngestDecontam(wave1Dir: String, wave2Dir: String,
                                       table: String, checkpointDir: String,
                                       appId: String, spark: SparkSession): Unit = {
-    verifiedCoverage.remove(windowIndexPath(table))
+    verifiedCoverage.remove((windowIndexPath(table), windowIndexTxn(appId)))
     clearProbeLog(table)
     runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark,
       indexedIngestSink(table, appId,
@@ -444,7 +449,7 @@ object CurationStream {
     }
     val c = TxnLake.lastTxn(s, table, appId).getOrElse(-1L)
     val w = TxnLake.lastTxn(s, indexPath, indexTxnId).getOrElse(-1L)
-    val marks = verifiedCoverage.remove(indexPath)
+    val marks = verifiedCoverage.remove((indexPath, indexTxnId))
       .map { case (tv, iv) =>
         Map(covTxn(indexTxnId) -> tv, icovTxn(indexTxnId) -> iv) }
       .getOrElse(Map.empty)
@@ -490,7 +495,7 @@ object CurationStream {
   def runCuratedTwoWaveIngestNearDup(wave1Dir: String, wave2Dir: String,
                                      table: String, checkpointDir: String,
                                      appId: String, spark: SparkSession): Unit = {
-    verifiedCoverage.remove(bandIndexPath(table))
+    verifiedCoverage.remove((bandIndexPath(table), bandIndexTxn(appId)))
     clearProbeLog(table)
     runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark,
       indexedIngestSink(table, appId,
@@ -521,7 +526,7 @@ object CurationStream {
       wave1Dir: String, wave2Dir: String, table: String,
       checkpointDir: String, appId: String, spark: SparkSession,
       numFiles: Int = 2): Unit = {
-    verifiedCoverage.remove(bandIndexPath(table))
+    verifiedCoverage.remove((bandIndexPath(table), bandIndexTxn(appId)))
     clearProbeLog(table)
     runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark,
       indexedIngestSink(table, appId,
@@ -628,7 +633,7 @@ object CurationStream {
       wave1Dir: String, wave2Dir: String, table: String,
       checkpointDir: String, appId: String, spark: SparkSession,
       numFiles: Int = 2): Unit = {
-    verifiedCoverage.remove(windowIndexPath(table))
+    verifiedCoverage.remove((windowIndexPath(table), windowIndexTxn(appId)))
     clearProbeLog(table)
     runTwoWaveSink(wave1Dir, wave2Dir, checkpointDir, spark,
       indexedIngestSink(table, appId,

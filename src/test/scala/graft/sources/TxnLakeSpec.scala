@@ -692,25 +692,35 @@ class TxnLakeSpec extends SparkSpec {
       s"expected the k-range stats to prune the evolved file: $kept/$total")
   }
 
-  test("restore racing a vacuum withdraws its entry and raises (TOCTOU)") {
+  test("restore racing a vacuum compensates and raises (TOCTOU)") {
     import spark.implicits._
     val t = freshTable()
     TxnLake.commit(spark, Seq(1, 2).toDF("x").coalesce(1), t, "overwrite") // v0
     TxnLake.commit(spark, Seq(3, 4).toDF("x").coalesce(1), t, "overwrite") // v1
     // interleaving: restore(v0) passes its liveness pre-check, then a
     // vacuum reclaims v0's files BEFORE the restore entry publishes. The
-    // post-publish re-verify must detect the lost race, withdraw the
-    // just-published entry, and raise — never leave a snapshot that
-    // references reclaimed files.
+    // post-publish re-verify must detect the lost race and publish a
+    // COMPENSATING commit back to the pre-restore snapshot — a published
+    // entry can never be deleted (a concurrent commit may already chain
+    // on it; a version gap would break every later snapshot resolution).
     val e = intercept[IllegalStateException] {
       TxnLake.restoreImpl(spark, t, 0L, maxAttempts = 10,
         beforePublish = () => { TxnLake.vacuum(spark, t, retainVersions = 1); () })
     }
     assert(e.getMessage.contains("vacuum"), e.getMessage)
-    // the withdrawn entry left the log at v1, and the table still reads
-    assert(TxnLake.latestVersion(spark, t).contains(1L))
+    // the failed restore (v2) and its compensation (v3) are BOTH in the
+    // log — no version gap — and the table reads the pre-restore rows
+    assert(TxnLake.latestVersion(spark, t).contains(3L))
+    assert(TxnLake.history(spark, t).map(_.operation)
+      == Seq("overwrite", "overwrite", "restore", "restore"))
     assert(TxnLake.read(spark, t).collect().map(_.getInt(0)).sorted.toSeq
       == Seq(3, 4))
+    // the failed restore version reads as the guided vacuumed error, not
+    // a mid-scan file-not-found
+    val v2 = intercept[IllegalStateException] {
+      TxnLake.readVersion(spark, t, 2L).count()
+    }
+    assert(v2.getMessage.contains("vacuum"), v2.getMessage)
   }
 
   test("vacuum racing a restore recomputes and spares the restored files") {
