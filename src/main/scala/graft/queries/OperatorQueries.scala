@@ -2401,6 +2401,88 @@ object OperatorQueries {
       .orderBy("doc_id")
   }
 
+  /** Row-level DELETE WHERE as a registered lake operation (x44) —
+    * Delta's copy-on-write DELETE, completing the DML surface (MERGE,
+    * OPTIMIZE, VACUUM, RESTORE were already registered): files whose
+    * stats admit the predicate are rewritten WITHOUT the matching rows,
+    * every other file carries over verbatim — O(touched files), never
+    * O(table). Fixture: the x41 8-file id-bucket layout; DELETE a
+    * central value band FROM THE UPPER id half, so exactly the 4 upper
+    * files are touched. In-engine gates: scope boundary exact (carried =
+    * untouched by id stats), the pre-delete snapshot still time-travels
+    * with its full row count, and a provably-empty delete (id above the
+    * table max) is a no-op with no version churn. The oracle recomputes
+    * the surviving rows and both file counters from the deterministic
+    * bucketing. */
+  val txnDeleteWhere = OracleQuery(
+    "x44_txn_delete_where",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |b AS (SELECT event_id, vc,
+      |        CAST((event_id * 8) // (m + 1) AS INT) AS bkt FROM ev, mx),
+      |vr AS (SELECT min(vc) AS vmn, max(vc) AS vmx FROM ev),
+      |bounds AS (SELECT vmn + (vmx - vmn) // 4 AS lo,
+      |                  vmn + (vmx - vmn) // 2 AS hi FROM vr),
+      |kept AS (SELECT event_id, vc FROM b, mx, bounds
+      |         WHERE NOT (event_id > m // 2 AND vc >= lo AND vc <= hi)),
+      |res AS (SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |          min(event_id) AS min_id, max(event_id) AS max_id FROM kept),
+      |cnt AS (SELECT
+      |    CAST(count(DISTINCT CASE WHEN bkt >= 4 THEN bkt END) AS INT)
+      |      AS files_touched,
+      |    CAST(count(DISTINCT CASE WHEN bkt <= 3 THEN bkt END) AS INT)
+      |      AS files_untouched
+      |  FROM b)
+      |SELECT n_rows, sum_cents, min_id, max_id, files_touched,
+      |  files_untouched
+      |FROM res, cnt""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val table = Scratch.dir("txn_delete") + "/t"
+    val bkt = expr(s"event_id * 8 div ${m + 1}")
+    (0 until 8).foreach { i =>
+      val part = ev.filter(bkt === i).coalesce(1)
+      if (!part.isEmpty) TxnLake.commit(s, part, table, "append")
+    }
+    val preV = TxnLake.latestVersion(s, table).get
+    val preCount = TxnLake.readVersion(s, table, preV).count()
+    val idHi = m / 2 // id > idHi ⇔ buckets 4..7 exactly (x41's complement)
+    val vr = ev.agg(min(col("vc")), max(col("vc"))).head()
+    val (vmn, vmx) = (vr.getLong(0), vr.getLong(1))
+    val lo = vmn + (vmx - vmn) / 4
+    val hi = vmn + (vmx - vmn) / 2
+    val delPred = col("event_id") > idHi && col("vc") >= lo && col("vc") <= hi
+    val preFiles = TxnLake.snapshotFiles(s, table, Some(preV)).map(_.path).toSet
+    val preStats = TxnLake.snapshotFiles(s, table, Some(preV))
+    val postV = TxnLake.deleteWhere(s, table, delPred)
+      .getOrElse(sys.error("deleteWhere found no touched files"))
+    val postFiles = TxnLake.snapshotFiles(s, table, Some(postV)).map(_.path).toSet
+    val carried = preFiles intersect postFiles
+    val rewritten = preFiles -- postFiles
+    def touchedByStats(path: String): Boolean = preStats.find(_.path == path)
+      .flatMap(_.stats.get("event_id")).flatMap(_.max)
+      .forall(_.toLong > idHi)
+    require(rewritten.nonEmpty && rewritten.forall(touchedByStats) &&
+      carried.forall(p => !touchedByStats(p)),
+      s"delete crossed the scope boundary: rewrote $rewritten, " +
+        s"carried $carried")
+    // the pre-delete snapshot still time-travels in full
+    require(TxnLake.readVersion(s, table, preV).count() == preCount,
+      "DELETE must not disturb the pre-delete snapshot")
+    // provably-empty delete: no stats admit id > m — no commit, no churn
+    require(TxnLake.deleteWhere(s, table, col("event_id") > m).isEmpty &&
+      TxnLake.latestVersion(s, table).contains(postV),
+      "an empty delete must be a no-op")
+    TxnLake.read(s, table)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .withColumn("files_touched", lit(rewritten.size))
+      .withColumn("files_untouched", lit(carried.size))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -2413,5 +2495,6 @@ object OperatorQueries {
       streamCuratedIngestDecontam, txnOptimizeZorder, txnVacuumRetention,
       streamIngestCompaction, txnIncrementalCompaction, streamVectorIngest,
       streamIndexedIngestMaintained, txnOptimizeWhere,
-      streamDecontamIngestMaintained, streamIngestIncrementalCompaction)
+      streamDecontamIngestMaintained, streamIngestIncrementalCompaction,
+      txnDeleteWhere)
 }

@@ -514,7 +514,8 @@ object TxnLake extends LakeFormat {
                          removePaths: Option[Seq[String]] = None,
                          extraTxns: Map[String, Long] = Map.empty): Option[Long] = {
     require(operation == "overwrite" || operation == "append"
-      || operation == "optimize", s"TxnLake: unknown operation $operation")
+      || operation == "optimize" || operation == "delete",
+      s"TxnLake: unknown operation $operation")
     val tablePath = new Path(table)
     val f = fs(spark, tablePath)
     f.mkdirs(logDir(table))
@@ -1216,6 +1217,54 @@ object TxnLake extends LakeFormat {
       spark.read.option("mergeSchema", "true")
         .parquet(snapshot.map(fm => new Path(table, fm.path).toString): _*)
         .schema)
+
+  /** Row-level DELETE — Delta's `DELETE FROM t WHERE …` in its
+    * copy-on-write form: files whose commit-time stats admit the
+    * predicate are REWRITTEN without the matching rows; every other file
+    * carries into the new snapshot with its physical path verbatim.
+    * Cost is O(touched files), never O(table) — the same stats scoping
+    * [[readWhere]] and [[optimizeWhere]] use, so a delete keyed to a
+    * clustered column rewrites only its cluster's files. Rows where the
+    * predicate is NULL are KEPT (SQL DELETE semantics: only TRUE
+    * deletes). Returns None without committing when no file's stats
+    * admit the predicate (nothing to delete — no version churn under a
+    * periodic retention job). Through the log: snapshot-isolated readers
+    * keep their versions, the pre-delete snapshot time-travels until
+    * vacuumed, the commit is pinned to its read version (concurrent
+    * commits force a recompute), and the "delete" operation tag is NOT
+    * data-preserving — a foreign delete correctly de-trusts the x40/x42
+    * sibling indexes (their keys would over-mask rows the corpus no
+    * longer has). */
+  def deleteWhere(spark: SparkSession, table: String, predicate: Column,
+                  maxAttempts: Int = 10): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(spark, table).getOrElse(
+        sys.error(s"TxnLake.deleteWhere: no committed version in $table"))
+      val files = resolveFiles(spark, table, base)
+      if (files.isEmpty) return None
+      requireLive(spark, table, base, files)
+      val schema = loggedSchema(spark, table, base)
+      val sample = new Path(table, files.head.path).toString
+      val pred = resolvedPredicate(spark, sample, predicate, schema)
+      val touched = files.filter(fm => mayMatch(fm, pred))
+      if (touched.isEmpty) return None
+      val kept = spark.read
+        .schema(subsetReadSchema(spark, table, schema, files))
+        .parquet(touched.map(fm => new Path(table, fm.path).toString): _*)
+        .where(not(coalesce(predicate, lit(false))))
+        .repartition(touched.size)
+      try return Some(commitImpl(spark, kept, table, "delete", None,
+          maxAttempts = 1, requireBase = Some(Some(base)),
+          removePaths = Some(touched.map(_.path)))
+        .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped")))
+      catch { case _: CommitConflict => attempt += 1 }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"TxnLake.deleteWhere: $maxAttempts consecutive concurrent commits " +
+        s"on $table")
+  }
 
   /** On-disk byte size of every file in the snapshot, table-relative path
     * → bytes (driver-side listing, O(|files|) metadata calls — the same

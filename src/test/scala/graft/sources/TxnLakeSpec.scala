@@ -782,6 +782,39 @@ class TxnLakeSpec extends SparkSpec {
     assert(TxnLake.latestVersion(spark, t).contains(v))
   }
 
+  test("deleteWhere rewrites touched files only; NULL predicate keeps rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // two files: ids 0-9 (v nullable: null at id=5) and 10-19
+    val low = spark.range(0, 10).select(col("id"),
+      org.apache.spark.sql.functions.when(col("id") =!= 5, col("id") % 7)
+        .as("v"))
+    val high = spark.range(10, 20).select(col("id"),
+      (col("id") % 7).as("v"))
+    TxnLake.commit(spark, low.coalesce(1), t, "append")
+    TxnLake.commit(spark, high.coalesce(1), t, "append")
+    val pre = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    // DELETE WHERE id < 10 AND v = 5: only the low file's stats admit it;
+    // id=5 has v NULL → predicate NULL → row KEPT (SQL DELETE semantics)
+    val v = TxnLake.deleteWhere(spark, t, col("id") < 10 && col("v") === 5).get
+    val post = TxnLake.snapshotFiles(spark, t, Some(v)).map(_.path).toSet
+    assert((pre intersect post).size == 1, s"pre=$pre post=$post")
+    val rows = TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0)).sorted.toSeq
+    // id=5 (NULL v) kept; id=12 (v=5) kept — its file was out of scope by
+    // the id bound; only id=5's cell-mates with v==5 in the low file go
+    val deleted = (0L until 10L).filter(i => i != 5 && i % 7 == 5)
+    assert(rows == ((0L until 20L).filterNot(deleted.contains)),
+      s"rows after delete: $rows")
+    assert(TxnLake.history(spark, t).last.operation == "delete")
+    assert(!TxnLake.commitInfo(spark, t, v).dataPreserving,
+      "delete must NOT classify as data-preserving (index trust)")
+    // no file admits id >= 20 → None, no version churn
+    assert(TxnLake.deleteWhere(spark, t, col("id") >= 20).isEmpty)
+    assert(TxnLake.latestVersion(spark, t).contains(v))
+  }
+
   test("commitInfo/history classify operations; extraTxns merge monotonically") {
     import spark.implicits._
     val t = freshTable()
