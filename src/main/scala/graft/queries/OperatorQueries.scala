@@ -2483,6 +2483,63 @@ object OperatorQueries {
       .withColumn("files_untouched", lit(carried.size))
   }
 
+  /** `table_changes` at O(changes-per-commit) cost (x45) — the scale
+    * form of x25's snapshot-diff feed, which pays a full-outer join over
+    * two whole snapshots however little changed. `TxnLake.tableChanges`
+    * walks each commit's OWN add/remove delta: an append's added files
+    * ARE its inserts, a delete's removed-minus-added files ARE its
+    * deletes, a data-preserving optimize emits (and reads) nothing, and
+    * only a snapshot replacement falls back to the x25 join for that one
+    * hop. Lifecycle: append lower id-half (v0), append upper (v1),
+    * DELETE a central value band (v2), OPTIMIZE (v3); the feed over
+    * (0, 3] must carry v1's inserts and v2's deletes — per-commit
+    * granularity, so an upper-half band row appears BOTH as its v1
+    * insert and its v2 delete, which a net-effect diff would collapse —
+    * and nothing for v3 (gated in-engine too). The oracle recomputes
+    * both row sets relationally from `events`. */
+  val txnTableChanges = OracleQuery(
+    "x45_txn_table_changes",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |up AS (SELECT event_id, vc FROM ev, mx WHERE event_id > m // 2),
+      |vr AS (SELECT min(vc) AS vmn, max(vc) AS vmx FROM ev),
+      |bounds AS (SELECT vmn + (vmx - vmn) // 4 AS lo,
+      |                  vmn + (vmx - vmn) // 2 AS hi FROM vr),
+      |ins AS (SELECT event_id, vc, 'insert' AS change_type,
+      |          CAST(1 AS BIGINT) AS commit_version FROM up),
+      |del AS (SELECT event_id, vc, 'delete' AS change_type,
+      |          CAST(2 AS BIGINT) AS commit_version
+      |        FROM ev, bounds WHERE vc >= lo AND vc <= hi)
+      |SELECT event_id, vc, change_type, commit_version
+      |FROM (SELECT * FROM ins UNION ALL SELECT * FROM del)
+      |ORDER BY commit_version, event_id""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val idHi = m / 2
+    val table = Scratch.dir("txn_changes") + "/t"
+    TxnLake.commit(s, ev.filter(col("event_id") <= idHi).coalesce(1),
+      table, "append") // v0
+    TxnLake.commit(s, ev.filter(col("event_id") > idHi).coalesce(1),
+      table, "append") // v1
+    val vr = ev.agg(min(col("vc")), max(col("vc"))).head()
+    val (vmn, vmx) = (vr.getLong(0), vr.getLong(1))
+    val lo = vmn + (vmx - vmn) / 4
+    val hi = vmn + (vmx - vmn) / 2
+    val v2 = TxnLake.deleteWhere(s, table, col("vc") >= lo && col("vc") <= hi)
+      .getOrElse(sys.error("delete found nothing to touch")) // v2
+    require(v2 == 2L, s"expected the delete at v2, got $v2")
+    val v3 = TxnLake.optimize(s, table, zorderBy = Seq("event_id"),
+      numFiles = 2) // v3: data-preserving, must emit nothing
+    val feed = TxnLake.tableChanges(s, table, 0L, v3, "event_id")
+    require(feed.filter(col("commit_version") === v3).isEmpty,
+      "a data-preserving optimize must contribute nothing to the feed")
+    feed.select("event_id", "vc", "change_type", "commit_version")
+      .orderBy("commit_version", "event_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -2496,5 +2553,5 @@ object OperatorQueries {
       streamIngestCompaction, txnIncrementalCompaction, streamVectorIngest,
       streamIndexedIngestMaintained, txnOptimizeWhere,
       streamDecontamIngestMaintained, streamIngestIncrementalCompaction,
-      txnDeleteWhere)
+      txnDeleteWhere, txnTableChanges)
 }

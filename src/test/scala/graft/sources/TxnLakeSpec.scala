@@ -815,6 +815,36 @@ class TxnLakeSpec extends SparkSpec {
     assert(TxnLake.latestVersion(spark, t).contains(v))
   }
 
+  test("tableChanges walks per-commit deltas; overwrite falls back to diff") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    TxnLake.commit(spark, Seq((1, "a"), (2, "b")).toDF("k", "s").coalesce(1),
+      t, "append") // v0
+    TxnLake.commit(spark, Seq((3, "c")).toDF("k", "s").coalesce(1),
+      t, "append") // v1: insert hop (reads only v1's file)
+    TxnLake.optimize(spark, t, numFiles = 1) // v2: silent
+    TxnLake.deleteWhere(spark, t, col("k") === 2).get // v3: delete hop
+    // v4: overwrite — the snapshot-replacement shape, full-diff fallback
+    // with update pre/post images (k=1 changes value, k=3 vanishes)
+    TxnLake.commit(spark, Seq((1, "z")).toDF("k", "s").coalesce(1),
+      t, "overwrite")
+    val feed = TxnLake.tableChanges(spark, t, 0L, 4L, "k")
+      .select("k", "s", "change_type", "commit_version").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(feed == Set(
+      (3, "c", "insert", 1L),
+      (2, "b", "delete", 3L),
+      (1, "a", "update_preimage", 4L),
+      (1, "z", "update_postimage", 4L),
+      (3, "c", "delete", 4L)), s"feed: $feed")
+    // per-commit granularity: k=3 appears as BOTH its v1 insert and its
+    // v4 delete (a net-effect diff would collapse the pair); optimize
+    // contributed nothing; an empty range yields an empty, typed frame
+    assert(TxnLake.tableChanges(spark, t, 4L, 4L, "k").isEmpty)
+  }
+
   test("commitInfo/history classify operations; extraTxns merge monotonically") {
     import spark.implicits._
     val t = freshTable()
