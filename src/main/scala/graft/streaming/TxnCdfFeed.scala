@@ -22,10 +22,15 @@ import graft.sources.TxnLake
   * application provably reconciles with a full recompute (see x26's
   * scaladoc for why floats can't).
   *
-  * Scale: per-version work is O(changes) classification on one keyed
-  * full-outer diff join plus a hash aggregate on the MV key — maintenance
-  * cost scales with change volume, not table size, which is the whole
-  * point of consuming a CDF instead of rescanning 100 TB. */
+  * Scale: per-version work is [[TxnLake.tableChanges]]'s per-commit
+  * delta walk — an append hop reads ONLY that commit's added files, a
+  * delete hop only its touched files, maintenance hops read nothing, and
+  * only a snapshot replacement pays the full diff join — plus a hash
+  * aggregate on the MV key. Maintenance cost scales with change volume,
+  * not table size, which is the whole point of consuming a CDF instead
+  * of rescanning 100 TB (an earlier draft ran the x25 snapshot-diff join
+  * per version: O(table) per hop, the cost this consumer exists to
+  * avoid). */
 final class TxnCdfFeed(source: String, mvTable: String, appId: String,
                        key: String) {
 
@@ -55,7 +60,8 @@ final class TxnCdfFeed(source: String, mvTable: String, appId: String,
         if (v == 0)
           TxnLake.readVersion(spark, source, 0L)
             .withColumn("change_type", lit("insert"))
-        else TxnLake.changeFeed(spark, source, v - 1, v, key))
+        else TxnLake.tableChanges(spark, source, v - 1, v, key)
+          .drop("commit_version"))
       val base = TxnLake.read(spark, mvTable)
       val prev =
         if (base.isEmpty)
