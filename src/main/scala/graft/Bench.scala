@@ -110,9 +110,10 @@ object Bench {
     // parse because the metric line overflowed that window). Keep the
     // line short: per-query keys shortened to their id prefix
     // ("q01_pricing_summary" -> "q01"), 2-decimal seconds, and a hard
-    // length guard that drops the slowest-N-only map if we ever grow
-    // past the budget. sbt appends ~80 bytes ("[success] Total time...")
-    // after us, so budget the line at 1800.
+    // length guard (see `budget` below — 1920, reserving ~80 bytes for
+    // sbt's "[success] Total time..." trailer) that drops to a
+    // slowest-N-only map if we ever grow past it; the sidecar file always
+    // carries the complete map.
     def s2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     val keys = results.keys.map(shortKey)

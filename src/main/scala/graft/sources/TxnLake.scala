@@ -1035,6 +1035,13 @@ object TxnLake extends LakeFormat {
     val hops = ((fromVersion + 1) to toVersion).flatMap { v =>
       val e = readEntry(spark, table, v)
       e.operation match {
+        // legacy full-list entries carry the SNAPSHOT, not a delta — their
+        // op tag says "append" but add is empty, and shortcutting them as
+        // empty appends would silently drop those commits' rows from the
+        // feed; only the snapshot diff can attribute them
+        case _ if e.legacyFiles.isDefined =>
+          Some(changeFeed(spark, table, v - 1, v, key)
+            .withColumn("commit_version", lit(v)))
         case "optimize" => None
         case "append" if e.add.nonEmpty =>
           Some(readFiles(e.add.map(_.path))
@@ -1054,7 +1061,11 @@ object TxnLake extends LakeFormat {
             .withColumn("commit_version", lit(v)))
       }
     }
-    hops.reduceOption(_ unionByName _).getOrElse {
+    // allowMissingColumns: a fallback hop reads under ITS version's logged
+    // schema, which may predate columns later hops carry — null-fill
+    // rather than refuse the union (the read-time evolution semantics
+    // every snapshot scan already has)
+    hops.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
       val cols = schema.map(_.fieldNames.toSeq)
         .getOrElse(read(spark, table).columns.toSeq)
       val base = readVersion(spark, table, toVersion).limit(0)
@@ -1281,7 +1292,7 @@ object TxnLake extends LakeFormat {
     * commit. */
   private def subsetReadSchema(spark: SparkSession, table: String,
                                logged: Option[StructType],
-                               snapshot: Seq[FileMeta]): StructType =
+                               snapshot: => Seq[FileMeta]): StructType =
     logged.getOrElse(
       spark.read.option("mergeSchema", "true")
         .parquet(snapshot.map(fm => new Path(table, fm.path).toString): _*)
@@ -1364,17 +1375,27 @@ object TxnLake extends LakeFormat {
     * the files the concurrent writer removed — and the small files are
     * re-chosen from that fresh snapshot. Reads the small files under the
     * LOGGED schema (older files null-fill evolved columns, exactly as a
-    * snapshot scan would). */
+    * snapshot scan would).
+    *
+    * `within` scopes the pack set to an explicit table-relative path set
+    * (PROVENANCE scoping — "pack only the files this batch just landed",
+    * the x43 streaming-maintenance shape, Delta's OPTIMIZE-WHERE-on-the-
+    * new-partition analog). A size threshold alone is a heuristic that
+    * misidentifies the debt the moment a new batch's file rivals the
+    * packed history's size; provenance cannot. None = whole snapshot
+    * (size-only, the Delta default). */
   def compactSmallFiles(spark: SparkSession, table: String,
                         minFileBytes: Long,
                         targetFileBytes: Long = 128L << 20,
-                        maxAttempts: Int = 10): Option[Long] = {
+                        maxAttempts: Int = 10,
+                        within: Option[Set[String]] = None): Option[Long] = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(spark, table).getOrElse(
         sys.error(s"TxnLake.compactSmallFiles: no committed version in $table"))
       val sized = snapshotFileSizes(spark, table, Some(base))
-      val small = sized.filter(_._2 < minFileBytes)
+      val small = sized.filter { case (p, bytes) =>
+        bytes < minFileBytes && within.forall(_.contains(p)) }
       if (small.size < 2) return None
       val numOut = math.max(1L,
         (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
@@ -1494,10 +1515,22 @@ object TxnLake extends LakeFormat {
   }
 
   /** Publish the metadata-only commit that undoes a restore whose target
-    * files a concurrent vacuum reclaimed: add the pre-restore snapshot
-    * back, remove (only) the reclaimed target's paths, carry the txn
-    * state. Normal optimistic publish — retries past any commits that
-    * chained onto the failed restore in the meantime. */
+    * files a concurrent vacuum reclaimed. Computed RELATIVE to the
+    * snapshot live at publish time, so commits that chained onto the
+    * failed restore are preserved, not clobbered:
+    *
+    *  - remove only the reclaimed target paths the CURRENT snapshot still
+    *    references (a chained overwrite/restore that already replaced
+    *    them needs no compensation at all — return without committing);
+    *  - add only the pre-restore files the current snapshot lacks (a
+    *    chained append's files survive untouched);
+    *  - txns merge MONOTONICALLY with the latest entry's map — a chained
+    *    commit may have advanced an app's watermark past the pre-restore
+    *    value, and regressing it would let a checkpoint-loss replay
+    *    double-apply that batch;
+    *  - the schema merges the pre-restore schema INTO the latest logged
+    *    one (append rules), never regressing columns a chained commit
+    *    evolved. */
   private def compensateRestore(spark: SparkSession, f: FileSystem,
                                 table: String, failedVersion: Long,
                                 priorSnapshot: Seq[FileMeta],
@@ -1510,11 +1543,31 @@ object TxnLake extends LakeFormat {
     while (attempt < maxAttempts) {
       val lastV = committedVersions(spark, table).last
       val next = lastV + 1
-      val carried =
-        if (lastV == failedVersion) txns
-        else readEntry(spark, table, lastV).txns
-      val entry = render(Entry(next, "restore", priorSnapshot, removePaths,
-        None, None, carried ++ txns, hasTxns = true, schemaJson = schemaJson))
+      val lastEntry =
+        if (lastV == failedVersion) None
+        else Some(readEntry(spark, table, lastV))
+      val current = resolveFiles(spark, table, lastV)
+      val currentPaths = current.map(_.path).toSet
+      val stillReferenced = removePaths.filter(currentPaths)
+      // a chained snapshot replacement already superseded the failed
+      // restore — nothing live references the reclaimed files
+      if (stillReferenced.isEmpty && lastV != failedVersion) return
+      val addBack = priorSnapshot.filterNot(fm => currentPaths(fm.path))
+      val carried = lastEntry.map(_.txns).getOrElse(txns)
+      val mergedTxns = (carried.keySet ++ txns.keySet).map { k =>
+        k -> math.max(carried.getOrElse(k, Long.MinValue),
+          txns.getOrElse(k, Long.MinValue))
+      }.toMap
+      val latestSchema = lastEntry.flatMap(_.schemaJson).orElse(schemaJson)
+      val outSchema = (latestSchema, schemaJson) match {
+        case (Some(l), Some(p)) if l != p =>
+          Some(mergedSchema(
+            Some(DataType.fromJson(l).asInstanceOf[StructType]),
+            DataType.fromJson(p).asInstanceOf[StructType], "append").json)
+        case (l, p) => l.orElse(p)
+      }
+      val entry = render(Entry(next, "restore", addBack, stillReferenced,
+        None, None, mergedTxns, hasTxns = true, schemaJson = outSchema))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -1550,7 +1603,12 @@ object TxnLake extends LakeFormat {
     * deterministically (vacuum must then recompute and spare its files). */
   private[sources] def vacuumImpl(spark: SparkSession, table: String,
                                   retainVersions: Int,
-                                  beforeDelete: () => Unit): Int = {
+                                  beforeDelete: () => Unit): Int =
+    vacuumAttempt(spark, table, retainVersions, beforeDelete, budget = 10)
+
+  private def vacuumAttempt(spark: SparkSession, table: String,
+                            retainVersions: Int, beforeDelete: () => Unit,
+                            budget: Int): Int = {
     var versions = committedVersions(spark, table)
     if (versions.isEmpty) return 0
     var live = Set.empty[String]
@@ -1561,16 +1619,17 @@ object TxnLake extends LakeFormat {
     // and BOUNDED like every other concurrency loop in this file: a table
     // committing faster than the live set can be resolved, forever, must
     // fail loudly (ConcurrentModificationException, the merge/optimize
-    // convention) rather than livelock the maintenance job. (Restore
+    // convention) rather than livelock the maintenance job. The budget is
+    // SHARED with the post-seam restart below — a restart with a fresh
+    // budget would reopen the livelock through the restart edge. (Restore
     // closes its side with a post-publish re-verify + compensation.)
-    val maxAttempts = 10
     var attempt = 0
     var stable = false
     while (!stable) {
-      if (attempt >= maxAttempts)
+      if (attempt >= budget)
         throw new java.util.ConcurrentModificationException(
           s"TxnLake.vacuum: log of $table advanced on every one of " +
-            s"$maxAttempts live-set resolutions")
+            s"$budget live-set resolutions")
       val retained = versions.takeRight(math.max(1, retainVersions))
       live = retained.flatMap(resolveFiles(spark, table, _).map(_.path)).toSet
       val now = committedVersions(spark, table)
@@ -1579,8 +1638,14 @@ object TxnLake extends LakeFormat {
     }
     beforeDelete()
     val check = committedVersions(spark, table)
-    if (check != versions) return vacuumImpl(spark, table, retainVersions,
-      () => ())
+    if (check != versions) {
+      val remaining = budget - attempt - 1
+      if (remaining <= 0)
+        throw new java.util.ConcurrentModificationException(
+          s"TxnLake.vacuum: log of $table advanced on every one of " +
+            s"$budget live-set resolutions")
+      return vacuumAttempt(spark, table, retainVersions, () => (), remaining)
+    }
     val dataRoot = new Path(table, "data")
     val f = fs(spark, dataRoot)
     if (!f.exists(dataRoot)) return 0

@@ -596,23 +596,25 @@ object CurationStream {
     * file and the no-op guard would skip the maintenance this runner
     * exists to exercise). Exactly-once is x37's doctrine unchanged —
     * compaction commits carry the cumulative txn map, a replayed batch
-    * triggers NO maintenance. */
+    * triggers NO maintenance. The pack set is PROVENANCE-scoped
+    * (`compactSmallFiles(within = the files this batch just landed)`),
+    * not size-thresholded: a size heuristic flips which files it packs
+    * the moment a batch's append rivals the packed history's size, while
+    * provenance packs exactly the new debt at any size distribution. */
   def runCuratedTwoWaveIngestCompactingIncremental(
       wave1Dir: String, wave2Dir: String, table: String,
       checkpointDir: String, appId: String, spark: SparkSession): Unit = {
     val sink = (batch: DataFrame, batchId: Long) => {
       val s = batch.sparkSession
       if (!TxnLake.lastTxn(s, table, appId).exists(_ >= batchId)) {
+        val before = TxnLake.snapshotFiles(s, table).map(_.path).toSet
         val committed = Expectations.commitOnceWithExpectations(
           s, curateBatch(batch, table, batchId).repartition(2),
           table, "append", appId, batchId, IngestExpectations)
         if (committed.isDefined) {
-          val mx = TxnLake.snapshotFileSizes(s, table).map(_._2).max
-          // founding batch: everything is debt (pack to one file);
-          // thereafter the largest file is the packed history and only
-          // the new batch's files sit below it
-          TxnLake.compactSmallFiles(s, table,
-            minFileBytes = if (batchId == 0) mx + 1 else mx)
+          val landed = TxnLake.snapshotFiles(s, table).map(_.path).toSet -- before
+          TxnLake.compactSmallFiles(s, table, minFileBytes = Long.MaxValue,
+            within = Some(landed))
           ()
         }
       }
