@@ -1437,12 +1437,16 @@ object TxnLake extends LakeFormat {
               maxAttempts: Int = 10): Long =
     restoreImpl(spark, table, toVersion, maxAttempts, () => ())
 
-  /** Test seam: `beforePublish` runs between the liveness pre-check and
-    * the entry publish, letting specs interleave a concurrent [[vacuum]]
-    * deterministically (the TOCTOU the post-publish re-verify closes). */
+  /** Test seams: `beforePublish` runs between the liveness pre-check and
+    * the entry publish (interleave a concurrent [[vacuum]] — the TOCTOU
+    * the post-publish re-verify closes); `beforeCompensate` runs between
+    * the failed re-verify and the compensating commit (interleave a
+    * commit that CHAINS onto the failed restore — the compensation must
+    * preserve it). */
   private[sources] def restoreImpl(spark: SparkSession, table: String,
                                    toVersion: Long, maxAttempts: Int,
-                                   beforePublish: () => Unit): Long = {
+                                   beforePublish: () => Unit,
+                                   beforeCompensate: () => Unit = () => ()): Long = {
     val f = fs(spark, new Path(table))
     val salt = java.util.UUID.randomUUID().toString.take(8)
     var attempt = 0
@@ -1498,6 +1502,7 @@ object TxnLake extends LakeFormat {
         try requireLive(spark, table, toVersion, target)
         catch {
           case e: IllegalStateException =>
+            beforeCompensate()
             compensateRestore(spark, f, table, next, currentMeta,
               target.map(_.path), txns, lastEntry.schemaJson, maxAttempts)
             throw new IllegalStateException(

@@ -723,6 +723,55 @@ class TxnLakeSpec extends SparkSpec {
     assert(v2.getMessage.contains("vacuum"), v2.getMessage)
   }
 
+  test("compensation preserves commits that chained onto the failed restore") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1, 2).toDF("x").coalesce(1), t, "overwrite") // v0
+    TxnLake.commit(spark, Seq(3, 4).toDF("x").coalesce(1), t, "overwrite") // v1
+    TxnLake.commitOnce(spark, Seq(5).toDF("x").coalesce(1), t, "append",
+      "appA", 7L) // v2: app watermark 7 pre-restore
+    // the race: vacuum reclaims v0 mid-restore; then, BEFORE the
+    // compensation publishes, a concurrent batch chains onto the failed
+    // restore with a HIGHER watermark and new rows
+    intercept[IllegalStateException] {
+      TxnLake.restoreImpl(spark, t, 0L, maxAttempts = 10,
+        beforePublish = () => { TxnLake.vacuum(spark, t, retainVersions = 1); () },
+        beforeCompensate = () => {
+          TxnLake.commitOnce(spark, Seq(6).toDF("x").coalesce(1), t,
+            "append", "appA", 8L)
+          ()
+        })
+    }
+    // the chained append's rows AND its advanced watermark both survive
+    // the compensation (a regressed watermark would let a replay
+    // double-apply batch 8)
+    assert(TxnLake.read(spark, t).collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(3, 4, 5, 6), "compensation must preserve the chained append")
+    assert(TxnLake.lastTxn(spark, t, "appA").contains(8L),
+      "compensation must not regress a chained txn watermark")
+  }
+
+  test("compensation is a no-op when a chained overwrite superseded the restore") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1, 2).toDF("x").coalesce(1), t, "overwrite") // v0
+    TxnLake.commit(spark, Seq(3, 4).toDF("x").coalesce(1), t, "overwrite") // v1
+    intercept[IllegalStateException] {
+      TxnLake.restoreImpl(spark, t, 0L, maxAttempts = 10,
+        beforePublish = () => { TxnLake.vacuum(spark, t, retainVersions = 1); () },
+        beforeCompensate = () => {
+          TxnLake.commit(spark, Seq(9).toDF("x").coalesce(1), t, "overwrite")
+          ()
+        })
+    }
+    // the chained overwrite already replaced the failed restore's
+    // snapshot — nothing live references the reclaimed files, so no
+    // compensating entry is published (v0,v1,restore,overwrite = 0..3)
+    assert(TxnLake.latestVersion(spark, t).contains(3L))
+    assert(TxnLake.history(spark, t).last.operation == "overwrite")
+    assert(TxnLake.read(spark, t).collect().map(_.getInt(0)).toSeq == Seq(9))
+  }
+
   test("vacuum racing a restore recomputes and spares the restored files") {
     import spark.implicits._
     val t = freshTable()
