@@ -62,7 +62,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x41 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x45 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -93,8 +93,15 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    cell-pruned delta-vs-corpus probe), indexed near-dup ingest UNDER
   *    continuous compaction (version-coverage index trust — maintenance
   *    commits classify as data-preserving, the probe path survives),
-  *    and predicate-scoped OPTIMIZE … WHERE (re-cluster only in-scope
-  *    files, out-of-scope files carry over verbatim)
+  *    predicate-scoped OPTIMIZE … WHERE (re-cluster only in-scope
+  *    files, out-of-scope files carry over verbatim), the decontam
+  *    twin of the maintained ingest (window index under compaction),
+  *    streaming ingest with provenance-scoped INCREMENTAL compaction
+  *    in the loop (pack only the batch's own landed files — O(debt)),
+  *    row-level DELETE WHERE (copy-on-write, stats-scoped, NULL keeps
+  *    the row), and table_changes at O(changes-per-commit) (per-commit
+  *    log-delta walk; appends as inserts, deletes as
+  *    removed-minus-added, maintenance silent)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated
