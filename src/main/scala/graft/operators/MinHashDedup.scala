@@ -191,6 +191,61 @@ object MinHashDedup {
     verifyIncremental(cand, shD, shC, threshold, materialize)
   }
 
+  /** Observability seam: was the most recent
+    * [[incrementalMatchesIndexedPruned]] candidate plan free of shuffle
+    * exchanges (index streamed, delta broadcast)? The x46 gate reads it. */
+  @volatile private[graft] var lastProbeCandShuffleFree: Boolean = false
+
+  /** The SCAN-SCALED [[incrementalMatchesIndexed]] — same bands, same
+    * exact-Jaccard verify, but both corpus-sized relations arrive through
+    * caller-supplied PRUNED loaders and are joined with the DELTA side
+    * broadcast, so the probe neither reads nor shuffles the full index:
+    *
+    *  - `indexForBands(bhKeys)` loads the band-index rows that might
+    *    contain the delta's distinct band hashes (the caller backs it
+    *    with [[graft.sources.TxnLake.readKeyed]] — per-file Bloom
+    *    sidecars answer "definitely absent" for hash-uniform keys that
+    *    min/max stats cannot prune);
+    *  - the candidate join streams that pruned index against a BROADCAST
+    *    of the delta's bands — zero shuffle exchanges in the candidate
+    *    plan (recorded in [[lastProbeCandShuffleFree]]); band-collision
+    *    duplicates are deliberately NOT distinct'd here (that would
+    *    shuffle the probe) — the checkpointed pair set dedups after;
+    *  - `corpusForIds(ids)` loads only the corpus rows that are actual
+    *    candidate partners (doc_id-pruned scan), so shingle rebuilds stay
+    *    candidate-bounded without an O(corpus) text scan.
+    *
+    * At a fixed daily delta against a growing corpus this turns the
+    * per-batch probe from O(index files read + index shuffle) into
+    * O(files that truly share a band hash) — the x39 `vecprune` shape for
+    * the text tier. Delta-side driver collects are bounded by the DELTA
+    * (4 band keys per doc; candidate ids by true collisions). */
+  def incrementalMatchesIndexedPruned(delta: DataFrame,
+                                      indexForBands: Seq[String] => DataFrame,
+                                      corpusForIds: Seq[Long] => DataFrame,
+                                      threshold: Double = 0.7): DataFrame = {
+    val shD = shingleTable(delta).cache()
+    // delta bands materialized ONCE: they feed the key collect AND the
+    // broadcast build (an unpinned plan would re-minhash the delta twice)
+    val bandsD = org.apache.spark.sql.GraftCheckpointShim
+      .dropCarriedStats(bandTable(shD).localCheckpoint())
+    val bhKeys = bandsD.select("bh").distinct().collect()
+      .map(_.getString(0)).toSeq
+    val candLazy = indexForBands(bhKeys).as("y")
+      .join(broadcast(bandsD.as("x")),
+        col("x.b") === col("y.b") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = candLazy.localCheckpoint()
+    lastProbeCandShuffleFree = graft.plans.PlanChecks.shuffleFree(candLazy)
+    val candIds = cand.select(col("doc_b").as("doc_id")).distinct()
+    val ids = candIds.collect().map(_.getLong(0)).toSeq
+    val needed = corpusForIds(ids)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val shC = shingleTable(needed).cache()
+    verifyIncremental(cand.distinct(), shD, shC, threshold,
+      materialize = true)
+  }
+
   /** Shared exact-Jaccard verification of delta-vs-corpus candidates. */
   private def verifyIncremental(cand: DataFrame, shD: DataFrame,
                                 shC: DataFrame, threshold: Double,

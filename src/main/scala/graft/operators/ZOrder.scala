@@ -89,6 +89,14 @@ object ZOrder {
                   partitions: Int = 0): DataFrame = {
     require(dims.nonEmpty, "ZOrder.clusterByZN: no dimensions")
     val b = math.min(bits, 63 / dims.size)
+    // refuse a degenerate layout loudly: b == 0 would mean ONE rank cell
+    // per dimension — a constant z-key, i.e. no clustering at all — and a
+    // maintenance command would then commit an unclustered rewrite tagged
+    // "optimize" with nothing anywhere signalling that pruning never
+    // improved (bits <= 0, or more dimensions than a signed long has bits)
+    require(b >= 1,
+      s"ZOrder.clusterByZN: ${dims.size} dims at $bits bits leaves no bit " +
+        "per dimension (need bits >= 1 and dims.size <= 63)")
     val n = if (partitions > 0) partitions
             else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val cells = 1 << b

@@ -71,10 +71,12 @@ object Expectations {
     * own file row-stats (metadata-only, no extra scan). */
   def commitWithExpectations(spark: SparkSession, df: DataFrame, table: String,
                              operation: String,
-                             expectations: Seq[Expectation]): ExpectationResult = {
+                             expectations: Seq[Expectation],
+                             bloomCols: Seq[String] = Seq.empty): ExpectationResult = {
     val (good, bad) = split(df, expectations)
     val prevRows = prevRowsFor(spark, table, operation)
-    val version = TxnLake.commit(spark, good, table, operation)
+    val version = TxnLake.commit(spark, good, table, operation,
+      bloomCols = bloomCols)
     val badCount = bad.count()
     val qv =
       if (badCount == 0) None
@@ -96,7 +98,8 @@ object Expectations {
   def commitOnceWithExpectations(spark: SparkSession, df: DataFrame,
                                  table: String, operation: String,
                                  appId: String, batchId: Long,
-                                 expectations: Seq[Expectation]): Option[ExpectationResult] = {
+                                 expectations: Seq[Expectation],
+                                 bloomCols: Seq[String] = Seq.empty): Option[ExpectationResult] = {
     val (good, bad) = split(df, expectations)
     if (TxnLake.lastTxn(spark, table, appId).exists(_ >= batchId)) return None
     val prevRows = prevRowsFor(spark, table, operation)
@@ -112,7 +115,8 @@ object Expectations {
         // latest version may belong to a later batch or another app.
         .orElse(TxnLake.txnVersion(spark, quarantinePath(table),
           appId + "#quarantine", batchId))
-    TxnLake.commitOnce(spark, good, table, operation, appId, batchId) match {
+    TxnLake.commitOnce(spark, good, table, operation, appId, batchId,
+      bloomCols = bloomCols) match {
       case None => None // lost a replay race after the txn pre-check
       case Some(version) =>
         val passed = snapshotRows(spark, table, Some(version)) - prevRows

@@ -96,7 +96,8 @@ object TxnLake extends LakeFormat {
                                  txn: Option[(String, Long)],
                                  txns: Map[String, Long],
                                  hasTxns: Boolean,
-                                 schemaJson: Option[String] = None)
+                                 schemaJson: Option[String] = None,
+                                 bloomCols: Seq[String] = Seq.empty)
 
   // ---- JSON (jackson tree API — ships with Spark; no extra deps) ------
 
@@ -151,6 +152,10 @@ object TxnLake extends LakeFormat {
     val txns = o.putObject("txns")
     e.txns.toSeq.sorted.foreach { case (a, b) => txns.put(a, b) }
     e.schemaJson.foreach(o.put("schema", _))
+    if (e.bloomCols.nonEmpty) {
+      val bc = o.putArray("bloomCols")
+      e.bloomCols.foreach(bc.add)
+    }
     mapper.writeValueAsString(o)
   }
 
@@ -174,8 +179,10 @@ object TxnLake extends LakeFormat {
     val txns = txnsNode.map(_.properties().asScala
       .map(e => e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty)
     val schemaJson = Option(n.get("schema")).map(_.asText())
+    val bloomCols = Option(n.get("bloomCols"))
+      .map(_.asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
     Entry(version, operation, add, remove, legacy, txn, txns, txnsNode.isDefined,
-      schemaJson)
+      schemaJson, bloomCols)
   }
 
   // ---- log access -----------------------------------------------------
@@ -471,17 +478,181 @@ object TxnLake extends LakeFormat {
       java.lang.Integer.compare(x.length, y.length)
   }
 
+  // ---- per-file bloom sidecars (point-lookup skipping) -----------------
+
+  /** Build and publish the per-file [[BloomIndex]] sidecars for a commit's
+    * freshly-written files and flag the indexed columns in each file's
+    * stats. One distributed scan of the NEW files only (delta-sized — the
+    * cost Delta's bloom-filter index pays inside the write transaction;
+    * min/max stats are free from footers, membership bits are not).
+    * Values index in their Spark string rendering (the BloomIndex domain);
+    * a file with no rows (or all-null values) gets an all-zero bloom —
+    * "definitely absent" for every key, which is exactly right. Sidecars
+    * land in the immutable data dir BEFORE the log entry publishes, so a
+    * reader can never see a flagged file without its sidecar. */
+  private def buildBloomSidecars(spark: SparkSession, tablePath: Path,
+                                 f: FileSystem, files: Seq[FileMeta],
+                                 bloomCols: Seq[String],
+                                 schema: StructType): Seq[FileMeta] = {
+    val applicable = bloomCols.filter(schema.fieldNames.contains)
+    if (applicable.isEmpty || files.isEmpty) return files
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val scan = spark.read.schema(schema)
+      .parquet(files.map(fm => new Path(tablePath, fm.path).toString): _*)
+    val proj = scan.select(input_file_name() +:
+      applicable.map(c => col(c).cast("string")): _*)
+    val nCols = applicable.size
+    val built = proj.rdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.Map.empty[String, Array[Array[Long]]]
+      it.foreach { r =>
+        val file = r.getString(0)
+        val bits = acc.getOrElseUpdate(file,
+          Array.fill(nCols)(BloomIndex.empty()))
+        var i = 0
+        while (i < nCols) {
+          if (!r.isNullAt(i + 1)) BloomIndex.add(bits(i), r.getString(i + 1))
+          i += 1
+        }
+      }
+      acc.iterator
+    }.reduceByKey((a, b) =>
+      a.zip(b).map { case (x, y) => BloomIndex.merge(x, y) })
+      .collect()
+      .map { case (uri, bits) =>
+        new Path(new java.net.URI(uri)).toUri.getPath -> bits }
+      .toMap
+    files.map { fm =>
+      val abs = new Path(tablePath, fm.path)
+      val bits = built.getOrElse(abs.toUri.getPath,
+        Array.fill(nCols)(BloomIndex.empty()))
+      applicable.zipWithIndex.foreach { case (c, i) =>
+        BloomIndex.write(f, abs, c, bits(i))
+      }
+      val stats = applicable.foldLeft(fm.stats) { (st, c) =>
+        val cs = st.getOrElse(c,
+          ColStats(tagOf(schema(c).dataType).getOrElse("s"), None, None, -1L))
+        st + (c -> cs.copy(bloom = true))
+      }
+      fm.copy(stats = stats)
+    }
+  }
+
+  /** The table's declared bloom-indexed columns (cumulative — one O(1)
+    * entry read), for observability and spec gates. */
+  def bloomColumns(spark: SparkSession, table: String): Seq[String] =
+    latestVersion(spark, table)
+      .map(readEntry(spark, table, _).bloomCols).getOrElse(Seq.empty)
+
+  /** May the file contain at least one of `keys` in `column`? Judged by
+    * the file's min/max stats (typed via the stats tag) AND its Bloom
+    * sidecar when the commit flagged one. Conservative: unstatted /
+    * unflagged / unparsable → keep. `keys` are the values' Spark string
+    * renderings (the sidecar's hash domain and the stats' storage form —
+    * one rendering, two prune levels). */
+  private def fileMayContainKeys(spark: SparkSession, table: String,
+                                 fm: FileMeta, column: String,
+                                 keys: Seq[String]): Boolean = {
+    val cs = fm.stats.get(column)
+    // range test for integer-family and string tags only: a float
+    // column's footer bounds widen to double strings ("0.1" renders as
+    // "0.10000000149011612"), so a parse-based boundary compare could
+    // wrongly prune a file containing the key — the bloom level (built
+    // from the SAME Spark string rendering the probe keys use) still
+    // prunes those columns exactly
+    val rangeHit = cs match {
+      case Some(c) if c.min.isDefined && c.max.isDefined && c.tag != "d" =>
+        keys.exists { k =>
+          try cmpStat(c.tag, c.min.get, k) <= 0 && cmpStat(c.tag, c.max.get, k) >= 0
+          catch { case _: Exception => true }
+        }
+      case _ => true
+    }
+    if (!rangeHit) return false
+    if (!cs.exists(_.bloom)) return true
+    BloomIndex.read(fs(spark, new Path(table)),
+      new Path(table, fm.path), column) match {
+      case None => true // sidecar missing → conservative keep
+      case Some(bits) => keys.exists(BloomIndex.mightContain(bits, _))
+    }
+  }
+
+  /** Key-set data-skipping scan — the point-lookup counterpart of
+    * [[readWhere]]'s range pruning: resolve the snapshot, keep only the
+    * files that MIGHT contain at least one of `keys` in `column` (per-file
+    * min/max stats first, then the per-file Bloom sidecar when the table
+    * declared one for the column — see `bloomCols` on [[commit]]), and
+    * scan only the survivors. Returns the scan plus its (files kept,
+    * files total) counters from the same single snapshot resolution.
+    *
+    * Purely an I/O reduction: the result is a SUPERSET of the rows whose
+    * `column` equals one of the keys (bloom false positives and
+    * unflagged files are conservatively kept), so the caller's own
+    * equi-join/filter provides exactness. This is what turns a
+    * fixed-size delta's probe of a corpus-sized table or index from
+    * O(corpus files) into O(files that truly share a key): min/max
+    * pruning is blind to hash-uniform keys (every file spans the full
+    * range), which is exactly the column shape fingerprints, band
+    * hashes, and n-gram keys have. Driver cost is O(kept-candidates ×
+    * keys) bloom probes with early exit — metadata-sized, the same
+    * budget any pruning planner spends. */
+  def readKeyed(spark: SparkSession, table: String, column: String,
+                keys: Seq[String],
+                version: Option[Long] = None): (DataFrame, (Int, Int)) = {
+    version.orElse(latestVersion(spark, table)) match {
+      case None => (spark.emptyDataFrame, (0, 0))
+      case Some(v) =>
+        val files = resolveFiles(spark, table, v)
+        requireLive(spark, table, v, files)
+        if (files.isEmpty) return (spark.emptyDataFrame, (0, 0))
+        def abs(fms: Seq[FileMeta]) =
+          fms.map(fm => new Path(table, fm.path).toString)
+        val schema = loggedSchema(spark, table, v)
+        def scan(paths: Seq[String]) = schema match {
+          case Some(st) => spark.read.schema(st).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        }
+        val kept =
+          if (keys.isEmpty) Seq.empty
+          else files.filter(fileMayContainKeys(spark, table, _, column, keys))
+        val df =
+          if (kept.isEmpty) scan(Seq(abs(files).head)).where(lit(false))
+          else scan(abs(kept))
+        (df, (kept.size, files.size))
+    }
+  }
+
   // ---- commit ---------------------------------------------------------
 
   /** Commit `df` as the next version. `operation` is "overwrite" (snapshot
-    * replaces the table), "append" (snapshot = previous files + new), or
-    * "optimize" (data-preserving rewrite — see [[optimize]]). Retries on
-    * commit conflicts (another writer won the version) up to `maxAttempts`
-    * times. Returns the committed version. */
+    * replaces the table) or "append" (snapshot = previous files + new).
+    * Retries on commit conflicts (another writer won the version) up to
+    * `maxAttempts` times. Returns the committed version.
+    *
+    * TRUST CONTRACT: the other operation tags ("optimize", "delete",
+    * "merge", "update") are deliberately NOT accepted here — downstream
+    * consumers adjudicate semantics from the tag alone ([[tableChanges]]
+    * emits nothing for an "optimize" hop; the x40 version-coverage index
+    * trust classifies it as row-preserving), so those tags must be
+    * producible only by the engine paths that guarantee their contract
+    * ([[optimize]]/[[optimizeWhere]]/[[compactSmallFiles]],
+    * [[deleteWhere]], [[mergeInto]], [[updateWhere]]). An arbitrary
+    * snapshot replacement tagged "optimize" through this wrapper would
+    * silently vanish from the change feed and keep sibling indexes
+    * trusted across a data change. */
   def commit(spark: SparkSession, df: DataFrame, table: String,
-             operation: String, maxAttempts: Int = 10): Long =
-    commitImpl(spark, df, table, operation, None, maxAttempts)
+             operation: String, maxAttempts: Int = 10,
+             bloomCols: Seq[String] = Seq.empty): Long = {
+    requirePublicOp("commit", operation)
+    commitImpl(spark, df, table, operation, None, maxAttempts,
+      bloomCols = bloomCols)
       .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped"))
+  }
+
+  private def requirePublicOp(api: String, operation: String): Unit =
+    require(operation == "overwrite" || operation == "append",
+      s"TxnLake.$api: operation must be append or overwrite, got " +
+        s"$operation — the data-preserving/DML tags are reserved for the " +
+        "engine commands that guarantee their log contract")
 
   /** Idempotent transactional commit — the Delta `txn` action: commit `df`
     * ONLY IF no committed version already records (appId, batchId). Returns
@@ -499,9 +670,12 @@ object TxnLake extends LakeFormat {
   def commitOnce(spark: SparkSession, df: DataFrame, table: String,
                  operation: String, appId: String, batchId: Long,
                  maxAttempts: Int = 10,
-                 extraTxns: Map[String, Long] = Map.empty): Option[Long] =
+                 extraTxns: Map[String, Long] = Map.empty,
+                 bloomCols: Seq[String] = Seq.empty): Option[Long] = {
+    requirePublicOp("commitOnce", operation)
     commitImpl(spark, df, table, operation, Some((appId, batchId)), maxAttempts,
-      extraTxns = extraTxns)
+      extraTxns = extraTxns, bloomCols = bloomCols)
+  }
 
   /** Raised (internally) when `requireBase` no longer matches the log —
     * the caller's read snapshot is stale and it must recompute. */
@@ -512,9 +686,11 @@ object TxnLake extends LakeFormat {
                          maxAttempts: Int,
                          requireBase: Option[Option[Long]] = None,
                          removePaths: Option[Seq[String]] = None,
-                         extraTxns: Map[String, Long] = Map.empty): Option[Long] = {
+                         extraTxns: Map[String, Long] = Map.empty,
+                         bloomCols: Seq[String] = Seq.empty): Option[Long] = {
     require(operation == "overwrite" || operation == "append"
-      || operation == "optimize" || operation == "delete",
+      || operation == "optimize" || operation == "delete"
+      || operation == "merge" || operation == "update",
       s"TxnLake: unknown operation $operation")
     val tablePath = new Path(table)
     val f = fs(spark, tablePath)
@@ -561,7 +737,16 @@ object TxnLake extends LakeFormat {
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
         .map(s => (s.getPath.toString, s"$dataRel/${s.getPath.getName}")).toSeq
-      val added = harvestAll(spark, written, df.schema)
+      val added0 = harvestAll(spark, written, df.schema)
+      // Bloom-indexed columns are a TABLE property (like the cumulative
+      // schema): declared on any commit, inherited by every later one —
+      // including the engine's own maintenance/DML rewrites, which would
+      // otherwise silently strip the index from whatever they touch and
+      // quietly un-prune every future key probe.
+      val allBloomCols =
+        (lastEntry.map(_.bloomCols).getOrElse(Seq.empty) ++ bloomCols).distinct
+      val added = buildBloomSidecars(spark, tablePath, f, added0,
+        allBloomCols, df.schema)
       // remove actions: append removes nothing (O(1) log reads — the
       // streaming-sink hot path never resolves the snapshot); overwrite
       // and optimize remove every current file, unless the caller scoped
@@ -607,7 +792,8 @@ object TxnLake extends LakeFormat {
         df.schema, operation)
       // 2. publish: tmp write + atomic link IS the commit
       val entry = render(Entry(next, operation, added, removed, None, txn, txns,
-        hasTxns = true, schemaJson = Some(tableSchema.json)))
+        hasTxns = true, schemaJson = Some(tableSchema.json),
+        bloomCols = allBloomCols))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -973,9 +1159,18 @@ object TxnLake extends LakeFormat {
     * result (a production lake adds change files to make this
     * O(changes)). */
   def changeFeed(spark: SparkSession, table: String, preVersion: Long,
-                 postVersion: Long, key: String): DataFrame = {
+                 postVersion: Long, key: String): DataFrame =
+    keyedDiff(readVersion(spark, table, preVersion),
+      readVersion(spark, table, postVersion), key)
+
+  /** The CDF classification join itself — one full-outer hash join on
+    * `key` between a pre and a post relation, each changed row emitted as
+    * insert / delete / update pre+post-image. Shared by the snapshot-diff
+    * [[changeFeed]] and the touched-files-only merge/update hops of
+    * [[tableChanges]] (same classification, O(touched) input). */
+  private def keyedDiff(pre: DataFrame, post: DataFrame,
+                        key: String): DataFrame = {
     import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
-    val post = readVersion(spark, table, postVersion)
     val cols = post.columns.toSeq
     require(cols.contains(key), s"TxnLake.changeFeed: no column $key in $cols")
     def side(a: String, ct: String) = struct(
@@ -983,7 +1178,7 @@ object TxnLake extends LakeFormat {
     val changed = cols.filterNot(_ == key)
       .map(c => !(col(s"p.$c") <=> col(s"q.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    readVersion(spark, table, preVersion).as("p")
+    pre.as("p")
       .join(post.as("q"), col(s"p.$key") === col(s"q.$key"), "full_outer")
       .select(explode(
         when(col(s"p.$key").isNull, array(side("q", "insert")))
@@ -1056,6 +1251,20 @@ object TxnLake extends LakeFormat {
           Some(removed.exceptAll(kept)
             .withColumn("change_type", lit("delete"))
             .withColumn("commit_version", lit(v)))
+        case "merge" | "update" =>
+          // copy-on-write rewrite scoped to touched files: the removed
+          // files are the pre-image, the added files the post-image, and
+          // the keyed diff over JUST those files yields exactly the
+          // commit's inserts / deletes / update pre+post pairs —
+          // O(touched), never O(snapshot), with full classification
+          // (carried-verbatim files appear on neither side by definition)
+          val post =
+            if (e.add.nonEmpty) readFiles(e.add.map(_.path))
+            else readVersion(spark, table, v).limit(0)
+          val pre =
+            if (e.remove.nonEmpty) readFiles(e.remove)
+            else post.limit(0)
+          Some(keyedDiff(pre, post, key).withColumn("commit_version", lit(v)))
         case _ => // overwrite / restore: snapshot replacement — full diff
           Some(changeFeed(spark, table, v - 1, v, key)
             .withColumn("commit_version", lit(v)))
@@ -1177,6 +1386,107 @@ object TxnLake extends LakeFormat {
     }
     throw new java.util.ConcurrentModificationException(
       s"TxnLake.merge: $maxAttempts consecutive concurrent commits on $table")
+  }
+
+  /** MERGE INTO in its COPY-ON-WRITE form — the production upsert a
+    * 100 TB lake runs daily, replacing [[merge]]'s whole-snapshot
+    * rewrite: only the files whose commit-time stats (min/max, plus the
+    * Bloom sidecar when the key column is bloom-indexed) admit at least
+    * one delta key are rewritten; every other file carries into the new
+    * snapshot with its physical path VERBATIM. Cost is O(touched files +
+    * delta), never O(table) — on a key-clustered table a day's upsert
+    * rewrites one cluster's files.
+    *
+    * Semantics (Delta's MERGE with matched→UPDATE SET *, not-matched→
+    * INSERT *): a delta row whose `key` matches a current row replaces it
+    * wholesale; unmatched delta rows insert; `key` must be unique within
+    * the delta (refused loudly otherwise — Delta raises the same
+    * multiple-matches error) and NULL delta keys always insert (SQL
+    * equality never matches NULL). Scoping soundness: any file that
+    * MIGHT contain a delta key is touched, so a key absent from every
+    * touched file is absent from the table — the insert check needs only
+    * the touched rows. The commit carries the "merge" tag: visible to
+    * [[tableChanges]] as a touched-files keyed diff, and correctly NOT
+    * data-preserving for the x40 index-trust model.
+    *
+    * Concurrency: read-modify-write pinned to its read version; a
+    * concurrent commit forces a recompute from the fresh snapshot
+    * (concurrent rows are never silently discarded), throwing
+    * ConcurrentModificationException only after `maxAttempts` straight
+    * conflicts. Returns the committed version. */
+  def mergeInto(spark: SparkSession, delta: DataFrame, table: String,
+                key: String, maxAttempts: Int = 10): Long =
+    mergeIntoImpl(spark, delta, table, key, maxAttempts, () => ())
+
+  /** Test seam: `beforeCommit` runs between the snapshot read and the
+    * commit attempt (interleave a concurrent writer deterministically). */
+  private[sources] def mergeIntoImpl(spark: SparkSession, delta: DataFrame,
+                                     table: String, key: String,
+                                     maxAttempts: Int,
+                                     beforeCommit: () => Unit): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    require(delta.columns.contains(key),
+      s"TxnLake.mergeInto: no column $key in ${delta.columns.toSeq}")
+    val dupKeys = delta.filter(col(key).isNotNull).groupBy(key)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"TxnLake.mergeInto: multiple delta rows share a $key — a matched " +
+        "row would have no deterministic source (Delta's multiple-matches " +
+        "error)")
+    // the delta feeds the key collect, the rewrite join, and the insert
+    // anti-join — pin it once rather than recompute the upstream thrice
+    val d = org.apache.spark.sql.GraftCheckpointShim
+      .dropCarriedStats(delta.localCheckpoint())
+    val keys = d.select(col(key).cast("string")).na.drop()
+      .distinct().collect().map(_.getString(0)).toSeq
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(spark, table)
+      val merged: (DataFrame, Option[Seq[String]]) = base match {
+        case None => (d, Some(Seq.empty)) // founding upsert: all inserts
+        case Some(b) =>
+          val files = resolveFiles(spark, table, b)
+          requireLive(spark, table, b, files)
+          val schema = loggedSchema(spark, table, b)
+          def sig(st: StructType) =
+            st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+          val tblSchema = schema.getOrElse(
+            subsetReadSchema(spark, table, schema, files))
+          require(sig(tblSchema) == sig(d.schema),
+            s"TxnLake.mergeInto: schema mismatch ${sig(tblSchema)} vs " +
+              s"${sig(d.schema)}")
+          val touched = files.filter(fileMayContainKeys(spark, table, _,
+            key, keys))
+          if (touched.isEmpty) (d, Some(Seq.empty))
+          else {
+            val cur = spark.read
+              .schema(subsetReadSchema(spark, table, schema, files))
+              .parquet(touched.map(fm => new Path(table, fm.path).toString): _*)
+            val others = tblSchema.fieldNames.filterNot(_ == key).toIndexedSeq
+            // presence marker, not coalesce: a delta row legitimately
+            // updating a column TO null must win over the old value
+            val rewritten = cur.as("c")
+              .join(d.withColumn("__d", lit(true)).as("d"),
+                col(s"c.$key") === col(s"d.$key"), "left")
+              .select(col(s"c.$key").as(key) +: others.map(n =>
+                when(col("__d"), col(s"d.$n")).otherwise(col(s"c.$n")).as(n)): _*)
+            val inserts = d.join(cur.select(col(key)), Seq(key), "left_anti")
+              .select(col(key) +: others.map(col): _*)
+            (rewritten.unionByName(inserts)
+              .repartition(math.max(1, touched.size)),
+              Some(touched.map(_.path)))
+          }
+      }
+      beforeCommit()
+      try return commitImpl(spark, merged._1, table, "merge", None,
+          maxAttempts = 1, requireBase = Some(base),
+          removePaths = merged._2)
+        .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped"))
+      catch { case _: CommitConflict => attempt += 1 }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"TxnLake.mergeInto: $maxAttempts consecutive concurrent commits " +
+        s"on $table")
   }
 
   // ---- optimize -------------------------------------------------------
@@ -1346,6 +1656,62 @@ object TxnLake extends LakeFormat {
         s"on $table")
   }
 
+  /** Row-level UPDATE — Delta's `UPDATE t SET … WHERE …` in its
+    * copy-on-write form, the scalar-DML sibling of [[deleteWhere]] and
+    * [[mergeInto]]: files whose commit-time stats admit the predicate
+    * are rewritten with `set`'s expressions applied to the rows where
+    * the predicate is TRUE (NULL or FALSE keeps the row verbatim — SQL
+    * UPDATE semantics: only TRUE updates); every other file carries into
+    * the new snapshot with its physical path VERBATIM. Cost O(touched
+    * files), never O(table). `set` expressions may reference the row's
+    * own columns (`Map("value" -> col("value") * 2)`); assigning a type
+    * the column cannot hold is refused by the commit's schema merge
+    * rather than silently coerced. Returns None without committing when
+    * no file's stats admit the predicate. The "update" tag is NOT
+    * data-preserving — it de-trusts sibling indexes (x40) and surfaces
+    * in [[tableChanges]] as a touched-files keyed diff with full
+    * update pre/post-image classification. */
+  def updateWhere(spark: SparkSession, table: String, predicate: Column,
+                  set: Map[String, Column],
+                  maxAttempts: Int = 10): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "TxnLake.updateWhere: empty SET clause")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(spark, table).getOrElse(
+        sys.error(s"TxnLake.updateWhere: no committed version in $table"))
+      val files = resolveFiles(spark, table, base)
+      if (files.isEmpty) return None
+      requireLive(spark, table, base, files)
+      val schema = loggedSchema(spark, table, base)
+      val readSchema = subsetReadSchema(spark, table, schema, files)
+      set.keys.foreach(k => require(readSchema.fieldNames.contains(k),
+        s"TxnLake.updateWhere: SET references unknown column $k"))
+      val sample = new Path(table, files.head.path).toString
+      val pred = resolvedPredicate(spark, sample, predicate, schema)
+      val touched = files.filter(fm => mayMatch(fm, pred))
+      if (touched.isEmpty) return None
+      val hit = coalesce(predicate, lit(false))
+      val rewritten = spark.read.schema(readSchema)
+        .parquet(touched.map(fm => new Path(table, fm.path).toString): _*)
+        .select(readSchema.fieldNames.map { n =>
+          set.get(n) match {
+            case Some(v) => when(hit, v).otherwise(col(n)).as(n)
+            case None => col(n)
+          }
+        }.toIndexedSeq: _*)
+        .repartition(touched.size)
+      try return Some(commitImpl(spark, rewritten, table, "update", None,
+          maxAttempts = 1, requireBase = Some(Some(base)),
+          removePaths = Some(touched.map(_.path)))
+        .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped")))
+      catch { case _: CommitConflict => attempt += 1 }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"TxnLake.updateWhere: $maxAttempts consecutive concurrent commits " +
+        s"on $table")
+  }
+
   /** On-disk byte size of every file in the snapshot, table-relative path
     * → bytes (driver-side listing, O(|files|) metadata calls — the same
     * cost any size-aware planner pays). */
@@ -1474,9 +1840,13 @@ object TxnLake extends LakeFormat {
       val currentMeta = resolveFiles(spark, table, lastV)
       val current = currentMeta.map(_.path)
       val next = lastV + 1
+      val targetEntry = readEntry(spark, table, toVersion)
       val entry = render(Entry(next, "restore", target, current, None, None,
         txns, hasTxns = true,
-        schemaJson = readEntry(spark, table, toVersion).schemaJson))
+        schemaJson = targetEntry.schemaJson,
+        // the bloom-column declaration is a table property — carry the
+        // union so a restore never silently un-indexes later commits
+        bloomCols = (lastEntry.bloomCols ++ targetEntry.bloomCols).distinct))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -1572,7 +1942,8 @@ object TxnLake extends LakeFormat {
         case (l, p) => l.orElse(p)
       }
       val entry = render(Entry(next, "restore", addBack, stillReferenced,
-        None, None, mergedTxns, hasTxns = true, schemaJson = outSchema))
+        None, None, mergedTxns, hasTxns = true, schemaJson = outSchema,
+        bloomCols = readEntry(spark, table, lastV).bloomCols))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -1665,9 +2036,21 @@ object TxnLake extends LakeFormat {
         reclaimed += dead.count(_.getPath.getName.endsWith(".parquet"))
         f.delete(d.getPath, true)
       } else {
-        dead.filter(_.getPath.getName.endsWith(".parquet")).foreach { s =>
-          f.delete(s.getPath, false)
-          reclaimed += 1
+        dead.foreach { s =>
+          val n = s.getPath.getName
+          if (n.endsWith(".parquet")) {
+            f.delete(s.getPath, false)
+            reclaimed += 1
+          } else {
+            // bloom sidecars ride their data file's lifetime: reclaim one
+            // whose data file is itself dead (a live file's sidecar is
+            // classified "dead" here only because the live set tracks
+            // data paths — leave it)
+            val i = n.indexOf(".parquet.bloom.")
+            if (i >= 0 &&
+                !live.contains(s"$dirRel/${n.substring(0, i + 8)}"))
+              f.delete(s.getPath, false)
+          }
         }
       }
     }

@@ -113,6 +113,51 @@ object CurationStream {
     ()
   }
 
+  /** Observability seams for the scan-pruned probes — (files kept, files
+    * total) of the most recent pruned scan of each corpus-sized relation,
+    * and whether the decontam probe's index-side plan was shuffle-free.
+    * The x46/x47 gates read these (the x39 `lastProbeSkipping` doctrine
+    * for the text tier). */
+  @volatile private[graft] var lastFpSkipping: (Int, Int) = (0, 0)
+  @volatile private[graft] var lastBandIndexSkipping: (Int, Int) = (0, 0)
+  @volatile private[graft] var lastCorpusIdSkipping: (Int, Int) = (0, 0)
+  @volatile private[graft] var lastWindexSkipping: (Int, Int) = (0, 0)
+  @volatile private[graft] var lastDecontamProbeShuffleFree: Boolean = false
+
+  /** Bloom-indexed columns every corpus commit declares: `fp` makes the
+    * committed-fingerprint gate's scan prunable (hash-uniform hex — file
+    * min/max spans the whole domain, only membership bits can skip), and
+    * `doc_id` makes the near-dup verify's candidate text rebuild prunable
+    * even on layouts whose id ranges overlap across files. */
+  private[graft] val CorpusBloomCols: Seq[String] = Seq("fp", "doc_id")
+
+  /** The exact-dedup gate against the COMMITTED fingerprints, scan-scaled:
+    * instead of anti-joining the batch against an O(corpus) fp scan (and
+    * shuffling both sides), collect the batch's distinct fingerprints
+    * (O(delta) driver — a day's volume), load only the corpus files whose
+    * Bloom sidecars might contain one ([[graft.sources.TxnLake.readKeyed]]),
+    * stream those files against a BROADCAST of the delta fps to get the
+    * (small) truly-matched set, and anti-join the batch against THAT
+    * broadcast. Zero shuffle on the corpus side; files read tracks true
+    * fp collisions, not corpus size. Tables founded before the bloom
+    * declaration prune conservatively (all files kept) with identical
+    * rows. Pins the survivor plan once (it feeds the collect, the
+    * anti-join, and every downstream consumer). */
+  private def antiJoinCommittedFps(survivors: DataFrame,
+                                   table: String): DataFrame = {
+    val s = survivors.sparkSession
+    if (TxnLake.latestVersion(s, table).isEmpty) return survivors
+    val sv = org.apache.spark.sql.GraftCheckpointShim
+      .dropCarriedStats(survivors.localCheckpoint())
+    val deltaFps = sv.select("fp").distinct()
+    val keys = deltaFps.collect().map(_.getString(0)).toSeq
+    val (scan, skip) = TxnLake.readKeyed(s, table, "fp", keys)
+    lastFpSkipping = skip
+    val matched = scan.select("fp")
+      .join(broadcast(deltaFps), Seq("fp"), "left_semi")
+    sv.join(broadcast(matched), Seq("fp"), "left_anti")
+  }
+
   /** VERSION-COVERAGE index trust (the x40 model): a sibling index is
     * trusted iff the two logs prove it covers exactly the corpus table's
     * ROWS — which, unlike the pre-x40 "latest version == txn watermark"
@@ -166,17 +211,10 @@ object CurationStream {
 
   /** d47 stage-1 + stage-2 over one micro-batch: scrub, gate, within-batch
     * survivor, committed-fp anti-join. Exposed for the batch mirror. */
-  def curateBatch(batch: DataFrame, table: String, batchId: Long): DataFrame = {
-    val s = batch.sparkSession
-    val survivors = gatedSurvivors(batch)
-    val committedFps =
-      if (TxnLake.latestVersion(s, table).isDefined)
-        TxnLake.read(s, table).select("fp")
-      else s.range(0).select(lit("").as("fp"))
-    survivors.join(committedFps, Seq("fp"), "left_anti")
+  def curateBatch(batch: DataFrame, table: String, batchId: Long): DataFrame =
+    antiJoinCommittedFps(gatedSurvivors(batch), table)
       .select(col("doc_id"), col("fp"), col("n_tokens"),
         lit(batchId).cast("int").as("ingest_batch"))
-  }
 
   /** d47 stage-3 at the streaming grain (x33): [[curateBatch]] plus an
     * INCREMENTAL NEAR-DUP gate — the batch's exact-dedup survivors probe
@@ -216,7 +254,7 @@ object CurationStream {
         probePaths((table, batchId)) = "first"
         survivors
       case Some(tbl) =>
-        val afterExact = survivors.join(tbl.select("fp"), Seq("fp"), "left_anti")
+        val afterExact = antiJoinCommittedFps(survivors, table)
         // probe the MATERIALIZED band index while the version-coverage
         // model proves it covers the corpus' rows (one exactly-once
         // append per batch — delta-scaled probe, the corpus is never
@@ -224,16 +262,32 @@ object CurationStream {
         // writer, partial restore — falls back to the recompute shape,
         // identical semantics off the table itself. In-log maintenance
         // (optimize/compaction) classifies as data-preserving, so a
-        // compacting table keeps its indexed probe (x40).
+        // compacting table keeps its indexed probe (x40). The trusted
+        // probe is SCAN-SCALED since x46: the index loads through the
+        // bh-bloom-pruned readKeyed scan and streams against a broadcast
+        // of the delta's bands (no index-side exchange), and candidate
+        // text rebuilds load through a doc_id-pruned corpus scan — so at
+        // a fixed delta the probe's I/O tracks true band collisions, not
+        // corpus size.
         val bindex = bandIndexPath(table)
         val trusted = indexCovered(s, table, appId, bindex, bandIndexTxn(appId))
         probePaths((table, batchId)) = if (trusted) "indexed" else "recompute"
         val nearDupIds = (
           if (trusted)
-            graft.operators.MinHashDedup.incrementalMatchesIndexed(
+            graft.operators.MinHashDedup.incrementalMatchesIndexedPruned(
               afterExact.select("doc_id", "text"),
-              TxnLake.read(s, bindex).select("doc_id", "b", "bh"),
-              tbl.select("doc_id", "text"), threshold)
+              bhKeys => {
+                val (scan, skip) = TxnLake.readKeyed(s, bindex, "bh", bhKeys)
+                lastBandIndexSkipping = skip
+                scan.select("doc_id", "b", "bh")
+              },
+              ids => {
+                val (scan, skip) =
+                  TxnLake.readKeyed(s, table, "doc_id", ids.map(_.toString))
+                lastCorpusIdSkipping = skip
+                scan.select("doc_id", "text")
+              },
+              threshold)
           else graft.operators.MinHashDedup
             .incrementalMatches(afterExact.select("doc_id", "text"),
               tbl.select("doc_id", "text"), threshold))
@@ -297,8 +351,8 @@ object CurationStream {
         // "persist expensive upstreams" contract — the same eager
         // materialization x33's incrementalMatches probe does)
         val afterExact = org.apache.spark.sql.GraftCheckpointShim
-          .dropCarriedStats(survivors
-            .join(tbl.select("fp"), Seq("fp"), "left_anti").localCheckpoint())
+          .dropCarriedStats(
+            antiJoinCommittedFps(survivors, table).localCheckpoint())
         // committed window set — space-joined `window`-grams of the
         // committed corpus (injective for equality: tokens are \s+-split,
         // so the separator can't be confused with token content).
@@ -316,21 +370,41 @@ object CurationStream {
         val windex = windowIndexPath(table)
         val trusted = indexCovered(s, table, appId, windex, windowIndexTxn(appId))
         probePaths((table, batchId)) = if (trusted) "indexed" else "recompute"
-        val hot =
-          if (trusted)
-            TxnLake.read(s, windex).select("__g")
-          else tbl
-            .select(tokens(col("text")).as("__t"))
-            .select(explode(orderedGrams(col("__t"), window)).as("__g"))
         val docsT = afterExact.select(col("doc_id"), tokens(col("text")).as("toks"))
+        val grams = docsT
+          .select(col("doc_id"),
+            posexplode(orderedGrams(col("toks"), window)).as(Seq("__p0", "__g")))
         // at most one span per (doc_id, pos): gram positions are unique
         // and the SEMI join can't duplicate them (the index dedups per
         // batch, not globally — an inner join would mint one span per
         // duplicate index row)
-        val spans = docsT
-          .select(col("doc_id"),
-            posexplode(orderedGrams(col("toks"), window)).as(Seq("__p0", "__g")))
-          .join(hot, Seq("__g"), "left_semi")
+        val hits =
+          if (trusted) {
+            // SCAN-SCALED probe (x47): collect the delta's distinct grams
+            // (O(delta tokens) driver — a day's volume), load only the
+            // index files whose __g Bloom sidecars might contain one,
+            // stream those against a BROADCAST of the delta grams for the
+            // (small) truly-shared set, and semi-join the delta's grams
+            // against THAT broadcast. No index-side exchange; files read
+            // tracks true shared windows, not corpus size.
+            val gramsPinned = org.apache.spark.sql.GraftCheckpointShim
+              .dropCarriedStats(grams.localCheckpoint())
+            val deltaGrams = gramsPinned.select("__g").distinct()
+            val keys = deltaGrams.collect().map(_.getString(0)).toSeq
+            val (scan, skip) = TxnLake.readKeyed(s, windex, "__g", keys)
+            lastWindexSkipping = skip
+            val hot = scan.select("__g")
+              .join(broadcast(deltaGrams), Seq("__g"), "left_semi")
+            lastDecontamProbeShuffleFree =
+              graft.plans.PlanChecks.shuffleFree(hot)
+            gramsPinned.join(broadcast(hot), Seq("__g"), "left_semi")
+          } else {
+            val hot = tbl
+              .select(tokens(col("text")).as("__t"))
+              .select(explode(orderedGrams(col("__t"), window)).as("__g"))
+            grams.join(hot, Seq("__g"), "left_semi")
+          }
+        val spans = hits
           .select(col("doc_id"), (col("__p0") + 1).as("pos"),
             (col("__p0") + 1 + window).as("__end"))
         val cleaned = graft.operators.SuffixArray
@@ -408,7 +482,8 @@ object CurationStream {
       indexedIngestSink(table, appId,
         windowIndexPath(table), windowIndexTxn(appId),
         curateBatchDecontam(_, _, _, appId),
-        (s, b) => batchWindows(s, table, b, DecontamWindow)))()
+        (s, b) => batchWindows(s, table, b, DecontamWindow),
+        indexBloomCol = "__g"))()
   }
 
   /** ONE definition of the indexed-ingest sink (x33/x34/x40 — they
@@ -438,25 +513,42 @@ object CurationStream {
                                 indexPath: String, indexTxnId: String,
                                 curate: (DataFrame, String, Long) => DataFrame,
                                 increment: (SparkSession, Long) => DataFrame,
+                                indexBloomCol: String,
                                 maintain: SparkSession => Unit = _ => ())
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val s = batch.sparkSession
     if (!TxnLake.lastTxn(s, table, appId).exists(_ >= batchId)) {
       val committed = Expectations.commitOnceWithExpectations(
         s, curate(batch, table, batchId),
-        table, "append", appId, batchId, IngestExpectations)
+        table, "append", appId, batchId, IngestExpectations,
+        bloomCols = CorpusBloomCols)
       if (committed.isDefined) maintain(s)
     }
     val c = TxnLake.lastTxn(s, table, appId).getOrElse(-1L)
     val w = TxnLake.lastTxn(s, indexPath, indexTxnId).getOrElse(-1L)
+    // Attach the probe's verified-coverage tuple to the FIRST increment
+    // commit that actually persists (not blindly i == 0: a replayed
+    // increment returns None WITHOUT persisting extraTxns). If the whole
+    // reconcile range is empty or every increment was a replay, re-insert
+    // the tuple so the NEXT batch's sink can persist it — silently losing
+    // it is never unsound (markers only bound the indexCovered scan) but
+    // re-widens that scan to the older marker forever. putIfAbsent: never
+    // clobber a fresher tuple a subsequent probe may have recorded.
     val marks = verifiedCoverage.remove((indexPath, indexTxnId))
+    val extra = marks
       .map { case (tv, iv) =>
         Map(covTxn(indexTxnId) -> tv, icovTxn(indexTxnId) -> iv) }
       .getOrElse(Map.empty)
-    ((w + 1) to c).zipWithIndex.foreach { case (b, i) =>
-      TxnLake.commitOnce(s, increment(s, b), indexPath, "append",
-        indexTxnId, b, extraTxns = if (i == 0) marks else Map.empty)
+    var marksPersisted = marks.isEmpty
+    ((w + 1) to c).foreach { b =>
+      val committed = TxnLake.commitOnce(s, increment(s, b), indexPath,
+        "append", indexTxnId, b,
+        extraTxns = if (marksPersisted) Map.empty else extra,
+        bloomCols = Seq(indexBloomCol))
+      if (committed.isDefined) marksPersisted = true
     }
+    if (!marksPersisted)
+      marks.foreach(verifiedCoverage.putIfAbsent((indexPath, indexTxnId), _))
     ()
   }
 
@@ -501,7 +593,8 @@ object CurationStream {
       indexedIngestSink(table, appId,
         bandIndexPath(table), bandIndexTxn(appId),
         curateBatchNearDup(_, _, _, appId),
-        (s, b) => batchBands(s, table, b)))()
+        (s, b) => batchBands(s, table, b),
+        indexBloomCol = "bh"))()
   }
 
   /** The x33 indexed near-dup ingest composed WITH continuous in-log
@@ -533,6 +626,7 @@ object CurationStream {
         bandIndexPath(table), bandIndexTxn(appId),
         curateBatchNearDup(_, _, _, appId),
         (s, b) => batchBands(s, table, b),
+        indexBloomCol = "bh",
         maintain = s => {
           TxnLake.optimize(s, table, zorderBy = Seq("doc_id"),
             numFiles = numFiles)
@@ -568,7 +662,8 @@ object CurationStream {
       if (!TxnLake.lastTxn(s, table, appId).exists(_ >= batchId)) {
         val committed = Expectations.commitOnceWithExpectations(
           s, curateBatch(batch, table, batchId),
-          table, "append", appId, batchId, IngestExpectations)
+          table, "append", appId, batchId, IngestExpectations,
+          bloomCols = CorpusBloomCols)
         if (committed.isDefined) {
           TxnLake.optimize(s, table, zorderBy = Seq("doc_id"),
             numFiles = numFiles)
@@ -585,13 +680,12 @@ object CurationStream {
     * [[graft.sources.TxnLake.compactSmallFiles]] — pack only the
     * sub-threshold small-file debt, carry every already-packed file over
     * with its physical path VERBATIM — instead of x37's deliberate
-    * whole-snapshot re-cluster. Per batch the threshold is the current
-    * largest file's size (strict `<` keeps that file out of the pack
-    * set), so the first batch's compaction packs its own small appends
-    * into one file and every later compaction packs ONLY the new batch's
-    * debt around it: maintenance cost is O(day's small files) at any
-    * table size, the cadence command a 100 TB deployment actually
-    * schedules. Appends land `repartition(2)` so every batch provably
+    * whole-snapshot re-cluster. The first batch's compaction packs its
+    * own small appends into one file and every later compaction packs
+    * ONLY the new batch's debt around it: maintenance cost is O(day's
+    * small files) at any table size, the cadence command a 100 TB
+    * deployment actually schedules. Appends land `repartition(2)` so
+    * every batch provably
     * accrues debt (AQE would otherwise coalesce a small batch into one
     * file and the no-op guard would skip the maintenance this runner
     * exists to exercise). Exactly-once is x37's doctrine unchanged —
@@ -610,7 +704,8 @@ object CurationStream {
         val before = TxnLake.snapshotFiles(s, table).map(_.path).toSet
         val committed = Expectations.commitOnceWithExpectations(
           s, curateBatch(batch, table, batchId).repartition(2),
-          table, "append", appId, batchId, IngestExpectations)
+          table, "append", appId, batchId, IngestExpectations,
+          bloomCols = CorpusBloomCols)
         if (committed.isDefined) {
           val landed = TxnLake.snapshotFiles(s, table).map(_.path).toSet -- before
           TxnLake.compactSmallFiles(s, table, minFileBytes = Long.MaxValue,
@@ -642,6 +737,7 @@ object CurationStream {
         windowIndexPath(table), windowIndexTxn(appId),
         curateBatchDecontam(_, _, _, appId),
         (s, b) => batchWindows(s, table, b, DecontamWindow),
+        indexBloomCol = "__g",
         maintain = s => {
           TxnLake.optimize(s, table, zorderBy = Seq("doc_id"),
             numFiles = numFiles)
@@ -666,7 +762,8 @@ object CurationStream {
             .exists(_ >= batchId)) {
         Expectations.commitOnceWithExpectations(
           batch.sparkSession, curate(batch, table, batchId),
-          table, "append", appId, batchId, IngestExpectations)
+          table, "append", appId, batchId, IngestExpectations,
+          bloomCols = CorpusBloomCols)
       }
       ()
     }

@@ -22,10 +22,12 @@ import graft.sources.Expectations.Expectation
   * cell (the published SemDeDup cost model); the corpus side prunes
   * BOTH ways — to (vec_id, label, embedding) column-wise, and to the
   * BATCH'S CELLS file-wise: commits land label-range-clustered, so the
-  * probe's [[graft.sources.TxnLake.readWhere]] scan skips every file
+  * probe's [[graft.sources.TxnLake.readKeyed]] scan skips every file
   * whose label stats miss the arrivals' distinct labels (collected to
   * the driver — bounded by the quantizer's cell count, k centroids in
-  * production, never by row volume). At a 100 TB vector store with a
+  * production, never by row volume; the per-key stats test runs on the
+  * driver, so no In-literal list ever enters the plan, and the row-level
+  * cell restriction is a broadcast semi-join). At a 100 TB vector store with a
   * fixed-size daily delta, the probe therefore reads only the touched
   * cells' files, never the full table. No index sibling is needed
   * because the CELL KEY already lives in the table (where x33/x34 must
@@ -84,14 +86,20 @@ object VectorStream {
       .withColumn(nAs, l2Norm(col(vAs)))
     // prune the corpus scan to the batch's cells: the distinct labels are
     // bounded by the quantizer's cell count (k centroids in production),
-    // so the driver-side collect is O(k), and the In-predicate drives
-    // file-level stats skipping on the label-clustered table
-    val labels = batch.select("label").distinct()
-      .filter(col("label").isNotNull).collect().map(_.getInt(0)).sorted
-    val cellPred = col("label").isin(labels.toSeq.map(x => x: Any): _*)
-    val (committedCells, skipping) =
-      TxnLake.readWherePruned(s, table, cellPred)
+    // so the driver-side collect is O(k). File pruning goes through
+    // readKeyed — per-file stats tested key-by-key ON THE DRIVER, so no
+    // In-literal ever enters the plan (a production quantizer at k=2^16
+    // would otherwise mint a 65k-literal predicate) — and row-level
+    // exactness comes from a broadcast semi-join against the same
+    // distinct-label relation
+    val batchLabels = batch.select("label").distinct()
+      .filter(col("label").isNotNull)
+    val labelKeys = batchLabels.collect().map(_.getInt(0).toString).toSeq
+    val (prunedCells, skipping) =
+      TxnLake.readKeyed(s, table, "label", labelKeys)
     lastProbeSkipping = skipping
+    val committedCells = prunedCells
+      .join(broadcast(batchLabels), Seq("label"), "left_semi")
     val keptCells = committedCells.groupBy("label")
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxCell)
       .select("label")

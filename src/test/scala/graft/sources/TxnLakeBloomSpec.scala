@@ -1,0 +1,132 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Per-file Bloom sidecar integration: declared bloom columns are a table
+  * property, commits publish sidecars beside their data files, readKeyed
+  * prunes hash-uniform key scans that min/max stats cannot, maintenance
+  * rewrites inherit the declaration, and vacuum reclaims sidecars with
+  * their files. */
+class TxnLakeBloomSpec extends SparkSpec {
+
+  private def freshTable(): String =
+    Files.createTempDirectory("txnlake_bloom").resolve("t").toString
+
+  /** Four single-file appends of md5-keyed rows: every file spans nearly
+    * the full hex range, so min/max pruning keeps everything and only the
+    * sidecar can skip. */
+  private def hashKeyedTable(t: String): Unit = {
+    import spark.implicits._
+    (0 until 4).foreach { i =>
+      val part = (0 until 50).map(j => (i * 50 + j).toLong)
+        .toDF("id").select(col("id"), md5(col("id").cast("string")).as("k"))
+        .coalesce(1)
+      TxnLake.commit(spark, part, t, "append", bloomCols = Seq("k"))
+    }
+  }
+
+  private def md5Of(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("bloom sidecars prune key scans that min/max cannot") {
+    val t = freshTable()
+    hashKeyedTable(t)
+    assert(TxnLake.bloomColumns(spark, t) == Seq("k"))
+    // a key living in commit 2's file: only that file (plus fp tail) reads
+    val key = md5Of(120L) // id 120 -> third commit (100..149)
+    val (df, (kept, total)) = TxnLake.readKeyed(spark, t, "k", Seq(key))
+    assert(total == 4, s"expected 4 files, got $total")
+    assert(kept < total,
+      s"bloom must prune a single-key scan on hash-uniform keys: $kept/$total")
+    val ids = df.filter(col("k") === key).collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(120L), s"pruned scan lost the key's row: $ids")
+    // absent key: every sidecar answers definitely-absent
+    val (none, (kept0, _)) = TxnLake.readKeyed(spark, t, "k",
+      Seq(md5Of(999999L)))
+    assert(kept0 == 0 && none.isEmpty,
+      s"an absent key must prune every file, kept $kept0")
+    // empty key set reads nothing
+    assert(TxnLake.readKeyed(spark, t, "k", Seq.empty)._2._1 == 0)
+  }
+
+  test("min/max still participates: an out-of-range integer key prunes") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1L, 2L).toDF("id").coalesce(1), t, "append")
+    TxnLake.commit(spark, Seq(100L, 200L).toDF("id").coalesce(1), t, "append")
+    // no bloom declared — range stats alone scope the scan
+    val (_, (kept, total)) = TxnLake.readKeyed(spark, t, "id", Seq("150"))
+    assert(total == 2 && kept == 1, s"range prune failed: $kept/$total")
+    // the low-range key symmetrically keeps only the low file
+    val (_, (keptLo, totalLo)) = TxnLake.readKeyed(spark, t, "id", Seq("1"))
+    assert(keptLo == 1 && totalLo == 2)
+  }
+
+  test("maintenance rewrites inherit the bloom declaration (table property)") {
+    val t = freshTable()
+    hashKeyedTable(t)
+    TxnLake.optimize(spark, t, zorderBy = Seq("id"), numFiles = 2)
+    assert(TxnLake.bloomColumns(spark, t) == Seq("k"),
+      "optimize dropped the bloom declaration")
+    val files = TxnLake.snapshotFiles(spark, t)
+    assert(files.nonEmpty && files.forall(_.stats.get("k").exists(_.bloom)),
+      "rewritten files must carry fresh sidecar flags")
+    // the rewritten layout still prunes: one key hits at most one cluster
+    val (_, (kept, total)) = TxnLake.readKeyed(spark, t, "k", Seq(md5Of(3L)))
+    assert(total == 2 && kept <= 1, s"post-optimize prune failed: $kept/$total")
+    // and the kept file really contains the key
+    val (df, _) = TxnLake.readKeyed(spark, t, "k", Seq(md5Of(3L)))
+    assert(df.filter(col("k") === md5Of(3L)).count() == 1)
+  }
+
+  test("vacuum reclaims sidecars of dead files, keeps live files' sidecars") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0 until 90).map(_.toLong).toDF("id")
+      .select(col("id"), md5(col("id").cast("string")).as("k"))
+    TxnLake.commit(spark, df.repartition(3), t, "overwrite",
+      bloomCols = Seq("k"))
+    val files = TxnLake.snapshotFiles(spark, t).map(_.path)
+    assert(files.size == 3)
+    // pack two of the three files: their dir keeps one live file, so
+    // vacuum must take the FILE-granular branch and reclaim the dead
+    // pair's sidecars individually
+    TxnLake.compactSmallFiles(spark, t, minFileBytes = Long.MaxValue,
+      within = Some(files.take(2).toSet))
+    TxnLake.vacuum(spark, t, retainVersions = 1)
+    val dataRoot = java.nio.file.Paths.get(t, "data")
+    val walk = java.nio.file.Files.walk(dataRoot)
+    val sidecars =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.contains(".parquet.bloom.") && !n.startsWith(".")
+            && !n.endsWith(".crc")).toList
+      } finally walk.close()
+    val liveNames = TxnLake.snapshotFiles(spark, t)
+      .map(_.path.split("/").last).toSet
+    assert(sidecars.nonEmpty, "live files must keep their sidecars")
+    assert(sidecars.forall(s =>
+      liveNames.contains(s.substring(0, s.indexOf(".parquet.bloom.") + 8))),
+      s"vacuum left orphaned sidecars: $sidecars vs live $liveNames")
+    // the pruned read still works on the survivor layout
+    val (got, _) = TxnLake.readKeyed(spark, t, "k", Seq(md5Of(7L)))
+    assert(got.filter(col("k") === md5Of(7L)).count() == 1)
+  }
+
+  test("public commit refuses the reserved operation tags") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1L).toDF("id"), t, "append")
+    intercept[IllegalArgumentException] {
+      TxnLake.commit(spark, Seq(2L).toDF("id"), t, "optimize")
+    }
+    intercept[IllegalArgumentException] {
+      TxnLake.commitOnce(spark, Seq(2L).toDF("id"), t, "delete", "app", 0L)
+    }
+  }
+}
