@@ -32,8 +32,8 @@ import org.apache.spark.sql.functions._
   * memory — via a listener. Results print as one JSON line per factor;
   * SCALE.md records the adjudicated table.
   *
-  * Usage: runMain graft.ScaleStress <baseSfDir> <factors csv|skew|bigdoc|vecprune>
-  * [queries csv]
+  * Usage: runMain graft.ScaleStress <baseSfDir>
+  * <factors csv|skew|bigdoc|vecprune|ndprune> [queries csv]
   */
 object ScaleStress {
 
@@ -348,6 +348,113 @@ object ScaleStress {
       s""""peak_task_mb":${s2(mtr._4 / mb)}}""")
   }
 
+  /** x46 probe-pruning evidence (mode "ndprune") — the text-tier analog
+    * of [[measureVecPrune]], bending the curve the round-14 verdict
+    * flagged (x33's probe: 40.06 s at f10 → 117.21 s at f30 with a
+    * fixed-rate delta, because every batch read and shuffled the full
+    * band index): grow a bloom-sidecar'd corpus + `_bindex` through 8
+    * sequential ingest commits, then probe with a FIXED delta (five
+    * fresh docs + one manufactured near-dup) and report the probe's
+    * wall, the band-index and committed-fp file-skipping counters, and
+    * the candidate plan's shuffle-freedom. A fresh delta's band hashes
+    * and fingerprints exist in (almost) no corpus file, so files read
+    * tracks TRUE collisions — flat while the corpus grows — where
+    * min/max stats on hash-uniform columns could never prune. The probe
+    * is one [[graft.streaming.CurationStream.curateBatchNearDup]] call —
+    * the exact code path the x33/x40/x46 sink runs. */
+  private def measureNdPrune(spark: SparkSession, listener: MetricsListener,
+                             dir: String, tag: String): Unit = {
+    import graft.sources.TxnLake
+    import graft.streaming.CurationStream
+    import graft.functions.TextFunctions.{fingerprint, tokens}
+    val table = s"$dir/ndprune_t"
+    Seq(table, table + "_bindex", table + "_quarantine").foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    val appId = "scale_ndprune"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), regexp_replace(
+        graft.expressions.TextExpressions.nfcNormalize(col("text")),
+        graft.functions.TextFunctions.CtrlClassSpark, "").as("text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("n_tokens", size(tokens(col("text"))))
+    val mx = corpus.agg(max("doc_id")).head().getLong(0)
+    (0 until 8).foreach { i =>
+      val chunk = corpus.filter(expr(s"doc_id * 8 div ${mx + 1}") === i)
+        .withColumn("ingest_batch", lit(i).cast("int"))
+      TxnLake.commitOnce(spark,
+        chunk.select("doc_id", "fp", "n_tokens", "text", "ingest_batch")
+          .coalesce(4),
+        table, "append", appId, i,
+        bloomCols = CurationStream.CorpusBloomCols)
+      TxnLake.commitOnce(spark,
+        graft.operators.MinHashDedup.bandIndex(chunk.select("doc_id", "text"))
+          .coalesce(4),
+        s"${table}_bindex", "append", CurationStream.bandIndexTxn(appId), i,
+        bloomCols = Seq("bh"))
+    }
+    // FIXED delta regardless of factor: five base-replica docs the corpus
+    // never committed, plus one near-dup of a committed doc (so the
+    // kept-file counters demonstrably include a true collision). The
+    // seed must itself pass the ingest quality gate, or the derived
+    // near-dup is filtered before it ever probes.
+    import graft.functions.TextFunctions.langId
+    val seed = corpus
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("ar",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
+          / length(col("text")))
+      .filter(col("n_tokens") >= 20 && col("ar") >= 0.5
+        && langId(col("toks")) =!= "und")
+      .orderBy("doc_id").select("text").limit(1).head().getString(0)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val nearDup = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(900001L, seed + " zzscaleprobe")), schema)
+    // lazy on purpose: dropAllStorage between measured runs would evict a
+    // checkpointed delta's blocks; the plan is a limit-5 + 1-row union
+    val delta = docs
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") < 100000L)
+      .orderBy("doc_id").limit(5).unionByName(nearDup)
+    var nearDupDropped = false
+    def once(): (Double, Long, (Long, Long, Long, Long)) = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val ids = CurationStream.curateBatchNearDup(delta, table, 8L, appId)
+        .select("doc_id").collect().map(_.getLong(0))
+      val sec = (System.nanoTime() - t0) / 1e9
+      nearDupDropped = !ids.contains(900001L)
+      SessionHygiene.dropAllStorage(spark)
+      org.apache.spark.GraftListenerShim
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      (sec, ids.length.toLong, (listener.shuffleRead.get,
+        listener.shuffleWrite.get, listener.spill.get, listener.peakMem.get))
+    }
+    once() // warm
+    val a = once(); val b = once()
+    val (sec, rows, mtr) = if (a._1 <= b._1) a else b
+    val (bKept, bTotal) = CurationStream.lastBandIndexSkipping
+    val (fKept, fTotal) = CurationStream.lastFpSkipping
+    val path = CurationStream.probePaths.getOrElse((table, 8L), "?")
+    val sf = graft.operators.MinHashDedup.lastProbeCandShuffleFree
+    def s2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val mb = 1024.0 * 1024.0
+    println(s"""SCALE {$tag,"mode":"ndprune","cpus":${spark.sparkContext
+      .defaultParallelism},"probe_sec":${s2(sec)},"rows":$rows,""" +
+      s""""path":"$path","cand_shuffle_free":$sf,""" +
+      s""""neardup_dropped":$nearDupDropped,""" +
+      s""""bindex_kept":$bKept,"bindex_total":$bTotal,""" +
+      s""""fp_kept":$fKept,"fp_total":$fTotal,""" +
+      s""""shuf_read_mb":${s2(mtr._1 / mb)},"spill_mb":${s2(mtr._3 / mb)},""" +
+      s""""peak_task_mb":${s2(mtr._4 / mb)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spec = if (args.length > 1) args(1) else "1,3,10"
@@ -377,6 +484,14 @@ object ScaleStress {
           val dir = s"$tmp/graft_scale_f$fct"
           buildScaled(spark, baseDir, fct, dir)
           measureVecPrune(spark, listener, dir, s""""factor":$fct""")
+        }
+      } else if (spec == "ndprune") {
+        val factors = (if (args.length > 2) args(2) else "1,10")
+          .split(",").map(_.trim.toInt).toSeq
+        factors.foreach { fct =>
+          val dir = s"$tmp/graft_scale_f$fct"
+          buildScaled(spark, baseDir, fct, dir)
+          measureNdPrune(spark, listener, dir, s""""factor":$fct""")
         }
       } else {
         val factors = spec.split(",").map(_.trim.toInt).toSeq

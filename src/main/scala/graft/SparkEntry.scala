@@ -62,7 +62,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x45 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x49 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -99,9 +99,18 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    streaming ingest with provenance-scoped INCREMENTAL compaction
   *    in the loop (pack only the batch's own landed files — O(debt)),
   *    row-level DELETE WHERE (copy-on-write, stats-scoped, NULL keeps
-  *    the row), and table_changes at O(changes-per-commit) (per-commit
+  *    the row), table_changes at O(changes-per-commit) (per-commit
   *    log-delta walk; appends as inserts, deletes as
-  *    removed-minus-added, maintenance silent)
+  *    removed-minus-added, maintenance silent), SCAN-SCALED sibling-index
+  *    probes (per-file Bloom sidecars on the fp/band/window key columns;
+  *    the delta-vs-index candidate plan streams a bloom-pruned index scan
+  *    against a broadcast delta — zero index-side exchanges, gated
+  *    in-engine for both the band and window index), MERGE INTO
+  *    (copy-on-write upsert stats-scoped by the merge keys, untouched
+  *    files carry verbatim, O(touched) change-feed attribution,
+  *    idempotent re-merge emits no changes), and row-level UPDATE WHERE
+  *    (the scalar DML sibling, SQL NULL-predicate semantics, update
+  *    pre/post-image feed pairs)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

@@ -2540,6 +2540,311 @@ object OperatorQueries {
       .orderBy("commit_version", "event_id")
   }
 
+  /** The x40 indexed near-dup ingest with the probe SCAN-SCALED (x46) —
+    * the round-14 verdict's last O(corpus)-per-batch term closed: the
+    * corpus and its `_bindex` sibling both commit with per-file Bloom
+    * sidecars, and a post-ingest delta probe must (all gated in-engine)
+    * (a) run the delta-vs-index PATH (probePaths seam), (b) build its
+    * candidates with ZERO shuffle exchanges — the pruned index scan
+    * streams against a BROADCAST of the delta's bands, so the O(corpus)
+    * index is never re-shuffled per batch, (c) READ only the index files
+    * whose sidecars admit the delta's band hashes (kept < total — the
+    * hash-uniform column min/max can never prune), and (d) prune the
+    * committed-fp scan the same way (a fresh-fp delta reads zero corpus
+    * files). The probe's DECISIONS are asserted too: the near-dup arrival
+    * drops, the fresh arrival survives. The oracle is x33's verbatim —
+    * the probe is never committed, so the table must be byte-identical
+    * to the unprobed ingest. */
+  val streamNearDupProbePruned = OracleQuery(
+    "x46_stream_neardup_probe_pruned",
+    curatedNearDupIngestOracleSql) { (s, d) =>
+    import graft.sources.TxnLake
+    import graft.streaming.CurationStream
+    val w1 = docLanding(s, d, "curwave1", _.filter(col("doc_id") % 3 =!= 0))
+    val w2 = docLanding(s, d, "curwave2", _.filter(col("doc_id") % 3 === 0))
+    val base = Scratch.dir("cur_probe_nd")
+    val table = s"$base/t"
+    CurationStream.runCuratedTwoWaveIngestNearDupMaintained(
+      w1, w2, table, s"$base/ckpt", "x46_ingest", s, numFiles = 2)
+    // ---- the scan-scaled probe: a third-day delta against the corpus ----
+    val committed = TxnLake.read(s, table)
+      .filter(col("ingest_batch") === 0).orderBy("doc_id")
+      .select("doc_id", "text").limit(2).collect()
+    require(committed.length == 2, "fixture needs two wave-1 docs")
+    val nearDupText = committed(0).getString(1) + " zzprobeextra"
+    val freshText = committed(1).getString(1).split("\\s+").reverse
+      .mkString(" ")
+    val probe = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(900001L, nearDupText),
+      org.apache.spark.sql.Row(900002L, freshText)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val out = CurationStream.curateBatchNearDup(probe, table, 2L, "x46_ingest")
+    val keptIds = out.select("doc_id").collect().map(_.getLong(0)).toSeq
+    require(keptIds == Seq(900002L),
+      s"probe must drop the near-dup and keep the fresh doc, kept $keptIds")
+    require(CurationStream.probePaths.get((table, 2L)).contains("indexed"),
+      s"probe must ride the delta-vs-index path, got " +
+        s"${CurationStream.probePaths.get((table, 2L))}")
+    require(graft.operators.MinHashDedup.lastProbeCandShuffleFree,
+      "candidate plan must stream the index against a broadcast delta — " +
+        "an index-side exchange re-shuffles O(corpus) per batch")
+    val (bKept, bTotal) = CurationStream.lastBandIndexSkipping
+    require(bTotal >= 2 && bKept >= 1 && bKept < bTotal,
+      s"band-index sidecars must skip untouched files: $bKept/$bTotal")
+    val (fKept, fTotal) = CurationStream.lastFpSkipping
+    require(fTotal >= 1 && fKept < fTotal,
+      s"fresh-fp delta must skip corpus fp files: $fKept/$fTotal")
+    TxnLake.read(s, table)
+      .select("doc_id", "fp", "n_tokens", "ingest_batch")
+      .orderBy("doc_id")
+  }
+
+  /** The x42 decontamination ingest with the window-index probe
+    * SCAN-SCALED (x47) — x46's proof for the other sibling-index type:
+    * the delta's 13-gram windows collect driver-side, only the `_windex`
+    * files whose `__g` sidecars admit one are read, the shared-window set
+    * comes from streaming that pruned scan against a BROADCAST of the
+    * delta's grams (shuffle-free, gated), and the excision itself is
+    * asserted EXACTLY: a probe document that is committed-doc-A verbatim
+    * followed by committed-doc-B reversed must lose precisely the A span
+    * (every A position lies in a fully-A window already in the corpus;
+    * reversed-B windows exist nowhere). Oracle = x34's verbatim (the
+    * probe is never committed). */
+  val streamDecontamProbePruned = OracleQuery(
+    "x47_stream_decontam_probe_pruned",
+    curatedDecontamIngestOracleSql) { (s, d) =>
+    import graft.sources.TxnLake
+    import graft.streaming.CurationStream
+    val w1 = docLanding(s, d, "curwave1", _.filter(col("doc_id") % 3 =!= 0))
+    val w2 = docLanding(s, d, "curwave2", _.filter(col("doc_id") % 3 === 0))
+    val base = Scratch.dir("cur_probe_dc")
+    val table = s"$base/t"
+    CurationStream.runCuratedTwoWaveIngestDecontamMaintained(
+      w1, w2, table, s"$base/ckpt", "x47_ingest", s, numFiles = 2)
+    val committed = TxnLake.read(s, table)
+      .filter(col("ingest_batch") === 0 && col("n_removed") === 0
+        && col("n_tokens") >= 20)
+      .orderBy("doc_id").select("doc_id", "text").limit(2).collect()
+    require(committed.length == 2, "fixture needs two clean wave-1 docs")
+    val aToks = committed(0).getString(1).split("\\s+").toSeq
+    val bToks = committed(1).getString(1).split("\\s+").reverse.toSeq
+    val probeText = (aToks ++ bToks).mkString(" ")
+    val probe = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(900001L, probeText)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val out = CurationStream.curateBatchDecontam(probe, table, 2L,
+      "x47_ingest").collect()
+    require(out.length == 1, s"probe doc must survive, got ${out.length}")
+    val row = out.head
+    val nRemoved = row.getAs[Int]("n_removed")
+    val cleaned = row.getAs[String]("text")
+    require(nRemoved == aToks.size && cleaned == bToks.mkString(" "),
+      s"mask must excise exactly the committed A span: removed $nRemoved " +
+        s"of expected ${aToks.size}")
+    require(CurationStream.probePaths.get((table, 2L)).contains("indexed"),
+      s"probe must ride the window-index path, got " +
+        s"${CurationStream.probePaths.get((table, 2L))}")
+    require(CurationStream.lastDecontamProbeShuffleFree,
+      "shared-window set must stream the index against a broadcast delta")
+    val (wKept, wTotal) = CurationStream.lastWindexSkipping
+    require(wTotal >= 2 && wKept >= 1 && wKept < wTotal,
+      s"window-index sidecars must skip untouched files: $wKept/$wTotal")
+    TxnLake.read(s, table)
+      .select("doc_id", "fp", "n_tokens", "n_removed", "text", "ingest_batch")
+      .orderBy("doc_id")
+  }
+
+  /** MERGE INTO as a registered lake operation (x48) — the production
+    * upsert path completing the DML surface (DELETE x44, UPDATE x49):
+    * copy-on-write, stats-scoped by the merge KEYS, so only the files
+    * that might hold a delta key rewrite and everything else carries
+    * verbatim — O(touched + delta), never O(table). Fixture: the x41
+    * 8-file id-bucket layout; the delta UPDATES every row of the top two
+    * buckets (vc + 1000000) and INSERTS 8 fresh ids above the max.
+    * In-engine gates: exactly the two top-bucket files rewrote (scope
+    * boundary by id stats), the pre-merge snapshot still time-travels in
+    * full, the "merge" commit classifies in the change feed as exactly 8
+    * inserts + per-row update pairs (O(touched) attribution), and a
+    * second identical merge converges (updates to the same values emit
+    * NO change rows). The oracle recomputes the merged table and both
+    * file counters relationally. */
+  val txnMergeInto = OracleQuery(
+    "x48_txn_merge_into",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |b AS (SELECT event_id, vc,
+      |        CAST((event_id * 8) // (m + 1) AS INT) AS bkt FROM ev, mx),
+      |upd AS (SELECT event_id,
+      |          CASE WHEN bkt >= 6 THEN vc + 1000000 ELSE vc END AS vc,
+      |          bkt FROM b),
+      |ins AS (SELECT m + i AS event_id, (m + i) * 7 AS vc
+      |        FROM mx, generate_series(1, 8) g(i)),
+      |merged AS (SELECT event_id, vc FROM upd
+      |           UNION ALL SELECT event_id, vc FROM ins),
+      |res AS (SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |          min(event_id) AS min_id, max(event_id) AS max_id FROM merged),
+      |cnt AS (SELECT
+      |    CAST(count(DISTINCT CASE WHEN bkt >= 6 THEN bkt END) AS INT)
+      |      AS files_touched,
+      |    CAST(count(DISTINCT CASE WHEN bkt <= 5 THEN bkt END) AS INT)
+      |      AS files_untouched
+      |  FROM b)
+      |SELECT n_rows, sum_cents, min_id, max_id, files_touched,
+      |  files_untouched
+      |FROM res, cnt""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val table = Scratch.dir("txn_merge_into") + "/t"
+    val bkt = expr(s"event_id * 8 div ${m + 1}")
+    (0 until 8).foreach { i =>
+      val part = ev.filter(bkt === i).coalesce(1)
+      if (!part.isEmpty) TxnLake.commit(s, part, table, "append")
+    }
+    val preV = TxnLake.latestVersion(s, table).get
+    val preCount = TxnLake.readVersion(s, table, preV).count()
+    val preFiles = TxnLake.snapshotFiles(s, table, Some(preV))
+    val updates = ev.filter(bkt >= 6)
+      .select(col("event_id"), (col("vc") + 1000000L).as("vc"))
+    val nUpdates = updates.count()
+    val inserts = s.range(1, 9)
+      .select((col("id") + m).as("event_id"), ((col("id") + m) * 7).as("vc"))
+    val delta = updates.unionByName(inserts)
+    val v = TxnLake.mergeInto(s, delta, table, "event_id")
+    require(TxnLake.commitInfo(s, table, v).operation == "merge")
+    val postFiles = TxnLake.snapshotFiles(s, table, Some(v)).map(_.path).toSet
+    val carried = preFiles.map(_.path).toSet intersect postFiles
+    val rewritten = preFiles.map(_.path).toSet -- postFiles
+    // scope boundary: the delta's smallest key bounds the touched files
+    val keyLo = updates.agg(min("event_id")).head().getLong(0)
+    def touchedByStats(path: String): Boolean = preFiles.find(_.path == path)
+      .flatMap(_.stats.get("event_id")).flatMap(_.max)
+      .forall(_.toLong >= keyLo)
+    require(rewritten.nonEmpty && rewritten.forall(touchedByStats) &&
+      carried.forall(p => !touchedByStats(p)),
+      s"merge crossed the key-scope boundary: rewrote $rewritten, " +
+        s"carried $carried")
+    require(TxnLake.readVersion(s, table, preV).count() == preCount,
+      "MERGE must not disturb the pre-merge snapshot")
+    // O(touched) change attribution: 8 inserts, one pre/post pair per
+    // updated row, nothing for carried files
+    val byType = TxnLake.tableChanges(s, table, preV, v, "event_id")
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(byType == Map("insert" -> 8L, "update_preimage" -> nUpdates,
+      "update_postimage" -> nUpdates),
+      s"merge hop must classify inserts and update pairs, got $byType")
+    // convergence: re-merging identical values changes nothing observable
+    val v2 = TxnLake.mergeInto(s, delta, table, "event_id")
+    require(TxnLake.tableChanges(s, table, v, v2, "event_id").isEmpty,
+      "an idempotent re-merge must emit no change rows")
+    TxnLake.read(s, table)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .withColumn("files_touched", lit(rewritten.size))
+      .withColumn("files_untouched", lit(carried.size))
+  }
+
+  /** Row-level UPDATE WHERE as a registered lake operation (x49) —
+    * Delta's scalar UPDATE in copy-on-write form, the DML sibling of
+    * DELETE (x44) and MERGE (x48): files whose stats admit the predicate
+    * rewrite with the SET expressions applied to predicate-TRUE rows
+    * only; everything else carries verbatim. Fixture: the x44 layout and
+    * scope (upper id half, central value band — touches exactly the 4
+    * upper files). In-engine gates: scope boundary exact, pre-update
+    * snapshot time-travels, the "update" hop classifies as exactly one
+    * pre/post pair per banded row, and a provably-empty update is a
+    * no-op with no version churn. The oracle recomputes the updated
+    * rows and both file counters from the deterministic bucketing. */
+  val txnUpdateWhere = OracleQuery(
+    "x49_txn_update_where",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |b AS (SELECT event_id, vc,
+      |        CAST((event_id * 8) // (m + 1) AS INT) AS bkt FROM ev, mx),
+      |vr AS (SELECT min(vc) AS vmn, max(vc) AS vmx FROM ev),
+      |bounds AS (SELECT vmn + (vmx - vmn) // 4 AS lo,
+      |                  vmn + (vmx - vmn) // 2 AS hi FROM vr),
+      |u AS (SELECT event_id,
+      |        CASE WHEN event_id > m // 2 AND vc >= lo AND vc <= hi
+      |             THEN vc + 100000 ELSE vc END AS vc
+      |      FROM b, mx, bounds),
+      |res AS (SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |          min(event_id) AS min_id, max(event_id) AS max_id FROM u),
+      |cnt AS (SELECT
+      |    CAST(count(DISTINCT CASE WHEN bkt >= 4 THEN bkt END) AS INT)
+      |      AS files_touched,
+      |    CAST(count(DISTINCT CASE WHEN bkt <= 3 THEN bkt END) AS INT)
+      |      AS files_untouched
+      |  FROM b)
+      |SELECT n_rows, sum_cents, min_id, max_id, files_touched,
+      |  files_untouched
+      |FROM res, cnt""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val table = Scratch.dir("txn_update") + "/t"
+    val bkt = expr(s"event_id * 8 div ${m + 1}")
+    (0 until 8).foreach { i =>
+      val part = ev.filter(bkt === i).coalesce(1)
+      if (!part.isEmpty) TxnLake.commit(s, part, table, "append")
+    }
+    val preV = TxnLake.latestVersion(s, table).get
+    val preCount = TxnLake.readVersion(s, table, preV).count()
+    val idHi = m / 2
+    val vr = ev.agg(min(col("vc")), max(col("vc"))).head()
+    val (vmn, vmx) = (vr.getLong(0), vr.getLong(1))
+    val lo = vmn + (vmx - vmn) / 4
+    val hi = vmn + (vmx - vmn) / 2
+    val updPred = col("event_id") > idHi && col("vc") >= lo && col("vc") <= hi
+    val banded = ev.filter(col("event_id") > idHi
+      && col("vc") >= lo && col("vc") <= hi).count()
+    val preFiles = TxnLake.snapshotFiles(s, table, Some(preV))
+    val v = TxnLake.updateWhere(s, table, updPred,
+      Map("vc" -> (col("vc") + 100000L)))
+      .getOrElse(sys.error("updateWhere found no touched files"))
+    require(TxnLake.commitInfo(s, table, v).operation == "update")
+    val postFiles = TxnLake.snapshotFiles(s, table, Some(v)).map(_.path).toSet
+    val carried = preFiles.map(_.path).toSet intersect postFiles
+    val rewritten = preFiles.map(_.path).toSet -- postFiles
+    def touchedByStats(path: String): Boolean = preFiles.find(_.path == path)
+      .flatMap(_.stats.get("event_id")).flatMap(_.max)
+      .forall(_.toLong > idHi)
+    require(rewritten.nonEmpty && rewritten.forall(touchedByStats) &&
+      carried.forall(p => !touchedByStats(p)),
+      s"update crossed the scope boundary: rewrote $rewritten, " +
+        s"carried $carried")
+    require(TxnLake.readVersion(s, table, preV).count() == preCount,
+      "UPDATE must not disturb the pre-update snapshot")
+    val byType = TxnLake.tableChanges(s, table, preV, v, "event_id")
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(byType == Map("update_preimage" -> banded,
+      "update_postimage" -> banded),
+      s"update hop must emit exactly the banded rows' pairs, got $byType")
+    require(TxnLake.updateWhere(s, table, col("event_id") > m + 100L,
+      Map("vc" -> lit(0L))).isEmpty &&
+      TxnLake.latestVersion(s, table).contains(v),
+      "an empty update must be a no-op")
+    TxnLake.read(s, table)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .withColumn("files_touched", lit(rewritten.size))
+      .withColumn("files_untouched", lit(carried.size))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -2553,5 +2858,6 @@ object OperatorQueries {
       streamIngestCompaction, txnIncrementalCompaction, streamVectorIngest,
       streamIndexedIngestMaintained, txnOptimizeWhere,
       streamDecontamIngestMaintained, streamIngestIncrementalCompaction,
-      txnDeleteWhere, txnTableChanges)
+      txnDeleteWhere, txnTableChanges, streamNearDupProbePruned,
+      streamDecontamProbePruned, txnMergeInto, txnUpdateWhere)
 }

@@ -17,8 +17,12 @@ import scala.jdk.CollectionConverters._
   * reference gets from Delta Lake on GCS (ref
   * process_bronze_to_silver.py:146,151-155): versioned snapshots, atomic
   * commits, snapshot-isolated readers, time travel, optimistic concurrency,
-  * MERGE, OPTIMIZE, per-file column statistics with data-skipping scans,
-  * and vacuum — built on nothing but parquet, JSON log entries, and the
+  * row-level DML (MERGE INTO / UPDATE WHERE / DELETE WHERE, all
+  * copy-on-write and stats-scoped), OPTIMIZE (whole, predicate-scoped,
+  * and bin-packing), per-file column statistics with data-skipping scans,
+  * per-file Bloom sidecars with key-set skipping ([[readKeyed]]), a
+  * change feed at O(changes-per-commit) ([[tableChanges]]), and vacuum —
+  * built on nothing but parquet, JSON log entries, and the
   * atomic-rename primitive `Storage.Compaction` already relies on.
   *
   * Layout:
@@ -1200,6 +1204,10 @@ object TxnLake extends LakeFormat {
     *  - "delete": the removed files hold kept+deleted rows and the
     *    added files hold kept — one multiset EXCEPT over the touched
     *    files yields exactly the deleted rows, O(touched);
+    *  - "merge"/"update" (copy-on-write DML): removed files are the
+    *    pre-image and added files the post-image of exactly the touched
+    *    scope — one keyed diff over them yields the commit's inserts,
+    *    deletes, and update pre/post pairs at O(touched);
     *  - "overwrite"/"restore" (snapshot replacement — the one shape
     *    whose delta is not row-attributable from the log): fall back to
     *    the [[changeFeed]] snapshot diff for that single hop, with full
@@ -1343,8 +1351,9 @@ object TxnLake extends LakeFormat {
     * conflicts.
     *
     * Scale: one full-outer shuffle on the merge key over (snapshot ∪
-    * delta) — Delta's whole-file-rewrite MERGE costs the same; a
-    * production refinement keys the rewrite to touched files only. */
+    * delta). [[mergeInto]] IS the production refinement — it keys the
+    * rewrite to the touched files only; this whole-snapshot form remains
+    * for deltas wide enough that every file is touched anyway. */
   def merge(spark: SparkSession, delta: DataFrame, table: String,
             key: String, maxAttempts: Int = 10): Long =
     mergeImpl(spark, delta, table, key, maxAttempts, () => ())

@@ -389,7 +389,13 @@ object CurationStream {
             // tracks true shared windows, not corpus size.
             val gramsPinned = org.apache.spark.sql.GraftCheckpointShim
               .dropCarriedStats(grams.localCheckpoint())
-            val deltaGrams = gramsPinned.select("__g").distinct()
+            // the distinct gram set pins too: it feeds the driver-side key
+            // collect AND the broadcast build, and an unpinned distinct
+            // would put ITS shuffle inside the probe plan (the gate below
+            // rightly refuses any exchange there)
+            val deltaGrams = org.apache.spark.sql.GraftCheckpointShim
+              .dropCarriedStats(
+                gramsPinned.select("__g").distinct().localCheckpoint())
             val keys = deltaGrams.collect().map(_.getString(0)).toSeq
             val (scan, skip) = TxnLake.readKeyed(s, windex, "__g", keys)
             lastWindexSkipping = skip
