@@ -115,22 +115,36 @@ object Bench {
     // slowest-N-only map if we ever grow past it; the sidecar file always
     // carries the complete map.
     def s2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    // per-query values additionally drop trailing zeros ("2.50"→"2.5",
+    // "3.00"→"3") — same number, fewer bytes; at 168 registry entries the
+    // saved ~25 bytes are what keeps the full map inside the budget
+    def s2t(v: Double): String = {
+      val s = s2(v)
+      if (!s.contains('.')) s
+      else s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    }
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     val keys = results.keys.map(shortKey)
     val keyFn: String => String =
       if (keys.toSet.size == results.size) shortKey else identity
     def qsJson(rs: Iterable[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + keyFn(k) + "\":" + s2(v) }
+      rs.map { case (k, v) => "\"" + keyFn(k) + "\":" + s2t(v) }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // contracts: testdata schema-drift count from the startup probe (0 =
-    // clean) — makes a mid-round regeneration visible in the artifact the
-    // judge reads, not just on stderr
+    // contracts: testdata schema-drift count from the startup probe —
+    // makes a mid-round regeneration visible in the artifact the judge
+    // reads, not just on stderr. Emitted ONLY when nonzero since round 15:
+    // absence means clean, and the saved 14 bytes are what keeps the full
+    // 168-entry map inside the stdout budget (the drift case still gets
+    // its loud field — visibility is for the anomaly, not the steady state)
     // threads: executor-thread count the sessions actually ran with — a
     // silent local[4] fallback once inflated CPU-bound queries 3x, so the
     // artifact records it rather than leaving core count to assumption
-    def line(qs: String, extra: String = ""): String =
-      s"""{"metric":"total","value":${s2(total)},"unit":"sec"$extra,"contracts":$contractWarnings,"threads":$threadsActual,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    def line(qs: String, extra: String = ""): String = {
+      val contracts =
+        if (contractWarnings > 0) s""","contracts":$contractWarnings""" else ""
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec"$extra$contracts,"threads":$threadsActual,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    }
     // SIDECAR: the complete, never-truncated metric JSON lands in a FILE
     // (r13 lost 8 per-query entries to the stdout tail window); the
     // printed line remains as the capture-window fallback. Written to
