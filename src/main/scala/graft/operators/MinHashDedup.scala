@@ -175,7 +175,19 @@ object MinHashDedup {
                                 corpus: DataFrame, threshold: Double = 0.7,
                                 materialize: Boolean = true): DataFrame = {
     val shD = shingleTable(delta).cache()
-    val candLazy = bandTable(shD).as("x")
+    indexedProbeFrom(shD, bandTable(shD), index, corpus, threshold,
+      materialize)
+  }
+
+  /** The shuffle-join delta-vs-index probe over PRECOMPUTED delta
+    * shingles/bands — shared by [[incrementalMatchesIndexed]] and the
+    * oversized-delta fallback of [[incrementalMatchesIndexedPruned]]
+    * (which must not re-minhash the delta it already banded). */
+  private def indexedProbeFrom(shD: DataFrame, bandsD: DataFrame,
+                               index: DataFrame, corpus: DataFrame,
+                               threshold: Double,
+                               materialize: Boolean): DataFrame = {
+    val candLazy = bandsD.as("x")
       .join(index.as("y"),
         col("x.b") === col("y.b") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -219,16 +231,31 @@ object MinHashDedup {
     * per-batch probe from O(index files read + index shuffle) into
     * O(files that truly share a band hash) — the x39 `vecprune` shape for
     * the text tier. Delta-side driver collects are bounded by the DELTA
-    * (4 band keys per doc; candidate ids by true collisions). */
+    * (4 band keys per doc; candidate ids by true collisions) — the
+    * production daily-ingest contract. A delta whose distinct band keys
+    * exceed `maxDriverKeys` (a backfill replaying months at once, a
+    * bootstrap wave that IS the corpus) falls back to the shuffle-join
+    * probe against `indexFull`/`corpusFull` — the pre-x46 delta-scaled
+    * shape, identical semantics, no driver collect and no broadcast of a
+    * corpus-sized delta. */
   def incrementalMatchesIndexedPruned(delta: DataFrame,
                                       indexForBands: Seq[String] => DataFrame,
                                       corpusForIds: Seq[Long] => DataFrame,
-                                      threshold: Double = 0.7): DataFrame = {
+                                      indexFull: => DataFrame,
+                                      corpusFull: => DataFrame,
+                                      threshold: Double = 0.7,
+                                      maxDriverKeys: Long = 4000000L): DataFrame = {
     val shD = shingleTable(delta).cache()
-    // delta bands materialized ONCE: they feed the key collect AND the
-    // broadcast build (an unpinned plan would re-minhash the delta twice)
+    // delta bands materialized ONCE: they feed the size probe, the key
+    // collect, AND the broadcast build (an unpinned plan would re-minhash
+    // the delta for each)
     val bandsD = org.apache.spark.sql.GraftCheckpointShim
       .dropCarriedStats(bandTable(shD).localCheckpoint())
+    if (bandsD.count() > maxDriverKeys) {
+      lastProbeCandShuffleFree = false
+      return indexedProbeFrom(shD, bandsD, indexFull, corpusFull, threshold,
+        materialize = true)
+    }
     val bhKeys = bandsD.select("bh").distinct().collect()
       .map(_.getString(0)).toSeq
     val candLazy = indexForBands(bhKeys).as("y")
@@ -238,9 +265,15 @@ object MinHashDedup {
     val cand = candLazy.localCheckpoint()
     lastProbeCandShuffleFree = graft.plans.PlanChecks.shuffleFree(candLazy)
     val candIds = cand.select(col("doc_b").as("doc_id")).distinct()
-    val ids = candIds.collect().map(_.getLong(0)).toSeq
-    val needed = corpusForIds(ids)
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    // candidate partners are true-collision-bounded, but a dup-storm batch
+    // can fan out — the same driver-size guard applies to the id collect
+    val needed =
+      if (candIds.count() > maxDriverKeys)
+        corpusFull.join(candIds, Seq("doc_id"), "left_semi")
+      else {
+        val ids = candIds.collect().map(_.getLong(0)).toSeq
+        corpusForIds(ids).join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      }
     val shC = shingleTable(needed).cache()
     verifyIncremental(cand.distinct(), shD, shC, threshold,
       materialize = true)

@@ -124,6 +124,18 @@ object CurationStream {
   @volatile private[graft] var lastWindexSkipping: (Int, Int) = (0, 0)
   @volatile private[graft] var lastDecontamProbeShuffleFree: Boolean = false
 
+  /** Size bound on the per-batch driver-side key collects the scan-pruned
+    * probes perform (distinct fingerprints, band hashes, 13-gram windows).
+    * A DAILY delta sits far below it by construction; a batch above it —
+    * a backfill replaying months at once, a bootstrap wave that IS the
+    * corpus — falls back to the pre-x46 shuffle-join probe against the
+    * full index/corpus scan: identical semantics, delta-scaled compute,
+    * no driver collect. Session-configurable because "daily volume" is a
+    * deployment property, not an engine constant. */
+  private def maxDriverKeys(s: SparkSession): Long =
+    s.conf.getOption("graft.probe.maxDriverKeys").map(_.toLong)
+      .getOrElse(4000000L)
+
   /** Bloom-indexed columns every corpus commit declares: `fp` makes the
     * committed-fingerprint gate's scan prunable (hash-uniform hex — file
     * min/max spans the whole domain, only membership bits can skip), and
@@ -150,6 +162,13 @@ object CurationStream {
     val sv = org.apache.spark.sql.GraftCheckpointShim
       .dropCarriedStats(survivors.localCheckpoint())
     val deltaFps = sv.select("fp").distinct()
+    if (deltaFps.count() > maxDriverKeys(s)) {
+      // oversized batch (backfill/bootstrap): the pre-x46 anti-join shape
+      // — no driver collect, full fp scan, identical rows
+      lastFpSkipping = (-1, -1)
+      return sv.join(TxnLake.read(s, table).select("fp"),
+        Seq("fp"), "left_anti")
+    }
     val keys = deltaFps.collect().map(_.getString(0)).toSeq
     val (scan, skip) = TxnLake.readKeyed(s, table, "fp", keys)
     lastFpSkipping = skip
@@ -287,7 +306,10 @@ object CurationStream {
                 lastCorpusIdSkipping = skip
                 scan.select("doc_id", "text")
               },
-              threshold)
+              indexFull = TxnLake.read(s, bindex).select("doc_id", "b", "bh"),
+              corpusFull = tbl.select("doc_id", "text"),
+              threshold = threshold,
+              maxDriverKeys = maxDriverKeys(s))
           else graft.operators.MinHashDedup
             .incrementalMatches(afterExact.select("doc_id", "text"),
               tbl.select("doc_id", "text"), threshold))
@@ -386,24 +408,34 @@ object CurationStream {
             // stream those against a BROADCAST of the delta grams for the
             // (small) truly-shared set, and semi-join the delta's grams
             // against THAT broadcast. No index-side exchange; files read
-            // tracks true shared windows, not corpus size.
+            // tracks true shared windows, not corpus size. An oversized
+            // batch (grams beyond the driver-key bound) falls back to the
+            // pre-x46 semi-join against the full index — no collect,
+            // identical rows.
             val gramsPinned = org.apache.spark.sql.GraftCheckpointShim
               .dropCarriedStats(grams.localCheckpoint())
-            // the distinct gram set pins too: it feeds the driver-side key
-            // collect AND the broadcast build, and an unpinned distinct
-            // would put ITS shuffle inside the probe plan (the gate below
-            // rightly refuses any exchange there)
+            // the distinct gram set pins too: it feeds the size probe, the
+            // driver-side key collect, AND the broadcast build — and an
+            // unpinned distinct would put ITS shuffle inside the probe
+            // plan (the gate below rightly refuses any exchange there)
             val deltaGrams = org.apache.spark.sql.GraftCheckpointShim
               .dropCarriedStats(
                 gramsPinned.select("__g").distinct().localCheckpoint())
-            val keys = deltaGrams.collect().map(_.getString(0)).toSeq
-            val (scan, skip) = TxnLake.readKeyed(s, windex, "__g", keys)
-            lastWindexSkipping = skip
-            val hot = scan.select("__g")
-              .join(broadcast(deltaGrams), Seq("__g"), "left_semi")
-            lastDecontamProbeShuffleFree =
-              graft.plans.PlanChecks.shuffleFree(hot)
-            gramsPinned.join(broadcast(hot), Seq("__g"), "left_semi")
+            if (deltaGrams.count() > maxDriverKeys(s)) {
+              lastWindexSkipping = (-1, -1)
+              lastDecontamProbeShuffleFree = false
+              gramsPinned.join(TxnLake.read(s, windex).select("__g"),
+                Seq("__g"), "left_semi")
+            } else {
+              val keys = deltaGrams.collect().map(_.getString(0)).toSeq
+              val (scan, skip) = TxnLake.readKeyed(s, windex, "__g", keys)
+              lastWindexSkipping = skip
+              val hot = scan.select("__g")
+                .join(broadcast(deltaGrams), Seq("__g"), "left_semi")
+              lastDecontamProbeShuffleFree =
+                graft.plans.PlanChecks.shuffleFree(hot)
+              gramsPinned.join(broadcast(hot), Seq("__g"), "left_semi")
+            }
           } else {
             val hot = tbl
               .select(tokens(col("text")).as("__t"))

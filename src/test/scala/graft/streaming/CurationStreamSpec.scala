@@ -388,4 +388,55 @@ class CurationStreamSpec extends SparkSpec {
       s"near-dup of the foreign doc must be dropped via recompute: " +
         out.mkString(","))
   }
+
+  test("an oversized batch falls back to the shuffle probe — identical rows") {
+    // the driver-key bound: above graft.probe.maxDriverKeys, the pruned
+    // probes must not collect/broadcast a corpus-sized delta — they take
+    // the pre-x46 shuffle-join shape. Same fixture twice, once with the
+    // bound forced to 1, must commit byte-identical tables; the seams
+    // record the fallback (sentinel skipping counters, no shuffle-free
+    // claim).
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("cur_stream_fb_spec").toString
+    val toks = Seq("the", "quick", "brown", "fox", "jumps", "over", "his",
+      "lazy", "dog", "while", "the", "cat", "naps", "on", "a", "warm",
+      "mat", "and", "the", "sun", "sets", "slowly", "behind", "green",
+      "hills", "as", "birds", "sing", "their", "songs")
+    def land(dir: String, rows: Seq[(Long, String)]): String = {
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("spec").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.parquet(dir)
+      dir
+    }
+    val w1 = land(s"$base/w1", Seq(1L -> toks.mkString(" ")))
+    val w2 = land(s"$base/w2",
+      Seq(2L -> toks.updated(29, "owls").mkString(" "),
+        3L -> toks.reverse.mkString(" ")))
+    def ingest(table: String, ckpt: String): Set[String] = {
+      CurationStream.runCuratedTwoWaveIngestNearDup(
+        w1, w2, table, ckpt, "spec_fb_ingest", spark)
+      TxnLake.read(spark, table)
+        .select("doc_id", "fp", "n_tokens", "ingest_batch")
+        .collect().map(_.toString).toSet
+    }
+    val pruned = ingest(s"$base/t_pruned", s"$base/ckpt_pruned")
+    spark.conf.set("graft.probe.maxDriverKeys", "1")
+    try {
+      val fallback = ingest(s"$base/t_fb", s"$base/ckpt_fb")
+      assert(fallback == pruned,
+        s"fallback probe diverged from the pruned probe:\n$fallback\nvs\n$pruned")
+      assert(CurationStream.lastFpSkipping == ((-1, -1)),
+        s"fp gate must record the fallback sentinel, got " +
+          s"${CurationStream.lastFpSkipping}")
+      assert(!graft.operators.MinHashDedup.lastProbeCandShuffleFree,
+        "the fallback candidate join must not claim shuffle-freedom")
+      assert(CurationStream.probePaths.get((s"$base/t_fb", 1L))
+        .contains("indexed"),
+        "the fallback still rides the INDEX (delta-scaled compute) — only " +
+          "the scan pruning and broadcast are given up")
+    } finally spark.conf.unset("graft.probe.maxDriverKeys")
+  }
 }
