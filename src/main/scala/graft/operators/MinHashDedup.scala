@@ -232,26 +232,28 @@ object MinHashDedup {
     * O(files that truly share a band hash) — the x39 `vecprune` shape for
     * the text tier. Delta-side driver collects are bounded by the DELTA
     * (4 band keys per doc; candidate ids by true collisions) — the
-    * production daily-ingest contract. A delta whose distinct band keys
-    * exceed `maxDriverKeys` (a backfill replaying months at once, a
-    * bootstrap wave that IS the corpus) falls back to the shuffle-join
-    * probe against `indexFull`/`corpusFull` — the pre-x46 delta-scaled
-    * shape, identical semantics, no driver collect and no broadcast of a
-    * corpus-sized delta. */
+    * production daily-ingest contract. `shouldPrune(bandKeyCount)` is the
+    * caller's planner rule (driver-collectable AND small relative to the
+    * index — see CurationStream.pruneWorthwhile); when it refuses (a
+    * backfill replaying months at once, a bootstrap wave that IS the
+    * corpus) the probe falls back to the shuffle join against
+    * `indexFull`/`corpusFull` — the pre-x46 delta-scaled shape, identical
+    * semantics, no driver collect and no broadcast of a corpus-sized
+    * delta. */
   def incrementalMatchesIndexedPruned(delta: DataFrame,
                                       indexForBands: Seq[String] => DataFrame,
                                       corpusForIds: Seq[Long] => DataFrame,
                                       indexFull: => DataFrame,
                                       corpusFull: => DataFrame,
                                       threshold: Double = 0.7,
-                                      maxDriverKeys: Long = 4000000L): DataFrame = {
+                                      shouldPrune: Long => Boolean = _ <= 4000000L): DataFrame = {
     val shD = shingleTable(delta).cache()
     // delta bands materialized ONCE: they feed the size probe, the key
     // collect, AND the broadcast build (an unpinned plan would re-minhash
     // the delta for each)
     val bandsD = org.apache.spark.sql.GraftCheckpointShim
       .dropCarriedStats(bandTable(shD).localCheckpoint())
-    if (bandsD.count() > maxDriverKeys) {
+    if (!shouldPrune(bandsD.count())) {
       lastProbeCandShuffleFree = false
       return indexedProbeFrom(shD, bandsD, indexFull, corpusFull, threshold,
         materialize = true)
@@ -266,9 +268,9 @@ object MinHashDedup {
     lastProbeCandShuffleFree = graft.plans.PlanChecks.shuffleFree(candLazy)
     val candIds = cand.select(col("doc_b").as("doc_id")).distinct()
     // candidate partners are true-collision-bounded, but a dup-storm batch
-    // can fan out — the same driver-size guard applies to the id collect
+    // can fan out — a fixed driver-size guard bounds the id collect
     val needed =
-      if (candIds.count() > maxDriverKeys)
+      if (candIds.count() > 4000000L)
         corpusFull.join(candIds, Seq("doc_id"), "left_semi")
       else {
         val ids = candIds.collect().map(_.getLong(0)).toSeq

@@ -134,7 +134,24 @@ object CurationStream {
     * deployment property, not an engine constant. */
   private def maxDriverKeys(s: SparkSession): Long =
     s.conf.getOption("graft.probe.maxDriverKeys").map(_.toLong)
-      .getOrElse(4000000L)
+      .getOrElse(1000000L)
+
+  /** The probe-path planner rule: take the scan-pruned (collect +
+    * bloom-skip + broadcast) probe only while the delta's key count is
+    * driver-collectable ([[maxDriverKeys]]). The overheads the pruned
+    * probe pays — the key collect, the per-file bloom probes, the
+    * broadcast build — all track the DELTA, so the absolute key count is
+    * the deciding variable, measured at both ends: 165k band keys still
+    * WON against the shuffle join at factor 30 (104 s vs 117 s — even
+    * with the delta at half the corpus), while 2M window grams LOST at
+    * factor 10 (41.8 s vs 37.9 s — a ~200 MB collect+broadcast buys
+    * little when the keys blanket the index anyway). The 1M default sits
+    * between the measured ends; deployments size it like any planner
+    * threshold. Beyond it the probe takes the pre-x46 shuffle-join shape:
+    * identical rows, delta-scaled compute, no driver collect. */
+  private def pruneWorthwhile(s: SparkSession, relation: String,
+                              deltaKeys: Long): Boolean =
+    deltaKeys <= maxDriverKeys(s)
 
   /** Bloom-indexed columns every corpus commit declares: `fp` makes the
     * committed-fingerprint gate's scan prunable (hash-uniform hex — file
@@ -162,9 +179,9 @@ object CurationStream {
     val sv = org.apache.spark.sql.GraftCheckpointShim
       .dropCarriedStats(survivors.localCheckpoint())
     val deltaFps = sv.select("fp").distinct()
-    if (deltaFps.count() > maxDriverKeys(s)) {
-      // oversized batch (backfill/bootstrap): the pre-x46 anti-join shape
-      // — no driver collect, full fp scan, identical rows
+    if (!pruneWorthwhile(s, table, deltaFps.count())) {
+      // oversized or corpus-scale batch (backfill/bootstrap): the pre-x46
+      // anti-join shape — no driver collect, full fp scan, identical rows
       lastFpSkipping = (-1, -1)
       return sv.join(TxnLake.read(s, table).select("fp"),
         Seq("fp"), "left_anti")
@@ -309,7 +326,7 @@ object CurationStream {
               indexFull = TxnLake.read(s, bindex).select("doc_id", "b", "bh"),
               corpusFull = tbl.select("doc_id", "text"),
               threshold = threshold,
-              maxDriverKeys = maxDriverKeys(s))
+              shouldPrune = n => pruneWorthwhile(s, bindex, n))
           else graft.operators.MinHashDedup
             .incrementalMatches(afterExact.select("doc_id", "text"),
               tbl.select("doc_id", "text"), threshold))
@@ -400,46 +417,54 @@ object CurationStream {
         // and the SEMI join can't duplicate them (the index dedups per
         // batch, not globally — an inner join would mint one span per
         // duplicate index row)
+        // Oversized-batch pre-check BEFORE any gram materialization: the
+        // per-doc gram count is n_tokens - window + 1, already a column of
+        // the pinned afterExact — one cheap aggregate bounds the distinct
+        // gram population with no explode. A batch beyond the driver-key
+        // bound (backfill/bootstrap) takes the pre-x46 lazy semi-join
+        // against the full index: identical rows, no collect, and
+        // crucially no checkpoint of a corpus-sized gram table.
+        val estGrams =
+          if (!trusted) 0L
+          else Option(afterExact.agg(
+              sum(greatest(col("n_tokens") - (window - 1), lit(0))))
+            .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
         val hits =
-          if (trusted) {
+          if (trusted && pruneWorthwhile(s, windex, estGrams)) {
             // SCAN-SCALED probe (x47): collect the delta's distinct grams
             // (O(delta tokens) driver — a day's volume), load only the
             // index files whose __g Bloom sidecars might contain one,
             // stream those against a BROADCAST of the delta grams for the
             // (small) truly-shared set, and semi-join the delta's grams
             // against THAT broadcast. No index-side exchange; files read
-            // tracks true shared windows, not corpus size. An oversized
-            // batch (grams beyond the driver-key bound) falls back to the
-            // pre-x46 semi-join against the full index — no collect,
-            // identical rows.
+            // tracks true shared windows, not corpus size.
             val gramsPinned = org.apache.spark.sql.GraftCheckpointShim
               .dropCarriedStats(grams.localCheckpoint())
-            // the distinct gram set pins too: it feeds the size probe, the
-            // driver-side key collect, AND the broadcast build — and an
-            // unpinned distinct would put ITS shuffle inside the probe
-            // plan (the gate below rightly refuses any exchange there)
+            // the distinct gram set pins too: it feeds the driver-side key
+            // collect AND the broadcast build — and an unpinned distinct
+            // would put ITS shuffle inside the probe plan (the gate below
+            // rightly refuses any exchange there)
             val deltaGrams = org.apache.spark.sql.GraftCheckpointShim
               .dropCarriedStats(
                 gramsPinned.select("__g").distinct().localCheckpoint())
-            if (deltaGrams.count() > maxDriverKeys(s)) {
+            val keys = deltaGrams.collect().map(_.getString(0)).toSeq
+            val (scan, skip) = TxnLake.readKeyed(s, windex, "__g", keys)
+            lastWindexSkipping = skip
+            val hot = scan.select("__g")
+              .join(broadcast(deltaGrams), Seq("__g"), "left_semi")
+            lastDecontamProbeShuffleFree =
+              graft.plans.PlanChecks.shuffleFree(hot)
+            gramsPinned.join(broadcast(hot), Seq("__g"), "left_semi")
+          } else {
+            if (trusted) {
               lastWindexSkipping = (-1, -1)
               lastDecontamProbeShuffleFree = false
-              gramsPinned.join(TxnLake.read(s, windex).select("__g"),
-                Seq("__g"), "left_semi")
-            } else {
-              val keys = deltaGrams.collect().map(_.getString(0)).toSeq
-              val (scan, skip) = TxnLake.readKeyed(s, windex, "__g", keys)
-              lastWindexSkipping = skip
-              val hot = scan.select("__g")
-                .join(broadcast(deltaGrams), Seq("__g"), "left_semi")
-              lastDecontamProbeShuffleFree =
-                graft.plans.PlanChecks.shuffleFree(hot)
-              gramsPinned.join(broadcast(hot), Seq("__g"), "left_semi")
             }
-          } else {
-            val hot = tbl
-              .select(tokens(col("text")).as("__t"))
-              .select(explode(orderedGrams(col("__t"), window)).as("__g"))
+            val hot =
+              if (trusted) TxnLake.read(s, windex).select("__g")
+              else tbl
+                .select(tokens(col("text")).as("__t"))
+                .select(explode(orderedGrams(col("__t"), window)).as("__g"))
             grams.join(hot, Seq("__g"), "left_semi")
           }
         val spans = hits

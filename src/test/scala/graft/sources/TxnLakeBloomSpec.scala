@@ -118,6 +118,25 @@ class TxnLakeBloomSpec extends SparkSpec {
     assert(got.filter(col("k") === md5Of(7L)).count() == 1)
   }
 
+  test("bloom flags survive log checkpointing (resolution via v10.ckpt)") {
+    import spark.implicits._
+    val t = freshTable()
+    (0 until 11).foreach { i =>
+      val part = (0 until 10).map(j => (i * 10 + j).toLong)
+        .toDF("id").select(col("id"), md5(col("id").cast("string")).as("k"))
+        .coalesce(1)
+      TxnLake.commit(spark, part, t, "append", bloomCols = Seq("k"))
+    }
+    // version 10 wrote a parquet checkpoint; the snapshot now resolves
+    // through it — the per-file "bl" markers must ride along or pruning
+    // silently dies the moment a table is old enough to checkpoint
+    val files = TxnLake.snapshotFiles(spark, t)
+    assert(files.size == 11 && files.forall(_.stats.get("k").exists(_.bloom)))
+    val (df, (kept, total)) = TxnLake.readKeyed(spark, t, "k", Seq(md5Of(57L)))
+    assert(total == 11 && kept < total, s"post-checkpoint prune: $kept/$total")
+    assert(df.filter(col("k") === md5Of(57L)).count() == 1)
+  }
+
   test("public commit refuses the reserved operation tags") {
     import spark.implicits._
     val t = freshTable()

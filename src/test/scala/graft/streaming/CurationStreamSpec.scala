@@ -422,7 +422,16 @@ class CurationStreamSpec extends SparkSpec {
         .select("doc_id", "fp", "n_tokens", "ingest_batch")
         .collect().map(_.toString).toSet
     }
+    def ingestDc(table: String, ckpt: String): Set[String] = {
+      CurationStream.runCuratedTwoWaveIngestDecontam(
+        w1, w2, table, ckpt, "spec_fb_dc", spark)
+      TxnLake.read(spark, table)
+        .select("doc_id", "fp", "n_tokens", "n_removed", "text",
+          "ingest_batch")
+        .collect().map(_.toString).toSet
+    }
     val pruned = ingest(s"$base/t_pruned", s"$base/ckpt_pruned")
+    val prunedDc = ingestDc(s"$base/tdc_pruned", s"$base/ckpt_dcp")
     spark.conf.set("graft.probe.maxDriverKeys", "1")
     try {
       val fallback = ingest(s"$base/t_fb", s"$base/ckpt_fb")
@@ -437,6 +446,13 @@ class CurationStreamSpec extends SparkSpec {
         .contains("indexed"),
         "the fallback still rides the INDEX (delta-scaled compute) — only " +
           "the scan pruning and broadcast are given up")
+      val fallbackDc = ingestDc(s"$base/tdc_fb", s"$base/ckpt_dcf")
+      assert(fallbackDc == prunedDc,
+        s"decontam fallback diverged:\n$fallbackDc\nvs\n$prunedDc")
+      assert(CurationStream.lastWindexSkipping == ((-1, -1)),
+        "window gate must record the fallback sentinel")
+      assert(CurationStream.probePaths.get((s"$base/tdc_fb", 1L))
+        .contains("indexed"))
     } finally spark.conf.unset("graft.probe.maxDriverKeys")
   }
 }
