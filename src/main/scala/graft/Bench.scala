@@ -154,8 +154,14 @@ object Bench {
       s""","nq":${results.size}""")
     // a sidecar failure must be VISIBLE (stderr) and leave no torn temp —
     // a silently-stale BENCH_FULL.json would attribute the previous run's
-    // times to this one, worse than no sidecar at all
+    // times to this one, worse than no sidecar at all. Dev fast-path runs
+    // (explicit query args) never write it: a partial map would CLOBBER
+    // the full-registry artifact the judge reads.
     var tmp: java.nio.file.Path = null
+    if (only.isDefined) {
+      println(line(qsJson(results)))
+      return
+    }
     try {
       tmp = java.nio.file.Files.createTempFile(
         java.nio.file.Paths.get("."), ".bench", ".tmp")

@@ -28,9 +28,16 @@ object BloomIndex {
 
   def empty(nBits: Int = DefaultBits): Array[Long] = new Array[Long](nBits / 64)
 
+  // one digest instance per thread, reset by digest() itself — the
+  // getInstance factory per value dominated the sidecar build on
+  // gram-sized indexes (millions of adds per commit)
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private def hashes(value: String): (Long, Long) = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(value.getBytes("UTF-8"))
+    val d = md.get().digest(value.getBytes("UTF-8"))
     val bb = java.nio.ByteBuffer.wrap(d)
     (bb.getLong(0), bb.getLong(8))
   }
