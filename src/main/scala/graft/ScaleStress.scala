@@ -455,6 +455,93 @@ object ScaleStress {
       s""""peak_task_mb":${s2(mtr._4 / mb)}}""")
   }
 
+  /** x50 CDC-apply evidence (mode "cdcapply"): a FIXED-size change batch
+    * (2,500 updates + 400 tombstones + 100 inserts, all keyed into the
+    * replica's lowest id block) applied via the clause MERGE to a
+    * replica that GROWS with the factor — the daily production shape.
+    * The copy-on-write scope is the files whose id stats admit a batch
+    * key, so files-rewritten and apply wall must stay FLAT while
+    * files-total (and carried-verbatim) grow linearly: the same
+    * fixed-delta-vs-growing-table axis vecprune/ndprune bound for the
+    * probe tier, here bound for the DML tier. The replica commits in
+    * per-id-block range-partitioned files (bounded file SIZE, growing
+    * file COUNT — how a real lake lays out 100 TB), and the measured
+    * apply is the SECOND day's batch: day 1 warms codegen/JIT exactly
+    * as a long-lived deployment would. */
+  private def measureCdcApply(spark: SparkSession, listener: MetricsListener,
+                              dir: String, tag: String): Unit = {
+    import graft.sources.TxnLake
+    import TxnLake.{MergeDelete, MergeInsert, MergeUpdate, sourceCol}
+    import org.apache.spark.sql.expressions.Window
+    val table = s"$dir/cdcapply_t"
+    val f = new java.io.File(table)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val blocks = ev.agg(max(col("event_id"))).head().getLong(0) / 10000000L
+    (0L to blocks).foreach { b =>
+      val part = ev.filter(col("event_id") >= b * 10000000L
+        && col("event_id") < (b + 1) * 10000000L)
+      if (!part.isEmpty)
+        TxnLake.commit(spark,
+          part.repartitionByRange(4, col("event_id")), table, "append")
+    }
+    // change batches: disjoint 3,000-key slices of block 0, by rank —
+    // day k updates 2,500, tombstones 400, inserts 100 fresh ids
+    val block0 = ev.filter(col("event_id") < 10000000L)
+      .withColumn("rn", row_number().over(Window.orderBy("event_id")))
+    def batch(day: Int): DataFrame = {
+      val lo = (day - 1) * 3000
+      val upd = block0.filter(col("rn") > lo && col("rn") <= lo + 2500)
+        .select(col("event_id"), (col("vc") + 777000L).as("vc"),
+          lit("U").as("op"))
+      val del = block0.filter(col("rn") > lo + 2500 && col("rn") <= lo + 2900)
+        .select(col("event_id"), col("vc"), lit("D").as("op"))
+      val ins = spark.range(0, 100)
+        .select((col("id") + 9900000L + day * 200L).as("event_id"),
+          (col("id") * 13L).as("vc"), lit("U").as("op"))
+      upd.unionByName(del).unionByName(ins)
+    }
+    def applyBatch(b: DataFrame): Double = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      TxnLake.mergeIntoClauses(spark, b, table, "event_id",
+        matched = Seq(MergeDelete(Some(sourceCol("op") === "D")),
+          MergeUpdate(Map("vc" -> sourceCol("vc")))),
+        notMatched = Seq(MergeInsert(
+          Map("event_id" -> col("event_id"), "vc" -> col("vc")),
+          Some(col("op") =!= "D"))))
+        .getOrElse(sys.error("a CDC batch cannot be a no-op"))
+      val sec = (System.nanoTime() - t0) / 1e9
+      SessionHygiene.dropAllStorage(spark)
+      org.apache.spark.GraftListenerShim
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      sec
+    }
+    applyBatch(batch(1)) // day 1: the deployment's warm-up
+    val preV = TxnLake.latestVersion(spark, table).get
+    val preFiles = TxnLake.snapshotFiles(spark, table).map(_.path).toSet
+    val sec = applyBatch(batch(2)) // day 2: steady state, measured
+    val (shufR, spill, peak) =
+      (listener.shuffleRead.get, listener.spill.get, listener.peakMem.get)
+    val vPost = TxnLake.latestVersion(spark, table).get
+    val postPaths = TxnLake.snapshotFiles(spark, table).map(_.path).toSet
+    val rewritten = (preFiles -- postPaths).size
+    val carried = (preFiles intersect postPaths).size
+    val feedRows = TxnLake.tableChanges(spark, table, preV, vPost,
+      "event_id").count()
+    def s2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val mb = 1024.0 * 1024.0
+    println(s"""SCALE {$tag,"mode":"cdcapply","cpus":${spark.sparkContext
+      .defaultParallelism},"apply_sec":${s2(sec)},""" +
+      s""""files_rewritten":$rewritten,"files_carried":$carried,""" +
+      s""""files_total":${postPaths.size},"feed_rows":$feedRows,""" +
+      s""""shuf_read_mb":${s2(shufR / mb)},"spill_mb":${s2(spill / mb)},""" +
+      s""""peak_task_mb":${s2(peak / mb)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spec = if (args.length > 1) args(1) else "1,3,10"
@@ -492,6 +579,14 @@ object ScaleStress {
           val dir = s"$tmp/graft_scale_f$fct"
           buildScaled(spark, baseDir, fct, dir)
           measureNdPrune(spark, listener, dir, s""""factor":$fct""")
+        }
+      } else if (spec == "cdcapply") {
+        val factors = (if (args.length > 2) args(2) else "1,10")
+          .split(",").map(_.trim.toInt).toSeq
+        factors.foreach { fct =>
+          val dir = s"$tmp/graft_scale_f$fct"
+          buildScaled(spark, baseDir, fct, dir)
+          measureCdcApply(spark, listener, dir, s""""factor":$fct""")
         }
       } else {
         val factors = spec.split(",").map(_.trim.toInt).toSeq

@@ -62,7 +62,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x49 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x51 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -108,9 +108,14 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    in-engine for both the band and window index), MERGE INTO
   *    (copy-on-write upsert stats-scoped by the merge keys, untouched
   *    files carry verbatim, O(touched) change-feed attribution,
-  *    idempotent re-merge emits no changes), and row-level UPDATE WHERE
+  *    idempotent re-merge emits no changes), row-level UPDATE WHERE
   *    (the scalar DML sibling, SQL NULL-predicate semantics, update
-  *    pre/post-image feed pairs)
+  *    pre/post-image feed pairs), clause-based MERGE applying a CDC
+  *    batch — tombstone DELETE, post-image UPDATE, conditional INSERT
+  *    in one transaction with the mid buckets carried verbatim — and
+  *    the sharded replica reconcile (NOT MATCHED BY SOURCE repair:
+  *    drifted rows fix, retired rows soft-delete to a sentinel,
+  *    overflow rows hard-delete, sub-shard files untouched)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

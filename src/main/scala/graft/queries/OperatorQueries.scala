@@ -2845,6 +2845,281 @@ object OperatorQueries {
       .withColumn("files_untouched", lit(carried.size))
   }
 
+  /** CDC APPLY as a registered lake operation (x50) — the composition a
+    * production lake runs hourly and the reason x45 (table_changes) and
+    * the clause-based MERGE exist at all: a change feed read from a
+    * source-of-truth table, tombstones included, applied to a replica in
+    * ONE transaction via `matched AND op='D' → DELETE, matched → UPDATE,
+    * not-matched AND op<>'D' → INSERT`. Fixture: source table A and
+    * replica B share the x41 8-file id-bucket layout; A takes a banded
+    * UPDATE WHERE (upper id half, central value band), a DELETE WHERE
+    * (lowest bucket), and an 8-row append; the feed over those three
+    * commits (post-images only) is the merge source. In-engine gates:
+    * the apply touches exactly the files whose id stats admit a changed
+    * key (mid buckets carry verbatim — the scope boundary recomputed
+    * relationally by the oracle), B's post-apply snapshot is row-identical
+    * to A's (except both ways empty), the apply hop classifies as exactly
+    * the feed's deletes + inserts + update pairs, and RE-applying the
+    * same feed converges (empty change feed — tombstones skip the insert
+    * clause, updates rewrite equal values). */
+  val txnCdcApply = OracleQuery(
+    "x50_txn_cdc_apply",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |b AS (SELECT event_id, vc,
+      |        CAST((event_id * 8) // (m + 1) AS INT) AS bkt FROM ev, mx),
+      |vr AS (SELECT min(vc) AS vmn, max(vc) AS vmx FROM ev),
+      |bounds AS (SELECT vmn + (vmx - vmn) // 4 AS lo,
+      |                  vmn + (vmx - vmn) // 2 AS hi FROM vr),
+      |upd AS (SELECT event_id,
+      |          CASE WHEN event_id > m // 2 AND vc >= lo AND vc <= hi
+      |               THEN vc + 100000 ELSE vc END AS vc, bkt
+      |        FROM b, mx, bounds),
+      |del AS (SELECT u.* FROM upd u, mx WHERE u.event_id > m // 8),
+      |ins AS (SELECT m + i AS event_id, (m + i) * 7 AS vc
+      |        FROM mx, generate_series(1, 8) g(i)),
+      |fin AS (SELECT event_id, vc FROM del
+      |        UNION ALL SELECT event_id, vc FROM ins),
+      |res AS (SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |          min(event_id) AS min_id, max(event_id) AS max_id FROM fin),
+      |cnt AS (SELECT
+      |    CAST(count(DISTINCT CASE WHEN event_id <= m // 8
+      |        OR (event_id > m // 2 AND vc >= lo AND vc <= hi)
+      |        THEN bkt END) AS INT) AS files_touched,
+      |    CAST(count(DISTINCT bkt) AS INT) AS files_total
+      |  FROM b, mx, bounds)
+      |SELECT n_rows, sum_cents, min_id, max_id, files_touched,
+      |  files_total - files_touched AS files_untouched
+      |FROM res, cnt""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    import TxnLake.{MergeDelete, MergeInsert, MergeUpdate, sourceCol}
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val root = Scratch.dir("txn_cdc_apply")
+    val a = root + "/a"; val b = root + "/b"
+    val bkt = expr(s"event_id * 8 div ${m + 1}")
+    (0 until 8).foreach { i =>
+      val part = ev.filter(bkt === i).coalesce(1)
+      if (!part.isEmpty) {
+        TxnLake.commit(s, part, a, "append")
+        TxnLake.commit(s, part, b, "append")
+      }
+    }
+    val vPre = TxnLake.latestVersion(s, a).get
+    // three source-of-truth mutations: banded update, low-bucket delete,
+    // fresh append — the day's change volume
+    val vr = ev.agg(min(col("vc")), max(col("vc"))).head()
+    val lo = vr.getLong(0) + (vr.getLong(1) - vr.getLong(0)) / 4
+    val hi = vr.getLong(0) + (vr.getLong(1) - vr.getLong(0)) / 2
+    TxnLake.updateWhere(s, a,
+      col("event_id") > m / 2 && col("vc") >= lo && col("vc") <= hi,
+      Map("vc" -> (col("vc") + 100000L)))
+    TxnLake.deleteWhere(s, a, col("event_id") <= m / 8)
+    TxnLake.commit(s, s.range(1, 9)
+      .select((col("id") + m).as("event_id"), ((col("id") + m) * 7).as("vc"))
+      .coalesce(1), a, "append")
+    val vEnd = TxnLake.latestVersion(s, a).get
+    // the feed IS the merge source: post-images + tombstones
+    val feed = TxnLake.tableChanges(s, a, vPre, vEnd, "event_id")
+      .filter(col("change_type") =!= "update_preimage")
+      .select(col("event_id"), col("vc"),
+        when(col("change_type") === "delete", lit("D")).otherwise(lit("U"))
+          .as("op"))
+    require(feed.groupBy("event_id").count().filter(col("count") > 1)
+      .isEmpty, "fixture invariant: one change per key across the window")
+    val preBFiles = TxnLake.snapshotFiles(s, b)
+    val vB = TxnLake.mergeIntoClauses(s, feed, b, "event_id",
+      matched = Seq(MergeDelete(Some(sourceCol("op") === "D")),
+        MergeUpdate(Map("vc" -> sourceCol("vc")))),
+      notMatched = Seq(MergeInsert(
+        Map("event_id" -> col("event_id"), "vc" -> col("vc")),
+        Some(col("op") =!= "D"))))
+      .getOrElse(sys.error("the CDC batch cannot be a no-op"))
+    require(TxnLake.commitInfo(s, b, vB).operation == "merge")
+    // scope boundary: changed keys are <= m/8 (deletes) or > m/2
+    // (updates; inserts exceed every file's stats) — mid buckets carry
+    val postPaths = TxnLake.snapshotFiles(s, b, Some(vB)).map(_.path).toSet
+    val carried = preBFiles.filter(fm => postPaths.contains(fm.path))
+    val rewritten = preBFiles.filterNot(fm => postPaths.contains(fm.path))
+    def inScope(fm: graft.sources.TxnLake.FileMeta): Boolean =
+      fm.stats.get("event_id").forall { cs =>
+        cs.min.forall(_.toLong <= m / 8) || cs.max.forall(_.toLong > m / 2)
+      }
+    require(rewritten.nonEmpty && rewritten.forall(inScope)
+      && carried.forall(fm => !inScope(fm)),
+      s"CDC apply crossed the scope boundary: rewrote " +
+        s"${rewritten.map(_.path)}, carried ${carried.map(_.path)}")
+    // the replica converged to the source of truth, row for row
+    val aNow = TxnLake.read(s, a); val bNow = TxnLake.read(s, b)
+    require(aNow.exceptAll(bNow).isEmpty && bNow.exceptAll(aNow).isEmpty,
+      "replica must be row-identical to the source of truth")
+    // the apply hop is row-attributable: exactly the feed's change set
+    val expected = feed.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byType = TxnLake.tableChanges(s, b, vPre, vB, "event_id")
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nUpd = byType.getOrElse("update_postimage", 0L)
+    require(byType.getOrElse("delete", 0L) == expected.getOrElse("D", 0L)
+      && byType.getOrElse("update_preimage", 0L) == nUpd
+      && byType.getOrElse("insert", 0L) + nUpd == expected.getOrElse("U", 0L),
+      s"apply hop must mirror the feed: $byType vs $expected")
+    // convergence: re-applying the same feed emits no change rows
+    TxnLake.mergeIntoClauses(s, feed, b, "event_id",
+      matched = Seq(MergeDelete(Some(sourceCol("op") === "D")),
+        MergeUpdate(Map("vc" -> sourceCol("vc")))),
+      notMatched = Seq(MergeInsert(
+        Map("event_id" -> col("event_id"), "vc" -> col("vc")),
+        Some(col("op") =!= "D")))).foreach { v2 =>
+      require(TxnLake.tableChanges(s, b, vB, v2, "event_id").isEmpty,
+        "an idempotent re-apply must emit no change rows")
+    }
+    TxnLake.read(s, b)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .withColumn("files_touched", lit(rewritten.size))
+      .withColumn("files_untouched", lit(carried.size))
+  }
+
+  /** Sharded replica reconcile (x51) — the NOT-MATCHED-BY-SOURCE side of
+    * the clause MERGE, replacing the reference's overwrite-everything
+    * refresh (process_silver_to_gold.py:149) with a scoped repair: one
+    * transaction syncs the UPPER id shard of a drifted replica against
+    * the source of truth — drifted rows repair (conditional matched
+    * UPDATE), missing rows insert, rows the truth retired soft-delete to
+    * a sentinel (NMBS UPDATE scoped to the shard), and overflow rows
+    * past the truth's id ceiling hard-delete (NMBS DELETE) — while every
+    * file outside the shard carries VERBATIM, proving both scope axes
+    * (source-key stats and NMBS-condition stats) at once. Fixture: the
+    * replica drops bucket 6, drifts vc by +7 on id%7==0, and appends 8
+    * overflow rows; the truth shard excludes id%11==0 (retired).
+    * In-engine gates: exactly the four sub-shard files carry, the sync
+    * hop classifies as the Scala-computed insert/delete/update-pair
+    * counts, and a second sync converges (empty feed). */
+  val txnReplicaSync = OracleQuery(
+    "x51_txn_replica_sync",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |b AS (SELECT event_id, vc,
+      |        CAST((event_id * 8) // (m + 1) AS INT) AS bkt FROM ev, mx),
+      |r0 AS (SELECT event_id,
+      |          CASE WHEN event_id % 7 = 0 THEN vc + 7 ELSE vc END AS vc,
+      |          bkt FROM b WHERE bkt <> 6
+      |       UNION ALL
+      |       SELECT m + 10 + i, (m + 10 + i) * 3, 8
+      |       FROM mx, generate_series(0, 7) g(i)),
+      |src AS (SELECT event_id, vc FROM b, mx
+      |        WHERE 2 * event_id > m AND event_id % 11 <> 0),
+      |fin AS (
+      |  SELECT r.event_id, s.vc FROM r0 r JOIN src s
+      |    ON r.event_id = s.event_id
+      |  UNION ALL
+      |  SELECT s.event_id, s.vc FROM src s LEFT JOIN r0 r
+      |    ON s.event_id = r.event_id WHERE r.event_id IS NULL
+      |  UNION ALL
+      |  SELECT r.event_id,
+      |    CASE WHEN 2 * r.event_id > m THEN -999999 ELSE r.vc END AS vc
+      |  FROM r0 r LEFT JOIN src s ON r.event_id = s.event_id, mx
+      |  WHERE s.event_id IS NULL AND r.event_id <= m),
+      |res AS (SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |          min(event_id) AS min_id, max(event_id) AS max_id FROM fin),
+      |cnt AS (SELECT
+      |    CAST(count(DISTINCT CASE WHEN bkt >= 4 AND bkt <> 6
+      |        THEN bkt END) + 1 AS INT) AS files_touched,
+      |    CAST(count(DISTINCT CASE WHEN bkt <= 3 THEN bkt END) AS INT)
+      |      AS files_untouched
+      |  FROM b)
+      |SELECT n_rows, sum_cents, min_id, max_id, files_touched,
+      |  files_untouched
+      |FROM res, cnt""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    import TxnLake.{MergeDelete, MergeInsert, MergeUpdate, sourceCol}
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val r = Scratch.dir("txn_replica_sync") + "/r"
+    val bkt = expr(s"event_id * 8 div ${m + 1}")
+    // the drifted replica: bucket 6 missing, +7 vc drift on id%7==0,
+    // 8 overflow rows past the truth's ceiling in their own file
+    val tampered = ev.filter(bkt =!= 6).select(col("event_id"),
+      when(col("event_id") % 7 === 0, col("vc") + 7).otherwise(col("vc"))
+        .as("vc"))
+    (0 until 8).foreach { i =>
+      val part = tampered.filter(bkt === i).coalesce(1)
+      if (!part.isEmpty) TxnLake.commit(s, part, r, "append")
+    }
+    TxnLake.commit(s, s.range(0, 8)
+      .select((col("id") + m + 10).as("event_id"),
+        ((col("id") + m + 10) * 3).as("vc")).coalesce(1), r, "append")
+    val vPre = TxnLake.latestVersion(s, r).get
+    val preFiles = TxnLake.snapshotFiles(s, r)
+    // the truth shard: upper id half, id%11==0 retired
+    val truth = ev.filter(col("event_id") * 2 > m
+      && col("event_id") % 11 =!= 0)
+    // expected hop counts, computed from the fixture relationally
+    val replicaShard = tampered.filter(col("event_id") * 2 > m)
+    val nIns = truth.join(replicaShard, Seq("event_id"), "left_anti").count()
+    val nDrift = replicaShard.as("r")
+      .join(truth.as("t"), col("r.event_id") === col("t.event_id"))
+      .filter(!(col("r.vc") <=> col("t.vc"))).count()
+    val nSent = replicaShard.join(truth, Seq("event_id"), "left_anti")
+      .filter(col("vc") =!= -999999L).count()
+    val vSync = TxnLake.mergeIntoClauses(s, truth, r, "event_id",
+      matched = Seq(MergeUpdate(Map("vc" -> sourceCol("vc")),
+        Some(!(sourceCol("vc") <=> col("vc"))))),
+      notMatched = Seq(MergeInsert(
+        Map("event_id" -> col("event_id"), "vc" -> col("vc")))),
+      notMatchedBySource = Seq(
+        MergeDelete(Some(col("event_id") > m)),
+        MergeUpdate(Map("vc" -> lit(-999999L)),
+          Some(col("event_id") > m / 2))))
+      .getOrElse(sys.error("the shard sync cannot be a no-op"))
+    require(TxnLake.commitInfo(s, r, vSync).operation == "merge")
+    // both scope axes at once: neither the truth's keys (> m/2) nor the
+    // NMBS conditions (> m/2, > m) admit the four sub-shard files
+    val postPaths = TxnLake.snapshotFiles(s, r, Some(vSync)).map(_.path).toSet
+    val carried = preFiles.filter(fm => postPaths.contains(fm.path))
+    val rewritten = preFiles.filterNot(fm => postPaths.contains(fm.path))
+    def inShard(fm: graft.sources.TxnLake.FileMeta): Boolean =
+      fm.stats.get("event_id").forall(_.max.forall(_.toLong > m / 2))
+    require(rewritten.nonEmpty && rewritten.forall(inShard)
+      && carried.forall(fm => !inShard(fm)),
+      s"sync crossed the shard boundary: rewrote ${rewritten.map(_.path)}," +
+        s" carried ${carried.map(_.path)}")
+    require(TxnLake.readVersion(s, r, vPre).count() ==
+      preFiles.map(_.rows).sum, "pre-sync snapshot must time-travel")
+    val byType = TxnLake.tableChanges(s, r, vPre, vSync, "event_id")
+      .groupBy("change_type").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    require(byType == Map("insert" -> nIns, "delete" -> 8L,
+      "update_preimage" -> (nDrift + nSent),
+      "update_postimage" -> (nDrift + nSent)),
+      s"sync hop must classify repair+retire+overflow exactly: $byType " +
+        s"vs ins=$nIns drift=$nDrift sent=$nSent del=8")
+    // convergence: a second sync of the same shard emits no change rows
+    TxnLake.mergeIntoClauses(s, truth, r, "event_id",
+      matched = Seq(MergeUpdate(Map("vc" -> sourceCol("vc")),
+        Some(!(sourceCol("vc") <=> col("vc"))))),
+      notMatched = Seq(MergeInsert(
+        Map("event_id" -> col("event_id"), "vc" -> col("vc")))),
+      notMatchedBySource = Seq(
+        MergeDelete(Some(col("event_id") > m)),
+        MergeUpdate(Map("vc" -> lit(-999999L)),
+          Some(col("event_id") > m / 2))))
+      .foreach { v2 =>
+        require(TxnLake.tableChanges(s, r, vSync, v2, "event_id").isEmpty,
+          "an idempotent re-sync must emit no change rows")
+      }
+    TxnLake.read(s, r)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .withColumn("files_touched", lit(rewritten.size))
+      .withColumn("files_untouched", lit(carried.size))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -2859,5 +3134,6 @@ object OperatorQueries {
       streamIndexedIngestMaintained, txnOptimizeWhere,
       streamDecontamIngestMaintained, streamIngestIncrementalCompaction,
       txnDeleteWhere, txnTableChanges, streamNearDupProbePruned,
-      streamDecontamProbePruned, txnMergeInto, txnUpdateWhere)
+      streamDecontamProbePruned, txnMergeInto, txnUpdateWhere,
+      txnCdcApply, txnReplicaSync)
 }

@@ -1498,6 +1498,326 @@ object TxnLake extends LakeFormat {
         s"on $table")
   }
 
+  // ---- clause-based MERGE ---------------------------------------------
+
+  /** One WHEN clause of a [[mergeIntoClauses]] statement — Delta's full
+    * MERGE clause surface as a library ADT. Reference conventions:
+    * MATCHED and NOT-MATCHED-BY-SOURCE clause conditions and UPDATE SET
+    * expressions see the TARGET row's columns by their bare names and
+    * the source row's columns through [[sourceCol]] (Delta SQL's
+    * `s.<col>`); NOT-MATCHED (insert) conditions and values see the
+    * SOURCE row alone, bare names. A NULL condition never fires its
+    * clause (SQL MERGE: only TRUE applies). */
+  sealed trait MergeAction extends Serializable
+
+  /** WHEN [NOT] MATCHED [BY SOURCE] [AND condition] THEN UPDATE SET … —
+    * `set` maps target columns to new-value expressions; columns absent
+    * from the map keep their current value. The merge key itself is not
+    * assignable (rekeying a matched row is a delete+insert, not an
+    * update — Delta refuses it too). */
+  final case class MergeUpdate(set: Map[String, Column],
+                               condition: Option[Column] = None)
+      extends MergeAction
+
+  /** WHEN [NOT] MATCHED [BY SOURCE] [AND condition] THEN DELETE. */
+  final case class MergeDelete(condition: Option[Column] = None)
+      extends MergeAction
+
+  /** WHEN NOT MATCHED [AND condition] THEN INSERT … — `values` maps
+    * target columns to expressions over the SOURCE row; target columns
+    * absent from the map insert as NULL (Delta's partial INSERT). */
+  final case class MergeInsert(values: Map[String, Column],
+                               condition: Option[Column] = None)
+      extends MergeAction
+
+  /** The source row's column `name` inside a MATCHED / NOT-MATCHED-BY-
+    * SOURCE clause condition or SET expression — Delta SQL's `s.<name>`
+    * alias rendered onto the internal join frame. */
+  def sourceCol(name: String): Column =
+    org.apache.spark.sql.functions.col(s"$MergeSourcePrefix$name")
+
+  private val MergeSourcePrefix = "__s_"
+
+  /** MERGE INTO with Delta's FULL clause surface — the CDC-apply form of
+    * [[mergeInto]] (which is exactly the two-clause
+    * matched→UPDATE-SET-*, not-matched→INSERT-* special case): ordered
+    * conditional WHEN MATCHED THEN UPDATE/DELETE clauses, WHEN NOT
+    * MATCHED THEN INSERT clauses, and WHEN NOT MATCHED BY SOURCE THEN
+    * UPDATE/DELETE clauses. This is what replaces the reference's
+    * overwrite-everything refresh (process_silver_to_gold.py:149) at
+    * 100 TB: a change feed with tombstones applies in one transaction as
+    * `matched AND op='D' → DELETE, matched → UPDATE, not-matched AND
+    * op<>'D' → INSERT`, and a replica reconciles against its
+    * source-of-truth without a full rewrite via NOT MATCHED BY SOURCE.
+    *
+    * Semantics (Delta's): within each group the FIRST clause whose
+    * condition is TRUE applies and the rest are skipped; a row no clause
+    * claims carries verbatim (matched / not-matched-by-source) or is
+    * ignored (not-matched source row). Every clause before the last in
+    * a group must carry a condition — an earlier unconditional clause
+    * would make the rest unreachable, refused loudly. Source keys must
+    * be unique when MATCHED clauses exist (Delta's multiple-matches
+    * error: an update would have no deterministic source row); NULL
+    * source keys never match (SQL equality) and flow to the insert
+    * group.
+    *
+    * Copy-on-write scoping, the 100 TB contract: the rewrite touches
+    * the union of (a) files whose stats/Bloom sidecar admit at least one
+    * source key — sound for the MATCHED group and the insert existence
+    * check exactly as in [[mergeInto]] — and (b) for the
+    * NOT-MATCHED-BY-SOURCE group, files whose stats admit the OR of the
+    * group's conditions, because a row unmatched by the source can live
+    * in ANY file: the clause conditions are the only thing that scopes
+    * it. An unconditional NOT-MATCHED-BY-SOURCE clause therefore
+    * rewrites the whole table — that is its semantics (every unmatched
+    * row changes), the same cost Delta pays; give the clause a
+    * condition to keep the merge O(touched). A condition referencing
+    * [[sourceCol]] columns cannot prune files (those rows' source side
+    * is all-NULL anyway) and falls back to full scope. Untouched files
+    * carry into the new snapshot with their physical paths VERBATIM.
+    *
+    * The commit carries the "merge" tag: NOT data-preserving for the
+    * x40 index-trust model, and [[tableChanges]] classifies the hop as
+    * a touched-files keyed diff — inserts, deletes, and update
+    * pre/post-image pairs at O(touched), tombstone deletes included.
+    *
+    * Returns None without committing when nothing could change (no file
+    * in scope and no insert row). Concurrency: read-modify-write pinned
+    * to its read version; a concurrent commit forces a recompute from
+    * the fresh snapshot (never silently discarding the concurrent
+    * rows), throwing ConcurrentModificationException after
+    * `maxAttempts` straight conflicts.
+    *
+    * `txn` makes the merge an EXACTLY-ONCE transaction (the Delta
+    * SetTransaction idiom [[commitOnce]] gives appends): a replayed
+    * (appId, batchId) finds its marker and returns None without
+    * re-applying — what lets a crashed streaming replication consumer
+    * ([[graft.streaming.TxnReplicaFeed]]) replay its last version
+    * safely even though a clause merge is NOT naturally idempotent
+    * (re-applying an old batch after a newer one would regress rows).
+    * With `txn` set, a provable no-op against an EXISTING table still
+    * commits (an empty rewrite) so the marker is recorded and the
+    * consumer's offset advances across maintenance hops that change no
+    * rows; a founding no-op stays None (no schema to commit). */
+  def mergeIntoClauses(spark: SparkSession, source: DataFrame, table: String,
+                       key: String,
+                       matched: Seq[MergeAction] = Seq.empty,
+                       notMatched: Seq[MergeInsert] = Seq.empty,
+                       notMatchedBySource: Seq[MergeAction] = Seq.empty,
+                       maxAttempts: Int = 10,
+                       txn: Option[(String, Long)] = None): Option[Long] =
+    mergeIntoClausesImpl(spark, source, table, key, matched, notMatched,
+      notMatchedBySource, maxAttempts, () => (), txn)
+
+  /** Test seam: `beforeCommit` runs between the snapshot read and the
+    * commit attempt (interleave a concurrent writer deterministically). */
+  private[sources] def mergeIntoClausesImpl(spark: SparkSession,
+                                            source: DataFrame, table: String,
+                                            key: String,
+                                            matched: Seq[MergeAction],
+                                            notMatched: Seq[MergeInsert],
+                                            notMatchedBySource: Seq[MergeAction],
+                                            maxAttempts: Int,
+                                            beforeCommit: () => Unit,
+                                            txn: Option[(String, Long)] = None): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
+    require(matched.nonEmpty || notMatched.nonEmpty
+      || notMatchedBySource.nonEmpty,
+      "TxnLake.mergeIntoClauses: no WHEN clauses")
+    require(source.columns.contains(key),
+      s"TxnLake.mergeIntoClauses: no column $key in ${source.columns.toSeq}")
+    def condOf(a: MergeAction): Option[Column] = a match {
+      case MergeUpdate(_, c) => c
+      case MergeDelete(c) => c
+      case MergeInsert(_, c) => c
+    }
+    def checkGroup(group: String, cs: Seq[MergeAction]): Unit = {
+      cs.foreach {
+        case u: MergeUpdate =>
+          require(!u.set.contains(key),
+            s"TxnLake.mergeIntoClauses: the merge key $key is not " +
+              "assignable in an UPDATE SET")
+          require(u.set.nonEmpty,
+            s"TxnLake.mergeIntoClauses: empty UPDATE SET in $group")
+        case _: MergeInsert => require(group == "NOT MATCHED",
+          s"TxnLake.mergeIntoClauses: the $group group cannot INSERT")
+        case _: MergeDelete => ()
+      }
+      cs.map(condOf).dropRight(1).zipWithIndex.foreach { case (c, i) =>
+        require(c.isDefined,
+          s"TxnLake.mergeIntoClauses: clause ${i + 1} of $group has no " +
+            "condition but is not last — later clauses would be unreachable")
+      }
+    }
+    checkGroup("MATCHED", matched)
+    checkGroup("NOT MATCHED", notMatched)
+    checkGroup("NOT MATCHED BY SOURCE", notMatchedBySource)
+    if (matched.nonEmpty) {
+      val dup = source.filter(col(key).isNotNull).groupBy(key)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+      require(dup == 0,
+        s"TxnLake.mergeIntoClauses: multiple source rows share a $key — a " +
+          "matched row would have no deterministic clause source (Delta's " +
+          "multiple-matches error)")
+    }
+    def condTrue(c: Option[Column]): Column =
+      c.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+    // source feeds the key collect, the rewrite join, and the insert
+    // anti-join — pin it once rather than recompute the upstream thrice
+    val src = org.apache.spark.sql.GraftCheckpointShim
+      .dropCarriedStats(source.localCheckpoint())
+    val keys = src.select(col(key).cast("string")).na.drop()
+      .distinct().collect().map(_.getString(0)).toSeq
+    // NOT MATCHED rows per clause, projected onto the target schema
+    // (provided expressions uncast — a type mismatch is refused loudly by
+    // the commit's schema merge, never silently coerced; absent columns
+    // null-fill at the target type)
+    def insertRows(rows: DataFrame, target: StructType): DataFrame = {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+      if (notMatched.isEmpty) empty
+      else {
+        val act = notMatched.zipWithIndex
+          .foldRight(lit(-1): Column) { case ((c, i), rest) =>
+            when(condTrue(c.condition), lit(i)).otherwise(rest) }
+        val tagged = rows.withColumn("__iact", act)
+        notMatched.zipWithIndex.map { case (c, i) =>
+          tagged.filter(col("__iact") === i).select(target.fields.map { f =>
+            c.values.getOrElse(f.name,
+              lit(null).cast(f.dataType)).as(f.name)
+          }.toIndexedSeq: _*)
+        }.reduce(_ unionByName _)
+      }
+    }
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(spark, table)
+      val out: Option[(DataFrame, Seq[String])] = base match {
+        case None => // founding merge: the INSERT clauses define the schema
+          require(notMatched.nonEmpty,
+            "TxnLake.mergeIntoClauses: a founding merge on an absent table " +
+              "needs a NOT MATCHED INSERT clause")
+          val names = notMatched.head.values.keys.toSeq
+          notMatched.foreach(c => require(c.values.keySet == names.toSet,
+            "TxnLake.mergeIntoClauses: all INSERT clauses must assign the " +
+              "same columns on a founding merge (they define the schema)"))
+          val act = notMatched.zipWithIndex
+            .foldRight(lit(-1): Column) { case ((c, i), rest) =>
+              when(condTrue(c.condition), lit(i)).otherwise(rest) }
+          val tagged = src.withColumn("__iact", act)
+          val ins = notMatched.zipWithIndex.map { case (c, i) =>
+            tagged.filter(col("__iact") === i)
+              .select(names.map(n => c.values(n).as(n)): _*)
+          }.reduce(_ unionByName _)
+          if (ins.isEmpty) None else Some((ins, Seq.empty))
+        case Some(b) =>
+          val files = resolveFiles(spark, table, b)
+          requireLive(spark, table, b, files)
+          val schema = loggedSchema(spark, table, b)
+          val readSchema = subsetReadSchema(spark, table, schema, files)
+          val targetCols = readSchema.fieldNames.toIndexedSeq
+          require(targetCols.contains(key),
+            s"TxnLake.mergeIntoClauses: no column $key in target $targetCols")
+          (matched ++ notMatchedBySource).foreach {
+            case MergeUpdate(set, _) => set.keys.foreach(k =>
+              require(targetCols.contains(k),
+                s"TxnLake.mergeIntoClauses: SET references unknown column $k"))
+            case _ => ()
+          }
+          notMatched.foreach(c => c.values.keys.foreach(k =>
+            require(targetCols.contains(k),
+              s"TxnLake.mergeIntoClauses: INSERT references unknown " +
+                s"column $k")))
+          val keyTouched = if (keys.isEmpty) Seq.empty[FileMeta]
+            else files.filter(fileMayContainKeys(spark, table, _, key, keys))
+          val nmbsTouched: Seq[FileMeta] =
+            if (notMatchedBySource.isEmpty || files.isEmpty) Seq.empty
+            else {
+              val conds = notMatchedBySource.map(condOf)
+              if (conds.exists(_.isEmpty)) files
+              else {
+                val pred = conds.flatten.reduce(_ || _)
+                val sample = new Path(table, files.head.path).toString
+                // a sourceCol-referencing condition cannot resolve against
+                // a bare target file — conservative full scope
+                try {
+                  val p = resolvedPredicate(spark, sample, pred, schema)
+                  files.filter(fm => mayMatch(fm, p))
+                } catch { case _: Exception => files }
+              }
+            }
+          val touched = (keyTouched ++ nmbsTouched).distinctBy(_.path)
+          if (touched.isEmpty) {
+            val ins = insertRows(src, readSchema)
+            // with a txn marker, even a no-op must commit — the marker is
+            // the consumer's offset, and a maintenance hop that changes
+            // no rows still has to advance it
+            if (ins.isEmpty && txn.isEmpty) None
+            else Some((ins, Seq.empty))
+          } else {
+            val cur = spark.read.schema(readSchema)
+              .parquet(touched.map(fm =>
+                new Path(table, fm.path).toString): _*)
+            val srcR = src.columns.foldLeft(src)((d, c) =>
+              d.withColumnRenamed(c, MergeSourcePrefix + c))
+              .withColumn("__m", lit(true))
+            val joined = cur.join(srcR,
+              col(key) === col(MergeSourcePrefix + key), "left")
+            val isM = coalesce(col("__m"), lit(false))
+            def actChain(prefix: String, cs: Seq[MergeAction]): Column =
+              cs.zipWithIndex.foldRight(lit("keep"): Column) {
+                case ((a, i), rest) =>
+                  when(condTrue(condOf(a)), lit(s"$prefix$i")).otherwise(rest)
+              }
+            val act = when(isM, actChain("m", matched))
+              .otherwise(actChain("n", notMatchedBySource))
+            val deletes =
+              matched.zipWithIndex.collect {
+                case (_: MergeDelete, i) => s"m$i" } ++
+              notMatchedBySource.zipWithIndex.collect {
+                case (_: MergeDelete, i) => s"n$i" }
+            val updates: Seq[(String, Map[String, Column])] =
+              matched.zipWithIndex.collect {
+                case (u: MergeUpdate, i) => s"m$i" -> u.set } ++
+              notMatchedBySource.zipWithIndex.collect {
+                case (u: MergeUpdate, i) => s"n$i" -> u.set }
+            val tagged = joined.withColumn("__act", act)
+            val kept = if (deletes.isEmpty) tagged
+              else tagged.filter(!col("__act").isin(deletes: _*))
+            val rewritten = kept.select(targetCols.map { n =>
+              updates.filter(_._2.contains(n))
+                .foldRight(col(n)) { case ((tag, set), rest) =>
+                  when(col("__act") === tag, set(n)).otherwise(rest)
+                }.as(n)
+            }: _*)
+            val anti = src.join(cur.select(col(key)), Seq(key), "left_anti")
+            val inserts = insertRows(anti, readSchema)
+            Some((rewritten.unionByName(inserts)
+              .repartition(math.max(1, touched.size)),
+              touched.map(_.path)))
+          }
+      }
+      out match {
+        case None => return None
+        case Some((df, removed)) =>
+          beforeCommit()
+          try return commitImpl(spark, df, table, "merge", txn,
+              maxAttempts = 1, requireBase = Some(base),
+              removePaths = Some(removed)) match {
+            case Some(v) => Some(v)
+            case None => // replay: the (appId, batchId) marker exists
+              require(txn.isDefined,
+                "unreachable: txn-less commit cannot be skipped")
+              None
+          }
+          catch { case _: CommitConflict => attempt += 1 }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"TxnLake.mergeIntoClauses: $maxAttempts consecutive concurrent " +
+        s"commits on $table")
+  }
+
   // ---- optimize -------------------------------------------------------
 
   /** OPTIMIZE as a transaction — Delta's `OPTIMIZE [ZORDER BY]`: rewrite

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.TxnLake
+
+/** Streaming replication consumer over a TxnLake table — the x50 CDC
+  * APPLY run CONTINUOUSLY, the lake-native replacement for the
+  * reference's overwrite-everything refresh loop
+  * (process_silver_to_gold.py:143-150) once the downstream is itself a
+  * transactional table: every committed source version is one
+  * micro-batch; its change hop ([[TxnLake.tableChanges]], the
+  * O(changes-per-commit) walk) becomes a clause-merge batch
+  * (`matched AND op='D' → DELETE, matched → UPDATE, not-matched AND
+  * op<>'D' → INSERT`) applied to the replica as ONE exactly-once
+  * transaction keyed by (appId, version).
+  *
+  * Offsets are source versions — the log is already a durable, totally
+  * ordered offset sequence (the [[TxnCdfFeed]] pattern) — and
+  * idempotence lives in the REPLICA's own transaction state: a clause
+  * merge is NOT naturally idempotent (re-applying an old batch after a
+  * newer one would regress rows), so the replay guard is the
+  * SetTransaction marker `txn = (appId, version)` on the merge commit
+  * itself, never convergence. A crashed/restarted consumer re-reads
+  * [[TxnLake.lastTxn]], replays at most one version, and the replay
+  * no-ops at the commit.
+  *
+  * Maintenance hops (optimize / compaction) emit zero change rows and
+  * land as EMPTY marker merges: the offset advances, the replica's
+  * data and file layout are untouched — maintenance on the source is
+  * observationally invisible downstream, exactly the x40 trust-model
+  * property at the replication grain. Version 0 bootstraps from the
+  * snapshot (every row an insert); an EMPTY source v0 founds nothing
+  * and the marker first lands with the first data-bearing version.
+  *
+  * Scale: per-version cost is the change hop's O(touched files) read
+  * plus the clause merge's O(touched + delta) copy-on-write — never
+  * O(table) on either side (SCALE.md mode `cdcapply`: flat apply wall,
+  * one file rewritten, across 30x replica growth). */
+final class TxnReplicaFeed(source: String, replica: String, appId: String,
+                           key: String) {
+
+  /** Process every source version not yet applied to the replica — one
+    * exactly-once clause-merge transaction per version, oldest first.
+    * Returns the number of versions newly applied (0 = fully caught
+    * up, including after a restart). */
+  def poll(spark: SparkSession): Int = {
+    import TxnLake.{MergeDelete, MergeInsert, MergeUpdate, sourceCol}
+    val latest = TxnLake.latestVersion(spark, source).getOrElse(return 0)
+    var v = TxnLake.lastTxn(spark, replica, appId).map(_ + 1).getOrElse(0L)
+    var applied = 0
+    while (v <= latest) {
+      val hop =
+        if (v == 0)
+          TxnLake.readVersion(spark, source, 0L)
+            .withColumn("change_type", lit("insert"))
+        else TxnLake.tableChanges(spark, source, v - 1, v, key)
+          .drop("commit_version")
+      val cols = hop.columns.filterNot(_ == "change_type").toIndexedSeq
+      require(!cols.contains("__op"),
+        "TxnReplicaFeed: the source table may not carry a __op column")
+      val batch = hop.filter(col("change_type") =!= "update_preimage")
+        .select(cols.map(col) :+
+          when(col("change_type") === "delete", lit("D")).otherwise(lit("U"))
+            .as("__op"): _*)
+      val nonKey = cols.filterNot(_ == key)
+      val matched =
+        if (nonKey.isEmpty) Seq(MergeDelete(Some(sourceCol("__op") === "D")))
+        else Seq(MergeDelete(Some(sourceCol("__op") === "D")),
+          MergeUpdate(nonKey.map(c => c -> sourceCol(c)).toMap))
+      if (TxnLake.mergeIntoClauses(spark, batch, replica, key,
+          matched = matched,
+          notMatched = Seq(MergeInsert(cols.map(c => c -> col(c)).toMap,
+            Some(col("__op") =!= "D"))),
+          txn = Some((appId, v))).nonEmpty) applied += 1
+      v += 1
+    }
+    applied
+  }
+}

@@ -169,4 +169,220 @@ class TxnLakeDmlSpec extends SparkSpec {
       && feed.head.getAs[String]("change_type") == "insert",
       s"legacy hop must fall back to the snapshot diff: ${feed.toSeq}")
   }
+
+  // ---- clause-based MERGE ---------------------------------------------
+
+  import TxnLake.{MergeDelete, MergeInsert, MergeUpdate, sourceCol}
+
+  /** Three single-file appends with disjoint id ranges (0-49, 50-99,
+    * 100-149) — the layout the clause merge's two scope axes (key stats
+    * and NOT-MATCHED-BY-SOURCE condition stats) prove themselves on. */
+  private def threeFileTable(t: String): Unit = {
+    import spark.implicits._
+    Seq(0L until 50L, 50L until 100L, 100L until 150L).foreach { r =>
+      TxnLake.commit(spark,
+        r.map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t, "append")
+    }
+  }
+
+  test("mergeIntoClauses applies a CDC batch: tombstone delete, update, " +
+    "conditional insert") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    val preV = TxnLake.latestVersion(spark, t).get
+    val preFiles = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    // a change batch with tombstones: D kills 60..61, U rewrites 62,
+    // I inserts 100; the D-tagged unmatched row 101 must NOT insert
+    val batch = Seq((60L, "x", "D"), (61L, "x", "D"), (62L, "U62", "U"),
+      (100L, "I100", "I"), (101L, "x", "D")).toDF("k", "v", "op")
+    val v = TxnLake.mergeIntoClauses(spark, batch, t, "k",
+      matched = Seq(MergeDelete(Some(sourceCol("op") === "D")),
+        MergeUpdate(Map("v" -> sourceCol("v")))),
+      notMatched = Seq(MergeInsert(Map("k" -> col("k"), "v" -> col("v")),
+        Some(col("op") =!= "D")))).get
+    assert(TxnLake.commitInfo(spark, t, v).operation == "merge")
+    // only the high-id file holds batch keys: the low-id file carries
+    val carried = preFiles intersect
+      TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    assert(carried.size == 1, s"low-id file must carry verbatim: $carried")
+    val got = TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 99 && !got.contains(60L) && !got.contains(61L)
+      && !got.contains(101L) && got(62L) == "U62" && got(100L) == "I100"
+      && got(59L) == "v59", s"CDC apply mismatch: ${got.toSeq.sorted.take(5)}")
+    val byType = TxnLake.tableChanges(spark, t, preV, v, "k")
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 2L, "insert" -> 1L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L),
+      s"merge hop must classify tombstones too: $byType")
+  }
+
+  test("NOT MATCHED BY SOURCE clauses scope by their conditions and " +
+    "apply in order") {
+    import spark.implicits._
+    val t = freshTable()
+    threeFileTable(t)
+    val preV = TxnLake.latestVersion(spark, t).get
+    val preFiles = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    // source covers 0..49 with IDENTICAL values: the conditional update
+    // fires nowhere; unmatched rows >= 120 delete, 100..119 keep (their
+    // file rewrites — it is in the NMBS condition's scope)
+    val truth = (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    val v = TxnLake.mergeIntoClauses(spark, truth, t, "k",
+      matched = Seq(MergeUpdate(Map("v" -> sourceCol("v")),
+        Some(!(sourceCol("v") <=> col("v"))))),
+      notMatchedBySource = Seq(MergeDelete(Some(col("k") >= 120L)))).get
+    val postFiles = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    // file 2 (50-99) is outside BOTH scopes: carried verbatim
+    assert((preFiles intersect postFiles).size == 1,
+      "the mid-id file must carry: neither the source keys nor the NMBS " +
+        s"condition admit it (${preFiles intersect postFiles})")
+    val got = TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 120 && !got.contains(120L) && !got.contains(149L)
+      && got(119L) == "v119" && got(50L) == "v50" && got(0L) == "v0")
+    val byType = TxnLake.tableChanges(spark, t, preV, v, "k")
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 30L),
+      s"only the NMBS deletes may surface in the feed: $byType")
+    // ordered NMBS clauses: conditional delete first, then a sentinel
+    // update claims every remaining unmatched row
+    val v2 = TxnLake.mergeIntoClauses(spark, truth, t, "k",
+      notMatchedBySource = Seq(MergeDelete(Some(col("k") >= 110L)),
+        MergeUpdate(Map("v" -> lit("stale"))))).get
+    val got2 = TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2.size == 110 && !got2.contains(110L)
+      && got2(109L) == "stale" && got2(50L) == "stale"
+      && got2(0L) == "v0" && got2(49L) == "v49",
+      "first-true NMBS clause must win and the matched rows stay")
+    assert(TxnLake.readVersion(spark, t, preV).count() == 150,
+      "pre-merge snapshot must still time-travel")
+    assert(TxnLake.commitInfo(spark, t, v2).operation == "merge")
+  }
+
+  test("matched clauses fire first-true-wins; NULL conditions never fire") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark,
+      Seq((1L, "a", Option(10L)), (2L, "b", Option(20L)),
+        (3L, "c", Option.empty[Long])).toDF("k", "v", "n").coalesce(1),
+      t, "append")
+    // NULL condition row: n IS NULL on k=3 makes (n > 15) NULL → no fire,
+    // falls to the second clause
+    val src = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "v")
+    TxnLake.mergeIntoClauses(spark, src, t, "k",
+      matched = Seq(
+        MergeUpdate(Map("v" -> upper(sourceCol("v"))), Some(col("n") > 15L)),
+        MergeUpdate(Map("v" -> lower(sourceCol("v"))))))
+    val got = TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c"),
+      s"first-true clause must win, NULL conditions must not fire: $got")
+  }
+
+  test("clause validation refuses the unreachable, the unassignable, " +
+    "and ambiguous matches") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    val src = Seq((1L, "x")).toDF("k", "v")
+    // unconditional non-last clause: the second would be unreachable
+    intercept[IllegalArgumentException] {
+      TxnLake.mergeIntoClauses(spark, src, t, "k",
+        matched = Seq(MergeUpdate(Map("v" -> lit("a"))),
+          MergeDelete(Some(lit(true)))))
+    }
+    // the merge key is not assignable
+    intercept[IllegalArgumentException] {
+      TxnLake.mergeIntoClauses(spark, src, t, "k",
+        matched = Seq(MergeUpdate(Map("k" -> lit(9L)))))
+    }
+    // INSERT cannot appear in the matched group
+    intercept[IllegalArgumentException] {
+      TxnLake.mergeIntoClauses(spark, src, t, "k",
+        matched = Seq(MergeInsert(Map("v" -> lit("x")))))
+    }
+    // duplicate source keys with a matched clause: multiple-matches error
+    intercept[IllegalArgumentException] {
+      TxnLake.mergeIntoClauses(spark,
+        Seq((1L, "x"), (1L, "y")).toDF("k", "v"), t, "k",
+        matched = Seq(MergeUpdate(Map("v" -> sourceCol("v")))))
+    }
+    // …but duplicate keys are fine on an insert-only merge (plain INSERT
+    // semantics: both rows land)
+    val pre = TxnLake.read(spark, t).count()
+    TxnLake.mergeIntoClauses(spark,
+      Seq((777L, "x"), (777L, "y")).toDF("k", "v"), t, "k",
+      notMatched = Seq(MergeInsert(Map("k" -> col("k"), "v" -> col("v")))))
+    assert(TxnLake.read(spark, t).count() == pre + 2)
+  }
+
+  test("founding merge, partial-insert NULL fill, and provable no-ops") {
+    import spark.implicits._
+    val t = freshTable()
+    // founding: INSERT clauses define the schema; the D-tagged row skips
+    val batch = Seq((1L, "a", "I"), (2L, "b", "D")).toDF("k", "v", "op")
+    val v = TxnLake.mergeIntoClauses(spark, batch, t, "k",
+      matched = Seq(MergeUpdate(Map("v" -> sourceCol("v")))),
+      notMatched = Seq(MergeInsert(Map("k" -> col("k"), "v" -> col("v")),
+        Some(col("op") =!= "D"))))
+    assert(v.isDefined && TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "a"))
+    // no insert row passes and no file holds key 99: provable no-op
+    assert(TxnLake.mergeIntoClauses(spark,
+      Seq((99L, "z", "D")).toDF("k", "v", "op"), t, "k",
+      matched = Seq(MergeDelete(Some(sourceCol("op") === "D"))),
+      notMatched = Seq(MergeInsert(Map("k" -> col("k"), "v" -> col("v")),
+        Some(col("op") =!= "D")))).isEmpty,
+      "out-of-scope merge must be a no-op without version churn")
+    assert(TxnLake.latestVersion(spark, t).contains(v.get))
+    // partial insert: unassigned target columns null-fill
+    TxnLake.mergeIntoClauses(spark, Seq(Tuple1(5L)).toDF("k"), t, "k",
+      notMatched = Seq(MergeInsert(Map("k" -> col("k")))))
+    val r5 = TxnLake.read(spark, t).filter(col("k") === 5L).collect()
+    assert(r5.length == 1 && r5.head.isNullAt(1),
+      "partial INSERT must null-fill the unassigned column")
+  }
+
+  test("mergeIntoClauses recomputes from the fresh snapshot on a " +
+    "concurrent commit") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    var fired = false
+    val v = TxnLake.mergeIntoClausesImpl(spark,
+      Seq((60L, "U60")).toDF("k", "v"), t, "k",
+      matched = Seq(MergeUpdate(Map("v" -> sourceCol("v")))),
+      notMatched = Seq.empty, notMatchedBySource = Seq.empty,
+      maxAttempts = 10, beforeCommit = () => {
+        if (!fired) { fired = true
+          TxnLake.commit(spark,
+            Seq((200L, "race")).toDF("k", "v").coalesce(1), t, "append") }
+      })
+    assert(v.isDefined, "the retry must recompute, not give up")
+    val got = TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(60L) == "U60" && got(200L) == "race" && got.size == 101,
+      "neither the concurrent row nor the merge may be lost")
+  }
+
+  test("two-clause mergeIntoClauses reproduces mergeInto exactly") {
+    import spark.implicits._
+    val t1 = freshTable(); val t2 = freshTable()
+    twoFileTable(t1); twoFileTable(t2)
+    val delta = Seq((60L, "U60"), (100L, "I100")).toDF("k", "v")
+    TxnLake.mergeInto(spark, delta, t1, "k")
+    TxnLake.mergeIntoClauses(spark, delta, t2, "k",
+      matched = Seq(MergeUpdate(Map("v" -> sourceCol("v")))),
+      notMatched = Seq(MergeInsert(Map("k" -> col("k"), "v" -> col("v")))))
+    val a = TxnLake.read(spark, t1).collect().map(r => (r.getLong(0),
+      r.getString(1))).toSet
+    val b = TxnLake.read(spark, t2).collect().map(r => (r.getLong(0),
+      r.getString(1))).toSet
+    assert(a == b, "the clause engine must subsume the two-clause upsert")
+  }
 }
