@@ -62,7 +62,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x51 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x52 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -115,7 +115,10 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    in one transaction with the mid buckets carried verbatim — and
   *    the sharded replica reconcile (NOT MATCHED BY SOURCE repair:
   *    drifted rows fix, retired rows soft-delete to a sentinel,
-  *    overflow rows hard-delete, sub-shard files untouched)
+  *    overflow rows hard-delete, sub-shard files untouched), plus
+  *    continuous CDC replication (TxnReplicaFeed — source versions as
+  *    offsets, one exactly-once clause merge per hop, maintenance
+  *    hops land as empty marker merges)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

@@ -3120,6 +3120,118 @@ object OperatorQueries {
       .withColumn("files_untouched", lit(carried.size))
   }
 
+  /** Continuous CDC replication (x52) — [[graft.streaming.TxnReplicaFeed]]
+    * as a registered operation: source versions are the offsets, each hop's
+    * change feed applies to the replica as ONE exactly-once clause merge,
+    * and maintenance on the source is observationally invisible downstream
+    * (an empty marker merge advances the offset, zero change rows). This
+    * is the x50 composition run as a FEED — the lake-native replacement
+    * for re-running the reference's full refresh on a schedule. Fixture:
+    * 8 bucketed appends bootstrap the replica from the v0 snapshot; then
+    * a banded lower-half UPDATE, a top-bucket DELETE, a whole-snapshot
+    * compaction, and a day-2 append land as four hops. In-engine gates:
+    * replica ≡ source after every poll, each replica hop classifies as
+    * exactly its source hop's change set (update pairs / deletes /
+    * nothing-for-maintenance / inserts), the maintenance hop is a "merge"
+    * marker with ZERO change rows, and a fresh consumer instance finds
+    * nothing to apply (the offset lives in the replica's txn state). */
+  val streamReplicaFeed = OracleQuery(
+    "x52_stream_replica_feed",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |b AS (SELECT event_id, vc,
+      |        CAST((event_id * 8) // (m + 1) AS INT) AS bkt FROM ev, mx),
+      |vr AS (SELECT min(vc) AS vmn, max(vc) AS vmx FROM ev),
+      |bounds AS (SELECT vmn + (vmx - vmn) // 4 AS lo,
+      |                  vmn + (vmx - vmn) // 2 AS hi FROM vr),
+      |upd AS (SELECT event_id,
+      |          CASE WHEN event_id <= m // 2 AND vc >= lo AND vc <= hi
+      |               THEN vc + 100000 ELSE vc END AS vc, bkt
+      |        FROM b, mx, bounds),
+      |del AS (SELECT * FROM upd WHERE bkt <= 6),
+      |ins AS (SELECT m + i AS event_id, (m + i) * 7 AS vc
+      |        FROM mx, generate_series(1, 8) g(i)),
+      |fin AS (SELECT event_id, vc FROM del
+      |        UNION ALL SELECT event_id, vc FROM ins),
+      |res AS (SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |          min(event_id) AS min_id, max(event_id) AS max_id FROM fin),
+      |cnt AS (SELECT CAST(count(DISTINCT bkt) + 4 AS INT)
+      |          AS versions_applied FROM b)
+      |SELECT n_rows, sum_cents, min_id, max_id, versions_applied,
+      |  CAST(0 AS BIGINT) AS maintenance_rows
+      |FROM res, cnt""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    import graft.streaming.TxnReplicaFeed
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val root = Scratch.dir("stream_replica_feed")
+    val src = root + "/src"; val rep = root + "/rep"
+    val bkt = expr(s"event_id * 8 div ${m + 1}")
+    (0 until 8).foreach { i =>
+      val part = ev.filter(bkt === i).coalesce(1)
+      if (!part.isEmpty) TxnLake.commit(s, part, src, "append")
+    }
+    val feed = new TxnReplicaFeed(src, rep, "x52_repl", "event_id")
+    val applied1 = feed.poll(s)
+    require(applied1.toLong == TxnLake.latestVersion(s, src).get + 1,
+      "bootstrap must apply one hop per source version")
+    def converged(): Unit = {
+      val a = TxnLake.read(s, src); val b = TxnLake.read(s, rep)
+      require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "replica must be row-identical to the source")
+    }
+    converged()
+    // the day's mutations: banded lower-half update, top-bucket delete,
+    // whole-snapshot compaction (maintenance), day-2 append
+    val vr = ev.agg(min(col("vc")), max(col("vc"))).head()
+    val lo = vr.getLong(0) + (vr.getLong(1) - vr.getLong(0)) / 4
+    val hi = vr.getLong(0) + (vr.getLong(1) - vr.getLong(0)) / 2
+    val banded = ev.filter(col("event_id") <= m / 2
+      && col("vc") >= lo && col("vc") <= hi).count()
+    TxnLake.updateWhere(s, src,
+      col("event_id") <= m / 2 && col("vc") >= lo && col("vc") <= hi,
+      Map("vc" -> (col("vc") + 100000L)))
+    val lo7 = (7L * (m + 1) + 7) / 8
+    val b7 = ev.filter(col("event_id") >= lo7).count()
+    TxnLake.deleteWhere(s, src, col("event_id") >= lo7)
+    TxnLake.compactSmallFiles(s, src, minFileBytes = Long.MaxValue)
+      .getOrElse(sys.error("fixture: compaction must pack the snapshot"))
+    TxnLake.commit(s, s.range(1, 9)
+      .select((col("id") + m).as("event_id"), ((col("id") + m) * 7).as("vc"))
+      .coalesce(1), src, "append")
+    val applied2 = feed.poll(s)
+    require(applied2 == 4, s"four hops expected, applied $applied2")
+    converged()
+    // hop-for-hop attribution on the REPLICA's own log: replica version
+    // k is the exactly-once application of source version k
+    def hop(v: Long): Map[String, Long] =
+      TxnLake.tableChanges(s, rep, v - 1, v, "event_id")
+        .groupBy("change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = applied1.toLong
+    require(hop(base) == Map("update_preimage" -> banded,
+      "update_postimage" -> banded), s"update hop: ${hop(base)}")
+    require(hop(base + 1) == Map("delete" -> b7),
+      s"delete hop: ${hop(base + 1)}")
+    val maintRows = TxnLake.tableChanges(s, rep, base + 1, base + 2,
+      "event_id").count()
+    require(maintRows == 0
+      && TxnLake.commitInfo(s, rep, base + 2).operation == "merge",
+      "source maintenance must land as an empty marker merge")
+    require(hop(base + 3) == Map("insert" -> 8L),
+      s"append hop: ${hop(base + 3)}")
+    // the offset lives in the replica's txn state, not the consumer object
+    require(new TxnReplicaFeed(src, rep, "x52_repl", "event_id")
+      .poll(s) == 0, "a fresh consumer must find nothing to apply")
+    TxnLake.read(s, rep)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .withColumn("versions_applied", lit(applied1 + applied2))
+      .withColumn("maintenance_rows", lit(maintRows))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -3135,5 +3247,5 @@ object OperatorQueries {
       streamDecontamIngestMaintained, streamIngestIncrementalCompaction,
       txnDeleteWhere, txnTableChanges, streamNearDupProbePruned,
       streamDecontamProbePruned, txnMergeInto, txnUpdateWhere,
-      txnCdcApply, txnReplicaSync)
+      txnCdcApply, txnReplicaSync, streamReplicaFeed)
 }

@@ -1428,12 +1428,21 @@ object TxnLake extends LakeFormat {
     mergeIntoImpl(spark, delta, table, key, maxAttempts, () => ())
 
   /** Test seam: `beforeCommit` runs between the snapshot read and the
-    * commit attempt (interleave a concurrent writer deterministically). */
+    * commit attempt (interleave a concurrent writer deterministically).
+    *
+    * Since the clause engine landed, this IS
+    * `mergeIntoClauses(matched → UPDATE SET *, not-matched → INSERT *)`
+    * — one rewrite path to audit, spec-pinned equivalent ("two-clause
+    * mergeIntoClauses reproduces mergeInto exactly"). Only the
+    * UPDATE-SET-star / INSERT-star contract lives here: the delta's schema must
+    * match the table's exactly, duplicate keys are refused even on a
+    * keys-only table, and an EMPTY delta still commits its (empty)
+    * founding version — the historical behaviour callers pin. */
   private[sources] def mergeIntoImpl(spark: SparkSession, delta: DataFrame,
                                      table: String, key: String,
                                      maxAttempts: Int,
                                      beforeCommit: () => Unit): Long = {
-    import org.apache.spark.sql.functions.{col, count, lit, when}
+    import org.apache.spark.sql.functions.{col, count, lit}
     require(delta.columns.contains(key),
       s"TxnLake.mergeInto: no column $key in ${delta.columns.toSeq}")
     val dupKeys = delta.filter(col(key).isNotNull).groupBy(key)
@@ -1442,60 +1451,36 @@ object TxnLake extends LakeFormat {
       s"TxnLake.mergeInto: multiple delta rows share a $key — a matched " +
         "row would have no deterministic source (Delta's multiple-matches " +
         "error)")
-    // the delta feeds the key collect, the rewrite join, and the insert
-    // anti-join — pin it once rather than recompute the upstream thrice
-    val d = org.apache.spark.sql.GraftCheckpointShim
-      .dropCarriedStats(delta.localCheckpoint())
-    val keys = d.select(col(key).cast("string")).na.drop()
-      .distinct().collect().map(_.getString(0)).toSeq
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      val base = latestVersion(spark, table)
-      val merged: (DataFrame, Option[Seq[String]]) = base match {
-        case None => (d, Some(Seq.empty)) // founding upsert: all inserts
-        case Some(b) =>
-          val files = resolveFiles(spark, table, b)
-          requireLive(spark, table, b, files)
-          val schema = loggedSchema(spark, table, b)
-          def sig(st: StructType) =
-            st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-          val tblSchema = schema.getOrElse(
-            subsetReadSchema(spark, table, schema, files))
-          require(sig(tblSchema) == sig(d.schema),
-            s"TxnLake.mergeInto: schema mismatch ${sig(tblSchema)} vs " +
-              s"${sig(d.schema)}")
-          val touched = files.filter(fileMayContainKeys(spark, table, _,
-            key, keys))
-          if (touched.isEmpty) (d, Some(Seq.empty))
-          else {
-            val cur = spark.read
-              .schema(subsetReadSchema(spark, table, schema, files))
-              .parquet(touched.map(fm => new Path(table, fm.path).toString): _*)
-            val others = tblSchema.fieldNames.filterNot(_ == key).toIndexedSeq
-            // presence marker, not coalesce: a delta row legitimately
-            // updating a column TO null must win over the old value
-            val rewritten = cur.as("c")
-              .join(d.withColumn("__d", lit(true)).as("d"),
-                col(s"c.$key") === col(s"d.$key"), "left")
-              .select(col(s"c.$key").as(key) +: others.map(n =>
-                when(col("__d"), col(s"d.$n")).otherwise(col(s"c.$n")).as(n)): _*)
-            val inserts = d.join(cur.select(col(key)), Seq(key), "left_anti")
-              .select(col(key) +: others.map(col): _*)
-            (rewritten.unionByName(inserts)
-              .repartition(math.max(1, touched.size)),
-              Some(touched.map(_.path)))
-          }
-      }
-      beforeCommit()
-      try return commitImpl(spark, merged._1, table, "merge", None,
-          maxAttempts = 1, requireBase = Some(base),
-          removePaths = merged._2)
-        .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped"))
-      catch { case _: CommitConflict => attempt += 1 }
+    latestVersion(spark, table).foreach { b =>
+      val files = resolveFiles(spark, table, b)
+      val schema = loggedSchema(spark, table, b)
+      def sig(st: StructType) =
+        st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      val tblSchema = schema.getOrElse(
+        subsetReadSchema(spark, table, schema, files))
+      require(sig(tblSchema) == sig(delta.schema),
+        s"TxnLake.mergeInto: schema mismatch ${sig(tblSchema)} vs " +
+          s"${sig(delta.schema)}")
     }
-    throw new java.util.ConcurrentModificationException(
-      s"TxnLake.mergeInto: $maxAttempts consecutive concurrent commits " +
-        s"on $table")
+    val others = delta.columns.filterNot(_ == key).toIndexedSeq
+    val matched =
+      if (others.isEmpty) Seq.empty[MergeAction] // keys-only: nothing to SET
+      else Seq(MergeUpdate(others.map(c => c -> sourceCol(c)).toMap))
+    mergeIntoClausesImpl(spark, delta, table, key,
+      matched = matched,
+      notMatched = Seq(MergeInsert(
+        delta.columns.toIndexedSeq.map(c =>
+          c -> org.apache.spark.sql.functions.col(c)).toMap)),
+      notMatchedBySource = Seq.empty,
+      maxAttempts = maxAttempts, beforeCommit = beforeCommit)
+      .getOrElse {
+        // historical contract: an empty delta still founds/commits — the
+        // clause engine's no-op None only arises when there is nothing to
+        // touch AND nothing to insert, i.e. exactly the empty delta
+        commitImpl(spark, delta, table, "merge", None, maxAttempts,
+          removePaths = Some(Seq.empty))
+          .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped"))
+      }
   }
 
   // ---- clause-based MERGE ---------------------------------------------
@@ -1575,6 +1560,11 @@ object TxnLake extends LakeFormat {
     * [[sourceCol]] columns cannot prune files (those rows' source side
     * is all-NULL anyway) and falls back to full scope. Untouched files
     * carry into the new snapshot with their physical paths VERBATIM.
+    * The key collect itself is bounded by the probe tier's
+    * `graft.probe.maxDriverKeys` threshold (default 1M): a backfill or
+    * bootstrap merge whose source rivals the table skips the collect
+    * and takes full scope — which is what such a merge rewrites anyway
+    * — so the driver term never outgrows a day's volume.
     *
     * The commit carries the "merge" tag: NOT data-preserving for the
     * x40 index-trust model, and [[tableChanges]] classifies the hop as
@@ -1666,8 +1656,21 @@ object TxnLake extends LakeFormat {
     // anti-join — pin it once rather than recompute the upstream thrice
     val src = org.apache.spark.sql.GraftCheckpointShim
       .dropCarriedStats(source.localCheckpoint())
-    val keys = src.select(col(key).cast("string")).na.drop()
-      .distinct().collect().map(_.getString(0)).toSeq
+    // the DML scoping planner rule — the probe tier's
+    // graft.probe.maxDriverKeys threshold applied to the merge keys:
+    // collect them (to stats/bloom-prune the copy-on-write scope) only
+    // while the count is driver-collectable; beyond it — a backfill or
+    // bootstrap merge whose source rivals the table — None means full
+    // scope, which is what such a merge rewrites anyway. Never a driver
+    // OOM, identical rows either way.
+    val keyCap = spark.conf.getOption("graft.probe.maxDriverKeys")
+      .map(_.toLong).getOrElse(1000000L)
+    val keys: Option[Seq[String]] = {
+      val ks = src.select(col(key).cast("string")).na.drop().distinct()
+        .limit(math.min(keyCap + 1, Int.MaxValue.toLong).toInt)
+        .collect().map(_.getString(0)).toSeq
+      if (ks.length > keyCap) None else Some(ks)
+    }
     // NOT MATCHED rows per clause, projected onto the target schema
     // (provided expressions uncast — a type mismatch is refused loudly by
     // the commit's schema merge, never silently coerced; absent columns
@@ -1728,8 +1731,12 @@ object TxnLake extends LakeFormat {
             require(targetCols.contains(k),
               s"TxnLake.mergeIntoClauses: INSERT references unknown " +
                 s"column $k")))
-          val keyTouched = if (keys.isEmpty) Seq.empty[FileMeta]
-            else files.filter(fileMayContainKeys(spark, table, _, key, keys))
+          val keyTouched = keys match {
+            case Some(ks) if ks.isEmpty => Seq.empty[FileMeta]
+            case Some(ks) =>
+              files.filter(fileMayContainKeys(spark, table, _, key, ks))
+            case None => files // beyond the key cap: full scope
+          }
           val nmbsTouched: Seq[FileMeta] =
             if (notMatchedBySource.isEmpty || files.isEmpty) Seq.empty
             else {

@@ -370,6 +370,34 @@ class TxnLakeDmlSpec extends SparkSpec {
       "neither the concurrent row nor the merge may be lost")
   }
 
+  test("beyond graft.probe.maxDriverKeys the merge skips the key " +
+    "collect and takes full scope — identical rows") {
+    import spark.implicits._
+    val t1 = freshTable(); val t2 = freshTable()
+    twoFileTable(t1); twoFileTable(t2)
+    val delta = Seq((60L, "U60"), (61L, "U61"), (62L, "U62"),
+      (100L, "I100")).toDF("k", "v")
+    val v1 = TxnLake.mergeInto(spark, delta, t1, "k") // pruned path
+    val pre1 = TxnLake.snapshotFiles(spark, t1, Some(v1 - 1)).map(_.path)
+    assert((pre1.toSet intersect
+      TxnLake.snapshotFiles(spark, t1).map(_.path).toSet).size == 1,
+      "pruned path: the low-id file carries")
+    spark.conf.set("graft.probe.maxDriverKeys", "2")
+    try {
+      val pre2 = TxnLake.snapshotFiles(spark, t2).map(_.path).toSet
+      TxnLake.mergeInto(spark, delta, t2, "k") // fallback: full scope
+      assert((pre2 intersect
+        TxnLake.snapshotFiles(spark, t2).map(_.path).toSet).isEmpty,
+        "beyond the cap every file is in scope — no carry")
+    } finally spark.conf.unset("graft.probe.maxDriverKeys")
+    val a = TxnLake.read(spark, t1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = TxnLake.read(spark, t2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b && a.size == 101,
+      "the planner rule is an I/O decision, never a semantic one")
+  }
+
   test("two-clause mergeIntoClauses reproduces mergeInto exactly") {
     import spark.implicits._
     val t1 = freshTable(); val t2 = freshTable()
