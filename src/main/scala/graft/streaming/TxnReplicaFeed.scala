@@ -36,7 +36,13 @@ import graft.sources.TxnLake
   * Scale: per-version cost is the change hop's O(touched files) read
   * plus the clause merge's O(touched + delta) copy-on-write — never
   * O(table) on either side (SCALE.md mode `cdcapply`: flat apply wall,
-  * one file rewritten, across 30x replica growth). */
+  * one file rewritten, across 30x replica growth).
+  *
+  * Source SCHEMA EVOLUTION is refused loudly, never applied silently:
+  * a hop whose feed carries a column the replica lacks fails the
+  * clause engine's unknown-column check at that hop (offset parked
+  * just before it). Evolve the replica first, then resume — the
+  * replayed hop picks up exactly where it stopped. */
 final class TxnReplicaFeed(source: String, replica: String, appId: String,
                            key: String) {
 
