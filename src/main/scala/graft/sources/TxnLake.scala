@@ -1451,7 +1451,9 @@ object TxnLake extends LakeFormat {
       s"TxnLake.mergeInto: multiple delta rows share a $key — a matched " +
         "row would have no deterministic source (Delta's multiple-matches " +
         "error)")
-    latestVersion(spark, table).foreach { b =>
+    // re-run per attempt: a concurrent schema-evolving commit between
+    // retries must fail this merge exactly as it would have on attempt 1
+    def schemaCheck(base: Option[Long]): Unit = base.foreach { b =>
       val files = resolveFiles(spark, table, b)
       val schema = loggedSchema(spark, table, b)
       def sig(st: StructType) =
@@ -1472,12 +1474,15 @@ object TxnLake extends LakeFormat {
         delta.columns.toIndexedSeq.map(c =>
           c -> org.apache.spark.sql.functions.col(c)).toMap)),
       notMatchedBySource = Seq.empty,
-      maxAttempts = maxAttempts, beforeCommit = beforeCommit)
+      maxAttempts = maxAttempts, beforeCommit = beforeCommit,
+      perAttempt = schemaCheck)
       .getOrElse {
-        // historical contract: an empty delta still founds/commits — the
-        // clause engine's no-op None only arises when there is nothing to
-        // touch AND nothing to insert, i.e. exactly the empty delta
-        commitImpl(spark, delta, table, "merge", None, maxAttempts,
+        // historical contract: mergeInto always returns a committed
+        // version. The clause engine's no-op None arises only when
+        // nothing touches and nothing inserts (an empty delta, or a
+        // keys-only delta whose keys all exist) — commit an EMPTY merge
+        // version, never the delta itself (its rows already exist)
+        commitImpl(spark, delta.limit(0), table, "merge", None, maxAttempts,
           removePaths = Some(Seq.empty))
           .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped"))
       }
@@ -1547,13 +1552,17 @@ object TxnLake extends LakeFormat {
     * group.
     *
     * Copy-on-write scoping, the 100 TB contract: the rewrite touches
-    * the union of (a) files whose stats/Bloom sidecar admit at least one
-    * source key — sound for the MATCHED group and the insert existence
-    * check exactly as in [[mergeInto]] — and (b) for the
-    * NOT-MATCHED-BY-SOURCE group, files whose stats admit the OR of the
-    * group's conditions, because a row unmatched by the source can live
-    * in ANY file: the clause conditions are the only thing that scopes
-    * it. An unconditional NOT-MATCHED-BY-SOURCE clause therefore
+    * the union of (a) WHEN MATCHED clauses exist, files whose
+    * stats/Bloom sidecar admit at least one source key — only matched
+    * clauses can change those rows, so an INSERT-ONLY merge rewrites
+    * NOTHING even when source keys overlap existing files (Delta's
+    * insert-only MERGE; the key-scoped files are still READ, key column
+    * only, for the insert existence check, which stays sound because
+    * any key absent from all of them is absent from the table) — and
+    * (b) for the NOT-MATCHED-BY-SOURCE group, files whose stats admit
+    * the OR of the group's conditions, because a row unmatched by the
+    * source can live in ANY file: the clause conditions are the only
+    * thing that scopes it. An unconditional NOT-MATCHED-BY-SOURCE clause therefore
     * rewrites the whole table — that is its semantics (every unmatched
     * row changes), the same cost Delta pays; give the clause a
     * condition to keep the merge O(touched). A condition referencing
@@ -1609,7 +1618,8 @@ object TxnLake extends LakeFormat {
                                             notMatchedBySource: Seq[MergeAction],
                                             maxAttempts: Int,
                                             beforeCommit: () => Unit,
-                                            txn: Option[(String, Long)] = None): Option[Long] = {
+                                            txn: Option[(String, Long)] = None,
+                                            perAttempt: Option[Long] => Unit = _ => ()): Option[Long] = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
     require(matched.nonEmpty || notMatched.nonEmpty
       || notMatchedBySource.nonEmpty,
@@ -1642,6 +1652,16 @@ object TxnLake extends LakeFormat {
     checkGroup("MATCHED", matched)
     checkGroup("NOT MATCHED", notMatched)
     checkGroup("NOT MATCHED BY SOURCE", notMatchedBySource)
+    // the engine's internal tag/marker columns — a data column with one
+    // of these names would be silently overwritten in the rewrite frame,
+    // so collisions are refused loudly instead
+    def requireNotReserved(where: String, cols: Iterable[String]): Unit =
+      cols.foreach(c => require(
+        c != "__act" && c != "__iact" && c != "__m"
+          && !c.startsWith(MergeSourcePrefix),
+        s"TxnLake.mergeIntoClauses: $where column $c collides with the " +
+          s"engine's reserved names (__act/__iact/__m/$MergeSourcePrefix*)"))
+    requireNotReserved("source", source.columns)
     if (matched.nonEmpty) {
       val dup = source.filter(col(key).isNotNull).groupBy(key)
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
@@ -1666,9 +1686,13 @@ object TxnLake extends LakeFormat {
     val keyCap = spark.conf.getOption("graft.probe.maxDriverKeys")
       .map(_.toLong).getOrElse(1000000L)
     val keys: Option[Seq[String]] = {
+      // clamp BEFORE the +1: a Long.MaxValue cap must mean "collect up to
+      // the Int ceiling", not overflow to limit(0) and misread every
+      // source row as new
+      val lim = (math.min(math.max(keyCap, 0L),
+        (Int.MaxValue - 2).toLong) + 1).toInt
       val ks = src.select(col(key).cast("string")).na.drop().distinct()
-        .limit(math.min(keyCap + 1, Int.MaxValue.toLong).toInt)
-        .collect().map(_.getString(0)).toSeq
+        .limit(lim).collect().map(_.getString(0)).toSeq
       if (ks.length > keyCap) None else Some(ks)
     }
     // NOT MATCHED rows per clause, projected onto the target schema
@@ -1695,15 +1719,27 @@ object TxnLake extends LakeFormat {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(spark, table)
+      // caller-contract re-validation under the CURRENT base — a retry
+      // after a concurrent commit must re-check what the first attempt
+      // checked (mergeInto's exact-schema contract), not trust a
+      // pre-loop snapshot of it
+      perAttempt(base)
       val out: Option[(DataFrame, Seq[String])] = base match {
         case None => // founding merge: the INSERT clauses define the schema
           require(notMatched.nonEmpty,
             "TxnLake.mergeIntoClauses: a founding merge on an absent table " +
               "needs a NOT MATCHED INSERT clause")
-          val names = notMatched.head.values.keys.toSeq
-          notMatched.foreach(c => require(c.values.keySet == names.toSet,
+          // deterministic column order: source order for source-named
+          // columns, then the rest sorted — never Map iteration order,
+          // which scrambles past 4 entries and would found a replica
+          // whose positional layout differs from its source
+          val keySet = notMatched.head.values.keySet
+          val srcOrder = src.columns.filter(keySet.contains).toIndexedSeq
+          val names = srcOrder ++ keySet.diff(srcOrder.toSet).toSeq.sorted
+          notMatched.foreach(c => require(c.values.keySet == keySet,
             "TxnLake.mergeIntoClauses: all INSERT clauses must assign the " +
               "same columns on a founding merge (they define the schema)"))
+          requireNotReserved("founding", names)
           val act = notMatched.zipWithIndex
             .foldRight(lit(-1): Column) { case ((c, i), rest) =>
               when(condTrue(c.condition), lit(i)).otherwise(rest) }
@@ -1721,6 +1757,7 @@ object TxnLake extends LakeFormat {
           val targetCols = readSchema.fieldNames.toIndexedSeq
           require(targetCols.contains(key),
             s"TxnLake.mergeIntoClauses: no column $key in target $targetCols")
+          requireNotReserved("target", targetCols)
           (matched ++ notMatchedBySource).foreach {
             case MergeUpdate(set, _) => set.keys.foreach(k =>
               require(targetCols.contains(k),
@@ -1753,22 +1790,52 @@ object TxnLake extends LakeFormat {
                 } catch { case _: Exception => files }
               }
             }
-          val touched = (keyTouched ++ nmbsTouched).distinctBy(_.path)
-          if (touched.isEmpty) {
-            val ins = insertRows(src, readSchema)
+          // files that REWRITE: matched clauses can only change rows in
+          // key-scoped files, NMBS clauses only in condition-scoped files
+          // — an insert-only merge rewrites NOTHING (Delta's insert-only
+          // MERGE), even when source keys overlap existing files; those
+          // files are still READ (key column only) for the insert
+          // existence check
+          val rewriteFiles =
+            ((if (matched.isEmpty) Seq.empty[FileMeta] else keyTouched)
+              ++ nmbsTouched).distinctBy(_.path)
+          // the insert anti-join's existence set: every file that might
+          // hold a source key — sound because any key absent from all of
+          // them is absent from the table
+          def insertsVsExisting(): DataFrame = {
+            val anti =
+              if (keyTouched.isEmpty) src
+              else src.join(
+                spark.read.schema(readSchema)
+                  .parquet(keyTouched.map(fm =>
+                    new Path(table, fm.path).toString): _*)
+                  .select(col(key)),
+                Seq(key), "left_anti")
+            insertRows(anti, readSchema)
+          }
+          if (rewriteFiles.isEmpty) {
             // with a txn marker, even a no-op must commit — the marker is
             // the consumer's offset, and a maintenance hop that changes
-            // no rows still has to advance it
-            if (ins.isEmpty && txn.isEmpty) None
+            // no rows still has to advance it (txn checked FIRST: the
+            // emptiness probe is a Spark job whose answer the marker
+            // path ignores)
+            val ins = insertsVsExisting()
+            if (txn.isEmpty && ins.isEmpty) None
             else Some((ins, Seq.empty))
           } else {
             val cur = spark.read.schema(readSchema)
-              .parquet(touched.map(fm =>
+              .parquet(rewriteFiles.map(fm =>
                 new Path(table, fm.path).toString): _*)
-            val srcR = src.columns.foldLeft(src)((d, c) =>
+            val srcRenamed = src.columns.foldLeft(src)((d, c) =>
               d.withColumnRenamed(c, MergeSourcePrefix + c))
-              .withColumn("__m", lit(true))
-            val joined = cur.join(srcR,
+            // without MATCHED clauses the join only needs the MARKER, so
+            // it joins distinct keys — duplicate source keys (legal on an
+            // insert-only/NMBS merge) must never fan out target rows
+            val srcJoin =
+              (if (matched.nonEmpty) srcRenamed
+               else srcRenamed.select(col(MergeSourcePrefix + key)).distinct())
+                .withColumn("__m", lit(true))
+            val joined = cur.join(srcJoin,
               col(key) === col(MergeSourcePrefix + key), "left")
             val isM = coalesce(col("__m"), lit(false))
             def actChain(prefix: String, cs: Seq[MergeAction]): Column =
@@ -1797,11 +1864,9 @@ object TxnLake extends LakeFormat {
                   when(col("__act") === tag, set(n)).otherwise(rest)
                 }.as(n)
             }: _*)
-            val anti = src.join(cur.select(col(key)), Seq(key), "left_anti")
-            val inserts = insertRows(anti, readSchema)
-            Some((rewritten.unionByName(inserts)
-              .repartition(math.max(1, touched.size)),
-              touched.map(_.path)))
+            Some((rewritten.unionByName(insertsVsExisting())
+              .repartition(math.max(1, rewriteFiles.size)),
+              rewriteFiles.map(_.path)))
           }
       }
       out match {

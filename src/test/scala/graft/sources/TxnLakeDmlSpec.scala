@@ -398,6 +398,88 @@ class TxnLakeDmlSpec extends SparkSpec {
       "the planner rule is an I/O decision, never a semantic one")
   }
 
+  test("insert-only merge: duplicate source keys never fan out matched " +
+    "rows, and overlapping files carry verbatim") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    val preFiles = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    // keys 60/60/61 exist (60 twice — legal on insert-only), 300 is new
+    val batch = Seq((60L, "a"), (60L, "b"), (61L, "c"), (300L, "n"))
+      .toDF("k", "v")
+    TxnLake.mergeIntoClauses(spark, batch, t, "k",
+      notMatched = Seq(MergeInsert(Map("k" -> col("k"), "v" -> col("v")))))
+    val got = TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(got.length == 101 && got.count(_._1 == 60L) == 1
+      && got.toMap.apply(60L) == "v60" && got.toMap.apply(300L) == "n",
+      s"insert-only: existing rows stay single and untouched, got " +
+        s"${got.count(_._1 == 60L)} copies of 60")
+    // Delta's insert-only MERGE rewrites nothing: both files carry
+    assert((preFiles -- TxnLake.snapshotFiles(spark, t).map(_.path).toSet)
+      .isEmpty, "an insert-only merge must not rewrite overlapping files")
+  }
+
+  test("keys-only mergeInto of existing keys commits an empty version, " +
+    "never re-inserts") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(Tuple1(1L), Tuple1(2L)).toDF("k").coalesce(1),
+      t, "append")
+    val v = TxnLake.mergeInto(spark, Seq(Tuple1(1L)).toDF("k"), t, "k")
+    assert(TxnLake.commitInfo(spark, t, v).operation == "merge")
+    assert(TxnLake.read(spark, t).count() == 2,
+      "re-merging an existing key on a keys-only table must not duplicate")
+  }
+
+  test("a Long.MaxValue key cap means uncapped, not limit-0") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    spark.conf.set("graft.probe.maxDriverKeys", Long.MaxValue.toString)
+    try {
+      val preFiles = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+      TxnLake.mergeInto(spark, Seq((60L, "U60")).toDF("k", "v"), t, "k")
+      val got = TxnLake.read(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.size == 100 && got(60L) == "U60",
+        "the update must apply in place — never misread as a fresh insert")
+      assert((preFiles intersect
+        TxnLake.snapshotFiles(spark, t).map(_.path).toSet).size == 1,
+        "key pruning must still engage under a huge cap")
+    } finally spark.conf.unset("graft.probe.maxDriverKeys")
+  }
+
+  test("founding merge orders columns by the source, not Map iteration") {
+    import spark.implicits._
+    val t = freshTable()
+    // 6 columns: past Map4, iteration order would scramble
+    val src6 = Seq((1L, "b2", "c3", "d4", "e5", "f6"))
+      .toDF("k", "c2", "c3", "c4", "c5", "c6")
+    TxnLake.mergeIntoClauses(spark, src6, t, "k",
+      notMatched = Seq(MergeInsert(
+        src6.columns.toIndexedSeq.map(c => c -> col(c)).toMap)))
+    assert(TxnLake.read(spark, t).columns.toSeq ==
+      Seq("k", "c2", "c3", "c4", "c5", "c6"),
+      "positional consumers depend on the founding order")
+  }
+
+  test("reserved engine column names are refused loudly") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    intercept[IllegalArgumentException] {
+      TxnLake.mergeIntoClauses(spark,
+        Seq((1L, "x")).toDF("k", "__act"), t, "k",
+        notMatched = Seq(MergeInsert(Map("k" -> col("k")))))
+    }
+    intercept[IllegalArgumentException] {
+      TxnLake.mergeIntoClauses(spark,
+        Seq((1L, "x")).toDF("k", "__s_v"), t, "k",
+        notMatched = Seq(MergeInsert(Map("k" -> col("k")))))
+    }
+  }
+
   test("two-clause mergeIntoClauses reproduces mergeInto exactly") {
     import spark.implicits._
     val t1 = freshTable(); val t2 = freshTable()
