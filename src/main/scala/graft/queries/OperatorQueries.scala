@@ -3232,6 +3232,100 @@ object OperatorQueries {
       .withColumn("maintenance_rows", lit(maintRows))
   }
 
+  /** Schema-evolving MERGE (x53) — Delta's merge-time `autoMerge` on the
+    * clause engine: one transaction assigns a column the table never had
+    * (matched rows of the top id bucket get `flag`, inserts bring their
+    * own), and evolution composes with carry-verbatim — the seven
+    * untouched bucket files keep their physical bytes and null-fill
+    * `flag` under the LOG-CARRIED read schema; the pre-merge version
+    * still time-travels under its own two-column schema. In-engine
+    * gates: exactly the top-bucket file rewrites, logged schema widened
+    * to (event_id, vc, flag), narrow time travel, and the merge hop
+    * classifies as exactly the bucket's update pairs + 8 inserts. The
+    * oracle recomputes rows, null-fill census, and both file counters
+    * relationally. */
+  val txnMergeEvolve = OracleQuery(
+    "x53_txn_merge_evolve",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |b AS (SELECT event_id, vc,
+      |        CAST((event_id * 8) // (m + 1) AS INT) AS bkt FROM ev, mx),
+      |fin AS (SELECT event_id,
+      |          CASE WHEN bkt = 7 THEN vc + 5 ELSE vc END AS vc,
+      |          CASE WHEN bkt = 7 THEN vc % 2 END AS flag
+      |        FROM b
+      |        UNION ALL
+      |        SELECT m + i, (m + i) * 7, (m + i) % 2
+      |        FROM mx, generate_series(1, 8) g(i)),
+      |res AS (SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |          count(CASE WHEN flag IS NULL THEN 1 END) AS n_flag_null,
+      |          CAST(sum(flag) AS BIGINT) AS sum_flag FROM fin),
+      |cnt AS (SELECT
+      |    CAST(count(DISTINCT CASE WHEN bkt = 7 THEN bkt END) AS INT)
+      |      AS files_touched,
+      |    CAST(count(DISTINCT CASE WHEN bkt <= 6 THEN bkt END) AS INT)
+      |      AS files_untouched
+      |  FROM b)
+      |SELECT n_rows, sum_cents, n_flag_null, sum_flag, files_touched,
+      |  files_untouched
+      |FROM res, cnt""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    import TxnLake.{MergeInsert, MergeUpdate, sourceCol}
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val t = Scratch.dir("txn_merge_evolve") + "/t"
+    val bkt = expr(s"event_id * 8 div ${m + 1}")
+    (0 until 8).foreach { i =>
+      val part = ev.filter(bkt === i).coalesce(1)
+      if (!part.isEmpty) TxnLake.commit(s, part, t, "append")
+    }
+    val preV = TxnLake.latestVersion(s, t).get
+    val preFiles = TxnLake.snapshotFiles(s, t)
+    val lo7 = (7L * (m + 1) + 7) / 8
+    val b7 = ev.filter(col("event_id") >= lo7).count()
+    val batch = ev.filter(col("event_id") >= lo7)
+      .select(col("event_id"), (col("vc") + 5L).as("vc"),
+        (col("vc") % 2).as("flag"))
+      .unionByName(s.range(1, 9).select((col("id") + m).as("event_id"),
+        ((col("id") + m) * 7).as("vc"), ((col("id") + m) % 2).as("flag")))
+    val v = TxnLake.mergeIntoClauses(s, batch, t, "event_id",
+      matched = Seq(MergeUpdate(
+        Map("vc" -> sourceCol("vc"), "flag" -> sourceCol("flag")))),
+      notMatched = Seq(MergeInsert(Map("event_id" -> col("event_id"),
+        "vc" -> col("vc"), "flag" -> col("flag")))),
+      evolveSchema = true)
+      .getOrElse(sys.error("the evolving merge cannot be a no-op"))
+    // evolution composes with carry-verbatim: seven files keep their bytes
+    val postPaths = TxnLake.snapshotFiles(s, t, Some(v)).map(_.path).toSet
+    val carried = preFiles.filter(fm => postPaths.contains(fm.path))
+    val rewritten = preFiles.filterNot(fm => postPaths.contains(fm.path))
+    def top(fm: graft.sources.TxnLake.FileMeta): Boolean =
+      fm.stats.get("event_id").forall(_.max.forall(_.toLong >= lo7))
+    require(rewritten.nonEmpty && rewritten.forall(top)
+      && carried.forall(fm => !top(fm)),
+      s"evolution crossed the scope: rewrote ${rewritten.map(_.path)}")
+    // the log carries the widened schema; the past keeps the narrow one
+    require(TxnLake.loggedSchema(s, t, v).get.fieldNames.toSeq ==
+      Seq("event_id", "vc", "flag"), "logged schema must evolve in order")
+    require(TxnLake.readVersion(s, t, preV).columns.toSeq ==
+      Seq("event_id", "vc"),
+      "the pre-merge version must time-travel under its narrow schema")
+    val byType = TxnLake.tableChanges(s, t, preV, v, "event_id")
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(byType == Map("insert" -> 8L, "update_preimage" -> b7,
+      "update_postimage" -> b7),
+      s"evolving hop must classify exactly the bucket's pairs: $byType")
+    TxnLake.read(s, t)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"),
+        count(when(col("flag").isNull, 1)).as("n_flag_null"),
+        sum(col("flag")).as("sum_flag"))
+      .withColumn("files_touched", lit(rewritten.size))
+      .withColumn("files_untouched", lit(carried.size))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -3247,5 +3341,5 @@ object OperatorQueries {
       streamDecontamIngestMaintained, streamIngestIncrementalCompaction,
       txnDeleteWhere, txnTableChanges, streamNearDupProbePruned,
       streamDecontamProbePruned, txnMergeInto, txnUpdateWhere,
-      txnCdcApply, txnReplicaSync, streamReplicaFeed)
+      txnCdcApply, txnReplicaSync, streamReplicaFeed, txnMergeEvolve)
 }

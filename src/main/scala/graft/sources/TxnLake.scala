@@ -1597,16 +1597,28 @@ object TxnLake extends LakeFormat {
     * With `txn` set, a provable no-op against an EXISTING table still
     * commits (an empty rewrite) so the marker is recorded and the
     * consumer's offset advances across maintenance hops that change no
-    * rows; a founding no-op stays None (no schema to commit). */
+    * rows; a founding no-op stays None (no schema to commit).
+    *
+    * `evolveSchema` (Delta's merge-time `autoMerge`): UPDATE SET and
+    * INSERT may assign columns the target does not have yet. The commit
+    * merges them into the LOG-CARRIED cumulative schema (the x36
+    * machinery), so evolution composes with carry-verbatim: untouched
+    * files keep their physical bytes and simply null-fill the new
+    * columns under the logged read schema; rows the clauses did not
+    * assign read NULL; pre-merge versions still time-travel under their
+    * own (narrower) logged schema. Off (default), an unknown column is
+    * refused loudly. */
   def mergeIntoClauses(spark: SparkSession, source: DataFrame, table: String,
                        key: String,
                        matched: Seq[MergeAction] = Seq.empty,
                        notMatched: Seq[MergeInsert] = Seq.empty,
                        notMatchedBySource: Seq[MergeAction] = Seq.empty,
                        maxAttempts: Int = 10,
-                       txn: Option[(String, Long)] = None): Option[Long] =
+                       txn: Option[(String, Long)] = None,
+                       evolveSchema: Boolean = false): Option[Long] =
     mergeIntoClausesImpl(spark, source, table, key, matched, notMatched,
-      notMatchedBySource, maxAttempts, () => (), txn)
+      notMatchedBySource, maxAttempts, () => (), txn,
+      evolveSchema = evolveSchema)
 
   /** Test seam: `beforeCommit` runs between the snapshot read and the
     * commit attempt (interleave a concurrent writer deterministically). */
@@ -1619,7 +1631,8 @@ object TxnLake extends LakeFormat {
                                             maxAttempts: Int,
                                             beforeCommit: () => Unit,
                                             txn: Option[(String, Long)] = None,
-                                            perAttempt: Option[Long] => Unit = _ => ()): Option[Long] = {
+                                            perAttempt: Option[Long] => Unit = _ => (),
+                                            evolveSchema: Boolean = false): Option[Long] = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
     require(matched.nonEmpty || notMatched.nonEmpty
       || notMatchedBySource.nonEmpty,
@@ -1699,7 +1712,12 @@ object TxnLake extends LakeFormat {
     // (provided expressions uncast — a type mismatch is refused loudly by
     // the commit's schema merge, never silently coerced; absent columns
     // null-fill at the target type)
-    def insertRows(rows: DataFrame, target: StructType): DataFrame = {
+    // `extra` = evolveSchema columns beyond the target schema: typed by
+    // whichever clause assigns them (an unassigned branch contributes
+    // NULLs and the union's type coercion resolves them against the
+    // assigning branch)
+    def insertRows(rows: DataFrame, target: StructType,
+                   extra: Seq[String]): DataFrame = {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
       if (notMatched.isEmpty) empty
@@ -1709,10 +1727,12 @@ object TxnLake extends LakeFormat {
             when(condTrue(c.condition), lit(i)).otherwise(rest) }
         val tagged = rows.withColumn("__iact", act)
         notMatched.zipWithIndex.map { case (c, i) =>
-          tagged.filter(col("__iact") === i).select(target.fields.map { f =>
-            c.values.getOrElse(f.name,
-              lit(null).cast(f.dataType)).as(f.name)
-          }.toIndexedSeq: _*)
+          tagged.filter(col("__iact") === i).select(
+            target.fields.map { f =>
+              c.values.getOrElse(f.name,
+                lit(null).cast(f.dataType)).as(f.name)
+            }.toIndexedSeq ++
+            extra.map(n => c.values.getOrElse(n, lit(null)).as(n)): _*)
         }.reduce(_ unionByName _)
       }
     }
@@ -1760,14 +1780,28 @@ object TxnLake extends LakeFormat {
           requireNotReserved("target", targetCols)
           (matched ++ notMatchedBySource).foreach {
             case MergeUpdate(set, _) => set.keys.foreach(k =>
-              require(targetCols.contains(k),
-                s"TxnLake.mergeIntoClauses: SET references unknown column $k"))
+              require(evolveSchema || targetCols.contains(k),
+                s"TxnLake.mergeIntoClauses: SET references unknown column " +
+                  s"$k (pass evolveSchema = true to add it)"))
             case _ => ()
           }
           notMatched.foreach(c => c.values.keys.foreach(k =>
-            require(targetCols.contains(k),
+            require(evolveSchema || targetCols.contains(k),
               s"TxnLake.mergeIntoClauses: INSERT references unknown " +
-                s"column $k")))
+                s"column $k (pass evolveSchema = true to add it)")))
+          // evolveSchema: columns the clauses assign beyond the target
+          // schema, in deterministic order (source order, then sorted) —
+          // they join the LOG-CARRIED schema at the commit, and carried
+          // files null-fill them under the logged read schema
+          val assigned = ((matched ++ notMatchedBySource).flatMap {
+            case MergeUpdate(set, _) => set.keys
+            case _ => Nil
+          } ++ notMatched.flatMap(_.values.keys)).toSet
+          val newColSet = assigned.diff(targetCols.toSet)
+          val newCols: Seq[String] =
+            src.columns.filter(newColSet.contains).toIndexedSeq ++
+              newColSet.diff(src.columns.toSet).toSeq.sorted
+          requireNotReserved("evolved", newCols)
           val keyTouched = keys match {
             case Some(ks) if ks.isEmpty => Seq.empty[FileMeta]
             case Some(ks) =>
@@ -1811,7 +1845,7 @@ object TxnLake extends LakeFormat {
                     new Path(table, fm.path).toString): _*)
                   .select(col(key)),
                 Seq(key), "left_anti")
-            insertRows(anti, readSchema)
+            insertRows(anti, readSchema, newCols)
           }
           if (rewriteFiles.isEmpty) {
             // with a txn marker, even a no-op must commit — the marker is
@@ -1863,8 +1897,14 @@ object TxnLake extends LakeFormat {
                 .foldRight(col(n)) { case ((tag, set), rest) =>
                   when(col("__act") === tag, set(n)).otherwise(rest)
                 }.as(n)
+            } ++ newCols.map { n => // evolved: unassigned rows read NULL
+              updates.filter(_._2.contains(n))
+                .foldRight(lit(null): Column) { case ((tag, set), rest) =>
+                  when(col("__act") === tag, set(n)).otherwise(rest)
+                }.as(n)
             }: _*)
-            Some((rewritten.unionByName(insertsVsExisting())
+            Some((rewritten.unionByName(insertsVsExisting(),
+              allowMissingColumns = evolveSchema)
               .repartition(math.max(1, rewriteFiles.size)),
               rewriteFiles.map(_.path)))
           }

@@ -38,13 +38,17 @@ import graft.sources.TxnLake
   * O(table) on either side (SCALE.md mode `cdcapply`: flat apply wall,
   * one file rewritten, across 30x replica growth).
   *
-  * Source SCHEMA EVOLUTION is refused loudly, never applied silently:
-  * a hop whose feed carries a column the replica lacks fails the
-  * clause engine's unknown-column check at that hop (offset parked
-  * just before it). Evolve the replica first, then resume — the
-  * replayed hop picks up exactly where it stopped. */
+  * Source SCHEMA EVOLUTION follows by default (`followSchema`): a hop
+  * whose feed carries a column the replica lacks applies as an
+  * `evolveSchema` merge — the new column joins the replica's
+  * log-carried schema at that hop, carried replica files null-fill
+  * without rewriting, and the replica's narrow history still
+  * time-travels (exactly the source's own evolution story, one hop
+  * later). With `followSchema = false` the hop is refused loudly and
+  * the offset parks just before it: evolve the replica out of band,
+  * then resume — the replayed hop picks up exactly where it stopped. */
 final class TxnReplicaFeed(source: String, replica: String, appId: String,
-                           key: String) {
+                           key: String, followSchema: Boolean = true) {
 
   /** Process every source version not yet applied to the replica — one
     * exactly-once clause-merge transaction per version, oldest first.
@@ -78,7 +82,8 @@ final class TxnReplicaFeed(source: String, replica: String, appId: String,
           matched = matched,
           notMatched = Seq(MergeInsert(cols.map(c => c -> col(c)).toMap,
             Some(col("__op") =!= "D"))),
-          txn = Some((appId, v))).nonEmpty) applied += 1
+          txn = Some((appId, v)),
+          evolveSchema = followSchema).nonEmpty) applied += 1
       v += 1
     }
     applied

@@ -480,6 +480,67 @@ class TxnLakeDmlSpec extends SparkSpec {
     }
   }
 
+  test("evolveSchema adds merge-assigned columns to the logged schema; " +
+    "carried files null-fill, old versions keep their narrow schema") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    val preV = TxnLake.latestVersion(spark, t).get
+    // default: unknown column refused loudly
+    intercept[IllegalArgumentException] {
+      TxnLake.mergeIntoClauses(spark,
+        Seq((60L, "x", "hot")).toDF("k", "v", "tag"), t, "k",
+        matched = Seq(MergeUpdate(
+          Map("v" -> sourceCol("v"), "tag" -> sourceCol("tag")))))
+    }
+    // evolved: update assigns tag on high keys, insert brings its own
+    val batch = Seq((60L, "U60", "hot"), (300L, "I300", "new"))
+      .toDF("k", "v", "tag")
+    val v = TxnLake.mergeIntoClauses(spark, batch, t, "k",
+      matched = Seq(MergeUpdate(
+        Map("v" -> sourceCol("v"), "tag" -> sourceCol("tag")))),
+      notMatched = Seq(MergeInsert(Map("k" -> col("k"), "v" -> col("v"),
+        "tag" -> col("tag")))),
+      evolveSchema = true).get
+    val now = TxnLake.read(spark, t)
+    assert(now.columns.toSeq == Seq("k", "v", "tag"))
+    val got = now.collect().map(r => r.getLong(0) ->
+      (r.getString(1), Option(r.getString(2)))).toMap
+    assert(got(60L) == ("U60", Some("hot"))
+      && got(300L) == ("I300", Some("new"))
+      && got(61L) == ("v61", None), // rewritten-but-unassigned row: NULL
+      s"evolved values wrong: ${got.toSeq.filter(x => Set(60L, 61L, 300L)
+        .contains(x._1))}")
+    // the LOW file carried verbatim (never rewritten) yet its rows
+    // null-fill tag under the logged read schema
+    assert(got(10L) == ("v10", None))
+    val carried = TxnLake.snapshotFiles(spark, t, Some(preV)).map(_.path)
+      .toSet intersect TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    assert(carried.size == 1, "evolution must not rewrite carried files")
+    // pre-merge version still time-travels under its own narrow schema
+    assert(TxnLake.readVersion(spark, t, preV).columns.toSeq ==
+      Seq("k", "v"))
+    assert(TxnLake.loggedSchema(spark, t, v).get.fieldNames.toSeq ==
+      Seq("k", "v", "tag"))
+  }
+
+  test("evolveSchema via UPDATE SET alone (no insert clauses) types the " +
+    "new column from the assigning branch") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    TxnLake.mergeIntoClauses(spark,
+      Seq(Tuple1(60L)).toDF("k"), t, "k",
+      matched = Seq(MergeUpdate(Map("score" -> lit(42L)))),
+      evolveSchema = true)
+    val now = TxnLake.read(spark, t)
+    assert(now.schema("score").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val got = now.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got(60L) == Some(42L) && got(61L) == None && got(10L) == None)
+  }
+
   test("two-clause mergeIntoClauses reproduces mergeInto exactly") {
     import spark.implicits._
     val t1 = freshTable(); val t2 = freshTable()

@@ -71,6 +71,85 @@ class TxnReplicaFeedSpec extends SparkSpec {
     assert(feed.poll(spark) == 0)
   }
 
+  test("an upstream full refresh (overwrite) lands downstream as an " +
+    "incremental hop — only the diff applies") {
+    import spark.implicits._
+    val (src, rep) = fresh()
+    // four RANGED appends: the bootstrap hops land the replica as four
+    // id-clustered files, so the diff's key scope is provable below
+    (0 until 4).foreach { i =>
+      TxnLake.commit(spark,
+        (i * 25L until i * 25L + 25L).map(j => (j, s"v$j")).toDF("k", "v")
+          .coalesce(1), src, "append")
+    }
+    val feed = new TxnReplicaFeed(src, rep, "repl", "k")
+    assert(feed.poll(spark) == 4)
+    val repPre = TxnLake.latestVersion(spark, rep).get
+    val repFilesPre = TxnLake.snapshotFiles(spark, rep).map(_.path).toSet
+    // the reference-shaped daily job: recompute EVERYTHING, overwrite —
+    // but only 3 rows actually differ (one changed, one dropped, one new)
+    val refreshed = (0L until 100L).filterNot(_ == 7L)
+      .map(i => (i, if (i == 3L) "CHANGED" else s"v$i")) :+ (500L, "new")
+    TxnLake.commit(spark, refreshed.toDF("k", "v").repartition(4),
+      src, "overwrite") // snapshot replacement
+    assert(feed.poll(spark) == 1)
+    val got = rows(rep)
+    assert(got == rows(src) && got(3L) == "CHANGED" && !got.contains(7L)
+      && got(500L) == "new" && got.size == 100)
+    // the hop classified ONLY the diff (snapshot-diff fallback inside
+    // tableChanges), and the replica's merge rewrote only the files the
+    // three changed keys scope to — not the whole table
+    val byType = TxnLake.tableChanges(spark, rep, repPre, repPre + 1, "k")
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 1L, "delete" -> 1L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L),
+      s"downstream must see the 3-row diff, not the refresh: $byType")
+    val carried = repFilesPre intersect
+      TxnLake.snapshotFiles(spark, rep).map(_.path).toSet
+    assert(carried.size == 3,
+      "only the one replica file holding the changed keys may rewrite — " +
+        s"the other three carry verbatim (carried ${carried.size})")
+  }
+
+  test("the feed follows source schema evolution; followSchema=false " +
+    "parks the offset just before the widening hop") {
+    import spark.implicits._
+    val (src, rep) = fresh()
+    val strict = java.nio.file.Files.createTempDirectory("txn_replica")
+      .resolve("strict").toString
+    TxnLake.commit(spark,
+      (0L until 20L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      src, "append") // v0: narrow
+    val follow = new TxnReplicaFeed(src, rep, "repl", "k")
+    val parked = new TxnReplicaFeed(src, strict, "repl", "k",
+      followSchema = false)
+    assert(follow.poll(spark) == 1 && parked.poll(spark) == 1)
+    // the source evolves: an append brings a third column
+    TxnLake.commit(spark,
+      Seq((100L, "x100", "w")).toDF("k", "v", "extra").coalesce(1),
+      src, "append") // v1: wide
+    assert(follow.poll(spark) == 1)
+    val wide = TxnLake.read(spark, rep)
+    assert(wide.columns.toSeq == Seq("k", "v", "extra"))
+    val got = wide.collect().map(r => r.getLong(0) ->
+      (r.getString(1), Option(r.getString(2)))).toMap
+    assert(got(100L) == ("x100", Some("w")) && got(5L) == ("v5", None),
+      "pre-evolution replica rows must null-fill the new column")
+    assert(TxnLake.readVersion(spark, rep, 0L).columns.toSeq ==
+      Seq("k", "v"), "the replica's narrow history must time-travel")
+    // the strict feed refuses the widening hop and parks BEFORE it
+    intercept[IllegalArgumentException] { parked.poll(spark) }
+    assert(TxnLake.lastTxn(spark, strict, "repl").contains(0L),
+      "the offset must park at the last applied narrow hop")
+    assert(TxnLake.read(spark, strict).count() == 20,
+      "a refused hop must leave the replica untouched")
+    // resuming with a following consumer picks up exactly there
+    assert(new TxnReplicaFeed(src, strict, "repl", "k").poll(spark) == 1)
+    assert(TxnLake.read(spark, strict).columns.toSeq ==
+      Seq("k", "v", "extra"))
+  }
+
   test("replayed versions no-op at the commit — the merge marker, not " +
     "convergence, is the replay guard") {
     import spark.implicits._
