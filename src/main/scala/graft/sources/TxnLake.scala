@@ -1528,6 +1528,17 @@ object TxnLake extends LakeFormat {
 
   private val MergeSourcePrefix = "__s_"
 
+  /** Deterministic order for caller-supplied column SETS (a founding
+    * merge's schema, evolveSchema's new columns): source column order
+    * first, then the rest sorted — never Map iteration order, which
+    * scrambles past 4 entries and would lay tables out positionally
+    * different from their source. */
+  private def orderedBySource(srcCols: Seq[String],
+                              names: Set[String]): IndexedSeq[String] = {
+    val inSrc = srcCols.filter(names.contains).toIndexedSeq
+    inSrc ++ names.diff(inSrc.toSet).toSeq.sorted
+  }
+
   /** MERGE INTO with Delta's FULL clause surface — the CDC-apply form of
     * [[mergeInto]] (which is exactly the two-clause
     * matched→UPDATE-SET-*, not-matched→INSERT-* special case): ordered
@@ -1749,13 +1760,8 @@ object TxnLake extends LakeFormat {
           require(notMatched.nonEmpty,
             "TxnLake.mergeIntoClauses: a founding merge on an absent table " +
               "needs a NOT MATCHED INSERT clause")
-          // deterministic column order: source order for source-named
-          // columns, then the rest sorted — never Map iteration order,
-          // which scrambles past 4 entries and would found a replica
-          // whose positional layout differs from its source
           val keySet = notMatched.head.values.keySet
-          val srcOrder = src.columns.filter(keySet.contains).toIndexedSeq
-          val names = srcOrder ++ keySet.diff(srcOrder.toSet).toSeq.sorted
+          val names = orderedBySource(src.columns.toIndexedSeq, keySet)
           notMatched.foreach(c => require(c.values.keySet == keySet,
             "TxnLake.mergeIntoClauses: all INSERT clauses must assign the " +
               "same columns on a founding merge (they define the schema)"))
@@ -1797,10 +1803,8 @@ object TxnLake extends LakeFormat {
             case MergeUpdate(set, _) => set.keys
             case _ => Nil
           } ++ notMatched.flatMap(_.values.keys)).toSet
-          val newColSet = assigned.diff(targetCols.toSet)
-          val newCols: Seq[String] =
-            src.columns.filter(newColSet.contains).toIndexedSeq ++
-              newColSet.diff(src.columns.toSet).toSeq.sorted
+          val newCols: Seq[String] = orderedBySource(
+            src.columns.toIndexedSeq, assigned.diff(targetCols.toSet))
           requireNotReserved("evolved", newCols)
           val keyTouched = keys match {
             case Some(ks) if ks.isEmpty => Seq.empty[FileMeta]
@@ -1847,19 +1851,27 @@ object TxnLake extends LakeFormat {
                 Seq(key), "left_anti")
             insertRows(anti, readSchema, newCols)
           }
-          if (rewriteFiles.isEmpty) {
-            // with a txn marker, even a no-op must commit — the marker is
-            // the consumer's offset, and a maintenance hop that changes
-            // no rows still has to advance it (txn checked FIRST: the
-            // emptiness probe is a Spark job whose answer the marker
-            // path ignores)
-            val ins = insertsVsExisting()
-            if (txn.isEmpty && ins.isEmpty) None
-            else Some((ins, Seq.empty))
-          } else {
-            val cur = spark.read.schema(readSchema)
-              .parquet(rewriteFiles.map(fm =>
-                new Path(table, fm.path).toString): _*)
+          val inserts = insertsVsExisting()
+          // with a txn marker, even a no-op must commit — the marker is
+          // the consumer's offset, and a maintenance hop that changes no
+          // rows still has to advance it (txn checked FIRST: the
+          // emptiness probe is a Spark job whose answer the marker path
+          // ignores)
+          if (rewriteFiles.isEmpty && txn.isEmpty && inserts.isEmpty) None
+          else {
+            // an empty typed frame stands in for cur when nothing
+            // rewrites: zero I/O, and the update-clause when-chains
+            // still TYPE any evolved column the insert branches left as
+            // NullType (an all-new-keys batch must not crash the
+            // parquet write that an overlapping batch survives)
+            val cur =
+              if (rewriteFiles.isEmpty)
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  readSchema)
+              else spark.read.schema(readSchema)
+                .parquet(rewriteFiles.map(fm =>
+                  new Path(table, fm.path).toString): _*)
             val srcRenamed = src.columns.foldLeft(src)((d, c) =>
               d.withColumnRenamed(c, MergeSourcePrefix + c))
             // without MATCHED clauses the join only needs the MARKER, so
@@ -1903,10 +1915,13 @@ object TxnLake extends LakeFormat {
                   when(col("__act") === tag, set(n)).otherwise(rest)
                 }.as(n)
             }: _*)
-            Some((rewritten.unionByName(insertsVsExisting(),
+            val out0 = rewritten.unionByName(inserts,
               allowMissingColumns = evolveSchema)
-              .repartition(math.max(1, rewriteFiles.size)),
-              rewriteFiles.map(_.path)))
+            // pure-insert merges keep the batch's own partitioning — a
+            // repartition(1) would funnel a large insert into one file
+            val out1 = if (rewriteFiles.isEmpty) out0
+              else out0.repartition(rewriteFiles.size)
+            Some((out1, rewriteFiles.map(_.path)))
           }
       }
       out match {

@@ -38,17 +38,21 @@ import graft.sources.TxnLake
   * O(table) on either side (SCALE.md mode `cdcapply`: flat apply wall,
   * one file rewritten, across 30x replica growth).
   *
-  * Source SCHEMA EVOLUTION follows by default (`followSchema`): a hop
-  * whose feed carries a column the replica lacks applies as an
-  * `evolveSchema` merge — the new column joins the replica's
-  * log-carried schema at that hop, carried replica files null-fill
+  * Source SCHEMA EVOLUTION is refused loudly BY DEFAULT, never applied
+  * silently (the Delta posture: CDF consumers follow evolution only
+  * with autoMerge explicitly on): a hop whose feed carries a column
+  * the replica lacks fails the clause engine's unknown-column check
+  * and the offset parks just before it — an accidental upstream column
+  * (a debug field, half of a misnamed rename) stops replication for
+  * review instead of propagating into the replica permanently. Opt in
+  * with `followSchema = true` to mirror the source's evolution: the
+  * hop applies as an `evolveSchema` merge, the new column joins the
+  * replica's log-carried schema, carried replica files null-fill
   * without rewriting, and the replica's narrow history still
-  * time-travels (exactly the source's own evolution story, one hop
-  * later). With `followSchema = false` the hop is refused loudly and
-  * the offset parks just before it: evolve the replica out of band,
-  * then resume — the replayed hop picks up exactly where it stopped. */
+  * time-travels (the source's own evolution story, one hop later).
+  * Either way a parked consumer resumes exactly where it stopped. */
 final class TxnReplicaFeed(source: String, replica: String, appId: String,
-                           key: String, followSchema: Boolean = true) {
+                           key: String, followSchema: Boolean = false) {
 
   /** Process every source version not yet applied to the replica — one
     * exactly-once clause-merge transaction per version, oldest first.

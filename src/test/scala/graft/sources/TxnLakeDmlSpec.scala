@@ -541,6 +541,26 @@ class TxnLakeDmlSpec extends SparkSpec {
     assert(got(60L) == Some(42L) && got(61L) == None && got(10L) == None)
   }
 
+  test("an all-new-keys evolveSchema batch still types UPDATE-only " +
+    "columns — the no-rewrite path must not write void parquet") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    // key 500 exists in no file: nothing rewrites, so the evolved
+    // column's only typed assignment is the (unfired) UPDATE clause
+    TxnLake.mergeIntoClauses(spark, Seq((500L, "n")).toDF("k", "v"), t, "k",
+      matched = Seq(MergeUpdate(Map("score" -> lit(1L)))),
+      notMatched = Seq(MergeInsert(Map("k" -> col("k"), "v" -> col("v")))),
+      evolveSchema = true)
+    val now = TxnLake.read(spark, t)
+    assert(now.schema("score").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "the UPDATE clause must type the evolved column even when no row " +
+        "matched")
+    assert(now.count() == 101
+      && now.filter(col("k") === 500L).head().isNullAt(2))
+  }
+
   test("two-clause mergeIntoClauses reproduces mergeInto exactly") {
     import spark.implicits._
     val t1 = freshTable(); val t2 = freshTable()

@@ -121,9 +121,9 @@ class TxnReplicaFeedSpec extends SparkSpec {
     TxnLake.commit(spark,
       (0L until 20L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
       src, "append") // v0: narrow
-    val follow = new TxnReplicaFeed(src, rep, "repl", "k")
-    val parked = new TxnReplicaFeed(src, strict, "repl", "k",
-      followSchema = false)
+    val follow = new TxnReplicaFeed(src, rep, "repl", "k",
+      followSchema = true)
+    val parked = new TxnReplicaFeed(src, strict, "repl", "k") // default
     assert(follow.poll(spark) == 1 && parked.poll(spark) == 1)
     // the source evolves: an append brings a third column
     TxnLake.commit(spark,
@@ -145,7 +145,8 @@ class TxnReplicaFeedSpec extends SparkSpec {
     assert(TxnLake.read(spark, strict).count() == 20,
       "a refused hop must leave the replica untouched")
     // resuming with a following consumer picks up exactly there
-    assert(new TxnReplicaFeed(src, strict, "repl", "k").poll(spark) == 1)
+    assert(new TxnReplicaFeed(src, strict, "repl", "k",
+      followSchema = true).poll(spark) == 1)
     assert(TxnLake.read(spark, strict).columns.toSeq ==
       Seq("k", "v", "extra"))
   }
