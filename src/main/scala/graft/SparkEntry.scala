@@ -62,7 +62,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x53 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x54 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -118,10 +118,14 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    overflow rows hard-delete, sub-shard files untouched), plus
   *    continuous CDC replication (TxnReplicaFeed — source versions as
   *    offsets, one exactly-once clause merge per hop, maintenance
-  *    hops land as empty marker merges), and schema-evolving MERGE
+  *    hops land as empty marker merges), schema-evolving MERGE
   *    (merge-time autoMerge: clause-assigned new columns join the
   *    log-carried schema, carried files null-fill without rewriting,
-  *    narrow versions still time-travel)
+  *    narrow versions still time-travel), and DELETION VECTORS
+  *    (merge-on-read delete: matched positions land in per-file
+  *    sidecars, no data file moves, every read/feed path honors the
+  *    masks, REORG-style purge materializes them away, bulk deletes
+  *    fall back to copy-on-write)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

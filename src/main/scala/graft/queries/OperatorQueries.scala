@@ -3326,6 +3326,98 @@ object OperatorQueries {
       .withColumn("files_untouched", lit(carried.size))
   }
 
+  /** Deletion vectors (x54) — Delta's MERGE-ON-READ delete: a selective
+    * delete on a huge table must not pay copy-on-write's price (a 1-row
+    * delete in a 1 GB file rewrites the gigabyte); it records the
+    * matched ROW POSITIONS in per-file sidecars and every read drops
+    * them at scan time. Fixture: the 8-file id-bucket layout; the
+    * delete matches a sparse value residue within the upper id half —
+    * stats-scoped to the four upper files, positions spread across
+    * them. In-engine gates: the DV commit moves NO data file (post
+    * snapshot ≡ pre snapshot, path for path — the whole point), the
+    * mask census equals the matched count, every read path and the
+    * change feed honor the masks, the pre-delete snapshot time-travels
+    * in full, and the explicit purge (REORG ... APPLY (PURGE)) rewrites
+    * exactly the masked files as a data-preserving commit while the
+    * clean files carry verbatim. The oracle recomputes surviving rows
+    * and both censuses relationally. */
+  val txnDeletionVectors = OracleQuery(
+    "x54_txn_deletion_vectors",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |b AS (SELECT event_id, vc,
+      |        CAST((event_id * 8) // (m + 1) AS INT) AS bkt FROM ev, mx),
+      |hit AS (SELECT *, (vc % 97 = 0 AND 2 * event_id > m) AS del
+      |        FROM b, mx),
+      |fin AS (SELECT event_id, vc FROM hit WHERE NOT del),
+      |res AS (SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |          min(event_id) AS min_id, max(event_id) AS max_id FROM fin),
+      |cnt AS (SELECT count(CASE WHEN del THEN 1 END) AS n_deleted,
+      |    CAST(count(DISTINCT CASE WHEN del THEN bkt END) AS INT)
+      |      AS masked_files,
+      |    CAST(count(DISTINCT bkt)
+      |      - count(DISTINCT CASE WHEN del THEN bkt END) AS INT)
+      |      AS purged_carried
+      |  FROM hit)
+      |SELECT n_rows, sum_cents, min_id, max_id, n_deleted, masked_files,
+      |  purged_carried
+      |FROM res, cnt""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val t = Scratch.dir("txn_deletion_vectors") + "/t"
+    val bkt = expr(s"event_id * 8 div ${m + 1}")
+    (0 until 8).foreach { i =>
+      val part = ev.filter(bkt === i).coalesce(1)
+      if (!part.isEmpty) TxnLake.commit(s, part, t, "append")
+    }
+    val preV = TxnLake.latestVersion(s, t).get
+    val total = ev.count()
+    val prePaths = TxnLake.snapshotFiles(s, t).map(_.path).toSet
+    val delPred = col("vc") % 97 === 0 && col("event_id") > m / 2
+    val nDel = ev.filter(delPred).count()
+    val v = TxnLake.deleteWhereDv(s, t, delPred)
+      .getOrElse(sys.error("the residue band cannot be empty"))
+    require(TxnLake.commitInfo(s, t, v).operation == "delete")
+    // THE merge-on-read gate: not one data file moved
+    require(TxnLake.snapshotFiles(s, t, Some(v)).map(_.path).toSet ==
+      prePaths, "a DV delete must not move a single data file")
+    val dvs = TxnLake.deletionVectors(s, t)
+    require(dvs.values.map(_.rows).sum == nDel,
+      s"mask census ${dvs.values.map(_.rows).sum} != matched $nDel")
+    require(TxnLake.read(s, t).count() == total - nDel,
+      "the snapshot read must honor the masks")
+    require(TxnLake.readWhere(s, t, col("event_id") > m / 2).count() ==
+      ev.filter(col("event_id") > m / 2).count() - nDel,
+      "the skipping scan must honor the masks")
+    require(TxnLake.readVersion(s, t, preV).count() == total,
+      "the pre-delete snapshot must time-travel in full")
+    val byType = TxnLake.tableChanges(s, t, preV, v, "event_id")
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(byType == Map("delete" -> nDel),
+      s"the DV hop must classify exactly the masked rows: $byType")
+    // purge: rewrite exactly the masked files, data-preserving
+    val vP = TxnLake.purgeDeletionVectors(s, t)
+      .getOrElse(sys.error("a masked table cannot purge to a no-op"))
+    require(TxnLake.commitInfo(s, t, vP).dataPreserving)
+    val postPaths = TxnLake.snapshotFiles(s, t, Some(vP)).map(_.path).toSet
+    val rewritten = prePaths -- postPaths
+    require(rewritten == dvs.keySet,
+      s"purge must rewrite exactly the masked files: $rewritten")
+    require(TxnLake.deletionVectors(s, t).isEmpty
+      && TxnLake.read(s, t).count() == total - nDel,
+      "purge materializes the masks without changing a logical row")
+    TxnLake.read(s, t)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .withColumn("n_deleted", lit(nDel))
+      .withColumn("masked_files", lit(dvs.size))
+      .withColumn("purged_carried", lit((prePaths intersect postPaths).size))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -3341,5 +3433,6 @@ object OperatorQueries {
       streamDecontamIngestMaintained, streamIngestIncrementalCompaction,
       txnDeleteWhere, txnTableChanges, streamNearDupProbePruned,
       streamDecontamProbePruned, txnMergeInto, txnUpdateWhere,
-      txnCdcApply, txnReplicaSync, streamReplicaFeed, txnMergeEvolve)
+      txnCdcApply, txnReplicaSync, streamReplicaFeed, txnMergeEvolve,
+      txnDeletionVectors)
 }

@@ -101,7 +101,16 @@ object TxnLake extends LakeFormat {
                                  txns: Map[String, Long],
                                  hasTxns: Boolean,
                                  schemaJson: Option[String] = None,
-                                 bloomCols: Seq[String] = Seq.empty)
+                                 bloomCols: Seq[String] = Seq.empty,
+                                 dvs: Map[String, DvRef] = Map.empty)
+
+  /** One live deletion vector: the sidecar's table-relative path and the
+    * number of row positions it masks. Carried CUMULATIVELY on every
+    * entry (like the txn map and the schema), keyed by data-file path —
+    * so the live DV set at any version is ONE O(1) entry read, no
+    * checkpoint format change, and a rewrite that removes a file drops
+    * its DV from the map automatically. */
+  final case class DvRef(path: String, rows: Long)
 
   // ---- JSON (jackson tree API — ships with Spark; no extra deps) ------
 
@@ -160,6 +169,14 @@ object TxnLake extends LakeFormat {
       val bc = o.putArray("bloomCols")
       e.bloomCols.foreach(bc.add)
     }
+    if (e.dvs.nonEmpty) {
+      val dv = o.putObject("dvs")
+      e.dvs.toSeq.sortBy(_._1).foreach { case (file, r) =>
+        val d = dv.putObject(file)
+        d.put("p", r.path)
+        d.put("n", r.rows)
+      }
+    }
     mapper.writeValueAsString(o)
   }
 
@@ -185,8 +202,12 @@ object TxnLake extends LakeFormat {
     val schemaJson = Option(n.get("schema")).map(_.asText())
     val bloomCols = Option(n.get("bloomCols"))
       .map(_.asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val dvs = Option(n.get("dvs")).map(_.properties().asScala.map { e =>
+      e.getKey -> DvRef(e.getValue.get("p").asText(),
+        e.getValue.get("n").asLong())
+    }.toMap).getOrElse(Map.empty[String, DvRef])
     Entry(version, operation, add, remove, legacy, txn, txns, txnsNode.isDefined,
-      schemaJson, bloomCols)
+      schemaJson, bloomCols, dvs)
   }
 
   // ---- log access -----------------------------------------------------
@@ -610,7 +631,9 @@ object TxnLake extends LakeFormat {
         if (files.isEmpty) return (spark.emptyDataFrame, (0, 0))
         def abs(fms: Seq[FileMeta]) =
           fms.map(fm => new Path(table, fm.path).toString)
-        val schema = loggedSchema(spark, table, v)
+        val entry = readEntry(spark, table, v)
+        val schema = entry.schemaJson
+          .map(DataType.fromJson(_).asInstanceOf[StructType])
         def scan(paths: Seq[String]) = schema match {
           case Some(st) => spark.read.schema(st).parquet(paths: _*)
           case None => spark.read.parquet(paths: _*)
@@ -620,7 +643,7 @@ object TxnLake extends LakeFormat {
           else files.filter(fileMayContainKeys(spark, table, _, column, keys))
         val df =
           if (kept.isEmpty) scan(Seq(abs(files).head)).where(lit(false))
-          else scan(abs(kept))
+          else scanFiles(spark, table, kept, schema, entry.dvs)
         (df, (kept.size, files.size))
     }
   }
@@ -691,7 +714,9 @@ object TxnLake extends LakeFormat {
                          requireBase: Option[Option[Long]] = None,
                          removePaths: Option[Seq[String]] = None,
                          extraTxns: Map[String, Long] = Map.empty,
-                         bloomCols: Seq[String] = Seq.empty): Option[Long] = {
+                         bloomCols: Seq[String] = Seq.empty,
+                         newDvs: Map[String, DvRef] = Map.empty,
+                         noData: Boolean = false): Option[Long] = {
     require(operation == "overwrite" || operation == "append"
       || operation == "optimize" || operation == "delete"
       || operation == "merge" || operation == "update",
@@ -732,16 +757,25 @@ object TxnLake extends LakeFormat {
       if (replayed) return None
       val next = committed.lastOption.map(_ + 1).getOrElse(0L)
       // 1. land the data in a fresh immutable dir (never seen by readers
-      //    until the log entry that names it is published)
+      //    until the log entry that names it is published). A metadata-
+      //    only commit (noData — a deletion-vector delta) writes nothing:
+      //    even an empty frame would land a 0-row part file, and a DV
+      //    delete's contract is that NO data file moves.
       val dataRel = s"data/v$next-$salt-$attempt"
-      df.write.mode("overwrite").parquet(new Path(tablePath, dataRel).toString)
-      // add actions: one per written file, with footer-harvested stats
-      // (distributed above DriverHarvestMax files — see harvestAll)
-      val written = f.listStatus(new Path(tablePath, dataRel))
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName)
-        .map(s => (s.getPath.toString, s"$dataRel/${s.getPath.getName}")).toSeq
-      val added0 = harvestAll(spark, written, df.schema)
+      val added0 =
+        if (noData) Seq.empty[FileMeta]
+        else {
+          df.write.mode("overwrite")
+            .parquet(new Path(tablePath, dataRel).toString)
+          // add actions: one per written file, with footer-harvested stats
+          // (distributed above DriverHarvestMax files — see harvestAll)
+          val written = f.listStatus(new Path(tablePath, dataRel))
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName)
+            .map(s => (s.getPath.toString, s"$dataRel/${s.getPath.getName}"))
+            .toSeq
+          harvestAll(spark, written, df.schema)
+        }
       // Bloom-indexed columns are a TABLE property (like the cumulative
       // schema): declared on any commit, inherited by every later one —
       // including the engine's own maintenance/DML rewrites, which would
@@ -794,10 +828,16 @@ object TxnLake extends LakeFormat {
         lastEntry.flatMap(_.schemaJson)
           .map(DataType.fromJson(_).asInstanceOf[StructType]),
         df.schema, operation)
+      // deletion vectors ride the entry CUMULATIVELY (like txns/schema):
+      // a removed file's DV dies with it — a rewrite that materializes
+      // the masked rows away must not leave a stale mask behind — and
+      // this commit's fresh DVs (deleteWhereDv) overlay the survivors
+      val dvLive = (lastEntry.map(_.dvs).getOrElse(Map.empty[String, DvRef])
+        -- removed) ++ newDvs
       // 2. publish: tmp write + atomic link IS the commit
       val entry = render(Entry(next, operation, added, removed, None, txn, txns,
         hasTxns = true, schemaJson = Some(tableSchema.json),
-        bloomCols = allBloomCols))
+        bloomCols = allBloomCols, dvs = dvLive))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -949,18 +989,14 @@ object TxnLake extends LakeFormat {
     // was added lack it physically — the parquet reader fills nulls, which
     // is exactly Delta's read-time evolution semantics (and the scan skips
     // the per-file footer schema merge entirely)
-    val schema = loggedSchema(spark, table, version)
+    val entry = readEntry(spark, table, version)
+    val schema = entry.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
     if (files.isEmpty)
       schema.map(st => spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), st))
         .getOrElse(spark.emptyDataFrame)
-    else {
-      val paths = files.map(fm => new Path(table, fm.path).toString)
-      schema match {
-        case Some(st) => spark.read.schema(st).parquet(paths: _*)
-        case None => spark.read.parquet(paths: _*)
-      }
-    }
+    else scanFiles(spark, table, files, schema, entry.dvs)
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -968,6 +1004,88 @@ object TxnLake extends LakeFormat {
       case Some(v) => readVersion(spark, path, v)
       case None => spark.emptyDataFrame
     }
+
+  // ---- deletion vectors -------------------------------------------------
+
+  /** Live deletion vectors AS OF a version, data-file path → [[DvRef]] —
+    * one O(1) entry read (every commit carries the cumulative map). */
+  def deletionVectors(spark: SparkSession, table: String,
+                      version: Option[Long] = None): Map[String, DvRef] =
+    version.orElse(latestVersion(spark, table))
+      .map(readEntry(spark, table, _).dvs)
+      .getOrElse(Map.empty)
+
+  private val DvMagic = "GDV1".getBytes("US-ASCII")
+
+  private def writeDvFile(f: FileSystem, p: Path,
+                          positions: Seq[Long]): Unit = {
+    val out = f.create(p, false)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(8 + positions.length * 8)
+      buf.put(DvMagic)
+      buf.putInt(positions.length)
+      positions.sorted.foreach(buf.putLong)
+      out.write(buf.array())
+    } finally out.close()
+  }
+
+  private[sources] def readDvFile(f: FileSystem, p: Path): Seq[Long] = {
+    val in = f.open(p)
+    try {
+      val buf = java.nio.ByteBuffer.wrap(in.readAllBytes())
+      val magic = new Array[Byte](4)
+      buf.get(magic)
+      require(java.util.Arrays.equals(magic, DvMagic),
+        s"TxnLake: not a deletion vector file: $p")
+      val n = buf.getInt
+      (0 until n).map(_ => buf.getLong)
+    } finally in.close()
+  }
+
+  /** Scan `files` under `schema` with the live deletion vectors applied —
+    * the MERGE-ON-READ read path: a DV'd file scans with the parquet
+    * ROW-INDEX metadata column and drops its masked positions via a
+    * distributed anti-join against the (file, position) pairs (no
+    * In-literals, no UDF); clean files take the plain scan untouched.
+    * Zero plan change when no scanned file carries a DV — the fast path
+    * every DV-free table stays on. */
+  private def scanFiles(spark: SparkSession, table: String,
+                        files: Seq[FileMeta], schema: Option[StructType],
+                        dvs: Map[String, DvRef]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def scan(paths: Seq[String]) = schema match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    def abs(fms: Seq[FileMeta]) =
+      fms.map(fm => new Path(table, fm.path).toString)
+    val (masked, clean) = files.partition(fm => dvs.contains(fm.path))
+    val cleanDf = if (clean.isEmpty) None else Some(scan(abs(clean)))
+    val maskedDf = if (masked.isEmpty) None else {
+      val f = fs(spark, new Path(table))
+      // driver-side DV load: DVs are SELECTIVE-delete artifacts (the
+      // writer caps them at graft.probe.maxDriverKeys positions and
+      // falls back to copy-on-write beyond), so the pair set is
+      // metadata-sized by construction
+      val pairs: Seq[(String, Long)] = masked.flatMap { fm =>
+        val name = new Path(fm.path).getName
+        readDvFile(f, new Path(table, dvs(fm.path).path)).map(name -> _)
+      }
+      import spark.implicits._
+      val del = pairs.toDF("__graft_dv_fn", "__graft_dv_ri")
+      val base = scan(abs(masked))
+        .withColumn("__graft_dv_fn", col("_metadata.file_name"))
+        .withColumn("__graft_dv_ri", col("_metadata.row_index"))
+      Some(base.join(del, Seq("__graft_dv_fn", "__graft_dv_ri"), "left_anti")
+        .drop("__graft_dv_fn", "__graft_dv_ri"))
+    }
+    (cleanDf, maskedDf) match {
+      case (Some(c), Some(m)) => c.unionByName(m)
+      case (Some(c), None) => c
+      case (None, Some(m)) => m
+      case (None, None) => spark.emptyDataFrame
+    }
+  }
 
   // ---- data skipping --------------------------------------------------
 
@@ -1001,7 +1119,9 @@ object TxnLake extends LakeFormat {
           fms.map(fm => new Path(table, fm.path).toString)
         // logged schema (when present) both evolves old files and lets the
         // predicate reference columns the SAMPLE file may predate
-        val schema = loggedSchema(spark, table, v)
+        val entry = readEntry(spark, table, v)
+        val schema = entry.schemaJson
+          .map(DataType.fromJson(_).asInstanceOf[StructType])
         def scan(paths: Seq[String]) = schema match {
           case Some(st) => spark.read.schema(st).parquet(paths: _*)
           case None => spark.read.parquet(paths: _*)
@@ -1014,7 +1134,8 @@ object TxnLake extends LakeFormat {
             // suffices for the schema — building the relation over the whole
             // snapshot would be an O(table) listing for a proven-empty result
             scan(Seq(abs(files).head)).where(lit(false))
-          else scan(abs(kept)).where(predicate)
+          else scanFiles(spark, table, kept, schema, entry.dvs)
+            .where(predicate)
         (df, (kept.size, files.size))
     }
   }
@@ -1228,13 +1349,13 @@ object TxnLake extends LakeFormat {
     require(fromVersion <= toVersion,
       s"TxnLake.tableChanges: $fromVersion > $toVersion")
     val schema = loggedSchema(spark, table, toVersion)
-    def readFiles(paths: Seq[String]): DataFrame = {
-      val abs = paths.map(p => new Path(table, p).toString)
-      schema match {
-        case Some(st) => spark.read.schema(st).parquet(abs: _*)
-        case None => spark.read.parquet(abs: _*)
-      }
-    }
+    def metas(paths: Seq[String]) = paths.map(FileMeta(_, -1L, Map.empty))
+    // pre-image reads carry the PREVIOUS version's deletion vectors: a
+    // masked row was already deleted by its own earlier hop, so a rewrite
+    // that materializes it away must not re-emit it here
+    def readFiles(paths: Seq[String],
+                  dvs: Map[String, DvRef] = Map.empty): DataFrame =
+      scanFiles(spark, table, metas(paths), schema, dvs)
     val hops = ((fromVersion + 1) to toVersion).flatMap { v =>
       val e = readEntry(spark, table, v)
       e.operation match {
@@ -1251,8 +1372,42 @@ object TxnLake extends LakeFormat {
             .withColumn("change_type", lit("insert"))
             .withColumn("commit_version", lit(v)))
         case "append" => None // empty append (txn-marker commit)
+        case "delete" if e.remove.isEmpty =>
+          // merge-on-read delete: no file moved — the hop's rows are the
+          // POSITIONS this commit's DV map newly masks, read from exactly
+          // the touched files (O(touched), like every other hop)
+          val prev = readEntry(spark, table, v - 1).dvs
+          val f = fs(spark, new Path(table))
+          val fresh: Seq[(String, Long)] = e.dvs.toSeq.flatMap {
+            case (p, ref) =>
+              if (prev.get(p).contains(ref)) Seq.empty // sidecar unchanged
+              else {
+                val old = prev.get(p).map(r =>
+                  readDvFile(f, new Path(table, r.path)).toSet)
+                  .getOrElse(Set.empty[Long])
+                readDvFile(f, new Path(table, ref.path))
+                  .filterNot(old).map(new Path(p).getName -> _)
+              }
+          }
+          if (fresh.isEmpty) None
+          else {
+            import spark.implicits._
+            import org.apache.spark.sql.functions.col
+            val touched = fresh.map(_._1).toSet
+            val paths = resolveFiles(spark, table, v - 1)
+              .map(_.path).filter(p => touched(new Path(p).getName))
+            val base = readFiles(paths) // raw: the masked rows themselves
+              .withColumn("__graft_dv_fn", col("_metadata.file_name"))
+              .withColumn("__graft_dv_ri", col("_metadata.row_index"))
+            Some(base.join(fresh.toDF("__graft_dv_fn", "__graft_dv_ri"),
+                Seq("__graft_dv_fn", "__graft_dv_ri"), "left_semi")
+              .drop("__graft_dv_fn", "__graft_dv_ri")
+              .withColumn("change_type", lit("delete"))
+              .withColumn("commit_version", lit(v)))
+          }
         case "delete" =>
-          val removed = readFiles(e.remove)
+          val removed = readFiles(e.remove,
+            readEntry(spark, table, v - 1).dvs)
           val kept =
             if (e.add.nonEmpty) readFiles(e.add.map(_.path))
             else removed.limit(0)
@@ -1270,7 +1425,8 @@ object TxnLake extends LakeFormat {
             if (e.add.nonEmpty) readFiles(e.add.map(_.path))
             else readVersion(spark, table, v).limit(0)
           val pre =
-            if (e.remove.nonEmpty) readFiles(e.remove)
+            if (e.remove.nonEmpty) readFiles(e.remove,
+              readEntry(spark, table, v - 1).dvs)
             else post.limit(0)
           Some(keyedDiff(pre, post, key).withColumn("commit_version", lit(v)))
         case _ => // overwrite / restore: snapshot replacement — full diff
@@ -1778,7 +1934,9 @@ object TxnLake extends LakeFormat {
         case Some(b) =>
           val files = resolveFiles(spark, table, b)
           requireLive(spark, table, b, files)
-          val schema = loggedSchema(spark, table, b)
+          val baseEntry = readEntry(spark, table, b)
+          val schema = baseEntry.schemaJson
+            .map(DataType.fromJson(_).asInstanceOf[StructType])
           val readSchema = subsetReadSchema(spark, table, schema, files)
           val targetCols = readSchema.fieldNames.toIndexedSeq
           require(targetCols.contains(key),
@@ -1844,10 +2002,8 @@ object TxnLake extends LakeFormat {
             val anti =
               if (keyTouched.isEmpty) src
               else src.join(
-                spark.read.schema(readSchema)
-                  .parquet(keyTouched.map(fm =>
-                    new Path(table, fm.path).toString): _*)
-                  .select(col(key)),
+                scanFiles(spark, table, keyTouched, Some(readSchema),
+                  baseEntry.dvs).select(col(key)),
                 Seq(key), "left_anti")
             insertRows(anti, readSchema, newCols)
           }
@@ -1869,9 +2025,8 @@ object TxnLake extends LakeFormat {
                 spark.createDataFrame(
                   spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                   readSchema)
-              else spark.read.schema(readSchema)
-                .parquet(rewriteFiles.map(fm =>
-                  new Path(table, fm.path).toString): _*)
+              else scanFiles(spark, table, rewriteFiles, Some(readSchema),
+                baseEntry.dvs)
             val srcRenamed = src.columns.foldLeft(src)((d, c) =>
               d.withColumnRenamed(c, MergeSourcePrefix + c))
             // without MATCHED clauses the join only needs the MARKER, so
@@ -2026,14 +2181,15 @@ object TxnLake extends LakeFormat {
       val files = resolveFiles(spark, table, base)
       if (files.isEmpty) return None
       requireLive(spark, table, base, files)
-      val schema = loggedSchema(spark, table, base)
+      val entry = readEntry(spark, table, base)
+      val schema = entry.schemaJson
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
       val sample = new Path(table, files.head.path).toString
       val pred = resolvedPredicate(spark, sample, predicate, schema)
       val scoped = files.filter(fm => mayMatch(fm, pred))
       if (scoped.size < 2) return None
-      val snap = spark.read
-        .schema(subsetReadSchema(spark, table, schema, files))
-        .parquet(scoped.map(fm => new Path(table, fm.path).toString): _*)
+      val snap = scanFiles(spark, table, scoped,
+        Some(subsetReadSchema(spark, table, schema, files)), entry.dvs)
       val rewritten = clusterFor(snap, zorderBy, numFiles)
       try return Some(commitImpl(spark, rewritten, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
@@ -2091,14 +2247,17 @@ object TxnLake extends LakeFormat {
       val files = resolveFiles(spark, table, base)
       if (files.isEmpty) return None
       requireLive(spark, table, base, files)
-      val schema = loggedSchema(spark, table, base)
+      val entry = readEntry(spark, table, base)
+      val schema = entry.schemaJson
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
       val sample = new Path(table, files.head.path).toString
       val pred = resolvedPredicate(spark, sample, predicate, schema)
       val touched = files.filter(fm => mayMatch(fm, pred))
       if (touched.isEmpty) return None
-      val kept = spark.read
-        .schema(subsetReadSchema(spark, table, schema, files))
-        .parquet(touched.map(fm => new Path(table, fm.path).toString): _*)
+      // read UNDER the live masks: a rewritten file's deletion vector
+      // dies with it, so its masked rows must not be resurrected here
+      val kept = scanFiles(spark, table, touched,
+          Some(subsetReadSchema(spark, table, schema, files)), entry.dvs)
         .where(not(coalesce(predicate, lit(false))))
         .repartition(touched.size)
       try return Some(commitImpl(spark, kept, table, "delete", None,
@@ -2110,6 +2269,145 @@ object TxnLake extends LakeFormat {
     throw new java.util.ConcurrentModificationException(
       s"TxnLake.deleteWhere: $maxAttempts consecutive concurrent commits " +
         s"on $table")
+  }
+
+  /** Row-level DELETE in MERGE-ON-READ form — Delta's deletion vectors:
+    * where [[deleteWhere]] REWRITES every touched file without the
+    * matching rows (copy-on-write: a 1-row delete in a 1 GB file
+    * rewrites the gigabyte), this records the matching ROW POSITIONS in
+    * a tiny per-file sidecar and every snapshot read drops them at scan
+    * time ([[scanFiles]] — the masked scan rides the parquet row-index
+    * metadata column and a distributed anti-join). The commit touches NO
+    * data file: it adds nothing, removes nothing, and only advances the
+    * entry's cumulative DV map — write cost O(matched positions), never
+    * O(touched bytes). Re-deleting from a masked file UNIONS positions.
+    *
+    * A DV dies with its file: any copy-on-write rewrite (DML, OPTIMIZE,
+    * compaction) reads the file under its mask, materializes the
+    * surviving rows, and the commit's `prior -- removed` drops the
+    * sidecar from the map — deleted rows can never resurrect.
+    * [[purgeDeletionVectors]] is the explicit rewrite (Delta's
+    * `REORG TABLE ... APPLY (PURGE)`).
+    *
+    * The matched-position collect rides the `graft.probe.maxDriverKeys`
+    * planner rule: a delete too large to be a DV candidate (its mask
+    * would rival the data) falls back to [[deleteWhere]]'s copy-on-write
+    * — the right plan for a bulk delete anyway. Identical rows either
+    * way. SQL NULL semantics (only TRUE deletes), the "delete" tag (NOT
+    * data-preserving — sibling indexes de-trust), pinned read version
+    * with recompute on conflict, provable no-op → None. The hop
+    * surfaces in [[tableChanges]] as exactly the newly masked rows. */
+  def deleteWhereDv(spark: SparkSession, table: String, predicate: Column,
+                    maxAttempts: Int = 10): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val cap = spark.conf.getOption("graft.probe.maxDriverKeys")
+      .map(_.toLong).getOrElse(1000000L)
+    val lim = (math.min(math.max(cap, 0L), (Int.MaxValue - 2).toLong) + 1).toInt
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(spark, table).getOrElse(
+        sys.error(s"TxnLake.deleteWhereDv: no committed version in $table"))
+      val files = resolveFiles(spark, table, base)
+      if (files.isEmpty) return None
+      requireLive(spark, table, base, files)
+      val entry = readEntry(spark, table, base)
+      val schema = entry.schemaJson
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+      val sample = new Path(table, files.head.path).toString
+      val pred = resolvedPredicate(spark, sample, predicate, schema)
+      val touched = files.filter(fm => mayMatch(fm, pred))
+      if (touched.isEmpty) return None
+      val f = fs(spark, new Path(table))
+      val byName = touched.map(fm => new Path(fm.path).getName -> fm.path)
+        .toMap
+      require(byName.size == touched.size,
+        s"TxnLake.deleteWhereDv: duplicate data-file names in $table")
+      // matching LIVE positions: scan touched with the row index, drop
+      // already-masked positions (a row never double-deletes), keep TRUE
+      val readSchema = subsetReadSchema(spark, table, schema, files)
+      val baseDf = spark.read.schema(readSchema)
+        .parquet(touched.map(fm => new Path(table, fm.path).toString): _*)
+        .withColumn("__graft_dv_fn", col("_metadata.file_name"))
+        .withColumn("__graft_dv_ri", col("_metadata.row_index"))
+      val priorPairs: Seq[(String, Long)] = touched.flatMap { fm =>
+        entry.dvs.get(fm.path).toSeq.flatMap(r =>
+          readDvFile(f, new Path(table, r.path))
+            .map(new Path(fm.path).getName -> _))
+      }
+      import spark.implicits._
+      val live =
+        if (priorPairs.isEmpty) baseDf
+        else baseDf.join(priorPairs.toDF("__graft_dv_fn", "__graft_dv_ri"),
+          Seq("__graft_dv_fn", "__graft_dv_ri"), "left_anti")
+      val hits = live.where(coalesce(predicate, lit(false)))
+        .select(col("__graft_dv_fn"), col("__graft_dv_ri"))
+        .limit(lim).collect()
+      if (hits.length > cap)
+        return deleteWhere(spark, table, predicate, maxAttempts)
+      if (hits.isEmpty) return None
+      val salt = java.util.UUID.randomUUID().toString.take(8)
+      val dvDir = new Path(table, s"_dv/$salt")
+      f.mkdirs(dvDir)
+      val newDvs: Map[String, DvRef] = hits.groupBy(_.getString(0))
+        .map { case (name, rows) =>
+          val rel = byName(name)
+          val old = entry.dvs.get(rel).map(r =>
+            readDvFile(f, new Path(table, r.path))).getOrElse(Seq.empty)
+          val all = (old ++ rows.map(_.getLong(1)).toSeq).distinct
+          val p = new Path(dvDir, s"$name.dv")
+          writeDvFile(f, p, all)
+          rel -> DvRef(s"_dv/$salt/$name.dv", all.size.toLong)
+        }
+      // dvs-only commit: an empty frame writes no data file (0 partitions
+      // -> no parts), so the entry advances ONLY the cumulative DV map
+      val emptyDf = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
+      try return Some(commitImpl(spark, emptyDf, table, "delete", None,
+          maxAttempts = 1, requireBase = Some(Some(base)),
+          removePaths = Some(Seq.empty), newDvs = newDvs, noData = true)
+        .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped")))
+      catch { case _: CommitConflict =>
+        f.delete(dvDir, true) // recompute writes a fresh salt dir
+        attempt += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"TxnLake.deleteWhereDv: $maxAttempts consecutive concurrent " +
+        s"commits on $table")
+  }
+
+  /** Materialize every live deletion vector away — Delta's
+    * `REORG TABLE ... APPLY (PURGE)`: rewrite ONLY the masked files
+    * (their surviving rows), carry every clean file verbatim, and let
+    * the commit's map maintenance drop the sidecars. Data-preserving
+    * ("optimize" tag — the row multiset is unchanged by construction),
+    * so sibling-index trust (x40) survives a purge, exactly as it
+    * survives compaction. No-op (None) when nothing is masked. */
+  def purgeDeletionVectors(spark: SparkSession, table: String,
+                           maxAttempts: Int = 10): Option[Long] = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(spark, table).getOrElse(
+        sys.error(s"TxnLake.purgeDeletionVectors: no committed version"))
+      val files = resolveFiles(spark, table, base)
+      requireLive(spark, table, base, files)
+      val entry = readEntry(spark, table, base)
+      val masked = files.filter(fm => entry.dvs.contains(fm.path))
+      if (masked.isEmpty) return None
+      val schema = entry.schemaJson
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+      val clean = scanFiles(spark, table, masked, Some(
+        subsetReadSchema(spark, table, schema, files)), entry.dvs)
+        .repartition(masked.size)
+      try return Some(commitImpl(spark, clean, table, "optimize", None,
+          maxAttempts = 1, requireBase = Some(Some(base)),
+          removePaths = Some(masked.map(_.path)))
+        .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped")))
+      catch { case _: CommitConflict => attempt += 1 }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"TxnLake.purgeDeletionVectors: $maxAttempts consecutive concurrent " +
+        s"commits on $table")
   }
 
   /** Row-level UPDATE — Delta's `UPDATE t SET … WHERE …` in its
@@ -2139,7 +2437,9 @@ object TxnLake extends LakeFormat {
       val files = resolveFiles(spark, table, base)
       if (files.isEmpty) return None
       requireLive(spark, table, base, files)
-      val schema = loggedSchema(spark, table, base)
+      val entry = readEntry(spark, table, base)
+      val schema = entry.schemaJson
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
       val readSchema = subsetReadSchema(spark, table, schema, files)
       set.keys.foreach(k => require(readSchema.fieldNames.contains(k),
         s"TxnLake.updateWhere: SET references unknown column $k"))
@@ -2148,8 +2448,8 @@ object TxnLake extends LakeFormat {
       val touched = files.filter(fm => mayMatch(fm, pred))
       if (touched.isEmpty) return None
       val hit = coalesce(predicate, lit(false))
-      val rewritten = spark.read.schema(readSchema)
-        .parquet(touched.map(fm => new Path(table, fm.path).toString): _*)
+      val rewritten = scanFiles(spark, table, touched, Some(readSchema),
+          entry.dvs)
         .select(readSchema.fieldNames.map { n =>
           set.get(n) match {
             case Some(v) => when(hit, v).otherwise(col(n)).as(n)
@@ -2221,12 +2521,15 @@ object TxnLake extends LakeFormat {
       if (small.size < 2) return None
       val numOut = math.max(1L,
         (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
-      val schema = loggedSchema(spark, table, base)
-      val paths = small.map(p => new Path(table, p._1).toString)
-      val packed = spark.read
-        .schema(subsetReadSchema(spark, table, schema,
-          resolveFiles(spark, table, base)))
-        .parquet(paths: _*).repartition(numOut)
+      val entry = readEntry(spark, table, base)
+      val schema = entry.schemaJson
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+      val smallSet = small.map(_._1).toSet
+      val packed = scanFiles(spark, table,
+          resolveFiles(spark, table, base).filter(fm => smallSet(fm.path)),
+          Some(subsetReadSchema(spark, table, schema,
+            resolveFiles(spark, table, base))), entry.dvs)
+        .repartition(numOut)
       try return Some(commitImpl(spark, packed, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
           removePaths = Some(small.map(_._1)))
@@ -2302,7 +2605,10 @@ object TxnLake extends LakeFormat {
         schemaJson = targetEntry.schemaJson,
         // the bloom-column declaration is a table property — carry the
         // union so a restore never silently un-indexes later commits
-        bloomCols = (lastEntry.bloomCols ++ targetEntry.bloomCols).distinct))
+        bloomCols = (lastEntry.bloomCols ++ targetEntry.bloomCols).distinct,
+        // the restored snapshot's deletion vectors come back with it —
+        // its logical rows are files MINUS masks, both or neither
+        dvs = targetEntry.dvs))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -2330,7 +2636,8 @@ object TxnLake extends LakeFormat {
           case e: IllegalStateException =>
             beforeCompensate()
             compensateRestore(spark, f, table, next, currentMeta,
-              target.map(_.path), txns, lastEntry.schemaJson, maxAttempts)
+              target.map(_.path), txns, lastEntry.schemaJson, maxAttempts,
+              priorDvs = lastEntry.dvs)
             throw new IllegalStateException(
               s"TxnLake.restore: a concurrent vacuum reclaimed version " +
                 s"$toVersion's files during the restore; a compensating " +
@@ -2368,7 +2675,8 @@ object TxnLake extends LakeFormat {
                                 removePaths: Seq[String],
                                 txns: Map[String, Long],
                                 schemaJson: Option[String],
-                                maxAttempts: Int): Unit = {
+                                maxAttempts: Int,
+                                priorDvs: Map[String, DvRef] = Map.empty): Unit = {
     val salt = java.util.UUID.randomUUID().toString.take(8)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -2399,7 +2707,12 @@ object TxnLake extends LakeFormat {
       }
       val entry = render(Entry(next, "restore", addBack, stillReferenced,
         None, None, mergedTxns, hasTxns = true, schemaJson = outSchema,
-        bloomCols = readEntry(spark, table, lastV).bloomCols))
+        bloomCols = readEntry(spark, table, lastV).bloomCols,
+        // masks follow their files: survivors keep the current map's,
+        // added-back files return with the pre-restore snapshot's
+        dvs = (lastEntry.map(_.dvs).getOrElse(Map.empty)
+          -- stillReferenced) ++
+          priorDvs.filter(kv => addBack.exists(_.path == kv._1))))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -2463,7 +2776,10 @@ object TxnLake extends LakeFormat {
           s"TxnLake.vacuum: log of $table advanced on every one of " +
             s"$budget live-set resolutions")
       val retained = versions.takeRight(math.max(1, retainVersions))
-      live = retained.flatMap(resolveFiles(spark, table, _).map(_.path)).toSet
+      live = retained.flatMap(resolveFiles(spark, table, _).map(_.path)).toSet ++
+        // deletion-vector sidecars referenced by ANY retained version
+        // stay live with their snapshots (time travel reads them)
+        retained.flatMap(v => readEntry(spark, table, v).dvs.values.map(_.path))
       val now = committedVersions(spark, table)
       if (now == versions) stable = true else versions = now
       attempt += 1
@@ -2507,6 +2823,21 @@ object TxnLake extends LakeFormat {
                 !live.contains(s"$dirRel/${n.substring(0, i + 8)}"))
               f.delete(s.getPath, false)
           }
+        }
+      }
+    }
+    // deletion-vector sidecars no retained version references: the masks
+    // of vacuumed history, or orphans from superseded DV deletes
+    val dvRoot = new Path(table, "_dv")
+    if (f.exists(dvRoot)) {
+      f.listStatus(dvRoot).filter(_.isDirectory).foreach { d =>
+        val dirRel = s"_dv/${d.getPath.getName}"
+        val files = f.listStatus(d.getPath).filter(_.isFile)
+        if (files.forall(s => !live.contains(s"$dirRel/${s.getPath.getName}")))
+          f.delete(d.getPath, true)
+        else files.foreach { s =>
+          if (!live.contains(s"$dirRel/${s.getPath.getName}"))
+            f.delete(s.getPath, false)
         }
       }
     }

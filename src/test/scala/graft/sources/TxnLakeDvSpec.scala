@@ -1,0 +1,178 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Deletion vectors — merge-on-read DML: masked reads, position unions,
+  * O(positions) commits that move no data file, CoW interop (masks die
+  * with their file, rows never resurrect), purge, restore, vacuum
+  * lifetimes, and the bulk-delete fallback. */
+class TxnLakeDvSpec extends SparkSpec {
+
+  private def freshTable(): String =
+    Files.createTempDirectory("txnlake_dv").resolve("t").toString
+
+  /** Two single-file appends with disjoint id ranges (0-49, 50-99). */
+  private def twoFileTable(t: String): Unit = {
+    import spark.implicits._
+    Seq(0L until 50L, 50L until 100L).foreach { r =>
+      TxnLake.commit(spark,
+        r.map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t, "append")
+    }
+  }
+
+  private def keys(t: String): Set[Long] =
+    TxnLake.read(spark, t).select("k").collect().map(_.getLong(0)).toSet
+
+  test("a DV delete moves no data file; reads, skipping scans, and time " +
+    "travel all honor the mask; re-deletes union positions") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    val preV = TxnLake.latestVersion(spark, t).get
+    val preFiles = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    val v = TxnLake.deleteWhereDv(spark, t,
+      col("k") >= 60L && col("k") <= 62L).get
+    assert(TxnLake.commitInfo(spark, t, v).operation == "delete")
+    // the whole point: NOTHING moved — same physical files, no additions
+    assert(TxnLake.snapshotFiles(spark, t).map(_.path).toSet == preFiles,
+      "a merge-on-read delete must not rewrite or add any data file")
+    val dvs = TxnLake.deletionVectors(spark, t)
+    assert(dvs.size == 1 && dvs.values.head.rows == 3L,
+      s"one sidecar masking 3 positions expected: $dvs")
+    assert(keys(t).size == 97 && !keys(t).contains(60L))
+    // every read path honors the mask
+    assert(TxnLake.readWhere(spark, t, col("k") >= 50L).count() == 47)
+    assert(TxnLake.readKeyed(spark, t, "k", Seq("60", "70"))._1
+      .filter(col("k") === 60L).isEmpty)
+    // the pre-delete snapshot still sees all rows
+    assert(TxnLake.readVersion(spark, t, preV).count() == 100)
+    // a second DV delete UNIONS positions on the same sidecar's file
+    TxnLake.deleteWhereDv(spark, t, col("k") === 63L)
+    assert(TxnLake.deletionVectors(spark, t).values.head.rows == 4L)
+    assert(keys(t).size == 96 && !keys(t).contains(63L))
+    // the masked rows never double-delete: an overlapping re-delete
+    // finds no live row and is a no-op
+    assert(TxnLake.deleteWhereDv(spark, t,
+      col("k") >= 60L && col("k") <= 63L).isEmpty)
+  }
+
+  test("the DV hop surfaces in tableChanges as exactly the newly masked " +
+    "rows — and only the fresh positions on a re-delete") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    val v0 = TxnLake.latestVersion(spark, t).get
+    val v1 = TxnLake.deleteWhereDv(spark, t,
+      col("k") >= 60L && col("k") <= 61L).get
+    val v2 = TxnLake.deleteWhereDv(spark, t, col("k") === 10L).get
+    val hop1 = TxnLake.tableChanges(spark, t, v0, v1, "k").collect()
+    assert(hop1.map(_.getLong(0)).toSet == Set(60L, 61L)
+      && hop1.forall(_.getAs[String]("change_type") == "delete"))
+    val hop2 = TxnLake.tableChanges(spark, t, v1, v2, "k").collect()
+    assert(hop2.map(_.getLong(0)).toSet == Set(10L),
+      "the second hop must carry only ITS fresh positions")
+  }
+
+  test("copy-on-write DML on a masked file materializes the mask — " +
+    "deleted rows never resurrect, and the sidecar dies with the file") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    TxnLake.deleteWhereDv(spark, t, col("k") === 60L)
+    // update touches the masked file: the rewrite must read UNDER the mask
+    TxnLake.updateWhere(spark, t, col("k") === 70L,
+      Map("v" -> lit("UPD")))
+    assert(TxnLake.deletionVectors(spark, t).isEmpty,
+      "the rewritten file's sidecar must leave the cumulative map")
+    val got = TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!got.contains(60L) && got(70L) == "UPD" && got.size == 99,
+      "the masked row must not resurrect through the rewrite")
+    // a merge whose delta carries the deleted key re-INSERTS it (the row
+    // is logically gone, so it is NOT MATCHED — Delta semantics)
+    TxnLake.deleteWhereDv(spark, t, col("k") === 20L)
+    TxnLake.mergeInto(spark, Seq((20L, "BACK")).toDF("k", "v"), t, "k")
+    val after = TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(20L) == "BACK" && after.size == 99,
+      "a masked key is not-matched: the merge inserts it exactly once")
+  }
+
+  test("purgeDeletionVectors rewrites only masked files, carries the " +
+    "rest, and is data-preserving") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    TxnLake.deleteWhereDv(spark, t, col("k") === 60L)
+    val preFiles = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    val preKeys = keys(t)
+    val v = TxnLake.purgeDeletionVectors(spark, t).get
+    assert(TxnLake.commitInfo(spark, t, v).operation == "optimize"
+      && TxnLake.commitInfo(spark, t, v).dataPreserving)
+    val postFiles = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    assert((preFiles intersect postFiles).size == 1,
+      "the clean low file must carry verbatim through the purge")
+    assert(TxnLake.deletionVectors(spark, t).isEmpty && keys(t) == preKeys)
+    assert(TxnLake.purgeDeletionVectors(spark, t).isEmpty,
+      "purging a clean table is a no-op")
+  }
+
+  test("a bulk delete past the position cap falls back to copy-on-write " +
+    "— identical rows, no sidecar") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    spark.conf.set("graft.probe.maxDriverKeys", "2")
+    try {
+      val preFiles = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+      TxnLake.deleteWhereDv(spark, t, col("k") >= 60L && col("k") <= 69L)
+      assert(TxnLake.deletionVectors(spark, t).isEmpty,
+        "past the cap the plan is copy-on-write, not a giant mask")
+      assert((preFiles -- TxnLake.snapshotFiles(spark, t).map(_.path).toSet)
+        .nonEmpty, "the CoW fallback rewrites the touched file")
+      assert(keys(t).size == 90 && !keys(t).contains(65L))
+    } finally spark.conf.unset("graft.probe.maxDriverKeys")
+  }
+
+  test("RESTORE brings a snapshot's masks back with its files; vacuum " +
+    "keeps live sidecars and reclaims dead ones") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    val vDv = TxnLake.deleteWhereDv(spark, t, col("k") === 60L).get
+    TxnLake.purgeDeletionVectors(spark, t)
+    assert(TxnLake.deletionVectors(spark, t).isEmpty)
+    val vBack = TxnLake.restore(spark, t, vDv)
+    assert(TxnLake.deletionVectors(spark, t, Some(vBack)).size == 1
+      && keys(t).size == 99 && !keys(t).contains(60L),
+      "the restored snapshot must come back masked")
+    // vacuum with the DV'd snapshot retained: the sidecar survives
+    TxnLake.vacuum(spark, t, retainVersions = 1)
+    assert(keys(t).size == 99 && !keys(t).contains(60L))
+    // purge again, then vacuum down to the clean snapshot: the sidecar
+    // is no longer referenced by any retained version and is reclaimed
+    TxnLake.purgeDeletionVectors(spark, t)
+    TxnLake.vacuum(spark, t, retainVersions = 1)
+    val f = new java.io.File(s"$t/_dv")
+    def dvCount(d: java.io.File): Int =
+      if (!d.exists()) 0
+      else d.listFiles().map(x =>
+        if (x.isDirectory) dvCount(x) else 1).sum
+    assert(dvCount(f) == 0,
+      s"unreferenced sidecars must be reclaimed (${dvCount(f)} left)")
+    assert(keys(t).size == 99)
+  }
+
+  test("NULL predicates keep rows (SQL DELETE semantics) on the DV path") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark,
+      Seq((1L, Option(5L)), (2L, Option.empty[Long]), (3L, Option(20L)))
+        .toDF("k", "n").coalesce(1), t, "append")
+    TxnLake.deleteWhereDv(spark, t, col("n") > 10L)
+    assert(keys(t) == Set(1L, 2L),
+      "the NULL-n row must survive — only TRUE deletes")
+  }
+}
