@@ -568,7 +568,7 @@ object ScaleStress {
         t, "append")
       t
     }
-    def run(t: String, dv: Boolean): (Double, Long, Long) = {
+    def run(t: String, dv: Boolean): (Double, Long, Long, Long) = {
       val preSizes = TxnLake.snapshotFileSizes(spark, t).toMap
       listener.reset()
       val t0 = System.nanoTime()
@@ -580,14 +580,15 @@ object ScaleStress {
       SessionHygiene.dropAllStorage(spark)
       org.apache.spark.GraftListenerShim
         .waitUntilListenerBusEmpty(spark.sparkContext)
+      val peak = listener.peakMem.get
       val post = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
       val rewrittenBytes = preSizes.filterNot(kv => post(kv._1)).values.sum
-      (sec, rewrittenBytes, TxnLake.read(spark, t).count())
+      (sec, rewrittenBytes, TxnLake.read(spark, t).count(), peak)
     }
     val cow = build("cow"); val dvT = build("dv")
     run(build("warm"), dv = false) // JIT/codegen warm-up on a throwaway
-    val (cowSec, cowBytes, cowRows) = run(cow, dv = false)
-    val (dvSec, dvBytes, dvRows) = run(dvT, dv = true)
+    val (cowSec, cowBytes, cowRows, cowPeak) = run(cow, dv = false)
+    val (dvSec, dvBytes, dvRows, dvPeak) = run(dvT, dv = true)
     require(cowRows == dvRows, s"plans disagree: $cowRows vs $dvRows")
     def s2(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
@@ -595,8 +596,9 @@ object ScaleStress {
     println(s"""SCALE {$tag,"mode":"dvdelete","cpus":${spark.sparkContext
       .defaultParallelism},"rows_deleted":$nDel,""" +
       s""""cow_sec":${s2(cowSec)},"cow_rewritten_mb":${s2(cowBytes / mb)},""" +
+      s""""cow_peak_mb":${s2(cowPeak / mb)},""" +
       s""""dv_sec":${s2(dvSec)},"dv_rewritten_mb":${s2(dvBytes / mb)},""" +
-      s""""rows_after":$dvRows}""")
+      s""""dv_peak_mb":${s2(dvPeak / mb)},"rows_after":$dvRows}""")
   }
 
   def main(args: Array[String]): Unit = {

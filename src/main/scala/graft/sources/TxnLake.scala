@@ -102,7 +102,12 @@ object TxnLake extends LakeFormat {
                                  hasTxns: Boolean,
                                  schemaJson: Option[String] = None,
                                  bloomCols: Seq[String] = Seq.empty,
-                                 dvs: Map[String, DvRef] = Map.empty)
+                                 dvs: Map[String, DvRef] = Map.empty) {
+    /** The logged cumulative schema, decoded — one accessor instead of
+      * the same two-line parse at every read/DML site. */
+    def schemaStruct: Option[StructType] =
+      schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+  }
 
   /** One live deletion vector: the sidecar's table-relative path and the
     * number of row positions it masks. Carried CUMULATIVELY on every
@@ -632,8 +637,7 @@ object TxnLake extends LakeFormat {
         def abs(fms: Seq[FileMeta]) =
           fms.map(fm => new Path(table, fm.path).toString)
         val entry = readEntry(spark, table, v)
-        val schema = entry.schemaJson
-          .map(DataType.fromJson(_).asInstanceOf[StructType])
+        val schema = entry.schemaStruct
         def scan(paths: Seq[String]) = schema match {
           case Some(st) => spark.read.schema(st).parquet(paths: _*)
           case None => spark.read.parquet(paths: _*)
@@ -721,6 +725,10 @@ object TxnLake extends LakeFormat {
       || operation == "optimize" || operation == "delete"
       || operation == "merge" || operation == "update",
       s"TxnLake: unknown operation $operation")
+    require(!df.columns.exists(_.startsWith("__graft_dv_")),
+      "TxnLake: __graft_dv_* column names are reserved for the " +
+        "deletion-vector read path — a data column would be silently " +
+        "overwritten by the masked scan")
     val tablePath = new Path(table)
     val f = fs(spark, tablePath)
     f.mkdirs(logDir(table))
@@ -990,8 +998,7 @@ object TxnLake extends LakeFormat {
     // is exactly Delta's read-time evolution semantics (and the scan skips
     // the per-file footer schema merge entirely)
     val entry = readEntry(spark, table, version)
-    val schema = entry.schemaJson
-      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    val schema = entry.schemaStruct
     if (files.isEmpty)
       schema.map(st => spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), st))
@@ -1019,6 +1026,12 @@ object TxnLake extends LakeFormat {
 
   private def writeDvFile(f: FileSystem, p: Path,
                           positions: Seq[Long]): Unit = {
+    // 8 + n*8 must stay an Int: past ~200M positions the mask rivals the
+    // data and the caller should have taken (or been capped into) the
+    // copy-on-write plan anyway
+    require(positions.length <= 200000000,
+      s"TxnLake: a ${positions.length}-position deletion vector is not a " +
+        "selective delete — use deleteWhere (copy-on-write)")
     val out = f.create(p, false)
     try {
       val buf = java.nio.ByteBuffer.allocate(8 + positions.length * 8)
@@ -1069,7 +1082,16 @@ object TxnLake extends LakeFormat {
       // metadata-sized by construction
       val pairs: Seq[(String, Long)] = masked.flatMap { fm =>
         val name = new Path(fm.path).getName
-        readDvFile(f, new Path(table, dvs(fm.path).path)).map(name -> _)
+        val ref = dvs(fm.path)
+        val positions =
+          try readDvFile(f, new Path(table, ref.path))
+          catch {
+            case e: java.io.FileNotFoundException =>
+              throw new IllegalStateException(
+                s"TxnLake: deletion-vector sidecar ${ref.path} of $table " +
+                  "is missing — the masked version has been vacuumed", e)
+          }
+        positions.map(name -> _)
       }
       import spark.implicits._
       val del = pairs.toDF("__graft_dv_fn", "__graft_dv_ri")
@@ -1120,8 +1142,7 @@ object TxnLake extends LakeFormat {
         // logged schema (when present) both evolves old files and lets the
         // predicate reference columns the SAMPLE file may predate
         val entry = readEntry(spark, table, v)
-        val schema = entry.schemaJson
-          .map(DataType.fromJson(_).asInstanceOf[StructType])
+        val schema = entry.schemaStruct
         def scan(paths: Seq[String]) = schema match {
           case Some(st) => spark.read.schema(st).parquet(paths: _*)
           case None => spark.read.parquet(paths: _*)
@@ -1935,8 +1956,7 @@ object TxnLake extends LakeFormat {
           val files = resolveFiles(spark, table, b)
           requireLive(spark, table, b, files)
           val baseEntry = readEntry(spark, table, b)
-          val schema = baseEntry.schemaJson
-            .map(DataType.fromJson(_).asInstanceOf[StructType])
+          val schema = baseEntry.schemaStruct
           val readSchema = subsetReadSchema(spark, table, schema, files)
           val targetCols = readSchema.fieldNames.toIndexedSeq
           require(targetCols.contains(key),
@@ -2182,8 +2202,7 @@ object TxnLake extends LakeFormat {
       if (files.isEmpty) return None
       requireLive(spark, table, base, files)
       val entry = readEntry(spark, table, base)
-      val schema = entry.schemaJson
-        .map(DataType.fromJson(_).asInstanceOf[StructType])
+      val schema = entry.schemaStruct
       val sample = new Path(table, files.head.path).toString
       val pred = resolvedPredicate(spark, sample, predicate, schema)
       val scoped = files.filter(fm => mayMatch(fm, pred))
@@ -2248,8 +2267,7 @@ object TxnLake extends LakeFormat {
       if (files.isEmpty) return None
       requireLive(spark, table, base, files)
       val entry = readEntry(spark, table, base)
-      val schema = entry.schemaJson
-        .map(DataType.fromJson(_).asInstanceOf[StructType])
+      val schema = entry.schemaStruct
       val sample = new Path(table, files.head.path).toString
       val pred = resolvedPredicate(spark, sample, predicate, schema)
       val touched = files.filter(fm => mayMatch(fm, pred))
@@ -2311,8 +2329,7 @@ object TxnLake extends LakeFormat {
       if (files.isEmpty) return None
       requireLive(spark, table, base, files)
       val entry = readEntry(spark, table, base)
-      val schema = entry.schemaJson
-        .map(DataType.fromJson(_).asInstanceOf[StructType])
+      val schema = entry.schemaStruct
       val sample = new Path(table, files.head.path).toString
       val pred = resolvedPredicate(spark, sample, predicate, schema)
       val touched = files.filter(fm => mayMatch(fm, pred))
@@ -2348,24 +2365,42 @@ object TxnLake extends LakeFormat {
       val salt = java.util.UUID.randomUUID().toString.take(8)
       val dvDir = new Path(table, s"_dv/$salt")
       f.mkdirs(dvDir)
-      val newDvs: Map[String, DvRef] = hits.groupBy(_.getString(0))
+      val positions: Map[String, Seq[Long]] = hits.groupBy(_.getString(0))
         .map { case (name, rows) =>
           val rel = byName(name)
           val old = entry.dvs.get(rel).map(r =>
             readDvFile(f, new Path(table, r.path))).getOrElse(Seq.empty)
-          val all = (old ++ rows.map(_.getLong(1)).toSeq).distinct
-          val p = new Path(dvDir, s"$name.dv")
-          writeDvFile(f, p, all)
-          rel -> DvRef(s"_dv/$salt/$name.dv", all.size.toLong)
+          rel -> (old ++ rows.map(_.getLong(1)).toSeq).distinct
         }
-      // dvs-only commit: an empty frame writes no data file (0 partitions
-      // -> no parts), so the entry advances ONLY the cumulative DV map
+      val newDvs: Map[String, DvRef] = positions.map { case (rel, all) =>
+        val name = new Path(rel).getName
+        writeDvFile(f, new Path(dvDir, s"$name.dv"), all)
+        rel -> DvRef(s"_dv/$salt/$name.dv", all.size.toLong)
+      }
+      // dvs-only commit: a noData commit writes no data file, so the
+      // entry advances ONLY the cumulative DV map
       val emptyDf = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
-      try return Some(commitImpl(spark, emptyDf, table, "delete", None,
-          maxAttempts = 1, requireBase = Some(Some(base)),
-          removePaths = Some(Seq.empty), newDvs = newDvs, noData = true)
-        .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped")))
+      try {
+        val v = commitImpl(spark, emptyDf, table, "delete", None,
+            maxAttempts = 1, requireBase = Some(Some(base)),
+            removePaths = Some(Seq.empty), newDvs = newDvs, noData = true)
+          .getOrElse(
+            sys.error("unreachable: txn-less commit cannot be skipped"))
+        // post-publish re-verify (the restore/vacuum pattern): a vacuum
+        // that resolved its orphan set before our entry became visible
+        // may have swept the just-written sidecars; their bytes are a
+        // pure function of the positions we still hold, so recreate —
+        // once the entry is published, any NEW vacuum sees them as live
+        newDvs.foreach { case (rel, ref) =>
+          val p = new Path(table, ref.path)
+          if (!f.exists(p)) {
+            f.mkdirs(p.getParent)
+            writeDvFile(f, p, positions(rel))
+          }
+        }
+        return Some(v)
+      }
       catch { case _: CommitConflict =>
         f.delete(dvDir, true) // recompute writes a fresh salt dir
         attempt += 1
@@ -2394,8 +2429,7 @@ object TxnLake extends LakeFormat {
       val entry = readEntry(spark, table, base)
       val masked = files.filter(fm => entry.dvs.contains(fm.path))
       if (masked.isEmpty) return None
-      val schema = entry.schemaJson
-        .map(DataType.fromJson(_).asInstanceOf[StructType])
+      val schema = entry.schemaStruct
       val clean = scanFiles(spark, table, masked, Some(
         subsetReadSchema(spark, table, schema, files)), entry.dvs)
         .repartition(masked.size)
@@ -2438,8 +2472,7 @@ object TxnLake extends LakeFormat {
       if (files.isEmpty) return None
       requireLive(spark, table, base, files)
       val entry = readEntry(spark, table, base)
-      val schema = entry.schemaJson
-        .map(DataType.fromJson(_).asInstanceOf[StructType])
+      val schema = entry.schemaStruct
       val readSchema = subsetReadSchema(spark, table, schema, files)
       set.keys.foreach(k => require(readSchema.fieldNames.contains(k),
         s"TxnLake.updateWhere: SET references unknown column $k"))
@@ -2515,20 +2548,24 @@ object TxnLake extends LakeFormat {
     while (attempt < maxAttempts) {
       val base = latestVersion(spark, table).getOrElse(
         sys.error(s"TxnLake.compactSmallFiles: no committed version in $table"))
-      val sized = snapshotFileSizes(spark, table, Some(base))
+      // ONE snapshot resolution per attempt feeds the size listing, the
+      // pack-set filter, and the legacy-schema fallback alike
+      val snapFiles = resolveFiles(spark, table, base)
+      val fsys = fs(spark, new Path(table))
+      val sized = snapFiles.map(fm => fm.path ->
+        fsys.getFileStatus(new Path(table, fm.path)).getLen)
       val small = sized.filter { case (p, bytes) =>
         bytes < minFileBytes && within.forall(_.contains(p)) }
       if (small.size < 2) return None
       val numOut = math.max(1L,
         (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
       val entry = readEntry(spark, table, base)
-      val schema = entry.schemaJson
-        .map(DataType.fromJson(_).asInstanceOf[StructType])
+      val schema = entry.schemaStruct
       val smallSet = small.map(_._1).toSet
       val packed = scanFiles(spark, table,
-          resolveFiles(spark, table, base).filter(fm => smallSet(fm.path)),
-          Some(subsetReadSchema(spark, table, schema,
-            resolveFiles(spark, table, base))), entry.dvs)
+          snapFiles.filter(fm => smallSet(fm.path)),
+          Some(subsetReadSchema(spark, table, schema, snapFiles)),
+          entry.dvs)
         .repartition(numOut)
       try return Some(commitImpl(spark, packed, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
@@ -2581,6 +2618,16 @@ object TxnLake extends LakeFormat {
         s"TxnLake.restore: version $toVersion is not in $table's log")
       val target = resolveFiles(spark, table, toVersion)
       requireLive(spark, table, toVersion, target)
+      // the restored snapshot's deletion-vector sidecars must be as live
+      // as its data files — re-referencing a vacuumed mask would brick
+      // every subsequent masked read
+      def requireDvLive(dvs: Map[String, DvRef]): Unit =
+        dvs.values.foreach { r =>
+          if (!f.exists(new Path(table, r.path)))
+            throw new IllegalStateException(
+              s"TxnLake.restore: version $toVersion's deletion-vector " +
+                s"sidecar ${r.path} has been vacuumed")
+        }
       val lastV = committed.last
       if (lastV == toVersion) return lastV
       val lastEntry = readEntry(spark, table, lastV)
@@ -2600,6 +2647,7 @@ object TxnLake extends LakeFormat {
       val current = currentMeta.map(_.path)
       val next = lastV + 1
       val targetEntry = readEntry(spark, table, toVersion)
+      requireDvLive(targetEntry.dvs)
       val entry = render(Entry(next, "restore", target, current, None, None,
         txns, hasTxns = true,
         schemaJson = targetEntry.schemaJson,
@@ -2631,12 +2679,18 @@ object TxnLake extends LakeFormat {
         // and recomputes if a commit landed — see vacuum. The residual
         // instant where both checks pass and the delete still lands is the
         // same window Delta accepts.)
-        try requireLive(spark, table, toVersion, target)
+        try { requireLive(spark, table, toVersion, target)
+          requireDvLive(targetEntry.dvs) }
         catch {
           case e: IllegalStateException =>
             beforeCompensate()
+            // remove only what the failed restore ADDED: a path shared
+            // with the pre-restore snapshot is still that snapshot's —
+            // removing it would vanish live rows from the log
             compensateRestore(spark, f, table, next, currentMeta,
-              target.map(_.path), txns, lastEntry.schemaJson, maxAttempts,
+              target.map(_.path)
+                .filterNot(currentMeta.map(_.path).toSet),
+              txns, lastEntry.schemaJson, maxAttempts,
               priorDvs = lastEntry.dvs)
             throw new IllegalStateException(
               s"TxnLake.restore: a concurrent vacuum reclaimed version " +

@@ -165,6 +165,23 @@ class TxnLakeDvSpec extends SparkSpec {
     assert(keys(t).size == 99)
   }
 
+  test("restore refuses a masked version whose sidecar was vacuumed — " +
+    "a guided error, never a re-reference that bricks reads") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    val vDv = TxnLake.deleteWhereDv(spark, t, col("k") === 60L).get
+    TxnLake.purgeDeletionVectors(spark, t)
+    TxnLake.vacuum(spark, t, retainVersions = 1) // reclaims the sidecar
+    val e = intercept[IllegalStateException] {
+      TxnLake.restore(spark, t, vDv)
+    }
+    assert(e.getMessage.contains("vacuumed"),
+      s"the refusal must name the cause: ${e.getMessage}")
+    assert(keys(t).size == 99 && !keys(t).contains(60L),
+      "the failed restore must change nothing")
+  }
+
   test("NULL predicates keep rows (SQL DELETE semantics) on the DV path") {
     import spark.implicits._
     val t = freshTable()
