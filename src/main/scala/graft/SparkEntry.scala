@@ -62,7 +62,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x54 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x56 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -125,7 +125,12 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    (merge-on-read delete: matched positions land in per-file
   *    sidecars, no data file moves, every read/feed path honors the
   *    masks, REORG-style purge materializes them away, bulk deletes
-  *    fall back to copy-on-write)
+  *    fall back to copy-on-write), merge-on-read UPDATE via deletion
+  *    vectors (one commit masks the pre-images and appends one
+  *    post-image file — O(matched rows), never O(touched bytes); the
+  *    feed classifies the hop as full update pairs), and TIMESTAMP AS
+  *    OF time travel (log-entry publish mtimes, monotone-adjusted;
+  *    pre-history reads refused naming the earliest instant)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

@@ -3418,6 +3418,156 @@ object OperatorQueries {
       .withColumn("purged_carried", lit((prePaths intersect postPaths).size))
   }
 
+  /** Merge-on-read UPDATE via deletion vectors (x55) — the DV sibling
+    * of x49's copy-on-write UPDATE and the update-shaped half of x54:
+    * a selective update on a huge table masks the matched rows'
+    * positions AND appends one small post-image file in a single
+    * commit — write cost O(matched rows), never O(touched bytes).
+    * Fixture: the 8-file id-bucket layout; the update shifts a sparse
+    * value residue within the upper id half. In-engine gates: the
+    * commit removes NO data file and appends exactly one, the mask
+    * census equals the matched count, every read honors
+    * masks+post-images (row count unchanged, sum shifted by exactly
+    * n·Δ), the pre-update snapshot time-travels, the change feed
+    * classifies the hop as full update pre/post pairs, and the purge
+    * rewrites exactly the masked files data-preservingly. The oracle
+    * recomputes the updated table and both censuses relationally. */
+  val txnUpdateDv = OracleQuery(
+    "x55_txn_update_dv",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |b AS (SELECT event_id, vc,
+      |        CAST((event_id * 8) // (m + 1) AS INT) AS bkt FROM ev, mx),
+      |hit AS (SELECT *, (vc % 97 = 0 AND 2 * event_id > m) AS upd
+      |        FROM b, mx),
+      |fin AS (SELECT event_id,
+      |          CASE WHEN upd THEN vc + 1000000 ELSE vc END AS vc FROM hit),
+      |res AS (SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |          min(event_id) AS min_id, max(event_id) AS max_id FROM fin),
+      |cnt AS (SELECT count(CASE WHEN upd THEN 1 END) AS n_updated,
+      |    CAST(count(DISTINCT CASE WHEN upd THEN bkt END) AS INT)
+      |      AS masked_files
+      |  FROM hit)
+      |SELECT n_rows, sum_cents, min_id, max_id, n_updated, masked_files,
+      |  CAST(1 AS INT) AS appended_files
+      |FROM res, cnt""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val t = Scratch.dir("txn_update_dv") + "/t"
+    val bkt = expr(s"event_id * 8 div ${m + 1}")
+    (0 until 8).foreach { i =>
+      val part = ev.filter(bkt === i).coalesce(1)
+      if (!part.isEmpty) TxnLake.commit(s, part, t, "append")
+    }
+    val preV = TxnLake.latestVersion(s, t).get
+    val total = ev.count()
+    val prePaths = TxnLake.snapshotFiles(s, t).map(_.path).toSet
+    val updPred = col("vc") % 97 === 0 && col("event_id") > m / 2
+    val nUpd = ev.filter(updPred).count()
+    val preSum = ev.agg(sum(col("vc"))).head().getLong(0)
+    val v = TxnLake.updateWhereDv(s, t, updPred,
+        Map("vc" -> (col("vc") + 1000000L)))
+      .getOrElse(sys.error("the residue band cannot be empty"))
+    require(TxnLake.commitInfo(s, t, v).operation == "update")
+    // THE merge-on-read gate: no file removed, exactly one appended
+    val postPaths = TxnLake.snapshotFiles(s, t, Some(v)).map(_.path).toSet
+    require((prePaths -- postPaths).isEmpty
+      && (postPaths -- prePaths).size == 1,
+      "a DV update must append one post-image file and move nothing")
+    val dvs = TxnLake.deletionVectors(s, t)
+    require(dvs.values.map(_.rows).sum == nUpd,
+      s"mask census ${dvs.values.map(_.rows).sum} != matched $nUpd")
+    require(TxnLake.read(s, t).count() == total,
+      "an update changes no row count")
+    require(TxnLake.read(s, t).agg(sum(col("vc"))).head().getLong(0) ==
+      preSum + nUpd * 1000000L,
+      "masks + post-images must shift the sum by exactly n·Δ")
+    require(TxnLake.readVersion(s, t, preV)
+      .agg(sum(col("vc"))).head().getLong(0) == preSum,
+      "the pre-update snapshot must time-travel in full")
+    val byType = TxnLake.tableChanges(s, t, preV, v, "event_id")
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(byType == Map("update_preimage" -> nUpd,
+      "update_postimage" -> nUpd),
+      s"the DV-update hop must classify as update pairs: $byType")
+    val vP = TxnLake.purgeDeletionVectors(s, t)
+      .getOrElse(sys.error("a masked table cannot purge to a no-op"))
+    require(TxnLake.commitInfo(s, t, vP).dataPreserving)
+    require(TxnLake.deletionVectors(s, t).isEmpty
+      && TxnLake.read(s, t).agg(sum(col("vc"))).head().getLong(0) ==
+        preSum + nUpd * 1000000L,
+      "purge materializes the masks without changing a logical row")
+    TxnLake.read(s, t)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .withColumn("n_updated", lit(nUpd))
+      .withColumn("masked_files", lit(dvs.size))
+      .withColumn("appended_files", lit((postPaths -- prePaths).size))
+  }
+
+  /** Timestamp time travel (x56) — Delta's `TIMESTAMP AS OF`: a
+    * snapshot read pinned to an INSTANT rather than a version number,
+    * resolved to the latest commit at-or-before it from the log
+    * entries' own publish mtimes (no second clock), monotone-adjusted
+    * so a stepping wall clock can never make resolution ambiguous.
+    * Fixture: the lower id half commits at t0, the rest at a strictly
+    * later t1. In-engine gates: the instants resolve to v0/v1 exactly
+    * (including the t1−1 boundary), a pre-history timestamp is refused
+    * loudly naming the earliest readable instant, and the t0 read sees
+    * exactly the first commit's rows. The oracle recomputes both
+    * snapshots' aggregates relationally. */
+  val txnTimestampTravel = OracleQuery(
+    "x56_txn_timestamp_travel",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |lower_h AS (SELECT event_id, vc FROM ev, mx WHERE 2 * event_id <= m),
+      |res AS (SELECT count(*) AS n_rows_t0,
+      |          CAST(sum(vc) AS BIGINT) AS sum_t0,
+      |          max(event_id) AS max_id_t0 FROM lower_h),
+      |allr AS (SELECT count(*) AS n_rows_t1,
+      |          CAST(sum(vc) AS BIGINT) AS sum_t1 FROM ev)
+      |SELECT n_rows_t0, sum_t0, max_id_t0, n_rows_t1, sum_t1,
+      |  CAST(0 AS BIGINT) AS v_t0, CAST(1 AS BIGINT) AS v_t1
+      |FROM res, allr""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val t = Scratch.dir("txn_timestamp_travel") + "/t"
+    TxnLake.commit(s, ev.filter(col("event_id") * 2 <= m).coalesce(1),
+      t, "append") // v0
+    val t0 = TxnLake.commitTimestamp(s, t, 0L)
+    while (System.currentTimeMillis() <= t0 + 1) Thread.sleep(2)
+    TxnLake.commit(s, ev.filter(col("event_id") * 2 > m).coalesce(1),
+      t, "append") // v1
+    val t1 = TxnLake.commitTimestamp(s, t, 1L)
+    require(t1 > t0, "fixture: distinct commit instants")
+    require(TxnLake.versionAsOf(s, t, t0).contains(0L)
+      && TxnLake.versionAsOf(s, t, t1 - 1).contains(0L)
+      && TxnLake.versionAsOf(s, t, t1).contains(1L)
+      && TxnLake.versionAsOf(s, t, t1 + 60000).contains(1L),
+      "the latest commit at-or-before each instant must win")
+    require(TxnLake.versionAsOf(s, t, t0 - 1).isEmpty, "pre-history")
+    val refused =
+      try { TxnLake.readAsOf(s, t, t0 - 1); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("predates the first commit") }
+    require(refused, "a pre-history read must refuse loudly")
+    val at0 = TxnLake.readAsOf(s, t, t0)
+    val at1 = TxnLake.readAsOf(s, t, t1)
+    at0.agg(count(lit(1)).as("n_rows_t0"), sum(col("vc")).as("sum_t0"),
+        max(col("event_id")).as("max_id_t0"))
+      .crossJoin(at1.agg(count(lit(1)).as("n_rows_t1"),
+        sum(col("vc")).as("sum_t1")))
+      .withColumn("v_t0", lit(TxnLake.versionAsOf(s, t, t0).get))
+      .withColumn("v_t1", lit(TxnLake.versionAsOf(s, t, t1).get))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -3434,5 +3584,5 @@ object OperatorQueries {
       txnDeleteWhere, txnTableChanges, streamNearDupProbePruned,
       streamDecontamProbePruned, txnMergeInto, txnUpdateWhere,
       txnCdcApply, txnReplicaSync, streamReplicaFeed, txnMergeEvolve,
-      txnDeletionVectors)
+      txnDeletionVectors, txnUpdateDv, txnTimestampTravel)
 }

@@ -347,6 +347,65 @@ object TxnLake extends LakeFormat {
   def history(spark: SparkSession, table: String): Seq[CommitInfo] =
     committedVersions(spark, table).map(commitInfo(spark, table, _))
 
+  /** Commit instant of `version` in epoch millis — the log entry file's
+    * MODIFICATION TIME, exactly Delta's source of truth for
+    * timestamp-based time travel: the entry publish is the commit, so
+    * its mtime is the commit instant, with no second clock to drift. */
+  def commitTimestamp(spark: SparkSession, table: String,
+                      version: Long): Long = {
+    val p = new Path(logDir(table), s"v$version.json")
+    fs(spark, p).getFileStatus(p).getModificationTime
+  }
+
+  /** The version a timestamp resolves to — Delta's `TIMESTAMP AS OF`:
+    * the LATEST version whose (monotone-adjusted) commit timestamp is
+    * <= `ts` millis; None when `ts` predates the first commit. Like
+    * Delta, raw mtimes are adjusted monotone (`max(mtime, prev+1)`) so
+    * a wall clock stepping backwards between commits cannot make
+    * resolution ambiguous — version order always wins. O(versions)
+    * driver metadata reads, the same cost Delta pays. */
+  def versionAsOf(spark: SparkSession, table: String, ts: Long): Option[Long] = {
+    var prev = Long.MinValue
+    committedVersions(spark, table).iterator.map { v =>
+      val t = math.max(commitTimestamp(spark, table, v),
+        if (prev == Long.MinValue) Long.MinValue else prev + 1)
+      prev = t
+      (v, t)
+    }.takeWhile(_._2 <= ts).map(_._1).reduceOption((_, b) => b)
+  }
+
+  /** Snapshot read as of a timestamp — `SELECT ... TIMESTAMP AS OF`.
+    * Refuses (loudly, naming the earliest readable instant) a timestamp
+    * before the first commit, exactly Delta's contract. */
+  def readAsOf(spark: SparkSession, table: String, ts: Long): DataFrame =
+    versionAsOf(spark, table, ts) match {
+      case Some(v) => readVersion(spark, table, v)
+      case None =>
+        val first = committedVersions(spark, table).headOption
+          .map(commitTimestamp(spark, table, _))
+        throw new IllegalArgumentException(
+          s"TxnLake.readAsOf: timestamp $ts predates the first commit of " +
+            s"$table${first.map(t => s" (earliest readable: $t)").getOrElse("")}")
+    }
+
+  /** Whether every data file and DV sidecar ANY log entry references
+    * still exists on disk — i.e. whether the full history (v0..latest)
+    * is replayable hop by hop. A vacuumed table answers false FAST: the
+    * earliest reclaimed file short-circuits the probe. O(files ever
+    * referenced) driver metadata calls — meant for ONE-TIME decisions
+    * (founding a replica, [[graft.streaming.TxnReplicaFeed]]), never
+    * per-read checks. */
+  def fullHistoryLive(spark: SparkSession, table: String): Boolean = {
+    val f = fs(spark, new Path(table))
+    val seen = scala.collection.mutable.Set.empty[String]
+    committedVersions(spark, table).forall { v =>
+      val e = readEntry(spark, table, v)
+      val paths = e.add.map(_.path) ++ e.remove ++
+        e.legacyFiles.getOrElse(Seq.empty) ++ e.dvs.values.map(_.path)
+      paths.forall(p => !seen.add(p) || f.exists(new Path(table, p)))
+    }
+  }
+
   // ---- footer stats harvesting ----------------------------------------
 
   private def tagOf(dt: DataType): Option[String] = dt match {
@@ -1055,6 +1114,61 @@ object TxnLake extends LakeFormat {
     } finally in.close()
   }
 
+  /** The (data-file name, masked position) pairs of `refs` as a
+    * two-column DataFrame `(__graft_dv_fn, __graft_dv_ri)`. Sidecars
+    * decode DRIVER-side while the TOTAL mask count — carried in the
+    * refs' metadata, so the choice costs no I/O — fits the
+    * `graft.probe.maxDriverKeys` budget: the common selective-delete
+    * case, a broadcast-friendly local relation. A CUMULATIVE mask set
+    * past the budget (many masked files, each individually capped)
+    * decodes on the EXECUTORS instead — a `binaryFile` scan over the
+    * sidecars, one row per file, exploded into pairs — so no mask
+    * cardinality can pressure driver memory. The executor path leans on
+    * the sidecar naming contract ([[writeDvFile]] callers:
+    * `<dataFileName>.dv`) to recover the join key without a path join. */
+  private def dvPairsDf(spark: SparkSession, table: String,
+                        refs: Seq[(String, DvRef)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, explode,
+      regexp_replace, split, udf}
+    import spark.implicits._
+    val cap = spark.conf.getOption("graft.probe.maxDriverKeys")
+      .map(_.toLong).getOrElse(1000000L)
+    val f = fs(spark, new Path(table))
+    def missing(relPath: String) = new IllegalStateException(
+      s"TxnLake: deletion-vector sidecar $relPath of $table is missing — " +
+        "the masked version has been vacuumed")
+    if (refs.map(_._2.rows).sum <= cap)
+      refs.flatMap { case (name, ref) =>
+        val positions =
+          try readDvFile(f, new Path(table, ref.path))
+          catch { case e: java.io.FileNotFoundException =>
+            throw missing(ref.path).initCause(e) }
+        positions.map(name -> _)
+      }.toDF("__graft_dv_fn", "__graft_dv_ri")
+    else {
+      refs.foreach { case (name, ref) =>
+        require(new Path(ref.path).getName == s"$name.dv",
+          s"TxnLake: sidecar ${ref.path} breaks the <dataFile>.dv naming " +
+            "contract the distributed decode path relies on")
+        if (!f.exists(new Path(table, ref.path))) throw missing(ref.path)
+      }
+      val decode = udf((bytes: Array[Byte]) => {
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        val magic = new Array[Byte](4); buf.get(magic)
+        require(java.util.Arrays.equals(magic, DvMagic),
+          "TxnLake: not a deletion vector file")
+        val n = buf.getInt
+        (0 until n).map(_ => buf.getLong)
+      })
+      spark.read.format("binaryFile")
+        .load(refs.map { case (_, r) => new Path(table, r.path).toString }: _*)
+        .select(
+          regexp_replace(element_at(split(col("path"), "/"), -1),
+            "\\.dv$", "").as("__graft_dv_fn"),
+          explode(decode(col("content"))).as("__graft_dv_ri"))
+    }
+  }
+
   /** Scan `files` under `schema` with the live deletion vectors applied —
     * the MERGE-ON-READ read path: a DV'd file scans with the parquet
     * ROW-INDEX metadata column and drops its masked positions via a
@@ -1075,26 +1189,16 @@ object TxnLake extends LakeFormat {
     val (masked, clean) = files.partition(fm => dvs.contains(fm.path))
     val cleanDf = if (clean.isEmpty) None else Some(scan(abs(clean)))
     val maskedDf = if (masked.isEmpty) None else {
-      val f = fs(spark, new Path(table))
-      // driver-side DV load: DVs are SELECTIVE-delete artifacts (the
-      // writer caps them at graft.probe.maxDriverKeys positions and
-      // falls back to copy-on-write beyond), so the pair set is
-      // metadata-sized by construction
-      val pairs: Seq[(String, Long)] = masked.flatMap { fm =>
-        val name = new Path(fm.path).getName
-        val ref = dvs(fm.path)
-        val positions =
-          try readDvFile(f, new Path(table, ref.path))
-          catch {
-            case e: java.io.FileNotFoundException =>
-              throw new IllegalStateException(
-                s"TxnLake: deletion-vector sidecar ${ref.path} of $table " +
-                  "is missing — the masked version has been vacuumed", e)
-          }
-        positions.map(name -> _)
-      }
-      import spark.implicits._
-      val del = pairs.toDF("__graft_dv_fn", "__graft_dv_ri")
+      // the mask join keys on the file NAME — two masked files sharing a
+      // base name (possible only through pathological log surgery, e.g.
+      // a restore mixing file generations) would cross-apply masks, so a
+      // collision fails loudly instead of corrupting results
+      val names = masked.map(fm => new Path(fm.path).getName)
+      require(names.distinct.size == names.size,
+        s"TxnLake: duplicate data-file names among the masked files of " +
+          s"$table — the deletion-vector join would cross-apply masks")
+      val del = dvPairsDf(spark, table,
+        masked.map(fm => new Path(fm.path).getName -> dvs(fm.path)))
       val base = scan(abs(masked))
         .withColumn("__graft_dv_fn", col("_metadata.file_name"))
         .withColumn("__graft_dv_ri", col("_metadata.row_index"))
@@ -1364,6 +1468,48 @@ object TxnLake extends LakeFormat {
     * `toVersion`'s logged schema (older files null-fill evolved
     * columns). Requires the range's versions to still be live
     * (vacuum-retained), like any time travel. */
+  /** The rows version `v`'s cumulative DV map newly masks relative to
+    * `v-1` — the pre-images of a merge-on-read hop ([[deleteWhereDv]],
+    * [[updateWhereDv]]) — read RAW (no masks: the masked rows
+    * themselves) from exactly the touched files via `readFiles`. None
+    * when `v` masks nothing new. O(touched files + fresh positions). */
+  private def newlyMasked(spark: SparkSession, table: String, v: Long,
+                          e: Entry,
+                          readFiles: (Seq[String], Map[String, DvRef])
+                            => DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val prev = readEntry(spark, table, v - 1).dvs
+    val f = fs(spark, new Path(table))
+    val fresh: Seq[(String, Long)] = e.dvs.toSeq.flatMap {
+      case (p, ref) =>
+        if (prev.get(p).contains(ref)) Seq.empty // sidecar unchanged
+        else {
+          val old = prev.get(p).map(r =>
+            readDvFile(f, new Path(table, r.path)).toSet)
+            .getOrElse(Set.empty[Long])
+          readDvFile(f, new Path(table, ref.path))
+            .filterNot(old).map(new Path(p).getName -> _)
+        }
+    }
+    if (fresh.isEmpty) None
+    else {
+      import spark.implicits._
+      val touched = fresh.map(_._1).toSet
+      val paths = resolveFiles(spark, table, v - 1)
+        .map(_.path).filter(p => touched(new Path(p).getName))
+      require(paths.map(new Path(_).getName).distinct.size ==
+        paths.size, s"TxnLake: duplicate data-file names among the " +
+        s"DV-hop files of $table@$v — the position join would " +
+        "cross-apply masks")
+      val base = readFiles(paths, Map.empty)
+        .withColumn("__graft_dv_fn", col("_metadata.file_name"))
+        .withColumn("__graft_dv_ri", col("_metadata.row_index"))
+      Some(base.join(fresh.toDF("__graft_dv_fn", "__graft_dv_ri"),
+          Seq("__graft_dv_fn", "__graft_dv_ri"), "left_semi")
+        .drop("__graft_dv_fn", "__graft_dv_ri"))
+    }
+  }
+
   def tableChanges(spark: SparkSession, table: String, fromVersion: Long,
                    toVersion: Long, key: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -1397,35 +1543,9 @@ object TxnLake extends LakeFormat {
           // merge-on-read delete: no file moved — the hop's rows are the
           // POSITIONS this commit's DV map newly masks, read from exactly
           // the touched files (O(touched), like every other hop)
-          val prev = readEntry(spark, table, v - 1).dvs
-          val f = fs(spark, new Path(table))
-          val fresh: Seq[(String, Long)] = e.dvs.toSeq.flatMap {
-            case (p, ref) =>
-              if (prev.get(p).contains(ref)) Seq.empty // sidecar unchanged
-              else {
-                val old = prev.get(p).map(r =>
-                  readDvFile(f, new Path(table, r.path)).toSet)
-                  .getOrElse(Set.empty[Long])
-                readDvFile(f, new Path(table, ref.path))
-                  .filterNot(old).map(new Path(p).getName -> _)
-              }
-          }
-          if (fresh.isEmpty) None
-          else {
-            import spark.implicits._
-            import org.apache.spark.sql.functions.col
-            val touched = fresh.map(_._1).toSet
-            val paths = resolveFiles(spark, table, v - 1)
-              .map(_.path).filter(p => touched(new Path(p).getName))
-            val base = readFiles(paths) // raw: the masked rows themselves
-              .withColumn("__graft_dv_fn", col("_metadata.file_name"))
-              .withColumn("__graft_dv_ri", col("_metadata.row_index"))
-            Some(base.join(fresh.toDF("__graft_dv_fn", "__graft_dv_ri"),
-                Seq("__graft_dv_fn", "__graft_dv_ri"), "left_semi")
-              .drop("__graft_dv_fn", "__graft_dv_ri")
-              .withColumn("change_type", lit("delete"))
+          newlyMasked(spark, table, v, e, readFiles)
+            .map(_.withColumn("change_type", lit("delete"))
               .withColumn("commit_version", lit(v)))
-          }
         case "delete" =>
           val removed = readFiles(e.remove,
             readEntry(spark, table, v - 1).dvs)
@@ -1441,14 +1561,19 @@ object TxnLake extends LakeFormat {
           // the keyed diff over JUST those files yields exactly the
           // commit's inserts / deletes / update pre+post pairs —
           // O(touched), never O(snapshot), with full classification
-          // (carried-verbatim files appear on neither side by definition)
+          // (carried-verbatim files appear on neither side by definition).
+          // A MERGE-ON-READ update ([[updateWhereDv]]) moves no file out:
+          // its pre-image is the rows the commit's DV map newly masks,
+          // unioned in exactly like the DV-delete hop reads them
           val post =
             if (e.add.nonEmpty) readFiles(e.add.map(_.path))
             else readVersion(spark, table, v).limit(0)
-          val pre =
+          val cowPre =
             if (e.remove.nonEmpty) readFiles(e.remove,
               readEntry(spark, table, v - 1).dvs)
             else post.limit(0)
+          val pre = newlyMasked(spark, table, v, e, readFiles)
+            .map(cowPre.unionByName(_)).getOrElse(cowPre)
           Some(keyedDiff(pre, post, key).withColumn("commit_version", lit(v)))
         case _ => // overwrite / restore: snapshot replacement — full diff
           Some(changeFeed(spark, table, v - 1, v, key)
@@ -2310,7 +2435,11 @@ object TxnLake extends LakeFormat {
     * The matched-position collect rides the `graft.probe.maxDriverKeys`
     * planner rule: a delete too large to be a DV candidate (its mask
     * would rival the data) falls back to [[deleteWhere]]'s copy-on-write
-    * — the right plan for a bulk delete anyway. Identical rows either
+    * — the right plan for a bulk delete anyway. The cap bounds the
+    * CUMULATIVE per-file mask, not just one delete's hits: a file whose
+    * old∪new union would exceed it takes copy-on-write too, so no
+    * sequence of selective deletes can grow a sidecar past the budget
+    * the scan machinery plans for. Identical rows either
     * way. SQL NULL semantics (only TRUE deletes), the "delete" tag (NOT
     * data-preserving — sibling indexes de-trust), pinned read version
     * with recompute on conflict, provable no-op → None. The hop
@@ -2346,15 +2475,11 @@ object TxnLake extends LakeFormat {
         .parquet(touched.map(fm => new Path(table, fm.path).toString): _*)
         .withColumn("__graft_dv_fn", col("_metadata.file_name"))
         .withColumn("__graft_dv_ri", col("_metadata.row_index"))
-      val priorPairs: Seq[(String, Long)] = touched.flatMap { fm =>
-        entry.dvs.get(fm.path).toSeq.flatMap(r =>
-          readDvFile(f, new Path(table, r.path))
-            .map(new Path(fm.path).getName -> _))
-      }
-      import spark.implicits._
+      val priorRefs = touched.flatMap(fm =>
+        entry.dvs.get(fm.path).map(new Path(fm.path).getName -> _))
       val live =
-        if (priorPairs.isEmpty) baseDf
-        else baseDf.join(priorPairs.toDF("__graft_dv_fn", "__graft_dv_ri"),
+        if (priorRefs.isEmpty) baseDf
+        else baseDf.join(dvPairsDf(spark, table, priorRefs),
           Seq("__graft_dv_fn", "__graft_dv_ri"), "left_anti")
       val hits = live.where(coalesce(predicate, lit(false)))
         .select(col("__graft_dv_fn"), col("__graft_dv_ri"))
@@ -2362,9 +2487,6 @@ object TxnLake extends LakeFormat {
       if (hits.length > cap)
         return deleteWhere(spark, table, predicate, maxAttempts)
       if (hits.isEmpty) return None
-      val salt = java.util.UUID.randomUUID().toString.take(8)
-      val dvDir = new Path(table, s"_dv/$salt")
-      f.mkdirs(dvDir)
       val positions: Map[String, Seq[Long]] = hits.groupBy(_.getString(0))
         .map { case (name, rows) =>
           val rel = byName(name)
@@ -2372,6 +2494,16 @@ object TxnLake extends LakeFormat {
             readDvFile(f, new Path(table, r.path))).getOrElse(Seq.empty)
           rel -> (old ++ rows.map(_.getLong(1)).toSeq).distinct
         }
+      // the cap bounds the CUMULATIVE per-file mask, not just this
+      // delete's hits: repeated selective deletes must not grow one
+      // file's sidecar past what the scan machinery budgets for — an
+      // over-cap UNION takes the copy-on-write plan instead, which also
+      // retires that file's mask as a side effect
+      if (positions.values.exists(_.size.toLong > cap))
+        return deleteWhere(spark, table, predicate, maxAttempts)
+      val salt = java.util.UUID.randomUUID().toString.take(8)
+      val dvDir = new Path(table, s"_dv/$salt")
+      f.mkdirs(dvDir)
       val newDvs: Map[String, DvRef] = positions.map { case (rel, all) =>
         val name = new Path(rel).getName
         writeDvFile(f, new Path(dvDir, s"$name.dv"), all)
@@ -2499,6 +2631,125 @@ object TxnLake extends LakeFormat {
     throw new java.util.ConcurrentModificationException(
       s"TxnLake.updateWhere: $maxAttempts consecutive concurrent commits " +
         s"on $table")
+  }
+
+  /** Row-level UPDATE in MERGE-ON-READ form — the DV sibling of
+    * [[updateWhere]] (Delta's deletion-vector-backed UPDATE): instead
+    * of rewriting every touched file (copy-on-write: a 1-row update in
+    * a 1 GB file rewrites the gigabyte), ONE commit masks the matched
+    * rows' positions in per-file sidecars AND appends a small file
+    * holding their post-images — write cost O(matched rows), never
+    * O(touched bytes). Every snapshot read then sees exactly the
+    * updated table: the masks drop the pre-images at scan time, the
+    * appended file supplies the post-images.
+    *
+    * Shares [[deleteWhereDv]]'s whole contract: the
+    * `graft.probe.maxDriverKeys` cap gates BOTH this update's matches
+    * and the cumulative per-file mask union (either over cap →
+    * [[updateWhere]]'s copy-on-write, the right plan for a bulk update
+    * anyway — identical rows either way); SQL NULL semantics (only
+    * TRUE updates); the "update" tag (NOT data-preserving — sibling
+    * indexes de-trust); pinned read version with recompute on
+    * conflict; provable no-op → None; masks die with any later rewrite
+    * of their file ([[purgeDeletionVectors]] included). The hop
+    * surfaces in [[tableChanges]] as full update pre/post-image pairs:
+    * the newly masked rows are the pre-images, the appended file the
+    * post-images. */
+  def updateWhereDv(spark: SparkSession, table: String, predicate: Column,
+                    set: Map[String, Column],
+                    maxAttempts: Int = 10): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(set.nonEmpty, "TxnLake.updateWhereDv: empty SET clause")
+    val cap = spark.conf.getOption("graft.probe.maxDriverKeys")
+      .map(_.toLong).getOrElse(1000000L)
+    val lim = (math.min(math.max(cap, 0L), (Int.MaxValue - 2).toLong) + 1).toInt
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(spark, table).getOrElse(
+        sys.error(s"TxnLake.updateWhereDv: no committed version in $table"))
+      val files = resolveFiles(spark, table, base)
+      if (files.isEmpty) return None
+      requireLive(spark, table, base, files)
+      val entry = readEntry(spark, table, base)
+      val schema = entry.schemaStruct
+      val readSchema = subsetReadSchema(spark, table, schema, files)
+      set.keys.foreach(k => require(readSchema.fieldNames.contains(k),
+        s"TxnLake.updateWhereDv: SET references unknown column $k"))
+      val sample = new Path(table, files.head.path).toString
+      val pred = resolvedPredicate(spark, sample, predicate, schema)
+      val touched = files.filter(fm => mayMatch(fm, pred))
+      if (touched.isEmpty) return None
+      val f = fs(spark, new Path(table))
+      val byName = touched.map(fm => new Path(fm.path).getName -> fm.path)
+        .toMap
+      require(byName.size == touched.size,
+        s"TxnLake.updateWhereDv: duplicate data-file names in $table")
+      val baseDf = spark.read.schema(readSchema)
+        .parquet(touched.map(fm => new Path(table, fm.path).toString): _*)
+        .withColumn("__graft_dv_fn", col("_metadata.file_name"))
+        .withColumn("__graft_dv_ri", col("_metadata.row_index"))
+      val priorRefs = touched.flatMap(fm =>
+        entry.dvs.get(fm.path).map(new Path(fm.path).getName -> _))
+      val live =
+        if (priorRefs.isEmpty) baseDf
+        else baseDf.join(dvPairsDf(spark, table, priorRefs),
+          Seq("__graft_dv_fn", "__graft_dv_ri"), "left_anti")
+      val hit = live.where(coalesce(predicate, lit(false)))
+      val hits = hit.select(col("__graft_dv_fn"), col("__graft_dv_ri"))
+        .limit(lim).collect()
+      if (hits.length > cap)
+        return updateWhere(spark, table, predicate, set, maxAttempts)
+      if (hits.isEmpty) return None
+      val positions: Map[String, Seq[Long]] = hits.groupBy(_.getString(0))
+        .map { case (name, rows) =>
+          val rel = byName(name)
+          val old = entry.dvs.get(rel).map(r =>
+            readDvFile(f, new Path(table, r.path))).getOrElse(Seq.empty)
+          rel -> (old ++ rows.map(_.getLong(1)).toSeq).distinct
+        }
+      if (positions.values.exists(_.size.toLong > cap))
+        return updateWhere(spark, table, predicate, set, maxAttempts)
+      val salt = java.util.UUID.randomUUID().toString.take(8)
+      val dvDir = new Path(table, s"_dv/$salt")
+      f.mkdirs(dvDir)
+      val newDvs: Map[String, DvRef] = positions.map { case (rel, all) =>
+        val name = new Path(rel).getName
+        writeDvFile(f, new Path(dvDir, s"$name.dv"), all)
+        rel -> DvRef(s"_dv/$salt/$name.dv", all.size.toLong)
+      }
+      // the post-images: the matched live rows with SET applied —
+      // written as the commit's (small) added file
+      val post = hit.select(readSchema.fieldNames.map { n =>
+        set.get(n) match {
+          case Some(v) => v.as(n)
+          case None => col(n)
+        }
+      }.toIndexedSeq: _*).repartition(1)
+      try {
+        val v = commitImpl(spark, post, table, "update", None,
+            maxAttempts = 1, requireBase = Some(Some(base)),
+            removePaths = Some(Seq.empty), newDvs = newDvs)
+          .getOrElse(
+            sys.error("unreachable: txn-less commit cannot be skipped"))
+        // post-publish re-verify (the deleteWhereDv pattern): recreate
+        // any sidecar a racing vacuum swept before our entry published
+        newDvs.foreach { case (rel, ref) =>
+          val p = new Path(table, ref.path)
+          if (!f.exists(p)) {
+            f.mkdirs(p.getParent)
+            writeDvFile(f, p, positions(rel))
+          }
+        }
+        return Some(v)
+      }
+      catch { case _: CommitConflict =>
+        f.delete(dvDir, true) // recompute writes a fresh salt dir
+        attempt += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"TxnLake.updateWhereDv: $maxAttempts consecutive concurrent " +
+        s"commits on $table")
   }
 
   /** On-disk byte size of every file in the snapshot, table-relative path

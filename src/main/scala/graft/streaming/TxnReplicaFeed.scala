@@ -32,11 +32,23 @@ import graft.sources.TxnLake
   * property at the replication grain. Version 0 bootstraps from the
   * snapshot (every row an insert); an EMPTY source v0 founds nothing
   * and the marker first lands with the first data-bearing version.
+  * Founding against an AGED source — one whose early versions' files
+  * were vacuumed, so the v0 replay is impossible (and on a long live
+  * log, wasteful) — bootstraps from the LATEST snapshot instead: one
+  * O(snapshot) insert merge, marker = latest, only subsequent hops
+  * stream. [[TxnLake.fullHistoryLive]] makes the choice; a live
+  * history keeps the v0 replay (hop-for-hop replica history).
   *
-  * Scale: per-version cost is the change hop's O(touched files) read
-  * plus the clause merge's O(touched + delta) copy-on-write — never
-  * O(table) on either side (SCALE.md mode `cdcapply`: flat apply wall,
-  * one file rewritten, across 30x replica growth).
+  * Scale: for append / DML / maintenance hops, per-version cost is the
+  * change hop's O(touched files) read plus the clause merge's
+  * O(touched + delta) copy-on-write — never O(table) on either side
+  * (SCALE.md mode `cdcapply`: flat apply wall, one file rewritten,
+  * across 30x replica growth). A SNAPSHOT-REPLACEMENT hop (overwrite,
+  * restore, legacy full-list) is the exception: it routes through the
+  * change feed's snapshot-diff branch — an O(table) source read to
+  * derive the diff — though the replica still rewrites only the files
+  * the diff's keys scope to, so a daily full refresh whose actual
+  * delta is small stays cheap on the replica side.
   *
   * Source SCHEMA EVOLUTION is refused loudly BY DEFAULT, never applied
   * silently (the Delta posture: CDF consumers follow evolution only
@@ -59,10 +71,20 @@ final class TxnReplicaFeed(source: String, replica: String, appId: String,
     * Returns the number of versions newly applied (0 = fully caught
     * up, including after a restart). */
   def poll(spark: SparkSession): Int = {
-    import TxnLake.{MergeDelete, MergeInsert, MergeUpdate, sourceCol}
     val latest = TxnLake.latestVersion(spark, source).getOrElse(return 0)
-    var v = TxnLake.lastTxn(spark, replica, appId).map(_ + 1).getOrElse(0L)
     var applied = 0
+    var v = TxnLake.lastTxn(spark, replica, appId).map(_ + 1).getOrElse {
+      if (TxnLake.fullHistoryLive(spark, source)) 0L
+      else {
+        // founding against an aged source: replay is impossible (early
+        // files vacuumed) — one snapshot-insert merge at the latest
+        // version, then stream only what commits after it
+        val snap = TxnLake.readVersion(spark, source, latest)
+          .withColumn("change_type", lit("insert"))
+        if (applyHop(spark, snap, latest)) applied += 1
+        latest + 1
+      }
+    }
     while (v <= latest) {
       val hop =
         if (v == 0)
@@ -70,26 +92,36 @@ final class TxnReplicaFeed(source: String, replica: String, appId: String,
             .withColumn("change_type", lit("insert"))
         else TxnLake.tableChanges(spark, source, v - 1, v, key)
           .drop("commit_version")
-      val cols = hop.columns.filterNot(_ == "change_type").toIndexedSeq
-      require(!cols.contains("__op"),
-        "TxnReplicaFeed: the source table may not carry a __op column")
-      val batch = hop.filter(col("change_type") =!= "update_preimage")
-        .select(cols.map(col) :+
-          when(col("change_type") === "delete", lit("D")).otherwise(lit("U"))
-            .as("__op"): _*)
-      val nonKey = cols.filterNot(_ == key)
-      val matched =
-        if (nonKey.isEmpty) Seq(MergeDelete(Some(sourceCol("__op") === "D")))
-        else Seq(MergeDelete(Some(sourceCol("__op") === "D")),
-          MergeUpdate(nonKey.map(c => c -> sourceCol(c)).toMap))
-      if (TxnLake.mergeIntoClauses(spark, batch, replica, key,
-          matched = matched,
-          notMatched = Seq(MergeInsert(cols.map(c => c -> col(c)).toMap,
-            Some(col("__op") =!= "D"))),
-          txn = Some((appId, v)),
-          evolveSchema = followSchema).nonEmpty) applied += 1
+      if (applyHop(spark, hop, v)) applied += 1
       v += 1
     }
     applied
+  }
+
+  /** Apply one change hop to the replica as the exactly-once clause
+    * merge for source version `v`; true iff the merge committed (false
+    * = empty hop or replayed marker). */
+  private def applyHop(spark: SparkSession,
+                       hop: org.apache.spark.sql.DataFrame,
+                       v: Long): Boolean = {
+    import TxnLake.{MergeDelete, MergeInsert, MergeUpdate, sourceCol}
+    val cols = hop.columns.filterNot(_ == "change_type").toIndexedSeq
+    require(!cols.contains("__op"),
+      "TxnReplicaFeed: the source table may not carry a __op column")
+    val batch = hop.filter(col("change_type") =!= "update_preimage")
+      .select(cols.map(col) :+
+        when(col("change_type") === "delete", lit("D")).otherwise(lit("U"))
+          .as("__op"): _*)
+    val nonKey = cols.filterNot(_ == key)
+    val matched =
+      if (nonKey.isEmpty) Seq(MergeDelete(Some(sourceCol("__op") === "D")))
+      else Seq(MergeDelete(Some(sourceCol("__op") === "D")),
+        MergeUpdate(nonKey.map(c => c -> sourceCol(c)).toMap))
+    TxnLake.mergeIntoClauses(spark, batch, replica, key,
+      matched = matched,
+      notMatched = Seq(MergeInsert(cols.map(c => c -> col(c)).toMap,
+        Some(col("__op") =!= "D"))),
+      txn = Some((appId, v)),
+      evolveSchema = followSchema).nonEmpty
   }
 }

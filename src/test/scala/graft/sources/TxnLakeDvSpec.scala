@@ -182,6 +182,140 @@ class TxnLakeDvSpec extends SparkSpec {
       "the failed restore must change nothing")
   }
 
+  test("the cap bounds the CUMULATIVE per-file mask: a re-delete whose " +
+    "union would exceed it takes copy-on-write and retires the mask") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    spark.conf.set("graft.probe.maxDriverKeys", "3")
+    try {
+      TxnLake.deleteWhereDv(spark, t, col("k") >= 60L && col("k") <= 61L)
+      assert(TxnLake.deletionVectors(spark, t).values.map(_.rows).sum == 2L)
+      val preFiles = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+      // 2 fresh hits pass the per-delete check, but old(2) ∪ new(2) = 4
+      // breaks the per-file budget — the plan must flip to copy-on-write
+      TxnLake.deleteWhereDv(spark, t, col("k") >= 62L && col("k") <= 63L)
+      assert(TxnLake.deletionVectors(spark, t).isEmpty,
+        "an over-cap UNION must not write an over-cap sidecar")
+      assert((preFiles -- TxnLake.snapshotFiles(spark, t).map(_.path).toSet)
+        .nonEmpty, "the fallback rewrites the touched file")
+      assert(keys(t).size == 96 && !(60L to 63L).exists(keys(t)))
+    } finally spark.conf.unset("graft.probe.maxDriverKeys")
+  }
+
+  test("a cumulative mask set past the driver budget decodes on the " +
+    "executors — masked reads stay correct with zero driver-side pairs") {
+    import spark.implicits._
+    val t = freshTable()
+    (0 until 5).foreach { i =>
+      TxnLake.commit(spark,
+        (i * 20L until i * 20L + 20L).map(j => (j, s"v$j")).toDF("k", "v")
+          .coalesce(1), t, "append")
+    }
+    spark.conf.set("graft.probe.maxDriverKeys", "4")
+    try {
+      // five single-position masks, one per file — each delete and each
+      // per-file union is under the cap, but the TOTAL (5) is over it,
+      // so every subsequent scan must take the distributed decode path
+      (0 until 5).foreach(i =>
+        TxnLake.deleteWhereDv(spark, t, col("k") === i * 20L + 7L))
+      assert(TxnLake.deletionVectors(spark, t).size == 5)
+      assert(keys(t).size == 95 && !keys(t).contains(47L))
+      assert(TxnLake.readWhere(spark, t, col("k") >= 40L).count() == 57,
+        "the skipping scan must honor executor-decoded masks")
+      assert(TxnLake.readVersion(spark, t,
+        TxnLake.latestVersion(spark, t).get).count() == 95)
+      // CoW purge under the distributed path: rows identical after
+      TxnLake.purgeDeletionVectors(spark, t)
+      assert(TxnLake.deletionVectors(spark, t).isEmpty
+        && keys(t).size == 95 && !keys(t).contains(87L))
+    } finally spark.conf.unset("graft.probe.maxDriverKeys")
+  }
+
+  test("a DV UPDATE moves no pre-existing file: masks the pre-images, " +
+    "appends the post-images, and the change feed sees update pairs") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    val preV = TxnLake.latestVersion(spark, t).get
+    val preFiles = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    val v = TxnLake.updateWhereDv(spark, t,
+      col("k") >= 60L && col("k") <= 62L,
+      Map("v" -> concat(col("v"), lit("!")))).get
+    assert(TxnLake.commitInfo(spark, t, v).operation == "update")
+    val postFiles = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    assert((postFiles -- preFiles).size == 1
+      && (preFiles -- postFiles).isEmpty,
+      "ONE small post-image file appends; no pre-existing file moves")
+    val dvs = TxnLake.deletionVectors(spark, t)
+    assert(dvs.size == 1 && dvs.values.head.rows == 3L)
+    val got = TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 100 && got(60L) == "v60!" && got(62L) == "v62!"
+      && got(59L) == "v59" && got(63L) == "v63")
+    // time travel: the pre-update snapshot is intact
+    assert(TxnLake.readVersion(spark, t, preV).filter(col("k") === 60L)
+      .head().getString(1) == "v60")
+    // the hop classifies as exactly the 3 update pre/post pairs
+    val hop = TxnLake.tableChanges(spark, t, preV, v, "k").collect()
+    val byType = hop.groupBy(_.getAs[String]("change_type"))
+      .view.mapValues(_.length).toMap
+    assert(byType == Map("update_preimage" -> 3, "update_postimage" -> 3),
+      s"update pairs expected: $byType")
+    assert(hop.filter(_.getAs[String]("change_type") == "update_postimage")
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(60L -> "v60!", 61L -> "v61!", 62L -> "v62!"))
+    // a DV DELETE then a second DV UPDATE union masks on the same file;
+    // the update must not touch already-deleted rows
+    TxnLake.deleteWhereDv(spark, t, col("k") === 63L)
+    TxnLake.updateWhereDv(spark, t, col("k") >= 63L && col("k") <= 64L,
+      Map("v" -> lit("Z")))
+    val after = TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after.size == 99 && !after.contains(63L) && after(64L) == "Z",
+      "the deleted row stays deleted; only the live row updates")
+    // purge retires every mask without changing a logical row
+    TxnLake.purgeDeletionVectors(spark, t)
+    assert(TxnLake.deletionVectors(spark, t).isEmpty)
+    val purged = TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(purged == after)
+    // provable no-op: stats admit nothing
+    assert(TxnLake.updateWhereDv(spark, t, col("k") === 5000L,
+      Map("v" -> lit("X"))).isEmpty)
+  }
+
+  test("a bulk DV UPDATE past the cap falls back to copy-on-write — " +
+    "identical rows, no sidecar") {
+    import spark.implicits._
+    val t = freshTable()
+    twoFileTable(t)
+    spark.conf.set("graft.probe.maxDriverKeys", "2")
+    try {
+      TxnLake.updateWhereDv(spark, t, col("k") >= 60L && col("k") <= 69L,
+        Map("v" -> lit("U")))
+      assert(TxnLake.deletionVectors(spark, t).isEmpty,
+        "past the cap the plan is copy-on-write, not a giant mask")
+      val got = TxnLake.read(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.size == 100 && got(65L) == "U" && got(59L) == "v59")
+    } finally spark.conf.unset("graft.probe.maxDriverKeys")
+  }
+
+  test("NULL predicates keep rows unchanged (SQL UPDATE semantics) on " +
+    "the DV update path") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark,
+      Seq((1L, Option(5L)), (2L, Option.empty[Long]), (3L, Option(20L)))
+        .toDF("k", "n").coalesce(1), t, "append")
+    TxnLake.updateWhereDv(spark, t, col("n") > 10L, Map("n" -> lit(0L)))
+    val got = TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString)).toMap
+    assert(got == Map(1L -> Some("5"), 2L -> None, 3L -> Some("0")),
+      s"only the TRUE row updates: $got")
+  }
+
   test("NULL predicates keep rows (SQL DELETE semantics) on the DV path") {
     import spark.implicits._
     val t = freshTable()

@@ -23,6 +23,34 @@ class TxnLakeSpec extends SparkSpec {
       == Seq(1, 2, 3))
   }
 
+  test("TIMESTAMP AS OF resolves to the latest commit at-or-before the " +
+    "instant and refuses a pre-history timestamp") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1, 2, 3).toDF("x"), t, "append") // v0
+    val t0 = TxnLake.commitTimestamp(spark, t, 0L)
+    // force a strictly-later mtime for v1 (ms-resolution local fs)
+    while (System.currentTimeMillis() <= t0 + 1) Thread.sleep(2)
+    TxnLake.commit(spark, Seq(10, 20).toDF("x"), t, "append") // v1
+    val t1 = TxnLake.commitTimestamp(spark, t, 1L)
+    assert(t1 > t0, "fixture: distinct commit instants")
+    assert(TxnLake.versionAsOf(spark, t, t0).contains(0L)
+      && TxnLake.versionAsOf(spark, t, t1 - 1).contains(0L)
+      && TxnLake.versionAsOf(spark, t, t1).contains(1L)
+      && TxnLake.versionAsOf(spark, t, t1 + 60000).contains(1L),
+      "latest version at-or-before the instant wins")
+    assert(TxnLake.readAsOf(spark, t, t0).collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(1, 2, 3))
+    assert(TxnLake.readAsOf(spark, t, t1).count() == 5)
+    assert(TxnLake.versionAsOf(spark, t, t0 - 1).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      TxnLake.readAsOf(spark, t, t0 - 1)
+    }
+    assert(e.getMessage.contains("predates the first commit")
+      && e.getMessage.contains(t0.toString),
+      s"the refusal must name the earliest readable instant: ${e.getMessage}")
+  }
+
   test("an in-flight reader keeps its snapshot across a concurrent overwrite") {
     import spark.implicits._
     val t = freshTable()

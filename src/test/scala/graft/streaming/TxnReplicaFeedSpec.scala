@@ -151,6 +151,37 @@ class TxnReplicaFeedSpec extends SparkSpec {
       Seq("k", "v", "extra"))
   }
 
+  test("founding against an AGED source (early files vacuumed) " +
+    "bootstraps from the latest snapshot — marker at latest, then " +
+    "only subsequent hops stream") {
+    import spark.implicits._
+    val (src, rep) = fresh()
+    TxnLake.commit(spark,
+      (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      src, "append") // v0
+    TxnLake.commit(spark,
+      (50L until 100L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      src, "append") // v1
+    assert(TxnLake.fullHistoryLive(spark, src), "nothing vacuumed yet")
+    TxnLake.compactSmallFiles(spark, src, minFileBytes = Long.MaxValue)
+      .getOrElse(sys.error("fixture: compaction must pack 2 files")) // v2
+    TxnLake.vacuum(spark, src, retainVersions = 1)
+    assert(!TxnLake.fullHistoryLive(spark, src),
+      "the v0/v1 files are reclaimed — replay is impossible")
+    val feed = new TxnReplicaFeed(src, rep, "repl", "k")
+    assert(feed.poll(spark) == 1,
+      "an aged source founds with ONE snapshot merge, not a v0 replay")
+    assert(rows(rep) == rows(src) && rows(rep).size == 100)
+    assert(TxnLake.lastTxn(spark, rep, "repl").contains(2L),
+      "the marker must land at the LATEST source version")
+    // subsequent hops stream incrementally from there
+    TxnLake.updateWhere(spark, src, col("k") === 5L,
+      Map("v" -> lit("NEW"))) // v3
+    assert(feed.poll(spark) == 1 && rows(rep)(5L) == "NEW"
+      && rows(rep) == rows(src))
+    assert(new TxnReplicaFeed(src, rep, "repl", "k").poll(spark) == 0)
+  }
+
   test("replayed versions no-op at the commit — the merge marker, not " +
     "convergence, is the replay guard") {
     import spark.implicits._
