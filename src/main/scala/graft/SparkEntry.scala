@@ -62,7 +62,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x56 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x57 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -130,7 +130,10 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    post-image file — O(matched rows), never O(touched bytes); the
   *    feed classifies the hop as full update pairs), and TIMESTAMP AS
   *    OF time travel (log-entry publish mtimes, monotone-adjusted;
-  *    pre-history reads refused naming the earliest instant)
+  *    pre-history reads refused naming the earliest instant), and
+  *    table CLONE (shallow = zero-copy absolute references with full
+  *    bidirectional lifecycle isolation; deep = self-contained byte
+  *    copy; both carry schema, stats, bloom declaration, and masks)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

@@ -3568,6 +3568,112 @@ object OperatorQueries {
       .withColumn("v_t1", lit(TxnLake.versionAsOf(s, t, t1).get))
   }
 
+  /** Table CLONE (x57) — Delta's `CREATE TABLE … CLONE`, both forms
+    * over one lifecycle: a SHALLOW clone founds zero-copy (absolute
+    * references, no data I/O at any table size) carrying the source's
+    * masks, then source and clone diverge independently — the source
+    * appends fresh rows, the clone runs its own DV delete — and a DEEP
+    * clone pins the source's final snapshot into a self-contained
+    * table. In-engine gates: not one parquet byte under the shallow
+    * clone (before OR after its merge-on-read DML), the founding
+    * insert hop honors the cloned masks, source commits never appear
+    * in the clone and clone DML never touches the source, clone vacuum
+    * leaves every source file alive, and the deep clone reads
+    * row-identical to the source while referencing only its own data
+    * dir. The oracle recomputes both divergent endpoints relationally. */
+  val txnClone = OracleQuery(
+    "x57_txn_clone",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |hit AS (SELECT event_id, vc,
+      |          (vc % 97 = 0 AND 2 * event_id > m) AS d1,
+      |          (vc % 89 = 0 AND 2 * event_id <= m) AS d2 FROM ev, mx),
+      |clfin AS (SELECT event_id, vc FROM hit WHERE NOT d1 AND NOT d2),
+      |ins AS (SELECT m + i AS event_id, (m + i) * 7 AS vc
+      |        FROM mx, generate_series(1, 8) g(i)),
+      |srcfin AS (SELECT event_id, vc FROM hit WHERE NOT d1
+      |           UNION ALL SELECT event_id, vc FROM ins),
+      |clr AS (SELECT count(*) AS n_rows_cl,
+      |          CAST(sum(vc) AS BIGINT) AS sum_cl FROM clfin),
+      |srr AS (SELECT count(*) AS n_rows_src,
+      |          CAST(sum(vc) AS BIGINT) AS sum_src FROM srcfin),
+      |cnt AS (SELECT count(CASE WHEN d1 THEN 1 END) AS n_d1,
+      |          count(CASE WHEN d2 THEN 1 END) AS n_d2 FROM hit)
+      |SELECT n_rows_cl, sum_cl, n_rows_src, sum_src, n_d1, n_d2,
+      |  CAST(0 AS INT) AS clone_parquet_files
+      |FROM clr, srr, cnt""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val root = Scratch.dir("txn_clone")
+    val src = root + "/src"; val cl = root + "/cl"; val deep = root + "/deep"
+    val bkt = expr(s"event_id * 8 div ${m + 1}")
+    (0 until 8).foreach { i =>
+      val part = ev.filter(bkt === i).coalesce(1)
+      if (!part.isEmpty) TxnLake.commit(s, part, src, "append")
+    }
+    val d1 = col("vc") % 97 === 0 && col("event_id") > m / 2
+    val d2 = col("vc") % 89 === 0 && col("event_id") <= m / 2
+    val nD1 = ev.filter(d1).count(); val nD2 = ev.filter(d2).count()
+    TxnLake.deleteWhereDv(s, src, d1)
+      .getOrElse(sys.error("the d1 residue cannot be empty"))
+    val maskedCount = ev.count() - nD1
+    require(TxnLake.cloneTable(s, src, cl) == 0L)
+    def parquets(dir: String): Int = {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(p)) 0
+      else {
+        val w = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        } finally w.close()
+      }
+    }
+    require(parquets(cl) == 0, "a shallow clone copies no data file")
+    require(TxnLake.read(s, cl).count() == maskedCount,
+      "the clone reads the source snapshot under its masks")
+    val hop = TxnLake.tableChanges(s, cl, -1L, 0L, "event_id")
+    require(hop.count() == maskedCount &&
+      hop.groupBy("change_type").count().head().getString(0) == "insert",
+      "the founding hop is the masked snapshot as inserts")
+    // diverge: source appends, clone runs its own merge-on-read delete
+    TxnLake.commit(s, s.range(1, 9)
+      .select((col("id") + m).as("event_id"), ((col("id") + m) * 7).as("vc"))
+      .coalesce(1), src, "append")
+    TxnLake.deleteWhereDv(s, cl, d2)
+      .getOrElse(sys.error("the d2 residue cannot be empty"))
+    require(parquets(cl) == 0,
+      "merge-on-read DML keeps the shallow clone parquet-free")
+    require(TxnLake.read(s, cl).count() == maskedCount - nD2,
+      "clone DML applies to the clone")
+    require(TxnLake.read(s, cl).filter(col("event_id") > m).isEmpty,
+      "source commits never appear in the clone")
+    require(TxnLake.read(s, src).count() == maskedCount + 8,
+      "clone DML never touches the source")
+    // clone vacuum leaves every source file alive
+    TxnLake.vacuum(s, cl, retainVersions = 1)
+    TxnLake.snapshotFiles(s, src).foreach { fm =>
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(src, fm.path)),
+        s"clone vacuum must not reclaim source file ${fm.path}")
+    }
+    // deep clone pins the source's FINAL snapshot, self-contained
+    require(TxnLake.cloneTable(s, src, deep, shallow = false) == 0L)
+    require(TxnLake.snapshotFiles(s, deep).forall(_.path.startsWith("data/")),
+      "a deep clone references only its own data dir")
+    require(TxnLake.read(s, deep).count() == maskedCount + 8)
+    TxnLake.read(s, cl)
+      .agg(count(lit(1)).as("n_rows_cl"), sum(col("vc")).as("sum_cl"))
+      .crossJoin(TxnLake.read(s, deep)
+        .agg(count(lit(1)).as("n_rows_src"), sum(col("vc")).as("sum_src")))
+      .withColumn("n_d1", lit(nD1))
+      .withColumn("n_d2", lit(nD2))
+      .withColumn("clone_parquet_files", lit(parquets(cl)))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -3584,5 +3690,5 @@ object OperatorQueries {
       txnDeleteWhere, txnTableChanges, streamNearDupProbePruned,
       streamDecontamProbePruned, txnMergeInto, txnUpdateWhere,
       txnCdcApply, txnReplicaSync, streamReplicaFeed, txnMergeEvolve,
-      txnDeletionVectors, txnUpdateDv, txnTimestampTravel)
+      txnDeletionVectors, txnUpdateDv, txnTimestampTravel, txnClone)
 }

@@ -1535,7 +1535,12 @@ object TxnLake extends LakeFormat {
             .withColumn("commit_version", lit(v)))
         case "optimize" => None
         case "append" if e.add.nonEmpty =>
-          Some(readFiles(e.add.map(_.path))
+          // the entry's dvs never mask a NORMAL append's own files (new
+          // files are unmasked by construction — scanFiles takes the
+          // clean fast path), but a shallow/deep CLONE's founding entry
+          // references pre-masked files: its insert hop is files MINUS
+          // masks, like every snapshot read of it
+          Some(readFiles(e.add.map(_.path), e.dvs)
             .withColumn("change_type", lit("insert"))
             .withColumn("commit_version", lit(v)))
         case "append" => None // empty append (txn-marker commit)
@@ -3031,6 +3036,107 @@ object TxnLake extends LakeFormat {
     sys.error(s"TxnLake: compensating restore on $table gave up after " +
       s"$maxAttempts conflicts — manual log repair required (latest " +
       s"snapshot references vacuum-reclaimed files)")
+  }
+
+  // ---- clone ----------------------------------------------------------
+
+  /** CLONE `source` (at `version`, default latest) into the brand-new
+    * table `target` — Delta's `CREATE TABLE … CLONE`.
+    *
+    * SHALLOW (default, zero-copy): the clone's founding v0 entry
+    * REFERENCES the source snapshot's data files and deletion-vector
+    * sidecars by absolute path — no data I/O at any table size
+    * (O(|files|) metadata, one entry write; cloning a 100 TB table
+    * costs what cloning a 100 MB one does). The clone owns its log
+    * from v0: commits, DML, maintenance, and vacuum on the clone never
+    * touch the source's files (the clone's vacuum reclaims only under
+    * ITS OWN data dir — absolute references are structurally out of its
+    * reach), and source commits never appear in the clone. The one
+    * CAVEAT is Delta's own: vacuum on the SOURCE knows nothing about
+    * shallow clones, so reclaiming source files a clone still
+    * references breaks that clone's reads — the standard shallow-clone
+    * retention contract.
+    *
+    * DEEP (`shallow = false`): the snapshot's data files, their bloom
+    * sidecars, and its DV sidecars COPY byte-for-byte into the clone's
+    * own dirs (O(table) I/O, once), after which the clone is fully
+    * self-contained — no source lifecycle can touch it.
+    *
+    * Either way the clone founds with the source's logged schema,
+    * bloom-column declaration, per-file stats (no re-harvest), and
+    * masks; its txn state starts EMPTY (a replica consumer founding on
+    * the clone is a new app by definition). The founding entry's tag is
+    * "append", so the clone's own change feed attributes v0 as the
+    * snapshot's (mask-honoring) inserts. `target` must not already be a
+    * table — refused loudly, never merged. */
+  def cloneTable(spark: SparkSession, source: String, target: String,
+                 shallow: Boolean = true,
+                 version: Option[Long] = None): Long = {
+    val srcV = version.orElse(latestVersion(spark, source)).getOrElse(
+      sys.error(s"TxnLake.cloneTable: no committed version in $source"))
+    require(committedVersions(spark, target).isEmpty,
+      s"TxnLake.cloneTable: target $target is already a table — clone " +
+        "founds a NEW table, it does not merge into one")
+    val files = resolveFiles(spark, source, srcV)
+    requireLive(spark, source, srcV, files)
+    val srcEntry = readEntry(spark, source, srcV)
+    val f = fs(spark, new Path(target))
+    srcEntry.dvs.values.foreach { r =>
+      if (!f.exists(new Path(source, r.path)))
+        throw new IllegalStateException(
+          s"TxnLake.cloneTable: version $srcV's deletion-vector sidecar " +
+            s"${r.path} has been vacuumed")
+    }
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    val (add, dvs) =
+      if (shallow) {
+        def abs(rel: String) = new Path(source, rel).toString
+        (files.map(fm => fm.copy(path = abs(fm.path))),
+          srcEntry.dvs.map { case (rel, r) =>
+            abs(rel) -> DvRef(abs(r.path), r.rows) })
+      } else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val dataRel = s"data/v0-$salt"
+        f.mkdirs(new Path(target, dataRel))
+        val names = files.map(fm => new Path(fm.path).getName)
+        require(names.distinct.size == names.size,
+          s"TxnLake.cloneTable: duplicate data-file names in $source@$srcV")
+        val copied = files.map { fm =>
+          val src = new Path(source, fm.path)
+          val dst = new Path(target, s"$dataRel/${new Path(fm.path).getName}")
+          org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false, conf)
+          // bloom sidecars ride their data file
+          val dir = src.getParent
+          if (f.exists(dir)) f.listStatus(dir).map(_.getPath).filter(p =>
+            p.getName.startsWith(src.getName + ".bloom.")).foreach { b =>
+            org.apache.hadoop.fs.FileUtil.copy(f, b, f,
+              new Path(target, s"$dataRel/${b.getName}"), false, conf)
+          }
+          fm.copy(path = s"$dataRel/${new Path(fm.path).getName}")
+        }
+        val dvRel = s"_dv/$salt"
+        if (srcEntry.dvs.nonEmpty) f.mkdirs(new Path(target, dvRel))
+        val dvsCopied = srcEntry.dvs.map { case (rel, r) =>
+          val dst = s"$dvRel/${new Path(r.path).getName}"
+          org.apache.hadoop.fs.FileUtil.copy(f, new Path(source, r.path),
+            f, new Path(target, dst), false, conf)
+          s"$dataRel/${new Path(rel).getName}" -> DvRef(dst, r.rows)
+        }
+        (copied, dvsCopied)
+      }
+    f.mkdirs(logDir(target))
+    val entry = render(Entry(0L, "append", add, Seq.empty, None, None,
+      Map.empty, hasTxns = true, schemaJson = srcEntry.schemaJson,
+      bloomCols = srcEntry.bloomCols, dvs = dvs))
+    val tmp = new Path(logDir(target), s"v0.json.tmp-$salt")
+    val out = f.create(tmp, false)
+    try out.write(entry.getBytes("UTF-8")) finally out.close()
+    if (!publishExclusive(f, tmp, new Path(logDir(target), "v0.json"))) {
+      f.delete(tmp, false)
+      sys.error(s"TxnLake.cloneTable: a concurrent writer founded $target " +
+        "first — clone refuses to merge into an existing table")
+    }
+    0L
   }
 
   // ---- vacuum ---------------------------------------------------------
