@@ -3674,6 +3674,76 @@ object OperatorQueries {
       .withColumn("clone_parquet_files", lit(parquets(cl)))
   }
 
+  /** Metadata-only ALTER TABLE (x58) — ADD COLUMN + DROP COLUMN as one
+    * lifecycle: widen the table (one log entry, zero files moved, old
+    * rows null-fill), append data carrying the new column, then DROP
+    * the original value column (projecting narrowing with a
+    * resurrection TOMBSTONE — recommitting the dropped name refuses
+    * loudly, since the old files still hold its bytes). In-engine
+    * gates: neither ALTER moves a data file, both hops are "metadata"
+    * commits emitting NOTHING in the change feed, pre-ALTER snapshots
+    * time-travel under their own schemas, and the tombstone guard
+    * fires. The oracle recomputes the final widened-then-narrowed
+    * table relationally. */
+  val txnAlterColumns = OracleQuery(
+    "x58_txn_alter_columns",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |low AS (SELECT event_id FROM ev, mx WHERE 2 * event_id <= m),
+      |up AS (SELECT event_id, vc % 2 AS flag FROM ev, mx
+      |       WHERE 2 * event_id > m),
+      |fin AS (SELECT event_id, CAST(NULL AS BIGINT) AS flag FROM low
+      |        UNION ALL SELECT event_id, flag FROM up)
+      |SELECT count(*) AS n_rows,
+      |  count(CASE WHEN flag IS NULL THEN 1 END) AS n_flag_null,
+      |  CAST(sum(flag) AS BIGINT) AS sum_flag,
+      |  max(event_id) AS max_id,
+      |  CAST(0 AS INT) AS files_moved
+      |FROM fin""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    import org.apache.spark.sql.types.LongType
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val t = Scratch.dir("txn_alter_columns") + "/t"
+    TxnLake.commit(s, ev.filter(col("event_id") * 2 <= m).coalesce(1),
+      t, "append")
+    val f1 = TxnLake.snapshotFiles(s, t).map(_.path).toSet
+    val v0 = TxnLake.latestVersion(s, t).get
+    val vAdd = TxnLake.addColumn(s, t, "flag", LongType)
+    require(TxnLake.commitInfo(s, t, vAdd).operation == "metadata")
+    require(TxnLake.snapshotFiles(s, t).map(_.path).toSet == f1,
+      "ADD COLUMN must move no data file")
+    require(TxnLake.tableChanges(s, t, v0, vAdd, "event_id").isEmpty,
+      "a metadata hop emits nothing")
+    require(TxnLake.readVersion(s, t, v0).columns.toSeq ==
+      Seq("event_id", "vc"), "the pre-ALTER snapshot stays narrow")
+    TxnLake.commit(s, ev.filter(col("event_id") * 2 > m)
+      .withColumn("flag", col("vc") % 2).coalesce(1), t, "append")
+    val preDrop = TxnLake.latestVersion(s, t).get
+    val f2 = TxnLake.snapshotFiles(s, t).map(_.path).toSet
+    val vDrop = TxnLake.dropColumn(s, t, "vc")
+    require(TxnLake.snapshotFiles(s, t).map(_.path).toSet == f2,
+      "DROP COLUMN must move no data file")
+    require(TxnLake.tableChanges(s, t, preDrop, vDrop, "event_id").isEmpty)
+    require(TxnLake.read(s, t).columns.toSeq == Seq("event_id", "flag"))
+    require(TxnLake.readVersion(s, t, preDrop).columns.toSeq ==
+      Seq("event_id", "vc", "flag"),
+      "the dropped column still time-travels")
+    val refused =
+      try { TxnLake.commit(s, ev.limit(1).coalesce(1), t, "append"); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("resurrect") }
+    require(refused, "recommitting a tombstoned column must refuse")
+    TxnLake.read(s, t)
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("flag").isNull, 1)).as("n_flag_null"),
+        sum(col("flag")).as("sum_flag"),
+        max(col("event_id")).as("max_id"))
+      .withColumn("files_moved", lit(0))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -3690,5 +3760,6 @@ object OperatorQueries {
       txnDeleteWhere, txnTableChanges, streamNearDupProbePruned,
       streamDecontamProbePruned, txnMergeInto, txnUpdateWhere,
       txnCdcApply, txnReplicaSync, streamReplicaFeed, txnMergeEvolve,
-      txnDeletionVectors, txnUpdateDv, txnTimestampTravel, txnClone)
+      txnDeletionVectors, txnUpdateDv, txnTimestampTravel, txnClone,
+      txnAlterColumns)
 }

@@ -102,7 +102,8 @@ object TxnLake extends LakeFormat {
                                  hasTxns: Boolean,
                                  schemaJson: Option[String] = None,
                                  bloomCols: Seq[String] = Seq.empty,
-                                 dvs: Map[String, DvRef] = Map.empty) {
+                                 dvs: Map[String, DvRef] = Map.empty,
+                                 droppedCols: Seq[String] = Seq.empty) {
     /** The logged cumulative schema, decoded — one accessor instead of
       * the same two-line parse at every read/DML site. */
     def schemaStruct: Option[StructType] =
@@ -182,6 +183,10 @@ object TxnLake extends LakeFormat {
         d.put("n", r.rows)
       }
     }
+    if (e.droppedCols.nonEmpty) {
+      val dc = o.putArray("droppedCols")
+      e.droppedCols.foreach(dc.add)
+    }
     mapper.writeValueAsString(o)
   }
 
@@ -211,8 +216,10 @@ object TxnLake extends LakeFormat {
       e.getKey -> DvRef(e.getValue.get("p").asText(),
         e.getValue.get("n").asLong())
     }.toMap).getOrElse(Map.empty[String, DvRef])
+    val droppedCols = Option(n.get("droppedCols"))
+      .map(_.asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
     Entry(version, operation, add, remove, legacy, txn, txns, txnsNode.isDefined,
-      schemaJson, bloomCols, dvs)
+      schemaJson, bloomCols, dvs, droppedCols)
   }
 
   // ---- log access -----------------------------------------------------
@@ -779,10 +786,14 @@ object TxnLake extends LakeFormat {
                          extraTxns: Map[String, Long] = Map.empty,
                          bloomCols: Seq[String] = Seq.empty,
                          newDvs: Map[String, DvRef] = Map.empty,
-                         noData: Boolean = false): Option[Long] = {
+                         noData: Boolean = false,
+                         schemaOverride: Option[StructType] = None,
+                         dropBloomCols: Seq[String] = Seq.empty,
+                         tombstoneCols: Seq[String] = Seq.empty): Option[Long] = {
     require(operation == "overwrite" || operation == "append"
       || operation == "optimize" || operation == "delete"
-      || operation == "merge" || operation == "update",
+      || operation == "merge" || operation == "update"
+      || operation == "metadata",
       s"TxnLake: unknown operation $operation")
     require(!df.columns.exists(_.startsWith("__graft_dv_")),
       "TxnLake: __graft_dv_* column names are reserved for the " +
@@ -849,7 +860,8 @@ object TxnLake extends LakeFormat {
       // otherwise silently strip the index from whatever they touch and
       // quietly un-prune every future key probe.
       val allBloomCols =
-        (lastEntry.map(_.bloomCols).getOrElse(Seq.empty) ++ bloomCols).distinct
+        (lastEntry.map(_.bloomCols).getOrElse(Seq.empty) ++ bloomCols)
+          .distinct.filterNot(dropBloomCols.contains)
       val added = buildBloomSidecars(spark, tablePath, f, added0,
         allBloomCols, df.schema)
       // remove actions: append removes nothing (O(1) log reads — the
@@ -887,14 +899,32 @@ object TxnLake extends LakeFormat {
       val extra = extraTxns.map { case (a, b) =>
         a -> math.max(b, prior.getOrElse(a, Long.MinValue)) }
       val txns = prior ++ extra ++ txn.toMap
+      // drop tombstones ride the entry cumulatively (like txns/schema):
+      // a column dropped metadata-only still has its BYTES in old files,
+      // so re-introducing the name would silently resurrect them under
+      // the widened read schema — the guard below makes that loud.
+      // Overwrite clears the tombstones: it removes every current file,
+      // so there is nothing left to resurrect.
+      val dropped =
+        (if (operation == "overwrite") Seq.empty
+         else lastEntry.map(_.droppedCols).getOrElse(Seq.empty)) ++
+          tombstoneCols
+      if (!noData) {
+        val resurrect = df.columns.filter(dropped.contains)
+        require(resurrect.isEmpty,
+          s"TxnLake: column(s) ${resurrect.mkString(", ")} were DROPPED " +
+            "from this table; committing data under the same name would " +
+            "resurrect the old files' bytes — use a different name, or " +
+            "overwrite the table to retire the tombstone")
+      }
       // every commit carries the CUMULATIVE table schema forward (Delta's
       // metaData action): appends merge new columns in, overwrite resets —
       // so readers resolve the snapshot schema from ONE log entry instead
       // of merging footers across the whole file list
-      val tableSchema = mergedSchema(
+      val tableSchema = schemaOverride.getOrElse(mergedSchema(
         lastEntry.flatMap(_.schemaJson)
           .map(DataType.fromJson(_).asInstanceOf[StructType]),
-        df.schema, operation)
+        df.schema, operation))
       // deletion vectors ride the entry CUMULATIVELY (like txns/schema):
       // a removed file's DV dies with it — a rewrite that materializes
       // the masked rows away must not leave a stale mask behind — and
@@ -904,7 +934,8 @@ object TxnLake extends LakeFormat {
       // 2. publish: tmp write + atomic link IS the commit
       val entry = render(Entry(next, operation, added, removed, None, txn, txns,
         hasTxns = true, schemaJson = Some(tableSchema.json),
-        bloomCols = allBloomCols, dvs = dvLive))
+        bloomCols = allBloomCols, dvs = dvLive,
+        droppedCols = dropped.distinct))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -1534,6 +1565,7 @@ object TxnLake extends LakeFormat {
           Some(changeFeed(spark, table, v - 1, v, key)
             .withColumn("commit_version", lit(v)))
         case "optimize" => None
+        case "metadata" => None // schema-only commit: no row changes
         case "append" if e.add.nonEmpty =>
           // the entry's dvs never mask a NORMAL append's own files (new
           // files are unmasked by construction — scanFiles takes the
@@ -2912,7 +2944,11 @@ object TxnLake extends LakeFormat {
         bloomCols = (lastEntry.bloomCols ++ targetEntry.bloomCols).distinct,
         // the restored snapshot's deletion vectors come back with it —
         // its logical rows are files MINUS masks, both or neither
-        dvs = targetEntry.dvs))
+        dvs = targetEntry.dvs,
+        // drop tombstones restore with their schema: the target's old
+        // files are back in the snapshot, so ITS tombstone set is the
+        // one that guards them
+        droppedCols = targetEntry.droppedCols))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -3022,7 +3058,11 @@ object TxnLake extends LakeFormat {
         // added-back files return with the pre-restore snapshot's
         dvs = (lastEntry.map(_.dvs).getOrElse(Map.empty)
           -- stillReferenced) ++
-          priorDvs.filter(kv => addBack.exists(_.path == kv._1))))
+          priorDvs.filter(kv => addBack.exists(_.path == kv._1)),
+        // conservative union: the compensated snapshot carries files
+        // from both lineages, so both tombstone sets guard it
+        droppedCols = (lastEntry.map(_.droppedCols).getOrElse(Seq.empty) ++
+          readEntry(spark, table, lastV).droppedCols).distinct))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -3036,6 +3076,87 @@ object TxnLake extends LakeFormat {
     sys.error(s"TxnLake: compensating restore on $table gave up after " +
       s"$maxAttempts conflicts — manual log repair required (latest " +
       s"snapshot references vacuum-reclaimed files)")
+  }
+
+  // ---- ALTER TABLE (metadata-only schema changes) ---------------------
+
+  /** `ALTER TABLE … ADD COLUMN` — METADATA-ONLY schema widening: one
+    * log entry records the widened cumulative schema; not one data file
+    * moves (adding a column to a 100 TB table costs one entry write).
+    * Every existing file null-fills the new column under the logged
+    * read schema — the x36 evolution machinery — and pre-ALTER versions
+    * still time-travel under their own narrower schema. The new column
+    * is always nullable (existing rows HAVE no value). Re-adding a
+    * previously DROPPED name is refused: the old files still hold that
+    * name's bytes and would silently resurrect under the widened
+    * schema (the tombstone contract of [[dropColumn]]). The "metadata"
+    * tag emits NOTHING in the change feed (no row changed) and is NOT
+    * data-preserving for sibling-index trust — conservative by
+    * construction. */
+  def addColumn(spark: SparkSession, table: String, name: String,
+                dataType: DataType, maxAttempts: Int = 10): Long =
+    alterSchema(spark, table, "addColumn", maxAttempts) { (cur, dropped) =>
+      require(!cur.fieldNames.contains(name),
+        s"TxnLake.addColumn: column $name already exists in $table")
+      require(!dropped.contains(name),
+        s"TxnLake.addColumn: column $name was DROPPED from $table; " +
+          "re-adding the name would resurrect the old files' bytes — " +
+          "use a different name, or overwrite the table")
+      (StructType(cur.fields :+ StructField(name, dataType, nullable = true)),
+        Seq.empty, Seq.empty)
+    }
+
+  /** `ALTER TABLE … DROP COLUMN` — METADATA-ONLY narrowing: the logged
+    * schema loses the column, every read projects it away, and not one
+    * data file moves. The dropped name enters a cumulative TOMBSTONE
+    * set carried on every entry: the bytes are still in the old files,
+    * so any later data commit (append/merge/…) reintroducing the name
+    * is refused loudly instead of silently resurrecting them — Delta
+    * solves this with column-mapping physical ids; a tombstone is the
+    * honest equivalent without rewriting readers. An overwrite retires
+    * the tombstones (it removes every file holding the bytes). Dropping
+    * a bloom-indexed column also retires its index declaration. The
+    * last remaining column cannot be dropped. */
+  def dropColumn(spark: SparkSession, table: String, name: String,
+                 maxAttempts: Int = 10): Long =
+    alterSchema(spark, table, "dropColumn", maxAttempts) { (cur, _) =>
+      require(cur.fieldNames.contains(name),
+        s"TxnLake.dropColumn: no column $name in $table")
+      require(cur.fields.length > 1,
+        s"TxnLake.dropColumn: cannot drop the last column of $table")
+      (StructType(cur.fields.filterNot(_.name == name)),
+        Seq(name), Seq(name))
+    }
+
+  /** Shared ALTER loop: resolve the pinned snapshot's current schema
+    * (footer-merged on a legacy log — the one-time upgrade cost every
+    * scoped rewrite pays), let `change` produce (new schema, bloom
+    * drops, tombstones), and publish as a noData "metadata" commit with
+    * recompute-on-conflict. */
+  private def alterSchema(spark: SparkSession, table: String, api: String,
+                          maxAttempts: Int)
+                         (change: (StructType, Seq[String])
+                           => (StructType, Seq[String], Seq[String])): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(spark, table).getOrElse(
+        sys.error(s"TxnLake.$api: no committed version in $table"))
+      val entry = readEntry(spark, table, base)
+      val cur = subsetReadSchema(spark, table, entry.schemaStruct,
+        resolveFiles(spark, table, base))
+      val (next, dropBlooms, tombstones) = change(cur, entry.droppedCols)
+      val emptyDf = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], next)
+      try return commitImpl(spark, emptyDf, table, "metadata", None,
+          maxAttempts = 1, requireBase = Some(Some(base)),
+          removePaths = Some(Seq.empty), noData = true,
+          schemaOverride = Some(next), dropBloomCols = dropBlooms,
+          tombstoneCols = tombstones)
+        .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped"))
+      catch { case _: CommitConflict => attempt += 1 }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"TxnLake.$api: $maxAttempts consecutive concurrent commits on $table")
   }
 
   // ---- clone ----------------------------------------------------------
@@ -3127,7 +3248,8 @@ object TxnLake extends LakeFormat {
     f.mkdirs(logDir(target))
     val entry = render(Entry(0L, "append", add, Seq.empty, None, None,
       Map.empty, hasTxns = true, schemaJson = srcEntry.schemaJson,
-      bloomCols = srcEntry.bloomCols, dvs = dvs))
+      bloomCols = srcEntry.bloomCols, dvs = dvs,
+      droppedCols = srcEntry.droppedCols))
     val tmp = new Path(logDir(target), s"v0.json.tmp-$salt")
     val out = f.create(tmp, false)
     try out.write(entry.getBytes("UTF-8")) finally out.close()

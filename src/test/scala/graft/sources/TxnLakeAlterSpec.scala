@@ -1,0 +1,109 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** Metadata-only ALTER TABLE: ADD COLUMN (null-filling widening) and
+  * DROP COLUMN (projecting narrowing with resurrection tombstones) —
+  * one log entry each, zero data files moved, full time travel. */
+class TxnLakeAlterSpec extends SparkSpec {
+
+  private def fresh(): String =
+    Files.createTempDirectory("txnlake_alter").resolve("t").toString
+
+  private def build(t: String): Unit = {
+    import spark.implicits._
+    Seq(0L until 50L, 50L until 100L).foreach { r =>
+      TxnLake.commit(spark,
+        r.map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t, "append")
+    }
+  }
+
+  test("ADD COLUMN is one metadata entry: no file moves, old rows " +
+    "null-fill, new appends carry values, narrow history time-travels") {
+    import spark.implicits._
+    val t = fresh()
+    build(t)
+    val preV = TxnLake.latestVersion(spark, t).get
+    val preFiles = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    val v = TxnLake.addColumn(spark, t, "n", LongType)
+    assert(TxnLake.commitInfo(spark, t, v).operation == "metadata")
+    assert(TxnLake.snapshotFiles(spark, t).map(_.path).toSet == preFiles,
+      "ALTER must move no data file")
+    val widened = TxnLake.read(spark, t)
+    assert(widened.columns.toSeq == Seq("k", "v", "n")
+      && widened.filter(col("n").isNotNull).isEmpty,
+      "existing rows null-fill the new column")
+    // the metadata hop emits NOTHING in the change feed
+    assert(TxnLake.tableChanges(spark, t, preV, v, "k").isEmpty)
+    TxnLake.commit(spark,
+      Seq((200L, "x", 7L)).toDF("k", "v", "n").coalesce(1), t, "append")
+    val got = TxnLake.read(spark, t)
+    assert(got.filter(col("n").isNotNull).count() == 1
+      && got.count() == 101)
+    assert(TxnLake.readVersion(spark, t, preV).columns.toSeq ==
+      Seq("k", "v"), "the pre-ALTER snapshot stays narrow")
+    // stats pruning still works over the evolved reads
+    assert(TxnLake.readWhere(spark, t, col("k") >= 90L).count() == 11)
+  }
+
+  test("DROP COLUMN projects metadata-only and tombstones the name: " +
+    "re-committing it is refused until an overwrite retires the bytes") {
+    import spark.implicits._
+    val t = fresh()
+    build(t)
+    val preV = TxnLake.latestVersion(spark, t).get
+    val preFiles = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    val v = TxnLake.dropColumn(spark, t, "v")
+    assert(TxnLake.snapshotFiles(spark, t).map(_.path).toSet == preFiles)
+    assert(TxnLake.read(spark, t).columns.toSeq == Seq("k")
+      && TxnLake.read(spark, t).count() == 100)
+    assert(TxnLake.readVersion(spark, t, preV).columns.toSeq ==
+      Seq("k", "v"), "the dropped column still time-travels")
+    assert(TxnLake.tableChanges(spark, t, preV, v, "k").isEmpty)
+    // resurrection guard: data commits and ADD COLUMN both refuse the name
+    val e1 = intercept[IllegalArgumentException] {
+      TxnLake.commit(spark, Seq((500L, "boo")).toDF("k", "v").coalesce(1),
+        t, "append")
+    }
+    assert(e1.getMessage.contains("resurrect"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxnLake.addColumn(spark, t, "v", StringType)
+    }
+    assert(e2.getMessage.contains("resurrect"))
+    // a DIFFERENT name is fine, and DML works on the narrowed table
+    TxnLake.addColumn(spark, t, "w", StringType)
+    TxnLake.deleteWhere(spark, t, col("k") < 10L)
+    assert(TxnLake.read(spark, t).count() == 90)
+    // overwrite removes every old file — the tombstone retires with them
+    TxnLake.commit(spark, Seq((1L, "fresh")).toDF("k", "v").coalesce(1),
+      t, "overwrite")
+    assert(TxnLake.read(spark, t).columns.toSeq == Seq("k", "v")
+      && TxnLake.read(spark, t).count() == 1,
+      "post-overwrite the name is a brand-new column")
+  }
+
+  test("dropping a bloom-indexed column retires its declaration; " +
+    "boundary refusals are loud") {
+    import spark.implicits._
+    val t = fresh()
+    TxnLake.commit(spark,
+      (0L until 50L).map(i => (i, s"h$i")).toDF("k", "h").coalesce(1),
+      t, "append", bloomCols = Seq("h"))
+    assert(TxnLake.bloomColumns(spark, t) == Seq("h"))
+    TxnLake.dropColumn(spark, t, "h")
+    assert(TxnLake.bloomColumns(spark, t).isEmpty,
+      "the dropped column's bloom declaration must retire with it")
+    intercept[IllegalArgumentException] {
+      TxnLake.dropColumn(spark, t, "k") // last column
+    }
+    intercept[IllegalArgumentException] {
+      TxnLake.dropColumn(spark, t, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      TxnLake.addColumn(spark, t, "k", LongType) // exists
+    }
+  }
+}
