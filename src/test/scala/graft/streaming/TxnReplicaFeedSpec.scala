@@ -182,6 +182,36 @@ class TxnReplicaFeedSpec extends SparkSpec {
     assert(new TxnReplicaFeed(src, rep, "repl", "k").poll(spark) == 0)
   }
 
+  test("an upstream metadata-only ALTER flows through the feed: the " +
+    "hop lands as an empty marker, the evolving append follows, and a " +
+    "strict consumer parks with the guided refusal") {
+    import spark.implicits._
+    val (src, rep) = fresh()
+    TxnLake.commit(spark,
+      (0L until 20L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      src, "append") // v0
+    val follow = new TxnReplicaFeed(src, rep, "repl", "k",
+      followSchema = true)
+    assert(follow.poll(spark) == 1)
+    TxnLake.addColumn(spark, src, "n",
+      org.apache.spark.sql.types.LongType) // v1: metadata-only hop
+    TxnLake.commit(spark,
+      Seq((100L, "x", 5L)).toDF("k", "v", "n").coalesce(1),
+      src, "append") // v2: data under the widened schema
+    assert(follow.poll(spark) == 2,
+      "the ALTER hop advances as a marker; the append applies after it")
+    assert(TxnLake.read(spark, rep).columns.toSeq == Seq("k", "v", "n")
+      && TxnLake.read(spark, rep).count() == 21
+      && TxnLake.lastTxn(spark, rep, "repl").contains(2L))
+    // a strict consumer parks BEFORE the widening, naming the fix
+    val strict = java.nio.file.Files.createTempDirectory("txn_replica")
+      .resolve("strict").toString
+    val sf = new TxnReplicaFeed(src, strict, "repl", "k")
+    val e = intercept[IllegalArgumentException] { sf.poll(spark) }
+    assert(e.getMessage.contains("evolveSchema"))
+    assert(TxnLake.lastTxn(spark, strict, "repl").contains(0L))
+  }
+
   test("replayed versions no-op at the commit — the merge marker, not " +
     "convergence, is the replay guard") {
     import spark.implicits._
