@@ -3744,6 +3744,70 @@ object OperatorQueries {
       .withColumn("files_moved", lit(0))
   }
 
+  /** Persistent CHECK constraints (x59) — Delta's ADD CONSTRAINT as a
+    * registered lifecycle: declare a bound as a table property
+    * (validated against existing rows — a constraint the data already
+    * breaks is refused with the count), watch a violating append abort
+    * ATOMICALLY (no version, no rows, nothing visible), land a passing
+    * append, and read the final table. SQL CHECK semantics: only a
+    * FALSE verdict violates. The oracle recomputes the surviving table
+    * relationally. */
+  val txnCheckConstraints = OracleQuery(
+    "x59_txn_check_constraints",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |mv AS (SELECT max(vc) AS v FROM ev),
+      |ins AS (SELECT m + i AS event_id, v + i AS vc
+      |        FROM mx, mv, generate_series(1, 8) g(i)),
+      |fin AS (SELECT event_id, vc FROM ev
+      |        UNION ALL SELECT event_id, vc FROM ins)
+      |SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |  max(event_id) AS max_id, CAST(1 AS INT) AS n_constraints,
+      |  CAST(0 AS INT) AS refused_versions
+      |FROM fin""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val mv = ev.agg(max("vc")).head().getLong(0)
+    val t = Scratch.dir("txn_check") + "/t"
+    TxnLake.commit(s, ev.repartitionByRange(2, col("event_id")),
+      t, "append")
+    // a constraint existing rows break is refused at declaration
+    val preDeclare =
+      try { TxnLake.addConstraint(s, t, "impossible", "vc < 0"); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("existing row") }
+    require(preDeclare, "declaration must validate existing rows")
+    TxnLake.addConstraint(s, t, "vc_cap", s"vc <= ${mv + 1000}")
+    require(TxnLake.tableConstraints(s, t).keySet == Set("vc_cap"))
+    // a violating append aborts atomically: same version, same rows
+    val preV = TxnLake.latestVersion(s, t).get
+    val preN = TxnLake.read(s, t).count()
+    val refused =
+      try { TxnLake.commit(s, s.range(1, 3)
+          .select((col("id") + m).as("event_id"),
+            (col("id") + mv + 2000L).as("vc")).coalesce(1), t, "append")
+        false }
+      catch { case e: IllegalStateException =>
+        e.getMessage.contains("vc_cap") }
+    require(refused, "the over-cap append must refuse")
+    require(TxnLake.latestVersion(s, t).contains(preV)
+      && TxnLake.read(s, t).count() == preN,
+      "a refused commit must leave no trace")
+    // a passing append lands
+    TxnLake.commit(s, s.range(1, 9)
+      .select((col("id") + m).as("event_id"), (col("id") + mv).as("vc"))
+      .coalesce(1), t, "append")
+    TxnLake.read(s, t)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"),
+        max(col("event_id")).as("max_id"))
+      .withColumn("n_constraints", lit(TxnLake.tableConstraints(s, t).size))
+      .withColumn("refused_versions",
+        lit((TxnLake.latestVersion(s, t).get - preV - 1).toInt))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -3761,5 +3825,5 @@ object OperatorQueries {
       streamDecontamProbePruned, txnMergeInto, txnUpdateWhere,
       txnCdcApply, txnReplicaSync, streamReplicaFeed, txnMergeEvolve,
       txnDeletionVectors, txnUpdateDv, txnTimestampTravel, txnClone,
-      txnAlterColumns)
+      txnAlterColumns, txnCheckConstraints)
 }

@@ -103,7 +103,8 @@ object TxnLake extends LakeFormat {
                                  schemaJson: Option[String] = None,
                                  bloomCols: Seq[String] = Seq.empty,
                                  dvs: Map[String, DvRef] = Map.empty,
-                                 droppedCols: Seq[String] = Seq.empty) {
+                                 droppedCols: Seq[String] = Seq.empty,
+                                 constraints: Map[String, String] = Map.empty) {
     /** The logged cumulative schema, decoded — one accessor instead of
       * the same two-line parse at every read/DML site. */
     def schemaStruct: Option[StructType] =
@@ -187,6 +188,10 @@ object TxnLake extends LakeFormat {
       val dc = o.putArray("droppedCols")
       e.droppedCols.foreach(dc.add)
     }
+    if (e.constraints.nonEmpty) {
+      val ct = o.putObject("constraints")
+      e.constraints.toSeq.sortBy(_._1).foreach { case (n, x) => ct.put(n, x) }
+    }
     mapper.writeValueAsString(o)
   }
 
@@ -218,8 +223,12 @@ object TxnLake extends LakeFormat {
     }.toMap).getOrElse(Map.empty[String, DvRef])
     val droppedCols = Option(n.get("droppedCols"))
       .map(_.asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val constraints = Option(n.get("constraints"))
+      .map(_.properties().asScala.map(e =>
+        e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
     Entry(version, operation, add, remove, legacy, txn, txns, txnsNode.isDefined,
-      schemaJson, bloomCols, dvs, droppedCols)
+      schemaJson, bloomCols, dvs, droppedCols, constraints)
   }
 
   // ---- log access -----------------------------------------------------
@@ -789,7 +798,10 @@ object TxnLake extends LakeFormat {
                          noData: Boolean = false,
                          schemaOverride: Option[StructType] = None,
                          dropBloomCols: Seq[String] = Seq.empty,
-                         tombstoneCols: Seq[String] = Seq.empty): Option[Long] = {
+                         tombstoneCols: Seq[String] = Seq.empty,
+                         newConstraints: Map[String, String] = Map.empty,
+                         dropConstraintNames: Seq[String] = Seq.empty)
+                        : Option[Long] = {
     require(operation == "overwrite" || operation == "append"
       || operation == "optimize" || operation == "delete"
       || operation == "merge" || operation == "update"
@@ -925,6 +937,38 @@ object TxnLake extends LakeFormat {
         lastEntry.flatMap(_.schemaJson)
           .map(DataType.fromJson(_).asInstanceOf[StructType]),
         df.schema, operation))
+      // CHECK constraints are a table property (Delta's ADD CONSTRAINT):
+      // carried cumulatively, enforced on every data-bearing commit by
+      // re-scanning ONLY the just-written delta (O(delta), under the
+      // merged schema so evolution-era rows null-fill — SQL CHECK
+      // semantics: NULL passes, only a FALSE verdict violates). The scan
+      // happens BEFORE the entry publish, so a violating commit aborts
+      // with nothing visible and the unpublished data dir is removed.
+      val tableConstraints =
+        (lastEntry.map(_.constraints).getOrElse(Map.empty)
+          -- dropConstraintNames) ++ newConstraints
+      if (tableConstraints.nonEmpty && added.nonEmpty) {
+        import org.apache.spark.sql.functions.{coalesce, count_if, expr,
+          lit, not}
+        // explicit file list, not the dir: the data dir also holds bloom
+        // sidecars, which a dir-level parquet scan would choke on
+        val written = spark.read.schema(tableSchema)
+          .parquet(added.map(fm => new Path(tablePath, fm.path).toString): _*)
+        val verdicts = tableConstraints.toSeq.sortBy(_._1).map {
+          case (n, x) =>
+            count_if(not(coalesce(expr(x), lit(true)))).as(n)
+        }
+        val row = written.agg(verdicts.head, verdicts.tail: _*).head()
+        val violated = tableConstraints.toSeq.sortBy(_._1).zipWithIndex
+          .collect { case ((n, x), i) if row.getLong(i) > 0 =>
+            s"$n (`$x`): ${row.getLong(i)} row(s)" }
+        if (violated.nonEmpty) {
+          f.delete(new Path(tablePath, dataRel), true)
+          throw new IllegalStateException(
+            "TxnLake: commit violates CHECK constraint(s) — " +
+              violated.mkString("; ") + "; nothing was committed")
+        }
+      }
       // deletion vectors ride the entry CUMULATIVELY (like txns/schema):
       // a removed file's DV dies with it — a rewrite that materializes
       // the masked rows away must not leave a stale mask behind — and
@@ -935,7 +979,7 @@ object TxnLake extends LakeFormat {
       val entry = render(Entry(next, operation, added, removed, None, txn, txns,
         hasTxns = true, schemaJson = Some(tableSchema.json),
         bloomCols = allBloomCols, dvs = dvLive,
-        droppedCols = dropped.distinct))
+        droppedCols = dropped.distinct, constraints = tableConstraints))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -2947,8 +2991,10 @@ object TxnLake extends LakeFormat {
         dvs = targetEntry.dvs,
         // drop tombstones restore with their schema: the target's old
         // files are back in the snapshot, so ITS tombstone set is the
-        // one that guards them
-        droppedCols = targetEntry.droppedCols))
+        // one that guards them; constraints likewise restore with the
+        // data they were validated against
+        droppedCols = targetEntry.droppedCols,
+        constraints = targetEntry.constraints))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -3062,7 +3108,8 @@ object TxnLake extends LakeFormat {
         // conservative union: the compensated snapshot carries files
         // from both lineages, so both tombstone sets guard it
         droppedCols = (lastEntry.map(_.droppedCols).getOrElse(Seq.empty) ++
-          readEntry(spark, table, lastV).droppedCols).distinct))
+          readEntry(spark, table, lastV).droppedCols).distinct,
+        constraints = readEntry(spark, table, lastV).constraints))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -3095,15 +3142,15 @@ object TxnLake extends LakeFormat {
     * construction. */
   def addColumn(spark: SparkSession, table: String, name: String,
                 dataType: DataType, maxAttempts: Int = 10): Long =
-    alterSchema(spark, table, "addColumn", maxAttempts) { (cur, dropped) =>
+    alterSchemaWith(spark, table, "addColumn", maxAttempts) { (cur, entry) =>
       require(!cur.fieldNames.contains(name),
         s"TxnLake.addColumn: column $name already exists in $table")
-      require(!dropped.contains(name),
+      require(!entry.droppedCols.contains(name),
         s"TxnLake.addColumn: column $name was DROPPED from $table; " +
           "re-adding the name would resurrect the old files' bytes — " +
           "use a different name, or overwrite the table")
       (StructType(cur.fields :+ StructField(name, dataType, nullable = true)),
-        Seq.empty, Seq.empty)
+        Seq.empty, Seq.empty, Map.empty, Seq.empty)
     }
 
   /** `ALTER TABLE … DROP COLUMN` — METADATA-ONLY narrowing: the logged
@@ -3119,13 +3166,78 @@ object TxnLake extends LakeFormat {
     * last remaining column cannot be dropped. */
   def dropColumn(spark: SparkSession, table: String, name: String,
                  maxAttempts: Int = 10): Long =
-    alterSchema(spark, table, "dropColumn", maxAttempts) { (cur, _) =>
+    alterSchemaWith(spark, table, "dropColumn", maxAttempts) { (cur, entry) =>
       require(cur.fieldNames.contains(name),
         s"TxnLake.dropColumn: no column $name in $table")
       require(cur.fields.length > 1,
         s"TxnLake.dropColumn: cannot drop the last column of $table")
+      // a live CHECK constraint referencing the column pins it (Delta's
+      // rule): dropping would break every later commit's enforcement scan
+      val pinning = entry.constraints.filter { case (_, x) =>
+        spark.sessionState.sqlParser.parseExpression(x).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head
+        }.contains(name)
+      }
+      require(pinning.isEmpty,
+        s"TxnLake.dropColumn: column $name is referenced by CHECK " +
+          s"constraint(s) ${pinning.keys.toSeq.sorted.mkString(", ")} — " +
+          "drop the constraint(s) first")
       (StructType(cur.fields.filterNot(_.name == name)),
-        Seq(name), Seq(name))
+        Seq(name), Seq(name), Map.empty, Seq.empty)
+    }
+
+  /** The live CHECK constraints of a table (name → SQL expression) —
+    * one O(1) entry read; empty on a table that declared none. */
+  def tableConstraints(spark: SparkSession, table: String): Map[String, String] =
+    latestVersion(spark, table)
+      .map(readEntry(spark, table, _).constraints).getOrElse(Map.empty)
+
+  /** `ALTER TABLE … ADD CONSTRAINT` — Delta's persistent CHECK
+    * constraint: declared ONCE as a table property (a metadata-only log
+    * entry), then enforced on EVERY later data-bearing commit — append,
+    * overwrite, merge, update — by scanning only the just-written delta
+    * before its entry publishes: a violating commit aborts with nothing
+    * visible. SQL CHECK semantics (a NULL verdict passes; only FALSE
+    * violates) — the complement of [[Expectations]]' DLT quarantine
+    * tier, which diverts rather than refuses and treats NULL as a
+    * violation. Like Delta, the EXISTING table is validated first:
+    * declaring a constraint current rows already break is refused with
+    * the violation count (one O(table) scan, paid once at declaration).
+    * The expression is SQL text, resolved against the logged schema —
+    * columns the constraint references cannot be dropped while it
+    * lives. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+                    expression: String, maxAttempts: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.nonEmpty && !name.exists(c => c == ',' || c == '"'),
+      s"TxnLake.addConstraint: malformed constraint name '$name'")
+    alterSchemaWith(spark, table, "addConstraint", maxAttempts) {
+      (cur, entry) =>
+        require(!entry.constraints.contains(name),
+          s"TxnLake.addConstraint: constraint $name already exists on " +
+            s"$table (`${entry.constraints.getOrElse(name, "")}`)")
+        // validate the EXISTING rows (masked snapshot) before declaring
+        val bad = read(spark, table)
+          .where(not(coalesce(expr(expression), lit(true)))).count()
+        require(bad == 0,
+          s"TxnLake.addConstraint: $bad existing row(s) of $table " +
+            s"violate `$expression` — repair the data first")
+        (cur, Seq.empty, Seq.empty, Map(name -> expression), Seq.empty)
+    }
+  }
+
+  /** `ALTER TABLE … DROP CONSTRAINT` — metadata-only retirement; later
+    * commits stop enforcing it. Unknown names are refused (loudly, with
+    * the live set) rather than silently no-opped. */
+  def dropConstraint(spark: SparkSession, table: String, name: String,
+                     maxAttempts: Int = 10): Long =
+    alterSchemaWith(spark, table, "dropConstraint", maxAttempts) {
+      (cur, entry) =>
+        require(entry.constraints.contains(name),
+          s"TxnLake.dropConstraint: no constraint $name on $table " +
+            s"(live: ${entry.constraints.keys.toSeq.sorted.mkString(", ")})")
+        (cur, Seq.empty, Seq.empty, Map.empty, Seq(name))
     }
 
   /** Shared ALTER loop: resolve the pinned snapshot's current schema
@@ -3133,10 +3245,11 @@ object TxnLake extends LakeFormat {
     * scoped rewrite pays), let `change` produce (new schema, bloom
     * drops, tombstones), and publish as a noData "metadata" commit with
     * recompute-on-conflict. */
-  private def alterSchema(spark: SparkSession, table: String, api: String,
-                          maxAttempts: Int)
-                         (change: (StructType, Seq[String])
-                           => (StructType, Seq[String], Seq[String])): Long = {
+  private def alterSchemaWith(spark: SparkSession, table: String, api: String,
+                              maxAttempts: Int)
+                             (change: (StructType, Entry)
+                               => (StructType, Seq[String], Seq[String],
+                                   Map[String, String], Seq[String])): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(spark, table).getOrElse(
@@ -3144,14 +3257,16 @@ object TxnLake extends LakeFormat {
       val entry = readEntry(spark, table, base)
       val cur = subsetReadSchema(spark, table, entry.schemaStruct,
         resolveFiles(spark, table, base))
-      val (next, dropBlooms, tombstones) = change(cur, entry.droppedCols)
+      val (next, dropBlooms, tombstones, addConsts, dropConsts) =
+        change(cur, entry)
       val emptyDf = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], next)
       try return commitImpl(spark, emptyDf, table, "metadata", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
           removePaths = Some(Seq.empty), noData = true,
           schemaOverride = Some(next), dropBloomCols = dropBlooms,
-          tombstoneCols = tombstones)
+          tombstoneCols = tombstones, newConstraints = addConsts,
+          dropConstraintNames = dropConsts)
         .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped"))
       catch { case _: CommitConflict => attempt += 1 }
     }
@@ -3249,7 +3364,8 @@ object TxnLake extends LakeFormat {
     val entry = render(Entry(0L, "append", add, Seq.empty, None, None,
       Map.empty, hasTxns = true, schemaJson = srcEntry.schemaJson,
       bloomCols = srcEntry.bloomCols, dvs = dvs,
-      droppedCols = srcEntry.droppedCols))
+      droppedCols = srcEntry.droppedCols,
+      constraints = srcEntry.constraints))
     val tmp = new Path(logDir(target), s"v0.json.tmp-$salt")
     val out = f.create(tmp, false)
     try out.write(entry.getBytes("UTF-8")) finally out.close()

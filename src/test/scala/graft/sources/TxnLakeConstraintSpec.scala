@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Persistent CHECK constraints — Delta's ADD CONSTRAINT: declared once
+  * as a table property, validated against existing rows at declaration,
+  * enforced on every later data-bearing commit (append/merge/update)
+  * with SQL CHECK NULL-passes semantics, retired by DROP CONSTRAINT,
+  * carried through restore and clone, and pinning referenced columns. */
+class TxnLakeConstraintSpec extends SparkSpec {
+
+  private def fresh(): String =
+    Files.createTempDirectory("txnlake_check").resolve("t").toString
+
+  test("a declared constraint refuses violating commits atomically and " +
+    "lets passing ones through; NULL verdicts pass (SQL CHECK)") {
+    import spark.implicits._
+    val t = fresh()
+    TxnLake.commit(spark,
+      Seq((1L, Option(5L)), (2L, Option(9L))).toDF("k", "n").coalesce(1),
+      t, "append")
+    val v = TxnLake.addConstraint(spark, t, "n_small", "n < 100")
+    assert(TxnLake.commitInfo(spark, t, v).operation == "metadata")
+    assert(TxnLake.tableConstraints(spark, t) == Map("n_small" -> "n < 100"))
+    // passing append, including a NULL verdict row (CHECK: NULL passes)
+    TxnLake.commit(spark,
+      Seq((3L, Option(50L)), (4L, Option.empty[Long])).toDF("k", "n")
+        .coalesce(1), t, "append")
+    assert(TxnLake.read(spark, t).count() == 4)
+    // violating append refuses with NOTHING committed
+    val preV = TxnLake.latestVersion(spark, t).get
+    val e = intercept[IllegalStateException] {
+      TxnLake.commit(spark,
+        Seq((5L, Option(500L)), (6L, Option(7L))).toDF("k", "n")
+          .coalesce(1), t, "append")
+    }
+    assert(e.getMessage.contains("n_small") && e.getMessage.contains("1 row"))
+    assert(TxnLake.latestVersion(spark, t).contains(preV)
+      && TxnLake.read(spark, t).count() == 4,
+      "a violating commit must leave no trace")
+    // DML enforcement: an UPDATE pushing a row over the bound refuses
+    val e2 = intercept[IllegalStateException] {
+      TxnLake.updateWhere(spark, t, col("k") === 1L,
+        Map("n" -> lit(1000L)))
+    }
+    assert(e2.getMessage.contains("n_small"))
+    assert(TxnLake.read(spark, t).filter(col("k") === 1L)
+      .head().getLong(1) == 5L, "the refused update must not apply")
+    // retire, then the same commits pass
+    TxnLake.dropConstraint(spark, t, "n_small")
+    assert(TxnLake.tableConstraints(spark, t).isEmpty)
+    TxnLake.commit(spark, Seq((5L, Option(500L))).toDF("k", "n")
+      .coalesce(1), t, "append")
+    assert(TxnLake.read(spark, t).count() == 5)
+  }
+
+  test("declaring a constraint existing rows violate is refused; " +
+    "duplicates and unknown drops are loud") {
+    import spark.implicits._
+    val t = fresh()
+    TxnLake.commit(spark,
+      Seq((1L, 5L), (2L, 900L)).toDF("k", "n").coalesce(1), t, "append")
+    val e = intercept[IllegalArgumentException] {
+      TxnLake.addConstraint(spark, t, "n_small", "n < 100")
+    }
+    assert(e.getMessage.contains("1 existing row"))
+    assert(TxnLake.tableConstraints(spark, t).isEmpty)
+    TxnLake.addConstraint(spark, t, "n_pos", "n > 0")
+    intercept[IllegalArgumentException] {
+      TxnLake.addConstraint(spark, t, "n_pos", "n > 1")
+    }
+    intercept[IllegalArgumentException] {
+      TxnLake.dropConstraint(spark, t, "nope")
+    }
+  }
+
+  test("a constraint pins its referenced column against DROP COLUMN, " +
+    "and survives restore and clone") {
+    import spark.implicits._
+    val t = fresh()
+    TxnLake.commit(spark,
+      Seq((1L, 5L, "a")).toDF("k", "n", "s").coalesce(1), t, "append")
+    TxnLake.addConstraint(spark, t, "n_pos", "n > 0")
+    val vWith = TxnLake.latestVersion(spark, t).get
+    val e = intercept[IllegalArgumentException] {
+      TxnLake.dropColumn(spark, t, "n")
+    }
+    assert(e.getMessage.contains("n_pos"))
+    TxnLake.dropColumn(spark, t, "s") // unreferenced: fine
+    // retire + restore: the restored snapshot brings its constraint back
+    TxnLake.dropConstraint(spark, t, "n_pos")
+    TxnLake.restore(spark, t, vWith)
+    assert(TxnLake.tableConstraints(spark, t) == Map("n_pos" -> "n > 0"),
+      "restore must bring the target version's constraints back")
+    // clones inherit and enforce
+    val cl = Files.createTempDirectory("txnlake_check").resolve("cl").toString
+    TxnLake.cloneTable(spark, t, cl)
+    assert(TxnLake.tableConstraints(spark, cl) == Map("n_pos" -> "n > 0"))
+    intercept[IllegalStateException] {
+      TxnLake.commit(spark, Seq((9L, -1L, "z")).toDF("k", "n", "s")
+        .coalesce(1), cl, "append")
+    }
+  }
+}
