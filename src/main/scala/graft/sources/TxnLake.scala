@@ -1514,35 +1514,6 @@ object TxnLake extends LakeFormat {
       .select(cols.map(c => col(s"c.$c")) :+ col("c.change_type"): _*)
   }
 
-  /** Delta's `table_changes` at O(changes-per-commit) cost — the scale
-    * form of [[changeFeed]], which pays one full-outer join over TWO
-    * whole snapshots regardless of how little changed. This walk reads
-    * each commit's OWN add/remove delta from the log instead:
-    *
-    *  - "append": the added files ARE the inserts — scan only them;
-    *  - "optimize" (data-preserving layout rewrite): no row changes,
-    *    emit nothing, read nothing;
-    *  - "delete": the removed files hold kept+deleted rows and the
-    *    added files hold kept — one multiset EXCEPT over the touched
-    *    files yields exactly the deleted rows, O(touched);
-    *  - "merge"/"update" (copy-on-write DML): removed files are the
-    *    pre-image and added files the post-image of exactly the touched
-    *    scope — one keyed diff over them yields the commit's inserts,
-    *    deletes, and update pre/post pairs at O(touched);
-    *  - "overwrite"/"restore" (snapshot replacement — the one shape
-    *    whose delta is not row-attributable from the log): fall back to
-    *    the [[changeFeed]] snapshot diff for that single hop, with full
-    *    update pre/post-image classification.
-    *
-    * So a feed over a day of appends+maintenance on a 100 TB table reads
-    * only the day's files, never the table. Emits every table column
-    * plus `change_type` and `commit_version` (one row set per commit in
-    * (fromVersion, toVersion] — per-commit granularity, like Delta: a
-    * row inserted then deleted inside the range appears TWICE, which the
-    * net-effect [[changeFeed]] would collapse). All hops read under
-    * `toVersion`'s logged schema (older files null-fill evolved
-    * columns). Requires the range's versions to still be live
-    * (vacuum-retained), like any time travel. */
   /** The rows version `v`'s cumulative DV map newly masks relative to
     * `v-1` — the pre-images of a merge-on-read hop ([[deleteWhereDv]],
     * [[updateWhereDv]]) — read RAW (no masks: the masked rows
@@ -1585,6 +1556,35 @@ object TxnLake extends LakeFormat {
     }
   }
 
+  /** Delta's `table_changes` at O(changes-per-commit) cost — the scale
+    * form of [[changeFeed]], which pays one full-outer join over TWO
+    * whole snapshots regardless of how little changed. This walk reads
+    * each commit's OWN add/remove delta from the log instead:
+    *
+    *  - "append": the added files ARE the inserts — scan only them;
+    *  - "optimize" (data-preserving layout rewrite): no row changes,
+    *    emit nothing, read nothing;
+    *  - "delete": the removed files hold kept+deleted rows and the
+    *    added files hold kept — one multiset EXCEPT over the touched
+    *    files yields exactly the deleted rows, O(touched);
+    *  - "merge"/"update" (copy-on-write DML): removed files are the
+    *    pre-image and added files the post-image of exactly the touched
+    *    scope — one keyed diff over them yields the commit's inserts,
+    *    deletes, and update pre/post pairs at O(touched);
+    *  - "overwrite"/"restore" (snapshot replacement — the one shape
+    *    whose delta is not row-attributable from the log): fall back to
+    *    the [[changeFeed]] snapshot diff for that single hop, with full
+    *    update pre/post-image classification.
+    *
+    * So a feed over a day of appends+maintenance on a 100 TB table reads
+    * only the day's files, never the table. Emits every table column
+    * plus `change_type` and `commit_version` (one row set per commit in
+    * (fromVersion, toVersion] — per-commit granularity, like Delta: a
+    * row inserted then deleted inside the range appears TWICE, which the
+    * net-effect [[changeFeed]] would collapse). All hops read under
+    * `toVersion`'s logged schema (older files null-fill evolved
+    * columns). Requires the range's versions to still be live
+    * (vacuum-retained), like any time travel. */
   def tableChanges(spark: SparkSession, table: String, fromVersion: Long,
                    toVersion: Long, key: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
