@@ -316,6 +316,21 @@ class TxnLakeDvSpec extends SparkSpec {
       s"only the TRUE row updates: $got")
   }
 
+  test("the masked scan is SHUFFLE-FREE: positions broadcast against " +
+    "the file scan — the plan that stays affordable at 100 TB") {
+    val t = freshTable()
+    twoFileTable(t)
+    TxnLake.deleteWhereDv(spark, t, col("k") === 60L)
+    assert(graft.plans.PlanChecks.shuffleFree(TxnLake.read(spark, t)),
+      "a driver-budget mask must anti-join as a broadcast, never a " +
+        "shuffle of the data files")
+    TxnLake.updateWhereDv(spark, t, col("k") === 61L,
+      Map("v" -> lit("U")))
+    assert(graft.plans.PlanChecks.shuffleFree(TxnLake.read(spark, t)),
+      "the DV-update read (masks + appended post-images) stays " +
+        "shuffle-free too")
+  }
+
   test("NULL predicates keep rows (SQL DELETE semantics) on the DV path") {
     import spark.implicits._
     val t = freshTable()
