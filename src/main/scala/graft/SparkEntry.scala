@@ -62,7 +62,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x59 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x60 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -136,10 +136,13 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    copy; both carry schema, stats, bloom declaration, and masks),
   *    metadata-only ALTER TABLE ADD/DROP COLUMN (one log entry,
   *    zero files moved, null-fill/projection read semantics, drop
-  *    TOMBSTONES refusing silent byte resurrection), and persistent
+  *    TOMBSTONES refusing silent byte resurrection), persistent
   *    CHECK constraints (ADD/DROP CONSTRAINT table properties,
   *    validated at declaration, enforced O(delta) on every later
-  *    data commit with atomic refusal, pinning referenced columns)
+  *    data commit with atomic refusal, pinning referenced columns),
+  *    and DESCRIBE DETAIL + VACUUM DRY RUN (files/bytes/logical-rows/
+  *    mask census + the property surface; the dry run predicts
+  *    vacuum's reclaim exactly without deleting a byte)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

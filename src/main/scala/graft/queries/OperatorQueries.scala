@@ -3808,6 +3808,80 @@ object OperatorQueries {
         lit((TxnLake.latestVersion(s, t).get - preV - 1).toInt))
   }
 
+  /** Table introspection + maintenance preview (x60) — Delta's
+    * `DESCRIBE DETAIL` and `VACUUM … DRY RUN` over one lifecycle: the
+    * bucketed table takes a DV delete (detail reports files, logical
+    * rows = file rows MINUS masks, the mask census, and the property
+    * surface), a whole-snapshot compaction materializes the masks
+    * away, and the dry run then predicts EXACTLY what vacuum reclaims
+    * — before deleting a byte (time travel still works after the
+    * report; the post-vacuum dry run reports zero). The oracle
+    * recomputes rows, masks, and the file censuses relationally. */
+  val txnDescribeVacuum = OracleQuery(
+    "x60_txn_describe_vacuum",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |b AS (SELECT event_id, vc,
+      |        CAST((event_id * 8) // (m + 1) AS INT) AS bkt FROM ev, mx),
+      |hit AS (SELECT *, (vc % 97 = 0 AND 2 * event_id > m) AS del
+      |        FROM b, mx),
+      |fin AS (SELECT event_id, vc FROM hit WHERE NOT del),
+      |res AS (SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_cents
+      |        FROM fin),
+      |cnt AS (SELECT count(CASE WHEN del THEN 1 END) AS masked_rows,
+      |          CAST(count(DISTINCT bkt) AS INT) AS files_pre FROM hit)
+      |SELECT n_rows, sum_cents, masked_rows, files_pre,
+      |  files_pre AS reclaimed, CAST(0 AS INT) AS n_dvs_after
+      |FROM res, cnt""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val t = Scratch.dir("txn_describe_vacuum") + "/t"
+    val bkt = expr(s"event_id * 8 div ${m + 1}")
+    var nb = 0
+    (0 until 8).foreach { i =>
+      val part = ev.filter(bkt === i).coalesce(1)
+      if (!part.isEmpty) { TxnLake.commit(s, part, t, "append"); nb += 1 }
+    }
+    val total = ev.count()
+    val delPred = col("vc") % 97 === 0 && col("event_id") > m / 2
+    val nDel = ev.filter(delPred).count()
+    TxnLake.deleteWhereDv(s, t, delPred)
+      .getOrElse(sys.error("the residue band cannot be empty"))
+    val d1 = TxnLake.describeDetail(s, t)
+    require(d1.numFiles == nb && d1.numRows == total - nDel
+      && d1.maskedRows == nDel && d1.deletionVectors > 0
+      && d1.sizeBytes > 0
+      && d1.version == TxnLake.latestVersion(s, t).get,
+      s"detail must report files, masked logical rows, and masks: $d1")
+    // compaction materializes the masks; the old files become dead
+    TxnLake.compactSmallFiles(s, t, minFileBytes = Long.MaxValue)
+      .getOrElse(sys.error("fixture: compaction must pack the snapshot"))
+    val d2 = TxnLake.describeDetail(s, t)
+    require(d2.deletionVectors == 0 && d2.numRows == total - nDel,
+      s"compaction retires the masks without changing a logical row: $d2")
+    val (dryFiles, dryBytes) = TxnLake.vacuumDryRun(s, t,
+      retainVersions = 1)
+    require(dryFiles == nb && dryBytes > 0,
+      s"the $nb pre-compaction files are reclaimable, got $dryFiles")
+    require(TxnLake.read(s, t).count() == total - nDel
+      && TxnLake.readVersion(s, t, 0L).count() > 0,
+      "a dry run must not delete anything — time travel intact")
+    val reclaimed = TxnLake.vacuum(s, t, retainVersions = 1)
+    require(reclaimed == dryFiles,
+      s"the dry run must predict vacuum exactly: $dryFiles vs $reclaimed")
+    require(TxnLake.vacuumDryRun(s, t)._1 == 0,
+      "a vacuumed table has nothing left to report")
+    TxnLake.read(s, t)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"))
+      .withColumn("masked_rows", lit(nDel))
+      .withColumn("files_pre", lit(d1.numFiles))
+      .withColumn("reclaimed", lit(reclaimed))
+      .withColumn("n_dvs_after", lit(d2.deletionVectors))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -3825,5 +3899,5 @@ object OperatorQueries {
       streamDecontamProbePruned, txnMergeInto, txnUpdateWhere,
       txnCdcApply, txnReplicaSync, streamReplicaFeed, txnMergeEvolve,
       txnDeletionVectors, txnUpdateDv, txnTimestampTravel, txnClone,
-      txnAlterColumns, txnCheckConstraints)
+      txnAlterColumns, txnCheckConstraints, txnDescribeVacuum)
 }

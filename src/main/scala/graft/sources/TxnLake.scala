@@ -3274,6 +3274,84 @@ object TxnLake extends LakeFormat {
       s"TxnLake.$api: $maxAttempts consecutive concurrent commits on $table")
   }
 
+  // ---- introspection --------------------------------------------------
+
+  /** One row of table metadata — Delta's `DESCRIBE DETAIL`, resolved
+    * from the latest entry + O(|files|) driver metadata (the size
+    * listing): live file count and bytes, logical row count (file
+    * row-counts minus masked positions; −1 when a legacy file predates
+    * row counting), mask census, and the full table-property surface
+    * (schema, bloom declaration, CHECK constraints, drop tombstones). */
+  final case class TableDetail(version: Long, committedAt: Long,
+                               numFiles: Int, sizeBytes: Long,
+                               numRows: Long, maskedRows: Long,
+                               deletionVectors: Int,
+                               schema: Option[StructType],
+                               bloomCols: Seq[String],
+                               constraints: Map[String, String],
+                               droppedCols: Seq[String])
+
+  def describeDetail(spark: SparkSession, table: String): TableDetail = {
+    val v = latestVersion(spark, table).getOrElse(
+      sys.error(s"TxnLake.describeDetail: no committed version in $table"))
+    val e = readEntry(spark, table, v)
+    val files = resolveFiles(spark, table, v)
+    val bytes = snapshotFileSizes(spark, table, Some(v)).map(_._2).sum
+    val masked = e.dvs.values.map(_.rows).sum
+    val rows =
+      if (files.exists(_.rows < 0)) -1L
+      else files.map(_.rows).sum - masked
+    TableDetail(v, commitTimestamp(spark, table, v), files.size, bytes,
+      rows, masked, e.dvs.size, e.schemaStruct, e.bloomCols,
+      e.constraints, e.droppedCols)
+  }
+
+  /** What [[vacuum]] WOULD reclaim, without deleting anything —
+    * Delta's `VACUUM … DRY RUN`: (parquet data files, their bytes)
+    * referenced by no retained version. The same stable live-set
+    * resolution vacuum itself performs (bounded re-list on concurrent
+    * commits), the same file-granular dead walk, zero mutations — so
+    * `vacuumDryRun(...)._1 == vacuum(...)` on a quiescent table, and a
+    * retention job can report before it reclaims. */
+  def vacuumDryRun(spark: SparkSession, table: String,
+                   retainVersions: Int = 1): (Int, Long) = {
+    var versions = committedVersions(spark, table)
+    if (versions.isEmpty) return (0, 0L)
+    var live = Set.empty[String]
+    var attempt = 0
+    var stable = false
+    while (!stable) {
+      if (attempt >= 10)
+        throw new java.util.ConcurrentModificationException(
+          s"TxnLake.vacuumDryRun: log of $table advanced on every one " +
+            "of 10 live-set resolutions")
+      val retained = versions.takeRight(math.max(1, retainVersions))
+      live = retained.flatMap(resolveFiles(spark, table, _).map(_.path))
+        .toSet ++
+        retained.flatMap(v => readEntry(spark, table, v).dvs.values
+          .map(_.path))
+      val now = committedVersions(spark, table)
+      if (now == versions) stable = true else versions = now
+      attempt += 1
+    }
+    val dataRoot = new Path(table, "data")
+    val f = fs(spark, dataRoot)
+    if (!f.exists(dataRoot)) return (0, 0L)
+    var files = 0
+    var bytes = 0L
+    f.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
+      val dirRel = s"data/${d.getPath.getName}"
+      f.listStatus(d.getPath).filter(_.isFile).foreach { s =>
+        val n = s.getPath.getName
+        if (n.endsWith(".parquet") && !live.contains(s"$dirRel/$n")) {
+          files += 1
+          bytes += s.getLen
+        }
+      }
+    }
+    (files, bytes)
+  }
+
   // ---- clone ----------------------------------------------------------
 
   /** CLONE `source` (at `version`, default latest) into the brand-new

@@ -85,6 +85,36 @@ class TxnLakeAlterSpec extends SparkSpec {
       "post-overwrite the name is a brand-new column")
   }
 
+  test("DESCRIBE DETAIL reports files/bytes/rows/masks and the full " +
+    "property surface; VACUUM DRY RUN predicts exactly what vacuum " +
+    "reclaims without touching a byte") {
+    import spark.implicits._
+    val t = fresh()
+    build(t) // two 50-row files
+    TxnLake.addConstraint(spark, t, "k_nonneg", "k >= 0")
+    TxnLake.deleteWhereDv(spark, t, col("k") === 60L)
+    val d = TxnLake.describeDetail(spark, t)
+    assert(d.numFiles == 2 && d.numRows == 99 && d.maskedRows == 1
+      && d.deletionVectors == 1 && d.sizeBytes > 0
+      && d.schema.map(_.fieldNames.toSeq).contains(Seq("k", "v"))
+      && d.constraints == Map("k_nonneg" -> "k >= 0")
+      && d.version == TxnLake.latestVersion(spark, t).get, s"detail: $d")
+    // make dead files: compact the snapshot, keep only the newest version
+    TxnLake.compactSmallFiles(spark, t, minFileBytes = Long.MaxValue)
+    val (dryFiles, dryBytes) = TxnLake.vacuumDryRun(spark, t,
+      retainVersions = 1)
+    assert(dryFiles == 2 && dryBytes > 0,
+      s"the two pre-compaction files are reclaimable: $dryFiles")
+    assert(TxnLake.read(spark, t).count() == 99,
+      "a dry run must not delete anything")
+    assert(TxnLake.readVersion(spark, t, 0L).count() == 50,
+      "time travel still works after the dry run")
+    val reclaimed = TxnLake.vacuum(spark, t, retainVersions = 1)
+    assert(reclaimed == dryFiles,
+      s"the dry run must predict vacuum exactly: $dryFiles vs $reclaimed")
+    assert(TxnLake.vacuumDryRun(spark, t)._1 == 0, "nothing left to report")
+  }
+
   test("dropping a bloom-indexed column retires its declaration; " +
     "boundary refusals are loud") {
     import spark.implicits._
