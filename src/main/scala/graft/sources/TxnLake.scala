@@ -2594,12 +2594,24 @@ object TxnLake extends LakeFormat {
       // entry advances ONLY the cumulative DV map
       val emptyDf = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
-      try {
-        val v = commitImpl(spark, emptyDf, table, "delete", None,
-            maxAttempts = 1, requireBase = Some(Some(base)),
-            removePaths = Some(Seq.empty), newDvs = newDvs, noData = true)
-          .getOrElse(
-            sys.error("unreachable: txn-less commit cannot be skipped"))
+      // cleanup is scoped to PRE-PUBLISH failures only: once the entry
+      // is visible, deleting the salt dir would take live sidecars with
+      // it (the post-publish re-verify below must never trip cleanup)
+      var published: Option[Long] = None
+      try published = Some(commitImpl(spark, emptyDf, table, "delete", None,
+          maxAttempts = 1, requireBase = Some(Some(base)),
+          removePaths = Some(Seq.empty), newDvs = newDvs, noData = true)
+        .getOrElse(
+          sys.error("unreachable: txn-less commit cannot be skipped")))
+      catch {
+        case _: CommitConflict =>
+          f.delete(dvDir, true) // recompute writes a fresh salt dir
+          attempt += 1
+        case e: Throwable =>
+          f.delete(dvDir, true) // failed commit must not orphan sidecars
+          throw e
+      }
+      published.foreach { v =>
         // post-publish re-verify (the restore/vacuum pattern): a vacuum
         // that resolved its orphan set before our entry became visible
         // may have swept the just-written sidecars; their bytes are a
@@ -2613,10 +2625,6 @@ object TxnLake extends LakeFormat {
           }
         }
         return Some(v)
-      }
-      catch { case _: CommitConflict =>
-        f.delete(dvDir, true) // recompute writes a fresh salt dir
-        attempt += 1
       }
     }
     throw new java.util.ConcurrentModificationException(
@@ -2806,12 +2814,25 @@ object TxnLake extends LakeFormat {
           case None => col(n)
         }
       }.toIndexedSeq: _*).repartition(1)
-      try {
-        val v = commitImpl(spark, post, table, "update", None,
-            maxAttempts = 1, requireBase = Some(Some(base)),
-            removePaths = Some(Seq.empty), newDvs = newDvs)
-          .getOrElse(
-            sys.error("unreachable: txn-less commit cannot be skipped"))
+      // cleanup scoped to PRE-PUBLISH failures (see deleteWhereDv) — and
+      // a CHECK-constraint refusal lands here too: the violating commit
+      // aborts inside commitImpl, so its masks must not linger as
+      // orphans until a vacuum
+      var published: Option[Long] = None
+      try published = Some(commitImpl(spark, post, table, "update", None,
+          maxAttempts = 1, requireBase = Some(Some(base)),
+          removePaths = Some(Seq.empty), newDvs = newDvs)
+        .getOrElse(
+          sys.error("unreachable: txn-less commit cannot be skipped")))
+      catch {
+        case _: CommitConflict =>
+          f.delete(dvDir, true) // recompute writes a fresh salt dir
+          attempt += 1
+        case e: Throwable =>
+          f.delete(dvDir, true)
+          throw e
+      }
+      published.foreach { v =>
         // post-publish re-verify (the deleteWhereDv pattern): recreate
         // any sidecar a racing vacuum swept before our entry published
         newDvs.foreach { case (rel, ref) =>
@@ -2822,10 +2843,6 @@ object TxnLake extends LakeFormat {
           }
         }
         return Some(v)
-      }
-      catch { case _: CommitConflict =>
-        f.delete(dvDir, true) // recompute writes a fresh salt dir
-        attempt += 1
       }
     }
     throw new java.util.ConcurrentModificationException(

@@ -56,6 +56,34 @@ class TxnLakeConstraintSpec extends SparkSpec {
     assert(TxnLake.read(spark, t).count() == 5)
   }
 
+  test("a constraint-refused merge-on-read UPDATE leaves no orphan " +
+    "sidecars — the failed commit's masks clean up pre-publish") {
+    import spark.implicits._
+    val t = fresh()
+    TxnLake.commit(spark,
+      (0L until 50L).map(i => (i, i)).toDF("k", "n").coalesce(1),
+      t, "append")
+    TxnLake.addConstraint(spark, t, "n_small", "n < 1000")
+    def saltDirs(): Int = {
+      val d = new java.io.File(s"$t/_dv")
+      if (!d.exists()) 0 else d.listFiles().count(_.isDirectory)
+    }
+    // a passing DV update leaves exactly its own salt dir
+    TxnLake.updateWhereDv(spark, t, col("k") === 1L, Map("n" -> lit(7L)))
+    val live = saltDirs()
+    val e = intercept[IllegalStateException] {
+      TxnLake.updateWhereDv(spark, t, col("k") === 2L,
+        Map("n" -> lit(5000L)))
+    }
+    assert(e.getMessage.contains("n_small"))
+    assert(saltDirs() == live,
+      "the refused update's sidecar dir must not linger as an orphan")
+    val got = TxnLake.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 7L && got(2L) == 2L && got.size == 50,
+      "the refused update must change nothing")
+  }
+
   test("declaring a constraint existing rows violate is refused; " +
     "duplicates and unknown drops are loud") {
     import spark.implicits._
