@@ -947,7 +947,15 @@ object TxnLake extends LakeFormat {
       val tableConstraints =
         (lastEntry.map(_.constraints).getOrElse(Map.empty)
           -- dropConstraintNames) ++ newConstraints
-      if (tableConstraints.nonEmpty && added.nonEmpty) {
+      // maintenance ("optimize": data-preserving layout rewrites — the
+      // row multiset is the tag's own contract) and CoW DELETE (kept
+      // rows are a subset of already-validated rows) cannot introduce a
+      // violating row — skip their re-scan so a constrained 100 TB
+      // table's compaction doesn't pay a second read of everything it
+      // rewrites. Everything that can mint or mutate rows (append,
+      // overwrite, merge, update) still validates.
+      if (tableConstraints.nonEmpty && added.nonEmpty
+          && operation != "optimize" && operation != "delete") {
         import org.apache.spark.sql.functions.{coalesce, count_if, expr,
           lit, not}
         // explicit file list, not the dir: the data dir also holds bloom

@@ -104,6 +104,35 @@ class TxnLakeConstraintSpec extends SparkSpec {
     }
   }
 
+  test("maintenance and CoW delete skip the enforcement re-scan (they " +
+    "cannot mint rows) while merge/update/append still validate") {
+    import spark.implicits._
+    val t = fresh()
+    (0 until 3).foreach { i =>
+      TxnLake.commit(spark,
+        (i * 10L until i * 10L + 10L).map(j => (j, j)).toDF("k", "n")
+          .coalesce(1), t, "append")
+    }
+    TxnLake.addConstraint(spark, t, "n_small", "n < 1000")
+    // compaction and delete run clean on a constrained table
+    TxnLake.compactSmallFiles(spark, t, minFileBytes = Long.MaxValue)
+      .getOrElse(sys.error("fixture: must pack 3 files"))
+    TxnLake.deleteWhere(spark, t, col("k") < 5L)
+    assert(TxnLake.read(spark, t).count() == 25)
+    // a violating MERGE still refuses
+    import TxnLake.{MergeInsert, MergeUpdate, sourceCol}
+    val e = intercept[IllegalStateException] {
+      TxnLake.mergeIntoClauses(spark,
+        Seq((7L, 5000L)).toDF("k", "n"), t, "k",
+        matched = Seq(MergeUpdate(Map("n" -> sourceCol("n")))),
+        notMatched = Seq(MergeInsert(Map("k" -> col("k"),
+          "n" -> col("n")))))
+    }
+    assert(e.getMessage.contains("n_small"))
+    assert(TxnLake.read(spark, t).filter(col("k") === 7L)
+      .head().getLong(1) == 7L, "the refused merge must not apply")
+  }
+
   test("a constraint pins its referenced column against DROP COLUMN, " +
     "and survives restore and clone") {
     import spark.implicits._
