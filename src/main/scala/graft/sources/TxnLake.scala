@@ -2956,6 +2956,23 @@ object TxnLake extends LakeFormat {
               maxAttempts: Int = 10): Long =
     restoreImpl(spark, table, toVersion, maxAttempts, () => ())
 
+  /** RESTORE to the snapshot a TIMESTAMP resolves to — Delta's
+    * `RESTORE TABLE … TO TIMESTAMP AS OF`: [[versionAsOf]] resolution
+    * (monotone-adjusted publish mtimes), then the metadata-only
+    * [[restore]]. Refuses a pre-history instant with the same guided
+    * error as [[readAsOf]]. */
+  def restoreAsOf(spark: SparkSession, table: String, ts: Long,
+                  maxAttempts: Int = 10): Long =
+    versionAsOf(spark, table, ts) match {
+      case Some(v) => restore(spark, table, v, maxAttempts)
+      case None =>
+        val first = committedVersions(spark, table).headOption
+          .map(commitTimestamp(spark, table, _))
+        throw new IllegalArgumentException(
+          s"TxnLake.restoreAsOf: timestamp $ts predates the first commit " +
+            s"of $table${first.map(t => s" (earliest: $t)").getOrElse("")}")
+    }
+
   /** Test seams: `beforePublish` runs between the liveness pre-check and
     * the entry publish (interleave a concurrent [[vacuum]] — the TOCTOU
     * the post-publish re-verify closes); `beforeCompensate` runs between

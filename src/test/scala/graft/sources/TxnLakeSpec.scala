@@ -51,6 +51,24 @@ class TxnLakeSpec extends SparkSpec {
       s"the refusal must name the earliest readable instant: ${e.getMessage}")
   }
 
+  test("RESTORE TO TIMESTAMP rolls back to the instant's snapshot " +
+    "metadata-only; a pre-history instant refuses") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLake.commit(spark, Seq(1, 2, 3).toDF("x"), t, "append") // v0
+    val t0 = TxnLake.commitTimestamp(spark, t, 0L)
+    while (System.currentTimeMillis() <= t0 + 1) Thread.sleep(2)
+    TxnLake.commit(spark, Seq(10, 20).toDF("x"), t, "append") // v1
+    val vR = TxnLake.restoreAsOf(spark, t, t0)
+    assert(vR == 2L && TxnLake.read(spark, t).count() == 3,
+      "the restore lands as a new metadata commit at the t0 snapshot")
+    assert(TxnLake.readVersion(spark, t, 1L).count() == 5,
+      "the rolled-past version still time-travels")
+    intercept[IllegalArgumentException] {
+      TxnLake.restoreAsOf(spark, t, t0 - 1)
+    }
+  }
+
   test("an in-flight reader keeps its snapshot across a concurrent overwrite") {
     import spark.implicits._
     val t = freshTable()
