@@ -62,7 +62,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x60 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x61 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -140,9 +140,12 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    CHECK constraints (ADD/DROP CONSTRAINT table properties,
   *    validated at declaration, enforced O(delta) on every later
   *    data commit with atomic refusal, pinning referenced columns),
-  *    and DESCRIBE DETAIL + VACUUM DRY RUN (files/bytes/logical-rows/
+  *    DESCRIBE DETAIL + VACUUM DRY RUN (files/bytes/logical-rows/
   *    mask census + the property surface; the dry run predicts
-  *    vacuum's reclaim exactly without deleting a byte)
+  *    vacuum's reclaim exactly without deleting a byte), and
+  *    GENERATED columns (declared on an empty table, filled at write
+  *    time when omitted, validated null-safe when supplied — an
+  *    inconsistent value or invariant-breaking UPDATE refuses)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

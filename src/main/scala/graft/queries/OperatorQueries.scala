@@ -3882,6 +3882,71 @@ object OperatorQueries {
       .withColumn("n_dvs_after", lit(d2.deletionVectors))
   }
 
+  /** Generated columns (x61) — Delta's `GENERATED ALWAYS AS (expr)`:
+    * declared on an empty table as a table property, FILLED at write
+    * time on every append that omits the column, VALIDATED (null-safe
+    * `c <=> expr` on the O(delta) enforcement scan) when a writer
+    * supplies it — a disagreeing value refuses atomically. In-engine
+    * gates: the generated census matches the expression row-for-row, a
+    * consistent supplied value passes, a wrong one leaves no version
+    * and no rows, and an UPDATE that changes the source column without
+    * the generated one refuses rather than silently breaking the
+    * invariant. The oracle recomputes the generated table
+    * relationally. */
+  val txnGeneratedColumns = OracleQuery(
+    "x61_txn_generated_columns",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |fin AS (SELECT event_id, vc, vc * 3 + 1 AS vc2 FROM ev)
+      |SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |  CAST(sum(vc2) AS BIGINT) AS sum_gen, max(event_id) AS max_id,
+      |  CAST(0 AS INT) AS refused_versions
+      |FROM fin""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    import org.apache.spark.sql.types.LongType
+    import s.implicits._
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val t = Scratch.dir("txn_generated") + "/t"
+    TxnLake.commit(s, ev.limit(0).coalesce(1), t, "append") // empty founding
+    TxnLake.addGeneratedColumn(s, t, "vc2", LongType, "vc * 3 + 1")
+    TxnLake.commit(s, ev.repartitionByRange(2, col("event_id")),
+      t, "append") // writer omits vc2: generated
+    val total = ev.count()
+    require(TxnLake.read(s, t)
+      .filter(col("vc2") === col("vc") * 3 + 1).count() == total,
+      "every generated value must match the expression")
+    // a consistent supplied value passes; a wrong one refuses atomically
+    TxnLake.commit(s, Seq((m + 1, 7L, 22L)).toDF("event_id", "vc", "vc2")
+      .coalesce(1), t, "append")
+    TxnLake.deleteWhere(s, t, col("event_id") === m + 1)
+    val preV = TxnLake.latestVersion(s, t).get
+    val refused =
+      try { TxnLake.commit(s, Seq((m + 2, 7L, 99L))
+          .toDF("event_id", "vc", "vc2").coalesce(1), t, "append")
+        false }
+      catch { case e: IllegalStateException =>
+        e.getMessage.contains("generated column vc2") }
+    require(refused, "a disagreeing supplied value must refuse")
+    require(TxnLake.latestVersion(s, t).contains(preV)
+      && TxnLake.read(s, t).count() == total,
+      "the refused commit must leave no trace")
+    val updRefused =
+      try { TxnLake.updateWhere(s, t, col("event_id") === m / 2,
+          Map("vc" -> (col("vc") + 1L)))
+        false }
+      catch { case e: IllegalStateException =>
+        e.getMessage.contains("generated column vc2") }
+    require(updRefused,
+      "an update breaking the invariant must refuse, not apply")
+    TxnLake.read(s, t)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"),
+        sum(col("vc2")).as("sum_gen"), max(col("event_id")).as("max_id"))
+      .withColumn("refused_versions",
+        lit((TxnLake.latestVersion(s, t).get - preV).toInt))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -3899,5 +3964,6 @@ object OperatorQueries {
       streamDecontamProbePruned, txnMergeInto, txnUpdateWhere,
       txnCdcApply, txnReplicaSync, streamReplicaFeed, txnMergeEvolve,
       txnDeletionVectors, txnUpdateDv, txnTimestampTravel, txnClone,
-      txnAlterColumns, txnCheckConstraints, txnDescribeVacuum)
+      txnAlterColumns, txnCheckConstraints, txnDescribeVacuum,
+      txnGeneratedColumns)
 }

@@ -104,7 +104,8 @@ object TxnLake extends LakeFormat {
                                  bloomCols: Seq[String] = Seq.empty,
                                  dvs: Map[String, DvRef] = Map.empty,
                                  droppedCols: Seq[String] = Seq.empty,
-                                 constraints: Map[String, String] = Map.empty) {
+                                 constraints: Map[String, String] = Map.empty,
+                                 genCols: Map[String, String] = Map.empty) {
     /** The logged cumulative schema, decoded — one accessor instead of
       * the same two-line parse at every read/DML site. */
     def schemaStruct: Option[StructType] =
@@ -192,6 +193,10 @@ object TxnLake extends LakeFormat {
       val ct = o.putObject("constraints")
       e.constraints.toSeq.sortBy(_._1).foreach { case (n, x) => ct.put(n, x) }
     }
+    if (e.genCols.nonEmpty) {
+      val gc = o.putObject("genCols")
+      e.genCols.toSeq.sortBy(_._1).foreach { case (n, x) => gc.put(n, x) }
+    }
     mapper.writeValueAsString(o)
   }
 
@@ -227,8 +232,12 @@ object TxnLake extends LakeFormat {
       .map(_.properties().asScala.map(e =>
         e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty[String, String])
+    val genCols = Option(n.get("genCols"))
+      .map(_.properties().asScala.map(e =>
+        e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
     Entry(version, operation, add, remove, legacy, txn, txns, txnsNode.isDefined,
-      schemaJson, bloomCols, dvs, droppedCols, constraints)
+      schemaJson, bloomCols, dvs, droppedCols, constraints, genCols)
   }
 
   // ---- log access -----------------------------------------------------
@@ -800,7 +809,9 @@ object TxnLake extends LakeFormat {
                          dropBloomCols: Seq[String] = Seq.empty,
                          tombstoneCols: Seq[String] = Seq.empty,
                          newConstraints: Map[String, String] = Map.empty,
-                         dropConstraintNames: Seq[String] = Seq.empty)
+                         dropConstraintNames: Seq[String] = Seq.empty,
+                         newGenCols: Map[String, String] = Map.empty,
+                         dropGenColNames: Seq[String] = Seq.empty)
                         : Option[Long] = {
     require(operation == "overwrite" || operation == "append"
       || operation == "optimize" || operation == "delete"
@@ -846,6 +857,20 @@ object TxnLake extends LakeFormat {
       }
       if (replayed) return None
       val next = committed.lastOption.map(_ + 1).getOrElse(0L)
+      // GENERATED columns fill at WRITE time when the caller omits them
+      // (GENERATED ALWAYS): a table property carried like the schema;
+      // engine rewrites that already carry the column pass through and
+      // are VALIDATED below, never silently regenerated
+      val genColsAll =
+        (lastEntry.map(_.genCols).getOrElse(Map.empty) ++
+          newGenCols) -- dropGenColNames
+      val dfOut =
+        if (noData || genColsAll.isEmpty) df
+        else genColsAll.toSeq.sortBy(_._1).foldLeft(df) {
+          case (d, (c, x)) =>
+            if (d.columns.contains(c)) d
+            else d.withColumn(c, org.apache.spark.sql.functions.expr(x))
+        }
       // 1. land the data in a fresh immutable dir (never seen by readers
       //    until the log entry that names it is published). A metadata-
       //    only commit (noData — a deletion-vector delta) writes nothing:
@@ -855,7 +880,7 @@ object TxnLake extends LakeFormat {
       val added0 =
         if (noData) Seq.empty[FileMeta]
         else {
-          df.write.mode("overwrite")
+          dfOut.write.mode("overwrite")
             .parquet(new Path(tablePath, dataRel).toString)
           // add actions: one per written file, with footer-harvested stats
           // (distributed above DriverHarvestMax files — see harvestAll)
@@ -864,7 +889,7 @@ object TxnLake extends LakeFormat {
             .sortBy(_.getPath.getName)
             .map(s => (s.getPath.toString, s"$dataRel/${s.getPath.getName}"))
             .toSeq
-          harvestAll(spark, written, df.schema)
+          harvestAll(spark, written, dfOut.schema)
         }
       // Bloom-indexed columns are a TABLE property (like the cumulative
       // schema): declared on any commit, inherited by every later one —
@@ -875,7 +900,7 @@ object TxnLake extends LakeFormat {
         (lastEntry.map(_.bloomCols).getOrElse(Seq.empty) ++ bloomCols)
           .distinct.filterNot(dropBloomCols.contains)
       val added = buildBloomSidecars(spark, tablePath, f, added0,
-        allBloomCols, df.schema)
+        allBloomCols, dfOut.schema)
       // remove actions: append removes nothing (O(1) log reads — the
       // streaming-sink hot path never resolves the snapshot); overwrite
       // and optimize remove every current file, unless the caller scoped
@@ -936,7 +961,7 @@ object TxnLake extends LakeFormat {
       val tableSchema = schemaOverride.getOrElse(mergedSchema(
         lastEntry.flatMap(_.schemaJson)
           .map(DataType.fromJson(_).asInstanceOf[StructType]),
-        df.schema, operation))
+        dfOut.schema, operation))
       // CHECK constraints are a table property (Delta's ADD CONSTRAINT):
       // carried cumulatively, enforced on every data-bearing commit by
       // re-scanning ONLY the just-written delta (O(delta), under the
@@ -944,9 +969,19 @@ object TxnLake extends LakeFormat {
       // semantics: NULL passes, only a FALSE verdict violates). The scan
       // happens BEFORE the entry publish, so a violating commit aborts
       // with nothing visible and the unpublished data dir is removed.
+      // GENERATED columns validate on the same scan as the null-safe
+      // invariant `c <=> expr` — a caller-supplied value that disagrees
+      // with the expression refuses rather than silently winning.
       val tableConstraints =
         (lastEntry.map(_.constraints).getOrElse(Map.empty)
           -- dropConstraintNames) ++ newConstraints
+      val checks: Seq[(String, org.apache.spark.sql.Column)] = {
+        import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
+        tableConstraints.toSeq.sortBy(_._1).map { case (n, x) =>
+          (s"$n (`$x`)", not(coalesce(expr(x), lit(true)))) } ++
+          genColsAll.toSeq.sortBy(_._1).map { case (c, x) =>
+            (s"generated column $c (`$x`)", !(col(c) <=> expr(x))) }
+      }
       // maintenance ("optimize": data-preserving layout rewrites — the
       // row multiset is the tag's own contract) and CoW DELETE (kept
       // rows are a subset of already-validated rows) cannot introduce a
@@ -954,22 +989,19 @@ object TxnLake extends LakeFormat {
       // table's compaction doesn't pay a second read of everything it
       // rewrites. Everything that can mint or mutate rows (append,
       // overwrite, merge, update) still validates.
-      if (tableConstraints.nonEmpty && added.nonEmpty
+      if (checks.nonEmpty && added.nonEmpty
           && operation != "optimize" && operation != "delete") {
-        import org.apache.spark.sql.functions.{coalesce, count_if, expr,
-          lit, not}
+        import org.apache.spark.sql.functions.count_if
         // explicit file list, not the dir: the data dir also holds bloom
         // sidecars, which a dir-level parquet scan would choke on
         val written = spark.read.schema(tableSchema)
           .parquet(added.map(fm => new Path(tablePath, fm.path).toString): _*)
-        val verdicts = tableConstraints.toSeq.sortBy(_._1).map {
-          case (n, x) =>
-            count_if(not(coalesce(expr(x), lit(true)))).as(n)
-        }
+        val verdicts = checks.zipWithIndex.map { case ((_, v), i) =>
+          count_if(v).as(s"c$i") }
         val row = written.agg(verdicts.head, verdicts.tail: _*).head()
-        val violated = tableConstraints.toSeq.sortBy(_._1).zipWithIndex
-          .collect { case ((n, x), i) if row.getLong(i) > 0 =>
-            s"$n (`$x`): ${row.getLong(i)} row(s)" }
+        val violated = checks.zipWithIndex
+          .collect { case ((label, _), i) if row.getLong(i) > 0 =>
+            s"$label: ${row.getLong(i)} row(s)" }
         if (violated.nonEmpty) {
           f.delete(new Path(tablePath, dataRel), true)
           throw new IllegalStateException(
@@ -987,7 +1019,8 @@ object TxnLake extends LakeFormat {
       val entry = render(Entry(next, operation, added, removed, None, txn, txns,
         hasTxns = true, schemaJson = Some(tableSchema.json),
         bloomCols = allBloomCols, dvs = dvLive,
-        droppedCols = dropped.distinct, constraints = tableConstraints))
+        droppedCols = dropped.distinct, constraints = tableConstraints,
+        genCols = genColsAll))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -3036,7 +3069,8 @@ object TxnLake extends LakeFormat {
         // one that guards them; constraints likewise restore with the
         // data they were validated against
         droppedCols = targetEntry.droppedCols,
-        constraints = targetEntry.constraints))
+        constraints = targetEntry.constraints,
+        genCols = targetEntry.genCols))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -3151,7 +3185,8 @@ object TxnLake extends LakeFormat {
         // from both lineages, so both tombstone sets guard it
         droppedCols = (lastEntry.map(_.droppedCols).getOrElse(Seq.empty) ++
           readEntry(spark, table, lastV).droppedCols).distinct,
-        constraints = readEntry(spark, table, lastV).constraints))
+        constraints = readEntry(spark, table, lastV).constraints,
+        genCols = readEntry(spark, table, lastV).genCols))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -3185,14 +3220,63 @@ object TxnLake extends LakeFormat {
   def addColumn(spark: SparkSession, table: String, name: String,
                 dataType: DataType, maxAttempts: Int = 10): Long =
     alterSchemaWith(spark, table, "addColumn", maxAttempts) { (cur, entry) =>
+      require(!name.startsWith("__graft_dv_"),
+        "TxnLake.addColumn: __graft_dv_* names are reserved")
       require(!cur.fieldNames.contains(name),
         s"TxnLake.addColumn: column $name already exists in $table")
       require(!entry.droppedCols.contains(name),
         s"TxnLake.addColumn: column $name was DROPPED from $table; " +
           "re-adding the name would resurrect the old files' bytes — " +
           "use a different name, or overwrite the table")
-      (StructType(cur.fields :+ StructField(name, dataType, nullable = true)),
-        Seq.empty, Seq.empty, Map.empty, Seq.empty)
+      AlterSpec(StructType(cur.fields :+
+        StructField(name, dataType, nullable = true)))
+    }
+
+  /** `ALTER TABLE … ADD COLUMN … GENERATED ALWAYS AS (expr)` — Delta's
+    * generated columns: declared as a table property on an EMPTY table
+    * (Delta allows them only at creation; requiring zero rows is the
+    * same contract without a CREATE statement — historical rows can
+    * never hold the value, and a later rewrite of such a row would be
+    * refused by the invariant below, a trap not worth shipping). From
+    * then on every row-minting commit FILLS the column when the writer
+    * omits it, and VALIDATES it (null-safe `c <=> expr`) when supplied
+    * — the enforcement rides the CHECK-constraint scan of the
+    * just-written delta, O(delta) per commit, atomic refusal. An
+    * UPDATE that changes a source column must assign the generated
+    * column consistently or be refused (we validate rather than
+    * silently recompute). The expression may reference only existing
+    * columns; [[dropColumn]] pins them while the generated column
+    * lives, and dropping the generated column itself retires the
+    * property. */
+  def addGeneratedColumn(spark: SparkSession, table: String, name: String,
+                         dataType: DataType, expression: String,
+                         maxAttempts: Int = 10): Long =
+    alterSchemaWith(spark, table, "addGeneratedColumn", maxAttempts) {
+      (cur, entry) =>
+        require(!name.startsWith("__graft_dv_"),
+          "TxnLake.addGeneratedColumn: __graft_dv_* names are reserved")
+        require(!cur.fieldNames.contains(name),
+          s"TxnLake.addGeneratedColumn: column $name already exists")
+        require(!entry.droppedCols.contains(name),
+          s"TxnLake.addGeneratedColumn: column $name was DROPPED from " +
+            s"$table — its bytes would resurrect")
+        require(read(spark, table).isEmpty,
+          s"TxnLake.addGeneratedColumn: $table is not empty — generated " +
+            "columns declare on an EMPTY table (the Delta at-creation " +
+            "rule): existing rows could never hold the value and any " +
+            "later rewrite of them would be refused by the invariant")
+        val refs = spark.sessionState.sqlParser.parseExpression(expression)
+          .collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              => a.nameParts.head
+          }
+        val unknown = refs.filterNot(cur.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"TxnLake.addGeneratedColumn: expression references unknown " +
+            s"column(s) ${unknown.mkString(", ")}")
+        AlterSpec(StructType(cur.fields :+
+            StructField(name, dataType, nullable = true)),
+          addGenCols = Map(name -> expression))
     }
 
   /** `ALTER TABLE … DROP COLUMN` — METADATA-ONLY narrowing: the logged
@@ -3213,20 +3297,27 @@ object TxnLake extends LakeFormat {
         s"TxnLake.dropColumn: no column $name in $table")
       require(cur.fields.length > 1,
         s"TxnLake.dropColumn: cannot drop the last column of $table")
-      // a live CHECK constraint referencing the column pins it (Delta's
-      // rule): dropping would break every later commit's enforcement scan
-      val pinning = entry.constraints.filter { case (_, x) =>
+      // a live CHECK constraint or generated-column expression
+      // referencing the column pins it (Delta's rule): dropping would
+      // break every later commit's enforcement scan
+      def refsOf(x: String): Seq[String] =
         spark.sessionState.sqlParser.parseExpression(x).collect {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
             a.nameParts.head
-        }.contains(name)
-      }
+        }
+      val pinning = entry.constraints.filter(kv => refsOf(kv._2)
+        .contains(name)).keys.toSeq ++
+        entry.genCols.filter { case (g, x) =>
+          g != name && refsOf(x).contains(name) }.keys.map(g =>
+          s"generated column $g")
       require(pinning.isEmpty,
-        s"TxnLake.dropColumn: column $name is referenced by CHECK " +
-          s"constraint(s) ${pinning.keys.toSeq.sorted.mkString(", ")} — " +
-          "drop the constraint(s) first")
-      (StructType(cur.fields.filterNot(_.name == name)),
-        Seq(name), Seq(name), Map.empty, Seq.empty)
+        s"TxnLake.dropColumn: column $name is referenced by " +
+          s"${pinning.sorted.mkString(", ")} — drop those first")
+      AlterSpec(StructType(cur.fields.filterNot(_.name == name)),
+        dropBlooms = Seq(name), tombstones = Seq(name),
+        // dropping a generated column itself retires its property
+        dropGenCols = if (entry.genCols.contains(name)) Seq(name)
+          else Seq.empty)
     }
 
   /** The live CHECK constraints of a table (name → SQL expression) —
@@ -3265,7 +3356,7 @@ object TxnLake extends LakeFormat {
         require(bad == 0,
           s"TxnLake.addConstraint: $bad existing row(s) of $table " +
             s"violate `$expression` — repair the data first")
-        (cur, Seq.empty, Seq.empty, Map(name -> expression), Seq.empty)
+        AlterSpec(cur, addConstraints = Map(name -> expression))
     }
   }
 
@@ -3279,7 +3370,7 @@ object TxnLake extends LakeFormat {
         require(entry.constraints.contains(name),
           s"TxnLake.dropConstraint: no constraint $name on $table " +
             s"(live: ${entry.constraints.keys.toSeq.sorted.mkString(", ")})")
-        (cur, Seq.empty, Seq.empty, Map.empty, Seq(name))
+        AlterSpec(cur, dropConstraints = Seq(name))
     }
 
   /** Shared ALTER loop: resolve the pinned snapshot's current schema
@@ -3287,11 +3378,22 @@ object TxnLake extends LakeFormat {
     * scoped rewrite pays), let `change` produce (new schema, bloom
     * drops, tombstones), and publish as a noData "metadata" commit with
     * recompute-on-conflict. */
+  /** One ALTER's full outcome: the new schema plus every table-property
+    * delta it carries into the metadata commit. */
+  private final case class AlterSpec(schema: StructType,
+                                     dropBlooms: Seq[String] = Seq.empty,
+                                     tombstones: Seq[String] = Seq.empty,
+                                     addConstraints: Map[String, String] =
+                                       Map.empty,
+                                     dropConstraints: Seq[String] = Seq.empty,
+                                     addGenCols: Map[String, String] =
+                                       Map.empty,
+                                     dropGenCols: Seq[String] = Seq.empty)
+
   private def alterSchemaWith(spark: SparkSession, table: String, api: String,
                               maxAttempts: Int)
-                             (change: (StructType, Entry)
-                               => (StructType, Seq[String], Seq[String],
-                                   Map[String, String], Seq[String])): Long = {
+                             (change: (StructType, Entry) => AlterSpec)
+      : Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(spark, table).getOrElse(
@@ -3299,16 +3401,19 @@ object TxnLake extends LakeFormat {
       val entry = readEntry(spark, table, base)
       val cur = subsetReadSchema(spark, table, entry.schemaStruct,
         resolveFiles(spark, table, base))
-      val (next, dropBlooms, tombstones, addConsts, dropConsts) =
-        change(cur, entry)
+      val spec = change(cur, entry)
       val emptyDf = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], next)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], spec.schema)
       try return commitImpl(spark, emptyDf, table, "metadata", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
           removePaths = Some(Seq.empty), noData = true,
-          schemaOverride = Some(next), dropBloomCols = dropBlooms,
-          tombstoneCols = tombstones, newConstraints = addConsts,
-          dropConstraintNames = dropConsts)
+          schemaOverride = Some(spec.schema),
+          dropBloomCols = spec.dropBlooms,
+          tombstoneCols = spec.tombstones,
+          newConstraints = spec.addConstraints,
+          dropConstraintNames = spec.dropConstraints,
+          newGenCols = spec.addGenCols,
+          dropGenColNames = spec.dropGenCols)
         .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped"))
       catch { case _: CommitConflict => attempt += 1 }
     }
@@ -3485,7 +3590,8 @@ object TxnLake extends LakeFormat {
       Map.empty, hasTxns = true, schemaJson = srcEntry.schemaJson,
       bloomCols = srcEntry.bloomCols, dvs = dvs,
       droppedCols = srcEntry.droppedCols,
-      constraints = srcEntry.constraints))
+      constraints = srcEntry.constraints,
+      genCols = srcEntry.genCols))
     val tmp = new Path(logDir(target), s"v0.json.tmp-$salt")
     val out = f.create(tmp, false)
     try out.write(entry.getBytes("UTF-8")) finally out.close()
