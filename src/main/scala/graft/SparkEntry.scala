@@ -62,7 +62,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x61 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x62 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -145,7 +145,10 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    vacuum's reclaim exactly without deleting a byte), and
   *    GENERATED columns (declared on an empty table, filled at write
   *    time when omitted, validated null-safe when supplied — an
-  *    inconsistent value or invariant-breaking UPDATE refuses)
+  *    inconsistent value or invariant-breaking UPDATE refuses), and
+  *    TYPE WIDENING (metadata-only lossless promotions; old files
+  *    upcast natively at scan, integer-era stats still prune exactly,
+  *    bloom-rendering hazards refused)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

@@ -3947,6 +3947,69 @@ object OperatorQueries {
         lit((TxnLake.latestVersion(s, t).get - preV).toInt))
   }
 
+  /** Type widening (x62) — Delta's `ALTER COLUMN … TYPE` promotion:
+    * the value column commits as INT32, widens to BIGINT in one
+    * metadata entry (zero files moved), and the upper half then
+    * appends values past the int range — old files upcast natively at
+    * scan, the pre-widening snapshot keeps its narrow type, a
+    * narrower re-append refuses at the schema merge, and the old
+    * files' integer-tagged stats still PRUNE exactly under long
+    * predicates. The oracle recomputes the widened table
+    * relationally. */
+  val txnTypeWidening = OracleQuery(
+    "x62_txn_type_widening",
+    """WITH ev AS (SELECT event_id,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |low AS (SELECT event_id, vc FROM ev, mx WHERE 2 * event_id <= m),
+      |up AS (SELECT event_id, vc + 3000000000 AS vc FROM ev, mx
+      |       WHERE 2 * event_id > m),
+      |fin AS (SELECT event_id, vc FROM low
+      |        UNION ALL SELECT event_id, vc FROM up)
+      |SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |  max(vc) AS max_vc, max(event_id) AS max_id,
+      |  CAST(0 AS INT) AS files_moved
+      |FROM fin""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val ev = Tables.events(s, d).select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val t = Scratch.dir("txn_type_widening") + "/t"
+    TxnLake.commit(s, ev.filter(col("event_id") * 2 <= m)
+      .select(col("event_id"), col("vc").cast("int").as("vc"))
+      .coalesce(1), t, "append") // v0: INT32 value column
+    val f1 = TxnLake.snapshotFiles(s, t).map(_.path).toSet
+    val v0 = TxnLake.latestVersion(s, t).get
+    val vW = TxnLake.widenColumnType(s, t, "vc", LongType)
+    require(TxnLake.commitInfo(s, t, vW).operation == "metadata"
+      && TxnLake.snapshotFiles(s, t).map(_.path).toSet == f1,
+      "widening must be one metadata entry moving no file")
+    require(TxnLake.readVersion(s, t, v0).schema("vc").dataType ==
+      IntegerType, "the pre-widening snapshot keeps its narrow type")
+    require(TxnLake.read(s, t).schema("vc").dataType == LongType)
+    TxnLake.commit(s, ev.filter(col("event_id") * 2 > m)
+      .select(col("event_id"), (col("vc") + 3000000000L).as("vc"))
+      .coalesce(1), t, "append") // past the int range
+    val refused =
+      try { TxnLake.commit(s, ev.limit(1)
+          .select(col("event_id"), col("vc").cast("int").as("vc"))
+          .coalesce(1), t, "append")
+        false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("schema merge type conflict") }
+    require(refused, "a narrower append must refuse at the schema merge")
+    // integer-tagged old stats still prune exactly under long predicates
+    val (_, (kept, total)) = TxnLake.readWherePruned(s, t,
+      col("vc") >= 3000000000L)
+    require(total == 2 && kept == 1,
+      s"the int-era file must prune out under the long bound: $kept/$total")
+    TxnLake.read(s, t)
+      .agg(count(lit(1)).as("n_rows"), sum(col("vc")).as("sum_cents"),
+        max(col("vc")).as("max_vc"), max(col("event_id")).as("max_id"))
+      .withColumn("files_moved", lit(0))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -3965,5 +4028,5 @@ object OperatorQueries {
       txnCdcApply, txnReplicaSync, streamReplicaFeed, txnMergeEvolve,
       txnDeletionVectors, txnUpdateDv, txnTimestampTravel, txnClone,
       txnAlterColumns, txnCheckConstraints, txnDescribeVacuum,
-      txnGeneratedColumns)
+      txnGeneratedColumns, txnTypeWidening)
 }

@@ -3320,6 +3320,56 @@ object TxnLake extends LakeFormat {
           else Seq.empty)
     }
 
+  /** The promotions [[widenColumnType]] accepts: every value of the
+    * narrow type is exactly representable in the wide one AND the
+    * parquet reader upcasts the old files' physical encoding natively
+    * (verified: int32→int64, int32→double, float→double), so widening
+    * is metadata-only with zero read ambiguity. long→double is
+    * deliberately absent (lossy past 2^53), as is anything involving
+    * strings or decimals. */
+  private val SafeWidenings: Set[(DataType, DataType)] = Set(
+    ByteType -> ShortType, ByteType -> IntegerType, ByteType -> LongType,
+    ShortType -> IntegerType, ShortType -> LongType,
+    IntegerType -> LongType, IntegerType -> DoubleType,
+    ByteType -> DoubleType, ShortType -> DoubleType,
+    FloatType -> DoubleType)
+
+  /** `ALTER TABLE … ALTER COLUMN … TYPE` — Delta's TYPE WIDENING:
+    * metadata-only promotion of a column to a wider type (one log
+    * entry, zero files moved); old files' narrower physical values
+    * upcast at scan time through the parquet reader's native
+    * conversions. Only the lossless [[SafeWidenings]] are accepted.
+    * Old files' min/max stats keep their integer tag: an integer
+    * promotion still prunes them exactly, a promotion to double leaves
+    * them conservatively unprunable (new files harvest double stats) —
+    * never wrongly pruned either way. Widening a BLOOM-INDEXED column
+    * to double is refused: the sidecars hash string renderings, and
+    * "5" vs "5.0" would silently turn membership misses into wrong
+    * file skips; integer-family promotions are render-stable and stay
+    * allowed. Writers must supply the widened type afterwards (a
+    * narrower append is refused by the schema merge, loudly — no
+    * silent upcast-on-write). */
+  def widenColumnType(spark: SparkSession, table: String, name: String,
+                      to: DataType, maxAttempts: Int = 10): Long =
+    alterSchemaWith(spark, table, "widenColumnType", maxAttempts) {
+      (cur, entry) =>
+        require(cur.fieldNames.contains(name),
+          s"TxnLake.widenColumnType: no column $name in $table")
+        val from = cur(cur.fieldIndex(name)).dataType
+        require(SafeWidenings.contains((from, to)),
+          s"TxnLake.widenColumnType: ${from.simpleString} -> " +
+            s"${to.simpleString} is not a lossless widening (allowed: " +
+            "byte/short/int up the integer family, int-family -> " +
+            "double, float -> double)")
+        require(!(entry.bloomCols.contains(name) && to == DoubleType),
+          s"TxnLake.widenColumnType: $name is bloom-indexed — a double " +
+            "promotion changes the key rendering the sidecars hashed " +
+            "(\"5\" vs \"5.0\") and would turn misses into wrong file " +
+            "skips; drop the column's bloom declaration first")
+        AlterSpec(StructType(cur.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f)))
+    }
+
   /** The live CHECK constraints of a table (name → SQL expression) —
     * one O(1) entry read; empty on a table that declared none. */
   def tableConstraints(spark: SparkSession, table: String): Map[String, String] =

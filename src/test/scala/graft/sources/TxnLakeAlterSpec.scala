@@ -85,6 +85,73 @@ class TxnLakeAlterSpec extends SparkSpec {
       "post-overwrite the name is a brand-new column")
   }
 
+  test("TYPE WIDENING promotes metadata-only: old int32 files upcast " +
+    "at scan, stats still prune, and unsafe promotions refuse") {
+    import spark.implicits._
+    val t = fresh()
+    (0 until 2).foreach { i =>
+      TxnLake.commit(spark,
+        (i * 50 until i * 50 + 50).map(j => (j.toLong, j)).toDF("k", "n")
+          .coalesce(1), t, "append") // n is INT
+    }
+    val preFiles = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    val preV = TxnLake.latestVersion(spark, t).get
+    TxnLake.widenColumnType(spark, t, "n",
+      org.apache.spark.sql.types.LongType)
+    assert(TxnLake.snapshotFiles(spark, t).map(_.path).toSet == preFiles,
+      "widening must move no data file")
+    val widened = TxnLake.read(spark, t)
+    assert(widened.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType
+      && widened.agg(sum(col("n"))).head().getLong(0) == 4950L,
+      "old int32 values upcast losslessly")
+    assert(TxnLake.readVersion(spark, t, preV).schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      "the pre-widening snapshot keeps its narrow type")
+    // integer-tagged stats still prune exactly under long predicates
+    val (_, (kept, total)) = TxnLake.readWherePruned(spark, t,
+      col("n") >= 75L)
+    assert(total == 2 && kept == 1,
+      s"stats pruning must survive the promotion: $kept/$total")
+    // widened appends work; narrower appends refuse loudly
+    TxnLake.commit(spark,
+      Seq((200L, 5000000000L)).toDF("k", "n").coalesce(1), t, "append")
+    assert(TxnLake.read(spark, t).count() == 101)
+    intercept[IllegalArgumentException] {
+      TxnLake.commit(spark, Seq((201L, 7)).toDF("k", "n").coalesce(1),
+        t, "append") // int again: schema merge conflict
+    }
+    // unsafe promotions refuse
+    intercept[IllegalArgumentException] {
+      TxnLake.widenColumnType(spark, t, "n",
+        org.apache.spark.sql.types.IntegerType) // narrowing
+    }
+    intercept[IllegalArgumentException] {
+      TxnLake.widenColumnType(spark, t, "k",
+        org.apache.spark.sql.types.DoubleType) // long -> double: lossy
+    }
+    // int -> double works; a bloom-indexed column refuses double
+    val t2 = fresh()
+    TxnLake.commit(spark,
+      (0 until 10).map(j => (j.toLong, j)).toDF("k", "n").coalesce(1),
+      t2, "append", bloomCols = Seq("n"))
+    val e = intercept[IllegalArgumentException] {
+      TxnLake.widenColumnType(spark, t2, "n",
+        org.apache.spark.sql.types.DoubleType)
+    }
+    assert(e.getMessage.contains("bloom-indexed"))
+    val t3 = fresh()
+    TxnLake.commit(spark,
+      (0 until 10).map(j => (j.toLong, j)).toDF("k", "n").coalesce(1),
+      t3, "append")
+    TxnLake.widenColumnType(spark, t3, "n",
+      org.apache.spark.sql.types.DoubleType)
+    assert(TxnLake.read(spark, t3).agg(sum(col("n"))).head()
+      .getDouble(0) == 45.0)
+    assert(TxnLake.readWhere(spark, t3, col("n") >= 5.0).count() == 5,
+      "double predicates over integer-tagged stats keep conservatively")
+  }
+
   test("DESCRIBE DETAIL reports files/bytes/rows/masks and the full " +
     "property surface; VACUUM DRY RUN predicts exactly what vacuum " +
     "reclaims without touching a byte") {
