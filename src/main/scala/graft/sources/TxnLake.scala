@@ -105,7 +105,8 @@ object TxnLake extends LakeFormat {
                                  dvs: Map[String, DvRef] = Map.empty,
                                  droppedCols: Seq[String] = Seq.empty,
                                  constraints: Map[String, String] = Map.empty,
-                                 genCols: Map[String, String] = Map.empty) {
+                                 genCols: Map[String, String] = Map.empty,
+                                 ts: Option[Long] = None) {
     /** The logged cumulative schema, decoded — one accessor instead of
       * the same two-line parse at every read/DML site. */
     def schemaStruct: Option[StructType] =
@@ -160,6 +161,12 @@ object TxnLake extends LakeFormat {
     val o = mapper.createObjectNode()
     o.put("version", e.version)
     o.put("operation", e.operation)
+    // IN-COMMIT timestamp (Delta's inCommitTimestamp): the instant the
+    // entry was RENDERED rides inside the entry bytes, so commit
+    // instants survive object-store migrations/copies that rewrite
+    // file mtimes. Readers prefer it; pre-feature entries fall back to
+    // the mtime.
+    e.ts.foreach(o.put("ts", _))
     val add = o.putArray("add")
     e.add.foreach(fm => statsToJson(add.addObject(), fm))
     val rm = o.putArray("remove")
@@ -236,8 +243,9 @@ object TxnLake extends LakeFormat {
       .map(_.properties().asScala.map(e =>
         e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty[String, String])
+    val ts = Option(n.get("ts")).map(_.asLong())
     Entry(version, operation, add, remove, legacy, txn, txns, txnsNode.isDefined,
-      schemaJson, bloomCols, dvs, droppedCols, constraints, genCols)
+      schemaJson, bloomCols, dvs, droppedCols, constraints, genCols, ts)
   }
 
   // ---- log access -----------------------------------------------------
@@ -372,15 +380,19 @@ object TxnLake extends LakeFormat {
   def history(spark: SparkSession, table: String): Seq[CommitInfo] =
     committedVersions(spark, table).map(commitInfo(spark, table, _))
 
-  /** Commit instant of `version` in epoch millis — the log entry file's
-    * MODIFICATION TIME, exactly Delta's source of truth for
-    * timestamp-based time travel: the entry publish is the commit, so
-    * its mtime is the commit instant, with no second clock to drift. */
+  /** Commit instant of `version` in epoch millis. New-format entries
+    * carry an IN-COMMIT timestamp inside the entry bytes (Delta's
+    * inCommitTimestamp) — robust against object-store migrations and
+    * copies that rewrite file mtimes; entries written before the field
+    * existed fall back to the log file's modification time (Delta's
+    * original source of truth). Either way the entry publish IS the
+    * commit, so there is no second clock to drift. */
   def commitTimestamp(spark: SparkSession, table: String,
-                      version: Long): Long = {
-    val p = new Path(logDir(table), s"v$version.json")
-    fs(spark, p).getFileStatus(p).getModificationTime
-  }
+                      version: Long): Long =
+    readEntry(spark, table, version).ts.getOrElse {
+      val p = new Path(logDir(table), s"v$version.json")
+      fs(spark, p).getFileStatus(p).getModificationTime
+    }
 
   /** The version a timestamp resolves to — Delta's `TIMESTAMP AS OF`:
     * the LATEST version whose (monotone-adjusted) commit timestamp is
@@ -1020,7 +1032,7 @@ object TxnLake extends LakeFormat {
         hasTxns = true, schemaJson = Some(tableSchema.json),
         bloomCols = allBloomCols, dvs = dvLive,
         droppedCols = dropped.distinct, constraints = tableConstraints,
-        genCols = genColsAll))
+        genCols = genColsAll, ts = Some(System.currentTimeMillis())))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -3070,7 +3082,8 @@ object TxnLake extends LakeFormat {
         // data they were validated against
         droppedCols = targetEntry.droppedCols,
         constraints = targetEntry.constraints,
-        genCols = targetEntry.genCols))
+        genCols = targetEntry.genCols,
+        ts = Some(System.currentTimeMillis())))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -3186,7 +3199,8 @@ object TxnLake extends LakeFormat {
         droppedCols = (lastEntry.map(_.droppedCols).getOrElse(Seq.empty) ++
           readEntry(spark, table, lastV).droppedCols).distinct,
         constraints = readEntry(spark, table, lastV).constraints,
-        genCols = readEntry(spark, table, lastV).genCols))
+        genCols = readEntry(spark, table, lastV).genCols,
+        ts = Some(System.currentTimeMillis())))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -3641,7 +3655,8 @@ object TxnLake extends LakeFormat {
       bloomCols = srcEntry.bloomCols, dvs = dvs,
       droppedCols = srcEntry.droppedCols,
       constraints = srcEntry.constraints,
-      genCols = srcEntry.genCols))
+      genCols = srcEntry.genCols,
+      ts = Some(System.currentTimeMillis())))
     val tmp = new Path(logDir(target), s"v0.json.tmp-$salt")
     val out = f.create(tmp, false)
     try out.write(entry.getBytes("UTF-8")) finally out.close()

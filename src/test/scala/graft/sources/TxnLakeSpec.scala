@@ -49,6 +49,15 @@ class TxnLakeSpec extends SparkSpec {
     assert(e.getMessage.contains("predates the first commit")
       && e.getMessage.contains(t0.toString),
       s"the refusal must name the earliest readable instant: ${e.getMessage}")
+    // IN-COMMIT timestamps: the instant lives in the entry bytes, so a
+    // migration/copy that rewrites log-file mtimes (the object-store
+    // hazard) cannot corrupt time travel
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(t, "_txn_log", "v0.json"),
+      java.nio.file.attribute.FileTime.fromMillis(0L))
+    assert(TxnLake.commitTimestamp(spark, t, 0L) == t0,
+      "the commit instant must survive an mtime rewrite")
+    assert(TxnLake.versionAsOf(spark, t, t0).contains(0L))
   }
 
   test("RESTORE TO TIMESTAMP rolls back to the instant's snapshot " +
