@@ -808,6 +808,26 @@ object TxnLake extends LakeFormat {
     * the caller's read snapshot is stale and it must recompute. */
   private[sources] final class CommitConflict extends Exception
 
+  /** The session's column-name resolver (honors spark.sql.caseSensitive,
+    * default case-INSENSITIVE) — every tombstone/duplicate-column guard
+    * compares through it, because Spark's own analysis will bind "VC" to
+    * a parquet file's "vc" bytes under the default resolution: a
+    * case-sensitive guard would wave through exactly the resurrection it
+    * exists to refuse. */
+  private def resolver(spark: SparkSession): (String, String) => Boolean =
+    spark.sessionState.conf.resolver
+
+  /** In-commit timestamp for the next entry: wall clock clamped to
+    * STRICTLY exceed the previous entry's — Delta's inCommitTimestamp
+    * monotonicity, enforced at WRITE time so that
+    * `readAsOf(commitTimestamp(v))` round-trips even under multi-writer
+    * clock skew (read-side adjustment alone keeps resolution
+    * deterministic but lets the raw exposed value point before an
+    * earlier version's). */
+  private def nextTs(prev: Option[Entry]): Some[Long] =
+    Some(math.max(System.currentTimeMillis(),
+      prev.flatMap(_.ts).map(_ + 1).getOrElse(Long.MinValue)))
+
   private def commitImpl(spark: SparkSession, df: DataFrame, table: String,
                          operation: String, txn: Option[(String, Long)],
                          maxAttempts: Int,
@@ -869,6 +889,29 @@ object TxnLake extends LakeFormat {
       }
       if (replayed) return None
       val next = committed.lastOption.map(_ + 1).getOrElse(0L)
+      // drop tombstones ride the entry cumulatively (like txns/schema):
+      // a column dropped metadata-only still has its BYTES in old files,
+      // so re-introducing the name would silently resurrect them under
+      // the widened read schema — the guard below makes that loud.
+      // Overwrite clears the tombstones: it removes every current file,
+      // so there is nothing left to resurrect. Checked BEFORE the data
+      // write (it needs only df.columns and the last entry) so a refused
+      // commit pays no parquet write and orphans no data dir; compared
+      // through the session RESOLVER because default-case-insensitive
+      // analysis would bind a re-cased name to the old files' bytes.
+      val dropped =
+        (if (operation == "overwrite") Seq.empty
+         else lastEntry.map(_.droppedCols).getOrElse(Seq.empty)) ++
+          tombstoneCols
+      if (!noData) {
+        val res = resolver(spark)
+        val resurrect = df.columns.filter(c => dropped.exists(res(_, c)))
+        require(resurrect.isEmpty,
+          s"TxnLake: column(s) ${resurrect.mkString(", ")} were DROPPED " +
+            "from this table; committing data under the same name would " +
+            "resurrect the old files' bytes — use a different name, or " +
+            "overwrite the table to retire the tombstone")
+      }
       // GENERATED columns fill at WRITE time when the caller omits them
       // (GENERATED ALWAYS): a table property carried like the schema;
       // engine rewrites that already carry the column pass through and
@@ -948,24 +991,6 @@ object TxnLake extends LakeFormat {
       val extra = extraTxns.map { case (a, b) =>
         a -> math.max(b, prior.getOrElse(a, Long.MinValue)) }
       val txns = prior ++ extra ++ txn.toMap
-      // drop tombstones ride the entry cumulatively (like txns/schema):
-      // a column dropped metadata-only still has its BYTES in old files,
-      // so re-introducing the name would silently resurrect them under
-      // the widened read schema — the guard below makes that loud.
-      // Overwrite clears the tombstones: it removes every current file,
-      // so there is nothing left to resurrect.
-      val dropped =
-        (if (operation == "overwrite") Seq.empty
-         else lastEntry.map(_.droppedCols).getOrElse(Seq.empty)) ++
-          tombstoneCols
-      if (!noData) {
-        val resurrect = df.columns.filter(dropped.contains)
-        require(resurrect.isEmpty,
-          s"TxnLake: column(s) ${resurrect.mkString(", ")} were DROPPED " +
-            "from this table; committing data under the same name would " +
-            "resurrect the old files' bytes — use a different name, or " +
-            "overwrite the table to retire the tombstone")
-      }
       // every commit carries the CUMULATIVE table schema forward (Delta's
       // metaData action): appends merge new columns in, overwrite resets —
       // so readers resolve the snapshot schema from ONE log entry instead
@@ -1032,7 +1057,7 @@ object TxnLake extends LakeFormat {
         hasTxns = true, schemaJson = Some(tableSchema.json),
         bloomCols = allBloomCols, dvs = dvLive,
         droppedCols = dropped.distinct, constraints = tableConstraints,
-        genCols = genColsAll, ts = Some(System.currentTimeMillis())))
+        genCols = genColsAll, ts = nextTs(lastEntry)))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -2210,7 +2235,15 @@ object TxnLake extends LakeFormat {
             tagged.filter(col("__iact") === i)
               .select(names.map(n => c.values(n).as(n)): _*)
           }.reduce(_ unionByName _)
-          if (ins.isEmpty) None else Some((ins, Seq.empty))
+          // with a txn marker, even an empty FOUNDING merge must commit:
+          // the marker is the consumer's offset (a replication consumer
+          // bootstrapping from an empty source snapshot would otherwise
+          // land nothing and re-pay the founding decision every poll —
+          // the existing-table branch already has this rule). The INSERT
+          // clauses still define the schema, so the empty table founds
+          // typed. txn checked FIRST: the emptiness probe is a Spark job
+          // whose answer the marker path ignores.
+          if (txn.isDefined || !ins.isEmpty) Some((ins, Seq.empty)) else None
         case Some(b) =>
           val files = resolveFiles(spark, table, b)
           requireLive(spark, table, b, files)
@@ -3083,7 +3116,7 @@ object TxnLake extends LakeFormat {
         droppedCols = targetEntry.droppedCols,
         constraints = targetEntry.constraints,
         genCols = targetEntry.genCols,
-        ts = Some(System.currentTimeMillis())))
+        ts = nextTs(Some(lastEntry))))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -3200,7 +3233,10 @@ object TxnLake extends LakeFormat {
           readEntry(spark, table, lastV).droppedCols).distinct,
         constraints = readEntry(spark, table, lastV).constraints,
         genCols = readEntry(spark, table, lastV).genCols,
-        ts = Some(System.currentTimeMillis())))
+        // monotone vs the ACTUAL last entry — lastEntry is None exactly
+        // when the failed restore's own entry is latest, and that entry
+        // carries a ts the compensation must still exceed
+        ts = nextTs(lastEntry.orElse(Some(readEntry(spark, table, lastV))))))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -3234,13 +3270,15 @@ object TxnLake extends LakeFormat {
   def addColumn(spark: SparkSession, table: String, name: String,
                 dataType: DataType, maxAttempts: Int = 10): Long =
     alterSchemaWith(spark, table, "addColumn", maxAttempts) { (cur, entry) =>
+      val res = resolver(spark)
       require(!name.startsWith("__graft_dv_"),
         "TxnLake.addColumn: __graft_dv_* names are reserved")
-      require(!cur.fieldNames.contains(name),
+      require(!cur.fieldNames.exists(res(_, name)),
         s"TxnLake.addColumn: column $name already exists in $table")
-      require(!entry.droppedCols.contains(name),
+      require(!entry.droppedCols.exists(res(_, name)),
         s"TxnLake.addColumn: column $name was DROPPED from $table; " +
-          "re-adding the name would resurrect the old files' bytes — " +
+          "re-adding the name (in any casing — resolution is " +
+          "case-insensitive) would resurrect the old files' bytes — " +
           "use a different name, or overwrite the table")
       AlterSpec(StructType(cur.fields :+
         StructField(name, dataType, nullable = true)))
@@ -3267,13 +3305,15 @@ object TxnLake extends LakeFormat {
                          maxAttempts: Int = 10): Long =
     alterSchemaWith(spark, table, "addGeneratedColumn", maxAttempts) {
       (cur, entry) =>
+        val res = resolver(spark)
         require(!name.startsWith("__graft_dv_"),
           "TxnLake.addGeneratedColumn: __graft_dv_* names are reserved")
-        require(!cur.fieldNames.contains(name),
+        require(!cur.fieldNames.exists(res(_, name)),
           s"TxnLake.addGeneratedColumn: column $name already exists")
-        require(!entry.droppedCols.contains(name),
+        require(!entry.droppedCols.exists(res(_, name)),
           s"TxnLake.addGeneratedColumn: column $name was DROPPED from " +
-            s"$table — its bytes would resurrect")
+            s"$table — its bytes would resurrect (resolution is " +
+            "case-insensitive)")
         require(read(spark, table).isEmpty,
           s"TxnLake.addGeneratedColumn: $table is not empty — generated " +
             "columns declare on an EMPTY table (the Delta at-creation " +
@@ -3284,7 +3324,7 @@ object TxnLake extends LakeFormat {
             case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
               => a.nameParts.head
           }
-        val unknown = refs.filterNot(cur.fieldNames.contains)
+        val unknown = refs.filterNot(r => cur.fieldNames.exists(res(_, r)))
         require(unknown.isEmpty,
           s"TxnLake.addGeneratedColumn: expression references unknown " +
             s"column(s) ${unknown.mkString(", ")}")
@@ -3307,8 +3347,14 @@ object TxnLake extends LakeFormat {
   def dropColumn(spark: SparkSession, table: String, name: String,
                  maxAttempts: Int = 10): Long =
     alterSchemaWith(spark, table, "dropColumn", maxAttempts) { (cur, entry) =>
-      require(cur.fieldNames.contains(name),
+      val res = resolver(spark)
+      // canonicalize to the SCHEMA's casing: the tombstone, bloom drop,
+      // and gen-col retirement must record the stored name, whatever
+      // casing the caller typed (resolution is case-insensitive)
+      val canonOpt = cur.fieldNames.find(res(_, name))
+      require(canonOpt.isDefined,
         s"TxnLake.dropColumn: no column $name in $table")
+      val canon = canonOpt.get
       require(cur.fields.length > 1,
         s"TxnLake.dropColumn: cannot drop the last column of $table")
       // a live CHECK constraint or generated-column expression
@@ -3320,17 +3366,17 @@ object TxnLake extends LakeFormat {
             a.nameParts.head
         }
       val pinning = entry.constraints.filter(kv => refsOf(kv._2)
-        .contains(name)).keys.toSeq ++
+        .exists(res(_, canon))).keys.toSeq ++
         entry.genCols.filter { case (g, x) =>
-          g != name && refsOf(x).contains(name) }.keys.map(g =>
+          !res(g, canon) && refsOf(x).exists(res(_, canon)) }.keys.map(g =>
           s"generated column $g")
       require(pinning.isEmpty,
-        s"TxnLake.dropColumn: column $name is referenced by " +
+        s"TxnLake.dropColumn: column $canon is referenced by " +
           s"${pinning.sorted.mkString(", ")} — drop those first")
-      AlterSpec(StructType(cur.fields.filterNot(_.name == name)),
-        dropBlooms = Seq(name), tombstones = Seq(name),
+      AlterSpec(StructType(cur.fields.filterNot(_.name == canon)),
+        dropBlooms = Seq(canon), tombstones = Seq(canon),
         // dropping a generated column itself retires its property
-        dropGenCols = if (entry.genCols.contains(name)) Seq(name)
+        dropGenCols = if (entry.genCols.contains(canon)) Seq(canon)
           else Seq.empty)
     }
 
@@ -3367,21 +3413,24 @@ object TxnLake extends LakeFormat {
                       to: DataType, maxAttempts: Int = 10): Long =
     alterSchemaWith(spark, table, "widenColumnType", maxAttempts) {
       (cur, entry) =>
-        require(cur.fieldNames.contains(name),
+        val res = resolver(spark)
+        val canonOpt = cur.fieldNames.find(res(_, name))
+        require(canonOpt.isDefined,
           s"TxnLake.widenColumnType: no column $name in $table")
-        val from = cur(cur.fieldIndex(name)).dataType
+        val canon = canonOpt.get
+        val from = cur(cur.fieldIndex(canon)).dataType
         require(SafeWidenings.contains((from, to)),
           s"TxnLake.widenColumnType: ${from.simpleString} -> " +
             s"${to.simpleString} is not a lossless widening (allowed: " +
             "byte/short/int up the integer family, int-family -> " +
             "double, float -> double)")
-        require(!(entry.bloomCols.contains(name) && to == DoubleType),
-          s"TxnLake.widenColumnType: $name is bloom-indexed — a double " +
+        require(!(entry.bloomCols.exists(res(_, canon)) && to == DoubleType),
+          s"TxnLake.widenColumnType: $canon is bloom-indexed — a double " +
             "promotion changes the key rendering the sidecars hashed " +
             "(\"5\" vs \"5.0\") and would turn misses into wrong file " +
             "skips; drop the column's bloom declaration first")
         AlterSpec(StructType(cur.fields.map(f =>
-          if (f.name == name) f.copy(dataType = to) else f)))
+          if (f.name == canon) f.copy(dataType = to) else f)))
     }
 
   /** The live CHECK constraints of a table (name → SQL expression) —
@@ -3656,7 +3705,7 @@ object TxnLake extends LakeFormat {
       droppedCols = srcEntry.droppedCols,
       constraints = srcEntry.constraints,
       genCols = srcEntry.genCols,
-      ts = Some(System.currentTimeMillis())))
+      ts = nextTs(None)))
     val tmp = new Path(logDir(target), s"v0.json.tmp-$salt")
     val out = f.create(tmp, false)
     try out.write(entry.getBytes("UTF-8")) finally out.close()

@@ -30,8 +30,12 @@ import graft.sources.TxnLake
   * data and file layout are untouched — maintenance on the source is
   * observationally invisible downstream, exactly the x40 trust-model
   * property at the replication grain. Version 0 bootstraps from the
-  * snapshot (every row an insert); an EMPTY source v0 founds nothing
-  * and the marker first lands with the first data-bearing version.
+  * snapshot (every row an insert); an EMPTY source v0 (or an aged
+  * source whose latest snapshot is empty) founds the replica as an
+  * empty TYPED table whose marker still lands — the offset must
+  * advance even through an empty hop, or every subsequent poll
+  * re-pays the founding decision (the fullHistoryLive existence
+  * probes) until data appears.
   * Founding against an AGED source — one whose early versions' files
   * were vacuumed, so the v0 replay is impossible (and on a long live
   * log, wasteful) — bootstraps from the LATEST snapshot instead: one

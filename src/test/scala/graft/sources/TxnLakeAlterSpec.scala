@@ -203,4 +203,62 @@ class TxnLakeAlterSpec extends SparkSpec {
       TxnLake.addColumn(spark, t, "k", LongType) // exists
     }
   }
+
+  test("tombstone and duplicate guards resolve CASE-INSENSITIVELY (the " +
+    "session default): a re-cased name cannot resurrect dropped bytes") {
+    import spark.implicits._
+    val t = fresh()
+    build(t)
+    TxnLake.dropColumn(spark, t, "v")
+    // a data commit under ANY casing of the tombstoned name is refused —
+    // Spark's default case-insensitive parquet resolution would bind "V"
+    // to the old files' "v" bytes
+    val e = intercept[IllegalArgumentException] {
+      TxnLake.commit(spark, Seq((500L, "boom")).toDF("k", "V").coalesce(1),
+        t, "append")
+    }
+    assert(e.getMessage.contains("DROPPED"))
+    intercept[IllegalArgumentException] {
+      TxnLake.addColumn(spark, t, "V", StringType)
+    }
+    intercept[IllegalArgumentException] {
+      TxnLake.addGeneratedColumn(spark, t, "V", StringType, "'x'")
+    }
+    // duplicate check is case-insensitive too
+    intercept[IllegalArgumentException] {
+      TxnLake.addColumn(spark, t, "K", LongType)
+    }
+    // dropColumn accepts any casing and records the STORED name in the
+    // tombstone + bloom retirement
+    val t2 = fresh()
+    build(t2)
+    TxnLake.commit(spark, Seq((900L, "w")).toDF("k", "v").coalesce(1),
+      t2, "append", bloomCols = Seq("v"))
+    TxnLake.dropColumn(spark, t2, "V")
+    assert(TxnLake.read(spark, t2).columns.toSeq == Seq("k"))
+    assert(TxnLake.bloomColumns(spark, t2).isEmpty,
+      "a re-cased drop must still retire the stored column's bloom")
+  }
+
+  test("a tombstone-refused commit pays no data write and orphans no " +
+    "data dir — the guard runs before step 1") {
+    import spark.implicits._
+    val t = fresh()
+    build(t)
+    TxnLake.dropColumn(spark, t, "v")
+    def dataDirs(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(t, "data")
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    val before = dataDirs()
+    intercept[IllegalArgumentException] {
+      TxnLake.commit(spark, Seq((501L, "boom")).toDF("k", "v").coalesce(1),
+        t, "append")
+    }
+    assert(dataDirs() == before,
+      "a refused resurrect must leave no unreferenced data dir behind")
+  }
 }

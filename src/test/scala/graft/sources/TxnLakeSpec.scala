@@ -969,4 +969,30 @@ class TxnLakeSpec extends SparkSpec {
     assert(TxnLake.lastTxn(spark, t, "m").contains(5L),
       "extraTxns merge must be monotone")
   }
+
+  test("in-commit timestamps are STRICTLY monotone at write time, so " +
+    "readAsOf(commitTimestamp(v)) round-trips for every version") {
+    import spark.implicits._
+    val t = freshTable()
+    // a tight commit loop lands several versions inside the same wall
+    // millisecond: without the write-side max(clock, prev+1) clamp two
+    // entries share a ts and the raw exposed value fails to round-trip
+    (0 until 6).foreach { i =>
+      TxnLake.commit(spark, Seq(i).toDF("x").coalesce(1), t, "append")
+    }
+    val ts = (0L to 5L).map(TxnLake.commitTimestamp(spark, t, _))
+    assert(ts.sliding(2).forall { case Seq(a, b) => a < b },
+      s"in-commit timestamps must be strictly increasing, got $ts")
+    (0L to 5L).foreach { v =>
+      assert(TxnLake.versionAsOf(spark, t, ts(v.toInt)).contains(v),
+        s"commitTimestamp($v) must resolve back to version $v")
+    }
+    // metadata/restore publishes clamp the same way
+    TxnLake.addColumn(spark, t, "y",
+      org.apache.spark.sql.types.LongType) // v6
+    val v7 = TxnLake.restore(spark, t, 3L) // v7
+    val all = (0L to v7).map(TxnLake.commitTimestamp(spark, t, _))
+    assert(all.sliding(2).forall { case Seq(a, b) => a < b },
+      s"ALTER/restore entries must keep the clamp, got $all")
+  }
 }

@@ -236,4 +236,50 @@ class TxnReplicaFeedSpec extends SparkSpec {
       "a replayed (appId, version) must no-op at the commit")
     assert(rows(rep)(3L) == "NEW", "the replay must not regress the row")
   }
+
+  test("an EMPTY founding hop still lands the offset marker: the " +
+    "replica founds typed-empty and later polls never re-pay the " +
+    "founding decision") {
+    import spark.implicits._
+    val (src, rep) = fresh()
+    // empty v0: typed frame, zero rows
+    TxnLake.commit(spark,
+      Seq.empty[(Long, String)].toDF("k", "v").coalesce(1), src, "append")
+    val feed = new TxnReplicaFeed(src, rep, "repl", "k")
+    assert(feed.poll(spark) == 1, "the empty founding hop must commit")
+    assert(TxnLake.lastTxn(spark, rep, "repl").contains(0L),
+      "the marker is the offset — it must land even on an empty hop")
+    assert(TxnLake.read(spark, rep).isEmpty)
+    assert(feed.poll(spark) == 0, "caught up — no refounding")
+    // data arrives later: exactly one hop applies on the SAME offset line
+    TxnLake.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), src, "append")
+    assert(feed.poll(spark) == 1)
+    assert(rows(rep) == Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("founding against an aged source whose LATEST snapshot is empty " +
+    "lands the marker at latest — no per-poll fullHistoryLive re-pay") {
+    import spark.implicits._
+    val (src, rep) = fresh()
+    TxnLake.commit(spark,
+      (0L until 20L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      src, "append") // v0
+    TxnLake.deleteWhere(spark, src, lit(true)) // v1: empty snapshot
+    TxnLake.vacuum(spark, src, retainVersions = 1)
+    assert(!TxnLake.fullHistoryLive(spark, src), "fixture: source is aged")
+    val feed = new TxnReplicaFeed(src, rep, "repl", "k")
+    feed.poll(spark)
+    assert(TxnLake.lastTxn(spark, rep, "repl").contains(1L),
+      "the empty-latest founding must persist the offset at latest")
+    assert(TxnLake.read(spark, rep).isEmpty)
+    val repV = TxnLake.latestVersion(spark, rep)
+    assert(feed.poll(spark) == 0
+      && TxnLake.latestVersion(spark, rep) == repV,
+      "subsequent polls are pure no-ops — the decision was cached in " +
+        "the marker, not recomputed")
+    TxnLake.commit(spark,
+      Seq((7L, "x")).toDF("k", "v").coalesce(1), src, "append") // v2
+    assert(feed.poll(spark) == 1 && rows(rep) == Map(7L -> "x"))
+  }
 }
