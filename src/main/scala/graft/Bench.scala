@@ -66,6 +66,14 @@ object Bench {
       if (args.nonEmpty) Some(args.toSet) else None
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // ISOLATED queries run alone in their own fresh session: x52's
+    // 12-merge replication lifecycle measured 8.2-15 s depending on which
+    // chunk-mates shared its session (r15/r16 minor), because the
+    // registry's alphabetical 4-query chunking re-deals neighbors every
+    // time the registry grows. Pinning it to a dedicated chunk makes its
+    // recording chunk-composition-independent (the restart sits outside
+    // the timed section, like every other chunk boundary).
+    val isolate = Set("x52_stream_replica_feed")
     var contractChecked = false
     var contractWarnings = 0
     // the thread count the measured sessions ACTUALLY ran with (the first
@@ -74,7 +82,10 @@ object Bench {
     // ignore the requested master, and that silent divergence is exactly
     // what this field exists to expose
     var threadsActual = 0
-    val results = names.grouped(math.max(1, group)).flatMap { chunk =>
+    val (isoNames, restNames) = names.partition(isolate.contains)
+    val chunks = restNames.grouped(math.max(1, group)).toSeq ++
+      isoNames.map(Seq(_))
+    val results = chunks.iterator.flatMap { chunk =>
       val spark = GraftSession.local()
       // stop() in finally: a wedged chunk must not leak its SparkContext —
       // the next chunk's getOrCreate would silently reuse it, defeating
@@ -140,10 +151,27 @@ object Bench {
     // threads: executor-thread count the sessions actually ran with — a
     // silent local[4] fallback once inflated CPU-bound queries 3x, so the
     // artifact records it rather than leaving core count to assumption
+    // cache_mb: the host page-cache size (Buffers+Cached, MB) stamped
+    // into the artifact so cross-round comparisons self-adjudicate —
+    // the r15/r16 uniform drifts each cost a judge A/B to attribute to
+    // a reclaim-daemon-pinned page cache (~2-4 GB on a 128 GB box)
+    // rather than code; with the stamp that is a one-line read. -1 =
+    // /proc/meminfo unreadable (non-Linux).
+    val cacheMb: Long =
+      try {
+        var kb = 0L
+        java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get("/proc/meminfo"))
+          .forEach { l =>
+            if (l.startsWith("Cached:") || l.startsWith("Buffers:"))
+              kb += l.trim.split("\\s+")(1).toLong
+          }
+        kb / 1024
+      } catch { case _: Exception => -1L }
     def line(qs: String, extra: String = ""): String = {
       val contracts =
         if (contractWarnings > 0) s""","contracts":$contractWarnings""" else ""
-      s"""{"metric":"total","value":${s2(total)},"unit":"sec"$extra$contracts,"threads":$threadsActual,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec"$extra$contracts,"threads":$threadsActual,"cache_mb":$cacheMb,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // SIDECAR: the complete, never-truncated metric JSON lands in a FILE
     // (r13 lost 8 per-query entries to the stdout tail window); the

@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * SCALE.md records the adjudicated table.
   *
   * Usage: runMain graft.ScaleStress <baseSfDir>
-  * <factors csv|skew|bigdoc|vecprune|ndprune> [queries csv]
+  * <factors csv|skew|bigdoc|vecprune|ndprune|ndpruneac> [queries csv]
   */
 object ScaleStress {
 
@@ -648,6 +648,22 @@ object ScaleStress {
           val dir = s"$tmp/graft_scale_f$fct"
           buildScaled(spark, baseDir, fct, dir)
           measureNdPrune(spark, listener, dir, s""""factor":$fct""")
+        }
+      } else if (spec == "ndpruneac") {
+        // the ABOVE-CAP regime of the same probe: the driver-key bound
+        // forced to 1, so the kept-file membership decision distributes
+        // (readKeyedDistributed) — the curve must stay flat here too,
+        // since a backfill-sized delta no longer falls back to the
+        // O(index) full scan (the r16 verdict's #1 ask)
+        val factors = (if (args.length > 2) args(2) else "1,10")
+          .split(",").map(_.trim.toInt).toSeq
+        factors.foreach { fct =>
+          val dir = s"$tmp/graft_scale_f$fct"
+          buildScaled(spark, baseDir, fct, dir)
+          spark.conf.set("graft.probe.maxDriverKeys", "1")
+          try measureNdPrune(spark, listener, dir,
+            s""""factor":$fct,"abovecap":true""")
+          finally spark.conf.unset("graft.probe.maxDriverKeys")
         }
       } else if (spec == "cdcapply") {
         val factors = (if (args.length > 2) args(2) else "1,10")

@@ -186,7 +186,9 @@ object MinHashDedup {
   private def indexedProbeFrom(shD: DataFrame, bandsD: DataFrame,
                                index: DataFrame, corpus: DataFrame,
                                threshold: Double,
-                               materialize: Boolean): DataFrame = {
+                               materialize: Boolean,
+                               corpusForIdsDf: DataFrame => DataFrame = null)
+      : DataFrame = {
     val candLazy = bandsD.as("x")
       .join(index.as("y"),
         col("x.b") === col("y.b") && col("x.bh") === col("y.bh"))
@@ -197,8 +199,15 @@ object MinHashDedup {
     // equi-join would execute twice per batch, the exact cost the index
     // exists to avoid (the cache boundary blocks exchange reuse)
     val cand = if (materialize) candLazy.localCheckpoint() else candLazy
-    val needed = corpus.join(
-      cand.select(col("doc_b").as("doc_id")), Seq("doc_id"), "left_semi")
+    val candIds = cand.select(col("doc_b").as("doc_id"))
+    // with a distributed id loader, the candidate text rebuild scans only
+    // the files whose doc_id sidecars might hold a candidate (superset),
+    // re-narrowed to exact candidates by the same delta-scaled semi-join
+    // the full-scan shape pays
+    val needed =
+      if (corpusForIdsDf == null)
+        corpus.join(candIds, Seq("doc_id"), "left_semi")
+      else corpusForIdsDf(candIds).join(candIds, Seq("doc_id"), "left_semi")
     val shC = shingleTable(needed).cache()
     verifyIncremental(cand, shD, shC, threshold, materialize)
   }
@@ -234,29 +243,43 @@ object MinHashDedup {
     * (4 band keys per doc; candidate ids by true collisions) — the
     * production daily-ingest contract. `shouldPrune(bandKeyCount)` is the
     * caller's planner rule (driver-collectable AND small relative to the
-    * index — see CurationStream.pruneWorthwhile); when it refuses (a
-    * backfill replaying months at once, a bootstrap wave that IS the
-    * corpus) the probe falls back to the shuffle join against
-    * `indexFull`/`corpusFull` — the pre-x46 delta-scaled shape, identical
-    * semantics, no driver collect and no broadcast of a corpus-sized
-    * delta. */
+    * index — see CurationStream.pruneWorthwhile; null = the unified
+    * [[graft.plans.ProbePlanner.maxDriverKeys]] bound); when it refuses
+    * (a backfill replaying months at once, a bootstrap wave that IS the
+    * corpus) and the caller supplied the DISTRIBUTED loaders, the probe
+    * keeps its scan pruning with the membership decision on the
+    * executors: `indexForKeysDf(bhDf)` loads the band-index rows whose
+    * bh sidecars might contain one of the delta's (distributed) band
+    * hashes, and `corpusForIdsDf(idsDf)` the candidate partners' text —
+    * no driver collect, no broadcast of a corpus-sized delta, and no
+    * full-index scan either (the r16 verdict's ask). Without the
+    * loaders the pre-x46 shuffle join against `indexFull`/`corpusFull`
+    * remains the fallback — identical semantics either way. */
   def incrementalMatchesIndexedPruned(delta: DataFrame,
                                       indexForBands: Seq[String] => DataFrame,
                                       corpusForIds: Seq[Long] => DataFrame,
                                       indexFull: => DataFrame,
                                       corpusFull: => DataFrame,
                                       threshold: Double = 0.7,
-                                      shouldPrune: Long => Boolean = _ <= 4000000L): DataFrame = {
+                                      shouldPrune: Long => Boolean = null,
+                                      indexForKeysDf: DataFrame => DataFrame = null,
+                                      corpusForIdsDf: DataFrame => DataFrame = null): DataFrame = {
+    val cap = graft.plans.ProbePlanner.maxDriverKeys(delta.sparkSession)
+    val sp: Long => Boolean =
+      if (shouldPrune != null) shouldPrune else _ <= cap
     val shD = shingleTable(delta).cache()
     // delta bands materialized ONCE: they feed the size probe, the key
     // collect, AND the broadcast build (an unpinned plan would re-minhash
     // the delta for each)
     val bandsD = org.apache.spark.sql.GraftCheckpointShim
       .dropCarriedStats(bandTable(shD).localCheckpoint())
-    if (!shouldPrune(bandsD.count())) {
+    if (!sp(bandsD.count())) {
       lastProbeCandShuffleFree = false
-      return indexedProbeFrom(shD, bandsD, indexFull, corpusFull, threshold,
-        materialize = true)
+      return indexedProbeFrom(shD, bandsD,
+        if (indexForKeysDf == null) indexFull
+        else indexForKeysDf(bandsD.select("bh")),
+        corpusFull, threshold, materialize = true,
+        corpusForIdsDf = corpusForIdsDf)
     }
     val bhKeys = bandsD.select("bh").distinct().collect()
       .map(_.getString(0)).toSeq
@@ -268,11 +291,15 @@ object MinHashDedup {
     lastProbeCandShuffleFree = graft.plans.PlanChecks.shuffleFree(candLazy)
     val candIds = cand.select(col("doc_b").as("doc_id")).distinct()
     // candidate partners are true-collision-bounded, but a dup-storm batch
-    // can fan out — a fixed driver-size guard bounds the id collect
+    // can fan out — the SAME unified bound guards the id collect; above
+    // it the id membership distributes too (or falls back to the full
+    // corpus scan when the caller has no keyed loader)
     val needed =
-      if (candIds.count() > 4000000L)
-        corpusFull.join(candIds, Seq("doc_id"), "left_semi")
-      else {
+      if (candIds.count() > cap) {
+        val base =
+          if (corpusForIdsDf == null) corpusFull else corpusForIdsDf(candIds)
+        base.join(candIds, Seq("doc_id"), "left_semi")
+      } else {
         val ids = candIds.collect().map(_.getLong(0)).toSeq
         corpusForIds(ids).join(broadcast(candIds), Seq("doc_id"), "left_semi")
       }

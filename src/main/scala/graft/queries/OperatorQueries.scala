@@ -2662,6 +2662,137 @@ object OperatorQueries {
       .orderBy("doc_id")
   }
 
+  /** x46's scan-scaled near-dup probe in the ABOVE-CAP regime (x63):
+    * `graft.probe.maxDriverKeys` is forced to 1 for the probe only, so
+    * the delta's fingerprints and band keys must NOT collect to the
+    * driver — the kept-file membership decision runs on the executors
+    * ([[graft.sources.TxnLake.readKeyedDistributed]]: the per-file bloom
+    * sidecars load as data, each key partition probes them with early
+    * exit, only hit-file ordinals return) and the index/corpus scans
+    * STILL prune (real skipping counters gated kept < total) instead of
+    * the pre-r17 O(index) full-scan fallback the r15/r16 verdicts
+    * flagged. Probe decisions unchanged from x46: the near-dup arrival
+    * drops, the fresh arrival survives. Oracle = x33's verbatim (the
+    * probe is never committed, so the table is byte-identical to the
+    * unprobed ingest). */
+  val streamNearDupProbeAboveCap = OracleQuery(
+    "x63_stream_neardup_probe_abovecap",
+    curatedNearDupIngestOracleSql) { (s, d) =>
+    import graft.sources.TxnLake
+    import graft.streaming.CurationStream
+    val w1 = docLanding(s, d, "curwave1", _.filter(col("doc_id") % 3 =!= 0))
+    val w2 = docLanding(s, d, "curwave2", _.filter(col("doc_id") % 3 === 0))
+    val base = Scratch.dir("cur_probe_nd_ac")
+    val table = s"$base/t"
+    CurationStream.runCuratedTwoWaveIngestNearDup(
+      w1, w2, table, s"$base/ckpt", "x63_ingest", s)
+    val committed = TxnLake.read(s, table)
+      .filter(col("ingest_batch") === 0).orderBy("doc_id")
+      .select("doc_id", "text").limit(2).collect()
+    require(committed.length == 2, "fixture needs two wave-1 docs")
+    val nearDupText = committed(0).getString(1) + " zzprobeextra"
+    val freshText = committed(1).getString(1).split("\\s+").reverse
+      .mkString(" ")
+    val probe = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(900001L, nearDupText),
+      org.apache.spark.sql.Row(900002L, freshText)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    s.conf.set("graft.probe.maxDriverKeys", "1")
+    try {
+      val out = CurationStream.curateBatchNearDup(probe, table, 2L,
+        "x63_ingest")
+      val keptIds = out.select("doc_id").collect().map(_.getLong(0)).toSeq
+      require(keptIds == Seq(900002L),
+        s"above-cap probe must drop the near-dup and keep the fresh doc, " +
+          s"kept $keptIds")
+      require(CurationStream.probePaths.get((table, 2L)).contains("indexed"),
+        s"above-cap probe must still ride the delta-vs-index path, got " +
+          s"${CurationStream.probePaths.get((table, 2L))}")
+      require(TxnLake.lastKeyedProbeDistributed,
+        "the membership decision must run on the executors above the cap")
+      require(!graft.operators.MinHashDedup.lastProbeCandShuffleFree,
+        "above the cap the broadcast is given up — the plan must not " +
+          "claim shuffle-freedom")
+      val (bKept, bTotal) = CurationStream.lastBandIndexSkipping
+      require(bTotal >= 2 && bKept >= 1 && bKept < bTotal,
+        s"band-index sidecars must STILL skip untouched files above the " +
+          s"cap — never the full-index fallback: $bKept/$bTotal")
+      val (fKept, fTotal) = CurationStream.lastFpSkipping
+      require(fTotal >= 1 && fKept < fTotal,
+        s"fresh-fp delta must skip corpus fp files above the cap: " +
+          s"$fKept/$fTotal")
+    } finally s.conf.unset("graft.probe.maxDriverKeys")
+    TxnLake.read(s, table)
+      .select("doc_id", "fp", "n_tokens", "ingest_batch")
+      .orderBy("doc_id")
+  }
+
+  /** x47's scan-scaled decontamination probe in the ABOVE-CAP regime
+    * (x64) — x63's proof for the window-index type: with
+    * `graft.probe.maxDriverKeys` forced to 1 the delta's 13-gram windows
+    * keep distributed, the `_windex` kept-file decision runs on the
+    * executors, the pruned scan still skips untouched index files (real
+    * counters gated), and the excision is asserted EXACTLY as in x47 (a
+    * committed-A + reversed-B probe loses precisely the A span). Oracle
+    * = x34's verbatim. */
+  val streamDecontamProbeAboveCap = OracleQuery(
+    "x64_stream_decontam_probe_abovecap",
+    curatedDecontamIngestOracleSql) { (s, d) =>
+    import graft.sources.TxnLake
+    import graft.streaming.CurationStream
+    val w1 = docLanding(s, d, "curwave1", _.filter(col("doc_id") % 3 =!= 0))
+    val w2 = docLanding(s, d, "curwave2", _.filter(col("doc_id") % 3 === 0))
+    val base = Scratch.dir("cur_probe_dc_ac")
+    val table = s"$base/t"
+    CurationStream.runCuratedTwoWaveIngestDecontam(
+      w1, w2, table, s"$base/ckpt", "x64_ingest", s)
+    val committed = TxnLake.read(s, table)
+      .filter(col("ingest_batch") === 0 && col("n_removed") === 0
+        && col("n_tokens") >= 20)
+      .orderBy("doc_id").select("doc_id", "text").limit(2).collect()
+    require(committed.length == 2, "fixture needs two clean wave-1 docs")
+    val aToks = committed(0).getString(1).split("\\s+").toSeq
+    val bToks = committed(1).getString(1).split("\\s+").reverse.toSeq
+    val probeText = (aToks ++ bToks).mkString(" ")
+    val probe = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(900001L, probeText)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    s.conf.set("graft.probe.maxDriverKeys", "1")
+    try {
+      val out = CurationStream.curateBatchDecontam(probe, table, 2L,
+        "x64_ingest").collect()
+      require(out.length == 1, s"probe doc must survive, got ${out.length}")
+      val row = out.head
+      val nRemoved = row.getAs[Int]("n_removed")
+      val cleaned = row.getAs[String]("text")
+      require(nRemoved == aToks.size && cleaned == bToks.mkString(" "),
+        s"above-cap mask must excise exactly the committed A span: " +
+          s"removed $nRemoved of expected ${aToks.size}")
+      require(CurationStream.probePaths.get((table, 2L)).contains("indexed"),
+        s"above-cap probe must ride the window-index path, got " +
+          s"${CurationStream.probePaths.get((table, 2L))}")
+      require(TxnLake.lastKeyedProbeDistributed,
+        "the membership decision must run on the executors above the cap")
+      require(!CurationStream.lastDecontamProbeShuffleFree,
+        "above the cap the broadcast is given up — no shuffle-free claim")
+      val (wKept, wTotal) = CurationStream.lastWindexSkipping
+      require(wTotal >= 2 && wKept >= 1 && wKept < wTotal,
+        s"window-index sidecars must STILL skip untouched files above " +
+          s"the cap — never the full-index fallback: $wKept/$wTotal")
+    } finally s.conf.unset("graft.probe.maxDriverKeys")
+    TxnLake.read(s, table)
+      .select("doc_id", "fp", "n_tokens", "n_removed", "text", "ingest_batch")
+      .orderBy("doc_id")
+  }
+
   /** MERGE INTO as a registered lake operation (x48) — the production
     * upsert path completing the DML surface (DELETE x44, UPDATE x49):
     * copy-on-write, stats-scoped by the merge KEYS, so only the files
@@ -4028,5 +4159,6 @@ object OperatorQueries {
       txnCdcApply, txnReplicaSync, streamReplicaFeed, txnMergeEvolve,
       txnDeletionVectors, txnUpdateDv, txnTimestampTravel, txnClone,
       txnAlterColumns, txnCheckConstraints, txnDescribeVacuum,
-      txnGeneratedColumns, txnTypeWidening)
+      txnGeneratedColumns, txnTypeWidening,
+      streamNearDupProbeAboveCap, streamDecontamProbeAboveCap)
 }

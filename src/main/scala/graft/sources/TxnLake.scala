@@ -565,6 +565,11 @@ object TxnLake extends LakeFormat {
     * a distributed job (true) or the driver inline loop (false). */
   @volatile private[sources] var lastHarvestDistributed: Boolean = false
 
+  /** Observability seam: parallelism of the last deep-clone copy job
+    * (0 = no deep clone ran) — gates that the copy is distributed, not
+    * a serial driver loop. */
+  @volatile private[sources] var lastCloneCopySlices: Int = 0
+
   /** Harvest footer stats for every committed file. Small commits loop on
     * the driver; larger ones fan the footer reads out as one Spark job —
     * per-file work is independent, so this is the executor-side stats
@@ -606,61 +611,103 @@ object TxnLake extends LakeFormat {
 
   // ---- per-file bloom sidecars (point-lookup skipping) -----------------
 
-  /** Build and publish the per-file [[BloomIndex]] sidecars for a commit's
-    * freshly-written files and flag the indexed columns in each file's
-    * stats. One distributed scan of the NEW files only (delta-sized — the
-    * cost Delta's bloom-filter index pays inside the write transaction;
-    * min/max stats are free from footers, membership bits are not).
-    * Values index in their Spark string rendering (the BloomIndex domain);
-    * a file with no rows (or all-null values) gets an all-zero bloom —
-    * "definitely absent" for every key, which is exactly right. Sidecars
-    * land in the immutable data dir BEFORE the log entry publishes, so a
-    * reader can never see a flagged file without its sidecar. */
-  private def buildBloomSidecars(spark: SparkSession, tablePath: Path,
-                                 f: FileSystem, files: Seq[FileMeta],
-                                 bloomCols: Seq[String],
-                                 schema: StructType): Seq[FileMeta] = {
-    val applicable = bloomCols.filter(schema.fieldNames.contains)
-    if (applicable.isEmpty || files.isEmpty) return files
+  /** Count of post-write data scans the last commit performed over its
+    * freshly-written files — the "one read of fresh bytes per commit"
+    * seam the fold below is gated by (0 = neither blooms nor checks were
+    * needed; never 2 since r17: the sidecar build and the constraint
+    * scan share ONE pass). */
+  @volatile private[sources] var lastPostWriteScans: Int = 0
+
+  /** The ONE post-write pass over a commit's freshly-written files:
+    * builds the per-file [[BloomIndex]] sidecar bits AND evaluates every
+    * CHECK-constraint / generated-column verdict in the SAME distributed
+    * scan — the fresh bytes are read once per commit, not once per
+    * concern (the r15 A/B pinned ~10 % of like-for-like ingest cost on
+    * the sidecar re-read alone, and r16's constraint enforcement added a
+    * second read on constrained tables; the r16 verdict asked for the
+    * fold). Delta-sized — the cost Delta pays inside the write
+    * transaction; min/max stats are free from footers, membership bits
+    * and verdicts are not.
+    *
+    * Reads under the MERGED table schema (`readSchema`): constraint
+    * expressions may reference columns this delta omits (null-fill — SQL
+    * CHECK passes NULL verdicts), and the bloom value rendering is
+    * unchanged because every accepted type promotion is render-stable
+    * (the double hazard is refused at [[widenColumnType]]). Returns the
+    * stats-flagged FileMetas plus per-check violation counts; violations
+    * are counted BEFORE any sidecar is written, so a refused commit
+    * leaves nothing beside the data dir its caller deletes. A file with
+    * no rows (or all-null values) gets an all-zero bloom — "definitely
+    * absent" for every key, which is exactly right. Sidecars land in the
+    * immutable data dir BEFORE the log entry publishes, so a reader can
+    * never see a flagged file without its sidecar. */
+  private def postWritePass(spark: SparkSession, tablePath: Path,
+                            f: FileSystem, files: Seq[FileMeta],
+                            bloomCols: Seq[String], writeSchema: StructType,
+                            readSchema: StructType,
+                            checks: Seq[(String, org.apache.spark.sql.Column)])
+      : (Seq[FileMeta], Seq[Long]) = {
+    val applicable = bloomCols.filter(writeSchema.fieldNames.contains)
+    if ((applicable.isEmpty && checks.isEmpty) || files.isEmpty) {
+      lastPostWriteScans = 0
+      return (files, checks.map(_ => 0L))
+    }
+    lastPostWriteScans = 1
     import org.apache.spark.sql.functions.{col, input_file_name}
-    val scan = spark.read.schema(schema)
+    val scan = spark.read.schema(readSchema)
       .parquet(files.map(fm => new Path(tablePath, fm.path).toString): _*)
-    val proj = scan.select(input_file_name() +:
-      applicable.map(c => col(c).cast("string")): _*)
+    val proj = scan.select(
+      (input_file_name() +: applicable.map(c => col(c).cast("string"))) ++
+        checks.map { case (_, v) => v.cast("boolean") }: _*)
     val nCols = applicable.size
+    val nChecks = checks.size
     val built = proj.rdd.mapPartitions { it =>
-      val acc = scala.collection.mutable.Map.empty[String, Array[Array[Long]]]
+      val acc = scala.collection.mutable.Map
+        .empty[String, (Array[Array[Long]], Array[Long])]
       it.foreach { r =>
         val file = r.getString(0)
-        val bits = acc.getOrElseUpdate(file,
-          Array.fill(nCols)(BloomIndex.empty()))
+        val (bits, viol) = acc.getOrElseUpdate(file,
+          (Array.fill(nCols)(BloomIndex.empty()), new Array[Long](nChecks)))
         var i = 0
         while (i < nCols) {
           if (!r.isNullAt(i + 1)) BloomIndex.add(bits(i), r.getString(i + 1))
           i += 1
         }
+        var j = 0
+        while (j < nChecks) {
+          val idx = 1 + nCols + j
+          if (!r.isNullAt(idx) && r.getBoolean(idx)) viol(j) += 1
+          j += 1
+        }
       }
       acc.iterator
-    }.reduceByKey((a, b) =>
-      a.zip(b).map { case (x, y) => BloomIndex.merge(x, y) })
-      .collect()
-      .map { case (uri, bits) =>
-        new Path(new java.net.URI(uri)).toUri.getPath -> bits }
+    }.reduceByKey { (a, b) =>
+      (a._1.zip(b._1).map { case (x, y) => BloomIndex.merge(x, y) },
+        a._2.zip(b._2).map { case (x, y) => x + y })
+    }.collect()
+      .map { case (uri, v) =>
+        new Path(new java.net.URI(uri)).toUri.getPath -> v }
       .toMap
-    files.map { fm =>
+    val violations = (0 until nChecks).map { j =>
+      built.valuesIterator.map(_._2(j)).sum }
+    // a violating commit aborts: skip the sidecar publication entirely
+    if (violations.exists(_ > 0)) return (files, violations)
+    val flagged = files.map { fm =>
       val abs = new Path(tablePath, fm.path)
-      val bits = built.getOrElse(abs.toUri.getPath,
-        Array.fill(nCols)(BloomIndex.empty()))
+      val bits = built.get(abs.toUri.getPath).map(_._1)
+        .getOrElse(Array.fill(nCols)(BloomIndex.empty()))
       applicable.zipWithIndex.foreach { case (c, i) =>
         BloomIndex.write(f, abs, c, bits(i))
       }
       val stats = applicable.foldLeft(fm.stats) { (st, c) =>
         val cs = st.getOrElse(c,
-          ColStats(tagOf(schema(c).dataType).getOrElse("s"), None, None, -1L))
+          ColStats(tagOf(writeSchema(c).dataType).getOrElse("s"),
+            None, None, -1L))
         st + (c -> cs.copy(bloom = true))
       }
       fm.copy(stats = stats)
     }
+    (flagged, violations)
   }
 
   /** The table's declared bloom-indexed columns (cumulative — one O(1)
@@ -741,9 +788,120 @@ object TxnLake extends LakeFormat {
         val kept =
           if (keys.isEmpty) Seq.empty
           else files.filter(fileMayContainKeys(spark, table, _, column, keys))
+        lastKeyedProbeDistributed = false
         val df =
           if (kept.isEmpty) scan(Seq(abs(files).head)).where(lit(false))
           else scanFiles(spark, table, kept, schema, entry.dvs)
+        (df, (kept.size, files.size))
+    }
+  }
+
+  /** Observability seam: did the most recent keyed scan decide its kept
+    * set on the executors ([[readKeyedDistributed]]) or the driver
+    * ([[readKeyed]])? The above-cap probe gates read it. */
+  @volatile private[graft] var lastKeyedProbeDistributed: Boolean = false
+
+  /** [[readKeyed]] with the MEMBERSHIP DECISION DISTRIBUTED — the
+    * above-cap regime of the scan-pruned probes: `keysDf`'s first
+    * column (compared in its Spark string rendering, the sidecar hash
+    * domain) probes every candidate file's Bloom sidecar ON THE
+    * EXECUTORS, so no key cardinality ever collects to (or broadcasts
+    * from a collect on) the driver — the ceiling
+    * `graft.probe.maxDriverKeys` imposes on [[readKeyed]]'s key-list
+    * form simply does not apply. Shape:
+    *
+    *  1. the per-file sidecars load AS DATA in one tiny parallel job —
+    *     O(snapshot files) 16 KiB reads, the same metadata class the
+    *     snapshot resolution already holds driver-side — and broadcast
+    *     to the key scan;
+    *  2. each key partition walks its keys against the file blooms,
+    *     keeping a per-file hit flag with EARLY EXIT once every file is
+    *     hit (a blanket delta degrades to one cheap pass, not
+    *     keys x files work);
+    *  3. only the hit file ORDINALS — O(files that truly share a key),
+    *     never O(keys) — return to the driver to select the kept set.
+    *
+    * Files without a flagged/readable sidecar are conservatively kept,
+    * exactly like [[readKeyed]]. Purely an I/O reduction: the scan is a
+    * SUPERSET of the rows whose `column` equals one of the keys, and
+    * the caller's own join provides exactness — so at any delta size
+    * the probe's index-side I/O tracks true key collisions, not corpus
+    * size (the fix the r15/r16 verdicts asked for: a backfill-sized
+    * delta no longer falls back to the O(index) full scan). */
+  def readKeyedDistributed(spark: SparkSession, table: String,
+                           column: String, keysDf: DataFrame,
+                           version: Option[Long] = None)
+      : (DataFrame, (Int, Int)) = {
+    version.orElse(latestVersion(spark, table)) match {
+      case None => (spark.emptyDataFrame, (0, 0))
+      case Some(v) =>
+        val files = resolveFiles(spark, table, v)
+        requireLive(spark, table, v, files)
+        if (files.isEmpty) return (spark.emptyDataFrame, (0, 0))
+        val entry = readEntry(spark, table, v)
+        val schema = entry.schemaStruct
+        val (bloomed, unbloomed) =
+          files.partition(_.stats.get(column).exists(_.bloom))
+        val keepPaths: Set[String] =
+          if (bloomed.isEmpty) Set.empty
+          else {
+            val tbl = table
+            val colName = column
+            val ser = new SerConf(spark.sparkContext.hadoopConfiguration)
+            val slices = math.min(bloomed.size,
+              math.max(1, spark.sparkContext.defaultParallelism))
+            val loaded = spark.sparkContext
+              .parallelize(bloomed.map(_.path).zipWithIndex, slices)
+              .map { case (rel, i) =>
+                val p = new Path(tbl, rel)
+                (i, BloomIndex.read(p.getFileSystem(ser.value), p, colName))
+              }.collect()
+            val withBits = loaded.collect { case (i, Some(bits)) => (i, bits) }
+            val missing = loaded.collect { case (i, None) => i }
+            val hit: Array[Int] =
+              if (withBits.isEmpty) Array.empty
+              else {
+                val bc = spark.sparkContext.broadcast(withBits)
+                import spark.implicits._
+                val keyCol = keysDf.columns.head
+                val keys = keysDf
+                  .select(org.apache.spark.sql.functions.col(keyCol)
+                    .cast("string")).na.drop().as[String]
+                val out = keys.mapPartitions { it =>
+                  val arr = bc.value
+                  val n = arr.length
+                  val h = new Array[Boolean](n)
+                  var remaining = n
+                  while (it.hasNext && remaining > 0) {
+                    val k = it.next()
+                    var i = 0
+                    while (i < n && remaining > 0) {
+                      if (!h(i) && BloomIndex.mightContain(arr(i)._2, k)) {
+                        h(i) = true; remaining -= 1
+                      }
+                      i += 1
+                    }
+                  }
+                  Iterator.range(0, n).filter(h(_)).map(arr(_)._1)
+                }.distinct().collect()
+                bc.unpersist(blocking = false)
+                out
+              }
+            val keep = hit.toSet ++ missing
+            bloomed.zipWithIndex
+              .collect { case (fm, i) if keep(i) => fm.path }.toSet
+          }
+        val keepAll = keepPaths ++ unbloomed.map(_.path)
+        val kept = files.filter(fm => keepAll(fm.path))
+        lastKeyedProbeDistributed = true
+        val df =
+          if (kept.isEmpty) {
+            val head = Seq(new Path(table, files.head.path).toString)
+            (schema match {
+              case Some(st) => spark.read.schema(st).parquet(head: _*)
+              case None => spark.read.parquet(head: _*)
+            }).where(lit(false))
+          } else scanFiles(spark, table, kept, schema, entry.dvs)
         (df, (kept.size, files.size))
     }
   }
@@ -954,8 +1112,53 @@ object TxnLake extends LakeFormat {
       val allBloomCols =
         (lastEntry.map(_.bloomCols).getOrElse(Seq.empty) ++ bloomCols)
           .distinct.filterNot(dropBloomCols.contains)
-      val added = buildBloomSidecars(spark, tablePath, f, added0,
-        allBloomCols, dfOut.schema)
+      // every commit carries the CUMULATIVE table schema forward (Delta's
+      // metaData action): appends merge new columns in, overwrite resets —
+      // so readers resolve the snapshot schema from ONE log entry instead
+      // of merging footers across the whole file list. Computed before
+      // the post-write pass, which reads the fresh files under it.
+      val tableSchema = schemaOverride.getOrElse(mergedSchema(
+        lastEntry.flatMap(_.schemaJson)
+          .map(DataType.fromJson(_).asInstanceOf[StructType]),
+        dfOut.schema, operation))
+      // CHECK constraints are a table property (Delta's ADD CONSTRAINT):
+      // carried cumulatively, enforced on every data-bearing commit by
+      // scanning ONLY the just-written delta (O(delta), under the merged
+      // schema so evolution-era rows null-fill — SQL CHECK semantics:
+      // NULL passes, only a FALSE verdict violates) — in the SAME
+      // distributed pass that builds the bloom sidecars, so a
+      // constrained + bloom-indexed table reads its fresh bytes ONCE per
+      // commit. A violating commit aborts before the entry publishes,
+      // with nothing visible and the unpublished data dir removed.
+      // GENERATED columns validate on the same pass as the null-safe
+      // invariant `c <=> expr`. Maintenance ("optimize": data-preserving
+      // by the tag's own contract) and CoW DELETE (kept rows are a
+      // subset of already-validated rows) cannot introduce a violating
+      // row — their enforcement is skipped, so a constrained 100 TB
+      // table's compaction never pays a second read of what it rewrites.
+      val tableConstraints =
+        (lastEntry.map(_.constraints).getOrElse(Map.empty)
+          -- dropConstraintNames) ++ newConstraints
+      val checks: Seq[(String, org.apache.spark.sql.Column)] = {
+        import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
+        tableConstraints.toSeq.sortBy(_._1).map { case (n, x) =>
+          (s"$n (`$x`)", not(coalesce(expr(x), lit(true)))) } ++
+          genColsAll.toSeq.sortBy(_._1).map { case (c, x) =>
+            (s"generated column $c (`$x`)", !(col(c) <=> expr(x))) }
+      }
+      val enforce = checks.nonEmpty && added0.nonEmpty &&
+        operation != "optimize" && operation != "delete"
+      val (added, violations) = postWritePass(spark, tablePath, f, added0,
+        allBloomCols, dfOut.schema, tableSchema,
+        if (enforce) checks else Seq.empty)
+      if (violations.exists(_ > 0)) {
+        f.delete(new Path(tablePath, dataRel), true)
+        val violated = checks.zip(violations).collect {
+          case ((label, _), n) if n > 0 => s"$label: $n row(s)" }
+        throw new IllegalStateException(
+          "TxnLake: commit violates CHECK constraint(s) — " +
+            violated.mkString("; ") + "; nothing was committed")
+      }
       // remove actions: append removes nothing (O(1) log reads — the
       // streaming-sink hot path never resolves the snapshot); overwrite
       // and optimize remove every current file, unless the caller scoped
@@ -991,61 +1194,6 @@ object TxnLake extends LakeFormat {
       val extra = extraTxns.map { case (a, b) =>
         a -> math.max(b, prior.getOrElse(a, Long.MinValue)) }
       val txns = prior ++ extra ++ txn.toMap
-      // every commit carries the CUMULATIVE table schema forward (Delta's
-      // metaData action): appends merge new columns in, overwrite resets —
-      // so readers resolve the snapshot schema from ONE log entry instead
-      // of merging footers across the whole file list
-      val tableSchema = schemaOverride.getOrElse(mergedSchema(
-        lastEntry.flatMap(_.schemaJson)
-          .map(DataType.fromJson(_).asInstanceOf[StructType]),
-        dfOut.schema, operation))
-      // CHECK constraints are a table property (Delta's ADD CONSTRAINT):
-      // carried cumulatively, enforced on every data-bearing commit by
-      // re-scanning ONLY the just-written delta (O(delta), under the
-      // merged schema so evolution-era rows null-fill — SQL CHECK
-      // semantics: NULL passes, only a FALSE verdict violates). The scan
-      // happens BEFORE the entry publish, so a violating commit aborts
-      // with nothing visible and the unpublished data dir is removed.
-      // GENERATED columns validate on the same scan as the null-safe
-      // invariant `c <=> expr` — a caller-supplied value that disagrees
-      // with the expression refuses rather than silently winning.
-      val tableConstraints =
-        (lastEntry.map(_.constraints).getOrElse(Map.empty)
-          -- dropConstraintNames) ++ newConstraints
-      val checks: Seq[(String, org.apache.spark.sql.Column)] = {
-        import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
-        tableConstraints.toSeq.sortBy(_._1).map { case (n, x) =>
-          (s"$n (`$x`)", not(coalesce(expr(x), lit(true)))) } ++
-          genColsAll.toSeq.sortBy(_._1).map { case (c, x) =>
-            (s"generated column $c (`$x`)", !(col(c) <=> expr(x))) }
-      }
-      // maintenance ("optimize": data-preserving layout rewrites — the
-      // row multiset is the tag's own contract) and CoW DELETE (kept
-      // rows are a subset of already-validated rows) cannot introduce a
-      // violating row — skip their re-scan so a constrained 100 TB
-      // table's compaction doesn't pay a second read of everything it
-      // rewrites. Everything that can mint or mutate rows (append,
-      // overwrite, merge, update) still validates.
-      if (checks.nonEmpty && added.nonEmpty
-          && operation != "optimize" && operation != "delete") {
-        import org.apache.spark.sql.functions.count_if
-        // explicit file list, not the dir: the data dir also holds bloom
-        // sidecars, which a dir-level parquet scan would choke on
-        val written = spark.read.schema(tableSchema)
-          .parquet(added.map(fm => new Path(tablePath, fm.path).toString): _*)
-        val verdicts = checks.zipWithIndex.map { case ((_, v), i) =>
-          count_if(v).as(s"c$i") }
-        val row = written.agg(verdicts.head, verdicts.tail: _*).head()
-        val violated = checks.zipWithIndex
-          .collect { case ((label, _), i) if row.getLong(i) > 0 =>
-            s"$label: ${row.getLong(i)} row(s)" }
-        if (violated.nonEmpty) {
-          f.delete(new Path(tablePath, dataRel), true)
-          throw new IllegalStateException(
-            "TxnLake: commit violates CHECK constraint(s) — " +
-              violated.mkString("; ") + "; nothing was committed")
-        }
-      }
       // deletion vectors ride the entry CUMULATIVELY (like txns/schema):
       // a removed file's DV dies with it — a rewrite that materializes
       // the masked rows away must not leave a stale mask behind — and
@@ -1282,7 +1430,7 @@ object TxnLake extends LakeFormat {
   private def dvPairsDf(spark: SparkSession, table: String,
                         refs: Seq[(String, DvRef)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, explode,
-      regexp_replace, split, udf}
+      regexp_replace, split}
     import spark.implicits._
     val cap = spark.conf.getOption("graft.probe.maxDriverKeys")
       .map(_.toLong).getOrElse(1000000L)
@@ -1305,20 +1453,15 @@ object TxnLake extends LakeFormat {
             "contract the distributed decode path relies on")
         if (!f.exists(new Path(table, ref.path))) throw missing(ref.path)
       }
-      val decode = udf((bytes: Array[Byte]) => {
-        val buf = java.nio.ByteBuffer.wrap(bytes)
-        val magic = new Array[Byte](4); buf.get(magic)
-        require(java.util.Arrays.equals(magic, DvMagic),
-          "TxnLake: not a deletion vector file")
-        val n = buf.getInt
-        (0 until n).map(_ => buf.getLong)
-      })
+      // native decode expression (graft.expressions.DvDecode), not a UDF
+      // — one eval per sidecar file, loud on a malformed payload
       spark.read.format("binaryFile")
         .load(refs.map { case (_, r) => new Path(table, r.path).toString }: _*)
         .select(
           regexp_replace(element_at(split(col("path"), "/"), -1),
             "\\.dv$", "").as("__graft_dv_fn"),
-          explode(decode(col("content"))).as("__graft_dv_ri"))
+          explode(graft.expressions.LakeExpressions.dvDecode(col("content")))
+            .as("__graft_dv_ri"))
     }
   }
 
@@ -3669,32 +3812,57 @@ object TxnLake extends LakeFormat {
           srcEntry.dvs.map { case (rel, r) =>
             abs(rel) -> DvRef(abs(r.path), r.rows) })
       } else {
-        val conf = spark.sparkContext.hadoopConfiguration
         val dataRel = s"data/v0-$salt"
         f.mkdirs(new Path(target, dataRel))
         val names = files.map(fm => new Path(fm.path).getName)
         require(names.distinct.size == names.size,
           s"TxnLake.cloneTable: duplicate data-file names in $source@$srcV")
-        val copied = files.map { fm =>
-          val src = new Path(source, fm.path)
-          val dst = new Path(target, s"$dataRel/${new Path(fm.path).getName}")
-          org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false, conf)
-          // bloom sidecars ride their data file
-          val dir = src.getParent
-          if (f.exists(dir)) f.listStatus(dir).map(_.getPath).filter(p =>
-            p.getName.startsWith(src.getName + ".bloom.")).foreach { b =>
-            org.apache.hadoop.fs.FileUtil.copy(f, b, f,
-              new Path(target, s"$dataRel/${b.getName}"), false, conf)
-          }
-          fm.copy(path = s"$dataRel/${new Path(fm.path).getName}")
-        }
+        // the copy DISTRIBUTES (r16 verdict minor #3): a deep clone of a
+        // large table through a serial driver loop is days, not hours —
+        // per-file work (data file + its bloom sidecars + DV sidecars)
+        // is independent, so it fans out as one Spark job over the file
+        // list, the same shape harvestAll uses. The driver only ever
+        // holds the file LIST (it already does, from resolveFiles).
+        val ser = new SerConf(spark.sparkContext.hadoopConfiguration)
+        val srcRoot = source
+        val tgtRoot = target
         val dvRel = s"_dv/$salt"
         if (srcEntry.dvs.nonEmpty) f.mkdirs(new Path(target, dvRel))
+        val copyUnits: Seq[(String, String)] =
+          files.map(fm => fm.path -> s"$dataRel/${new Path(fm.path).getName}")
+        val dvUnits: Seq[(String, String)] = srcEntry.dvs.values.toSeq
+          .map(r => r.path -> s"$dvRel/${new Path(r.path).getName}")
+        val slices = math.min(copyUnits.size + dvUnits.size,
+          math.max(1, spark.sparkContext.defaultParallelism))
+        lastCloneCopySlices = slices
+        spark.sparkContext
+          .parallelize(copyUnits.map(_ -> true) ++ dvUnits.map(_ -> false),
+            slices)
+          .foreach { case ((srcRel, dstRel), withSidecars) =>
+            val conf = ser.value
+            val srcP = new Path(srcRoot, srcRel)
+            val fsx = srcP.getFileSystem(conf)
+            org.apache.hadoop.fs.FileUtil.copy(fsx, srcP, fsx,
+              new Path(tgtRoot, dstRel), false, conf)
+            if (withSidecars) {
+              // bloom sidecars ride their data file
+              val dir = srcP.getParent
+              if (fsx.exists(dir))
+                fsx.listStatus(dir).map(_.getPath).filter(p =>
+                  p.getName.startsWith(srcP.getName + ".bloom."))
+                  .foreach { b =>
+                    org.apache.hadoop.fs.FileUtil.copy(fsx, b, fsx,
+                      new Path(tgtRoot,
+                        s"${new Path(dstRel).getParent}/${b.getName}"),
+                      false, conf)
+                  }
+            }
+          }
+        val copied = files.map(fm =>
+          fm.copy(path = s"$dataRel/${new Path(fm.path).getName}"))
         val dvsCopied = srcEntry.dvs.map { case (rel, r) =>
-          val dst = s"$dvRel/${new Path(r.path).getName}"
-          org.apache.hadoop.fs.FileUtil.copy(f, new Path(source, r.path),
-            f, new Path(target, dst), false, conf)
-          s"$dataRel/${new Path(rel).getName}" -> DvRef(dst, r.rows)
+          s"$dataRel/${new Path(rel).getName}" ->
+            DvRef(s"$dvRel/${new Path(r.path).getName}", r.rows)
         }
         (copied, dvsCopied)
       }

@@ -125,16 +125,18 @@ object CurationStream {
   @volatile private[graft] var lastDecontamProbeShuffleFree: Boolean = false
 
   /** Size bound on the per-batch driver-side key collects the scan-pruned
-    * probes perform (distinct fingerprints, band hashes, 13-gram windows).
-    * A DAILY delta sits far below it by construction; a batch above it —
-    * a backfill replaying months at once, a bootstrap wave that IS the
-    * corpus — falls back to the pre-x46 shuffle-join probe against the
-    * full index/corpus scan: identical semantics, delta-scaled compute,
-    * no driver collect. Session-configurable because "daily volume" is a
-    * deployment property, not an engine constant. */
+    * probes perform (distinct fingerprints, band hashes, 13-gram windows)
+    * — ONE definition for every probe tier
+    * ([[graft.plans.ProbePlanner.maxDriverKeys]]). A DAILY delta sits far
+    * below it by construction; a batch above it — a backfill replaying
+    * months at once, a bootstrap wave that IS the corpus — keeps the key
+    * set DISTRIBUTED: the kept-file decision moves to the executors
+    * ([[graft.sources.TxnLake.readKeyedDistributed]] — sidecars probed
+    * as data), identical semantics, delta-scaled compute, no driver
+    * collect AND no full-index scan. Session-configurable because
+    * "daily volume" is a deployment property, not an engine constant. */
   private def maxDriverKeys(s: SparkSession): Long =
-    s.conf.getOption("graft.probe.maxDriverKeys").map(_.toLong)
-      .getOrElse(1000000L)
+    graft.plans.ProbePlanner.maxDriverKeys(s)
 
   /** The probe-path planner rule: take the scan-pruned (collect +
     * bloom-skip + broadcast) probe only while the delta's key count is
@@ -147,8 +149,10 @@ object CurationStream {
     * factor 10 (41.8 s vs 37.9 s — a ~200 MB collect+broadcast buys
     * little when the keys blanket the index anyway). The 1M default sits
     * between the measured ends; deployments size it like any planner
-    * threshold. Beyond it the probe takes the pre-x46 shuffle-join shape:
-    * identical rows, delta-scaled compute, no driver collect. */
+    * threshold. Beyond it the probe keeps the SAME scan pruning with the
+    * membership test distributed (since r17): identical rows, file I/O
+    * still tracking true key collisions, and the only added cost is a
+    * delta-scaled exactness shuffle in place of the broadcast. */
   private def pruneWorthwhile(s: SparkSession, relation: String,
                               deltaKeys: Long): Boolean =
     deltaKeys <= maxDriverKeys(s)
@@ -180,11 +184,15 @@ object CurationStream {
       .dropCarriedStats(survivors.localCheckpoint())
     val deltaFps = sv.select("fp").distinct()
     if (!pruneWorthwhile(s, table, deltaFps.count())) {
-      // oversized or corpus-scale batch (backfill/bootstrap): the pre-x46
-      // anti-join shape — no driver collect, full fp scan, identical rows
-      lastFpSkipping = (-1, -1)
-      return sv.join(TxnLake.read(s, table).select("fp"),
-        Seq("fp"), "left_anti")
+      // oversized or corpus-scale batch (backfill/bootstrap): the kept-
+      // file decision moves to the EXECUTORS — the delta's fps probe the
+      // per-file fp sidecars as data (readKeyedDistributed: no driver
+      // key collect, hit ordinals only come back) — and exactness comes
+      // from the anti-join against the PRUNED scan: a delta-scaled
+      // shuffle, never the pre-r17 O(corpus) full-fp scan
+      val (scan, skip) = TxnLake.readKeyedDistributed(s, table, "fp", deltaFps)
+      lastFpSkipping = skip
+      return sv.join(scan.select("fp"), Seq("fp"), "left_anti")
     }
     val keys = deltaFps.collect().map(_.getString(0)).toSeq
     val (scan, skip) = TxnLake.readKeyed(s, table, "fp", keys)
@@ -326,7 +334,23 @@ object CurationStream {
               indexFull = TxnLake.read(s, bindex).select("doc_id", "b", "bh"),
               corpusFull = tbl.select("doc_id", "text"),
               threshold = threshold,
-              shouldPrune = n => pruneWorthwhile(s, bindex, n))
+              shouldPrune = n => pruneWorthwhile(s, bindex, n),
+              // ABOVE-CAP loaders: the membership decision distributes
+              // (sidecars as data on the executors), so a backfill-sized
+              // delta still prunes the index/corpus scans instead of
+              // falling back to the O(index) shuffle join
+              indexForKeysDf = bhDf => {
+                val (scan, skip) =
+                  TxnLake.readKeyedDistributed(s, bindex, "bh", bhDf)
+                lastBandIndexSkipping = skip
+                scan.select("doc_id", "b", "bh")
+              },
+              corpusForIdsDf = idsDf => {
+                val (scan, skip) =
+                  TxnLake.readKeyedDistributed(s, table, "doc_id", idsDf)
+                lastCorpusIdSkipping = skip
+                scan.select("doc_id", "text")
+              })
           else graft.operators.MinHashDedup
             .incrementalMatches(afterExact.select("doc_id", "text"),
               tbl.select("doc_id", "text"), threshold))
@@ -455,16 +479,25 @@ object CurationStream {
             lastDecontamProbeShuffleFree =
               graft.plans.PlanChecks.shuffleFree(hot)
             gramsPinned.join(broadcast(hot), Seq("__g"), "left_semi")
+          } else if (trusted) {
+            // ABOVE-CAP delta (backfill/bootstrap), index trusted: the
+            // kept-file decision distributes — the delta's grams probe
+            // the window index's __g sidecars as data on the executors
+            // (readKeyedDistributed), so there is no driver gram
+            // collect, no corpus-sized checkpoint, and the index-side
+            // I/O still tracks true shared windows instead of the
+            // pre-r17 full-index scan; exactness is the delta-scaled
+            // semi-join against the pruned scan (so the plan is not
+            // shuffle-free — the broadcast was the cap'd luxury)
+            lastDecontamProbeShuffleFree = false
+            val (scan, skip) = TxnLake.readKeyedDistributed(
+              s, windex, "__g", grams.select("__g"))
+            lastWindexSkipping = skip
+            grams.join(scan.select("__g"), Seq("__g"), "left_semi")
           } else {
-            if (trusted) {
-              lastWindexSkipping = (-1, -1)
-              lastDecontamProbeShuffleFree = false
-            }
-            val hot =
-              if (trusted) TxnLake.read(s, windex).select("__g")
-              else tbl
-                .select(tokens(col("text")).as("__t"))
-                .select(explode(orderedGrams(col("__t"), window)).as("__g"))
+            val hot = tbl
+              .select(tokens(col("text")).as("__t"))
+              .select(explode(orderedGrams(col("__t"), window)).as("__g"))
             grams.join(hot, Seq("__g"), "left_semi")
           }
         val spans = hits

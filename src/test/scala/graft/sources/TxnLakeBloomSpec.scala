@@ -32,6 +32,47 @@ class TxnLakeBloomSpec extends SparkSpec {
       .digest(id.toString.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("readKeyedDistributed prunes IDENTICALLY to readKeyed with the " +
+    "membership decision on the executors — no driver key collect") {
+    import spark.implicits._
+    val t = freshTable()
+    hashKeyedTable(t)
+    // keys hitting two specific files plus absent ones — the kept set and
+    // rows must match the driver-side probe exactly
+    val keys = Seq(md5Of(10L), md5Of(120L), md5Of(999999L), md5Of(888888L))
+    val (dDf, (dKept, dTotal)) = TxnLake.readKeyed(spark, t, "k", keys)
+    assert(!TxnLake.lastKeyedProbeDistributed)
+    val keysDf = keys.toDF("k")
+    val (xDf, (xKept, xTotal)) =
+      TxnLake.readKeyedDistributed(spark, t, "k", keysDf)
+    assert(TxnLake.lastKeyedProbeDistributed,
+      "the distributed probe must record its regime")
+    assert((xKept, xTotal) == ((dKept, dTotal)),
+      s"distributed prune diverged: ($xKept,$xTotal) vs ($dKept,$dTotal)")
+    assert(xKept < xTotal, "fixture: pruning must actually happen")
+    assert(xDf.collect().map(_.toString).sorted.toSeq ==
+      dDf.collect().map(_.toString).sorted.toSeq,
+      "identical scans from both membership regimes")
+    // absent keys only: zero kept, typed-empty scan
+    val (none, (k0, _)) = TxnLake.readKeyedDistributed(spark, t, "k",
+      Seq(md5Of(777777L)).toDF("k"))
+    assert(k0 == 0 && none.isEmpty && none.columns.toSeq == Seq("id", "k"))
+    // null keys are ignored, not NPE'd
+    val (_, (kN, tN)) = TxnLake.readKeyedDistributed(spark, t, "k",
+      Seq(Some(md5Of(10L)), None).toDF("k"))
+    assert(tN == 4 && kN >= 1)
+    // a table founded BEFORE any bloom declaration keeps everything
+    // (conservative), like readKeyed
+    val t2 = freshTable()
+    (0 until 2).foreach { i =>
+      TxnLake.commit(spark,
+        Seq((i.toLong, s"v$i")).toDF("id", "k").coalesce(1), t2, "append")
+    }
+    val (_, (ck, ct)) =
+      TxnLake.readKeyedDistributed(spark, t2, "k", Seq("v0").toDF("k"))
+    assert(ck == ct && ct == 2, "unbloomed files keep conservatively")
+  }
+
   test("bloom sidecars prune key scans that min/max cannot") {
     val t = freshTable()
     hashKeyedTable(t)

@@ -93,6 +93,9 @@ class TxnLakeCloneSpec extends SparkSpec {
     buildSource(src)
     val expected = rows(src)
     assert(TxnLake.cloneTable(spark, src, cl, shallow = false) == 0L)
+    assert(TxnLake.lastCloneCopySlices >= 2,
+      "the deep-clone copy must fan out as a distributed job (one slice " +
+        "per file up to the parallelism), never a serial driver loop")
     assert(TxnLake.snapshotFiles(spark, cl).forall(_.path.startsWith("data/")),
       "a deep clone references only its own data dir")
     assert(parquetCount(cl) == 2, "both source files copied")

@@ -160,4 +160,60 @@ class TxnLakeConstraintSpec extends SparkSpec {
         .coalesce(1), cl, "append")
     }
   }
+
+  test("a constrained + bloom-indexed commit reads its fresh bytes in " +
+    "ONE post-write pass — sidecars and verdicts share the scan") {
+    import spark.implicits._
+    val t = fresh()
+    TxnLake.commit(spark,
+      Seq((1L, 5L)).toDF("k", "n").coalesce(1), t, "append",
+      bloomCols = Seq("k"))
+    TxnLake.addConstraint(spark, t, "n_small", "n < 100")
+    // constrained + bloomed append: exactly one fresh-bytes scan
+    TxnLake.commit(spark,
+      Seq((2L, 7L), (3L, 8L)).toDF("k", "n").coalesce(1), t, "append")
+    assert(TxnLake.lastPostWriteScans == 1,
+      "blooms + checks must fold into one post-write read")
+    // sidecar actually landed AND the verdicts were enforced on the
+    // same commit path
+    val (_, (kept, total)) = TxnLake.readKeyed(spark, t, "k", Seq("2"))
+    assert(kept < total, "the folded pass must still publish sidecars")
+    intercept[IllegalStateException] {
+      TxnLake.commit(spark,
+        Seq((4L, 500L)).toDF("k", "n").coalesce(1), t, "append")
+    }
+    // maintenance skips enforcement but still needs its bloom pass
+    TxnLake.optimize(spark, t, numFiles = 1)
+    assert(TxnLake.lastPostWriteScans == 1,
+      "optimize rebuilds sidecars in one pass (no constraint re-scan)")
+    // an unbloomed, unconstrained table pays no post-write scan at all
+    val t2 = fresh()
+    TxnLake.commit(spark, Seq((1L, 1L)).toDF("k", "n").coalesce(1),
+      t2, "append")
+    assert(TxnLake.lastPostWriteScans == 0,
+      "no blooms + no checks = zero post-write reads")
+    // a violating commit aborts BEFORE any sidecar publishes: the data
+    // dir is removed wholesale, nothing orphans
+    val t3 = fresh()
+    TxnLake.commit(spark, Seq((1L, 5L)).toDF("k", "n").coalesce(1),
+      t3, "append", bloomCols = Seq("k"))
+    TxnLake.addConstraint(spark, t3, "n_small", "n < 100")
+    val preDirs = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(t3, "data"))
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    intercept[IllegalStateException] {
+      TxnLake.commit(spark, Seq((9L, 900L)).toDF("k", "n").coalesce(1),
+        t3, "append")
+    }
+    val postDirs = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(t3, "data"))
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    assert(postDirs == preDirs, "refused commit must leave no data dir")
+  }
 }

@@ -389,13 +389,18 @@ class CurationStreamSpec extends SparkSpec {
         out.mkString(","))
   }
 
-  test("an oversized batch falls back to the shuffle probe — identical rows") {
+  test("an ABOVE-CAP batch keeps its scan pruning with the membership " +
+    "decision DISTRIBUTED — identical rows, real skipping counters") {
     // the driver-key bound: above graft.probe.maxDriverKeys, the pruned
-    // probes must not collect/broadcast a corpus-sized delta — they take
-    // the pre-x46 shuffle-join shape. Same fixture twice, once with the
-    // bound forced to 1, must commit byte-identical tables; the seams
-    // record the fallback (sentinel skipping counters, no shuffle-free
-    // claim).
+    // probes must not collect/broadcast a corpus-sized delta — since r17
+    // the kept-file decision itself moves to the executors
+    // (readKeyedDistributed: sidecars probed as data), so the probe
+    // still PRUNES instead of falling back to the O(index) full scan.
+    // Same fixture twice, once with the bound forced to 1, must commit
+    // byte-identical tables; the seams record REAL skipping counters
+    // (not the retired (-1,-1) full-scan sentinel), the distributed
+    // regime flag, and no shuffle-free claim (the broadcast was the
+    // below-cap luxury).
     val s = spark
     import s.implicits._
     val base = Files.createTempDirectory("cur_stream_fb_spec").toString
@@ -436,21 +441,28 @@ class CurationStreamSpec extends SparkSpec {
     try {
       val fallback = ingest(s"$base/t_fb", s"$base/ckpt_fb")
       assert(fallback == pruned,
-        s"fallback probe diverged from the pruned probe:\n$fallback\nvs\n$pruned")
-      assert(CurationStream.lastFpSkipping == ((-1, -1)),
-        s"fp gate must record the fallback sentinel, got " +
-          s"${CurationStream.lastFpSkipping}")
+        s"above-cap probe diverged from the pruned probe:\n$fallback\nvs\n$pruned")
+      val (fpK, fpT) = CurationStream.lastFpSkipping
+      assert(fpT > 0 && fpK >= 0 && fpK <= fpT,
+        s"fp gate must record REAL distributed-prune counters, got " +
+          s"($fpK,$fpT)")
+      assert(graft.sources.TxnLake.lastKeyedProbeDistributed,
+        "the above-cap membership decision must run distributed")
       assert(!graft.operators.MinHashDedup.lastProbeCandShuffleFree,
-        "the fallback candidate join must not claim shuffle-freedom")
+        "the above-cap candidate join must not claim shuffle-freedom")
       assert(CurationStream.probePaths.get((s"$base/t_fb", 1L))
         .contains("indexed"),
-        "the fallback still rides the INDEX (delta-scaled compute) — only " +
-          "the scan pruning and broadcast are given up")
+        "the above-cap probe still rides the INDEX (delta-scaled " +
+          "compute) — only the driver collect and broadcast are given up")
+      val (bK, bT) = CurationStream.lastBandIndexSkipping
+      assert(bT > 0 && bK >= 0 && bK <= bT,
+        s"band-index gate must keep pruning above the cap, got ($bK,$bT)")
       val fallbackDc = ingestDc(s"$base/tdc_fb", s"$base/ckpt_dcf")
       assert(fallbackDc == prunedDc,
-        s"decontam fallback diverged:\n$fallbackDc\nvs\n$prunedDc")
-      assert(CurationStream.lastWindexSkipping == ((-1, -1)),
-        "window gate must record the fallback sentinel")
+        s"decontam above-cap diverged:\n$fallbackDc\nvs\n$prunedDc")
+      val (wK, wT) = CurationStream.lastWindexSkipping
+      assert(wT > 0 && wK >= 0 && wK <= wT,
+        s"window gate must keep pruning above the cap, got ($wK,$wT)")
       assert(CurationStream.probePaths.get((s"$base/tdc_fb", 1L))
         .contains("indexed"))
     } finally spark.conf.unset("graft.probe.maxDriverKeys")
