@@ -4141,6 +4141,88 @@ object OperatorQueries {
       .withColumn("files_moved", lit(0))
   }
 
+  /** IDENTITY columns (x65) — Delta's `GENERATED ALWAYS AS IDENTITY
+    * (START WITH 100 INCREMENT BY 10)`: declared on an empty table, then
+    * every row-minting commit ASSIGNS the column with unique,
+    * step-directed-monotone values whose high-water mark advances from
+    * the commit's own harvested stats (O(1) metadata, no extra pass).
+    * The fixture's appends land sorted single-partition, so the assigned
+    * values are exactly `90 + 10*row_number` and the oracle recomputes
+    * them relationally. In-engine gates cover what a relational oracle
+    * cannot pin: supplying the column on append REFUSES (ALWAYS), an
+    * engine UPDATE carries ids unchanged, merge-minted inserts draw
+    * fresh unique ids above the hwm (values partition-dependent by
+    * design — gaps are the documented contract — so they are gated, not
+    * hashed), and dropping the column retires the property. */
+  val txnIdentityColumns = OracleQuery(
+    "x65_txn_identity_columns",
+    """WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 12),
+      |r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM d)
+      |SELECT CAST(doc_id AS VARCHAR) AS k,
+      |  CASE WHEN rn <= 5 THEN 'a' ELSE 'b' END AS src,
+      |  CAST(90 + 10 * rn AS BIGINT) AS id
+      |FROM r ORDER BY id""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    import TxnLake.MergeInsert
+    val t = Scratch.dir("txn_identity") + "/t"
+    val twelve = s.read.parquet(s"$d/documents.parquet")
+      .orderBy("doc_id").limit(12).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    def batch(ids: Seq[Long], src: String) = {
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(ids.map(i =>
+        org.apache.spark.sql.Row(i.toString, src)).toList.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("src",
+            org.apache.spark.sql.types.StringType))))
+        .orderBy(col("k").cast("long")).coalesce(1)
+    }
+    TxnLake.commit(s, batch(Seq.empty, "a"), t, "append") // empty founding
+    TxnLake.addIdentityColumn(s, t, "id", start = 100L, step = 10L)
+    TxnLake.commit(s, batch(twelve.take(5), "a"), t, "append")
+    TxnLake.commit(s, batch(twelve.drop(5), "b"), t, "append")
+    // ALWAYS: a writer supplying the column refuses loudly
+    val refused =
+      try { TxnLake.commit(s,
+        batch(Seq(999999L), "x").withColumn("id", lit(7L)), t, "append"); 0 }
+      catch { case _: IllegalArgumentException => 1 }
+    require(refused == 1, "supplying an identity column must refuse")
+    // an engine UPDATE carries ids unchanged
+    val k0 = twelve.head.toString
+    val idBefore = TxnLake.read(s, t).filter(col("k") === k0)
+      .select("id").head().getLong(0)
+    TxnLake.updateWhere(s, t, col("k") === k0,
+      Map("src" -> lit("a")))
+    val idAfter = TxnLake.read(s, t).filter(col("k") === k0)
+      .select("id").head().getLong(0)
+    require(idAfter == idBefore, "UPDATE must not reassign identity values")
+    // merge-minted inserts draw fresh unique ids above the hwm (gap-
+    // tolerant values — gated, not hashed)
+    val mrows = batch(Seq(800001L, 800002L, 800003L), "m")
+    TxnLake.mergeIntoClauses(s, mrows, t, "k",
+      matched = Seq(),
+      notMatched = Seq(MergeInsert(Map("k" -> col("k"),
+        "src" -> col("src")))))
+    val mids = TxnLake.read(s, t).filter(col("src") === "m")
+      .select("id").collect().map(_.getLong(0))
+    require(mids.length == 3 && mids.distinct.length == 3
+      && mids.forall(_ > 210L),
+      s"merge inserts must draw fresh unique ids above the hwm: " +
+        mids.mkString(","))
+    require(TxnLake.identityColumns(s, t).get("id")
+      .exists(sp => sp.start == 100L && sp.step == 10L
+        && sp.hwm >= mids.max),
+      "the identity property must carry the advanced hwm")
+    // ids are globally unique across every minting path
+    val allIds = TxnLake.read(s, t).select("id").collect().map(_.getLong(0))
+    require(allIds.distinct.length == allIds.length,
+      "identity values must be globally unique")
+    TxnLake.read(s, t).filter(col("src") =!= "m")
+      .select(col("k"), col("src"), col("id")).orderBy("id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -4160,5 +4242,6 @@ object OperatorQueries {
       txnDeletionVectors, txnUpdateDv, txnTimestampTravel, txnClone,
       txnAlterColumns, txnCheckConstraints, txnDescribeVacuum,
       txnGeneratedColumns, txnTypeWidening,
-      streamNearDupProbeAboveCap, streamDecontamProbeAboveCap)
+      streamNearDupProbeAboveCap, streamDecontamProbeAboveCap,
+      txnIdentityColumns)
 }

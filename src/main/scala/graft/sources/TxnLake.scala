@@ -106,7 +106,9 @@ object TxnLake extends LakeFormat {
                                  droppedCols: Seq[String] = Seq.empty,
                                  constraints: Map[String, String] = Map.empty,
                                  genCols: Map[String, String] = Map.empty,
-                                 ts: Option[Long] = None) {
+                                 ts: Option[Long] = None,
+                                 identityCols: Map[String, IdentitySpec] =
+                                   Map.empty) {
     /** The logged cumulative schema, decoded — one accessor instead of
       * the same two-line parse at every read/DML site. */
     def schemaStruct: Option[StructType] =
@@ -120,6 +122,18 @@ object TxnLake extends LakeFormat {
     * checkpoint format change, and a rewrite that removes a file drops
     * its DV from the map automatically. */
   final case class DvRef(path: String, rows: Long)
+
+  /** One IDENTITY column's table property — Delta's `GENERATED ALWAYS AS
+    * IDENTITY (START WITH start INCREMENT BY step)`: `hwm` is the last
+    * value handed out (start - step before any row mints), carried
+    * CUMULATIVELY on every entry and advanced by each row-minting commit
+    * from the freshly-harvested file stats (no extra scan). Values are
+    * unique and step-directed monotone ACROSS commits but may have gaps
+    * (Delta's own documented contract): parallel write tasks reserve
+    * disjoint ranges via the partition-id spacing of
+    * monotonically_increasing_id, and unconsumed reservations are never
+    * reissued. */
+  final case class IdentitySpec(start: Long, step: Long, hwm: Long)
 
   // ---- JSON (jackson tree API — ships with Spark; no extra deps) ------
 
@@ -204,6 +218,13 @@ object TxnLake extends LakeFormat {
       val gc = o.putObject("genCols")
       e.genCols.toSeq.sortBy(_._1).foreach { case (n, x) => gc.put(n, x) }
     }
+    if (e.identityCols.nonEmpty) {
+      val ic = o.putObject("identityCols")
+      e.identityCols.toSeq.sortBy(_._1).foreach { case (n, sp) =>
+        val x = ic.putObject(n)
+        x.put("s", sp.start); x.put("k", sp.step); x.put("h", sp.hwm)
+      }
+    }
     mapper.writeValueAsString(o)
   }
 
@@ -244,8 +265,14 @@ object TxnLake extends LakeFormat {
         e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty[String, String])
     val ts = Option(n.get("ts")).map(_.asLong())
+    val identityCols = Option(n.get("identityCols"))
+      .map(_.properties().asScala.map { e =>
+        e.getKey -> IdentitySpec(e.getValue.get("s").asLong(),
+          e.getValue.get("k").asLong(), e.getValue.get("h").asLong())
+      }.toMap).getOrElse(Map.empty[String, IdentitySpec])
     Entry(version, operation, add, remove, legacy, txn, txns, txnsNode.isDefined,
-      schemaJson, bloomCols, dvs, droppedCols, constraints, genCols, ts)
+      schemaJson, bloomCols, dvs, droppedCols, constraints, genCols, ts,
+      identityCols)
   }
 
   // ---- log access -----------------------------------------------------
@@ -1001,7 +1028,9 @@ object TxnLake extends LakeFormat {
                          newConstraints: Map[String, String] = Map.empty,
                          dropConstraintNames: Seq[String] = Seq.empty,
                          newGenCols: Map[String, String] = Map.empty,
-                         dropGenColNames: Seq[String] = Seq.empty)
+                         dropGenColNames: Seq[String] = Seq.empty,
+                         newIdentityCols: Map[String, IdentitySpec] = Map.empty,
+                         dropIdentityColNames: Seq[String] = Seq.empty)
                         : Option[Long] = {
     require(operation == "overwrite" || operation == "append"
       || operation == "optimize" || operation == "delete"
@@ -1077,12 +1106,47 @@ object TxnLake extends LakeFormat {
       val genColsAll =
         (lastEntry.map(_.genCols).getOrElse(Map.empty) ++
           newGenCols) -- dropGenColNames
-      val dfOut =
+      val dfGen =
         if (noData || genColsAll.isEmpty) df
         else genColsAll.toSeq.sortBy(_._1).foldLeft(df) {
           case (d, (c, x)) =>
             if (d.columns.contains(c)) d
             else d.withColumn(c, org.apache.spark.sql.functions.expr(x))
+        }
+      // IDENTITY columns assign at WRITE time (Delta's GENERATED ALWAYS
+      // AS IDENTITY): fresh values are hwm + step*(mid+1) with mid =
+      // monotonically_increasing_id() — parallel tasks reserve disjoint
+      // ranges through its partition-id spacing, so assignment needs NO
+      // extra pass, no shuffle, and no driver coordination; unconsumed
+      // reservations become gaps, which is Delta's own documented
+      // contract. Writers may not supply the column on append/overwrite
+      // (ALWAYS); engine rewrites (merge/update/optimize/delete) carry
+      // existing values and NULL-fill only the rows they mint (merge
+      // inserts). Re-derived per attempt: a commit retry re-reads the
+      // advanced hwm.
+      val idColsAll =
+        (lastEntry.map(_.identityCols).getOrElse(Map.empty) ++
+          newIdentityCols) -- dropIdentityColNames
+      val dfOut =
+        if (noData || idColsAll.isEmpty) dfGen
+        else idColsAll.toSeq.sortBy(_._1).foldLeft(dfGen) {
+          case (d, (c, sp)) =>
+            import org.apache.spark.sql.functions.{coalesce, col, lit,
+              monotonically_increasing_id}
+            require(math.abs(sp.hwm) < (1L << 61),
+              s"TxnLake: identity column $c's high-water mark ${sp.hwm} " +
+                "is within range-reservation overflow distance — " +
+                "re-found the table with a wider step plan")
+            val next = lit(sp.hwm) +
+              lit(sp.step) * (monotonically_increasing_id() + 1)
+            if (!d.columns.contains(c)) d.withColumn(c, next)
+            else {
+              require(operation != "append" && operation != "overwrite",
+                s"TxnLake: column $c is GENERATED ALWAYS AS IDENTITY — " +
+                  "writers may not supply it; omit the column and the " +
+                  "engine assigns it")
+              d.withColumn(c, coalesce(col(c), next))
+            }
         }
       // 1. land the data in a fresh immutable dir (never seen by readers
       //    until the log entry that names it is published). A metadata-
@@ -1200,12 +1264,32 @@ object TxnLake extends LakeFormat {
       // this commit's fresh DVs (deleteWhereDv) overlay the survivors
       val dvLive = (lastEntry.map(_.dvs).getOrElse(Map.empty[String, DvRef])
         -- removed) ++ newDvs
+      // advance each identity hwm from the freshly-HARVESTED file stats —
+      // zero extra I/O (parquet int64 footers always carry exact min/max;
+      // our own harvest just read them). Monotone: a data-preserving
+      // rewrite's carried values never regress the mark, and a commit
+      // that minted rows must surface a stat or fail loudly (a silently
+      // unadvanced hwm would reissue ids on the next commit).
+      val idColsOut = idColsAll.map { case (c, sp) =>
+        val vals = added.flatMap(_.stats.get(c))
+          .flatMap(s => if (sp.step > 0) s.max else s.min)
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+        require(vals.nonEmpty || added.forall(_.rows == 0L),
+          s"TxnLake: identity column $c has no harvested stats on a " +
+            "row-minting commit — cannot advance the high-water mark")
+        val hw =
+          if (vals.isEmpty) sp.hwm
+          else if (sp.step > 0) math.max(sp.hwm, vals.max)
+          else math.min(sp.hwm, vals.min)
+        c -> sp.copy(hwm = hw)
+      }
       // 2. publish: tmp write + atomic link IS the commit
       val entry = render(Entry(next, operation, added, removed, None, txn, txns,
         hasTxns = true, schemaJson = Some(tableSchema.json),
         bloomCols = allBloomCols, dvs = dvLive,
         droppedCols = dropped.distinct, constraints = tableConstraints,
-        genCols = genColsAll, ts = nextTs(lastEntry)))
+        genCols = genColsAll, ts = nextTs(lastEntry),
+        identityCols = idColsOut))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -3259,6 +3343,11 @@ object TxnLake extends LakeFormat {
         droppedCols = targetEntry.droppedCols,
         constraints = targetEntry.constraints,
         genCols = targetEntry.genCols,
+        // identity properties restore with their start/step, but the hwm
+        // MONOTONE-merges against the latest entry's: values handed out
+        // by rolled-past commits are never reissued
+        identityCols = mergeIdentityMonotone(targetEntry.identityCols,
+          lastEntry.identityCols),
         ts = nextTs(Some(lastEntry))))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
@@ -3376,6 +3465,7 @@ object TxnLake extends LakeFormat {
           readEntry(spark, table, lastV).droppedCols).distinct,
         constraints = readEntry(spark, table, lastV).constraints,
         genCols = readEntry(spark, table, lastV).genCols,
+        identityCols = readEntry(spark, table, lastV).identityCols,
         // monotone vs the ACTUAL last entry — lastEntry is None exactly
         // when the failed restore's own entry is latest, and that entry
         // carries a ts the compensation must still exceed
@@ -3476,6 +3566,67 @@ object TxnLake extends LakeFormat {
           addGenCols = Map(name -> expression))
     }
 
+  /** `ALTER TABLE … ADD COLUMN … GENERATED ALWAYS AS IDENTITY (START
+    * WITH start INCREMENT BY step)` — Delta's identity columns, declared
+    * on an EMPTY table (the same at-creation contract as
+    * [[addGeneratedColumn]]: historical rows could never hold values).
+    * From then on every row-minting commit ASSIGNS the column — writers
+    * may not supply it on append/overwrite (ALWAYS), engine rewrites
+    * carry existing values, and merge-minted inserts null-fill into
+    * fresh assignments. Values are unique and step-directed monotone
+    * across commits, WITH GAPS (Delta's documented contract): parallel
+    * tasks reserve disjoint ranges through the partition-id spacing of
+    * monotonically_increasing_id, so assignment costs no extra pass, no
+    * shuffle, no driver coordination, and the high-water mark advances
+    * from the commit's own harvested file stats — O(1) metadata at any
+    * scale. The hwm survives restore/clone monotone (rolled-past values
+    * are never reissued). */
+  def addIdentityColumn(spark: SparkSession, table: String, name: String,
+                        start: Long = 1L, step: Long = 1L,
+                        maxAttempts: Int = 10): Long =
+    alterSchemaWith(spark, table, "addIdentityColumn", maxAttempts) {
+      (cur, entry) =>
+        val res = resolver(spark)
+        require(step != 0, "TxnLake.addIdentityColumn: step must be nonzero")
+        require(!name.startsWith("__graft_dv_"),
+          "TxnLake.addIdentityColumn: __graft_dv_* names are reserved")
+        require(!cur.fieldNames.exists(res(_, name)),
+          s"TxnLake.addIdentityColumn: column $name already exists")
+        require(!entry.droppedCols.exists(res(_, name)),
+          s"TxnLake.addIdentityColumn: column $name was DROPPED from " +
+            s"$table — its bytes would resurrect (resolution is " +
+            "case-insensitive)")
+        require(read(spark, table).isEmpty,
+          s"TxnLake.addIdentityColumn: $table is not empty — identity " +
+            "columns declare on an EMPTY table (the Delta at-creation " +
+            "rule): existing rows could never hold assigned values")
+        AlterSpec(StructType(cur.fields :+
+            StructField(name, LongType, nullable = true)),
+          addIdentity = Map(name -> IdentitySpec(start, step, start - step)))
+    }
+
+  /** The live identity-column properties of a table (name → spec) — one
+    * O(1) entry read; empty when none are declared. */
+  def identityColumns(spark: SparkSession, table: String)
+      : Map[String, IdentitySpec] =
+    latestVersion(spark, table)
+      .map(readEntry(spark, table, _).identityCols).getOrElse(Map.empty)
+
+  /** Identity properties survive restore/compensation with their hwm
+    * MONOTONE-merged against the latest entry's: the restored snapshot's
+    * start/step return, but values handed out by rolled-past commits are
+    * never reissued — strictly stronger than Delta's restore, for the
+    * cost of one max per column. */
+  private def mergeIdentityMonotone(target: Map[String, IdentitySpec],
+                                    latest: Map[String, IdentitySpec])
+      : Map[String, IdentitySpec] =
+    target.map { case (c, sp) =>
+      val hw = latest.get(c).map(l =>
+        if (sp.step > 0) math.max(sp.hwm, l.hwm)
+        else math.min(sp.hwm, l.hwm)).getOrElse(sp.hwm)
+      c -> sp.copy(hwm = hw)
+    }
+
   /** `ALTER TABLE … DROP COLUMN` — METADATA-ONLY narrowing: the logged
     * schema loses the column, every read projects it away, and not one
     * data file moves. The dropped name enters a cumulative TOMBSTONE
@@ -3518,8 +3669,10 @@ object TxnLake extends LakeFormat {
           s"${pinning.sorted.mkString(", ")} — drop those first")
       AlterSpec(StructType(cur.fields.filterNot(_.name == canon)),
         dropBlooms = Seq(canon), tombstones = Seq(canon),
-        // dropping a generated column itself retires its property
+        // dropping a generated/identity column itself retires its property
         dropGenCols = if (entry.genCols.contains(canon)) Seq(canon)
+          else Seq.empty,
+        dropIdentity = if (entry.identityCols.contains(canon)) Seq(canon)
           else Seq.empty)
     }
 
@@ -3644,7 +3797,10 @@ object TxnLake extends LakeFormat {
                                      dropConstraints: Seq[String] = Seq.empty,
                                      addGenCols: Map[String, String] =
                                        Map.empty,
-                                     dropGenCols: Seq[String] = Seq.empty)
+                                     dropGenCols: Seq[String] = Seq.empty,
+                                     addIdentity: Map[String, IdentitySpec] =
+                                       Map.empty,
+                                     dropIdentity: Seq[String] = Seq.empty)
 
   private def alterSchemaWith(spark: SparkSession, table: String, api: String,
                               maxAttempts: Int)
@@ -3669,7 +3825,9 @@ object TxnLake extends LakeFormat {
           newConstraints = spec.addConstraints,
           dropConstraintNames = spec.dropConstraints,
           newGenCols = spec.addGenCols,
-          dropGenColNames = spec.dropGenCols)
+          dropGenColNames = spec.dropGenCols,
+          newIdentityCols = spec.addIdentity,
+          dropIdentityColNames = spec.dropIdentity)
         .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped"))
       catch { case _: CommitConflict => attempt += 1 }
     }
@@ -3873,6 +4031,7 @@ object TxnLake extends LakeFormat {
       droppedCols = srcEntry.droppedCols,
       constraints = srcEntry.constraints,
       genCols = srcEntry.genCols,
+      identityCols = srcEntry.identityCols,
       ts = nextTs(None)))
     val tmp = new Path(logDir(target), s"v0.json.tmp-$salt")
     val out = f.create(tmp, false)
