@@ -108,7 +108,8 @@ object TxnLake extends LakeFormat {
                                  genCols: Map[String, String] = Map.empty,
                                  ts: Option[Long] = None,
                                  identityCols: Map[String, IdentitySpec] =
-                                   Map.empty) {
+                                   Map.empty,
+                                 dvDelta: Boolean = false) {
     /** The logged cumulative schema, decoded — one accessor instead of
       * the same two-line parse at every read/DML site. */
     def schemaStruct: Option[StructType] =
@@ -225,6 +226,7 @@ object TxnLake extends LakeFormat {
         x.put("s", sp.start); x.put("k", sp.step); x.put("h", sp.hwm)
       }
     }
+    if (e.dvDelta) o.put("dvd", true)
     mapper.writeValueAsString(o)
   }
 
@@ -270,9 +272,10 @@ object TxnLake extends LakeFormat {
         e.getKey -> IdentitySpec(e.getValue.get("s").asLong(),
           e.getValue.get("k").asLong(), e.getValue.get("h").asLong())
       }.toMap).getOrElse(Map.empty[String, IdentitySpec])
+    val dvDelta = Option(n.get("dvd")).exists(_.asBoolean())
     Entry(version, operation, add, remove, legacy, txn, txns, txnsNode.isDefined,
       schemaJson, bloomCols, dvs, droppedCols, constraints, genCols, ts,
-      identityCols)
+      identityCols, dvDelta)
   }
 
   // ---- log access -----------------------------------------------------
@@ -818,7 +821,7 @@ object TxnLake extends LakeFormat {
         lastKeyedProbeDistributed = false
         val df =
           if (kept.isEmpty) scan(Seq(abs(files).head)).where(lit(false))
-          else scanFiles(spark, table, kept, schema, entry.dvs)
+          else scanFiles(spark, table, kept, schema, resolveDvs(spark, table, v))
         (df, (kept.size, files.size))
     }
   }
@@ -928,7 +931,7 @@ object TxnLake extends LakeFormat {
               case Some(st) => spark.read.schema(st).parquet(head: _*)
               case None => spark.read.parquet(head: _*)
             }).where(lit(false))
-          } else scanFiles(spark, table, kept, schema, entry.dvs)
+          } else scanFiles(spark, table, kept, schema, resolveDvs(spark, table, v))
         (df, (kept.size, files.size))
     }
   }
@@ -1258,12 +1261,17 @@ object TxnLake extends LakeFormat {
       val extra = extraTxns.map { case (a, b) =>
         a -> math.max(b, prior.getOrElse(a, Long.MinValue)) }
       val txns = prior ++ extra ++ txn.toMap
-      // deletion vectors ride the entry CUMULATIVELY (like txns/schema):
-      // a removed file's DV dies with it — a rewrite that materializes
-      // the masked rows away must not leave a stale mask behind — and
-      // this commit's fresh DVs (deleteWhereDv) overlay the survivors
-      val dvLive = (lastEntry.map(_.dvs).getOrElse(Map.empty[String, DvRef])
-        -- removed) ++ newDvs
+      // deletion vectors: the live map is (previous live -- removed) ++
+      // fresh — a removed file's DV dies with it, and this commit's
+      // masks (deleteWhereDv/updateWhereDv) overlay the survivors. The
+      // ENTRY stores only this commit's delta (O(commit)) unless it is
+      // an anchor — empty live map (the DV-free common case), or the
+      // CheckpointInterval cadence — where the full map lands so replay
+      // stays bounded (see resolveDvs).
+      val dvLive = (committed.lastOption
+        .map(resolveDvs(spark, table, _))
+        .getOrElse(Map.empty[String, DvRef]) -- removed) ++ newDvs
+      val dvAnchor = dvLive.isEmpty || next % CheckpointInterval == 0
       // advance each identity hwm from the freshly-HARVESTED file stats —
       // zero extra I/O (parquet int64 footers always carry exact min/max;
       // our own harvest just read them). Monotone: a data-preserving
@@ -1286,7 +1294,8 @@ object TxnLake extends LakeFormat {
       // 2. publish: tmp write + atomic link IS the commit
       val entry = render(Entry(next, operation, added, removed, None, txn, txns,
         hasTxns = true, schemaJson = Some(tableSchema.json),
-        bloomCols = allBloomCols, dvs = dvLive,
+        bloomCols = allBloomCols,
+        dvs = if (dvAnchor) dvLive else newDvs, dvDelta = !dvAnchor,
         droppedCols = dropped.distinct, constraints = tableConstraints,
         genCols = genColsAll, ts = nextTs(lastEntry),
         identityCols = idColsOut))
@@ -1447,7 +1456,8 @@ object TxnLake extends LakeFormat {
       schema.map(st => spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), st))
         .getOrElse(spark.emptyDataFrame)
-    else scanFiles(spark, table, files, schema, entry.dvs)
+    else scanFiles(spark, table, files, schema,
+      resolveDvs(spark, table, version))
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -1458,13 +1468,50 @@ object TxnLake extends LakeFormat {
 
   // ---- deletion vectors -------------------------------------------------
 
-  /** Live deletion vectors AS OF a version, data-file path → [[DvRef]] —
-    * one O(1) entry read (every commit carries the cumulative map). */
+  /** Live deletion vectors AS OF a version, data-file path → [[DvRef]]. */
   def deletionVectors(spark: SparkSession, table: String,
                       version: Option[Long] = None): Map[String, DvRef] =
     version.orElse(latestVersion(spark, table))
-      .map(readEntry(spark, table, _).dvs)
+      .map(resolveDvs(spark, table, _))
       .getOrElse(Map.empty)
+
+  /** The LIVE deletion-vector map as of `v` — the r16 verdict's item 4
+    * (the per-entry cumulative map was O(live masked files) on EVERY
+    * entry of a DV-heavy log). Since r17, commit entries carry only the
+    * masks THIS commit minted (`dvd: true` — O(commit) entry size) and
+    * the live map reconstructs by replay from the nearest FULL anchor,
+    * exactly how [[resolveFiles]] reconstructs the file list:
+    *
+    *  - anchors are every entry written with the full map: legacy logs
+    *    (cumulative by construction), restore / compensation / clone
+    *    publishes, any commit whose live map is EMPTY (the no-DV common
+    *    case — so DV-free tables stay O(1) here), and every
+    *    [[CheckpointInterval]]-th commit (the cadence bound, Delta's
+    *    checkpoint amortization);
+    *  - replay applies `(live -- entry.remove) ++ entry.dvs` forward —
+    *    sound because a mask only ever changes by being minted/replaced
+    *    (in `dvs`) or dying with its removed file (in `remove`).
+    *
+    * Cost: one entry read at an anchor, at most [[CheckpointInterval]]
+    * reads otherwise — the same class as the file-list resolution every
+    * read already pays. */
+  private[sources] def resolveDvs(spark: SparkSession, table: String,
+                                  v: Long): Map[String, DvRef] = {
+    val e = readEntry(spark, table, v)
+    if (!e.dvDelta) return e.dvs
+    var tail = List(e)
+    var a = v - 1
+    var anchor: Entry = null
+    while (anchor == null) {
+      require(a >= 0, s"TxnLake: no full DV anchor below version $v of " +
+        s"$table — corrupt log (v0 is always an anchor)")
+      val ea = readEntry(spark, table, a)
+      if (!ea.dvDelta) anchor = ea
+      else { tail = ea :: tail; a -= 1 }
+    }
+    tail.foldLeft(anchor.dvs) { (live, eu) =>
+      (live -- eu.remove) ++ eu.dvs }
+  }
 
   private val DvMagic = "GDV1".getBytes("US-ASCII")
 
@@ -1639,7 +1686,7 @@ object TxnLake extends LakeFormat {
             // suffices for the schema — building the relation over the whole
             // snapshot would be an O(table) listing for a proven-empty result
             scan(Seq(abs(files).head)).where(lit(false))
-          else scanFiles(spark, table, kept, schema, entry.dvs)
+          else scanFiles(spark, table, kept, schema, resolveDvs(spark, table, v))
             .where(predicate)
         (df, (kept.size, files.size))
     }
@@ -1829,7 +1876,7 @@ object TxnLake extends LakeFormat {
                           readFiles: (Seq[String], Map[String, DvRef])
                             => DataFrame): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
-    val prev = readEntry(spark, table, v - 1).dvs
+    val prev = resolveDvs(spark, table, v - 1)
     val f = fs(spark, new Path(table))
     val fresh: Seq[(String, Long)] = e.dvs.toSeq.flatMap {
       case (p, ref) =>
@@ -1934,7 +1981,7 @@ object TxnLake extends LakeFormat {
               .withColumn("commit_version", lit(v)))
         case "delete" =>
           val removed = readFiles(e.remove,
-            readEntry(spark, table, v - 1).dvs)
+            resolveDvs(spark, table, v - 1))
           val kept =
             if (e.add.nonEmpty) readFiles(e.add.map(_.path))
             else removed.limit(0)
@@ -1956,7 +2003,7 @@ object TxnLake extends LakeFormat {
             else readVersion(spark, table, v).limit(0)
           val cowPre =
             if (e.remove.nonEmpty) readFiles(e.remove,
-              readEntry(spark, table, v - 1).dvs)
+              resolveDvs(spark, table, v - 1))
             else post.limit(0)
           val pre = newlyMasked(spark, table, v, e, readFiles)
             .map(cowPre.unionByName(_)).getOrElse(cowPre)
@@ -2542,7 +2589,7 @@ object TxnLake extends LakeFormat {
               if (keyTouched.isEmpty) src
               else src.join(
                 scanFiles(spark, table, keyTouched, Some(readSchema),
-                  baseEntry.dvs).select(col(key)),
+                  resolveDvs(spark, table, b)).select(col(key)),
                 Seq(key), "left_anti")
             insertRows(anti, readSchema, newCols)
           }
@@ -2565,7 +2612,7 @@ object TxnLake extends LakeFormat {
                   spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                   readSchema)
               else scanFiles(spark, table, rewriteFiles, Some(readSchema),
-                baseEntry.dvs)
+                resolveDvs(spark, table, b))
             val srcRenamed = src.columns.foldLeft(src)((d, c) =>
               d.withColumnRenamed(c, MergeSourcePrefix + c))
             // without MATCHED clauses the join only needs the MARKER, so
@@ -2727,7 +2774,7 @@ object TxnLake extends LakeFormat {
       val scoped = files.filter(fm => mayMatch(fm, pred))
       if (scoped.size < 2) return None
       val snap = scanFiles(spark, table, scoped,
-        Some(subsetReadSchema(spark, table, schema, files)), entry.dvs)
+        Some(subsetReadSchema(spark, table, schema, files)), resolveDvs(spark, table, base))
       val rewritten = clusterFor(snap, zorderBy, numFiles)
       try return Some(commitImpl(spark, rewritten, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
@@ -2794,7 +2841,7 @@ object TxnLake extends LakeFormat {
       // read UNDER the live masks: a rewritten file's deletion vector
       // dies with it, so its masked rows must not be resurrected here
       val kept = scanFiles(spark, table, touched,
-          Some(subsetReadSchema(spark, table, schema, files)), entry.dvs)
+          Some(subsetReadSchema(spark, table, schema, files)), resolveDvs(spark, table, base))
         .where(not(coalesce(predicate, lit(false))))
         .repartition(touched.size)
       try return Some(commitImpl(spark, kept, table, "delete", None,
@@ -2870,7 +2917,7 @@ object TxnLake extends LakeFormat {
         .withColumn("__graft_dv_fn", col("_metadata.file_name"))
         .withColumn("__graft_dv_ri", col("_metadata.row_index"))
       val priorRefs = touched.flatMap(fm =>
-        entry.dvs.get(fm.path).map(new Path(fm.path).getName -> _))
+        resolveDvs(spark, table, base).get(fm.path).map(new Path(fm.path).getName -> _))
       val live =
         if (priorRefs.isEmpty) baseDf
         else baseDf.join(dvPairsDf(spark, table, priorRefs),
@@ -2884,7 +2931,7 @@ object TxnLake extends LakeFormat {
       val positions: Map[String, Seq[Long]] = hits.groupBy(_.getString(0))
         .map { case (name, rows) =>
           val rel = byName(name)
-          val old = entry.dvs.get(rel).map(r =>
+          val old = resolveDvs(spark, table, base).get(rel).map(r =>
             readDvFile(f, new Path(table, r.path))).getOrElse(Seq.empty)
           rel -> (old ++ rows.map(_.getLong(1)).toSeq).distinct
         }
@@ -2961,11 +3008,11 @@ object TxnLake extends LakeFormat {
       val files = resolveFiles(spark, table, base)
       requireLive(spark, table, base, files)
       val entry = readEntry(spark, table, base)
-      val masked = files.filter(fm => entry.dvs.contains(fm.path))
+      val masked = files.filter(fm => resolveDvs(spark, table, base).contains(fm.path))
       if (masked.isEmpty) return None
       val schema = entry.schemaStruct
       val clean = scanFiles(spark, table, masked, Some(
-        subsetReadSchema(spark, table, schema, files)), entry.dvs)
+        subsetReadSchema(spark, table, schema, files)), resolveDvs(spark, table, base))
         .repartition(masked.size)
       try return Some(commitImpl(spark, clean, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
@@ -3016,7 +3063,7 @@ object TxnLake extends LakeFormat {
       if (touched.isEmpty) return None
       val hit = coalesce(predicate, lit(false))
       val rewritten = scanFiles(spark, table, touched, Some(readSchema),
-          entry.dvs)
+          resolveDvs(spark, table, base))
         .select(readSchema.fieldNames.map { n =>
           set.get(n) match {
             case Some(v) => when(hit, v).otherwise(col(n)).as(n)
@@ -3091,7 +3138,7 @@ object TxnLake extends LakeFormat {
         .withColumn("__graft_dv_fn", col("_metadata.file_name"))
         .withColumn("__graft_dv_ri", col("_metadata.row_index"))
       val priorRefs = touched.flatMap(fm =>
-        entry.dvs.get(fm.path).map(new Path(fm.path).getName -> _))
+        resolveDvs(spark, table, base).get(fm.path).map(new Path(fm.path).getName -> _))
       val live =
         if (priorRefs.isEmpty) baseDf
         else baseDf.join(dvPairsDf(spark, table, priorRefs),
@@ -3105,7 +3152,7 @@ object TxnLake extends LakeFormat {
       val positions: Map[String, Seq[Long]] = hits.groupBy(_.getString(0))
         .map { case (name, rows) =>
           val rel = byName(name)
-          val old = entry.dvs.get(rel).map(r =>
+          val old = resolveDvs(spark, table, base).get(rel).map(r =>
             readDvFile(f, new Path(table, r.path))).getOrElse(Seq.empty)
           rel -> (old ++ rows.map(_.getLong(1)).toSeq).distinct
         }
@@ -3227,7 +3274,7 @@ object TxnLake extends LakeFormat {
       val packed = scanFiles(spark, table,
           snapFiles.filter(fm => smallSet(fm.path)),
           Some(subsetReadSchema(spark, table, schema, snapFiles)),
-          entry.dvs)
+          resolveDvs(spark, table, base))
         .repartition(numOut)
       try return Some(commitImpl(spark, packed, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
@@ -3326,7 +3373,8 @@ object TxnLake extends LakeFormat {
       val current = currentMeta.map(_.path)
       val next = lastV + 1
       val targetEntry = readEntry(spark, table, toVersion)
-      requireDvLive(targetEntry.dvs)
+      val targetDvs = resolveDvs(spark, table, toVersion)
+      requireDvLive(targetDvs)
       val entry = render(Entry(next, "restore", target, current, None, None,
         txns, hasTxns = true,
         schemaJson = targetEntry.schemaJson,
@@ -3335,7 +3383,7 @@ object TxnLake extends LakeFormat {
         bloomCols = (lastEntry.bloomCols ++ targetEntry.bloomCols).distinct,
         // the restored snapshot's deletion vectors come back with it —
         // its logical rows are files MINUS masks, both or neither
-        dvs = targetEntry.dvs,
+        dvs = targetDvs,
         // drop tombstones restore with their schema: the target's old
         // files are back in the snapshot, so ITS tombstone set is the
         // one that guards them; constraints likewise restore with the
@@ -3372,7 +3420,7 @@ object TxnLake extends LakeFormat {
         // instant where both checks pass and the delete still lands is the
         // same window Delta accepts.)
         try { requireLive(spark, table, toVersion, target)
-          requireDvLive(targetEntry.dvs) }
+          requireDvLive(targetDvs) }
         catch {
           case e: IllegalStateException =>
             beforeCompensate()
@@ -3383,7 +3431,7 @@ object TxnLake extends LakeFormat {
               target.map(_.path)
                 .filterNot(currentMeta.map(_.path).toSet),
               txns, lastEntry.schemaJson, maxAttempts,
-              priorDvs = lastEntry.dvs)
+              priorDvs = resolveDvs(spark, table, lastV))
             throw new IllegalStateException(
               s"TxnLake.restore: a concurrent vacuum reclaimed version " +
                 s"$toVersion's files during the restore; a compensating " +
@@ -3456,7 +3504,7 @@ object TxnLake extends LakeFormat {
         bloomCols = readEntry(spark, table, lastV).bloomCols,
         // masks follow their files: survivors keep the current map's,
         // added-back files return with the pre-restore snapshot's
-        dvs = (lastEntry.map(_.dvs).getOrElse(Map.empty)
+        dvs = (resolveDvs(spark, table, lastV)
           -- stillReferenced) ++
           priorDvs.filter(kv => addBack.exists(_.path == kv._1)),
         // conservative union: the compensated snapshot carries files
@@ -3858,12 +3906,13 @@ object TxnLake extends LakeFormat {
     val e = readEntry(spark, table, v)
     val files = resolveFiles(spark, table, v)
     val bytes = snapshotFileSizes(spark, table, Some(v)).map(_._2).sum
-    val masked = e.dvs.values.map(_.rows).sum
+    val dvsLive = resolveDvs(spark, table, v)
+    val masked = dvsLive.values.map(_.rows).sum
     val rows =
       if (files.exists(_.rows < 0)) -1L
       else files.map(_.rows).sum - masked
     TableDetail(v, commitTimestamp(spark, table, v), files.size, bytes,
-      rows, masked, e.dvs.size, e.schemaStruct, e.bloomCols,
+      rows, masked, dvsLive.size, e.schemaStruct, e.bloomCols,
       e.constraints, e.droppedCols)
   }
 
@@ -3889,7 +3938,7 @@ object TxnLake extends LakeFormat {
       val retained = versions.takeRight(math.max(1, retainVersions))
       live = retained.flatMap(resolveFiles(spark, table, _).map(_.path))
         .toSet ++
-        retained.flatMap(v => readEntry(spark, table, v).dvs.values
+        retained.flatMap(v => resolveDvs(spark, table, v).values
           .map(_.path))
       val now = committedVersions(spark, table)
       if (now == versions) stable = true else versions = now
@@ -3955,8 +4004,9 @@ object TxnLake extends LakeFormat {
     val files = resolveFiles(spark, source, srcV)
     requireLive(spark, source, srcV, files)
     val srcEntry = readEntry(spark, source, srcV)
+    val srcDvs = resolveDvs(spark, source, srcV)
     val f = fs(spark, new Path(target))
-    srcEntry.dvs.values.foreach { r =>
+    srcDvs.values.foreach { r =>
       if (!f.exists(new Path(source, r.path)))
         throw new IllegalStateException(
           s"TxnLake.cloneTable: version $srcV's deletion-vector sidecar " +
@@ -3967,7 +4017,7 @@ object TxnLake extends LakeFormat {
       if (shallow) {
         def abs(rel: String) = new Path(source, rel).toString
         (files.map(fm => fm.copy(path = abs(fm.path))),
-          srcEntry.dvs.map { case (rel, r) =>
+          srcDvs.map { case (rel, r) =>
             abs(rel) -> DvRef(abs(r.path), r.rows) })
       } else {
         val dataRel = s"data/v0-$salt"
@@ -3985,10 +4035,10 @@ object TxnLake extends LakeFormat {
         val srcRoot = source
         val tgtRoot = target
         val dvRel = s"_dv/$salt"
-        if (srcEntry.dvs.nonEmpty) f.mkdirs(new Path(target, dvRel))
+        if (srcDvs.nonEmpty) f.mkdirs(new Path(target, dvRel))
         val copyUnits: Seq[(String, String)] =
           files.map(fm => fm.path -> s"$dataRel/${new Path(fm.path).getName}")
-        val dvUnits: Seq[(String, String)] = srcEntry.dvs.values.toSeq
+        val dvUnits: Seq[(String, String)] = srcDvs.values.toSeq
           .map(r => r.path -> s"$dvRel/${new Path(r.path).getName}")
         val slices = math.min(copyUnits.size + dvUnits.size,
           math.max(1, spark.sparkContext.defaultParallelism))
@@ -4018,7 +4068,7 @@ object TxnLake extends LakeFormat {
           }
         val copied = files.map(fm =>
           fm.copy(path = s"$dataRel/${new Path(fm.path).getName}"))
-        val dvsCopied = srcEntry.dvs.map { case (rel, r) =>
+        val dvsCopied = srcDvs.map { case (rel, r) =>
           s"$dataRel/${new Path(rel).getName}" ->
             DvRef(s"$dvRel/${new Path(r.path).getName}", r.rows)
         }
@@ -4095,7 +4145,7 @@ object TxnLake extends LakeFormat {
       live = retained.flatMap(resolveFiles(spark, table, _).map(_.path)).toSet ++
         // deletion-vector sidecars referenced by ANY retained version
         // stay live with their snapshots (time travel reads them)
-        retained.flatMap(v => readEntry(spark, table, v).dvs.values.map(_.path))
+        retained.flatMap(v => resolveDvs(spark, table, v).values.map(_.path))
       val now = committedVersions(spark, table)
       if (now == versions) stable = true else versions = now
       attempt += 1

@@ -341,4 +341,51 @@ class TxnLakeDvSpec extends SparkSpec {
     assert(keys(t) == Set(1L, 2L),
       "the NULL-n row must survive — only TRUE deletes")
   }
+
+  test("a long DV-heavy history keeps entry size O(commit): non-anchor " +
+    "entries carry only the masks they minted; reads, restore, and " +
+    "vacuum reconstruct the live map by bounded replay") {
+    import spark.implicits._
+    val t = freshTable()
+    // 12 single-file commits, ids partitioned by file
+    (0 until 12).foreach { i =>
+      TxnLake.commit(spark,
+        (0 until 10).map(j => (i * 100L + j, j.toLong)).toDF("k", "n")
+          .coalesce(1), t, "append")
+    }
+    // 12 selective DV deletes, one file each: the LIVE map grows to 12
+    // masked files while each entry must stay O(this commit)
+    (0 until 12).foreach { i =>
+      TxnLake.deleteWhereDv(spark, t, col("k") === i * 100L)
+    }
+    def rawDvCount(v: Long): Int = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t, "_txn_log", s"v$v.json")), "UTF-8")
+      "\"p\":".r.findAllIn(txt).length
+    }
+    val latest = TxnLake.latestVersion(spark, t).get
+    assert(TxnLake.deletionVectors(spark, t).size == 12,
+      "fixture: 12 live masks")
+    val dvVersions = (12L to latest)
+    val nonAnchor = dvVersions.filter(_ % 10 != 0)
+    assert(nonAnchor.forall(v => rawDvCount(v) <= 1),
+      s"non-anchor entries must carry ONLY this commit's masks: " +
+        nonAnchor.map(v => v -> rawDvCount(v)).mkString(","))
+    val anchors = dvVersions.filter(_ % 10 == 0)
+    assert(anchors.forall(v => rawDvCount(v) >= (v - 11).toInt),
+      "cadence anchors carry the full map so replay stays bounded")
+    // reads at EVERY dv version see exactly the masks live then
+    dvVersions.zipWithIndex.foreach { case (v, i) =>
+      assert(TxnLake.readVersion(spark, t, v).count() == 120L - (i + 1),
+        s"version $v must mask exactly ${i + 1} rows")
+    }
+    // restore to a mid-history version writes a FULL map (itself an
+    // anchor) and the masks come back with it
+    TxnLake.restore(spark, t, 15L)
+    assert(TxnLake.read(spark, t).count() == 116L)
+    assert(TxnLake.deletionVectors(spark, t).size == 4)
+    // vacuum keeps the retained snapshot's sidecars readable
+    TxnLake.vacuum(spark, t, retainVersions = 1)
+    assert(TxnLake.read(spark, t).count() == 116L)
+  }
 }
