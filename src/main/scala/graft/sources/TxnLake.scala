@@ -117,10 +117,12 @@ object TxnLake extends LakeFormat {
   }
 
   /** One live deletion vector: the sidecar's table-relative path and the
-    * number of row positions it masks. Carried CUMULATIVELY on every
-    * entry (like the txn map and the schema), keyed by data-file path —
-    * so the live DV set at any version is ONE O(1) entry read, no
-    * checkpoint format change, and a rewrite that removes a file drops
+    * number of row positions it masks. Since r17 a commit entry carries
+    * only the masks THAT commit minted (`dvd: true` — O(commit) entry
+    * size, the r16 item-4 bound) and the live map reconstructs by
+    * cadence-bounded replay ([[resolveDvs]]); full-map anchors are
+    * legacy/restore/clone/empty/interval entries, keyed by data-file
+    * path either way, and a rewrite that removes a file drops
     * its DV from the map automatically. */
   final case class DvRef(path: String, rows: Long)
 
@@ -1866,7 +1868,7 @@ object TxnLake extends LakeFormat {
       .select(cols.map(c => col(s"c.$c")) :+ col("c.change_type"): _*)
   }
 
-  /** The rows version `v`'s cumulative DV map newly masks relative to
+  /** The rows version `v`'s LIVE DV map newly masks relative to
     * `v-1` — the pre-images of a merge-on-read hop ([[deleteWhereDv]],
     * [[updateWhereDv]]) — read RAW (no masks: the masked rows
     * themselves) from exactly the touched files via `readFiles`. None
@@ -2863,7 +2865,7 @@ object TxnLake extends LakeFormat {
     * time ([[scanFiles]] — the masked scan rides the parquet row-index
     * metadata column and a distributed anti-join). The commit touches NO
     * data file: it adds nothing, removes nothing, and only advances the
-    * entry's cumulative DV map — write cost O(matched positions), never
+    * entry's DV delta — write cost O(matched positions), never
     * O(touched bytes). Re-deleting from a masked file UNIONS positions.
     *
     * A DV dies with its file: any copy-on-write rewrite (DML, OPTIMIZE,
@@ -2951,7 +2953,7 @@ object TxnLake extends LakeFormat {
         rel -> DvRef(s"_dv/$salt/$name.dv", all.size.toLong)
       }
       // dvs-only commit: a noData commit writes no data file, so the
-      // entry advances ONLY the cumulative DV map
+      // entry advances ONLY the DV map (its delta)
       val emptyDf = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
       // cleanup is scoped to PRE-PUBLISH failures only: once the entry
