@@ -455,6 +455,118 @@ object ScaleStress {
       s""""peak_task_mb":${s2(mtr._4 / mb)}}""")
   }
 
+  /** x47/x64 decontamination-probe evidence (modes "dcprune" /
+    * "dcpruneac") — [[measureNdPrune]]'s counterpart at the GRAM tier,
+    * the index whose key population is the one that actually exceeds
+    * the driver cap in production (window grams outnumber band hashes
+    * ~500:1): grow a corpus + `_windex` through 8 sequential ingest
+    * commits, then probe with a FIXED delta — five fresh docs plus one
+    * doc whose first half is a committed doc verbatim (a true
+    * contamination the mask must excise) — through the registered
+    * [[graft.streaming.CurationStream.curateBatchDecontam]] path, and
+    * report the probe wall, the `_windex` file-skipping counters, and
+    * the excision evidence. `aboveCap = true` forces
+    * `graft.probe.maxDriverKeys` to 1, so the kept-file membership
+    * decision runs distributed (readKeyedDistributed) — the curve must
+    * stay flat there too (the r16 verdict's "ndprune row at gram
+    * scale"). */
+  private def measureDcPrune(spark: SparkSession, listener: MetricsListener,
+                             dir: String, tag: String,
+                             aboveCap: Boolean): Unit = {
+    import graft.sources.TxnLake
+    import graft.streaming.CurationStream
+    import graft.functions.TextFunctions.{fingerprint, langId, tokens}
+    val table = s"$dir/dcprune_t"
+    Seq(table, table + "_windex", table + "_quarantine").foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    val appId = "scale_dcprune"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), regexp_replace(
+        graft.expressions.TextExpressions.nfcNormalize(col("text")),
+        graft.functions.TextFunctions.CtrlClassSpark, "").as("text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .withColumn("n_removed", lit(0).cast("int"))
+    val mx = corpus.agg(max("doc_id")).head().getLong(0)
+    val w = CurationStream.DecontamWindow
+    (0 until 8).foreach { i =>
+      val chunk = corpus.filter(expr(s"doc_id * 8 div ${mx + 1}") === i)
+        .withColumn("ingest_batch", lit(i).cast("int"))
+      TxnLake.commitOnce(spark,
+        chunk.select("doc_id", "fp", "n_tokens", "n_removed", "text",
+          "ingest_batch").coalesce(4),
+        table, "append", appId, i,
+        bloomCols = CurationStream.CorpusBloomCols)
+      TxnLake.commitOnce(spark,
+        chunk.select(tokens(col("text")).as("__t"))
+          .select(explode(
+            graft.functions.TextFunctions.orderedGrams(col("__t"), w))
+            .as("__g")).distinct().coalesce(4),
+        s"${table}_windex", "append", CurationStream.windowIndexTxn(appId), i,
+        bloomCols = Seq("__g"))
+    }
+    // fixed probe: five gate-passing fresh docs + one half-contaminated
+    val seeds = corpus
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("ar",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
+          / length(col("text")))
+      .filter(col("n_tokens") >= 30 && col("ar") >= 0.5
+        && langId(col("toks")) =!= "und")
+      .orderBy("doc_id").select("text").limit(2).collect()
+    val aToks = seeds(0).getString(0).split("\\s+").toSeq
+    val bToks = seeds(1).getString(0).split("\\s+").reverse.toSeq
+    val probeText = (aToks ++ bToks).mkString(" ")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val fresh = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") < 100000L)
+      .orderBy("doc_id").limit(5)
+    val probe = fresh.unionByName(spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(900001L, probeText)), schema))
+    if (aboveCap) spark.conf.set("graft.probe.maxDriverKeys", "1")
+    try {
+      var excised = false
+      def once(): (Double, Long, (Long, Long, Long, Long)) = {
+        listener.reset()
+        val t0 = System.nanoTime()
+        val out = CurationStream.curateBatchDecontam(probe, table, 8L, appId)
+          .select("doc_id", "n_removed").collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        excised = out.exists(r =>
+          r.getLong(0) == 900001L && r.getInt(1) >= aToks.size)
+        SessionHygiene.dropAllStorage(spark)
+        org.apache.spark.GraftListenerShim
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+        (sec, out.length.toLong, (listener.shuffleRead.get,
+          listener.shuffleWrite.get, listener.spill.get,
+          listener.peakMem.get))
+      }
+      once() // warm
+      val a = once(); val b = once()
+      val (sec, rows, mtr) = if (a._1 <= b._1) a else b
+      val (wKept, wTotal) = CurationStream.lastWindexSkipping
+      val path = CurationStream.probePaths.getOrElse((table, 8L), "?")
+      val sf = CurationStream.lastDecontamProbeShuffleFree
+      def s2(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      val mb = 1024.0 * 1024.0
+      val mode = if (aboveCap) "dcpruneac" else "dcprune"
+      println(s"""SCALE {$tag,"mode":"$mode","cpus":${spark.sparkContext
+        .defaultParallelism},"probe_sec":${s2(sec)},"rows":$rows,""" +
+        s""""path":"$path","probe_shuffle_free":$sf,"excised":$excised,""" +
+        s""""windex_kept":$wKept,"windex_total":$wTotal,""" +
+        s""""shuf_read_mb":${s2(mtr._1 / mb)},"spill_mb":${s2(mtr._3 / mb)},""" +
+        s""""peak_task_mb":${s2(mtr._4 / mb)}}""")
+    } finally if (aboveCap) spark.conf.unset("graft.probe.maxDriverKeys")
+  }
+
   /** x50 CDC-apply evidence (mode "cdcapply"): a FIXED-size change batch
     * (2,500 updates + 400 tombstones + 100 inserts, all keyed into the
     * replica's lowest id block) applied via the clause MERGE to a
@@ -664,6 +776,15 @@ object ScaleStress {
           try measureNdPrune(spark, listener, dir,
             s""""factor":$fct,"abovecap":true""")
           finally spark.conf.unset("graft.probe.maxDriverKeys")
+        }
+      } else if (spec == "dcprune" || spec == "dcpruneac") {
+        val factors = (if (args.length > 2) args(2) else "1,10")
+          .split(",").map(_.trim.toInt).toSeq
+        factors.foreach { fct =>
+          val dir = s"$tmp/graft_scale_f$fct"
+          buildScaled(spark, baseDir, fct, dir)
+          measureDcPrune(spark, listener, dir, s""""factor":$fct""",
+            aboveCap = spec == "dcpruneac")
         }
       } else if (spec == "cdcapply") {
         val factors = (if (args.length > 2) args(2) else "1,10")

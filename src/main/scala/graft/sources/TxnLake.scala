@@ -693,13 +693,31 @@ object TxnLake extends LakeFormat {
         checks.map { case (_, v) => v.cast("boolean") }: _*)
     val nCols = applicable.size
     val nChecks = checks.size
+    // Size each file's sidecar to ITS row count (~10 bits/key ≈ 1 % FP
+    // at k=6), pow2 for the double-hash modulo, floored at the 16 KiB
+    // legacy default and capped at 2 MiB: a fixed 2^17 bits saturates on
+    // gram-scale index files (~190k keys/file measured at sf0.1 — FP→1,
+    // every probe kept every file), which silently un-prunes exactly the
+    // highest-cardinality columns the sidecars exist for. The read side
+    // is length-agnostic (bits come from the sidecar's own size), so old
+    // sidecars stay valid and mixed-size tables prune per file.
+    val bitsByName: Map[String, Int] = files.map { fm =>
+      val target = math.max(BloomIndex.DefaultBits.toLong,
+        math.max(0L, fm.rows) * 10L)
+      var b = BloomIndex.DefaultBits
+      while (b.toLong < target && b < (1 << 24)) b <<= 1
+      new Path(fm.path).getName -> b
+    }.toMap
     val built = proj.rdd.mapPartitions { it =>
       val acc = scala.collection.mutable.Map
         .empty[String, (Array[Array[Long]], Array[Long])]
       it.foreach { r =>
         val file = r.getString(0)
-        val (bits, viol) = acc.getOrElseUpdate(file,
-          (Array.fill(nCols)(BloomIndex.empty()), new Array[Long](nChecks)))
+        val (bits, viol) = acc.getOrElseUpdate(file, {
+          val nb = bitsByName.getOrElse(
+            file.substring(file.lastIndexOf('/') + 1), BloomIndex.DefaultBits)
+          (Array.fill(nCols)(BloomIndex.empty(nb)), new Array[Long](nChecks))
+        })
         var i = 0
         while (i < nCols) {
           if (!r.isNullAt(i + 1)) BloomIndex.add(bits(i), r.getString(i + 1))
@@ -4042,8 +4060,10 @@ object TxnLake extends LakeFormat {
           files.map(fm => fm.path -> s"$dataRel/${new Path(fm.path).getName}")
         val dvUnits: Seq[(String, String)] = srcDvs.values.toSeq
           .map(r => r.path -> s"$dvRel/${new Path(r.path).getName}")
-        val slices = math.min(copyUnits.size + dvUnits.size,
-          math.max(1, spark.sparkContext.defaultParallelism))
+        // max(1, …): a deep clone of an EMPTY table still needs a legal
+        // slice count for the (empty) copy job
+        val slices = math.max(1, math.min(copyUnits.size + dvUnits.size,
+          math.max(1, spark.sparkContext.defaultParallelism)))
         lastCloneCopySlices = slices
         spark.sparkContext
           .parallelize(copyUnits.map(_ -> true) ++ dvUnits.map(_ -> false),
