@@ -898,25 +898,59 @@ object TxnLake extends LakeFormat {
             val tbl = table
             val colName = column
             val ser = new SerConf(spark.sparkContext.hadoopConfiguration)
-            val slices = math.min(bloomed.size,
-              math.max(1, spark.sparkContext.defaultParallelism))
-            val loaded = spark.sparkContext
-              .parallelize(bloomed.map(_.path).zipWithIndex, slices)
-              .map { case (rel, i) =>
-                val p = new Path(tbl, rel)
-                (i, BloomIndex.read(p.getFileSystem(ser.value), p, colName))
-              }.collect()
-            val withBits = loaded.collect { case (i, Some(bits)) => (i, bits) }
-            val missing = loaded.collect { case (i, None) => i }
-            val hit: Array[Int] =
-              if (withBits.isEmpty) Array.empty
-              else {
+            import spark.implicits._
+            val keyCol = keysDf.columns.head
+            val keys = keysDf
+              .select(org.apache.spark.sql.functions.col(keyCol)
+                .cast("string")).na.drop().as[String]
+            // CHUNKED by estimated sidecar bytes (sidecars size to their
+            // file's key count since r17 — up to 2 MiB each): the driver
+            // holds and broadcasts at most one chunk of bits at a time,
+            // so a snapshot with very many bloomed files can never
+            // pressure driver memory; each chunk costs one delta-scaled
+            // pass over the keys. Estimate mirrors the build-side sizing
+            // formula, conservative high.
+            val chunkBudget = spark.conf
+              .getOption("graft.probe.maxSidecarBroadcastBytes")
+              .map(_.toLong).getOrElse(256L << 20)
+            def estBytes(fm: FileMeta): Long = {
+              val target = math.max(BloomIndex.DefaultBits.toLong,
+                math.max(0L, fm.rows) * 10L)
+              var b = BloomIndex.DefaultBits
+              while (b.toLong < target && b < (1 << 24)) b <<= 1
+              b / 8L
+            }
+            val indexed = bloomed.zipWithIndex
+            val chunks = scala.collection.mutable.ListBuffer
+              .empty[Seq[(FileMeta, Int)]]
+            var cur = scala.collection.mutable.ListBuffer
+              .empty[(FileMeta, Int)]
+            var curBytes = 0L
+            indexed.foreach { case (fm, i) =>
+              val b = estBytes(fm)
+              if (cur.nonEmpty && curBytes + b > chunkBudget) {
+                chunks += cur.toSeq; cur = scala.collection.mutable
+                  .ListBuffer.empty[(FileMeta, Int)]; curBytes = 0L
+              }
+              cur += ((fm, i)); curBytes += b
+            }
+            if (cur.nonEmpty) chunks += cur.toSeq
+            val keep = scala.collection.mutable.Set.empty[Int]
+            chunks.foreach { chunk =>
+              val slices = math.min(chunk.size,
+                math.max(1, spark.sparkContext.defaultParallelism))
+              val loaded = spark.sparkContext
+                .parallelize(chunk.map { case (fm, i) => (fm.path, i) },
+                  slices)
+                .map { case (rel, i) =>
+                  val p = new Path(tbl, rel)
+                  (i, BloomIndex.read(p.getFileSystem(ser.value), p, colName))
+                }.collect()
+              keep ++= loaded.collect { case (i, None) => i } // conservative
+              val withBits = loaded
+                .collect { case (i, Some(bits)) => (i, bits) }
+              if (withBits.nonEmpty) {
                 val bc = spark.sparkContext.broadcast(withBits)
-                import spark.implicits._
-                val keyCol = keysDf.columns.head
-                val keys = keysDf
-                  .select(org.apache.spark.sql.functions.col(keyCol)
-                    .cast("string")).na.drop().as[String]
                 val out = keys.mapPartitions { it =>
                   val arr = bc.value
                   val n = arr.length
@@ -935,9 +969,9 @@ object TxnLake extends LakeFormat {
                   Iterator.range(0, n).filter(h(_)).map(arr(_)._1)
                 }.distinct().collect()
                 bc.unpersist(blocking = false)
-                out
+                keep ++= out
               }
-            val keep = hit.toSet ++ missing
+            }
             bloomed.zipWithIndex
               .collect { case (fm, i) if keep(i) => fm.path }.toSet
           }

@@ -61,6 +61,18 @@ class TxnLakeBloomSpec extends SparkSpec {
     val (_, (kN, tN)) = TxnLake.readKeyedDistributed(spark, t, "k",
       Seq(Some(md5Of(10L)), None).toDF("k"))
     assert(tN == 4 && kN >= 1)
+    // a ~zero broadcast budget forces one chunk PER SIDECAR — the
+    // chunked regime (very-many-files snapshots) must keep and scan
+    // identically
+    spark.conf.set("graft.probe.maxSidecarBroadcastBytes", "1")
+    try {
+      val (cDf, (cKept, cTotal)) =
+        TxnLake.readKeyedDistributed(spark, t, "k", keysDf)
+      assert((cKept, cTotal) == ((dKept, dTotal))
+        && cDf.collect().map(_.toString).sorted.toSeq ==
+          dDf.collect().map(_.toString).sorted.toSeq,
+        "per-sidecar chunking must not change the kept set or the rows")
+    } finally spark.conf.unset("graft.probe.maxSidecarBroadcastBytes")
     // a table founded BEFORE any bloom declaration keeps everything
     // (conservative), like readKeyed
     val t2 = freshTable()
