@@ -3952,7 +3952,10 @@ object TxnLake extends LakeFormat {
                                schema: Option[StructType],
                                bloomCols: Seq[String],
                                constraints: Map[String, String],
-                               droppedCols: Seq[String])
+                               droppedCols: Seq[String],
+                               genCols: Map[String, String] = Map.empty,
+                               identityCols: Map[String, IdentitySpec] =
+                                 Map.empty)
 
   def describeDetail(spark: SparkSession, table: String): TableDetail = {
     val v = latestVersion(spark, table).getOrElse(
@@ -3967,7 +3970,7 @@ object TxnLake extends LakeFormat {
       else files.map(_.rows).sum - masked
     TableDetail(v, commitTimestamp(spark, table, v), files.size, bytes,
       rows, masked, dvsLive.size, e.schemaStruct, e.bloomCols,
-      e.constraints, e.droppedCols)
+      e.constraints, e.droppedCols, e.genCols, e.identityCols)
   }
 
   /** What [[vacuum]] WOULD reclaim, without deleting anything —
