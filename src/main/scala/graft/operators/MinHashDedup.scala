@@ -273,11 +273,25 @@ object MinHashDedup {
     // the delta for each)
     val bandsD = org.apache.spark.sql.GraftCheckpointShim
       .dropCarriedStats(bandTable(shD).localCheckpoint())
-    if (!sp(bandsD.count())) {
+    val nBands = bandsD.count()
+    if (!sp(nBands)) {
       lastProbeCandShuffleFree = false
-      return indexedProbeFrom(shD, bandsD,
+      // distributed-loader regime: prune the index files on the
+      // executors, then shrink the candidate join's index side
+      // SHUFFLE-FREE with a distributed bloom of the delta's band
+      // hashes (driver holds only the sketch; the join's exact b+bh
+      // equality absorbs the sketch's false positives)
+      val prunedIndex =
         if (indexForKeysDf == null) indexFull
-        else indexForKeysDf(bandsD.select("bh")),
+        else {
+          val scan = indexForKeysDf(bandsD.select("bh"))
+          val sketch = graft.operators.BloomPrune.build(
+            bandsD.select(xxhash64(col("bh")).as("__h")), "__h",
+            expectedItems = math.max(1L, nBands))
+          scan.where(graft.operators.BloomPrune
+            .mightContain(sketch, xxhash64(col("bh"))))
+        }
+      return indexedProbeFrom(shD, bandsD, prunedIndex,
         corpusFull, threshold, materialize = true,
         corpusForIdsDf = corpusForIdsDf)
     }

@@ -183,16 +183,26 @@ object CurationStream {
     val sv = org.apache.spark.sql.GraftCheckpointShim
       .dropCarriedStats(survivors.localCheckpoint())
     val deltaFps = sv.select("fp").distinct()
-    if (!pruneWorthwhile(s, table, deltaFps.count())) {
+    val nFps = deltaFps.count()
+    if (!pruneWorthwhile(s, table, nFps)) {
       // oversized or corpus-scale batch (backfill/bootstrap): the kept-
       // file decision moves to the EXECUTORS — the delta's fps probe the
       // per-file fp sidecars as data (readKeyedDistributed: no driver
       // key collect, hit ordinals only come back) — and exactness comes
       // from the anti-join against the PRUNED scan: a delta-scaled
-      // shuffle, never the pre-r17 O(corpus) full-fp scan
+      // shuffle, never the pre-r17 O(corpus) full-fp scan. A distributed
+      // BLOOM of the delta's fps (driver holds only the sketch) shrinks
+      // the scan side SHUFFLE-FREE first — a kept file contributes all
+      // its rows otherwise — and the anti-join's exact equality absorbs
+      // the sketch's false positives.
       val (scan, skip) = TxnLake.readKeyedDistributed(s, table, "fp", deltaFps)
       lastFpSkipping = skip
-      return sv.join(scan.select("fp"), Seq("fp"), "left_anti")
+      val sketch = graft.operators.BloomPrune.build(
+        deltaFps.select(xxhash64(col("fp")).as("__h")), "__h",
+        expectedItems = math.max(1L, nFps))
+      val hot = scan.select("fp").where(
+        graft.operators.BloomPrune.mightContain(sketch, xxhash64(col("fp"))))
+      return sv.join(hot, Seq("fp"), "left_anti")
     }
     val keys = deltaFps.collect().map(_.getString(0)).toSeq
     val (scan, skip) = TxnLake.readKeyed(s, table, "fp", keys)
@@ -493,7 +503,20 @@ object CurationStream {
             val (scan, skip) = TxnLake.readKeyedDistributed(
               s, windex, "__g", grams.select("__g"))
             lastWindexSkipping = skip
-            grams.join(scan.select("__g"), Seq("__g"), "left_semi")
+            // shrink the exactness shuffle's index side FIRST with a
+            // distributed bloom of the delta's grams (one agg pass to
+            // build, driver holds only the sketch, codegen might_contain
+            // on the probe side — zero shuffle): a kept windex file
+            // contributes ALL its grams otherwise, and at gram scale the
+            // per-file sidecar FP tail keeps many files. Only sketch
+            // survivors (truly-shared + ~2% FP) enter the semi-join,
+            // whose exact equality absorbs the FP.
+            val sketch = graft.operators.BloomPrune.build(
+              grams.select(xxhash64(col("__g")).as("__h")), "__h",
+              expectedItems = math.max(1L, estGrams))
+            val hot = scan.select("__g").where(graft.operators.BloomPrune
+              .mightContain(sketch, xxhash64(col("__g"))))
+            grams.join(hot, Seq("__g"), "left_semi")
           } else {
             val hot = tbl
               .select(tokens(col("text")).as("__t"))
