@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   * SCALE.md records the adjudicated table.
   *
   * Usage: runMain graft.ScaleStress <baseSfDir>
-  * <factors csv|skew|bigdoc|vecprune|ndprune|ndpruneac> [queries csv]
+  * <factors csv|skew|bigdoc|vecprune|ndprune|ndpruneac|dcprune|dcpruneac>
+  * [queries csv]
   */
 object ScaleStress {
 

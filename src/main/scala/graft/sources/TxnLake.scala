@@ -90,9 +90,14 @@ object TxnLake extends LakeFormat {
 
   /** One data file of a snapshot: table-relative path, row count, and the
     * column stats harvested from its footer at commit time. `rows` is -1
-    * for files inherited from pre-stats (legacy full-list) log entries. */
+    * for files inherited from pre-stats (legacy full-list) log entries.
+    * `brid` is the file's BASE ROW ID (Delta row tracking): fresh rows in
+    * the file expose row id `brid + row_index`, a disjoint range the
+    * commit reserved from the table's cumulative row-id high-water mark;
+    * -1 on files added before row tracking (their rows have no ids). */
   final case class FileMeta(path: String, rows: Long,
-                            stats: Map[String, ColStats])
+                            stats: Map[String, ColStats],
+                            brid: Long = -1L)
 
   private final case class Entry(version: Long, operation: String,
                                  add: Seq[FileMeta], remove: Seq[String],
@@ -109,7 +114,8 @@ object TxnLake extends LakeFormat {
                                  ts: Option[Long] = None,
                                  identityCols: Map[String, IdentitySpec] =
                                    Map.empty,
-                                 dvDelta: Boolean = false) {
+                                 dvDelta: Boolean = false,
+                                 ridHwm: Long = -1L) {
     /** The logged cumulative schema, decoded — one accessor instead of
       * the same two-line parse at every read/DML site. */
     def schemaStruct: Option[StructType] =
@@ -138,6 +144,11 @@ object TxnLake extends LakeFormat {
     * reissued. */
   final case class IdentitySpec(start: Long, step: Long, hwm: Long)
 
+  /** The row-id column [[readWithRowIds]] exposes and engine rewrites
+    * materialize — Delta row tracking's `_metadata.row_id`. Reserved:
+    * writers may not supply it. */
+  val RidCol = "__graft_rid"
+
   // ---- JSON (jackson tree API — ships with Spark; no extra deps) ------
 
   private val mapper = new ObjectMapper()
@@ -145,6 +156,7 @@ object TxnLake extends LakeFormat {
   private def statsToJson(o: ObjectNode, fm: FileMeta): Unit = {
     o.put("path", fm.path)
     o.put("rows", fm.rows)
+    if (fm.brid >= 0L) o.put("brid", fm.brid)
     statsObj(o.putObject("stats"), fm.stats)
   }
 
@@ -171,7 +183,8 @@ object TxnLake extends LakeFormat {
   private def fileFromJson(n: JsonNode): FileMeta = {
     val stats = Option(n.get("stats")).map(statsFromJson).getOrElse(Map.empty)
     FileMeta(n.get("path").asText(),
-      Option(n.get("rows")).map(_.asLong()).getOrElse(-1L), stats)
+      Option(n.get("rows")).map(_.asLong()).getOrElse(-1L), stats,
+      Option(n.get("brid")).map(_.asLong()).getOrElse(-1L))
   }
 
   private def render(e: Entry): String = {
@@ -229,6 +242,7 @@ object TxnLake extends LakeFormat {
       }
     }
     if (e.dvDelta) o.put("dvd", true)
+    if (e.ridHwm >= 0L) o.put("rhw", e.ridHwm)
     mapper.writeValueAsString(o)
   }
 
@@ -275,9 +289,10 @@ object TxnLake extends LakeFormat {
           e.getValue.get("k").asLong(), e.getValue.get("h").asLong())
       }.toMap).getOrElse(Map.empty[String, IdentitySpec])
     val dvDelta = Option(n.get("dvd")).exists(_.asBoolean())
+    val ridHwm = Option(n.get("rhw")).map(_.asLong()).getOrElse(-1L)
     Entry(version, operation, add, remove, legacy, txn, txns, txnsNode.isDefined,
       schemaJson, bloomCols, dvs, droppedCols, constraints, genCols, ts,
-      identityCols, dvDelta)
+      identityCols, dvDelta, ridHwm)
   }
 
   // ---- log access -----------------------------------------------------
@@ -292,7 +307,13 @@ object TxnLake extends LakeFormat {
       .sorted.toSeq
   }
 
+  /** Test seam: log-entry reads since the last reset — lets specs pin
+    * the I/O CLASS of a lifecycle (e.g. a DML attempt resolves its DV
+    * map once, not once per touched file) without timing flakiness. */
+  @volatile private[sources] var logEntryReads: Long = 0L
+
   private def readEntry(spark: SparkSession, table: String, v: Long): Entry = {
+    logEntryReads += 1
     val p = new Path(logDir(table), s"v$v.json")
     val in = fs(spark, p).open(p)
     try parse(new String(in.readAllBytes(), "UTF-8")) finally in.close()
@@ -320,6 +341,7 @@ object TxnLake extends LakeFormat {
         |  required binary path (UTF8);
         |  required int64 rows;
         |  required binary stats (UTF8);
+        |  optional int64 brid;
         |}""".stripMargin)
 
   private def readCheckpoint(spark: SparkSession, table: String,
@@ -340,8 +362,15 @@ object TxnLake extends LakeFormat {
         val buf = Seq.newBuilder[FileMeta]
         var g = reader.read()
         while (g != null) {
+          // pre-row-tracking checkpoints lack the brid field entirely;
+          // post-r18 ones null it for untracked files — both read -1
+          val brid =
+            if (g.getType.containsField("brid")
+              && g.getFieldRepetitionCount("brid") > 0)
+              g.getLong("brid", 0)
+            else -1L
           buf += FileMeta(g.getString("path", 0), g.getLong("rows", 0),
-            statsFromJson(mapper.readTree(g.getString("stats", 0))))
+            statsFromJson(mapper.readTree(g.getString("stats", 0))), brid)
           g = reader.read()
         }
         buf.result()
@@ -1087,7 +1116,8 @@ object TxnLake extends LakeFormat {
                          newGenCols: Map[String, String] = Map.empty,
                          dropGenColNames: Seq[String] = Seq.empty,
                          newIdentityCols: Map[String, IdentitySpec] = Map.empty,
-                         dropIdentityColNames: Seq[String] = Seq.empty)
+                         dropIdentityColNames: Seq[String] = Seq.empty,
+                         carryRids: Boolean = false)
                         : Option[Long] = {
     require(operation == "overwrite" || operation == "append"
       || operation == "optimize" || operation == "delete"
@@ -1098,6 +1128,12 @@ object TxnLake extends LakeFormat {
       "TxnLake: __graft_dv_* column names are reserved for the " +
         "deletion-vector read path — a data column would be silently " +
         "overwritten by the masked scan")
+    // only the engine's own rewrite paths (carryRids) may write the
+    // materialized row-id column: a user column under that name would
+    // silently pose as tracked row ids on every later read
+    require(carryRids || !df.columns.contains(RidCol),
+      s"TxnLake: $RidCol is reserved for row tracking — the engine " +
+        "materializes it on rewrites; writers may not supply it")
     val tablePath = new Path(table)
     val f = fs(spark, tablePath)
     f.mkdirs(logDir(table))
@@ -1189,13 +1225,26 @@ object TxnLake extends LakeFormat {
         else idColsAll.toSeq.sortBy(_._1).foldLeft(dfGen) {
           case (d, (c, sp)) =>
             import org.apache.spark.sql.functions.{coalesce, col, lit,
-              monotonically_increasing_id}
+              monotonically_increasing_id, raise_error, try_add,
+              try_multiply, when}
             require(math.abs(sp.hwm) < (1L << 61),
               s"TxnLake: identity column $c's high-water mark ${sp.hwm} " +
                 "is within range-reservation overflow distance — " +
                 "re-found the table with a wider step plan")
-            val next = lit(sp.hwm) +
-              lit(sp.step) * (monotonically_increasing_id() + 1)
+            // overflow-CHECKED reservation: step * (partition_ordinal
+            // << 33) alone can wrap Long for a large step or a high
+            // partition ordinal, and non-ANSI arithmetic would wrap
+            // SILENTLY — minting duplicate or direction-regressed ids
+            // instead of the promised loud refusal. try_* returns NULL
+            // on overflow; a NULL reservation raises per-row, aborting
+            // the write job before the entry publishes.
+            val reserved = try_add(lit(sp.hwm),
+              try_multiply(lit(sp.step), monotonically_increasing_id() + 1))
+            val next = when(reserved.isNull, raise_error(lit(
+                s"TxnLake: identity column $c range reservation " +
+                  s"overflowed Long (hwm=${sp.hwm}, step=${sp.step}) — " +
+                  "re-found the table with a narrower step")))
+              .otherwise(reserved)
             if (!d.columns.contains(c)) d.withColumn(c, next)
             else {
               require(operation != "append" && operation != "overwrite",
@@ -1223,7 +1272,11 @@ object TxnLake extends LakeFormat {
             .sortBy(_.getPath.getName)
             .map(s => (s.getPath.toString, s"$dataRel/${s.getPath.getName}"))
             .toSeq
+          // the materialized row-id column is engine plumbing, not table
+          // data: its footer stats never feed user-predicate pruning, so
+          // they stay out of the entry
           harvestAll(spark, written, dfOut.schema)
+            .map(fm => fm.copy(stats = fm.stats - RidCol))
         }
       // Bloom-indexed columns are a TABLE property (like the cumulative
       // schema): declared on any commit, inherited by every later one —
@@ -1241,7 +1294,10 @@ object TxnLake extends LakeFormat {
       val tableSchema = schemaOverride.getOrElse(mergedSchema(
         lastEntry.flatMap(_.schemaJson)
           .map(DataType.fromJson(_).asInstanceOf[StructType]),
-        dfOut.schema, operation))
+        // the materialized row-id column is PHYSICAL only — never part
+        // of the logical table schema (plain reads must not see it)
+        StructType(dfOut.schema.fields.filterNot(_.name == RidCol)),
+        operation))
       // CHECK constraints are a table property (Delta's ADD CONSTRAINT):
       // carried cumulatively, enforced on every data-bearing commit by
       // scanning ONLY the just-written delta (O(delta), under the merged
@@ -1339,20 +1395,54 @@ object TxnLake extends LakeFormat {
         require(vals.nonEmpty || added.forall(_.rows == 0L),
           s"TxnLake: identity column $c has no harvested stats on a " +
             "row-minting commit — cannot advance the high-water mark")
+        // belt to the try_*-checked reservation's suspenders: on a pure
+        // engine assignment (append/overwrite — writers may not supply
+        // the column), EVERY landed value is fresh, so the harvested
+        // extremes must sit strictly beyond the prior mark in step
+        // direction; a value on the wrong side means wrapped/duplicate
+        // ids and must refuse before the mark advances past them.
+        if ((operation == "append" || operation == "overwrite") &&
+            added.exists(_.rows > 0L)) {
+          val inner = added.flatMap(_.stats.get(c))
+            .flatMap(s => if (sp.step > 0) s.min else s.max)
+            .flatMap(v => scala.util.Try(v.toLong).toOption)
+          require(inner.nonEmpty && (if (sp.step > 0) inner.min > sp.hwm
+                                     else inner.max < sp.hwm),
+            s"TxnLake: identity column $c landed values on the wrong " +
+              s"side of the high-water mark ${sp.hwm} — refusing to " +
+              "advance (possible reservation overflow)")
+        }
         val hw =
           if (vals.isEmpty) sp.hwm
           else if (sp.step > 0) math.max(sp.hwm, vals.max)
           else math.min(sp.hwm, vals.min)
         c -> sp.copy(hwm = hw)
       }
+      // ROW TRACKING (Delta's baseRowId): every added file reserves a
+      // fresh contiguous base-row-id range from the table's cumulative
+      // high-water mark — pure driver arithmetic over the row counts the
+      // harvest already produced, zero extra I/O. Fresh rows expose
+      // `brid + row_index` at read time (nothing materializes on
+      // append); engine rewrites carry the ids they read as a physical
+      // `__graft_rid` column, which takes precedence. The mark is
+      // monotone across every commit (restore/clone merge it the same
+      // way), so a row id, once handed out, is never reissued.
+      val ridBase = lastEntry.map(_.ridHwm).filter(_ >= 0L).getOrElse(0L)
+      var ridCursor = ridBase
+      val addedRid = added.map { fm =>
+        val b = ridCursor
+        ridCursor += math.max(0L, fm.rows)
+        fm.copy(brid = b)
+      }
       // 2. publish: tmp write + atomic link IS the commit
-      val entry = render(Entry(next, operation, added, removed, None, txn, txns,
+      val entry = render(Entry(next, operation, addedRid, removed, None, txn,
+        txns,
         hasTxns = true, schemaJson = Some(tableSchema.json),
         bloomCols = allBloomCols,
         dvs = if (dvAnchor) dvLive else newDvs, dvDelta = !dvAnchor,
         droppedCols = dropped.distinct, constraints = tableConstraints,
         genCols = genColsAll, ts = nextTs(lastEntry),
-        identityCols = idColsOut))
+        identityCols = idColsOut, ridHwm = ridCursor))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -1398,6 +1488,7 @@ object TxnLake extends LakeFormat {
         val st = mapper.createObjectNode()
         statsObj(st, fm.stats)
         g.append("stats", mapper.writeValueAsString(st))
+        if (fm.brid >= 0L) g.append("brid", fm.brid)
         writer.write(g)
       }
     } finally writer.close()
@@ -1692,6 +1783,102 @@ object TxnLake extends LakeFormat {
       case (None, Some(m)) => m
       case (None, None) => spark.emptyDataFrame
     }
+  }
+
+  /** [[scanFiles]] with the ROW ID materialized as [[RidCol]]: a row's
+    * id is the physical `__graft_rid` column when its file carries one
+    * (an engine rewrite materialized it) and `brid + row_index`
+    * otherwise (a fresh row's virtual id — appends pay NOTHING at write
+    * time, Delta row tracking's design). Per-file base ids join in from
+    * a BROADCAST local relation keyed on the file NAME — the driver
+    * already holds the file list (that is how the whole log works), so
+    * no shuffle and no scan-side exchange; deletion-vector masks apply
+    * AFTER id computation, on the same file-name/row-index columns, so
+    * masked rows never shift their neighbours' ids. */
+  private def scanFilesWithRid(spark: SparkSession, table: String,
+                               files: Seq[FileMeta], schema: StructType,
+                               dvs: Map[String, DvRef]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+    import spark.implicits._
+    require(files.forall(_.brid >= 0L),
+      s"TxnLake: row tracking unavailable — ${files.count(_.brid < 0L)} " +
+        s"file(s) of $table predate it (committed before row tracking; " +
+        "rewrite them via OPTIMIZE after a tracked commit to backfill)")
+    val names = files.map(fm => new Path(fm.path).getName)
+    require(names.distinct.size == names.size,
+      s"TxnLake: duplicate data-file names in $table — the row-id join " +
+        "would cross-apply base ids")
+    val readSchema = StructType(
+      schema.fields.filterNot(_.name == RidCol) :+
+        StructField(RidCol, LongType, nullable = true))
+    val base = spark.read.schema(readSchema)
+      .parquet(files.map(fm => new Path(table, fm.path).toString): _*)
+      .withColumn("__graft_dv_fn", col("_metadata.file_name"))
+      .withColumn("__graft_dv_ri", col("_metadata.row_index"))
+    val brids = broadcast(
+      files.map(fm => (new Path(fm.path).getName, fm.brid))
+        .toDF("__graft_dv_fn", "__graft_rid_base"))
+    val withRid = base.join(brids, Seq("__graft_dv_fn"))
+      .withColumn(RidCol, coalesce(col(RidCol),
+        col("__graft_rid_base") + col("__graft_dv_ri")))
+    val maskedRefs = files.filter(fm => dvs.contains(fm.path))
+      .map(fm => new Path(fm.path).getName -> dvs(fm.path))
+    val out =
+      if (maskedRefs.isEmpty) withRid
+      else withRid.join(dvPairsDf(spark, table, maskedRefs),
+        Seq("__graft_dv_fn", "__graft_dv_ri"), "left_anti")
+    out.drop("__graft_dv_fn", "__graft_dv_ri", "__graft_rid_base")
+  }
+
+  /** The copy-on-write scan seam: rows WITH their ids materialized when
+    * every scanned file tracks them (so the rewrite PRESERVES ids —
+    * commit with `carryRids = true`), else the plain scan on a legacy
+    * snapshot. Returns (frame, whether ids are carried). */
+  private def scanForRewrite(spark: SparkSession, table: String,
+                             files: Seq[FileMeta], schema: StructType,
+                             dvs: Map[String, DvRef]): (DataFrame, Boolean) =
+    if (files.isEmpty)
+      (spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
+        false)
+    else if (files.forall(_.brid >= 0L))
+      (scanFilesWithRid(spark, table, files, schema, dvs), true)
+    else (scanFiles(spark, table, files, Some(schema), dvs), false)
+
+  /** Whether every live file of the snapshot tracks row ids — true for
+    * any table whose files were all committed (or rewritten) after row
+    * tracking landed; a table with older files answers false until a
+    * whole-snapshot OPTIMIZE rewrites them under a tracked commit. */
+  def rowTrackingAvailable(spark: SparkSession, table: String,
+                           version: Option[Long] = None): Boolean =
+    version.orElse(latestVersion(spark, table)) match {
+      case None => false
+      case Some(v) =>
+        val files = resolveFiles(spark, table, v)
+        files.forall(_.brid >= 0L) &&
+          readEntry(spark, table, v).ridHwm >= 0L
+    }
+
+  /** Read a snapshot WITH row ids — the table's columns plus [[RidCol]]
+    * (LongType): stable, unique, never-reissued row identifiers that
+    * survive copy-on-write rewrites, DV deletes, OPTIMIZE, restore, and
+    * clone (Delta row tracking's `_metadata.row_id`). Refuses loudly on
+    * a table whose live files predate tracking. */
+  def readWithRowIds(spark: SparkSession, table: String,
+                     version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      sys.error(s"TxnLake.readWithRowIds: no committed version in $table"))
+    val files = resolveFiles(spark, table, v)
+    requireLive(spark, table, v, files)
+    val entry = readEntry(spark, table, v)
+    val schema = subsetReadSchema(spark, table, entry.schemaStruct, files)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(schema.fields :+
+          StructField(RidCol, LongType, nullable = true)))
+    else scanFilesWithRid(spark, table, files, schema,
+      resolveDvs(spark, table, v))
   }
 
   // ---- data skipping --------------------------------------------------
@@ -2966,12 +3153,18 @@ object TxnLake extends LakeFormat {
       // matching LIVE positions: scan touched with the row index, drop
       // already-masked positions (a row never double-deletes), keep TRUE
       val readSchema = subsetReadSchema(spark, table, schema, files)
+      // one DV resolution per attempt: resolveDvs replays up to
+      // CheckpointInterval log entries since the per-commit-delta change,
+      // so calling it inside per-file loops would pay
+      // O(files x CheckpointInterval) log reads on exactly the DV-heavy
+      // tables this path exists for
+      val dvsBase = resolveDvs(spark, table, base)
       val baseDf = spark.read.schema(readSchema)
         .parquet(touched.map(fm => new Path(table, fm.path).toString): _*)
         .withColumn("__graft_dv_fn", col("_metadata.file_name"))
         .withColumn("__graft_dv_ri", col("_metadata.row_index"))
       val priorRefs = touched.flatMap(fm =>
-        resolveDvs(spark, table, base).get(fm.path).map(new Path(fm.path).getName -> _))
+        dvsBase.get(fm.path).map(new Path(fm.path).getName -> _))
       val live =
         if (priorRefs.isEmpty) baseDf
         else baseDf.join(dvPairsDf(spark, table, priorRefs),
@@ -2985,7 +3178,7 @@ object TxnLake extends LakeFormat {
       val positions: Map[String, Seq[Long]] = hits.groupBy(_.getString(0))
         .map { case (name, rows) =>
           val rel = byName(name)
-          val old = resolveDvs(spark, table, base).get(rel).map(r =>
+          val old = dvsBase.get(rel).map(r =>
             readDvFile(f, new Path(table, r.path))).getOrElse(Seq.empty)
           rel -> (old ++ rows.map(_.getLong(1)).toSeq).distinct
         }
@@ -3062,11 +3255,12 @@ object TxnLake extends LakeFormat {
       val files = resolveFiles(spark, table, base)
       requireLive(spark, table, base, files)
       val entry = readEntry(spark, table, base)
-      val masked = files.filter(fm => resolveDvs(spark, table, base).contains(fm.path))
+      val dvsBase = resolveDvs(spark, table, base) // once per attempt
+      val masked = files.filter(fm => dvsBase.contains(fm.path))
       if (masked.isEmpty) return None
       val schema = entry.schemaStruct
       val clean = scanFiles(spark, table, masked, Some(
-        subsetReadSchema(spark, table, schema, files)), resolveDvs(spark, table, base))
+        subsetReadSchema(spark, table, schema, files)), dvsBase)
         .repartition(masked.size)
       try return Some(commitImpl(spark, clean, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
@@ -3187,12 +3381,15 @@ object TxnLake extends LakeFormat {
         .toMap
       require(byName.size == touched.size,
         s"TxnLake.updateWhereDv: duplicate data-file names in $table")
+      // one DV resolution per attempt (see deleteWhereDv): per-file
+      // resolveDvs calls would replay the log O(files) times
+      val dvsBase = resolveDvs(spark, table, base)
       val baseDf = spark.read.schema(readSchema)
         .parquet(touched.map(fm => new Path(table, fm.path).toString): _*)
         .withColumn("__graft_dv_fn", col("_metadata.file_name"))
         .withColumn("__graft_dv_ri", col("_metadata.row_index"))
       val priorRefs = touched.flatMap(fm =>
-        resolveDvs(spark, table, base).get(fm.path).map(new Path(fm.path).getName -> _))
+        dvsBase.get(fm.path).map(new Path(fm.path).getName -> _))
       val live =
         if (priorRefs.isEmpty) baseDf
         else baseDf.join(dvPairsDf(spark, table, priorRefs),
@@ -3206,7 +3403,7 @@ object TxnLake extends LakeFormat {
       val positions: Map[String, Seq[Long]] = hits.groupBy(_.getString(0))
         .map { case (name, rows) =>
           val rel = byName(name)
-          val old = resolveDvs(spark, table, base).get(rel).map(r =>
+          val old = dvsBase.get(rel).map(r =>
             readDvFile(f, new Path(table, r.path))).getOrElse(Seq.empty)
           rel -> (old ++ rows.map(_.getLong(1)).toSeq).distinct
         }
@@ -3713,6 +3910,12 @@ object TxnLake extends LakeFormat {
       : Map[String, IdentitySpec] =
     latestVersion(spark, table)
       .map(readEntry(spark, table, _).identityCols).getOrElse(Map.empty)
+
+  /** [[identityColumns]] at a historical version (time travel): the
+    * specs — hwm included — exactly as that commit published them. */
+  def identityColumnsAt(spark: SparkSession, table: String, version: Long)
+      : Map[String, IdentitySpec] =
+    readEntry(spark, table, version).identityCols
 
   /** Identity properties survive restore/compensation with their hwm
     * MONOTONE-merged against the latest entry's: the restored snapshot's

@@ -494,14 +494,22 @@ object CurationStream {
             // kept-file decision distributes — the delta's grams probe
             // the window index's __g sidecars as data on the executors
             // (readKeyedDistributed), so there is no driver gram
-            // collect, no corpus-sized checkpoint, and the index-side
-            // I/O still tracks true shared windows instead of the
-            // pre-r17 full-index scan; exactness is the delta-scaled
-            // semi-join against the pruned scan (so the plan is not
-            // shuffle-free — the broadcast was the cap'd luxury)
+            // collect, and the index-side I/O still tracks true shared
+            // windows instead of the pre-r17 full-index scan; exactness
+            // is the delta-scaled semi-join against the pruned scan (so
+            // the plan is not shuffle-free — the broadcast was the
+            // cap'd luxury). Pin the delta's grams FIRST: the probe
+            // re-evaluates its keys DF once per sidecar chunk, the
+            // sketch build is another pass, and the final semi-join a
+            // third — unpinned, each re-tokenizes and re-explodes the
+            // whole delta in exactly the backfill-sized regime. The
+            // checkpoint is DELTA-sized (one batch's grams), never
+            // corpus-sized, so it stays within the batch budget.
             lastDecontamProbeShuffleFree = false
+            val gramsPinned = org.apache.spark.sql.GraftCheckpointShim
+              .dropCarriedStats(grams.localCheckpoint())
             val (scan, skip) = TxnLake.readKeyedDistributed(
-              s, windex, "__g", grams.select("__g"))
+              s, windex, "__g", gramsPinned.select("__g"))
             lastWindexSkipping = skip
             // shrink the exactness shuffle's index side FIRST with a
             // distributed bloom of the delta's grams (one agg pass to
@@ -512,11 +520,11 @@ object CurationStream {
             // survivors (truly-shared + ~2% FP) enter the semi-join,
             // whose exact equality absorbs the FP.
             val sketch = graft.operators.BloomPrune.build(
-              grams.select(xxhash64(col("__g")).as("__h")), "__h",
+              gramsPinned.select(xxhash64(col("__g")).as("__h")), "__h",
               expectedItems = math.max(1L, estGrams))
             val hot = scan.select("__g").where(graft.operators.BloomPrune
               .mightContain(sketch, xxhash64(col("__g"))))
-            grams.join(hot, Seq("__g"), "left_semi")
+            gramsPinned.join(hot, Seq("__g"), "left_semi")
           } else {
             val hot = tbl
               .select(tokens(col("text")).as("__t"))

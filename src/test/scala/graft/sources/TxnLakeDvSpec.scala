@@ -388,4 +388,49 @@ class TxnLakeDvSpec extends SparkSpec {
     TxnLake.vacuum(spark, t, retainVersions = 1)
     assert(TxnLake.read(spark, t).count() == 116L)
   }
+
+  test("a DML attempt resolves its DV map ONCE: log-entry reads are " +
+    "independent of how many files the predicate touches") {
+    import spark.implicits._
+    // identical histories; only the FINAL delete's touched-file count
+    // differs — so any per-touched-file resolveDvs call would split the
+    // two read counts apart (the pre-r18 regression: O(files x
+    // CheckpointInterval) log reads on exactly the DV-heavy tables)
+    def build(): String = {
+      val t = freshTable()
+      (0 until 8).foreach { i =>
+        TxnLake.commit(spark,
+          (0 until 50).map(j => (i * 50L + j, s"v$j")).toDF("k", "v")
+            .coalesce(1), t, "append")
+      }
+      // two prior DV deltas so resolveDvs has a real tail to replay
+      TxnLake.deleteWhereDv(spark, t, col("k") === 1L)
+      TxnLake.deleteWhereDv(spark, t, col("k") === 51L)
+      t
+    }
+    val tOne = build()
+    val tAll = build()
+    def reads(body: => Unit): Long = {
+      TxnLake.logEntryReads = 0L
+      body
+      TxnLake.logEntryReads
+    }
+    // k === 103: min/max stats prune to ONE touched file
+    val one = reads(assert(
+      TxnLake.deleteWhereDv(spark, tOne, col("k") === 103L).nonEmpty))
+    // k % 50 === 3: stats cannot prune a modulo — EVERY file is touched
+    val all = reads(assert(
+      TxnLake.deleteWhereDv(spark, tAll, col("k") % 50L === 3L).nonEmpty))
+    assert(all == one,
+      s"log-entry reads must not scale with touched files: " +
+        s"1-file delete read $one entries, 8-file delete read $all")
+    // same invariant on the DV update path
+    val oneU = reads(assert(TxnLake.updateWhereDv(spark, tOne,
+      col("k") === 104L, Map("v" -> lit("u"))).nonEmpty))
+    val allU = reads(assert(TxnLake.updateWhereDv(spark, tAll,
+      col("k") % 50L === 4L, Map("v" -> lit("u"))).nonEmpty))
+    assert(allU == oneU,
+      s"updateWhereDv log reads must not scale with touched files: " +
+        s"$oneU vs $allU")
+  }
 }

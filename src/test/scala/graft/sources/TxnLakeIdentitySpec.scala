@@ -138,4 +138,82 @@ class TxnLakeIdentitySpec extends SparkSpec {
     assert(TxnLake.identityColumns(spark, cl)("id").hwm ==
       TxnLake.identityColumns(spark, t)("id").hwm)
   }
+
+  test("a range reservation that would overflow Long refuses LOUDLY — " +
+    "no silent wrap, no partial commit, no hwm advance") {
+    import spark.implicits._
+    val t = fresh()
+    found(t)
+    // |hwm| = 2e9 clears the 2^61 founding guard, but a partition
+    // ordinal >= 1 reserves step*(2^33+1) ~ 1.7e19 > Long.MaxValue:
+    // the try_*-checked assignment must raise, not wrap
+    TxnLake.addIdentityColumn(spark, t, "id", start = 0L,
+      step = 2000000000L)
+    val vBefore = TxnLake.latestVersion(spark, t)
+    val e = intercept[Exception] {
+      TxnLake.commit(spark,
+        (0 until 8).map(i => (s"a$i", i.toLong)).toDF("k", "n")
+          .repartition(4), t, "append")
+    }
+    def chain(x: Throwable): String =
+      if (x == null) "" else Option(x.getMessage).getOrElse("") +
+        "\n" + chain(x.getCause)
+    assert(chain(e).contains("overflowed"),
+      s"expected the loud overflow refusal, got: ${chain(e).take(400)}")
+    assert(TxnLake.latestVersion(spark, t) == vBefore,
+      "a refused overflow commit must publish nothing")
+    assert(TxnLake.identityColumns(spark, t)("id").hwm ==
+      -2000000000L, "the hwm must not advance on a refused commit")
+    // the single-partition regime of the same table still works: mids
+    // stay tiny, reservations fit, values land on the lattice
+    TxnLake.commit(spark,
+      Seq(("ok", 1L)).toDF("k", "n").coalesce(1), t, "append")
+    assert(TxnLake.read(spark, t).select("id").head().getLong(0) == 0L)
+  }
+
+  test("concurrent identity-minting writers: ids stay unique and the " +
+    "hwm monotone under real commit conflicts") {
+    import spark.implicits._
+    val t = fresh()
+    found(t)
+    TxnLake.addIdentityColumn(spark, t, "id", start = 1L, step = 3L)
+    val writers = 4
+    val commitsPer = 4
+    val rowsPer = 10
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    // each writer lands its commits against whatever base it finds;
+    // contention forces real CommitConflict retries, each of which
+    // re-reads the freshly advanced hwm (the per-attempt re-derive)
+    val futs = (0 until writers).map { w =>
+      scala.concurrent.Future {
+        (0 until commitsPer).foreach { b =>
+          TxnLake.commit(spark,
+            (0 until rowsPer).map(i => (s"w$w-b$b-r$i", i.toLong))
+              .toDF("k", "n").repartition(2),
+            t, "append", maxAttempts = 200)
+        }
+      }
+    }
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futs),
+      scala.concurrent.duration.Duration(300, "s"))
+    finally pool.shutdown()
+    val ids = TxnLake.read(spark, t).select("id").collect()
+      .map(_.getLong(0))
+    assert(ids.length == writers * commitsPer * rowsPer)
+    assert(ids.distinct.length == ids.length,
+      "concurrent writers must never reissue an identity value")
+    assert(ids.forall(v => (v - 1L) % 3L == 0L),
+      "every concurrently assigned value sits on the step lattice")
+    assert(TxnLake.identityColumns(spark, t)("id").hwm == ids.max,
+      "the final hwm is the max landed value")
+    // hwm is monotone across the whole committed history
+    val vs = (1L to TxnLake.latestVersion(spark, t).get)
+    val marks = vs.flatMap(v => TxnLake.identityColumnsAt(spark, t, v)
+      .get("id").map(_.hwm))
+    assert(marks == marks.sorted,
+      s"hwm must advance monotonically through the log: $marks")
+  }
 }
