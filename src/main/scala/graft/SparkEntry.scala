@@ -62,7 +62,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x65 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x66 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -148,7 +148,12 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    inconsistent value or invariant-breaking UPDATE refuses), and
   *    TYPE WIDENING (metadata-only lossless promotions; old files
   *    upcast natively at scan, integer-era stats still prune exactly,
-  *    bloom-rendering hazards refused)
+  *    bloom-rendering hazards refused), and ROW TRACKING (per-file
+  *    baseRowId reserved at commit, fresh ids virtual `brid +
+  *    row_index` at zero append cost, engine rewrites materialize the
+  *    ids they read — stable through CoW DML, DV hops, OPTIMIZE,
+  *    restore, and clone; readWithRowIds exposes them, plain reads
+  *    never see them)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated

@@ -4223,6 +4223,88 @@ object OperatorQueries {
       .select(col("k"), col("src"), col("id")).orderBy("id")
   }
 
+  /** ROW TRACKING (x66) — Delta's baseRowId + materialized row ids: two
+    * sorted single-file appends mint VIRTUAL ids 0..11 (`brid +
+    * row_index`, zero write cost), and the ids then survive a DV delete,
+    * a copy-on-write UPDATE, a copy-on-write DELETE, an OPTIMIZE
+    * rewrite, a restore ROUND-TRIP, and a clone — each rewrite
+    * materializes the ids it read, so identity is stable while every
+    * byte moves. The fixture's appends are deterministic, so the oracle
+    * recomputes the surviving (key, value, row id) triples relationally;
+    * the in-engine requires gate what a relational oracle cannot pin
+    * (per-step id equality, restore monotonicity, clone equality, the
+    * appended files carrying NO physical id column). */
+  val txnRowTracking = OracleQuery(
+    "x66_txn_row_tracking",
+    """WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 12),
+      |r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM d)
+      |SELECT CAST(doc_id AS VARCHAR) AS k,
+      |  CASE WHEN rn = 5 THEN 'u' ELSE 'orig' END AS v,
+      |  CAST(rn - 1 AS BIGINT) AS rid
+      |FROM r WHERE rn NOT IN (3, 9) ORDER BY rid""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val root = Scratch.dir("txn_row_tracking")
+    val t = root + "/t"
+    val twelve = s.read.parquet(s"$d/documents.parquet")
+      .orderBy("doc_id").limit(12).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    def batch(ids: Seq[Long]) = {
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(ids.map(i =>
+        org.apache.spark.sql.Row(i.toString, "orig")).toList.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType))))
+        .orderBy(col("k").cast("long")).coalesce(1)
+    }
+    TxnLake.commit(s, batch(twelve.take(6)), t, "append")
+    TxnLake.commit(s, batch(twelve.drop(6)), t, "append")
+    require(TxnLake.rowTrackingAvailable(s, t),
+      "a freshly founded table must track row ids")
+    // appends materialize NOTHING — fresh ids are virtual
+    require(!s.read.parquet(new org.apache.hadoop.fs.Path(t,
+        TxnLake.snapshotFiles(s, t).head.path).toString)
+      .columns.contains(TxnLake.RidCol),
+      "append files must not carry a physical row-id column")
+    def rids(): Map[String, Long] = TxnLake.readWithRowIds(s, t)
+      .select("k", TxnLake.RidCol).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids0 = rids()
+    require(ids0.values.toSeq.sorted == (0L until 12L),
+      s"sorted single-file appends must mint ids 0..11: $ids0")
+    // rn is 1-indexed over the sorted doc ids
+    def key(rn: Int): String = twelve(rn - 1).toString
+    // DV delete (merge-on-read), CoW update, CoW delete, OPTIMIZE —
+    // ids must hold through every lifecycle hop
+    TxnLake.deleteWhereDv(s, t, col("k") === key(3))
+    require(rids() == ids0 - key(3), "DV delete must not shift ids")
+    TxnLake.updateWhere(s, t, col("k") === key(5), Map("v" -> lit("u")))
+    require(rids() == ids0 - key(3), "CoW update must carry ids")
+    TxnLake.deleteWhere(s, t, col("k") === key(9))
+    val survivors = ids0 - key(3) - key(9)
+    require(rids() == survivors, "CoW delete must carry survivors' ids")
+    TxnLake.optimize(s, t, zorderBy = Seq("k"), numFiles = 2)
+    require(rids() == survivors, "OPTIMIZE must carry every id")
+    // restore ROUND-TRIP: back to the founding snapshot (original ids
+    // return verbatim), then forward to the optimized one
+    val vOpt = TxnLake.latestVersion(s, t).get
+    TxnLake.restore(s, t, 1L)
+    require(rids() == ids0, "restore must bring back the snapshot's ids")
+    TxnLake.restore(s, t, vOpt)
+    require(rids() == survivors, "restoring forward re-applies the ids")
+    // clone carries ids verbatim
+    val c = root + "/c"
+    TxnLake.cloneTable(s, t, c)
+    require(TxnLake.readWithRowIds(s, c).select("k", TxnLake.RidCol)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == survivors,
+      "a clone must expose identical row ids")
+    TxnLake.readWithRowIds(s, t)
+      .select(col("k"), col("v"), col(TxnLake.RidCol).as("rid"))
+      .orderBy("rid")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -4243,5 +4325,5 @@ object OperatorQueries {
       txnAlterColumns, txnCheckConstraints, txnDescribeVacuum,
       txnGeneratedColumns, txnTypeWidening,
       streamNearDupProbeAboveCap, streamDecontamProbeAboveCap,
-      txnIdentityColumns)
+      txnIdentityColumns, txnRowTracking)
 }

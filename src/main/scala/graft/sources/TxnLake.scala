@@ -2657,10 +2657,11 @@ object TxnLake extends LakeFormat {
     // so collisions are refused loudly instead
     def requireNotReserved(where: String, cols: Iterable[String]): Unit =
       cols.foreach(c => require(
-        c != "__act" && c != "__iact" && c != "__m"
+        c != "__act" && c != "__iact" && c != "__m" && c != RidCol
           && !c.startsWith(MergeSourcePrefix),
         s"TxnLake.mergeIntoClauses: $where column $c collides with the " +
-          s"engine's reserved names (__act/__iact/__m/$MergeSourcePrefix*)"))
+          s"engine's reserved names " +
+          s"(__act/__iact/__m/$RidCol/$MergeSourcePrefix*)"))
     requireNotReserved("source", source.columns)
     if (matched.nonEmpty) {
       val dup = source.filter(col(key).isNotNull).groupBy(key)
@@ -2731,7 +2732,7 @@ object TxnLake extends LakeFormat {
       // checked (mergeInto's exact-schema contract), not trust a
       // pre-loop snapshot of it
       perAttempt(base)
-      val out: Option[(DataFrame, Seq[String])] = base match {
+      val out: Option[(DataFrame, Seq[String], Boolean)] = base match {
         case None => // founding merge: the INSERT clauses define the schema
           require(notMatched.nonEmpty,
             "TxnLake.mergeIntoClauses: a founding merge on an absent table " +
@@ -2758,7 +2759,8 @@ object TxnLake extends LakeFormat {
           // clauses still define the schema, so the empty table founds
           // typed. txn checked FIRST: the emptiness probe is a Spark job
           // whose answer the marker path ignores.
-          if (txn.isDefined || !ins.isEmpty) Some((ins, Seq.empty)) else None
+          if (txn.isDefined || !ins.isEmpty) Some((ins, Seq.empty, false))
+          else None
         case Some(b) =>
           val files = resolveFiles(spark, table, b)
           requireLive(spark, table, b, files)
@@ -2847,12 +2849,12 @@ object TxnLake extends LakeFormat {
             // still TYPE any evolved column the insert branches left as
             // NullType (an all-new-keys batch must not crash the
             // parquet write that an overlapping batch survives)
-            val cur =
+            val (cur, carry) =
               if (rewriteFiles.isEmpty)
-                spark.createDataFrame(
+                (spark.createDataFrame(
                   spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                  readSchema)
-              else scanFiles(spark, table, rewriteFiles, Some(readSchema),
+                  readSchema), false)
+              else scanForRewrite(spark, table, rewriteFiles, readSchema,
                 resolveDvs(spark, table, b))
             val srcRenamed = src.columns.foldLeft(src)((d, c) =>
               d.withColumnRenamed(c, MergeSourcePrefix + c))
@@ -2896,23 +2898,29 @@ object TxnLake extends LakeFormat {
                 .foldRight(lit(null): Column) { case ((tag, set), rest) =>
                   when(col("__act") === tag, set(n)).otherwise(rest)
                 }.as(n)
-            }: _*)
-            val out0 = rewritten.unionByName(inserts,
+            } ++ (if (carry) Seq(col(RidCol)) else Seq.empty): _*)
+            // merge-minted inserts leave the materialized id NULL: they
+            // draw fresh virtual ids from the new file's base range,
+            // while the carried rows' materialized ids take precedence
+            val insertsRid =
+              if (carry) inserts.withColumn(RidCol, lit(null).cast("long"))
+              else inserts
+            val out0 = rewritten.unionByName(insertsRid,
               allowMissingColumns = evolveSchema)
             // pure-insert merges keep the batch's own partitioning — a
             // repartition(1) would funnel a large insert into one file
             val out1 = if (rewriteFiles.isEmpty) out0
               else out0.repartition(rewriteFiles.size)
-            Some((out1, rewriteFiles.map(_.path)))
+            Some((out1, rewriteFiles.map(_.path), carry))
           }
       }
       out match {
         case None => return None
-        case Some((df, removed)) =>
+        case Some((df, removed, carry)) =>
           beforeCommit()
           try return commitImpl(spark, df, table, "merge", txn,
               maxAttempts = 1, requireBase = Some(base),
-              removePaths = Some(removed)) match {
+              removePaths = Some(removed), carryRids = carry) match {
             case Some(v) => Some(v)
             case None => // replay: the (appId, batchId) marker exists
               require(txn.isDefined,
@@ -2954,10 +2962,20 @@ object TxnLake extends LakeFormat {
     while (attempt < maxAttempts) {
       val base = latestVersion(spark, table)
         .getOrElse(sys.error(s"TxnLake.optimize: no committed version in $table"))
-      val snap = readVersion(spark, table, base)
+      val files = resolveFiles(spark, table, base)
+      requireLive(spark, table, base, files)
+      val schema = subsetReadSchema(spark, table,
+        readEntry(spark, table, base).schemaStruct, files)
+      // a whole-snapshot OPTIMIZE is also how a pre-tracking table
+      // BACKFILLS row ids: the rewrite materializes whatever ids the
+      // files carry, and files that predate tracking simply get fresh
+      // virtual ids from the new files' base ranges
+      val (snap, carry) = scanForRewrite(spark, table, files, schema,
+        resolveDvs(spark, table, base))
       val rewritten = clusterFor(snap, zorderBy, numFiles)
       try return commitImpl(spark, rewritten, table, "optimize", None,
-          maxAttempts = 1, requireBase = Some(Some(base)))
+          maxAttempts = 1, requireBase = Some(Some(base)),
+          carryRids = carry)
         .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped"))
       catch { case _: CommitConflict => attempt += 1 }
     }
@@ -3014,12 +3032,13 @@ object TxnLake extends LakeFormat {
       val pred = resolvedPredicate(spark, sample, predicate, schema)
       val scoped = files.filter(fm => mayMatch(fm, pred))
       if (scoped.size < 2) return None
-      val snap = scanFiles(spark, table, scoped,
-        Some(subsetReadSchema(spark, table, schema, files)), resolveDvs(spark, table, base))
+      val (snap, carry) = scanForRewrite(spark, table, scoped,
+        subsetReadSchema(spark, table, schema, files),
+        resolveDvs(spark, table, base))
       val rewritten = clusterFor(snap, zorderBy, numFiles)
       try return Some(commitImpl(spark, rewritten, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
-          removePaths = Some(scoped.map(_.path)))
+          removePaths = Some(scoped.map(_.path)), carryRids = carry)
         .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped")))
       catch { case _: CommitConflict => attempt += 1 }
     }
@@ -3080,14 +3099,18 @@ object TxnLake extends LakeFormat {
       val touched = files.filter(fm => mayMatch(fm, pred))
       if (touched.isEmpty) return None
       // read UNDER the live masks: a rewritten file's deletion vector
-      // dies with it, so its masked rows must not be resurrected here
-      val kept = scanFiles(spark, table, touched,
-          Some(subsetReadSchema(spark, table, schema, files)), resolveDvs(spark, table, base))
+      // dies with it, so its masked rows must not be resurrected here —
+      // and WITH row ids when the files track them, so surviving rows
+      // keep their identity through the rewrite
+      val (scanned, carry) = scanForRewrite(spark, table, touched,
+        subsetReadSchema(spark, table, schema, files),
+        resolveDvs(spark, table, base))
+      val kept = scanned
         .where(not(coalesce(predicate, lit(false))))
         .repartition(touched.size)
       try return Some(commitImpl(spark, kept, table, "delete", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
-          removePaths = Some(touched.map(_.path)))
+          removePaths = Some(touched.map(_.path)), carryRids = carry)
         .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped")))
       catch { case _: CommitConflict => attempt += 1 }
     }
@@ -3259,12 +3282,12 @@ object TxnLake extends LakeFormat {
       val masked = files.filter(fm => dvsBase.contains(fm.path))
       if (masked.isEmpty) return None
       val schema = entry.schemaStruct
-      val clean = scanFiles(spark, table, masked, Some(
-        subsetReadSchema(spark, table, schema, files)), dvsBase)
-        .repartition(masked.size)
+      val (cleanScan, carry) = scanForRewrite(spark, table, masked,
+        subsetReadSchema(spark, table, schema, files), dvsBase)
+      val clean = cleanScan.repartition(masked.size)
       try return Some(commitImpl(spark, clean, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
-          removePaths = Some(masked.map(_.path)))
+          removePaths = Some(masked.map(_.path)), carryRids = carry)
         .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped")))
       catch { case _: CommitConflict => attempt += 1 }
     }
@@ -3310,18 +3333,22 @@ object TxnLake extends LakeFormat {
       val touched = files.filter(fm => mayMatch(fm, pred))
       if (touched.isEmpty) return None
       val hit = coalesce(predicate, lit(false))
-      val rewritten = scanFiles(spark, table, touched, Some(readSchema),
-          resolveDvs(spark, table, base))
-        .select(readSchema.fieldNames.map { n =>
+      // an UPDATE changes values, never identity: carried row ids ride
+      // the rewrite verbatim (Delta row tracking's update semantics)
+      val (scanned, carry) = scanForRewrite(spark, table, touched,
+        readSchema, resolveDvs(spark, table, base))
+      val rewritten = scanned
+        .select((readSchema.fieldNames.map { n =>
           set.get(n) match {
             case Some(v) => when(hit, v).otherwise(col(n)).as(n)
             case None => col(n)
           }
-        }.toIndexedSeq: _*)
+        }.toIndexedSeq
+          ++ (if (carry) Seq(col(RidCol)) else Seq.empty)): _*)
         .repartition(touched.size)
       try return Some(commitImpl(spark, rewritten, table, "update", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
-          removePaths = Some(touched.map(_.path)))
+          removePaths = Some(touched.map(_.path)), carryRids = carry)
         .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped")))
       catch { case _: CommitConflict => attempt += 1 }
     }
@@ -3384,10 +3411,32 @@ object TxnLake extends LakeFormat {
       // one DV resolution per attempt (see deleteWhereDv): per-file
       // resolveDvs calls would replay the log O(files) times
       val dvsBase = resolveDvs(spark, table, base)
-      val baseDf = spark.read.schema(readSchema)
+      // a DV update REWRITES nothing, but its appended post-images must
+      // still carry the pre-images' row ids (an update never changes a
+      // row's identity) — so the matched scan resolves ids the same way
+      // scanFilesWithRid does when the touched files track them
+      val carryR = touched.forall(_.brid >= 0L)
+      val scanSchema =
+        if (carryR) StructType(readSchema.fields :+
+          StructField(RidCol, LongType, nullable = true))
+        else readSchema
+      val baseDf0 = spark.read.schema(scanSchema)
         .parquet(touched.map(fm => new Path(table, fm.path).toString): _*)
         .withColumn("__graft_dv_fn", col("_metadata.file_name"))
         .withColumn("__graft_dv_ri", col("_metadata.row_index"))
+      val baseDf =
+        if (!carryR) baseDf0
+        else {
+          import org.apache.spark.sql.functions.broadcast
+          import spark.implicits._
+          baseDf0.join(broadcast(
+              touched.map(fm => (new Path(fm.path).getName, fm.brid))
+                .toDF("__graft_dv_fn", "__graft_rid_base")),
+              Seq("__graft_dv_fn"))
+            .withColumn(RidCol, coalesce(col(RidCol),
+              col("__graft_rid_base") + col("__graft_dv_ri")))
+            .drop("__graft_rid_base")
+        }
       val priorRefs = touched.flatMap(fm =>
         dvsBase.get(fm.path).map(new Path(fm.path).getName -> _))
       val live =
@@ -3418,13 +3467,16 @@ object TxnLake extends LakeFormat {
         rel -> DvRef(s"_dv/$salt/$name.dv", all.size.toLong)
       }
       // the post-images: the matched live rows with SET applied —
-      // written as the commit's (small) added file
-      val post = hit.select(readSchema.fieldNames.map { n =>
+      // written as the commit's (small) added file, carrying the
+      // pre-images' row ids so identity survives the merge-on-read hop
+      val post = hit.select((readSchema.fieldNames.map { n =>
         set.get(n) match {
           case Some(v) => v.as(n)
           case None => col(n)
         }
-      }.toIndexedSeq: _*).repartition(1)
+      }.toIndexedSeq
+        ++ (if (carryR) Seq(col(RidCol)) else Seq.empty)): _*)
+        .repartition(1)
       // cleanup scoped to PRE-PUBLISH failures (see deleteWhereDv) — and
       // a CHECK-constraint refusal lands here too: the violating commit
       // aborts inside commitImpl, so its masks must not linger as
@@ -3432,7 +3484,8 @@ object TxnLake extends LakeFormat {
       var published: Option[Long] = None
       try published = Some(commitImpl(spark, post, table, "update", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
-          removePaths = Some(Seq.empty), newDvs = newDvs)
+          removePaths = Some(Seq.empty), newDvs = newDvs,
+          carryRids = carryR)
         .getOrElse(
           sys.error("unreachable: txn-less commit cannot be skipped")))
       catch {
@@ -3522,14 +3575,14 @@ object TxnLake extends LakeFormat {
       val entry = readEntry(spark, table, base)
       val schema = entry.schemaStruct
       val smallSet = small.map(_._1).toSet
-      val packed = scanFiles(spark, table,
-          snapFiles.filter(fm => smallSet(fm.path)),
-          Some(subsetReadSchema(spark, table, schema, snapFiles)),
-          resolveDvs(spark, table, base))
-        .repartition(numOut)
+      val (packedScan, carry) = scanForRewrite(spark, table,
+        snapFiles.filter(fm => smallSet(fm.path)),
+        subsetReadSchema(spark, table, schema, snapFiles),
+        resolveDvs(spark, table, base))
+      val packed = packedScan.repartition(numOut)
       try return Some(commitImpl(spark, packed, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
-          removePaths = Some(small.map(_._1)))
+          removePaths = Some(small.map(_._1)), carryRids = carry)
         .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped")))
       catch { case _: CommitConflict => attempt += 1 }
     }
@@ -3647,6 +3700,9 @@ object TxnLake extends LakeFormat {
         // by rolled-past commits are never reissued
         identityCols = mergeIdentityMonotone(targetEntry.identityCols,
           lastEntry.identityCols),
+        // the row-id mark is monotone like the identity hwm: ids handed
+        // out by rolled-past commits are never reissued after a restore
+        ridHwm = math.max(targetEntry.ridHwm, lastEntry.ridHwm),
         ts = nextTs(Some(lastEntry))))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
@@ -3765,6 +3821,7 @@ object TxnLake extends LakeFormat {
         constraints = readEntry(spark, table, lastV).constraints,
         genCols = readEntry(spark, table, lastV).genCols,
         identityCols = readEntry(spark, table, lastV).identityCols,
+        ridHwm = readEntry(spark, table, lastV).ridHwm,
         // monotone vs the ACTUAL last entry — lastEntry is None exactly
         // when the failed restore's own entry is latest, and that entry
         // carries a ts the compensation must still exceed
@@ -4344,6 +4401,9 @@ object TxnLake extends LakeFormat {
       constraints = srcEntry.constraints,
       genCols = srcEntry.genCols,
       identityCols = srcEntry.identityCols,
+      // the clone's files carry their base row ids verbatim, so the
+      // source's mark rides too — ids stay stable across a clone
+      ridHwm = srcEntry.ridHwm,
       ts = nextTs(None)))
     val tmp = new Path(logDir(target), s"v0.json.tmp-$salt")
     val out = f.create(tmp, false)
