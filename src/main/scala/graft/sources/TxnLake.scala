@@ -115,7 +115,8 @@ object TxnLake extends LakeFormat {
                                  identityCols: Map[String, IdentitySpec] =
                                    Map.empty,
                                  dvDelta: Boolean = false,
-                                 ridHwm: Long = -1L) {
+                                 ridHwm: Long = -1L,
+                                 renames: Map[String, String] = Map.empty) {
     /** The logged cumulative schema, decoded — one accessor instead of
       * the same two-line parse at every read/DML site. */
     def schemaStruct: Option[StructType] =
@@ -148,6 +149,51 @@ object TxnLake extends LakeFormat {
     * materialize — Delta row tracking's `_metadata.row_id`. Reserved:
     * writers may not supply it. */
   val RidCol = "__graft_rid"
+
+  // ---- column mapping (RENAME) ----------------------------------------
+  //
+  // Delta's column-mapping 'name' mode, reduced to its essence: the
+  // LOGGED schema, per-file stats, bloom sidecars, and parquet bytes all
+  // stay keyed by the column's PHYSICAL name (its name at creation —
+  // stable forever), and a cumulative entry-carried `renames` map
+  // (physical → display) overlays the user-visible names at the two
+  // boundaries: scans rename physical → display after the read, commits
+  // translate display → physical before the write. A RENAME is therefore
+  // one metadata log entry that changes NO schema json, moves NO file,
+  // invalidates NO sidecar or stat, and old versions time-travel under
+  // the names of their own era.
+
+  /** display name of physical `p` under `ren` (identity when unmapped). */
+  private def displayOf(ren: Map[String, String], p: String): String =
+    ren.getOrElse(p, p)
+
+  /** physical name of display `d` under `ren` (identity when unmapped). */
+  private def physicalOf(ren: Map[String, String], d: String): String =
+    ren.collectFirst { case (p, disp) if disp == d => p }.getOrElse(d)
+
+  /** `st` with its field names displayed through `ren`. */
+  private def toDisplaySchema(st: StructType,
+                              ren: Map[String, String]): StructType =
+    if (ren.isEmpty) st
+    else StructType(st.fields.map(f => f.copy(name = displayOf(ren, f.name))))
+
+  /** `df` (physical names) exposed under display names. */
+  private def toDisplay(df: DataFrame, ren: Map[String, String]): DataFrame =
+    if (ren.isEmpty) df
+    else ren.foldLeft(df) { case (d, (p, disp)) =>
+      if (d.columns.contains(p)) d.withColumnRenamed(p, disp) else d }
+
+  /** `fm` with its stats keys displayed through `ren` — the predicate
+    * matcher sees display names, the stored stats stay physical. */
+  private def displayMeta(ren: Map[String, String])(fm: FileMeta): FileMeta =
+    if (ren.isEmpty) fm
+    else fm.copy(stats = fm.stats.map { case (k, v) =>
+      displayOf(ren, k) -> v })
+
+  /** The cumulative rename map live at `version` (empty pre-feature). */
+  private def renamesAt(spark: SparkSession, table: String,
+                        version: Long): Map[String, String] =
+    readEntry(spark, table, version).renames
 
   // ---- JSON (jackson tree API — ships with Spark; no extra deps) ------
 
@@ -243,6 +289,10 @@ object TxnLake extends LakeFormat {
     }
     if (e.dvDelta) o.put("dvd", true)
     if (e.ridHwm >= 0L) o.put("rhw", e.ridHwm)
+    if (e.renames.nonEmpty) {
+      val rn = o.putObject("renames")
+      e.renames.toSeq.sortBy(_._1).foreach { case (p, d) => rn.put(p, d) }
+    }
     mapper.writeValueAsString(o)
   }
 
@@ -290,9 +340,13 @@ object TxnLake extends LakeFormat {
       }.toMap).getOrElse(Map.empty[String, IdentitySpec])
     val dvDelta = Option(n.get("dvd")).exists(_.asBoolean())
     val ridHwm = Option(n.get("rhw")).map(_.asLong()).getOrElse(-1L)
+    val renames = Option(n.get("renames"))
+      .map(_.properties().asScala.map(e =>
+        e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
     Entry(version, operation, add, remove, legacy, txn, txns, txnsNode.isDefined,
       schemaJson, bloomCols, dvs, droppedCols, constraints, genCols, ts,
-      identityCols, dvDelta, ridHwm)
+      identityCols, dvDelta, ridHwm, renames)
   }
 
   // ---- log access -----------------------------------------------------
@@ -860,17 +914,22 @@ object TxnLake extends LakeFormat {
           fms.map(fm => new Path(table, fm.path).toString)
         val entry = readEntry(spark, table, v)
         val schema = entry.schemaStruct
-        def scan(paths: Seq[String]) = schema match {
+        val ren = entry.renames
+        // the sidecars and stats are keyed by the column's PHYSICAL name
+        val colPhys = physicalOf(ren, column)
+        def scan(paths: Seq[String]) = toDisplay(schema match {
           case Some(st) => spark.read.schema(st).parquet(paths: _*)
           case None => spark.read.parquet(paths: _*)
-        }
+        }, ren)
         val kept =
           if (keys.isEmpty) Seq.empty
-          else files.filter(fileMayContainKeys(spark, table, _, column, keys))
+          else files.filter(
+            fileMayContainKeys(spark, table, _, colPhys, keys))
         lastKeyedProbeDistributed = false
         val df =
           if (kept.isEmpty) scan(Seq(abs(files).head)).where(lit(false))
-          else scanFiles(spark, table, kept, schema, resolveDvs(spark, table, v))
+          else scanFiles(spark, table, kept, schema,
+            resolveDvs(spark, table, v), ren)
         (df, (kept.size, files.size))
     }
   }
@@ -919,13 +978,15 @@ object TxnLake extends LakeFormat {
         if (files.isEmpty) return (spark.emptyDataFrame, (0, 0))
         val entry = readEntry(spark, table, v)
         val schema = entry.schemaStruct
+        val ren = entry.renames
+        val colPhys = physicalOf(ren, column) // sidecars/stats are physical
         val (bloomed, unbloomed) =
-          files.partition(_.stats.get(column).exists(_.bloom))
+          files.partition(_.stats.get(colPhys).exists(_.bloom))
         val keepPaths: Set[String] =
           if (bloomed.isEmpty) Set.empty
           else {
             val tbl = table
-            val colName = column
+            val colName = colPhys
             val ser = new SerConf(spark.sparkContext.hadoopConfiguration)
             import spark.implicits._
             val keyCol = keysDf.columns.head
@@ -1010,11 +1071,12 @@ object TxnLake extends LakeFormat {
         val df =
           if (kept.isEmpty) {
             val head = Seq(new Path(table, files.head.path).toString)
-            (schema match {
+            toDisplay(schema match {
               case Some(st) => spark.read.schema(st).parquet(head: _*)
               case None => spark.read.parquet(head: _*)
-            }).where(lit(false))
-          } else scanFiles(spark, table, kept, schema, resolveDvs(spark, table, v))
+            }, ren).where(lit(false))
+          } else scanFiles(spark, table, kept, schema,
+            resolveDvs(spark, table, v), ren)
         (df, (kept.size, files.size))
     }
   }
@@ -1117,7 +1179,9 @@ object TxnLake extends LakeFormat {
                          dropGenColNames: Seq[String] = Seq.empty,
                          newIdentityCols: Map[String, IdentitySpec] = Map.empty,
                          dropIdentityColNames: Seq[String] = Seq.empty,
-                         carryRids: Boolean = false)
+                         carryRids: Boolean = false,
+                         newRenames: Map[String, String] = Map.empty,
+                         dropRenames: Seq[String] = Seq.empty)
                         : Option[Long] = {
     require(operation == "overwrite" || operation == "append"
       || operation == "optimize" || operation == "delete"
@@ -1183,9 +1247,20 @@ object TxnLake extends LakeFormat {
         (if (operation == "overwrite") Seq.empty
          else lastEntry.map(_.droppedCols).getOrElse(Seq.empty)) ++
           tombstoneCols
+      // COLUMN MAPPING: the cumulative rename overlay (physical →
+      // display), carried like the tombstones; overwrite retires it with
+      // the files whose physical names it described
+      val renamesAll =
+        (((if (operation == "overwrite") Map.empty[String, String]
+           else lastEntry.map(_.renames).getOrElse(Map.empty)) ++ newRenames)
+          -- dropRenames)
+          .filterNot { case (p, d) => p == d } // rename-back collapses
       if (!noData) {
         val res = resolver(spark)
-        val resurrect = df.columns.filter(c => dropped.exists(res(_, c)))
+        // tombstones are PHYSICAL names — compare the incoming display
+        // names through the overlay
+        val resurrect = df.columns.filter(c =>
+          dropped.exists(res(_, physicalOf(renamesAll, c))))
         require(resurrect.isEmpty,
           s"TxnLake: column(s) ${resurrect.mkString(", ")} were DROPPED " +
             "from this table; committing data under the same name would " +
@@ -1254,6 +1329,28 @@ object TxnLake extends LakeFormat {
               d.withColumn(c, coalesce(col(c), next))
             }
         }
+      // translate the frame to PHYSICAL names for the write: files and
+      // their footer stats are immutable, so they must carry the names
+      // that never change. A column that is not any current display name
+      // but matches a renamed column's retired physical name is REFUSED —
+      // it would silently alias the renamed column's storage.
+      val dfPhys =
+        if (noData || renamesAll.isEmpty) dfOut
+        else {
+          val res = resolver(spark)
+          dfOut.columns.foreach { c =>
+            val isDisplay = renamesAll.values.exists(res(_, c))
+            val retired = renamesAll.collectFirst {
+              case (p, d) if res(p, c) && !res(d, c) => d }
+            require(isDisplay || retired.isEmpty,
+              s"TxnLake: column $c was RENAMED to ${retired.getOrElse("")}" +
+                " — writing under the retired name would alias the " +
+                "renamed column's storage; use the new name")
+          }
+          renamesAll.foldLeft(dfOut) { case (d, (p, disp)) =>
+            if (d.columns.contains(disp)) d.withColumnRenamed(disp, p)
+            else d }
+        }
       // 1. land the data in a fresh immutable dir (never seen by readers
       //    until the log entry that names it is published). A metadata-
       //    only commit (noData — a deletion-vector delta) writes nothing:
@@ -1263,7 +1360,7 @@ object TxnLake extends LakeFormat {
       val added0 =
         if (noData) Seq.empty[FileMeta]
         else {
-          dfOut.write.mode("overwrite")
+          dfPhys.write.mode("overwrite")
             .parquet(new Path(tablePath, dataRel).toString)
           // add actions: one per written file, with footer-harvested stats
           // (distributed above DriverHarvestMax files — see harvestAll)
@@ -1275,7 +1372,7 @@ object TxnLake extends LakeFormat {
           // the materialized row-id column is engine plumbing, not table
           // data: its footer stats never feed user-predicate pruning, so
           // they stay out of the entry
-          harvestAll(spark, written, dfOut.schema)
+          harvestAll(spark, written, dfPhys.schema)
             .map(fm => fm.copy(stats = fm.stats - RidCol))
         }
       // Bloom-indexed columns are a TABLE property (like the cumulative
@@ -1283,9 +1380,13 @@ object TxnLake extends LakeFormat {
       // including the engine's own maintenance/DML rewrites, which would
       // otherwise silently strip the index from whatever they touch and
       // quietly un-prune every future key probe.
+      // bloom declarations are stored PHYSICAL (their sidecars are named
+      // for the bytes, which never rename); incoming display names map
       val allBloomCols =
-        (lastEntry.map(_.bloomCols).getOrElse(Seq.empty) ++ bloomCols)
-          .distinct.filterNot(dropBloomCols.contains)
+        (lastEntry.map(_.bloomCols).getOrElse(Seq.empty)
+          ++ bloomCols.map(physicalOf(renamesAll, _)))
+          .distinct
+          .filterNot(dropBloomCols.map(physicalOf(renamesAll, _)).contains)
       // every commit carries the CUMULATIVE table schema forward (Delta's
       // metaData action): appends merge new columns in, overwrite resets —
       // so readers resolve the snapshot schema from ONE log entry instead
@@ -1296,7 +1397,7 @@ object TxnLake extends LakeFormat {
           .map(DataType.fromJson(_).asInstanceOf[StructType]),
         // the materialized row-id column is PHYSICAL only — never part
         // of the logical table schema (plain reads must not see it)
-        StructType(dfOut.schema.fields.filterNot(_.name == RidCol)),
+        StructType(dfPhys.schema.fields.filterNot(_.name == RidCol)),
         operation))
       // CHECK constraints are a table property (Delta's ADD CONSTRAINT):
       // carried cumulatively, enforced on every data-bearing commit by
@@ -1326,7 +1427,7 @@ object TxnLake extends LakeFormat {
       val enforce = checks.nonEmpty && added0.nonEmpty &&
         operation != "optimize" && operation != "delete"
       val (added, violations) = postWritePass(spark, tablePath, f, added0,
-        allBloomCols, dfOut.schema, tableSchema,
+        allBloomCols, dfPhys.schema, tableSchema,
         if (enforce) checks else Seq.empty)
       if (violations.exists(_ > 0)) {
         f.delete(new Path(tablePath, dataRel), true)
@@ -1442,7 +1543,8 @@ object TxnLake extends LakeFormat {
         dvs = if (dvAnchor) dvLive else newDvs, dvDelta = !dvAnchor,
         droppedCols = dropped.distinct, constraints = tableConstraints,
         genCols = genColsAll, ts = nextTs(lastEntry),
-        identityCols = idColsOut, ridHwm = ridCursor))
+        identityCols = idColsOut, ridHwm = ridCursor,
+        renames = renamesAll))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
       try out.write(entry.getBytes("UTF-8")) finally out.close()
@@ -1599,10 +1701,11 @@ object TxnLake extends LakeFormat {
     val schema = entry.schemaStruct
     if (files.isEmpty)
       schema.map(st => spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](), st))
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          toDisplaySchema(st, entry.renames)))
         .getOrElse(spark.emptyDataFrame)
     else scanFiles(spark, table, files, schema,
-      resolveDvs(spark, table, version))
+      resolveDvs(spark, table, version), entry.renames)
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -1750,7 +1853,8 @@ object TxnLake extends LakeFormat {
     * every DV-free table stays on. */
   private def scanFiles(spark: SparkSession, table: String,
                         files: Seq[FileMeta], schema: Option[StructType],
-                        dvs: Map[String, DvRef]): DataFrame = {
+                        dvs: Map[String, DvRef],
+                        ren: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.col
     def scan(paths: Seq[String]) = schema match {
       case Some(st) => spark.read.schema(st).parquet(paths: _*)
@@ -1777,12 +1881,13 @@ object TxnLake extends LakeFormat {
       Some(base.join(del, Seq("__graft_dv_fn", "__graft_dv_ri"), "left_anti")
         .drop("__graft_dv_fn", "__graft_dv_ri"))
     }
-    (cleanDf, maskedDf) match {
+    val out = (cleanDf, maskedDf) match {
       case (Some(c), Some(m)) => c.unionByName(m)
       case (Some(c), None) => c
       case (None, Some(m)) => m
       case (None, None) => spark.emptyDataFrame
     }
+    toDisplay(out, ren)
   }
 
   /** [[scanFiles]] with the ROW ID materialized as [[RidCol]]: a row's
@@ -1797,7 +1902,9 @@ object TxnLake extends LakeFormat {
     * masked rows never shift their neighbours' ids. */
   private def scanFilesWithRid(spark: SparkSession, table: String,
                                files: Seq[FileMeta], schema: StructType,
-                               dvs: Map[String, DvRef]): DataFrame = {
+                               dvs: Map[String, DvRef],
+                               ren: Map[String, String] = Map.empty)
+      : DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col}
     import spark.implicits._
     require(files.forall(_.brid >= 0L),
@@ -1827,7 +1934,8 @@ object TxnLake extends LakeFormat {
       if (maskedRefs.isEmpty) withRid
       else withRid.join(dvPairsDf(spark, table, maskedRefs),
         Seq("__graft_dv_fn", "__graft_dv_ri"), "left_anti")
-    out.drop("__graft_dv_fn", "__graft_dv_ri", "__graft_rid_base")
+    toDisplay(
+      out.drop("__graft_dv_fn", "__graft_dv_ri", "__graft_rid_base"), ren)
   }
 
   /** The copy-on-write scan seam: rows WITH their ids materialized when
@@ -1836,14 +1944,17 @@ object TxnLake extends LakeFormat {
     * snapshot. Returns (frame, whether ids are carried). */
   private def scanForRewrite(spark: SparkSession, table: String,
                              files: Seq[FileMeta], schema: StructType,
-                             dvs: Map[String, DvRef]): (DataFrame, Boolean) =
+                             dvs: Map[String, DvRef],
+                             ren: Map[String, String] = Map.empty)
+      : (DataFrame, Boolean) =
     if (files.isEmpty)
       (spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        toDisplaySchema(schema, ren)),
         false)
     else if (files.forall(_.brid >= 0L))
-      (scanFilesWithRid(spark, table, files, schema, dvs), true)
-    else (scanFiles(spark, table, files, Some(schema), dvs), false)
+      (scanFilesWithRid(spark, table, files, schema, dvs, ren), true)
+    else (scanFiles(spark, table, files, Some(schema), dvs, ren), false)
 
   /** Whether every live file of the snapshot tracks row ids — true for
     * any table whose files were all committed (or rewritten) after row
@@ -1875,10 +1986,10 @@ object TxnLake extends LakeFormat {
     if (files.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        StructType(schema.fields :+
+        StructType(toDisplaySchema(schema, entry.renames).fields :+
           StructField(RidCol, LongType, nullable = true)))
     else scanFilesWithRid(spark, table, files, schema,
-      resolveDvs(spark, table, v))
+      resolveDvs(spark, table, v), entry.renames)
   }
 
   // ---- data skipping --------------------------------------------------
@@ -1915,19 +2026,24 @@ object TxnLake extends LakeFormat {
         // predicate reference columns the SAMPLE file may predate
         val entry = readEntry(spark, table, v)
         val schema = entry.schemaStruct
-        def scan(paths: Seq[String]) = schema match {
+        val ren = entry.renames
+        def scan(paths: Seq[String]) = toDisplay(schema match {
           case Some(st) => spark.read.schema(st).parquet(paths: _*)
           case None => spark.read.parquet(paths: _*)
-        }
-        val pred = resolvedPredicate(spark, abs(files).head, predicate, schema)
-        val kept = files.filter(fm => mayMatch(fm, pred))
+        }, ren)
+        // the predicate references DISPLAY names; the matcher sees the
+        // stats through the same display overlay (displayMeta)
+        val pred = resolvedPredicate(spark, abs(files).head, predicate,
+          schema.map(toDisplaySchema(_, ren)))
+        val kept = files.filter(fm => mayMatch(displayMeta(ren)(fm), pred))
         val df =
           if (kept.isEmpty)
             // schema-preserving empty over ONE file: a single footer read
             // suffices for the schema — building the relation over the whole
             // snapshot would be an O(table) listing for a proven-empty result
             scan(Seq(abs(files).head)).where(lit(false))
-          else scanFiles(spark, table, kept, schema, resolveDvs(spark, table, v))
+          else scanFiles(spark, table, kept, schema,
+              resolveDvs(spark, table, v), ren)
             .where(predicate)
         (df, (kept.size, files.size))
     }
@@ -1940,10 +2056,11 @@ object TxnLake extends LakeFormat {
     val v = version.orElse(latestVersion(spark, table))
     val files = snapshotFiles(spark, table, v)
     if (files.isEmpty) return (0, 0)
+    val ren = v.map(renamesAt(spark, table, _)).getOrElse(Map.empty)
     val sample = new Path(table, files.head.path).toString
     val pred = resolvedPredicate(spark, sample, predicate,
-      v.flatMap(loggedSchema(spark, table, _)))
-    (files.count(fm => mayMatch(fm, pred)), files.size)
+      v.flatMap(loggedSchema(spark, table, _)).map(toDisplaySchema(_, ren)))
+    (files.count(fm => mayMatch(displayMeta(ren)(fm), pred)), files.size)
   }
 
   /** Resolve `predicate` against the table's actual schema: build a probe
@@ -2184,13 +2301,17 @@ object TxnLake extends LakeFormat {
     require(fromVersion <= toVersion,
       s"TxnLake.tableChanges: $fromVersion > $toVersion")
     val schema = loggedSchema(spark, table, toVersion)
+    // ONE display overlay for the whole range — the feed's consumer
+    // unions hops column-by-column, so every hop must speak the SAME
+    // (latest-requested) names even when a rename landed mid-range
+    val ren = renamesAt(spark, table, toVersion)
     def metas(paths: Seq[String]) = paths.map(FileMeta(_, -1L, Map.empty))
     // pre-image reads carry the PREVIOUS version's deletion vectors: a
     // masked row was already deleted by its own earlier hop, so a rewrite
     // that materializes it away must not re-emit it here
     def readFiles(paths: Seq[String],
                   dvs: Map[String, DvRef] = Map.empty): DataFrame =
-      scanFiles(spark, table, metas(paths), schema, dvs)
+      scanFiles(spark, table, metas(paths), schema, dvs, ren)
     val hops = ((fromVersion + 1) to toVersion).flatMap { v =>
       val e = readEntry(spark, table, v)
       e.operation match {
@@ -2434,8 +2555,10 @@ object TxnLake extends LakeFormat {
       val schema = loggedSchema(spark, table, b)
       def sig(st: StructType) =
         st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-      val tblSchema = schema.getOrElse(
-        subsetReadSchema(spark, table, schema, files))
+      // the caller's delta speaks DISPLAY names — compare through the map
+      val tblSchema = toDisplaySchema(schema.getOrElse(
+        subsetReadSchema(spark, table, schema, files)),
+        renamesAt(spark, table, b))
       require(sig(tblSchema) == sig(delta.schema),
         s"TxnLake.mergeInto: schema mismatch ${sig(tblSchema)} vs " +
           s"${sig(delta.schema)}")
@@ -2766,8 +2889,12 @@ object TxnLake extends LakeFormat {
           requireLive(spark, table, b, files)
           val baseEntry = readEntry(spark, table, b)
           val schema = baseEntry.schemaStruct
+          val ren = baseEntry.renames
           val readSchema = subsetReadSchema(spark, table, schema, files)
-          val targetCols = readSchema.fieldNames.toIndexedSeq
+          // the clause surface speaks DISPLAY names; physical stays in
+          // the files/stats and commitImpl translates the result back
+          val displaySchema = toDisplaySchema(readSchema, ren)
+          val targetCols = displaySchema.fieldNames.toIndexedSeq
           require(targetCols.contains(key),
             s"TxnLake.mergeIntoClauses: no column $key in target $targetCols")
           requireNotReserved("target", targetCols)
@@ -2796,7 +2923,8 @@ object TxnLake extends LakeFormat {
           val keyTouched = keys match {
             case Some(ks) if ks.isEmpty => Seq.empty[FileMeta]
             case Some(ks) =>
-              files.filter(fileMayContainKeys(spark, table, _, key, ks))
+              files.filter(fileMayContainKeys(spark, table, _,
+                physicalOf(ren, key), ks))
             case None => files // beyond the key cap: full scope
           }
           val nmbsTouched: Seq[FileMeta] =
@@ -2810,8 +2938,9 @@ object TxnLake extends LakeFormat {
                 // a sourceCol-referencing condition cannot resolve against
                 // a bare target file — conservative full scope
                 try {
-                  val p = resolvedPredicate(spark, sample, pred, schema)
-                  files.filter(fm => mayMatch(fm, p))
+                  val p = resolvedPredicate(spark, sample, pred,
+                    schema.map(toDisplaySchema(_, ren)))
+                  files.filter(fm => mayMatch(displayMeta(ren)(fm), p))
                 } catch { case _: Exception => files }
               }
             }
@@ -2832,9 +2961,9 @@ object TxnLake extends LakeFormat {
               if (keyTouched.isEmpty) src
               else src.join(
                 scanFiles(spark, table, keyTouched, Some(readSchema),
-                  resolveDvs(spark, table, b)).select(col(key)),
+                  resolveDvs(spark, table, b), ren).select(col(key)),
                 Seq(key), "left_anti")
-            insertRows(anti, readSchema, newCols)
+            insertRows(anti, displaySchema, newCols)
           }
           val inserts = insertsVsExisting()
           // with a txn marker, even a no-op must commit — the marker is
@@ -2853,9 +2982,9 @@ object TxnLake extends LakeFormat {
               if (rewriteFiles.isEmpty)
                 (spark.createDataFrame(
                   spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                  readSchema), false)
+                  displaySchema), false)
               else scanForRewrite(spark, table, rewriteFiles, readSchema,
-                resolveDvs(spark, table, b))
+                resolveDvs(spark, table, b), ren)
             val srcRenamed = src.columns.foldLeft(src)((d, c) =>
               d.withColumnRenamed(c, MergeSourcePrefix + c))
             // without MATCHED clauses the join only needs the MARKER, so
@@ -2964,14 +3093,15 @@ object TxnLake extends LakeFormat {
         .getOrElse(sys.error(s"TxnLake.optimize: no committed version in $table"))
       val files = resolveFiles(spark, table, base)
       requireLive(spark, table, base, files)
+      val baseEntry = readEntry(spark, table, base)
       val schema = subsetReadSchema(spark, table,
-        readEntry(spark, table, base).schemaStruct, files)
+        baseEntry.schemaStruct, files)
       // a whole-snapshot OPTIMIZE is also how a pre-tracking table
       // BACKFILLS row ids: the rewrite materializes whatever ids the
       // files carry, and files that predate tracking simply get fresh
       // virtual ids from the new files' base ranges
       val (snap, carry) = scanForRewrite(spark, table, files, schema,
-        resolveDvs(spark, table, base))
+        resolveDvs(spark, table, base), baseEntry.renames)
       val rewritten = clusterFor(snap, zorderBy, numFiles)
       try return commitImpl(spark, rewritten, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
@@ -3028,13 +3158,15 @@ object TxnLake extends LakeFormat {
       requireLive(spark, table, base, files)
       val entry = readEntry(spark, table, base)
       val schema = entry.schemaStruct
+      val ren = entry.renames
       val sample = new Path(table, files.head.path).toString
-      val pred = resolvedPredicate(spark, sample, predicate, schema)
-      val scoped = files.filter(fm => mayMatch(fm, pred))
+      val pred = resolvedPredicate(spark, sample, predicate,
+        schema.map(toDisplaySchema(_, ren)))
+      val scoped = files.filter(fm => mayMatch(displayMeta(ren)(fm), pred))
       if (scoped.size < 2) return None
       val (snap, carry) = scanForRewrite(spark, table, scoped,
         subsetReadSchema(spark, table, schema, files),
-        resolveDvs(spark, table, base))
+        resolveDvs(spark, table, base), ren)
       val rewritten = clusterFor(snap, zorderBy, numFiles)
       try return Some(commitImpl(spark, rewritten, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
@@ -3094,9 +3226,11 @@ object TxnLake extends LakeFormat {
       requireLive(spark, table, base, files)
       val entry = readEntry(spark, table, base)
       val schema = entry.schemaStruct
+      val ren = entry.renames
       val sample = new Path(table, files.head.path).toString
-      val pred = resolvedPredicate(spark, sample, predicate, schema)
-      val touched = files.filter(fm => mayMatch(fm, pred))
+      val pred = resolvedPredicate(spark, sample, predicate,
+        schema.map(toDisplaySchema(_, ren)))
+      val touched = files.filter(fm => mayMatch(displayMeta(ren)(fm), pred))
       if (touched.isEmpty) return None
       // read UNDER the live masks: a rewritten file's deletion vector
       // dies with it, so its masked rows must not be resurrected here —
@@ -3104,7 +3238,7 @@ object TxnLake extends LakeFormat {
       // keep their identity through the rewrite
       val (scanned, carry) = scanForRewrite(spark, table, touched,
         subsetReadSchema(spark, table, schema, files),
-        resolveDvs(spark, table, base))
+        resolveDvs(spark, table, base), ren)
       val kept = scanned
         .where(not(coalesce(predicate, lit(false))))
         .repartition(touched.size)
@@ -3164,9 +3298,11 @@ object TxnLake extends LakeFormat {
       requireLive(spark, table, base, files)
       val entry = readEntry(spark, table, base)
       val schema = entry.schemaStruct
+      val ren = entry.renames
       val sample = new Path(table, files.head.path).toString
-      val pred = resolvedPredicate(spark, sample, predicate, schema)
-      val touched = files.filter(fm => mayMatch(fm, pred))
+      val pred = resolvedPredicate(spark, sample, predicate,
+        schema.map(toDisplaySchema(_, ren)))
+      val touched = files.filter(fm => mayMatch(displayMeta(ren)(fm), pred))
       if (touched.isEmpty) return None
       val f = fs(spark, new Path(table))
       val byName = touched.map(fm => new Path(fm.path).getName -> fm.path)
@@ -3182,10 +3318,10 @@ object TxnLake extends LakeFormat {
       // O(files x CheckpointInterval) log reads on exactly the DV-heavy
       // tables this path exists for
       val dvsBase = resolveDvs(spark, table, base)
-      val baseDf = spark.read.schema(readSchema)
+      val baseDf = toDisplay(spark.read.schema(readSchema)
         .parquet(touched.map(fm => new Path(table, fm.path).toString): _*)
         .withColumn("__graft_dv_fn", col("_metadata.file_name"))
-        .withColumn("__graft_dv_ri", col("_metadata.row_index"))
+        .withColumn("__graft_dv_ri", col("_metadata.row_index")), ren)
       val priorRefs = touched.flatMap(fm =>
         dvsBase.get(fm.path).map(new Path(fm.path).getName -> _))
       val live =
@@ -3283,7 +3419,8 @@ object TxnLake extends LakeFormat {
       if (masked.isEmpty) return None
       val schema = entry.schemaStruct
       val (cleanScan, carry) = scanForRewrite(spark, table, masked,
-        subsetReadSchema(spark, table, schema, files), dvsBase)
+        subsetReadSchema(spark, table, schema, files), dvsBase,
+        entry.renames)
       val clean = cleanScan.repartition(masked.size)
       try return Some(commitImpl(spark, clean, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
@@ -3325,20 +3462,23 @@ object TxnLake extends LakeFormat {
       requireLive(spark, table, base, files)
       val entry = readEntry(spark, table, base)
       val schema = entry.schemaStruct
+      val ren = entry.renames
       val readSchema = subsetReadSchema(spark, table, schema, files)
-      set.keys.foreach(k => require(readSchema.fieldNames.contains(k),
+      val displayFields = toDisplaySchema(readSchema, ren).fieldNames
+      set.keys.foreach(k => require(displayFields.contains(k),
         s"TxnLake.updateWhere: SET references unknown column $k"))
       val sample = new Path(table, files.head.path).toString
-      val pred = resolvedPredicate(spark, sample, predicate, schema)
-      val touched = files.filter(fm => mayMatch(fm, pred))
+      val pred = resolvedPredicate(spark, sample, predicate,
+        schema.map(toDisplaySchema(_, ren)))
+      val touched = files.filter(fm => mayMatch(displayMeta(ren)(fm), pred))
       if (touched.isEmpty) return None
       val hit = coalesce(predicate, lit(false))
       // an UPDATE changes values, never identity: carried row ids ride
       // the rewrite verbatim (Delta row tracking's update semantics)
       val (scanned, carry) = scanForRewrite(spark, table, touched,
-        readSchema, resolveDvs(spark, table, base))
+        readSchema, resolveDvs(spark, table, base), ren)
       val rewritten = scanned
-        .select((readSchema.fieldNames.map { n =>
+        .select((displayFields.map { n =>
           set.get(n) match {
             case Some(v) => when(hit, v).otherwise(col(n)).as(n)
             case None => col(n)
@@ -3396,12 +3536,15 @@ object TxnLake extends LakeFormat {
       requireLive(spark, table, base, files)
       val entry = readEntry(spark, table, base)
       val schema = entry.schemaStruct
+      val ren = entry.renames
       val readSchema = subsetReadSchema(spark, table, schema, files)
-      set.keys.foreach(k => require(readSchema.fieldNames.contains(k),
+      val displayFields = toDisplaySchema(readSchema, ren).fieldNames
+      set.keys.foreach(k => require(displayFields.contains(k),
         s"TxnLake.updateWhereDv: SET references unknown column $k"))
       val sample = new Path(table, files.head.path).toString
-      val pred = resolvedPredicate(spark, sample, predicate, schema)
-      val touched = files.filter(fm => mayMatch(fm, pred))
+      val pred = resolvedPredicate(spark, sample, predicate,
+        schema.map(toDisplaySchema(_, ren)))
+      val touched = files.filter(fm => mayMatch(displayMeta(ren)(fm), pred))
       if (touched.isEmpty) return None
       val f = fs(spark, new Path(table))
       val byName = touched.map(fm => new Path(fm.path).getName -> fm.path)
@@ -3420,10 +3563,10 @@ object TxnLake extends LakeFormat {
         if (carryR) StructType(readSchema.fields :+
           StructField(RidCol, LongType, nullable = true))
         else readSchema
-      val baseDf0 = spark.read.schema(scanSchema)
+      val baseDf0 = toDisplay(spark.read.schema(scanSchema)
         .parquet(touched.map(fm => new Path(table, fm.path).toString): _*)
         .withColumn("__graft_dv_fn", col("_metadata.file_name"))
-        .withColumn("__graft_dv_ri", col("_metadata.row_index"))
+        .withColumn("__graft_dv_ri", col("_metadata.row_index")), ren)
       val baseDf =
         if (!carryR) baseDf0
         else {
@@ -3469,7 +3612,7 @@ object TxnLake extends LakeFormat {
       // the post-images: the matched live rows with SET applied —
       // written as the commit's (small) added file, carrying the
       // pre-images' row ids so identity survives the merge-on-read hop
-      val post = hit.select((readSchema.fieldNames.map { n =>
+      val post = hit.select((displayFields.map { n =>
         set.get(n) match {
           case Some(v) => v.as(n)
           case None => col(n)
@@ -3578,7 +3721,7 @@ object TxnLake extends LakeFormat {
       val (packedScan, carry) = scanForRewrite(spark, table,
         snapFiles.filter(fm => smallSet(fm.path)),
         subsetReadSchema(spark, table, schema, snapFiles),
-        resolveDvs(spark, table, base))
+        resolveDvs(spark, table, base), entry.renames)
       val packed = packedScan.repartition(numOut)
       try return Some(commitImpl(spark, packed, table, "optimize", None,
           maxAttempts = 1, requireBase = Some(Some(base)),
@@ -3703,6 +3846,9 @@ object TxnLake extends LakeFormat {
         // the row-id mark is monotone like the identity hwm: ids handed
         // out by rolled-past commits are never reissued after a restore
         ridHwm = math.max(targetEntry.ridHwm, lastEntry.ridHwm),
+        // display names restore with their snapshot (era-correct, like
+        // the schema itself)
+        renames = targetEntry.renames,
         ts = nextTs(Some(lastEntry))))
       val tmp = new Path(logDir(table), s"v$next.json.tmp-$salt")
       val out = f.create(tmp, false)
@@ -3822,6 +3968,7 @@ object TxnLake extends LakeFormat {
         genCols = readEntry(spark, table, lastV).genCols,
         identityCols = readEntry(spark, table, lastV).identityCols,
         ridHwm = readEntry(spark, table, lastV).ridHwm,
+        renames = readEntry(spark, table, lastV).renames,
         // monotone vs the ACTUAL last entry — lastEntry is None exactly
         // when the failed restore's own entry is latest, and that entry
         // carries a ts the compensation must still exceed
@@ -3856,13 +4003,36 @@ object TxnLake extends LakeFormat {
     * tag emits NOTHING in the change feed (no row changed) and is NOT
     * data-preserving for sibling-index trust — conservative by
     * construction. */
+  /** Resolve a user-supplied column name to its PHYSICAL schema name:
+    * the physical behind a current display name, or an unrenamed field
+    * matched directly. A RETIRED physical name (its column was renamed
+    * away) deliberately does NOT resolve — the display is the name now. */
+  private def canonPhysical(spark: SparkSession, cur: StructType,
+                            entry: Entry, name: String): Option[String] = {
+    val res = resolver(spark)
+    entry.renames.collectFirst { case (p, d) if res(d, name) => p }
+      .orElse(cur.fieldNames.find(c =>
+        res(c, name) && !entry.renames.contains(c)))
+  }
+
+  /** Does `name` collide with any CURRENT user-visible name — a display
+    * name or an unrenamed physical field? (Retired physicals count too:
+    * the field still exists in the physical schema, and a new column
+    * under that name would alias its storage.) */
+  private def collides(spark: SparkSession, cur: StructType,
+                       entry: Entry, name: String): Boolean = {
+    val res = resolver(spark)
+    cur.fieldNames.exists(res(_, name)) ||
+      entry.renames.values.exists(res(_, name))
+  }
+
   def addColumn(spark: SparkSession, table: String, name: String,
                 dataType: DataType, maxAttempts: Int = 10): Long =
     alterSchemaWith(spark, table, "addColumn", maxAttempts) { (cur, entry) =>
       val res = resolver(spark)
       require(!name.startsWith("__graft_dv_"),
         "TxnLake.addColumn: __graft_dv_* names are reserved")
-      require(!cur.fieldNames.exists(res(_, name)),
+      require(!collides(spark, cur, entry, name),
         s"TxnLake.addColumn: column $name already exists in $table")
       require(!entry.droppedCols.exists(res(_, name)),
         s"TxnLake.addColumn: column $name was DROPPED from $table; " +
@@ -3897,7 +4067,7 @@ object TxnLake extends LakeFormat {
         val res = resolver(spark)
         require(!name.startsWith("__graft_dv_"),
           "TxnLake.addGeneratedColumn: __graft_dv_* names are reserved")
-        require(!cur.fieldNames.exists(res(_, name)),
+        require(!collides(spark, cur, entry, name),
           s"TxnLake.addGeneratedColumn: column $name already exists")
         require(!entry.droppedCols.exists(res(_, name)),
           s"TxnLake.addGeneratedColumn: column $name was DROPPED from " +
@@ -3917,6 +4087,12 @@ object TxnLake extends LakeFormat {
         require(unknown.isEmpty,
           s"TxnLake.addGeneratedColumn: expression references unknown " +
             s"column(s) ${unknown.mkString(", ")}")
+        val renamedRefs = refs.filter(r => entry.renames.exists {
+          case (p, d) => res(p, r) || res(d, r) })
+        require(renamedRefs.isEmpty,
+          s"TxnLake.addGeneratedColumn: expression references RENAMED " +
+            s"column(s) ${renamedRefs.mkString(", ")} — generated " +
+            "columns pin their sources' names; rename back first")
         AlterSpec(StructType(cur.fields :+
             StructField(name, dataType, nullable = true)),
           addGenCols = Map(name -> expression))
@@ -3946,7 +4122,7 @@ object TxnLake extends LakeFormat {
         require(step != 0, "TxnLake.addIdentityColumn: step must be nonzero")
         require(!name.startsWith("__graft_dv_"),
           "TxnLake.addIdentityColumn: __graft_dv_* names are reserved")
-        require(!cur.fieldNames.exists(res(_, name)),
+        require(!collides(spark, cur, entry, name),
           s"TxnLake.addIdentityColumn: column $name already exists")
         require(!entry.droppedCols.exists(res(_, name)),
           s"TxnLake.addIdentityColumn: column $name was DROPPED from " +
@@ -4004,10 +4180,11 @@ object TxnLake extends LakeFormat {
                  maxAttempts: Int = 10): Long =
     alterSchemaWith(spark, table, "dropColumn", maxAttempts) { (cur, entry) =>
       val res = resolver(spark)
-      // canonicalize to the SCHEMA's casing: the tombstone, bloom drop,
-      // and gen-col retirement must record the stored name, whatever
-      // casing the caller typed (resolution is case-insensitive)
-      val canonOpt = cur.fieldNames.find(res(_, name))
+      // canonicalize to the SCHEMA's PHYSICAL casing: the tombstone,
+      // bloom drop, and gen-col retirement must record the stored name,
+      // whatever casing the caller typed (resolution is
+      // case-insensitive); a renamed column drops by its DISPLAY name
+      val canonOpt = canonPhysical(spark, cur, entry, name)
       require(canonOpt.isDefined,
         s"TxnLake.dropColumn: no column $name in $table")
       val canon = canonOpt.get
@@ -4035,6 +4212,11 @@ object TxnLake extends LakeFormat {
         dropGenCols = if (entry.genCols.contains(canon)) Seq(canon)
           else Seq.empty,
         dropIdentity = if (entry.identityCols.contains(canon)) Seq(canon)
+          else Seq.empty,
+        // a dropped column's display mapping dies with it — the
+        // tombstone records the PHYSICAL name, which is what guards
+        // the bytes
+        dropRenames = if (entry.renames.contains(canon)) Seq(canon)
           else Seq.empty)
     }
 
@@ -4072,7 +4254,7 @@ object TxnLake extends LakeFormat {
     alterSchemaWith(spark, table, "widenColumnType", maxAttempts) {
       (cur, entry) =>
         val res = resolver(spark)
-        val canonOpt = cur.fieldNames.find(res(_, name))
+        val canonOpt = canonPhysical(spark, cur, entry, name)
         require(canonOpt.isDefined,
           s"TxnLake.widenColumnType: no column $name in $table")
         val canon = canonOpt.get
@@ -4090,6 +4272,81 @@ object TxnLake extends LakeFormat {
         AlterSpec(StructType(cur.fields.map(f =>
           if (f.name == canon) f.copy(dataType = to) else f)))
     }
+
+  /** `ALTER TABLE … RENAME COLUMN` — Delta's column-mapping rename:
+    * metadata-only (one log entry; NO file moves, NO schema-json change,
+    * NO sidecar or stat invalidation). The column keeps its PHYSICAL
+    * name — its name at creation — in every file, footer stat, and
+    * bloom sidecar; a cumulative (physical → display) map overlays the
+    * new name at the read and write boundaries. Consequences, all
+    * tested: data reads under the new name immediately (old files
+    * included); writes under the RETIRED old name refuse loudly (they
+    * would alias the renamed column's storage); bloom/stat skipping
+    * stays live across the rename (the sidecars never knew the display
+    * name); old versions time-travel under the names of their own era;
+    * rename-back collapses the mapping. Pins (refused while live, the
+    * [[dropColumn]] rule): identity columns, generated columns, and any
+    * column referenced by a CHECK constraint or generated-column
+    * expression — their SQL strings are resolved against the physical
+    * frame at every commit and would silently dangle. */
+  def renameColumn(spark: SparkSession, table: String, name: String,
+                   newName: String, maxAttempts: Int = 10): Long =
+    alterSchemaWith(spark, table, "renameColumn", maxAttempts) {
+      (cur, entry) =>
+        val res = resolver(spark)
+        require(!newName.startsWith("__"),
+          "TxnLake.renameColumn: __-prefixed names are reserved for " +
+            "engine plumbing (__graft_*, merge tags)")
+        val physOpt = canonPhysical(spark, cur, entry, name)
+        require(physOpt.isDefined,
+          s"TxnLake.renameColumn: no column $name in $table")
+        val p = physOpt.get
+        val curDisplay = displayOf(entry.renames, p)
+        require(!res(curDisplay, newName),
+          s"TxnLake.renameColumn: $name is already named $newName")
+        // collision against every OTHER column's display or physical
+        // name — the column's OWN physical is exempt: renaming back to
+        // it collapses the mapping
+        val collidesOther =
+          cur.fieldNames.exists(c => res(c, newName) && !res(c, p)) ||
+            entry.renames.exists { case (pp, d) =>
+              res(d, newName) && !res(pp, p) }
+        require(!collidesOther,
+          s"TxnLake.renameColumn: column $newName already exists in " +
+            s"$table (as a display or physical name)")
+        require(!entry.droppedCols.exists(res(_, newName)),
+          s"TxnLake.renameColumn: $newName was DROPPED from $table — " +
+            "reusing the name (resolution is case-insensitive) would " +
+            "confuse the tombstone that guards its bytes")
+        require(!entry.identityCols.keys.exists(res(_, p)),
+          s"TxnLake.renameColumn: $curDisplay is an IDENTITY column — " +
+            "its assignment machinery is keyed by name; drop it first")
+        require(!entry.genCols.keys.exists(res(_, p)),
+          s"TxnLake.renameColumn: $curDisplay is a GENERATED column — " +
+            "its expression property is keyed by name; drop it first")
+        def refsOf(x: String): Seq[String] =
+          spark.sessionState.sqlParser.parseExpression(x).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              => a.nameParts.head
+          }
+        val pinning = entry.constraints.filter(kv =>
+            refsOf(kv._2).exists(res(_, p))).keys.toSeq ++
+          entry.genCols.filter { case (_, x) =>
+            refsOf(x).exists(res(_, p)) }.keys.map(g =>
+            s"generated column $g")
+        require(pinning.isEmpty,
+          s"TxnLake.renameColumn: column $curDisplay is referenced by " +
+            s"${pinning.sorted.mkString(", ")} — their expressions " +
+            "resolve by name at every commit; drop those first")
+        // schema json unchanged — the overlay IS the rename
+        AlterSpec(cur, addRenames = Map(p -> newName))
+    }
+
+  /** The live (physical → display) rename overlay — empty when no
+    * column has ever been renamed. */
+  def columnRenames(spark: SparkSession, table: String): Map[String, String] =
+    latestVersion(spark, table)
+      .map(readEntry(spark, table, _).renames).getOrElse(Map.empty)
 
   /** The live CHECK constraints of a table (name → SQL expression) —
     * one O(1) entry read; empty on a table that declared none. */
@@ -4121,6 +4378,23 @@ object TxnLake extends LakeFormat {
         require(!entry.constraints.contains(name),
           s"TxnLake.addConstraint: constraint $name already exists on " +
             s"$table (`${entry.constraints.getOrElse(name, "")}`)")
+        // the expression resolves against PHYSICAL frames at every later
+        // commit's enforcement scan — referencing a RENAMED column (by
+        // either name) would dangle or silently bind the wrong bytes
+        locally {
+          val res = resolver(spark)
+          val refs = spark.sessionState.sqlParser
+            .parseExpression(expression).collect {
+              case a: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => a.nameParts.head
+            }
+          val renamed = refs.filter(r => entry.renames.exists {
+            case (p, d) => res(p, r) || res(d, r) })
+          require(renamed.isEmpty,
+            s"TxnLake.addConstraint: expression references RENAMED " +
+              s"column(s) ${renamed.mkString(", ")} — constraints pin " +
+              "their columns' names; rename back first")
+        }
         // validate the EXISTING rows (masked snapshot) before declaring
         val bad = read(spark, table)
           .where(not(coalesce(expr(expression), lit(true)))).count()
@@ -4162,7 +4436,10 @@ object TxnLake extends LakeFormat {
                                      dropGenCols: Seq[String] = Seq.empty,
                                      addIdentity: Map[String, IdentitySpec] =
                                        Map.empty,
-                                     dropIdentity: Seq[String] = Seq.empty)
+                                     dropIdentity: Seq[String] = Seq.empty,
+                                     addRenames: Map[String, String] =
+                                       Map.empty,
+                                     dropRenames: Seq[String] = Seq.empty)
 
   private def alterSchemaWith(spark: SparkSession, table: String, api: String,
                               maxAttempts: Int)
@@ -4189,7 +4466,9 @@ object TxnLake extends LakeFormat {
           newGenCols = spec.addGenCols,
           dropGenColNames = spec.dropGenCols,
           newIdentityCols = spec.addIdentity,
-          dropIdentityColNames = spec.dropIdentity)
+          dropIdentityColNames = spec.dropIdentity,
+          newRenames = spec.addRenames,
+          dropRenames = spec.dropRenames)
         .getOrElse(sys.error("unreachable: txn-less commit cannot be skipped"))
       catch { case _: CommitConflict => attempt += 1 }
     }
@@ -4215,7 +4494,8 @@ object TxnLake extends LakeFormat {
                                droppedCols: Seq[String],
                                genCols: Map[String, String] = Map.empty,
                                identityCols: Map[String, IdentitySpec] =
-                                 Map.empty)
+                                 Map.empty,
+                               renames: Map[String, String] = Map.empty)
 
   def describeDetail(spark: SparkSession, table: String): TableDetail = {
     val v = latestVersion(spark, table).getOrElse(
@@ -4229,8 +4509,12 @@ object TxnLake extends LakeFormat {
       if (files.exists(_.rows < 0)) -1L
       else files.map(_.rows).sum - masked
     TableDetail(v, commitTimestamp(spark, table, v), files.size, bytes,
-      rows, masked, dvsLive.size, e.schemaStruct, e.bloomCols,
-      e.constraints, e.droppedCols, e.genCols, e.identityCols)
+      rows, masked, dvsLive.size,
+      // the user-facing schema speaks DISPLAY names; the raw physical →
+      // display overlay rides alongside for introspection
+      e.schemaStruct.map(toDisplaySchema(_, e.renames)),
+      e.bloomCols.map(displayOf(e.renames, _)),
+      e.constraints, e.droppedCols, e.genCols, e.identityCols, e.renames)
   }
 
   /** What [[vacuum]] WOULD reclaim, without deleting anything —
@@ -4404,6 +4688,7 @@ object TxnLake extends LakeFormat {
       // the clone's files carry their base row ids verbatim, so the
       // source's mark rides too — ids stay stable across a clone
       ridHwm = srcEntry.ridHwm,
+      renames = srcEntry.renames,
       ts = nextTs(None)))
     val tmp = new Path(logDir(target), s"v0.json.tmp-$salt")
     val out = f.create(tmp, false)

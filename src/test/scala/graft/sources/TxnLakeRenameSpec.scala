@@ -1,0 +1,211 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Column RENAME via column mapping — Delta's 'name'-mode rename: one
+  * metadata log entry, zero file moves, zero schema-json churn. The
+  * column keeps its PHYSICAL name in every file, stat, and bloom
+  * sidecar; a cumulative (physical → display) overlay renames at the
+  * read/write boundaries. Old-name writes refuse, skipping stays live,
+  * old versions time-travel under their era's names, DML and merge
+  * speak the new name, and the pins (identity/generated/constraint)
+  * refuse what would dangle. */
+class TxnLakeRenameSpec extends SparkSpec {
+
+  private def fresh(): String =
+    Files.createTempDirectory("txnlake_rename").resolve("t").toString
+
+  test("rename is metadata-only: data intact under the new name (old " +
+    "files included), plain reads show only display names, time travel " +
+    "keeps the era's names, and the old-name write refuses") {
+    import spark.implicits._
+    val t = fresh()
+    TxnLake.commit(spark,
+      (0L until 40L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      t, "append")
+    val filesBefore = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    val vData = TxnLake.latestVersion(spark, t).get
+    TxnLake.renameColumn(spark, t, "v", "val")
+    // metadata-only: same physical files, one new log entry
+    assert(TxnLake.snapshotFiles(spark, t).map(_.path).toSet == filesBefore)
+    assert(TxnLake.commitInfo(spark, t,
+      TxnLake.latestVersion(spark, t).get).operation == "metadata")
+    // reads speak the NEW name — including the pre-rename file's bytes
+    val df = TxnLake.read(spark, t)
+    assert(df.columns.toSeq == Seq("k", "val"),
+      s"plain reads must show display names: ${df.columns.toSeq}")
+    assert(df.count() == 40)
+    assert(df.filter(col("val") === "v7").count() == 1)
+    // time travel: the pre-rename version answers under ITS names
+    assert(TxnLake.readVersion(spark, t, vData).columns.toSeq
+      == Seq("k", "v"), "old versions time-travel under their era's names")
+    // writing under the RETIRED name refuses loudly
+    intercept[IllegalArgumentException] {
+      TxnLake.commit(spark,
+        Seq((100L, "x")).toDF("k", "v").coalesce(1), t, "append")
+    }
+    // the new name appends, and lands physically under the PHYSICAL name
+    TxnLake.commit(spark,
+      Seq((100L, "x")).toDF("k", "val").coalesce(1), t, "append")
+    assert(TxnLake.read(spark, t).count() == 41)
+    val newest = TxnLake.snapshotFiles(spark, t)
+      .map(_.path).filterNot(filesBefore).head
+    val phys = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(t, newest).toString)
+    assert(phys.columns.toSeq == Seq("k", "v"),
+      s"files store the stable physical names: ${phys.columns.toSeq}")
+    // DESCRIBE DETAIL surfaces display schema + the overlay
+    val det = TxnLake.describeDetail(spark, t)
+    assert(det.schema.exists(_.fieldNames.toSeq == Seq("k", "val")))
+    assert(det.renames == Map("v" -> "val"))
+    // rename-back collapses the overlay entirely
+    TxnLake.renameColumn(spark, t, "val", "v")
+    assert(TxnLake.columnRenames(spark, t).isEmpty)
+    assert(TxnLake.read(spark, t).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("stats and bloom skipping stay LIVE across a rename — the " +
+    "sidecars never knew the display name") {
+    import spark.implicits._
+    val t = fresh()
+    (0 until 4).foreach { i =>
+      TxnLake.commit(spark,
+        (0 until 50).map(j => (i * 50L + j, s"d$j")).toDF("k", "v")
+          .coalesce(1), t, "append", bloomCols = Seq("k"))
+    }
+    val (preKept, preTotal) = TxnLake.skippingStats(spark, t, col("k") === 75L)
+    assert(preTotal == 4 && preKept == 1, "fixture: range stats prune")
+    TxnLake.renameColumn(spark, t, "k", "key")
+    // range-stat skipping under the DISPLAY name
+    val (kept, total) = TxnLake.skippingStats(spark, t, col("key") === 75L)
+    assert(total == 4 && kept == 1,
+      s"stat skipping must survive the rename: kept $kept of $total")
+    // bloom-keyed scan under the DISPLAY name prunes and answers
+    val (scan, (bk, bt)) = TxnLake.readKeyed(spark, t, "key", Seq("75"))
+    assert(bt == 4 && bk == 1,
+      s"bloom skipping must survive the rename: kept $bk of $bt")
+    assert(scan.filter(col("key") === 75L).count() == 1)
+    // readWhere under the display name: pruned AND correct
+    val (df, (rk, rt)) = TxnLake.readWherePruned(spark, t, col("key") < 10L)
+    assert(rk == 1 && rt == 4)
+    assert(df.count() == 10)
+  }
+
+  test("DML, merge, DV ops, OPTIMIZE, and row ids all speak the new " +
+    "name; row ids stay stable through rename-era rewrites") {
+    import spark.implicits._
+    import TxnLake.{MergeInsert, MergeUpdate, sourceCol}
+    val t = fresh()
+    TxnLake.commit(spark,
+      (0L until 30L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      t, "append")
+    def rids(): Map[Long, Long] = TxnLake.readWithRowIds(spark, t)
+      .select("key", TxnLake.RidCol).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    TxnLake.renameColumn(spark, t, "k", "key")
+    val ids0 = rids()
+    assert(ids0.size == 30 && TxnLake.readWithRowIds(spark, t)
+      .columns.contains("key"))
+    // CoW update/delete under the display predicate
+    TxnLake.updateWhere(spark, t, col("key") === 3L, Map("v" -> lit("u")))
+    TxnLake.deleteWhere(spark, t, col("key") === 5L)
+    assert(rids() == ids0 - 5L, "rename-era rewrites must carry row ids")
+    assert(TxnLake.read(spark, t).filter(col("v") === "u").count() == 1)
+    // DV delete + DV update under the display predicate
+    TxnLake.deleteWhereDv(spark, t, col("key") === 6L)
+    TxnLake.updateWhereDv(spark, t, col("key") === 7L,
+      Map("v" -> lit("dv")))
+    assert(rids() == ids0 - 5L - 6L)
+    assert(TxnLake.read(spark, t).filter(col("key") === 7L)
+      .select("v").head().getString(0) == "dv")
+    // merge keyed by the DISPLAY name
+    TxnLake.mergeIntoClauses(spark,
+      Seq((8L, "m"), (200L, "m")).toDF("key", "v").coalesce(1), t, "key",
+      matched = Seq(MergeUpdate(Map("v" -> sourceCol("v")))),
+      notMatched = Seq(MergeInsert(Map("key" -> col("key"),
+        "v" -> col("v")))))
+    val m = rids()
+    assert(m(8L) == ids0(8L) && m.contains(200L))
+    // OPTIMIZE clusters by the display name and carries ids
+    TxnLake.optimize(spark, t, zorderBy = Seq("key"), numFiles = 2)
+    assert(rids() == m, "OPTIMIZE under the display name carries ids")
+    // the change feed speaks display names too
+    val v = TxnLake.latestVersion(spark, t).get
+    val feed = TxnLake.tableChanges(spark, t, 0L, v, "key")
+    assert(feed.columns.contains("key") && !feed.columns.contains("k"))
+  }
+
+  test("pins and collisions: identity/generated/constraint-referenced " +
+    "columns refuse; name collisions refuse; dropColumn retires the " +
+    "mapping and tombstones the physical name; restore and clone are " +
+    "era-correct") {
+    import spark.implicits._
+    val t = fresh()
+    TxnLake.commit(spark,
+      Seq.empty[(Long, String, Long)].toDF("k", "v", "n").coalesce(1),
+      t, "append")
+    TxnLake.addIdentityColumn(spark, t, "id")
+    TxnLake.addGeneratedColumn(spark, t, "n2", org.apache.spark.sql.types
+      .LongType, "n * 2")
+    TxnLake.addConstraint(spark, t, "n_pos", "n >= 0")
+    intercept[IllegalArgumentException] {
+      TxnLake.renameColumn(spark, t, "id", "ident") // identity pinned
+    }
+    intercept[IllegalArgumentException] {
+      TxnLake.renameColumn(spark, t, "n2", "dbl") // generated pinned
+    }
+    intercept[IllegalArgumentException] {
+      TxnLake.renameColumn(spark, t, "n", "num") // referenced by both
+    }
+    TxnLake.renameColumn(spark, t, "v", "txt")
+    intercept[IllegalArgumentException] {
+      TxnLake.renameColumn(spark, t, "k", "txt") // display collision
+    }
+    intercept[IllegalArgumentException] {
+      TxnLake.renameColumn(spark, t, "k", "v") // retired-physical collision
+    }
+    intercept[IllegalArgumentException] {
+      TxnLake.addColumn(spark, t, "txt", org.apache.spark.sql.types
+        .StringType) // display collision on ADD
+    }
+    intercept[IllegalArgumentException] {
+      TxnLake.addColumn(spark, t, "v", org.apache.spark.sql.types
+        .StringType) // retired physical still owns its storage
+    }
+    // a constraint may not reference a renamed column by either name
+    intercept[IllegalArgumentException] {
+      TxnLake.addConstraint(spark, t, "bad", "txt <> ''")
+    }
+    intercept[IllegalArgumentException] {
+      TxnLake.addConstraint(spark, t, "bad", "v <> ''")
+    }
+    // restore: the pre-rename era returns WITH its names; clone carries
+    val t2 = fresh()
+    TxnLake.commit(spark,
+      (0L until 5L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      t2, "append")
+    TxnLake.renameColumn(spark, t2, "v", "val")
+    val vRenamed = TxnLake.latestVersion(spark, t2).get
+    TxnLake.restore(spark, t2, 0L)
+    assert(TxnLake.read(spark, t2).columns.toSeq == Seq("k", "v"),
+      "restore returns the era's display names")
+    TxnLake.restore(spark, t2, vRenamed)
+    assert(TxnLake.read(spark, t2).columns.toSeq == Seq("k", "val"))
+    val c = Files.createTempDirectory("txnlake_rename").resolve("c")
+      .toString
+    TxnLake.cloneTable(spark, t2, c)
+    assert(TxnLake.read(spark, c).columns.toSeq == Seq("k", "val"))
+    assert(TxnLake.columnRenames(spark, c) == Map("v" -> "val"))
+    // dropColumn by display name: tombstones the PHYSICAL name, retires
+    // the mapping, and the resurrect guard fires on BOTH names
+    TxnLake.dropColumn(spark, t2, "val")
+    assert(TxnLake.columnRenames(spark, t2).isEmpty)
+    assert(TxnLake.read(spark, t2).columns.toSeq == Seq("k"))
+    intercept[IllegalArgumentException] {
+      TxnLake.commit(spark, Seq((9L, "z")).toDF("k", "v").coalesce(1),
+        t2, "append") // physical tombstone
+    }
+  }
+}
