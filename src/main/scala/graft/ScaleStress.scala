@@ -33,8 +33,8 @@ import org.apache.spark.sql.functions._
   * SCALE.md records the adjudicated table.
   *
   * Usage: runMain graft.ScaleStress <baseSfDir>
-  * <factors csv|skew|bigdoc|vecprune|ndprune|ndpruneac|dcprune|dcpruneac>
-  * [queries csv]
+  * <factors csv|skew|bigdoc|vecprune|ndprune|ndpruneac|dcprune|dcpruneac
+  * |acprobe> [queries csv]
   */
 object ScaleStress {
 
@@ -724,6 +724,71 @@ object ScaleStress {
       s""""dv_peak_mb":${s2(dvPeak / mb)},"rows_after":$dvRows}""")
   }
 
+  /** The distributed (above-cap) keyed probe's WALK, pinned in its two
+    * extreme hit regimes (r17 verdict item 3): readKeyedDistributed's
+    * per-partition loop probes every key against every file bloom in the
+    * broadcast chunk, early-exiting once all chunk files are hit.
+    * - DENSE: keys drawn from the table itself — hash-uniform, so they
+    *   blanket every file and the early exit fires almost immediately;
+    * - SPARSE: keys absent from every file — the exit NEVER fires and
+    *   the walk pays its true worst case O(keys x files/chunk) bloom
+    *   probes (two hash ops each), spread across the key partitions.
+    * The timed section is exactly the kept-file DECISION (the walk runs
+    * eagerly inside readKeyedDistributed; the returned scan is lazy and
+    * untimed). File count scales with the factor, keys stay fixed — the
+    * delta-sized term a backfill actually has — so the sparse curve's
+    * slope IS the keys-x-blooms cost the early-exit claim rests on. */
+  private def measureAcProbe(spark: SparkSession, listener: MetricsListener,
+                             dir: String, tag: String): Unit = {
+    import graft.sources.TxnLake
+    val table = s"$dir/acprobe_t"
+    val fdir = new java.io.File(table)
+    if (fdir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(fdir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), xxhash64(col("text")).cast("string").as("k"))
+    val n = docs.count()
+    // many SMALL files: the walk's cost term is files-in-chunk, so the
+    // fixture maximizes file count per byte (2k rows/file)
+    val nFiles = math.max(16L, n / 2000L).toInt
+    TxnLake.commit(spark, docs.repartition(nFiles), table, "append",
+      bloomCols = Seq("k"))
+    val total = TxnLake.snapshotFiles(spark, table).size
+    val keyN = 20000
+    // LAZY on purpose (the measureNdPrune rule): dropAllStorage between
+    // measured runs would evict a checkpointed keys frame's blocks; both
+    // plans are a trivial limit/range scan, re-evaluated per chunk pass
+    // exactly as a real above-cap caller's pinned delta would be
+    val dense = TxnLake.read(spark, table).select(col("k")).limit(keyN)
+    val sparse = spark.range(keyN.toLong)
+      .select(concat(lit("zz_absent_"), col("id")).as("k"))
+    def once(keys: DataFrame): (Double, Int) = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val (_, (kept, _)) =
+        TxnLake.readKeyedDistributed(spark, table, "k", keys)
+      val sec = (System.nanoTime() - t0) / 1e9
+      SessionHygiene.dropAllStorage(spark)
+      org.apache.spark.GraftListenerShim
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      (sec, kept)
+    }
+    once(dense); once(sparse) // JIT/codegen warm
+    def best(keys: DataFrame): (Double, Int) = {
+      val a = once(keys); val b = once(keys)
+      if (a._1 <= b._1) a else b
+    }
+    val (dSec, dKept) = best(dense)
+    val (sSec, sKept) = best(sparse)
+    require(dKept == total,
+      s"dense blanket must hit every file: $dKept of $total")
+    def s2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    println(s"""SCALE {$tag,"mode":"acprobe","cpus":${spark.sparkContext
+      .defaultParallelism},"files":$total,"keys":$keyN,""" +
+      s""""dense_sec":${s2(dSec)},"dense_kept":$dKept,""" +
+      s""""sparse_sec":${s2(sSec)},"sparse_kept":$sKept}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spec = if (args.length > 1) args(1) else "1,3,10"
@@ -777,6 +842,14 @@ object ScaleStress {
           try measureNdPrune(spark, listener, dir,
             s""""factor":$fct,"abovecap":true""")
           finally spark.conf.unset("graft.probe.maxDriverKeys")
+        }
+      } else if (spec == "acprobe") {
+        val factors = (if (args.length > 2) args(2) else "1,10")
+          .split(",").map(_.trim.toInt).toSeq
+        factors.foreach { fct =>
+          val dir = s"$tmp/graft_scale_f$fct"
+          buildScaled(spark, baseDir, fct, dir)
+          measureAcProbe(spark, listener, dir, s""""factor":$fct""")
         }
       } else if (spec == "dcprune" || spec == "dcpruneac") {
         val factors = (if (args.length > 2) args(2) else "1,10")
