@@ -748,17 +748,25 @@ object ScaleStress {
       .select(col("doc_id"), xxhash64(col("text")).cast("string").as("k"))
     val n = docs.count()
     // many SMALL files: the walk's cost term is files-in-chunk, so the
-    // fixture maximizes file count per byte (2k rows/file)
-    val nFiles = math.max(16L, n / 2000L).toInt
+    // fixture maximizes file count per byte (200 rows/file — at factor
+    // 30 on sf0.1 that is ~750 bloomed files, the shape a long-lived
+    // ingest table actually has between compactions)
+    val nFiles = math.max(16L, n / 200L).toInt
     TxnLake.commit(spark, docs.repartition(nFiles), table, "append",
       bloomCols = Seq("k"))
     val total = TxnLake.snapshotFiles(spark, table).size
     val keyN = 20000
     // LAZY on purpose (the measureNdPrune rule): dropAllStorage between
     // measured runs would evict a checkpointed keys frame's blocks; both
-    // plans are a trivial limit/range scan, re-evaluated per chunk pass
-    // exactly as a real above-cap caller's pinned delta would be
-    val dense = TxnLake.read(spark, table).select(col("k")).limit(keyN)
+    // plans are a trivial scan, re-evaluated per chunk pass exactly as a
+    // real above-cap caller's pinned delta would be. The dense sample is
+    // HASH-STRIDED, not limit()-headed: limit takes the first rows —
+    // i.e. the first few files — while a hash stride spreads ~keyN keys
+    // uniformly across every file (avg keys/file >> 1, so the blanket
+    // holds with probability 1 - files*e^-(keys/files))
+    val stride = math.max(1L, n / keyN)
+    val dense = TxnLake.read(spark, table).select(col("k"))
+      .where(pmod(xxhash64(col("k")), lit(stride)) === 0)
     val sparse = spark.range(keyN.toLong)
       .select(concat(lit("zz_absent_"), col("id")).as("k"))
     def once(keys: DataFrame): (Double, Int) = {

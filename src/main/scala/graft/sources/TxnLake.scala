@@ -489,6 +489,37 @@ object TxnLake extends LakeFormat {
     CommitInfo(e.version, e.operation, e.txn)
   }
 
+  /** One commit's (operation tag, added-file paths) — the rate-limit
+    * planner's input: a feed consumer slicing an oversized insert hop
+    * needs the hop's file list without resolving the whole snapshot.
+    * O(1): a single entry read. */
+  private[graft] def commitAdds(spark: SparkSession, table: String,
+                                version: Long): (String, Seq[String]) = {
+    val e = readEntry(spark, table, version)
+    (e.operation, e.add.map(_.path))
+  }
+
+  /** Read a SLICE of a snapshot — only `paths`, under the version's
+    * masks, logged schema, and display names, exactly as [[readVersion]]
+    * would read them within the whole. The bounded-memory catch-up
+    * primitive: a consumer splits an oversized insert hop into
+    * maxFiles-sized slices and unions of slice reads equal the full
+    * read (per-file masks and schema application are file-local). */
+  private[graft] def readFileSlice(spark: SparkSession, table: String,
+                                   version: Long,
+                                   paths: Seq[String]): DataFrame = {
+    val entry = readEntry(spark, table, version)
+    val schema = entry.schemaStruct
+    val want = paths.toSet
+    val files = resolveFiles(spark, table, version)
+      .filter(fm => want(fm.path))
+    require(files.size == want.size,
+      s"TxnLake.readFileSlice: ${want.size - files.size} of the " +
+        s"requested files are not in version $version of $table")
+    scanFiles(spark, table, files, schema,
+      resolveDvs(spark, table, version), entry.renames)
+  }
+
   /** The full commit history, oldest first — DESCRIBE HISTORY. O(log)
     * entry reads; incremental consumers should walk
     * [[commitInfo]] from their own persisted watermark instead. */

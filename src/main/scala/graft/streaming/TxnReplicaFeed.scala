@@ -68,46 +68,105 @@ import graft.sources.TxnLake
   * time-travels (the source's own evolution story, one hop later).
   * Either way a parked consumer resumes exactly where it stopped. */
 final class TxnReplicaFeed(source: String, replica: String, appId: String,
-                           key: String, followSchema: Boolean = false) {
+                           key: String, followSchema: Boolean = false,
+                           maxFilesPerHop: Int = 0,
+                           maxVersionsPerPoll: Int = 0) {
 
   /** Process every source version not yet applied to the replica — one
     * exactly-once clause-merge transaction per version, oldest first.
     * Returns the number of versions newly applied (0 = fully caught
-    * up, including after a restart). */
+    * up, including after a restart).
+    *
+    * RATE LIMITS (Delta's maxFilesPerTrigger posture, so a consumer can
+    * claim BOUNDED-MEMORY catch-up on any history):
+    *  - `maxFilesPerHop` > 0 splits an INSERT-SHAPED hop that exceeds
+    *    it — a bootstrap snapshot (v0 replay or aged-source founding)
+    *    or a bulk append commit — into file slices of at most that
+    *    size, each applied as its OWN exactly-once merge under a slice
+    *    marker (`appId#boot<v>` / `appId#v<v>`, batchId = slice
+    *    ordinal); the NORMAL (appId, v) marker lands LAST as an empty
+    *    merge, so it is the completion record: a consumer that crashes
+    *    mid-hop resumes at the first unapplied slice (earlier slices
+    *    replay as marker no-ops) and the offset never advances past a
+    *    half-applied hop. DML/maintenance/snapshot-replacement hops are
+    *    already O(touched)/O(diff) and apply unsliced.
+    *  - `maxVersionsPerPoll` > 0 caps the versions processed per poll:
+    *    a consumer waking up to a month of history drains it in bounded
+    *    bites, re-polling until 0 versions remain. */
   def poll(spark: SparkSession): Int = {
     val latest = TxnLake.latestVersion(spark, source).getOrElse(return 0)
     var applied = 0
+    var stepped = 0
+    def budget: Boolean =
+      maxVersionsPerPoll <= 0 || stepped < maxVersionsPerPoll
     var v = TxnLake.lastTxn(spark, replica, appId).map(_ + 1).getOrElse {
       if (TxnLake.fullHistoryLive(spark, source)) 0L
       else {
         // founding against an aged source: replay is impossible (early
         // files vacuumed) — one snapshot-insert merge at the latest
         // version, then stream only what commits after it
-        val snap = TxnLake.readVersion(spark, source, latest)
-          .withColumn("change_type", lit("insert"))
-        if (applyHop(spark, snap, latest)) applied += 1
+        if (applySnapshot(spark, latest)) applied += 1
+        stepped += 1
         latest + 1
       }
     }
-    while (v <= latest) {
-      val hop =
-        if (v == 0)
-          TxnLake.readVersion(spark, source, 0L)
-            .withColumn("change_type", lit("insert"))
-        else TxnLake.tableChanges(spark, source, v - 1, v, key)
-          .drop("commit_version")
-      if (applyHop(spark, hop, v)) applied += 1
+    while (v <= latest && budget) {
+      val newlyApplied =
+        if (v == 0) applySnapshot(spark, 0L)
+        else {
+          val (op, adds) = TxnLake.commitAdds(spark, source, v)
+          if (op == "append" && maxFilesPerHop > 0
+              && adds.size > maxFilesPerHop)
+            applySliced(spark, v, adds, s"$appId#v$v")
+          else applyHop(spark,
+            TxnLake.tableChanges(spark, source, v - 1, v, key)
+              .drop("commit_version"), (appId, v))
+        }
+      if (newlyApplied) applied += 1
+      stepped += 1
       v += 1
     }
     applied
   }
 
+  /** Apply version `v`'s full snapshot as the insert hop — sliced when
+    * it exceeds the file cap. */
+  private def applySnapshot(spark: SparkSession, v: Long): Boolean = {
+    val files = TxnLake.snapshotFiles(spark, source, Some(v)).map(_.path)
+    if (maxFilesPerHop > 0 && files.size > maxFilesPerHop)
+      applySliced(spark, v, files, s"$appId#boot$v")
+    else applyHop(spark,
+      TxnLake.readVersion(spark, source, v)
+        .withColumn("change_type", lit("insert")), (appId, v))
+  }
+
+  /** Apply an oversized insert hop in `maxFilesPerHop`-file slices,
+    * each its own exactly-once merge under `(sliceApp, ordinal)`; the
+    * version's NORMAL marker commits last (empty merge) as the
+    * completion record. Returns whether the version newly applied
+    * (the completion marker's verdict — a replayed hop returns false
+    * even if a crashed predecessor left some slices applied). */
+  private def applySliced(spark: SparkSession, v: Long,
+                          files: Seq[String], sliceApp: String): Boolean = {
+    files.sorted.grouped(maxFilesPerHop).zipWithIndex.foreach {
+      case (slice, i) =>
+        applyHop(spark,
+          TxnLake.readFileSlice(spark, source, v, slice)
+            .withColumn("change_type", lit("insert")),
+          (sliceApp, i.toLong))
+    }
+    // completion record: empty batch, txn set — the marker-only merge
+    applyHop(spark,
+      TxnLake.readVersion(spark, source, v).limit(0)
+        .withColumn("change_type", lit("insert")), (appId, v))
+  }
+
   /** Apply one change hop to the replica as the exactly-once clause
-    * merge for source version `v`; true iff the merge committed (false
-    * = empty hop or replayed marker). */
+    * merge under `txn`; true iff the merge committed (false = empty
+    * hop or replayed marker). */
   private def applyHop(spark: SparkSession,
                        hop: org.apache.spark.sql.DataFrame,
-                       v: Long): Boolean = {
+                       txn: (String, Long)): Boolean = {
     import TxnLake.{MergeDelete, MergeInsert, MergeUpdate, sourceCol}
     val cols = hop.columns.filterNot(_ == "change_type").toIndexedSeq
     require(!cols.contains("__op"),
@@ -125,7 +184,7 @@ final class TxnReplicaFeed(source: String, replica: String, appId: String,
       matched = matched,
       notMatched = Seq(MergeInsert(cols.map(c => c -> col(c)).toMap,
         Some(col("__op") =!= "D"))),
-      txn = Some((appId, v)),
+      txn = Some(txn),
       evolveSchema = followSchema).nonEmpty
   }
 }

@@ -282,4 +282,68 @@ class TxnReplicaFeedSpec extends SparkSpec {
       Seq((7L, "x")).toDF("k", "v").coalesce(1), src, "append") // v2
     assert(feed.poll(spark) == 1 && rows(rep) == Map(7L -> "x"))
   }
+
+  test("maxFilesPerHop slices oversized insert hops into exactly-once " +
+    "file slices; a crash mid-hop resumes at the first unapplied slice " +
+    "and the offset never passes a half-applied hop") {
+    import spark.implicits._
+    val (src, rep) = fresh()
+    // v0: a 6-file snapshot (the bootstrap hop to slice)
+    TxnLake.commit(spark,
+      (0L until 60L).map(i => (i, s"v$i")).toDF("k", "v").repartition(6),
+      src, "append")
+    val feed = new TxnReplicaFeed(src, rep, "repl", "k",
+      maxFilesPerHop = 2)
+    assert(feed.poll(spark) == 1, "a sliced bootstrap is ONE version")
+    assert(rows(rep) == rows(src))
+    // the slice markers + the completion marker are all recorded
+    assert(TxnLake.lastTxn(spark, rep, "repl").contains(0L))
+    assert(TxnLake.lastTxn(spark, rep, "repl#boot0").contains(2L),
+      "3 slices of 2 files: slice ordinals 0..2 under the boot marker")
+    // a bulk append past the cap slices too, under its own marker
+    TxnLake.commit(spark,
+      (100L until 140L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartition(4), src, "append") // v1
+    assert(feed.poll(spark) == 1)
+    assert(rows(rep) == rows(src) && rows(rep).size == 100)
+    assert(TxnLake.lastTxn(spark, rep, "repl#v1").contains(1L),
+      "2 slices of 2 files under the append hop's marker")
+    // CRASH SIMULATION: a half-applied hop = slice markers present,
+    // completion marker absent. Build it by hand for v2, then let a
+    // fresh consumer resume: applied slices replay as marker no-ops,
+    // the missing slices apply, the completion marker lands LAST.
+    TxnLake.commit(spark,
+      (200L until 240L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartition(4), src, "append") // v2
+    val (op, adds) = (TxnLake.commitInfo(spark, src, 2L).operation,
+      TxnLake.snapshotFiles(spark, src).map(_.path)
+        .filter(_.contains("data/v2-")))
+    assert(op == "append" && adds.size == 4, s"fixture: $op/${adds.size}")
+    // apply ONLY the first slice, exactly as the feed would
+    import TxnLake.{MergeInsert, sourceCol}
+    TxnLake.mergeIntoClauses(spark,
+      TxnLake.readFileSlice(spark, src, 2L, adds.sorted.take(2)),
+      rep, "k",
+      notMatched = Seq(MergeInsert(Map("k" -> col("k"), "v" -> col("v")))),
+      txn = Some(("repl#v2", 0L)))
+    assert(TxnLake.lastTxn(spark, rep, "repl").contains(1L),
+      "the offset must NOT advance past the half-applied hop")
+    val fresh2 = new TxnReplicaFeed(src, rep, "repl", "k",
+      maxFilesPerHop = 2)
+    assert(fresh2.poll(spark) == 1, "resume applies the remaining hop")
+    assert(rows(rep) == rows(src) && rows(rep).size == 140,
+      "no row lost, none double-applied")
+    assert(TxnLake.lastTxn(spark, rep, "repl").contains(2L))
+    // maxVersionsPerPoll drains a backlog in bounded bites
+    (0 until 3).foreach { i =>
+      TxnLake.commit(spark,
+        Seq((900L + i, s"b$i")).toDF("k", "v").coalesce(1), src, "append")
+    }
+    val bounded = new TxnReplicaFeed(src, rep, "repl", "k",
+      maxVersionsPerPoll = 1)
+    assert(bounded.poll(spark) == 1 && bounded.poll(spark) == 1
+      && bounded.poll(spark) == 1 && bounded.poll(spark) == 0,
+      "one version per poll until drained")
+    assert(rows(rep) == rows(src))
+  }
 }
