@@ -62,7 +62,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x67 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x68 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -153,7 +153,10 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    row_index` at zero append cost, engine rewrites materialize the
   *    ids they read — stable through CoW DML, DV hops, OPTIMIZE,
   *    restore, and clone; readWithRowIds exposes them, plain reads
-  *    never see them), and column RENAME via COLUMN MAPPING (one
+  *    never see them; tableChangesByRowId keys the change feed on
+  *    stable identity — a rekeying update classifies as the update it
+  *    is, and no user key is needed), and column RENAME via COLUMN
+  *    MAPPING (one
   *    metadata entry; files/stats/bloom sidecars keep the stable
   *    physical name, a cumulative physical→display overlay renames at
   *    the boundaries — retired-name writes refuse, skipping stays

@@ -4381,6 +4381,86 @@ object OperatorQueries {
       .orderBy(col("key").cast("long"))
   }
 
+  /** Row-id-keyed change feed (x68) — [[TxnLake.tableChangesByRowId]]:
+    * the CDF pairing pre/post images by STABLE ROW IDENTITY instead of
+    * a user key, so the table needs no key to have a change feed, and a
+    * REKEYING update classifies as the update it is (user-key feeds
+    * must see it as delete+insert — both classifications are asserted
+    * in-engine against the same hop). The lifecycle walks append,
+    * copy-on-write update, merge-on-read (DV) delete, and a silent
+    * OPTIMIZE; every emitted row's id is the deterministic
+    * `row_number - 1` of the sorted single-file appends, so the ENTIRE
+    * feed — ids, images, classifications, commit versions — recomputes
+    * relationally. Merge-minted insert ids are partition-dependent by
+    * design and are gated (unique, above the mark), not hashed. */
+  val txnChangesByRowId = OracleQuery(
+    "x68_txn_changes_by_rowid",
+    """WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 12),
+      |r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM d),
+      |base AS (SELECT CAST(doc_id AS VARCHAR) AS k,
+      |  CAST(rn - 1 AS BIGINT) AS rid,
+      |  CAST(CASE WHEN rn <= 6 THEN 1 ELSE 2 END AS BIGINT) AS cv FROM r)
+      |SELECT k, 'orig' AS v, rid, 'insert' AS change_type,
+      |  cv AS commit_version FROM base
+      |UNION ALL SELECT k, 'orig', rid, 'update_preimage', CAST(3 AS BIGINT)
+      |  FROM base WHERE rid = 4
+      |UNION ALL SELECT k, 'u', rid, 'update_postimage', CAST(3 AS BIGINT)
+      |  FROM base WHERE rid = 4
+      |UNION ALL SELECT k, 'orig', rid, 'delete', CAST(4 AS BIGINT)
+      |  FROM base WHERE rid = 8
+      |ORDER BY commit_version, change_type, rid""".stripMargin) { (s, d) =>
+    import graft.sources.TxnLake
+    val t = Scratch.dir("txn_rid_feed") + "/t"
+    val twelve = s.read.parquet(s"$d/documents.parquet")
+      .orderBy("doc_id").limit(12).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    def batch(ids: Seq[Long]) = {
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(ids.map(i =>
+        org.apache.spark.sql.Row(i.toString, "orig")).toList.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType))))
+        .orderBy(col("k").cast("long")).coalesce(1)
+    }
+    TxnLake.commit(s, batch(Seq.empty), t, "append") // v0: empty founding
+    TxnLake.commit(s, batch(twelve.take(6)), t, "append") // v1: rids 0-5
+    TxnLake.commit(s, batch(twelve.drop(6)), t, "append") // v2: rids 6-11
+    def key(rn: Int): String = twelve(rn - 1).toString
+    // v3: CoW update of rn=5 (rid 4); v4: DV delete of rn=9 (rid 8)
+    TxnLake.updateWhere(s, t, col("k") === key(5), Map("v" -> lit("u")))
+    TxnLake.deleteWhereDv(s, t, col("k") === key(9))
+    // v5: OPTIMIZE — silent in the feed (gated below)
+    TxnLake.optimize(s, t, zorderBy = Seq("k"), numFiles = 2)
+    val latest = TxnLake.latestVersion(s, t).get
+    require(TxnLake.tableChangesByRowId(s, t, latest - 1, latest).isEmpty,
+      "maintenance must be silent in the row-id feed")
+    // the rekey contrast, gated in-engine: the SAME hop classifies as
+    // delete+insert under the user key but as one update pair by rid
+    val t2 = Scratch.dir("txn_rid_feed_rekey") + "/t"
+    TxnLake.commit(s, batch(twelve.take(3)), t2, "append")
+    TxnLake.updateWhere(s, t2, col("k") === twelve.head.toString,
+      Map("k" -> lit("999999")))
+    val v2r = TxnLake.latestVersion(s, t2).get
+    val byKey = TxnLake.tableChanges(s, t2, v2r - 1, v2r, "k")
+      .select("change_type").collect().map(_.getString(0)).sorted.toSeq
+    require(byKey == Seq("delete", "insert"),
+      s"a rekey under the USER key is delete+insert: $byKey")
+    val byRid = TxnLake.tableChangesByRowId(s, t2, v2r - 1, v2r)
+      .select("change_type", TxnLake.RidCol).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(byRid.map(_._1).sorted.toSeq ==
+      Seq("update_postimage", "update_preimage")
+      && byRid.map(_._2).distinct.length == 1,
+      s"the SAME hop by row id is one update pair: ${byRid.toSeq}")
+    TxnLake.tableChangesByRowId(s, t, 0L, latest)
+      .select(col("k"), col("v"), col(TxnLake.RidCol).as("rid"),
+        col("change_type"), col("commit_version"))
+      .orderBy(col("commit_version"), col("change_type"), col("rid"))
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -4401,5 +4481,6 @@ object OperatorQueries {
       txnAlterColumns, txnCheckConstraints, txnDescribeVacuum,
       txnGeneratedColumns, txnTypeWidening,
       streamNearDupProbeAboveCap, streamDecontamProbeAboveCap,
-      txnIdentityColumns, txnRowTracking, txnRenameColumn)
+      txnIdentityColumns, txnRowTracking, txnRenameColumn,
+      txnChangesByRowId)
 }

@@ -1934,8 +1934,8 @@ object TxnLake extends LakeFormat {
   private def scanFilesWithRid(spark: SparkSession, table: String,
                                files: Seq[FileMeta], schema: StructType,
                                dvs: Map[String, DvRef],
-                               ren: Map[String, String] = Map.empty)
-      : DataFrame = {
+                               ren: Map[String, String] = Map.empty,
+                               keepMeta: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col}
     import spark.implicits._
     require(files.forall(_.brid >= 0L),
@@ -1965,8 +1965,14 @@ object TxnLake extends LakeFormat {
       if (maskedRefs.isEmpty) withRid
       else withRid.join(dvPairsDf(spark, table, maskedRefs),
         Seq("__graft_dv_fn", "__graft_dv_ri"), "left_anti")
-    toDisplay(
-      out.drop("__graft_dv_fn", "__graft_dv_ri", "__graft_rid_base"), ren)
+    // keepMeta: callers that need the (file, position) coordinates — the
+    // DV-hop pre-image reader — take them from HERE, because metadata
+    // columns only resolve on join-free plans and this scan has the
+    // base-id join in it
+    val cols =
+      if (keepMeta) out.drop("__graft_rid_base")
+      else out.drop("__graft_dv_fn", "__graft_dv_ri", "__graft_rid_base")
+    toDisplay(cols, ren)
   }
 
   /** The copy-on-write scan seam: rows WITH their ids materialized when
@@ -2288,9 +2294,11 @@ object TxnLake extends LakeFormat {
         paths.size, s"TxnLake: duplicate data-file names among the " +
         s"DV-hop files of $table@$v — the position join would " +
         "cross-apply masks")
+      // readFiles is the META-carrying reader: the frame arrives with
+      // its (__graft_dv_fn, __graft_dv_ri) coordinates attached inside
+      // the scan (metadata columns cannot resolve above the row-id
+      // scan's join)
       val base = readFiles(paths, Map.empty)
-        .withColumn("__graft_dv_fn", col("_metadata.file_name"))
-        .withColumn("__graft_dv_ri", col("_metadata.row_index"))
       Some(base.join(fresh.toDF("__graft_dv_fn", "__graft_dv_ri"),
           Seq("__graft_dv_fn", "__graft_dv_ri"), "left_semi")
         .drop("__graft_dv_fn", "__graft_dv_ri"))
@@ -2327,7 +2335,26 @@ object TxnLake extends LakeFormat {
     * columns). Requires the range's versions to still be live
     * (vacuum-retained), like any time travel. */
   def tableChanges(spark: SparkSession, table: String, fromVersion: Long,
-                   toVersion: Long, key: String): DataFrame = {
+                   toVersion: Long, key: String): DataFrame =
+    tableChangesImpl(spark, table, fromVersion, toVersion, key,
+      byRid = false)
+
+  /** [[tableChanges]] keyed by STABLE ROW IDENTITY instead of a user
+    * key: every hop row carries [[RidCol]], and the merge/update and
+    * snapshot-diff classifications pair pre/post images by row id — so
+    * the pairing is EXACT even when every user column (the merge key
+    * included) changed, and a rekeying update classifies as the UPDATE
+    * it is rather than a delete+insert. No user key needed — the table
+    * needs none to have a change feed. Requires row tracking across the
+    * whole range (refuses loudly on files that predate it). */
+  def tableChangesByRowId(spark: SparkSession, table: String,
+                          fromVersion: Long, toVersion: Long): DataFrame =
+    tableChangesImpl(spark, table, fromVersion, toVersion, RidCol,
+      byRid = true)
+
+  private def tableChangesImpl(spark: SparkSession, table: String,
+                               fromVersion: Long, toVersion: Long,
+                               key: String, byRid: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(fromVersion <= toVersion,
       s"TxnLake.tableChanges: $fromVersion > $toVersion")
@@ -2336,23 +2363,57 @@ object TxnLake extends LakeFormat {
     // unions hops column-by-column, so every hop must speak the SAME
     // (latest-requested) names even when a rename landed mid-range
     val ren = renamesAt(spark, table, toVersion)
-    def metas(paths: Seq[String]) = paths.map(FileMeta(_, -1L, Map.empty))
-    // pre-image reads carry the PREVIOUS version's deletion vectors: a
-    // masked row was already deleted by its own earlier hop, so a rewrite
-    // that materializes it away must not re-emit it here
-    def readFiles(paths: Seq[String],
-                  dvs: Map[String, DvRef] = Map.empty): DataFrame =
-      scanFiles(spark, table, metas(paths), schema, dvs, ren)
+    // the row-id read needs REAL FileMetas (their base row ids); the
+    // plain read only needs paths. Pre-image paths resolve against the
+    // PREVIOUS snapshot, post-image adds ride the entry itself.
+    def metasAt(v: Long, paths: Seq[String]): Seq[FileMeta] =
+      if (!byRid) paths.map(FileMeta(_, -1L, Map.empty))
+      else {
+        val want = paths.toSet
+        resolveFiles(spark, table, v).filter(fm => want(fm.path))
+      }
+    def readFms(fms: Seq[FileMeta],
+                dvs: Map[String, DvRef] = Map.empty,
+                keepMeta: Boolean = false): DataFrame =
+      if (byRid) scanFilesWithRid(spark, table, fms,
+        schema.getOrElse(sys.error(
+          "TxnLake.tableChangesByRowId: legacy log carries no schema")),
+        dvs, ren, keepMeta)
+      else {
+        import org.apache.spark.sql.functions.col
+        val df = scanFiles(spark, table, fms, schema, dvs, ren)
+        // the plain clean scan is join-free, so metadata columns still
+        // resolve here — attach the coordinates for keepMeta callers
+        if (keepMeta)
+          df.withColumn("__graft_dv_fn", col("_metadata.file_name"))
+            .withColumn("__graft_dv_ri", col("_metadata.row_index"))
+        else df
+      }
+    def snapAt(v: Long): DataFrame =
+      if (byRid) readWithRowIds(spark, table, Some(v))
+      else readVersion(spark, table, v)
+    // snapshot-replacement diff (overwrite / restore / legacy entries)
+    def snapDiff(v: Long): DataFrame =
+      keyedDiff(snapAt(v - 1), snapAt(v), key)
     val hops = ((fromVersion + 1) to toVersion).flatMap { v =>
       val e = readEntry(spark, table, v)
+      // pre-image reads carry the PREVIOUS version's deletion vectors: a
+      // masked row was already deleted by its own earlier hop, so a
+      // rewrite that materializes it away must not re-emit it here
+      def readFiles(paths: Seq[String],
+                    dvs: Map[String, DvRef] = Map.empty): DataFrame =
+        readFms(metasAt(v - 1, paths), dvs)
+      // the DV-hop pre-image reader: coordinates attached inside the scan
+      def readFilesMeta(paths: Seq[String],
+                        dvs: Map[String, DvRef]): DataFrame =
+        readFms(metasAt(v - 1, paths), dvs, keepMeta = true)
       e.operation match {
         // legacy full-list entries carry the SNAPSHOT, not a delta — their
         // op tag says "append" but add is empty, and shortcutting them as
         // empty appends would silently drop those commits' rows from the
         // feed; only the snapshot diff can attribute them
         case _ if e.legacyFiles.isDefined =>
-          Some(changeFeed(spark, table, v - 1, v, key)
-            .withColumn("commit_version", lit(v)))
+          Some(snapDiff(v).withColumn("commit_version", lit(v)))
         case "optimize" => None
         case "metadata" => None // schema-only commit: no row changes
         case "append" if e.add.nonEmpty =>
@@ -2361,7 +2422,7 @@ object TxnLake extends LakeFormat {
           // clean fast path), but a shallow/deep CLONE's founding entry
           // references pre-masked files: its insert hop is files MINUS
           // masks, like every snapshot read of it
-          Some(readFiles(e.add.map(_.path), e.dvs)
+          Some(readFms(e.add, e.dvs)
             .withColumn("change_type", lit("insert"))
             .withColumn("commit_version", lit(v)))
         case "append" => None // empty append (txn-marker commit)
@@ -2369,14 +2430,14 @@ object TxnLake extends LakeFormat {
           // merge-on-read delete: no file moved — the hop's rows are the
           // POSITIONS this commit's DV map newly masks, read from exactly
           // the touched files (O(touched), like every other hop)
-          newlyMasked(spark, table, v, e, readFiles)
+          newlyMasked(spark, table, v, e, readFilesMeta)
             .map(_.withColumn("change_type", lit("delete"))
               .withColumn("commit_version", lit(v)))
         case "delete" =>
           val removed = readFiles(e.remove,
             resolveDvs(spark, table, v - 1))
           val kept =
-            if (e.add.nonEmpty) readFiles(e.add.map(_.path))
+            if (e.add.nonEmpty) readFms(e.add)
             else removed.limit(0)
           Some(removed.exceptAll(kept)
             .withColumn("change_type", lit("delete"))
@@ -2392,18 +2453,17 @@ object TxnLake extends LakeFormat {
           // its pre-image is the rows the commit's DV map newly masks,
           // unioned in exactly like the DV-delete hop reads them
           val post =
-            if (e.add.nonEmpty) readFiles(e.add.map(_.path))
-            else readVersion(spark, table, v).limit(0)
+            if (e.add.nonEmpty) readFms(e.add)
+            else snapAt(v).limit(0)
           val cowPre =
             if (e.remove.nonEmpty) readFiles(e.remove,
               resolveDvs(spark, table, v - 1))
             else post.limit(0)
-          val pre = newlyMasked(spark, table, v, e, readFiles)
+          val pre = newlyMasked(spark, table, v, e, readFilesMeta)
             .map(cowPre.unionByName(_)).getOrElse(cowPre)
           Some(keyedDiff(pre, post, key).withColumn("commit_version", lit(v)))
         case _ => // overwrite / restore: snapshot replacement — full diff
-          Some(changeFeed(spark, table, v - 1, v, key)
-            .withColumn("commit_version", lit(v)))
+          Some(snapDiff(v).withColumn("commit_version", lit(v)))
       }
     }
     // allowMissingColumns: a fallback hop reads under ITS version's logged
@@ -2411,9 +2471,8 @@ object TxnLake extends LakeFormat {
     // rather than refuse the union (the read-time evolution semantics
     // every snapshot scan already has)
     hops.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
-      val cols = schema.map(_.fieldNames.toSeq)
-        .getOrElse(read(spark, table).columns.toSeq)
-      val base = readVersion(spark, table, toVersion).limit(0)
+      val base = snapAt(toVersion).limit(0)
+      val cols = base.columns.toSeq
       base.select(cols.map(col) :+ lit("").as("change_type")
         :+ lit(0L).as("commit_version"): _*).limit(0)
     }

@@ -186,4 +186,62 @@ class TxnLakeRowTrackingSpec extends SparkSpec {
     assert(TxnLake.rowTrackingAvailable(spark, t))
     assert(m.values.toSeq.distinct.size == m.size)
   }
+
+  test("tableChangesByRowId pairs pre/post images by stable identity: " +
+    "a REKEYING update classifies as the update it is, DV deletes and " +
+    "merges carry ids, and no user key is needed") {
+    import spark.implicits._
+    import TxnLake.{MergeInsert, MergeUpdate, sourceCol}
+    val t = fresh()
+    TxnLake.commit(spark,
+      (0L until 10L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      t, "append") // v0: rids 0..9
+    // v1: REKEY row k=3 (k is the only thing that changes)
+    TxnLake.updateWhere(spark, t, col("k") === 3L, Map("k" -> lit(300L)))
+    val v1 = TxnLake.latestVersion(spark, t).get
+    // the USER-KEY feed must see a rekey as delete+insert (key identity)
+    val byKey = TxnLake.tableChanges(spark, t, 0L, v1, "k")
+      .select("change_type").collect().map(_.getString(0)).sorted.toSeq
+    assert(byKey == Seq("delete", "insert"),
+      s"user-key feed classifies a rekey as delete+insert: $byKey")
+    // the ROW-ID feed sees the same hop as ONE update pair, same rid
+    val byRid = TxnLake.tableChangesByRowId(spark, t, 0L, v1)
+    val pair = byRid.select("change_type", TxnLake.RidCol, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(pair.map(_._1).toSeq ==
+      Seq("update_postimage", "update_preimage"))
+    assert(pair(0)._2 == pair(1)._2 && pair(0)._2 == 3L,
+      s"both images must carry the SAME row id: $pair")
+    assert(pair.map(_._3).sorted.toSeq == Seq(3L, 300L))
+    // v2: DV delete — the delete row carries its id
+    TxnLake.deleteWhereDv(spark, t, col("k") === 7L)
+    val v2 = TxnLake.latestVersion(spark, t).get
+    val dvRow = TxnLake.tableChangesByRowId(spark, t, v1, v2)
+      .select("change_type", TxnLake.RidCol).collect()
+    assert(dvRow.length == 1 && dvRow.head.getString(0) == "delete"
+      && dvRow.head.getLong(1) == 7L)
+    // v3: merge (update k=5, insert k=500) — carried id for the update
+    // pair, a fresh id for the insert
+    TxnLake.mergeIntoClauses(spark,
+      Seq((5L, "m"), (500L, "m")).toDF("k", "v").coalesce(1), t, "k",
+      matched = Seq(MergeUpdate(Map("v" -> sourceCol("v")))),
+      notMatched = Seq(MergeInsert(Map("k" -> col("k"), "v" -> col("v")))))
+    val v3 = TxnLake.latestVersion(spark, t).get
+    val hop = TxnLake.tableChangesByRowId(spark, t, v2, v3)
+      .select("change_type", TxnLake.RidCol).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hop("update_preimage") == 5L && hop("update_postimage") == 5L)
+    assert(hop("insert") > 9L, s"merge insert draws a fresh id: $hop")
+    // the whole-range feed equals the per-hop union, and OPTIMIZE is
+    // silent in it
+    TxnLake.optimize(spark, t, numFiles = 2)
+    val v4 = TxnLake.latestVersion(spark, t).get
+    assert(TxnLake.tableChangesByRowId(spark, t, v3, v4).isEmpty,
+      "maintenance must be silent in the row-id feed too")
+    val full = TxnLake.tableChangesByRowId(spark, t, 0L, v4)
+    assert(full.count() ==
+      TxnLake.tableChangesByRowId(spark, t, 0L, v1).count()
+        + dvRow.length + hop.size)
+  }
 }
