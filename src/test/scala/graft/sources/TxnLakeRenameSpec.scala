@@ -91,6 +91,14 @@ class TxnLakeRenameSpec extends SparkSpec {
     val (df, (rk, rt)) = TxnLake.readWherePruned(spark, t, col("key") < 10L)
     assert(rk == 1 && rt == 4)
     assert(df.count() == 10)
+    // and the row-level predicate must PUSH DOWN through the display
+    // overlay's Project into the parquet scan, under the PHYSICAL name —
+    // a rename that broke pushdown would silently read every row of
+    // every kept file at 100 TB
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(k,"),
+      s"the display predicate must reach the scan as a physical-name " +
+        s"pushed filter:\n$plan")
   }
 
   test("DML, merge, DV ops, OPTIMIZE, and row ids all speak the new " +

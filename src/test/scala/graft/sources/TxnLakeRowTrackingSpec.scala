@@ -47,6 +47,13 @@ class TxnLakeRowTrackingSpec extends SparkSpec {
       "appends must not materialize the row-id column")
     // plain reads never see it
     assert(!TxnLake.read(spark, t).columns.contains(TxnLake.RidCol))
+    // the PLAN is the 100 TB contract: per-file base ids join in from a
+    // BROADCAST of the driver-resident file list — the row-id read must
+    // stay SHUFFLE-FREE (an exchange here would reshuffle the whole
+    // table to attach metadata it already has)
+    assert(graft.plans.PlanChecks.shuffleFree(
+      TxnLake.readWithRowIds(spark, t)),
+      "readWithRowIds must not shuffle the data side")
     // reserved: a writer-supplied column refuses
     intercept[IllegalArgumentException] {
       TxnLake.commit(spark, Seq((99L, "x")).toDF("k", "v")
