@@ -4585,7 +4585,8 @@ object TxnLake extends LakeFormat {
                                genCols: Map[String, String] = Map.empty,
                                identityCols: Map[String, IdentitySpec] =
                                  Map.empty,
-                               renames: Map[String, String] = Map.empty)
+                               renames: Map[String, String] = Map.empty,
+                               rowIdHwm: Long = -1L)
 
   def describeDetail(spark: SparkSession, table: String): TableDetail = {
     val v = latestVersion(spark, table).getOrElse(
@@ -4604,7 +4605,8 @@ object TxnLake extends LakeFormat {
       // display overlay rides alongside for introspection
       e.schemaStruct.map(toDisplaySchema(_, e.renames)),
       e.bloomCols.map(displayOf(e.renames, _)),
-      e.constraints, e.droppedCols, e.genCols, e.identityCols, e.renames)
+      e.constraints, e.droppedCols, e.genCols, e.identityCols, e.renames,
+      e.ridHwm)
   }
 
   /** What [[vacuum]] WOULD reclaim, without deleting anything —
