@@ -216,4 +216,71 @@ class TxnLakeRenameSpec extends SparkSpec {
         t2, "append") // physical tombstone
     }
   }
+
+  test("a rename racing concurrent writers stays consistent: every " +
+    "append that lands after the rename entry translated through it, " +
+    "and no physical file ever carries the display name") {
+    import spark.implicits._
+    val t = fresh()
+    TxnLake.commit(spark,
+      (0L until 10L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      t, "append")
+    // writers race the rename: each commit attempt re-reads the latest
+    // entry, so an attempt that loses the publish race to the rename
+    // must retry UNDER the new overlay — the old-name frame then either
+    // translates (it used the display name) or refuses (retired name)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val writers = (0 until 2).map { w =>
+      scala.concurrent.Future {
+        var refused = 0
+        (0 until 6).foreach { b =>
+          // writers keep using the OLD name: commits that land before
+          // the rename succeed, commits that land after must refuse —
+          // including an attempt that READ the pre-rename entry, lost
+          // the publish race to the rename, and retried under the
+          // fresh overlay
+          try TxnLake.commit(spark,
+            Seq((1000L + w * 100L + b, s"w$w-$b")).toDF("k", "v")
+              .coalesce(1), t, "append", maxAttempts = 200)
+          catch { case _: IllegalArgumentException => refused += 1 }
+        }
+        refused
+      }
+    }
+    val renamer = scala.concurrent.Future {
+      Thread.sleep(30)
+      TxnLake.renameColumn(spark, t, "v", "val", maxAttempts = 200)
+    }
+    val refusals = try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(writers),
+      scala.concurrent.duration.Duration(300, "s")).sum
+    finally {
+      scala.concurrent.Await.ready(renamer,
+        scala.concurrent.duration.Duration(300, "s"))
+      pool.shutdown()
+    }
+    // whichever way the race fell, the table is coherent: one logical
+    // column, display name "val", and EVERY physical file stores "v"
+    val df = TxnLake.read(spark, t)
+    assert(df.columns.toSeq == Seq("k", "val"))
+    val expected = 10 + 12 - refusals
+    assert(df.count() == expected,
+      s"every non-refused write must have landed exactly once: " +
+        s"${df.count()} vs $expected ($refusals refused)")
+    TxnLake.snapshotFiles(spark, t).foreach { fm =>
+      val cols = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(t, fm.path).toString).columns.toSeq
+      assert(cols == Seq("k", "v"),
+        s"physical files must carry the physical name: $cols (${fm.path})")
+    }
+    // values intact under the display name, and post-rename writes
+    // under the NEW name land normally
+    assert(df.filter(col("val").startsWith("w")).count() == 12 - refusals)
+    TxnLake.commit(spark, Seq((9999L, "after")).toDF("k", "val")
+      .coalesce(1), t, "append")
+    assert(TxnLake.read(spark, t).filter(col("k") === 9999L)
+      .select("val").head().getString(0) == "after")
+  }
 }
