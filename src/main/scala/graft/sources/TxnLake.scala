@@ -363,11 +363,15 @@ object TxnLake extends LakeFormat {
 
   /** Test seam: log-entry reads since the last reset — lets specs pin
     * the I/O CLASS of a lifecycle (e.g. a DML attempt resolves its DV
-    * map once, not once per touched file) without timing flakiness. */
-  @volatile private[sources] var logEntryReads: Long = 0L
+    * map once, not once per touched file) without timing flakiness.
+    * AtomicLong, not a volatile var: concurrent sessions share this
+    * object, and a lost increment would make the very counter that
+    * exists to avoid flaky assertions flaky itself. */
+  private[sources] val logEntryReads =
+    new java.util.concurrent.atomic.AtomicLong
 
   private def readEntry(spark: SparkSession, table: String, v: Long): Entry = {
-    logEntryReads += 1
+    logEntryReads.incrementAndGet()
     val p = new Path(logDir(table), s"v$v.json")
     val in = fs(spark, p).open(p)
     try parse(new String(in.readAllBytes(), "UTF-8")) finally in.close()
@@ -2366,12 +2370,6 @@ object TxnLake extends LakeFormat {
     // the row-id read needs REAL FileMetas (their base row ids); the
     // plain read only needs paths. Pre-image paths resolve against the
     // PREVIOUS snapshot, post-image adds ride the entry itself.
-    def metasAt(v: Long, paths: Seq[String]): Seq[FileMeta] =
-      if (!byRid) paths.map(FileMeta(_, -1L, Map.empty))
-      else {
-        val want = paths.toSet
-        resolveFiles(spark, table, v).filter(fm => want(fm.path))
-      }
     def readFms(fms: Seq[FileMeta],
                 dvs: Map[String, DvRef] = Map.empty,
                 keepMeta: Boolean = false): DataFrame =
@@ -2389,24 +2387,56 @@ object TxnLake extends LakeFormat {
             .withColumn("__graft_dv_ri", col("_metadata.row_index"))
         else df
       }
-    def snapAt(v: Long): DataFrame =
-      if (byRid) readWithRowIds(spark, table, Some(v))
-      else readVersion(spark, table, v)
+    // snapshot reads under the RANGE's overlay, not the version's own:
+    // readVersion/readWithRowIds apply each era's display names, and a
+    // snapshot-replacement hop read under pre-rename names would union
+    // mismatched columns with the other hops (or fail keyedDiff's key
+    // lookup outright). Physical names are stable, so reading an old
+    // version's files under toVersion's overlay is exact.
+    def snapAt(v: Long): DataFrame = {
+      val files = resolveFiles(spark, table, v)
+      requireLive(spark, table, v, files)
+      val sch = loggedSchema(spark, table, v)
+      if (files.isEmpty) {
+        val base = sch.map(st => spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            toDisplaySchema(st, ren)))
+          .getOrElse(spark.emptyDataFrame)
+        if (byRid) base.withColumn(RidCol, lit(null).cast("long"))
+        else base
+      }
+      else if (byRid) scanFilesWithRid(spark, table, files,
+        subsetReadSchema(spark, table, sch, files),
+        resolveDvs(spark, table, v), ren)
+      else scanFiles(spark, table, files, sch,
+        resolveDvs(spark, table, v), ren)
+    }
     // snapshot-replacement diff (overwrite / restore / legacy entries)
     def snapDiff(v: Long): DataFrame =
       keyedDiff(snapAt(v - 1), snapAt(v), key)
     val hops = ((fromVersion + 1) to toVersion).flatMap { v =>
       val e = readEntry(spark, table, v)
+      // ONE previous-snapshot resolution per hop: both pre-image readers
+      // (CoW and DV) share it — the same repeated-log-replay bound the
+      // DV DML paths carry (resolveDvs once per attempt)
+      lazy val prevFiles: Seq[FileMeta] =
+        if (byRid) resolveFiles(spark, table, v - 1) else Seq.empty
+      def metasPrev(paths: Seq[String]): Seq[FileMeta] =
+        if (!byRid) paths.map(FileMeta(_, -1L, Map.empty))
+        else {
+          val want = paths.toSet
+          prevFiles.filter(fm => want(fm.path))
+        }
       // pre-image reads carry the PREVIOUS version's deletion vectors: a
       // masked row was already deleted by its own earlier hop, so a
       // rewrite that materializes it away must not re-emit it here
       def readFiles(paths: Seq[String],
                     dvs: Map[String, DvRef] = Map.empty): DataFrame =
-        readFms(metasAt(v - 1, paths), dvs)
+        readFms(metasPrev(paths), dvs)
       // the DV-hop pre-image reader: coordinates attached inside the scan
       def readFilesMeta(paths: Seq[String],
                         dvs: Map[String, DvRef]): DataFrame =
-        readFms(metasAt(v - 1, paths), dvs, keepMeta = true)
+        readFms(metasPrev(paths), dvs, keepMeta = true)
       e.operation match {
         // legacy full-list entries carry the SNAPSHOT, not a delta — their
         // op tag says "append" but add is empty, and shortcutting them as
@@ -3187,9 +3217,16 @@ object TxnLake extends LakeFormat {
       val schema = subsetReadSchema(spark, table,
         baseEntry.schemaStruct, files)
       // a whole-snapshot OPTIMIZE is also how a pre-tracking table
-      // BACKFILLS row ids: the rewrite materializes whatever ids the
-      // files carry, and files that predate tracking simply get fresh
-      // virtual ids from the new files' base ranges
+      // BACKFILLS row ids — with all-or-nothing semantics (the
+      // scanForRewrite seam's contract): if EVERY file already tracks,
+      // the rewrite carries ids verbatim; if ANY file predates tracking,
+      // the whole snapshot rewrites untracked and every row — including
+      // rows whose old files carried materialized ids — draws a fresh
+      // virtual id from the new files' base ranges. Partial carry is
+      // deliberately not attempted: mixing carried ids with fresh ones
+      // in one rewrite would make "ids are stable from version V on" a
+      // per-row property instead of a table property, and mixed-era
+      // snapshots only arise from pre-r18 logs in the first place.
       val (snap, carry) = scanForRewrite(spark, table, files, schema,
         resolveDvs(spark, table, base), baseEntry.renames)
       val rewritten = clusterFor(snap, zorderBy, numFiles)
@@ -3646,30 +3683,19 @@ object TxnLake extends LakeFormat {
       val dvsBase = resolveDvs(spark, table, base)
       // a DV update REWRITES nothing, but its appended post-images must
       // still carry the pre-images' row ids (an update never changes a
-      // row's identity) — so the matched scan resolves ids the same way
-      // scanFilesWithRid does when the touched files track them
+      // row's identity) — the id-resolving scan is scanFilesWithRid's,
+      // with the (file, position) coordinates kept (keepMeta) for the
+      // prior-mask anti-join and the fresh-position collect below; the
+      // masks themselves apply HERE, not in the scan, because this path
+      // needs the raw positions first
       val carryR = touched.forall(_.brid >= 0L)
-      val scanSchema =
-        if (carryR) StructType(readSchema.fields :+
-          StructField(RidCol, LongType, nullable = true))
-        else readSchema
-      val baseDf0 = toDisplay(spark.read.schema(scanSchema)
-        .parquet(touched.map(fm => new Path(table, fm.path).toString): _*)
-        .withColumn("__graft_dv_fn", col("_metadata.file_name"))
-        .withColumn("__graft_dv_ri", col("_metadata.row_index")), ren)
       val baseDf =
-        if (!carryR) baseDf0
-        else {
-          import org.apache.spark.sql.functions.broadcast
-          import spark.implicits._
-          baseDf0.join(broadcast(
-              touched.map(fm => (new Path(fm.path).getName, fm.brid))
-                .toDF("__graft_dv_fn", "__graft_rid_base")),
-              Seq("__graft_dv_fn"))
-            .withColumn(RidCol, coalesce(col(RidCol),
-              col("__graft_rid_base") + col("__graft_dv_ri")))
-            .drop("__graft_rid_base")
-        }
+        if (carryR) scanFilesWithRid(spark, table, touched, readSchema,
+          Map.empty, ren, keepMeta = true)
+        else toDisplay(spark.read.schema(readSchema)
+          .parquet(touched.map(fm => new Path(table, fm.path).toString): _*)
+          .withColumn("__graft_dv_fn", col("_metadata.file_name"))
+          .withColumn("__graft_dv_ri", col("_metadata.row_index")), ren)
       val priorRefs = touched.flatMap(fm =>
         dvsBase.get(fm.path).map(new Path(fm.path).getName -> _))
       val live =

@@ -83,8 +83,11 @@ final class TxnReplicaFeed(source: String, replica: String, appId: String,
     *    it — a bootstrap snapshot (v0 replay or aged-source founding)
     *    or a bulk append commit — into file slices of at most that
     *    size, each applied as its OWN exactly-once merge under a slice
-    *    marker (`appId#boot<v>` / `appId#v<v>`, batchId = slice
-    *    ordinal); the NORMAL (appId, v) marker lands LAST as an empty
+    *    marker (`appId#boot<v>@<cap>` / `appId#v<v>@<cap>`, batchId =
+    *    slice ordinal — the cap is part of the namespace, so a consumer
+    *    restarted with a different cap re-applies convergently instead
+    *    of matching ordinals against foreign slice boundaries); the
+    *    NORMAL (appId, v) marker lands LAST as an empty
     *    merge, so it is the completion record: a consumer that crashes
     *    mid-hop resumes at the first unapplied slice (earlier slices
     *    replay as marker no-ops) and the offset never advances past a
@@ -141,19 +144,44 @@ final class TxnReplicaFeed(source: String, replica: String, appId: String,
   }
 
   /** Apply an oversized insert hop in `maxFilesPerHop`-file slices,
-    * each its own exactly-once merge under `(sliceApp, ordinal)`; the
-    * version's NORMAL marker commits last (empty merge) as the
+    * each its own exactly-once merge under `(sliceApp@cap, ordinal)`;
+    * the version's NORMAL marker commits last (empty merge) as the
     * completion record. Returns whether the version newly applied
     * (the completion marker's verdict — a replayed hop returns false
-    * even if a crashed predecessor left some slices applied). */
+    * even if a crashed predecessor left some slices applied).
+    *
+    * The CAP is part of the slice-marker namespace: slice ordinals are
+    * only meaningful under the boundaries that produced them, so a
+    * consumer restarted with a DIFFERENT maxFilesPerHop must not match
+    * the old run's markers (ordinal 0 of 200-file slices covers files
+    * ordinal 0-and-1 of 50-file slices covered — matching it would skip
+    * files forever). Under the fresh namespace every slice re-applies;
+    * re-inserting rows an earlier cap's slices already landed converges
+    * (matched rows update to identical values), so the cross-cap resume
+    * is lossless at the price of re-reading the already-applied files.
+    *
+    * Duplicate source keys refuse BEFORE any slice applies — the
+    * unsliced hop refuses them loudly inside the merge (Delta's
+    * multiple-matches error), and slicing must not weaken that into
+    * silent last-slice-wins when the duplicates straddle a boundary.
+    * One column-pruned scan over the hop's files, shuffle-bounded. */
   private def applySliced(spark: SparkSession, v: Long,
                           files: Seq[String], sliceApp: String): Boolean = {
+    val dup = TxnLake.readFileSlice(spark, source, v, files)
+      .select(col(key)).filter(col(key).isNotNull)
+      .groupBy(key).count().filter(col("count") > 1).limit(1).count()
+    require(dup == 0,
+      s"TxnReplicaFeed: version $v's insert hop carries duplicate " +
+        s"'$key' keys across slice boundaries — the unsliced merge " +
+        "would refuse this batch (multiple-matches), and slicing must " +
+        "not silently apply last-slice-wins")
+    val cappedApp = s"$sliceApp@$maxFilesPerHop"
     files.sorted.grouped(maxFilesPerHop).zipWithIndex.foreach {
       case (slice, i) =>
         applyHop(spark,
           TxnLake.readFileSlice(spark, source, v, slice)
             .withColumn("change_type", lit("insert")),
-          (sliceApp, i.toLong))
+          (cappedApp, i.toLong))
     }
     // completion record: empty batch, txn set — the marker-only merge
     applyHop(spark,

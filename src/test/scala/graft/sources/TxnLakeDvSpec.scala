@@ -411,9 +411,9 @@ class TxnLakeDvSpec extends SparkSpec {
     val tOne = build()
     val tAll = build()
     def reads(body: => Unit): Long = {
-      TxnLake.logEntryReads = 0L
+      TxnLake.logEntryReads.set(0L)
       body
-      TxnLake.logEntryReads
+      TxnLake.logEntryReads.get()
     }
     // k === 103: min/max stats prune to ONE touched file
     val one = reads(assert(

@@ -283,4 +283,40 @@ class TxnLakeRenameSpec extends SparkSpec {
     assert(TxnLake.read(spark, t).filter(col("k") === 9999L)
       .select("val").head().getString(0) == "after")
   }
+
+  test("a change feed spanning a mid-range rename speaks ONE naming — " +
+    "snapshot-replacement hops included — in both the user-key and " +
+    "row-id feeds") {
+    import spark.implicits._
+    val t = fresh()
+    TxnLake.commit(spark,
+      (0L until 8L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      t, "append") // v0
+    // v1: OVERWRITE — the snapshot-replacement hop that must NOT read
+    // under its own (pre-rename) era names
+    TxnLake.commit(spark,
+      (4L until 12L).map(i => (i, s"o$i")).toDF("k", "v").coalesce(1),
+      t, "overwrite")
+    TxnLake.renameColumn(spark, t, "v", "val") // v2
+    TxnLake.commit(spark,
+      Seq((100L, "n")).toDF("k", "val").coalesce(1), t, "append") // v3
+    val latest = TxnLake.latestVersion(spark, t).get
+    val feed = TxnLake.tableChanges(spark, t, 0L, latest, "k")
+    assert(feed.columns.contains("val") && !feed.columns.contains("v"),
+      s"every hop must speak the LATEST names: ${feed.columns.toSeq}")
+    // the overwrite hop's rows are attributed, under the new name
+    val ow = feed.filter(col("commit_version") === 1L)
+    assert(ow.filter(col("change_type") === "insert")
+      .filter(col("val").startsWith("o")).count() > 0,
+      "the pre-rename overwrite hop must carry its values under 'val'")
+    assert(feed.filter(col("val").isNull).count() == 0,
+      "no hop may null-fill into a phantom old-name column")
+    // the row-id feed over the same range agrees
+    val ridFeed = TxnLake.tableChangesByRowId(spark, t, 0L, latest)
+    assert(ridFeed.columns.contains("val")
+      && !ridFeed.columns.contains("v")
+      && ridFeed.filter(col("val").isNull).count() == 0)
+    assert(ridFeed.filter(col("commit_version") === 3L)
+      .select(TxnLake.RidCol).head().getLong(0) > 0L)
+  }
 }

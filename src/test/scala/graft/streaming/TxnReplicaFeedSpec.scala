@@ -296,9 +296,11 @@ class TxnReplicaFeedSpec extends SparkSpec {
       maxFilesPerHop = 2)
     assert(feed.poll(spark) == 1, "a sliced bootstrap is ONE version")
     assert(rows(rep) == rows(src))
-    // the slice markers + the completion marker are all recorded
+    // the slice markers + the completion marker are all recorded; the
+    // cap is part of the slice namespace (ordinals are only meaningful
+    // under the boundaries that produced them)
     assert(TxnLake.lastTxn(spark, rep, "repl").contains(0L))
-    assert(TxnLake.lastTxn(spark, rep, "repl#boot0").contains(2L),
+    assert(TxnLake.lastTxn(spark, rep, "repl#boot0@2").contains(2L),
       "3 slices of 2 files: slice ordinals 0..2 under the boot marker")
     // a bulk append past the cap slices too, under its own marker
     TxnLake.commit(spark,
@@ -306,7 +308,7 @@ class TxnReplicaFeedSpec extends SparkSpec {
         .repartition(4), src, "append") // v1
     assert(feed.poll(spark) == 1)
     assert(rows(rep) == rows(src) && rows(rep).size == 100)
-    assert(TxnLake.lastTxn(spark, rep, "repl#v1").contains(1L),
+    assert(TxnLake.lastTxn(spark, rep, "repl#v1@2").contains(1L),
       "2 slices of 2 files under the append hop's marker")
     // CRASH SIMULATION: a half-applied hop = slice markers present,
     // completion marker absent. Build it by hand for v2, then let a
@@ -325,7 +327,7 @@ class TxnReplicaFeedSpec extends SparkSpec {
       TxnLake.readFileSlice(spark, src, 2L, adds.sorted.take(2)),
       rep, "k",
       notMatched = Seq(MergeInsert(Map("k" -> col("k"), "v" -> col("v")))),
-      txn = Some(("repl#v2", 0L)))
+      txn = Some(("repl#v2@2", 0L)))
     assert(TxnLake.lastTxn(spark, rep, "repl").contains(1L),
       "the offset must NOT advance past the half-applied hop")
     val fresh2 = new TxnReplicaFeed(src, rep, "repl", "k",
@@ -345,5 +347,58 @@ class TxnReplicaFeedSpec extends SparkSpec {
       && bounded.poll(spark) == 1 && bounded.poll(spark) == 0,
       "one version per poll until drained")
     assert(rows(rep) == rows(src))
+  }
+
+  test("a cap change across a crashed sliced hop resumes LOSSLESSLY: " +
+    "the cap is part of the slice namespace, so foreign ordinals never " +
+    "match; and duplicate keys straddling slice boundaries refuse as " +
+    "the unsliced merge would") {
+    import spark.implicits._
+    val (src, rep) = fresh()
+    TxnLake.commit(spark,
+      (0L until 60L).map(i => (i, s"v$i")).toDF("k", "v").repartition(6),
+      src, "append") // v0: 6 files
+    // half-apply the bootstrap under cap=2 (slices 0..1 of 3), as a
+    // crashed consumer would leave it
+    val files = TxnLake.snapshotFiles(spark, src).map(_.path).sorted
+    import TxnLake.MergeInsert
+    files.grouped(2).zipWithIndex.take(2).foreach { case (slice, i) =>
+      TxnLake.mergeIntoClauses(spark,
+        TxnLake.readFileSlice(spark, src, 0L, slice), rep, "k",
+        notMatched = Seq(MergeInsert(Map("k" -> col("k"),
+          "v" -> col("v")))),
+        txn = Some(("repl#boot0@2", i.toLong)))
+    }
+    val partial = TxnLake.read(spark, rep).count()
+    assert(partial > 0 && partial < 60,
+      s"fixture: half-applied ($partial of 60)")
+    // resume with a DIFFERENT cap: the old run's ordinals must not
+    // match (a cap-3 slice 0 covers files a cap-2 slice 0 did not) —
+    // the fresh namespace re-applies every slice, converging on rows
+    // already landed
+    val feed3 = new TxnReplicaFeed(src, rep, "repl", "k",
+      maxFilesPerHop = 3)
+    assert(feed3.poll(spark) == 1)
+    assert(rows(rep) == rows(src) && rows(rep).size == 60,
+      "cross-cap resume must lose nothing and double-apply nothing")
+    assert(TxnLake.lastTxn(spark, rep, "repl#boot0@3").contains(1L),
+      "2 slices of 3 files under the new cap's namespace")
+    // duplicate keys across slice boundaries: the sliced hop must
+    // refuse exactly as the unsliced merge would, BEFORE any slice
+    // applies
+    // partition by the VALUE column so the two k=100 rows land in
+    // DIFFERENT files — the straddling shape a per-slice merge check
+    // alone would miss
+    TxnLake.commit(spark,
+      ((100L until 139L).map(i => (i, s"v$i")) :+ (100L, "dup"))
+        .toDF("k", "v").repartition(4, col("v")),
+      src, "append") // v1: dup key 100 across files
+    val repV = TxnLake.latestVersion(spark, rep)
+    intercept[IllegalArgumentException] {
+      feed3.poll(spark)
+    }
+    assert(TxnLake.latestVersion(spark, rep) == repV
+      && TxnLake.lastTxn(spark, rep, "repl").contains(0L),
+      "the refused hop must apply no slice and park the offset")
   }
 }
