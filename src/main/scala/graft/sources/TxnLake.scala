@@ -167,9 +167,20 @@ object TxnLake extends LakeFormat {
   private def displayOf(ren: Map[String, String], p: String): String =
     ren.getOrElse(p, p)
 
-  /** physical name of display `d` under `ren` (identity when unmapped). */
-  private def physicalOf(ren: Map[String, String], d: String): String =
-    ren.collectFirst { case (p, disp) if disp == d => p }.getOrElse(d)
+  /** physical name of display `d` under `ren` (identity when unmapped).
+    * Resolved with the SESSION resolver, not string equality: the
+    * refusal checks that guard renamed-column access already match
+    * case-insensitively (under the default resolver), so a case-variant
+    * display name ('VAL' for display 'val') must translate to the
+    * physical name too — an exact-match lookup here would pass the
+    * guards yet skip translation, landing files (and their footer
+    * stats) under the variant name and silently breaking the
+    * files-carry-physical-names invariant. */
+  private def physicalOf(spark: SparkSession, ren: Map[String, String],
+                         d: String): String = {
+    val res = resolver(spark)
+    ren.collectFirst { case (p, disp) if res(disp, d) => p }.getOrElse(d)
+  }
 
   /** `st` with its field names displayed through `ren`. */
   private def toDisplaySchema(st: StructType,
@@ -951,7 +962,7 @@ object TxnLake extends LakeFormat {
         val schema = entry.schemaStruct
         val ren = entry.renames
         // the sidecars and stats are keyed by the column's PHYSICAL name
-        val colPhys = physicalOf(ren, column)
+        val colPhys = physicalOf(spark, ren, column)
         def scan(paths: Seq[String]) = toDisplay(schema match {
           case Some(st) => spark.read.schema(st).parquet(paths: _*)
           case None => spark.read.parquet(paths: _*)
@@ -1014,7 +1025,7 @@ object TxnLake extends LakeFormat {
         val entry = readEntry(spark, table, v)
         val schema = entry.schemaStruct
         val ren = entry.renames
-        val colPhys = physicalOf(ren, column) // sidecars/stats are physical
+        val colPhys = physicalOf(spark, ren, column) // sidecars/stats are physical
         val (bloomed, unbloomed) =
           files.partition(_.stats.get(colPhys).exists(_.bloom))
         val keepPaths: Set[String] =
@@ -1295,7 +1306,7 @@ object TxnLake extends LakeFormat {
         // tombstones are PHYSICAL names — compare the incoming display
         // names through the overlay
         val resurrect = df.columns.filter(c =>
-          dropped.exists(res(_, physicalOf(renamesAll, c))))
+          dropped.exists(res(_, physicalOf(spark, renamesAll, c))))
         require(resurrect.isEmpty,
           s"TxnLake: column(s) ${resurrect.mkString(", ")} were DROPPED " +
             "from this table; committing data under the same name would " +
@@ -1382,9 +1393,11 @@ object TxnLake extends LakeFormat {
                 " — writing under the retired name would alias the " +
                 "renamed column's storage; use the new name")
           }
+          // translate with the SAME resolver the guards above used: a
+          // case-variant display name passed them, so it must translate
           renamesAll.foldLeft(dfOut) { case (d, (p, disp)) =>
-            if (d.columns.contains(disp)) d.withColumnRenamed(disp, p)
-            else d }
+            d.columns.find(res(_, disp))
+              .map(c => d.withColumnRenamed(c, p)).getOrElse(d) }
         }
       // 1. land the data in a fresh immutable dir (never seen by readers
       //    until the log entry that names it is published). A metadata-
@@ -1419,9 +1432,9 @@ object TxnLake extends LakeFormat {
       // for the bytes, which never rename); incoming display names map
       val allBloomCols =
         (lastEntry.map(_.bloomCols).getOrElse(Seq.empty)
-          ++ bloomCols.map(physicalOf(renamesAll, _)))
+          ++ bloomCols.map(physicalOf(spark, renamesAll, _)))
           .distinct
-          .filterNot(dropBloomCols.map(physicalOf(renamesAll, _)).contains)
+          .filterNot(dropBloomCols.map(physicalOf(spark, renamesAll, _)).contains)
       // every commit carries the CUMULATIVE table schema forward (Delta's
       // metaData action): appends merge new columns in, overwrite resets —
       // so readers resolve the snapshot schema from ONE log entry instead
@@ -3044,7 +3057,7 @@ object TxnLake extends LakeFormat {
             case Some(ks) if ks.isEmpty => Seq.empty[FileMeta]
             case Some(ks) =>
               files.filter(fileMayContainKeys(spark, table, _,
-                physicalOf(ren, key), ks))
+                physicalOf(spark, ren, key), ks))
             case None => files // beyond the key cap: full scope
           }
           val nmbsTouched: Seq[FileMeta] =

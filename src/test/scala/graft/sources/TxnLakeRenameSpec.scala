@@ -319,4 +319,39 @@ class TxnLakeRenameSpec extends SparkSpec {
     assert(ridFeed.filter(col("commit_version") === 3L)
       .select(TxnLake.RidCol).head().getLong(0) > 0L)
   }
+
+  test("a CASE-VARIANT write of a renamed column translates to the " +
+    "physical name — validation and translation use the same resolver") {
+    import spark.implicits._
+    val t = fresh()
+    TxnLake.commit(spark,
+      (0L until 20L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      t, "append", bloomCols = Seq("v"))
+    TxnLake.renameColumn(spark, t, "v", "val")
+    val before = TxnLake.snapshotFiles(spark, t).map(_.path).toSet
+    // 'VAL' resolves to display 'val' under the default case-insensitive
+    // resolver: the guards accept it, so translation must fire too
+    TxnLake.commit(spark,
+      Seq((100L, "x")).toDF("k", "VAL").coalesce(1), t, "append")
+    val newest = TxnLake.snapshotFiles(spark, t)
+      .filterNot(fm => before(fm.path))
+    assert(newest.nonEmpty)
+    newest.foreach { fm =>
+      val phys = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(t, fm.path).toString)
+      assert(phys.columns.toSeq == Seq("k", "v"),
+        s"a case-variant write must land under the PHYSICAL name: " +
+          s"${phys.columns.toSeq}")
+      assert(fm.stats.contains("v")
+          && fm.stats.keys.forall(c => c == "k" || c == "v"),
+        s"footer stats must key on the physical name: ${fm.stats.keys}")
+    }
+    // the sidecar-backed point probe still prunes the variant-written file
+    val (_, (kept, total)) = TxnLake.readKeyed(spark, t, "val", Seq("x"))
+    assert(total == 2 && kept == 1,
+      s"bloom skipping must stay exact across the variant write: " +
+        s"($kept, $total)")
+    assert(TxnLake.read(spark, t).columns.toSeq == Seq("k", "val"))
+    assert(TxnLake.read(spark, t).count() == 21)
+  }
 }
