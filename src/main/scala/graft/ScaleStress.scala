@@ -797,6 +797,80 @@ object ScaleStress {
       s""""sparse_sec":${s2(sSec)},"sparse_kept":$sKept}""")
   }
 
+  /** File-count sweep for the ABOVE-CAP snapshot prune: fixed data, the
+    * file count exploded by `filesFactor` (range-clustered small files,
+    * committed past the checkpoint cadence so the snapshot is
+    * checkpoint + tail). Measures the prune DECISION cost — resolve +
+    * kept-set — in both regimes on the same table: the driver path
+    * (materializes the O(files) list, matches on the driver) vs the
+    * distributed path (checkpoint read as a table, matcher on the
+    * executors, only survivors collected). The seam is asserted per
+    * run, and row parity is checked once per factor. The driver-memory
+    * claim is structural (the distributed path collects survivors
+    * only); the sweep shows the decision cost's growth curve per
+    * regime as files go 16 → 1600. */
+  private def measureCkptPrune(spark: SparkSession,
+                               listener: MetricsListener,
+                               dir: String, filesFactor: Int,
+                               tag: String): Unit = {
+    import graft.sources.TxnLake
+    val table = s"$dir/ckptprune_f${filesFactor}_t"
+    val fdir = new java.io.File(table)
+    if (fdir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(fdir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), (col("doc_id") % 97).as("b"))
+    val nFiles = 16 * filesFactor
+    // 12 range-clustered commits: past the v10 checkpoint (tail live),
+    // contiguous doc_id spans per file so a range predicate truly prunes
+    val perCommit = math.max(1, nFiles / 12)
+    val bounds = docs.stat.approxQuantile("doc_id",
+      (0 to 12).map(_ / 12.0).toArray, 0.001)
+    (0 until 12).foreach { i =>
+      val lo = bounds(i)
+      val hi = bounds(i + 1)
+      val slice = docs.where(col("doc_id") >= lo &&
+        (if (i == 11) col("doc_id") <= hi else col("doc_id") < hi))
+      TxnLake.commit(spark,
+        slice.repartitionByRange(perCommit, col("doc_id")), table, "append")
+    }
+    val total = TxnLake.snapshotFiles(spark, table).size
+    // LONG literals: a double bound would wrap doc_id in a cast the
+    // conservative matcher keeps, un-pruning the fixture
+    val mid = bounds(6).toLong
+    val pred = col("doc_id")
+      .between(mid, mid + ((bounds(7).toLong - mid) / 4))
+    def once(distributed: Boolean): (Double, Int) = {
+      if (distributed)
+        spark.conf.set("graft.snapshot.distributedPruneCap", "1")
+      else spark.conf.unset("graft.snapshot.distributedPruneCap")
+      try {
+        val t0 = System.nanoTime()
+        val (_, (kept, _)) = TxnLake.readWherePruned(spark, table, pred)
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(TxnLake.lastPruneDistributed == distributed,
+          s"seam: expected distributed=$distributed")
+        SessionHygiene.dropAllStorage(spark)
+        (sec, kept)
+      } finally spark.conf.unset("graft.snapshot.distributedPruneCap")
+    }
+    once(false); once(true) // warm
+    def best(distributed: Boolean): (Double, Int) = {
+      val a = once(distributed); val b = once(distributed)
+      if (a._1 <= b._1) a else b
+    }
+    val (drvSec, drvKept) = best(distributed = false)
+    val (dstSec, dstKept) = best(distributed = true)
+    require(drvKept == dstKept,
+      s"the regimes must prune identically: $drvKept vs $dstKept")
+    require(drvKept > 0 && drvKept < total,
+      s"fixture: the predicate must truly prune: ($drvKept, $total)")
+    def s2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    println(s"""SCALE {$tag,"mode":"ckptprune","cpus":${spark.sparkContext
+      .defaultParallelism},"files":$total,"kept":$drvKept,""" +
+      s""""driver_sec":${s2(drvSec)},"dist_sec":${s2(dstSec)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spec = if (args.length > 1) args(1) else "1,3,10"
@@ -850,6 +924,17 @@ object ScaleStress {
           try measureNdPrune(spark, listener, dir,
             s""""factor":$fct,"abovecap":true""")
           finally spark.conf.unset("graft.probe.maxDriverKeys")
+        }
+      } else if (spec == "ckptprune") {
+        // FILE-COUNT sweep (fixed data): the factor multiplies files,
+        // not bytes — 16 files at f1, 1600 at f100
+        val factors = (if (args.length > 2) args(2) else "1,10,100")
+          .split(",").map(_.trim.toInt).toSeq
+        val dir = s"$tmp/graft_scale_f1"
+        buildScaled(spark, baseDir, 1, dir)
+        factors.foreach { fct =>
+          measureCkptPrune(spark, listener, dir, fct,
+            s""""factor":$fct""")
         }
       } else if (spec == "acprobe") {
         val factors = (if (args.length > 2) args(2) else "1,10")

@@ -4461,6 +4461,59 @@ object OperatorQueries {
       .orderBy(col("commit_version"), col("change_type"), col("rid"))
   }
 
+  /** Above-cap snapshot resolution (x69) — the 100 TB regime of data
+    * skipping: past `graft.snapshot.distributedPruneCap` live files the
+    * kept set is decided by a DISTRIBUTED plan over the parquet
+    * checkpoint (the executors run the same conservative stats matcher;
+    * only the surviving paths return to the driver), so the driver never
+    * materializes the O(snapshot) file list that [[TxnLake]] otherwise
+    * resolves per read. Gated in-engine: the driver and distributed
+    * regimes must produce IDENTICAL skipping counters and rows, the
+    * observability seam must report which path ran, and the probe must
+    * truly prune (kept < total). The fixture is deterministic (sorted
+    * single-file appends of contiguous doc_id ranges), so the oracle
+    * recomputes the selected slice relationally. */
+  val txnDistributedPrune = OracleQuery(
+    "x69_txn_distributed_prune",
+    """WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 24),
+      |r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM d)
+      |SELECT doc_id, CAST(doc_id % 7 AS BIGINT) AS b
+      |FROM r WHERE rn BETWEEN 13 AND 16 ORDER BY doc_id""".stripMargin) {
+    (s, d) =>
+    import graft.sources.TxnLake
+    val t = Scratch.dir("txn_dist_prune") + "/t"
+    val ids = s.read.parquet(s"$d/documents.parquet")
+      .orderBy("doc_id").limit(24).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    // 12 single-file commits of contiguous doc_id ranges — past the
+    // checkpoint cadence, so the snapshot is checkpoint + tail
+    import s.implicits._
+    ids.grouped(2).foreach { pair =>
+      TxnLake.commit(s,
+        pair.toSeq.map(i => (i, i % 7)).toDF("doc_id", "b").coalesce(1),
+        t, "append")
+    }
+    val pred = col("doc_id").between(ids(12), ids(15)) // rn 13..16
+    val (df0, (kept0, total0)) = TxnLake.readWherePruned(s, t, pred)
+    require(!TxnLake.lastPruneDistributed,
+      "below the cap the driver path must decide the kept set")
+    require(total0 == 12 && kept0 < total0,
+      s"the stats must truly prune: ($kept0, $total0)")
+    val rows0 = df0.orderBy("doc_id").collect().toSeq
+    s.conf.set("graft.snapshot.distributedPruneCap", "1")
+    try {
+      val (df1, (kept1, total1)) = TxnLake.readWherePruned(s, t, pred)
+      require(TxnLake.lastPruneDistributed,
+        "above the cap the kept set must be decided on the executors")
+      require((kept1, total1) == (kept0, total0),
+        s"the regimes must prune identically: ($kept1, $total1) vs " +
+          s"($kept0, $total0)")
+      require(df1.orderBy("doc_id").collect().toSeq == rows0,
+        "the regimes must answer identically")
+      df1.orderBy("doc_id")
+    } finally s.conf.unset("graft.snapshot.distributedPruneCap")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -4482,5 +4535,5 @@ object OperatorQueries {
       txnGeneratedColumns, txnTypeWidening,
       streamNearDupProbeAboveCap, streamDecontamProbeAboveCap,
       txnIdentityColumns, txnRowTracking, txnRenameColumn,
-      txnChangesByRowId)
+      txnChangesByRowId, txnDistributedPrune)
 }

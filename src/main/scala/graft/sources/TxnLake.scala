@@ -196,7 +196,7 @@ object TxnLake extends LakeFormat {
 
   /** `fm` with its stats keys displayed through `ren` — the predicate
     * matcher sees display names, the stored stats stay physical. */
-  private def displayMeta(ren: Map[String, String])(fm: FileMeta): FileMeta =
+  private[sources] def displayMeta(ren: Map[String, String])(fm: FileMeta): FileMeta =
     if (ren.isEmpty) fm
     else fm.copy(stats = fm.stats.map { case (k, v) =>
       displayOf(ren, k) -> v })
@@ -226,6 +226,20 @@ object TxnLake extends LakeFormat {
       c.put("nc", cs.nullCount)
       if (cs.bloom) c.put("bl", true)
     }
+
+  /** Parse the checkpoint's per-file stats JSON — the executor-side
+    * entry point [[SnapshotPrune]]'s distributed matcher uses (the
+    * driver path parses the same JSON through [[fileFromJson]]). */
+  private[sources] def parseStatsJson(s: String): Map[String, ColStats] =
+    statsFromJson(mapper.readTree(s))
+
+  /** Render a file's stats to the checkpoint/entry JSON form — the
+    * distributed snapshot union re-encodes tail-entry adds with it. */
+  private def statsJsonOf(fm: FileMeta): String = {
+    val st = mapper.createObjectNode()
+    statsObj(st, fm.stats)
+    mapper.writeValueAsString(st)
+  }
 
   private def statsFromJson(st: JsonNode): Map[String, ColStats] =
     st.properties().asScala.map { e =>
@@ -473,6 +487,145 @@ object TxnLake extends LakeFormat {
       v += 1
     }
     state
+  }
+
+  // ---- ABOVE-CAP snapshot resolution (distributed file-list prune) ----
+
+  /** Above this many live files, [[readWherePruned]] decides its kept
+    * set as a DISTRIBUTED plan over the parquet checkpoint instead of
+    * materializing the whole file list on the driver — the last
+    * O(snapshot files) driver structure (Delta reads its checkpoint as
+    * a table for the same reason). Below the cap the driver path is
+    * kept: at sandbox file counts it is strictly faster (no job launch,
+    * no executor round-trip). Override with
+    * `graft.snapshot.distributedPruneCap`. */
+  private[sources] val DefaultDistributedPruneCap = 100000
+
+  private def distributedPruneCap(spark: SparkSession): Int =
+    spark.conf.getOption("graft.snapshot.distributedPruneCap")
+      .map(_.toInt).getOrElse(DefaultDistributedPruneCap)
+
+  /** Observability seam: did the most recent [[readWherePruned]] decide
+    * its kept set on the executors (above-cap checkpoint plan) or the
+    * driver (below-cap resolved list)? The file-count SCALE sweep and
+    * the x69 gate read it. */
+  @volatile private[graft] var lastPruneDistributed: Boolean = false
+
+  /** The snapshot AS A DATAFRAME — (path, rows, stats-JSON, brid), one
+    * row per live file — plus its EXACT live-file count, computed
+    * without ever materializing the file list on the driver: the parquet
+    * checkpoint is read as a table (executor-resident), the tail
+    * entries' removes anti-join it (broadcast — a tail is at most
+    * [[CheckpointInterval]] entries, already driver-parsed in every
+    * path), and the tail adds union in as a local relation. The count
+    * is footer metadata + tail arithmetic, no job.
+    *
+    * None when the regime doesn't apply — no parquet checkpoint at or
+    * below `version` (tiny log), or a legacy full-list entry in the
+    * tail (pre-delta log surgery) — and the caller falls back to the
+    * driver path. */
+  private def snapshotAsDf(spark: SparkSession, table: String,
+                           version: Long): Option[(DataFrame, Long)] = {
+    val ckptV = checkpointVersions(spark, table).filter(_ <= version)
+      .lastOption.getOrElse(return None)
+    val ckptPath = new Path(logDir(table), s"v$ckptV.ckpt")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ckptRows =
+      try {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(ckptPath, conf))
+        try r.getRecordCount finally r.close()
+      } catch { case _: Exception => return None } // legacy JSON checkpoint
+    // tail deltas, driver-parsed exactly as [[resolveFiles]] does — the
+    // tail is O(CheckpointInterval) entries, never O(snapshot)
+    val addBuf = scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
+    val removedCkpt = scala.collection.mutable.Set.empty[String]
+    var v = ckptV + 1
+    while (v <= version) {
+      val e = readEntry(spark, table, v)
+      if (e.legacyFiles.isDefined) return None
+      e.remove.foreach { p =>
+        if (addBuf.remove(p).isEmpty) removedCkpt += p
+      }
+      e.add.foreach(fm => addBuf.put(fm.path, fm))
+      v += 1
+    }
+    val total = ckptRows - removedCkpt.size + addBuf.size
+    import spark.implicits._
+    val ckptSchemaDf = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("stats", StringType, nullable = false),
+      StructField("brid", LongType, nullable = true)))
+    val base = spark.read.schema(ckptSchemaDf).parquet(ckptPath.toString)
+    val minusRemoved =
+      if (removedCkpt.isEmpty) base
+      else base.join(
+        org.apache.spark.sql.functions.broadcast(
+          removedCkpt.toSeq.toDF("path")),
+        Seq("path"), "left_anti")
+    val withAdds =
+      if (addBuf.isEmpty) minusRemoved
+      else {
+        val rows = addBuf.values.map(fm => org.apache.spark.sql.Row(
+          fm.path, fm.rows, statsJsonOf(fm),
+          if (fm.brid >= 0L) java.lang.Long.valueOf(fm.brid) else null))
+        minusRemoved.unionByName(spark.createDataFrame(
+          rows.toSeq.asJava, ckptSchemaDf))
+      }
+    Some((withAdds, total))
+  }
+
+  /** Row count of the newest parquet checkpoint at or below `version`,
+    * from the FOOTER alone — the O(1) probe that decides the prune
+    * regime without parsing the checkpoint. None on a legacy JSON
+    * checkpoint or none at all. The count ignores the tail's deltas:
+    * the regime decision is a heuristic (both paths compute identical
+    * kept sets), so a tail that momentarily crosses the cap simply
+    * waits for its next checkpoint. */
+  private def ckptRowsAtOrBelow(spark: SparkSession, table: String,
+                                version: Long): Option[Long] = {
+    val ckptV = checkpointVersions(spark, table).filter(_ <= version)
+      .lastOption.getOrElse(return None)
+    val p = new Path(logDir(table), s"v$ckptV.ckpt")
+    try {
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration))
+      try Some(r.getRecordCount) finally r.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** The above-cap branch of [[readWherePruned]]: the stats matcher runs
+    * ON THE EXECUTORS over the snapshot-as-DataFrame and only the
+    * surviving paths return to the driver. Liveness is then checked on
+    * exactly the files the scan will open (the survivors) — a vacuumed
+    * non-survivor was never going to be read. */
+  private def readWhereDistributed(spark: SparkSession, table: String,
+                                   v: Long, predicate: Column,
+                                   fdf: DataFrame, total: Long)
+      : (DataFrame, (Int, Int)) = {
+    import spark.implicits._
+    val entry = readEntry(spark, table, v)
+    val schema = entry.schemaStruct
+    val ren = entry.renames
+    val sampleAbs = new Path(table,
+      fdf.select("path").as[String].head()).toString
+    val pred = resolvedPredicate(spark, sampleAbs, predicate,
+      schema.map(toDisplaySchema(_, ren)))
+    val keptPaths = fdf.filter(SnapshotPrune.keepRow(pred, ren))
+      .select("path").as[String].collect().toSeq
+    val kept = keptPaths.map(FileMeta(_, -1L, Map.empty))
+    requireLive(spark, table, v, kept)
+    lastPruneDistributed = true
+    val df =
+      if (kept.isEmpty)
+        toDisplay(schema match {
+          case Some(st) => spark.read.schema(st).parquet(sampleAbs)
+          case None => spark.read.parquet(sampleAbs)
+        }, ren).where(lit(false))
+      else scanFiles(spark, table, kept, schema,
+          resolveDvs(spark, table, v), ren)
+        .where(predicate)
+    (df, (kept.size, total.toInt))
   }
 
   /** The resolved data files (with their commit-time column stats) of a
@@ -2071,6 +2224,22 @@ object TxnLake extends LakeFormat {
     version.orElse(latestVersion(spark, table)) match {
       case None => (spark.emptyDataFrame, (0, 0))
       case Some(v) =>
+        lastPruneDistributed = false
+        // ABOVE-CAP regime: when the checkpoint's own row count exceeds
+        // the cap (one footer read — no parse), the kept set is decided
+        // by a distributed plan over the checkpoint table and the driver
+        // holds only the SURVIVORS — O(files that may match), never
+        // O(snapshot). Identical kept-set semantics: the executors run
+        // the same conservative matcher on the same stats JSON.
+        if (ckptRowsAtOrBelow(spark, table, v)
+              .exists(_ > distributedPruneCap(spark))) {
+          snapshotAsDf(spark, table, v) match {
+            case Some((fdf, total)) =>
+              return readWhereDistributed(spark, table, v, predicate,
+                fdf, total)
+            case None => // legacy tail — fall through to the driver path
+          }
+        }
         val files = resolveFiles(spark, table, v)
         requireLive(spark, table, v, files)
         if (files.isEmpty) return (spark.emptyDataFrame, (0, 0))
@@ -2136,7 +2305,7 @@ object TxnLake extends LakeFormat {
     * min/max/nullCount stats? Conservative: anything unrecognized keeps
     * the file. Supports the conjunctive/disjunctive range shapes Catalyst
     * pushes — the same dialect Delta's data skipping evaluates. */
-  private def mayMatch(fm: FileMeta, e: Expression): Boolean = {
+  private[sources] def mayMatch(fm: FileMeta, e: Expression): Boolean = {
     def name(x: Expression): Option[String] = x match {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         Some(a.name)
@@ -4955,5 +5124,30 @@ object TxnLake extends LakeFormat {
   def write(df: DataFrame, path: String, partitionBy: Seq[String]): Unit = {
     commit(df.sparkSession, df, path, "overwrite")
     ()
+  }
+}
+
+/** Executor-side kernel of [[TxnLake]]'s above-cap snapshot prune: a
+  * field-free Serializable holder for the closure that judges one
+  * checkpoint row (path, rows, stats-JSON, brid) against the resolved
+  * predicate. Separated from [[TxnLake]] so the task closure captures
+  * only the predicate and the rename overlay — never the module (whose
+  * fields include non-serializable parquet schema objects); the kernel
+  * reaches [[TxnLake]]'s matcher through static module access, which
+  * re-resolves on the executor instead of serializing. */
+private[sources] object SnapshotPrune extends Serializable {
+
+  /** The distributed kept-set decision: the SAME conservative matcher
+    * [[TxnLake.readWherePruned]]'s driver path runs — stats parsed from
+    * the same JSON, keys displayed through the same overlay — so the
+    * two regimes prune identically by construction. */
+  def keepRow(pred: org.apache.spark.sql.catalyst.expressions.Expression,
+              ren: Map[String, String])
+      : org.apache.spark.sql.Row => Boolean = { r =>
+    val fm = TxnLake.FileMeta(r.getString(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1),
+      TxnLake.parseStatsJson(r.getString(2)),
+      if (r.isNullAt(3)) -1L else r.getLong(3))
+    TxnLake.mayMatch(TxnLake.displayMeta(ren)(fm), pred)
   }
 }
