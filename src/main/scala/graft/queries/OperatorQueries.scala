@@ -4376,6 +4376,33 @@ object OperatorQueries {
     // the pre-rename version time-travels under ITS era's names
     require(TxnLake.readVersion(s, t, vPre).columns.toSeq == Seq("k", "v"),
       "time travel must keep the era's display names")
+    // RENAME FOLLOWS REFERENCES (r18 verdict item 3): on a sibling
+    // table, a CHECK constraint and a generated column both reference a
+    // column; renaming it REWRITES their stored expressions in the same
+    // metadata commit, and both still enforce under the new name
+    locally {
+      import s.implicits._
+      val t2 = Scratch.dir("txn_rename_refs") + "/t"
+      TxnLake.commit(s,
+        Seq.empty[(Long, Long)].toDF("id", "n").coalesce(1), t2, "append")
+      TxnLake.addGeneratedColumn(s, t2,
+        "n2", org.apache.spark.sql.types.LongType, "n * 2")
+      TxnLake.addConstraint(s, t2, "n_pos", "n >= 0")
+      TxnLake.renameColumn(s, t2, "n", "num")
+      require(TxnLake.tableConstraints(s, t2)("n_pos").contains("num"),
+        "the stored constraint text must follow the rename")
+      val refusedNeg =
+        try {
+          TxnLake.commit(s,
+            Seq((1L, -3L)).toDF("id", "num").coalesce(1), t2, "append"); 0
+        } catch { case _: IllegalStateException => 1 }
+      require(refusedNeg == 1,
+        "the rewritten constraint must still enforce under the new name")
+      TxnLake.commit(s,
+        Seq((1L, 21L)).toDF("id", "num").coalesce(1), t2, "append")
+      require(TxnLake.read(s, t2).select("n2").head().getLong(0) == 42L,
+        "the rewritten generated column must still fill under the new name")
+    }
     TxnLake.readWhere(s, t, col("txt").isNotNull)
       .select(col("key"), col("txt"))
       .orderBy(col("key").cast("long"))

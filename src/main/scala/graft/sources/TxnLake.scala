@@ -182,6 +182,50 @@ object TxnLake extends LakeFormat {
     ren.collectFirst { case (p, disp) if res(disp, d) => p }.getOrElse(d)
   }
 
+  /** Single-part attribute references of a stored SQL expression — the
+    * reference domain of constraint / generated-column properties. */
+  private def attrRefs(spark: SparkSession, sql: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head
+    }
+
+  /** `sql` with EVERY attribute matching `from` (session resolution)
+    * rewritten to `to` — parse, substitute, regenerate. This is how a
+    * RENAME follows the references into stored CHECK-constraint and
+    * generated-column expressions instead of refusing: the stored text
+    * stays in the DISPLAY domain the user declared it in, so DESCRIBE
+    * and error messages keep speaking current names. */
+  private def substituteAttr(spark: SparkSession, sql: String,
+                             from: String, to: String): String = {
+    val res = resolver(spark)
+    spark.sessionState.sqlParser.parseExpression(sql).transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.size == 1 && res(a.nameParts.head, from) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(to))
+    }.sql
+  }
+
+  /** A stored (display-named) expression as a Column over a PHYSICAL
+    * frame: attributes translate display → physical through `ren`, so
+    * the enforcement scan — which reads the just-written files under
+    * their immutable physical names — binds a renamed reference to the
+    * right bytes. Identity when nothing is renamed. */
+  private def exprUnder(spark: SparkSession, sql: String,
+                        ren: Map[String, String])
+      : org.apache.spark.sql.Column = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    if (ren.isEmpty)
+      org.apache.spark.sql.graftx.ColumnBridge.column(parsed)
+    else
+      org.apache.spark.sql.graftx.ColumnBridge.column(parsed.transform {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.size == 1 =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq(physicalOf(spark, ren, a.nameParts.head)))
+      })
+  }
+
   /** `st` with its field names displayed through `ren`. */
   private def toDisplaySchema(st: StructType,
                               ren: Map[String, String]): StructType =
@@ -1619,11 +1663,16 @@ object TxnLake extends LakeFormat {
         (lastEntry.map(_.constraints).getOrElse(Map.empty)
           -- dropConstraintNames) ++ newConstraints
       val checks: Seq[(String, org.apache.spark.sql.Column)] = {
-        import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
+        import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+        // stored expressions are DISPLAY-named (the domain the user
+        // declared them in); the enforcement scan reads physical files,
+        // so renamed references translate through the overlay here
         tableConstraints.toSeq.sortBy(_._1).map { case (n, x) =>
-          (s"$n (`$x`)", not(coalesce(expr(x), lit(true)))) } ++
+          (s"$n (`$x`)",
+            not(coalesce(exprUnder(spark, x, renamesAll), lit(true)))) } ++
           genColsAll.toSeq.sortBy(_._1).map { case (c, x) =>
-            (s"generated column $c (`$x`)", !(col(c) <=> expr(x))) }
+            (s"generated column $c (`$x`)",
+              !(col(c) <=> exprUnder(spark, x, renamesAll))) }
       }
       val enforce = checks.nonEmpty && added0.nonEmpty &&
         operation != "optimize" && operation != "delete"
@@ -4376,21 +4425,24 @@ object TxnLake extends LakeFormat {
             "columns declare on an EMPTY table (the Delta at-creation " +
             "rule): existing rows could never hold the value and any " +
             "later rewrite of them would be refused by the invariant")
-        val refs = spark.sessionState.sqlParser.parseExpression(expression)
-          .collect {
-            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-              => a.nameParts.head
-          }
-        val unknown = refs.filterNot(r => cur.fieldNames.exists(res(_, r)))
+        val refs = attrRefs(spark, expression)
+        // a column is known by its physical schema name or, when
+        // renamed, its display name
+        val unknown = refs.filterNot(r =>
+          cur.fieldNames.exists(c =>
+            res(displayOf(entry.renames, c), r) || res(c, r)))
         require(unknown.isEmpty,
           s"TxnLake.addGeneratedColumn: expression references unknown " +
             s"column(s) ${unknown.mkString(", ")}")
-        val renamedRefs = refs.filter(r => entry.renames.exists {
-          case (p, d) => res(p, r) || res(d, r) })
-        require(renamedRefs.isEmpty,
-          s"TxnLake.addGeneratedColumn: expression references RENAMED " +
-            s"column(s) ${renamedRefs.mkString(", ")} — generated " +
-            "columns pin their sources' names; rename back first")
+        // display names of renamed sources are fine (enforcement and
+        // write-time fill speak display; renames rewrite the stored
+        // text) — only the RETIRED physical name refuses
+        val retiredRefs = refs.filter(r => entry.renames.exists {
+          case (p, d) => res(p, r) && !res(d, r) })
+        require(retiredRefs.isEmpty,
+          s"TxnLake.addGeneratedColumn: expression references the " +
+            s"RETIRED name(s) ${retiredRefs.mkString(", ")} of renamed " +
+            "column(s) — use the current display name")
         AlterSpec(StructType(cur.fields :+
             StructField(name, dataType, nullable = true)),
           addGenCols = Map(name -> expression))
@@ -4491,15 +4543,15 @@ object TxnLake extends LakeFormat {
       // a live CHECK constraint or generated-column expression
       // referencing the column pins it (Delta's rule): dropping would
       // break every later commit's enforcement scan
-      def refsOf(x: String): Seq[String] =
-        spark.sessionState.sqlParser.parseExpression(x).collect {
-          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-            a.nameParts.head
-        }
-      val pinning = entry.constraints.filter(kv => refsOf(kv._2)
-        .exists(res(_, canon))).keys.toSeq ++
+      // stored expressions are DISPLAY-named: a renamed column pins by
+      // its display name, an unrenamed one by its physical name
+      val disp = displayOf(entry.renames, canon)
+      def refsIt(x: String): Boolean =
+        attrRefs(spark, x).exists(r => res(r, canon) || res(r, disp))
+      val pinning = entry.constraints.filter(kv => refsIt(kv._2))
+        .keys.toSeq ++
         entry.genCols.filter { case (g, x) =>
-          !res(g, canon) && refsOf(x).exists(res(_, canon)) }.keys.map(g =>
+          !res(g, canon) && refsIt(x) }.keys.map(g =>
           s"generated column $g")
       require(pinning.isEmpty,
         s"TxnLake.dropColumn: column $canon is referenced by " +
@@ -4622,22 +4674,24 @@ object TxnLake extends LakeFormat {
         require(!entry.genCols.keys.exists(res(_, p)),
           s"TxnLake.renameColumn: $curDisplay is a GENERATED column — " +
             "its expression property is keyed by name; drop it first")
-        def refsOf(x: String): Seq[String] =
-          spark.sessionState.sqlParser.parseExpression(x).collect {
-            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-              => a.nameParts.head
-          }
-        val pinning = entry.constraints.filter(kv =>
-            refsOf(kv._2).exists(res(_, p))).keys.toSeq ++
-          entry.genCols.filter { case (_, x) =>
-            refsOf(x).exists(res(_, p)) }.keys.map(g =>
-            s"generated column $g")
-        require(pinning.isEmpty,
-          s"TxnLake.renameColumn: column $curDisplay is referenced by " +
-            s"${pinning.sorted.mkString(", ")} — their expressions " +
-            "resolve by name at every commit; drop those first")
+        // the rename FOLLOWS the references (Delta column-mapping
+        // behavior): stored CHECK-constraint and generated-column
+        // expressions that name this column rewrite in the same
+        // metadata commit — parse, substitute every occurrence of the
+        // current display name, store the regenerated SQL — so they
+        // keep enforcing under the new name instead of refusing the
+        // rename (pre-r19 behavior) or silently dangling
+        val rewrittenCons = entry.constraints.collect {
+          case (n, x) if attrRefs(spark, x).exists(res(_, curDisplay)) =>
+            n -> substituteAttr(spark, x, curDisplay, newName)
+        }
+        val rewrittenGens = entry.genCols.collect {
+          case (g, x) if attrRefs(spark, x).exists(res(_, curDisplay)) =>
+            g -> substituteAttr(spark, x, curDisplay, newName)
+        }
         // schema json unchanged — the overlay IS the rename
-        AlterSpec(cur, addRenames = Map(p -> newName))
+        AlterSpec(cur, addRenames = Map(p -> newName),
+          addConstraints = rewrittenCons, addGenCols = rewrittenGens)
     }
 
   /** The live (physical → display) rename overlay — empty when no
@@ -4681,17 +4735,16 @@ object TxnLake extends LakeFormat {
         // either name) would dangle or silently bind the wrong bytes
         locally {
           val res = resolver(spark)
-          val refs = spark.sessionState.sqlParser
-            .parseExpression(expression).collect {
-              case a: org.apache.spark.sql.catalyst.analysis
-                .UnresolvedAttribute => a.nameParts.head
-            }
-          val renamed = refs.filter(r => entry.renames.exists {
-            case (p, d) => res(p, r) || res(d, r) })
-          require(renamed.isEmpty,
-            s"TxnLake.addConstraint: expression references RENAMED " +
-              s"column(s) ${renamed.mkString(", ")} — constraints pin " +
-              "their columns' names; rename back first")
+          // display names of renamed columns are fine (enforcement
+          // translates through the overlay, and a later rename rewrites
+          // the stored text) — only the RETIRED physical name refuses,
+          // since it would silently bind the renamed column's storage
+          val retired = attrRefs(spark, expression).filter(r =>
+            entry.renames.exists { case (p, d) => res(p, r) && !res(d, r) })
+          require(retired.isEmpty,
+            s"TxnLake.addConstraint: expression references the RETIRED " +
+              s"name(s) ${retired.mkString(", ")} of renamed column(s) — " +
+              "use the current display name")
         }
         // validate the EXISTING rows (masked snapshot) before declaring
         val bad = read(spark, table)

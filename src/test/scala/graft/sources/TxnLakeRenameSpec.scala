@@ -145,8 +145,9 @@ class TxnLakeRenameSpec extends SparkSpec {
     assert(feed.columns.contains("key") && !feed.columns.contains("k"))
   }
 
-  test("pins and collisions: identity/generated/constraint-referenced " +
-    "columns refuse; name collisions refuse; dropColumn retires the " +
+  test("pins and collisions: identity/generated columns refuse their " +
+    "OWN rename (name-keyed machinery); referenced columns rename WITH " +
+    "their references; name collisions refuse; dropColumn retires the " +
     "mapping and tombstones the physical name; restore and clone are " +
     "era-correct") {
     import spark.implicits._
@@ -164,9 +165,25 @@ class TxnLakeRenameSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TxnLake.renameColumn(spark, t, "n2", "dbl") // generated pinned
     }
-    intercept[IllegalArgumentException] {
-      TxnLake.renameColumn(spark, t, "n", "num") // referenced by both
+    // a column REFERENCED by a constraint and a generated column
+    // renames — the stored expressions follow (rewritten in the same
+    // metadata commit) and keep enforcing under the new name
+    TxnLake.renameColumn(spark, t, "n", "num")
+    val consSql = TxnLake.tableConstraints(spark, t)("n_pos")
+    assert(consSql.contains("num"),
+      s"the constraint text must follow the rename: $consSql")
+    val e1 = intercept[IllegalStateException] {
+      TxnLake.commit(spark,
+        Seq((1L, "a", -5L)).toDF("k", "v", "num").coalesce(1), t, "append")
     }
+    assert(e1.getMessage.contains("n_pos"),
+      "the rewritten constraint must still enforce")
+    TxnLake.commit(spark,
+      Seq((1L, "a", 5L)).toDF("k", "v", "num").coalesce(1), t, "append")
+    val filled = TxnLake.read(spark, t)
+      .select("num", "n2").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(filled.toSeq == Seq(5L -> 10L),
+      s"the rewritten generated column must still fill: ${filled.toSeq}")
     TxnLake.renameColumn(spark, t, "v", "txt")
     intercept[IllegalArgumentException] {
       TxnLake.renameColumn(spark, t, "k", "txt") // display collision
@@ -182,10 +199,17 @@ class TxnLakeRenameSpec extends SparkSpec {
       TxnLake.addColumn(spark, t, "v", org.apache.spark.sql.types
         .StringType) // retired physical still owns its storage
     }
-    // a constraint may not reference a renamed column by either name
-    intercept[IllegalArgumentException] {
-      TxnLake.addConstraint(spark, t, "bad", "txt <> ''")
+    // a constraint may reference a renamed column by its DISPLAY name
+    // (enforcement translates through the overlay) — the RETIRED
+    // physical name refuses, since it would bind the wrong storage
+    TxnLake.addConstraint(spark, t, "txt_ne", "txt <> 'nope'")
+    val e2 = intercept[IllegalStateException] {
+      TxnLake.commit(spark,
+        Seq((2L, "nope", 1L)).toDF("k", "txt", "num").coalesce(1),
+        t, "append")
     }
+    assert(e2.getMessage.contains("txt_ne"),
+      "a display-name constraint on a renamed column must enforce")
     intercept[IllegalArgumentException] {
       TxnLake.addConstraint(spark, t, "bad", "v <> ''")
     }
@@ -318,6 +342,43 @@ class TxnLakeRenameSpec extends SparkSpec {
       && ridFeed.filter(col("val").isNull).count() == 0)
     assert(ridFeed.filter(col("commit_version") === 3L)
       .select(TxnLake.RidCol).head().getLong(0) > 0L)
+  }
+
+  test("a rename follows EVERY reference in a stored expression — a " +
+    "constraint naming the column twice rewrites both occurrences, " +
+    "still enforces both bounds, and a rename-back rewrites again") {
+    import spark.implicits._
+    val t = fresh()
+    TxnLake.commit(spark,
+      Seq.empty[(Long, Long)].toDF("k", "n").coalesce(1), t, "append")
+    TxnLake.addConstraint(spark, t, "n_band", "n >= 0 AND n < 1000")
+    TxnLake.renameColumn(spark, t, "n", "num")
+    val sql = TxnLake.tableConstraints(spark, t)("n_band")
+    assert(sql.contains("num") && !sql.matches(".*`n`.*"),
+      s"both occurrences must rewrite: $sql")
+    // both bounds still enforce under the new name
+    intercept[IllegalStateException] {
+      TxnLake.commit(spark,
+        Seq((1L, -1L)).toDF("k", "num").coalesce(1), t, "append")
+    }
+    intercept[IllegalStateException] {
+      TxnLake.commit(spark,
+        Seq((1L, 5000L)).toDF("k", "num").coalesce(1), t, "append")
+    }
+    TxnLake.commit(spark,
+      Seq((1L, 500L)).toDF("k", "num").coalesce(1), t, "append")
+    assert(TxnLake.read(spark, t).count() == 1)
+    // rename BACK: the overlay collapses and the stored text follows
+    // again — referencing the (now plain) physical name
+    TxnLake.renameColumn(spark, t, "num", "n")
+    assert(TxnLake.columnRenames(spark, t).isEmpty)
+    val back = TxnLake.tableConstraints(spark, t)("n_band")
+    assert(!back.contains("num"),
+      s"rename-back must rewrite the stored text too: $back")
+    intercept[IllegalStateException] {
+      TxnLake.commit(spark,
+        Seq((2L, -7L)).toDF("k", "n").coalesce(1), t, "append")
+    }
   }
 
   test("a CASE-VARIANT write of a renamed column translates to the " +
