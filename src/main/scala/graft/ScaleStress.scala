@@ -789,12 +789,47 @@ object ScaleStress {
     val (sSec, sKept) = best(sparse)
     require(dKept == total,
       s"dense blanket must hit every file: $dKept of $total")
+    // CONSOLIDATION re-measure (r18 verdict item 2): the dense walk's
+    // slope is per-file sidecar load, and sidecars ride their data
+    // file — so OPTIMIZE must shrink probe metadata I/O with the
+    // layout. Compact ~8x, vacuum the dead generation, assert the
+    // sidecar census tracks the post-compaction file count, and
+    // re-measure both walks on the consolidated layout.
+    import graft.sources.TxnLake
+    TxnLake.optimize(spark, table, numFiles = math.max(4, nFiles / 8))
+    TxnLake.vacuum(spark, table, retainVersions = 1)
+    val totalOpt = TxnLake.snapshotFiles(spark, table).size
+    val sidecars = {
+      val walk = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(table, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.map(_.getFileName.toString)
+          .count(nm => nm.contains(".parquet.bloom.") && !nm.startsWith(".")
+            && !nm.endsWith(".crc"))
+      } finally walk.close()
+    }
+    require(sidecars == totalOpt,
+      s"sidecar census must track the compacted layout: $sidecars " +
+        s"sidecars over $totalOpt files")
+    // the dense plan re-derives against the compacted snapshot — the
+    // lazy pre-OPTIMIZE plan pins files vacuum just reclaimed; same
+    // stride over the same (unchanged) data selects the same keys
+    val denseOpt = TxnLake.read(spark, table).select(col("k"))
+      .where(pmod(xxhash64(col("k")), lit(stride)) === 0)
+    once(denseOpt); once(sparse) // re-warm on the new layout
+    val (dOptSec, dOptKept) = best(denseOpt)
+    val (sOptSec, _) = best(sparse)
+    require(dOptKept == totalOpt,
+      s"dense blanket must hit every compacted file: $dOptKept of $totalOpt")
     def s2(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     println(s"""SCALE {$tag,"mode":"acprobe","cpus":${spark.sparkContext
       .defaultParallelism},"files":$total,"keys":$keyN,""" +
       s""""dense_sec":${s2(dSec)},"dense_kept":$dKept,""" +
-      s""""sparse_sec":${s2(sSec)},"sparse_kept":$sKept}""")
+      s""""sparse_sec":${s2(sSec)},"sparse_kept":$sKept,""" +
+      s""""files_opt":$totalOpt,"dense_opt_sec":${s2(dOptSec)},""" +
+      s""""sparse_opt_sec":${s2(sOptSec)}}""")
   }
 
   /** File-count sweep for the ABOVE-CAP snapshot prune: fixed data, the

@@ -171,6 +171,41 @@ class TxnLakeBloomSpec extends SparkSpec {
     assert(got.filter(col("k") === md5Of(7L)).count() == 1)
   }
 
+  test("OPTIMIZE consolidates probe metadata: after compaction + vacuum " +
+    "the sidecar count tracks the post-compaction file count — probe " +
+    "I/O shrinks with the layout, not the table's history") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0 until 320).map(_.toLong).toDF("id")
+      .select(col("id"), md5(col("id").cast("string")).as("k"))
+    TxnLake.commit(spark, df.repartition(16), t, "overwrite",
+      bloomCols = Seq("k"))
+    def sidecarCount(): Int = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(t, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.map(_.getFileName.toString)
+          .count(n => n.contains(".parquet.bloom.") && !n.startsWith(".")
+            && !n.endsWith(".crc"))
+      } finally walk.close()
+    }
+    assert(TxnLake.snapshotFiles(spark, t).size == 16
+      && sidecarCount() == 16, "fixture: one sidecar per small file")
+    TxnLake.optimize(spark, t, numFiles = 2)
+    TxnLake.vacuum(spark, t, retainVersions = 1)
+    val live = TxnLake.snapshotFiles(spark, t)
+    assert(live.size == 2, s"compaction target: ${live.size}")
+    assert(sidecarCount() == 2,
+      s"sidecars must consolidate WITH the data files: ${sidecarCount()}")
+    assert(live.forall(_.stats.get("k").exists(_.bloom)),
+      "the consolidated files must carry fresh bloom flags")
+    // the probe now pays 2 sidecar loads, not 16 — and stays exact
+    val (got, (kept, total)) = TxnLake.readKeyed(spark, t, "k",
+      Seq(md5Of(123L)))
+    assert(total == 2 && kept <= 1 &&
+      got.filter(col("k") === md5Of(123L)).count() == 1)
+  }
+
   test("bloom flags survive log checkpointing (resolution via v10.ckpt)") {
     import spark.implicits._
     val t = freshTable()
