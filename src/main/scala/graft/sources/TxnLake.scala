@@ -1410,6 +1410,7 @@ object TxnLake extends LakeFormat {
                          requireBase: Option[Option[Long]] = None,
                          removePaths: Option[Seq[String]] = None,
                          extraTxns: Map[String, Long] = Map.empty,
+                         gcTxnPrefixes: Seq[String] = Seq.empty,
                          bloomCols: Seq[String] = Seq.empty,
                          newDvs: Map[String, DvRef] = Map.empty,
                          noData: Boolean = false,
@@ -1721,7 +1722,15 @@ object TxnLake extends LakeFormat {
       val prior = legacy ++ lastEntry.map(_.txns).getOrElse(Map.empty)
       val extra = extraTxns.map { case (a, b) =>
         a -> math.max(b, prior.getOrElse(a, Long.MinValue)) }
-      val txns = prior ++ extra ++ txn.toMap
+      // gcTxnPrefixes: retire auxiliary markers whose purpose this very
+      // commit completes (a sliced hop's per-slice markers, dropped by
+      // the hop's completion commit) — without GC they would ride every
+      // later entry's cumulative map forever. Prefix-matched so a
+      // cap-namespaced family (`app#v3@2`, `app#v3@5`, …) retires as
+      // one; callers end prefixes with their namespace separator so
+      // `app#v3@` can never swallow `app#v30@…`.
+      val txns = prior.filter { case (k, _) =>
+        !gcTxnPrefixes.exists(k.startsWith) } ++ extra ++ txn.toMap
       // deletion vectors: the live map is (previous live -- removed) ++
       // fresh — a removed file's DV dies with it, and this commit's
       // masks (deleteWhereDv/updateWhereDv) overlay the survivors. The
@@ -3076,10 +3085,11 @@ object TxnLake extends LakeFormat {
                        notMatchedBySource: Seq[MergeAction] = Seq.empty,
                        maxAttempts: Int = 10,
                        txn: Option[(String, Long)] = None,
-                       evolveSchema: Boolean = false): Option[Long] =
+                       evolveSchema: Boolean = false,
+                       gcTxnPrefixes: Seq[String] = Seq.empty): Option[Long] =
     mergeIntoClausesImpl(spark, source, table, key, matched, notMatched,
       notMatchedBySource, maxAttempts, () => (), txn,
-      evolveSchema = evolveSchema)
+      evolveSchema = evolveSchema, gcTxnPrefixes = gcTxnPrefixes)
 
   /** Test seam: `beforeCommit` runs between the snapshot read and the
     * commit attempt (interleave a concurrent writer deterministically). */
@@ -3093,7 +3103,9 @@ object TxnLake extends LakeFormat {
                                             beforeCommit: () => Unit,
                                             txn: Option[(String, Long)] = None,
                                             perAttempt: Option[Long] => Unit = _ => (),
-                                            evolveSchema: Boolean = false): Option[Long] = {
+                                            evolveSchema: Boolean = false,
+                                            gcTxnPrefixes: Seq[String] =
+                                              Seq.empty): Option[Long] = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
     require(matched.nonEmpty || notMatched.nonEmpty
       || notMatchedBySource.nonEmpty,
@@ -3400,7 +3412,8 @@ object TxnLake extends LakeFormat {
           beforeCommit()
           try return commitImpl(spark, df, table, "merge", txn,
               maxAttempts = 1, requireBase = Some(base),
-              removePaths = Some(removed), carryRids = carry) match {
+              removePaths = Some(removed), carryRids = carry,
+              gcTxnPrefixes = gcTxnPrefixes) match {
             case Some(v) => Some(v)
             case None => // replay: the (appId, batchId) marker exists
               require(txn.isDefined,

@@ -91,7 +91,10 @@ final class TxnReplicaFeed(source: String, replica: String, appId: String,
     *    merge, so it is the completion record: a consumer that crashes
     *    mid-hop resumes at the first unapplied slice (earlier slices
     *    replay as marker no-ops) and the offset never advances past a
-    *    half-applied hop. DML/maintenance/snapshot-replacement hops are
+    *    half-applied hop. The completion commit also GCs the hop's
+    *    slice markers (all cap namespaces) from the replica's
+    *    cumulative txns map — a long-lived feed's entries stay
+    *    O(live consumers), not O(historical slices). DML/maintenance/snapshot-replacement hops are
     *    already O(touched)/O(diff) and apply unsliced.
     *  - `maxVersionsPerPoll` > 0 caps the versions processed per poll:
     *    a consumer waking up to a month of history drains it in bounded
@@ -183,10 +186,17 @@ final class TxnReplicaFeed(source: String, replica: String, appId: String,
             .withColumn("change_type", lit("insert")),
           (cappedApp, i.toLong))
     }
-    // completion record: empty batch, txn set — the marker-only merge
+    // completion record: empty batch, txn set — the marker-only merge.
+    // It also GARBAGE-COLLECTS the hop's slice markers (every cap
+    // namespace `<sliceApp>@…`, a crashed previous run's included):
+    // resume never consults slice markers for versions at or below the
+    // completed offset, so carrying them in every later entry's
+    // cumulative txns map forever would be pure growth (the
+    // setTransactionRetentionDuration concern, solved structurally).
     applyHop(spark,
       TxnLake.readVersion(spark, source, v).limit(0)
-        .withColumn("change_type", lit("insert")), (appId, v))
+        .withColumn("change_type", lit("insert")), (appId, v),
+      gcTxnPrefixes = Seq(s"$sliceApp@"))
   }
 
   /** Apply one change hop to the replica as the exactly-once clause
@@ -194,7 +204,8 @@ final class TxnReplicaFeed(source: String, replica: String, appId: String,
     * hop or replayed marker). */
   private def applyHop(spark: SparkSession,
                        hop: org.apache.spark.sql.DataFrame,
-                       txn: (String, Long)): Boolean = {
+                       txn: (String, Long),
+                       gcTxnPrefixes: Seq[String] = Seq.empty): Boolean = {
     import TxnLake.{MergeDelete, MergeInsert, MergeUpdate, sourceCol}
     val cols = hop.columns.filterNot(_ == "change_type").toIndexedSeq
     require(!cols.contains("__op"),
@@ -213,6 +224,7 @@ final class TxnReplicaFeed(source: String, replica: String, appId: String,
       notMatched = Seq(MergeInsert(cols.map(c => c -> col(c)).toMap,
         Some(col("__op") =!= "D"))),
       txn = Some(txn),
-      evolveSchema = followSchema).nonEmpty
+      evolveSchema = followSchema,
+      gcTxnPrefixes = gcTxnPrefixes).nonEmpty
   }
 }

@@ -467,4 +467,79 @@ class CurationStreamSpec extends SparkSpec {
         .contains("indexed"))
     } finally spark.conf.unset("graft.probe.maxDriverKeys")
   }
+
+  test("a backfill-sized landing drains in BOUNDED micro-batches " +
+    "(maxFilesPerTrigger — the ingest's maxFilesPerHop): a mid-drain " +
+    "crash resumes convergently through the exactly-once indexed sink, " +
+    "and the sliced result equals the unsliced run's") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("cur_stream_backfill").toString
+    val toks = Seq("the", "quick", "brown", "fox", "jumps", "over", "his",
+      "lazy", "dog", "while", "the", "cat", "naps", "on", "a", "warm",
+      "mat", "and", "the", "sun", "sets", "slowly", "behind", "green",
+      "hills", "as", "birds", "sing", "their", "songs")
+    // 6 single-file landings; doc 4's text DUPLICATES doc 1's, and with
+    // cap=2 they land in DIFFERENT slices — the straddle the committed-
+    // fingerprint anti-join must catch (earlier slices are committed
+    // corpus by the time later ones curate)
+    val tails = Seq("songs", "owls", "boats", "songs", "stars", "waves")
+    val landing = java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(s"$base/landing"))
+    tails.zipWithIndex.foreach { case (w, i) =>
+      val tmp = Files.createTempDirectory("bf_tmp").resolve("out").toString
+      Seq(((i + 1).toLong, toks.updated(29, w).mkString(" ")))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("spec").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.parquet(tmp)
+      val stream = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      try {
+        import scala.jdk.CollectionConverters._
+        val part = stream.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        java.nio.file.Files.move(part, landing.resolve(f"f$i%02d.parquet"))
+      } finally stream.close()
+    }
+    // reference: the whole landing as ONE batch (no effective cap)
+    CurationStream.runCuratedBackfillIngestDecontam(
+      landing.toString, s"$base/ref", s"$base/ckpt_ref", "bf_ref", spark,
+      maxFilesPerTrigger = 100)
+    assert(TxnLake.lastTxn(spark, s"$base/ref", "bf_ref").contains(0L),
+      "fixture: uncapped, the backlog is one micro-batch")
+    val refFps = TxnLake.read(spark, s"$base/ref")
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(refFps.size == 5, s"fixture: the dup must dedup: ${refFps.size}")
+    // capped at 2 files/trigger with a crash after ONE applied batch
+    val table = s"$base/t"
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      CurationStream.runCuratedBackfillIngestDecontam(
+        landing.toString, table, s"$base/ckpt", "bf", spark,
+        maxFilesPerTrigger = 2, failAfterBatches = 1)
+    }
+    assert(TxnLake.lastTxn(spark, table, "bf").contains(0L),
+      "the crash must park the offset at the first unapplied slice")
+    // resume with the SAME checkpoint: the remaining slices drain, the
+    // replayed slice no-ops at the (appId, batchId) guard
+    CurationStream.runCuratedBackfillIngestDecontam(
+      landing.toString, table, s"$base/ckpt", "bf", spark,
+      maxFilesPerTrigger = 2)
+    assert(TxnLake.lastTxn(spark, table, "bf").contains(2L),
+      "6 files at cap 2 = micro-batches 0..2")
+    val rows = TxnLake.read(spark, table)
+    assert(rows.select("fp").collect().map(_.getString(0)).toSet == refFps,
+      "the sliced drain must converge to the unsliced run's corpus")
+    assert(rows.groupBy("fp").count().filter(col("count") > 1).count() == 0,
+      "the straddling duplicate must not double-commit")
+    assert(rows.select("ingest_batch").distinct().collect()
+      .map(_.getInt(0)).toSet == Set(0, 1, 2),
+      "every slice must carry its own batch id")
+    // the window index reconciled to the corpus watermark — the crashed
+    // batch's increment back-filled on resume
+    val windex = CurationStream.windowIndexPath(table)
+    assert(TxnLake.lastTxn(spark, windex,
+      CurationStream.windowIndexTxn("bf")).contains(2L),
+      "index increments must reconcile through the crash")
+  }
 }

@@ -296,20 +296,21 @@ class TxnReplicaFeedSpec extends SparkSpec {
       maxFilesPerHop = 2)
     assert(feed.poll(spark) == 1, "a sliced bootstrap is ONE version")
     assert(rows(rep) == rows(src))
-    // the slice markers + the completion marker are all recorded; the
-    // cap is part of the slice namespace (ordinals are only meaningful
-    // under the boundaries that produced them)
+    // the completion marker is the record; the per-slice markers are
+    // GARBAGE-COLLECTED by the completion commit (resume never consults
+    // them at or below the completed offset, and carrying them in every
+    // later entry's cumulative txns map forever would be pure growth)
     assert(TxnLake.lastTxn(spark, rep, "repl").contains(0L))
-    assert(TxnLake.lastTxn(spark, rep, "repl#boot0@2").contains(2L),
-      "3 slices of 2 files: slice ordinals 0..2 under the boot marker")
+    assert(TxnLake.lastTxn(spark, rep, "repl#boot0@2").isEmpty,
+      "the completed hop's slice markers must be GC'd from the txns map")
     // a bulk append past the cap slices too, under its own marker
     TxnLake.commit(spark,
       (100L until 140L).map(i => (i, s"v$i")).toDF("k", "v")
         .repartition(4), src, "append") // v1
     assert(feed.poll(spark) == 1)
     assert(rows(rep) == rows(src) && rows(rep).size == 100)
-    assert(TxnLake.lastTxn(spark, rep, "repl#v1@2").contains(1L),
-      "2 slices of 2 files under the append hop's marker")
+    assert(TxnLake.lastTxn(spark, rep, "repl#v1@2").isEmpty,
+      "a bulk append hop's slice markers GC with its completion too")
     // CRASH SIMULATION: a half-applied hop = slice markers present,
     // completion marker absent. Build it by hand for v2, then let a
     // fresh consumer resume: applied slices replay as marker no-ops,
@@ -330,12 +331,16 @@ class TxnReplicaFeedSpec extends SparkSpec {
       txn = Some(("repl#v2@2", 0L)))
     assert(TxnLake.lastTxn(spark, rep, "repl").contains(1L),
       "the offset must NOT advance past the half-applied hop")
+    assert(TxnLake.lastTxn(spark, rep, "repl#v2@2").contains(0L),
+      "mid-hop, the applied slice's marker must be LIVE (it is the resume state)")
     val fresh2 = new TxnReplicaFeed(src, rep, "repl", "k",
       maxFilesPerHop = 2)
     assert(fresh2.poll(spark) == 1, "resume applies the remaining hop")
     assert(rows(rep) == rows(src) && rows(rep).size == 140,
       "no row lost, none double-applied")
     assert(TxnLake.lastTxn(spark, rep, "repl").contains(2L))
+    assert(TxnLake.lastTxn(spark, rep, "repl#v2@2").isEmpty,
+      "the resumed hop's completion must GC the slice markers it replayed")
     // maxVersionsPerPoll drains a backlog in bounded bites
     (0 until 3).foreach { i =>
       TxnLake.commit(spark,
@@ -381,8 +386,10 @@ class TxnReplicaFeedSpec extends SparkSpec {
     assert(feed3.poll(spark) == 1)
     assert(rows(rep) == rows(src) && rows(rep).size == 60,
       "cross-cap resume must lose nothing and double-apply nothing")
-    assert(TxnLake.lastTxn(spark, rep, "repl#boot0@3").contains(1L),
-      "2 slices of 3 files under the new cap's namespace")
+    assert(TxnLake.lastTxn(spark, rep, "repl#boot0@3").isEmpty
+      && TxnLake.lastTxn(spark, rep, "repl#boot0@2").isEmpty,
+      "completion GCs BOTH cap namespaces — the fresh run's slices and " +
+        "the crashed run's foreign-cap leftovers")
     // duplicate keys across slice boundaries: the sliced hop must
     // refuse exactly as the unsliced merge would, BEFORE any slice
     // applies
