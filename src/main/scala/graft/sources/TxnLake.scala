@@ -439,11 +439,44 @@ object TxnLake extends LakeFormat {
   private[sources] val logEntryReads =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** Bounded LRU over parsed log entries, keyed by path and VALIDATED
+    * against the file's (modification time, length) on every hit — a
+    * published entry is immutable (publish-if-absent, never rewritten),
+    * but a table DIRECTORY can be wiped and re-founded at the same
+    * path (tests, scratch reuse), and the status check is what keeps a
+    * recreated v0 from serving its predecessor's metadata. Chatty
+    * metadata getters (tableConstraints / columnRenames / resolveDvs /
+    * the per-read latest-entry resolution) drop from read+parse per
+    * call to one stat RPC; [[logEntryReads]] counts PHYSICAL reads, so
+    * the seam shows the memo's effect directly. 256 entries ≈ a few MB
+    * ceiling: checkpoint-tail entries dominate re-reads, and eviction
+    * only re-pays one read. */
+  private val entryCache =
+    new java.util.LinkedHashMap[String, (Long, Long, Entry)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, Entry)]): Boolean =
+        size() > 256
+    }
+
   private def readEntry(spark: SparkSession, table: String, v: Long): Entry = {
-    logEntryReads.incrementAndGet()
     val p = new Path(logDir(table), s"v$v.json")
-    val in = fs(spark, p).open(p)
-    try parse(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    val f = fs(spark, p)
+    val st = f.getFileStatus(p)
+    val key = p.toString
+    entryCache.synchronized {
+      val hit = entryCache.get(key)
+      if (hit != null && hit._1 == st.getModificationTime
+          && hit._2 == st.getLen)
+        return hit._3
+    }
+    logEntryReads.incrementAndGet()
+    val in = f.open(p)
+    val e = try parse(new String(in.readAllBytes(), "UTF-8"))
+      finally in.close()
+    entryCache.synchronized {
+      entryCache.put(key, (st.getModificationTime, st.getLen, e))
+    }
+    e
   }
 
   private def checkpointVersions(spark: SparkSession, table: String): Seq[Long] = {

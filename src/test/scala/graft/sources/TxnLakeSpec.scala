@@ -995,4 +995,40 @@ class TxnLakeSpec extends SparkSpec {
     assert(all.sliding(2).forall { case Seq(a, b) => a < b },
       s"ALTER/restore entries must keep the clamp, got $all")
   }
+
+  test("entry memo: repeated metadata getters and reads cost ZERO " +
+    "physical entry reads (status-validated cache), and a table " +
+    "re-founded at the same path never serves stale metadata") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    TxnLake.commit(spark,
+      (0L until 20L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      t, "append")
+    TxnLake.addConstraint(spark, t, "k_pos", "k >= 0")
+    TxnLake.renameColumn(spark, t, "v", "txt")
+    // warm every getter once (parses land in the cache)
+    TxnLake.tableConstraints(spark, t)
+    TxnLake.columnRenames(spark, t)
+    TxnLake.read(spark, t).count()
+    TxnLake.readWhere(spark, t, col("k") === 3L).count()
+    TxnLake.logEntryReads.set(0L)
+    // the chatty second pass: every entry resolution is a cache hit
+    assert(TxnLake.tableConstraints(spark, t).contains("k_pos"))
+    assert(TxnLake.columnRenames(spark, t) == Map("v" -> "txt"))
+    assert(TxnLake.readWhere(spark, t, col("k") === 3L).count() == 1)
+    assert(TxnLake.read(spark, t).count() == 20)
+    assert(TxnLake.logEntryReads.get() == 0L,
+      s"repeat metadata resolution must be stat-only: " +
+        s"${TxnLake.logEntryReads.get()} physical entry reads")
+    // RE-FOUND the table at the same path: the memo must not serve the
+    // predecessor's metadata (the status check catches the new files)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+    TxnLake.commit(spark,
+      Seq((1L, 2L)).toDF("a", "b").coalesce(1), t, "append")
+    assert(TxnLake.tableConstraints(spark, t).isEmpty,
+      "a re-founded table must not inherit the predecessor's constraints")
+    assert(TxnLake.columnRenames(spark, t).isEmpty)
+    assert(TxnLake.read(spark, t).columns.toSeq == Seq("a", "b"))
+  }
 }
