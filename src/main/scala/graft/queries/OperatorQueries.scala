@@ -1670,6 +1670,26 @@ object OperatorQueries {
        |SELECT doc_id, fp, n_tokens, ingest_batch
        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** The x70 oracle: the same curation pipeline over ONE backfill
+    * landing drained in ascending-doc_id slices — the slice-order
+    * survivor rule (earlier slice commits first, within-batch canon is
+    * min doc_id) composes to GLOBAL min-doc_id-per-fingerprint, which
+    * is exactly relational. Batch assignment is slice-dependent, so
+    * `ingest_batch` deliberately stays OUT of the result (the engine
+    * gates it with requires instead — the d16 doctrine). */
+  private val backfillIngestOracleSql: String = {
+    val i = curatedIngestOracleSql.indexOf("f AS (")
+    curatedIngestOracleSql.substring(0, i).stripSuffix("\n") + "\n" +
+      """|f AS (
+         |  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         |  FROM st1),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY fp
+         |                                   ORDER BY doc_id) AS rn FROM f)
+         |SELECT doc_id, fp, n_tokens FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin
+  }
+
   val streamCuratedIngest = OracleQuery(
     "x32_stream_curated_ingest",
     curatedIngestOracleSql) { (s, d) =>
@@ -4541,6 +4561,72 @@ object OperatorQueries {
     } finally s.conf.unset("graft.snapshot.distributedPruneCap")
   }
 
+  /** Rate-limited BACKFILL ingest (x70) — the curation counterpart of
+    * the replica feed's maxFilesPerHop (r18 verdict item 5): a
+    * backfill-sized landing drains through the exactly-once curated
+    * sink in `maxFilesPerTrigger`-file micro-batches (Spark's own file-
+    * source rate limit — the source is the slicer, the sink is
+    * unchanged), and a mid-drain CRASH resumes convergently from the
+    * checkpoint + (appId, batchId) guards. Slices land in ascending
+    * doc_id order, so the cross-slice survivor rule composes to global
+    * min-doc_id-per-fingerprint and the whole drain is relational —
+    * the oracle recomputes it in SQL. Slice-dependent facts (batch
+    * count, crash offset, batch ids) gate with requires. */
+  val streamBackfillIngest = OracleQuery(
+    "x70_stream_backfill_ingest", backfillIngestOracleSql) { (s, d) =>
+    import graft.sources.TxnLake
+    import graft.streaming.CurationStream
+    val base = Scratch.dir("cur_backfill")
+    val landing = s"$base/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    val docs = Tables.documents(s, d)
+    val bounds = docs.stat
+      .approxQuantile("doc_id", Array(0.25, 0.5, 0.75), 0.0).map(_.toLong)
+    val cuts =
+      Seq(col("doc_id") <= bounds(0),
+        col("doc_id") > bounds(0) && col("doc_id") <= bounds(1),
+        col("doc_id") > bounds(1) && col("doc_id") <= bounds(2),
+        col("doc_id") > bounds(2))
+    cuts.zipWithIndex.foreach { case (p, i) =>
+      val tmp = s"$base/slice$i"
+      docs.filter(p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(landing, f"f$i%02d.parquet")
+      require(part.renameTo(dst), s"landing move failed: $part")
+      // deterministic slice ORDER: the file source sorts by mtime, and
+      // the ascending-doc_id survivor argument needs slice i before i+1
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val table = s"$base/t"
+    // drain at one file per micro-batch, CRASH after two applied
+    val crashed =
+      try {
+        CurationStream.runCuratedBackfillIngest(landing, table,
+          s"$base/ckpt", "x70_ingest", s, maxFilesPerTrigger = 1,
+          failAfterBatches = 2)
+        false
+      } catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => true
+      }
+    require(crashed, "the injected mid-drain crash must surface")
+    require(TxnLake.lastTxn(s, table, "x70_ingest").contains(1L),
+      "the crash must park the offset after the two applied slices")
+    // resume from the SAME checkpoint: replayed slice no-ops, the rest
+    // drain — 4 files at cap 1 = batches 0..3
+    CurationStream.runCuratedBackfillIngest(landing, table,
+      s"$base/ckpt", "x70_ingest", s, maxFilesPerTrigger = 1)
+    require(TxnLake.lastTxn(s, table, "x70_ingest").contains(3L),
+      "4 single-file slices must drain as batches 0..3")
+    val batches = TxnLake.read(s, table).select("ingest_batch")
+      .distinct().collect().map(_.getInt(0)).toSet
+    require(batches == Set(0, 1, 2, 3),
+      s"every slice must carry its own batch id: $batches")
+    TxnLake.read(s, table)
+      .select("doc_id", "fp", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OracleQuery] =
     Seq(srpAnn, ivfAnn, multimodal, streamRollup, approxDistinct, ivfLabelAnn,
       streamSessions, bucketedJoin, frameSample, approxPercentile,
@@ -4562,5 +4648,5 @@ object OperatorQueries {
       txnGeneratedColumns, txnTypeWidening,
       streamNearDupProbeAboveCap, streamDecontamProbeAboveCap,
       txnIdentityColumns, txnRowTracking, txnRenameColumn,
-      txnChangesByRowId, txnDistributedPrune)
+      txnChangesByRowId, txnDistributedPrune, streamBackfillIngest)
 }

@@ -642,23 +642,59 @@ object CurationStream {
                                        failAfterBatches: Int = -1): Unit = {
     verifiedCoverage.remove((windowIndexPath(table), windowIndexTxn(appId)))
     clearProbeLog(table)
-    val base = indexedIngestSink(table, appId,
-      windowIndexPath(table), windowIndexTxn(appId),
-      curateBatchDecontam(_, _, _, appId),
-      (s, b) => batchWindows(s, table, b, DecontamWindow),
-      indexBloomCol = "__g")
+    runBackfill(landingDir, checkpointDir, spark, maxFilesPerTrigger,
+      failAfterBatches)(
+      indexedIngestSink(table, appId,
+        windowIndexPath(table), windowIndexTxn(appId),
+        curateBatchDecontam(_, _, _, appId),
+        (s, b) => batchWindows(s, table, b, DecontamWindow),
+        indexBloomCol = "__g"))
+  }
+
+  /** [[runCuratedBackfillIngestDecontam]]'s index-free sibling — the
+    * x32 curator (scrub → gate → dedup, anti-joined against committed
+    * fingerprints) over a rate-limited backfill drain. This is the
+    * SQL-expressible shape the x70 oracle recomputes: the slice-order
+    * survivor rule composes with the within-batch canon to GLOBAL
+    * min-doc_id-per-fingerprint when slices land in ascending doc_id
+    * order. */
+  def runCuratedBackfillIngest(landingDir: String, table: String,
+                               checkpointDir: String, appId: String,
+                               spark: SparkSession,
+                               maxFilesPerTrigger: Int,
+                               failAfterBatches: Int = -1): Unit =
+    runBackfill(landingDir, checkpointDir, spark, maxFilesPerTrigger,
+      failAfterBatches) { (batch, batchId) =>
+      if (!TxnLake.lastTxn(batch.sparkSession, table, appId)
+            .exists(_ >= batchId)) {
+        Expectations.commitOnceWithExpectations(
+          batch.sparkSession, curateBatch(batch, table, batchId),
+          table, "append", appId, batchId, IngestExpectations,
+          bloomCols = CorpusBloomCols)
+      }
+      ()
+    }
+
+  /** The shared rate-limited drain: AvailableNow over the landing dir
+    * with `maxFilesPerTrigger` as the slice bound, optional injected
+    * crash after `failAfterBatches` applied batches (the mid-drain
+    * resume proof's seam). */
+  private def runBackfill(landingDir: String, checkpointDir: String,
+                          spark: SparkSession, maxFilesPerTrigger: Int,
+                          failAfterBatches: Int)
+                         (sink: (DataFrame, Long) => Unit): Unit = {
     var applied = 0
-    val sink = (batch: DataFrame, batchId: Long) => {
+    val guarded = (batch: DataFrame, batchId: Long) => {
       if (failAfterBatches >= 0 && applied >= failAfterBatches)
         throw new IllegalStateException(
           "CurationStream: injected mid-drain crash (test seam)")
-      base(batch, batchId)
+      sink(batch, batchId)
       applied += 1
     }
     val q = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(landingDir)
-      .writeStream.foreachBatch(sink)
+      .writeStream.foreachBatch(guarded)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
