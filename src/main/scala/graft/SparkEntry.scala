@@ -62,7 +62,7 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    SemDeDup cluster-scoped semantic dedup, MMR diversified re-rank,
   *    per-label outlier scores, ANN recall evaluation, broadcast-Lloyd
   *    distributed k-means
-  *  - x01–x68 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
+  *  - x01–x70 [[graft.queries.OperatorQueries]] — SRP-LSH (oracled), IVF,
   *    multimodal features + frame sampling, streaming windows + sessions +
   *    dedup + interval join + mapGroupsWithState + late-data census +
   *    stream-static broadcast enrichment,
@@ -161,7 +161,18 @@ import graft.queries.{AnalyticQueries, CurationPipeline, CurationQueries, Operat
   *    physical name, a cumulative physical→display overlay renames at
   *    the boundaries — retired-name writes refuse, skipping stays
   *    live, old versions time-travel under their era's names,
-  *    identity/generated/constraint-referenced columns pin)
+  *    identity/generated columns pin their own rename while
+  *    constraint- and gen-expression-referenced columns rename WITH
+  *    their references: the stored SQL rewrites in the same metadata
+  *    commit and keeps enforcing under the new name), DISTRIBUTED
+  *    snapshot file-list pruning (past a file-count cap the parquet
+  *    checkpoint is read as a table and the stats matcher runs on the
+  *    executors — only surviving paths collect, the driver never
+  *    holds the O(snapshot) list; identical kept sets both regimes,
+  *    seam-gated), and the RATE-LIMITED backfill ingest
+  *    (maxFilesPerTrigger as the curation counterpart of the replica
+  *    feed's maxFilesPerHop: bounded micro-batches through the
+  *    unchanged exactly-once sink, injected-crash convergent resume)
   *  - q48 [[graft.queries.PipelineQueries]] — the earthquake pipeline
   *    itself (bronze GeoJSON → silver → gold star schema) end to end
   *    over the deterministic USGS fixture, surrogate-key joins gated
