@@ -1642,7 +1642,10 @@ object OperatorQueries {
     * shared verbatim by x37: lake maintenance interleaved with the ingest
     * must be observationally invisible, so the oracle literally cannot
     * mention it. */
-  private val curatedIngestOracleSql: String =
+  /** Shared CTE prefix (scrub → tokenize → gate → st1) of the curated
+    * ingest oracles — composed BY NAME into x32/x37's and x70's full
+    * SQL so neither is built by substring surgery on the other. */
+  private val curatedStage1Sql: String =
     s"""WITH scrub AS (
        |  SELECT doc_id,
        |    regexp_replace(nfc_normalize(text), '${TextQueries.CtrlClassSql}', '', 'g') AS text
@@ -1658,17 +1661,19 @@ object OperatorQueries {
        |st1 AS (
        |  SELECT doc_id, text, n_tokens FROM vb
        |  WHERE n_tokens >= 20 AND alpha_ratio >= 0.5
-       |    AND ${TextQueries.langCaseSql} <> 'und'),
-       |f AS (
-       |  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-       |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS ingest_batch
-       |  FROM st1),
-       |r AS (SELECT *, row_number() OVER (PARTITION BY fp
-       |                                   ORDER BY ingest_batch, doc_id) AS rn
-       |      FROM f)
-       |SELECT doc_id, fp, n_tokens, ingest_batch
-       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+       |    AND ${TextQueries.langCaseSql} <> 'und')""".stripMargin
+
+  private val curatedIngestOracleSql: String = curatedStage1Sql + ",\n" +
+    """f AS (
+      |  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS ingest_batch
+      |  FROM st1),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY fp
+      |                                   ORDER BY ingest_batch, doc_id) AS rn
+      |      FROM f)
+      |SELECT doc_id, fp, n_tokens, ingest_batch
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** The x70 oracle: the same curation pipeline over ONE backfill
     * landing drained in ascending-doc_id slices — the slice-order
@@ -1677,18 +1682,15 @@ object OperatorQueries {
     * is exactly relational. Batch assignment is slice-dependent, so
     * `ingest_batch` deliberately stays OUT of the result (the engine
     * gates it with requires instead — the d16 doctrine). */
-  private val backfillIngestOracleSql: String = {
-    val i = curatedIngestOracleSql.indexOf("f AS (")
-    curatedIngestOracleSql.substring(0, i).stripSuffix("\n") + "\n" +
-      """|f AS (
-         |  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-         |  FROM st1),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY fp
-         |                                   ORDER BY doc_id) AS rn FROM f)
-         |SELECT doc_id, fp, n_tokens FROM r WHERE rn = 1
-         |ORDER BY doc_id""".stripMargin
-  }
+  private val backfillIngestOracleSql: String = curatedStage1Sql + ",\n" +
+    """f AS (
+      |  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM st1),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY fp
+      |                                   ORDER BY doc_id) AS rn FROM f)
+      |SELECT doc_id, fp, n_tokens FROM r WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
 
   val streamCuratedIngest = OracleQuery(
     "x32_stream_curated_ingest",

@@ -444,7 +444,11 @@ object TxnLake extends LakeFormat {
     * published entry is immutable (publish-if-absent, never rewritten),
     * but a table DIRECTORY can be wiped and re-founded at the same
     * path (tests, scratch reuse), and the status check is what keeps a
-    * recreated v0 from serving its predecessor's metadata. Chatty
+    * recreated v0 from serving its predecessor's metadata (staleness
+    * would need the NEW file's mtime to equal the CACHED one — i.e. a
+    * wipe-and-refound landing in the same clock millisecond as the
+    * original founding — AND an identical byte length; a re-found
+    * made any later than that always misses and re-reads). Chatty
     * metadata getters (tableConstraints / columnRenames / resolveDvs /
     * the per-read latest-entry resolution) drop from read+parse per
     * call to one stat RPC; [[logEntryReads]] counts PHYSICAL reads, so
@@ -598,11 +602,16 @@ object TxnLake extends LakeFormat {
     * is footer metadata + tail arithmetic, no job.
     *
     * None when the regime doesn't apply — no parquet checkpoint at or
-    * below `version` (tiny log), or a legacy full-list entry in the
-    * tail (pre-delta log surgery) — and the caller falls back to the
-    * driver path. */
+    * below `version` (tiny log), a legacy JSON checkpoint, a legacy
+    * full-list entry in the tail (pre-delta log surgery), or a
+    * checkpoint row count at or below `cap` (the regime probe is this
+    * one footer read — the count deliberately ignores the tail's
+    * deltas: both regimes compute identical kept sets, so a tail that
+    * momentarily crosses the cap simply waits for its next
+    * checkpoint) — and the caller falls back to the driver path. */
   private def snapshotAsDf(spark: SparkSession, table: String,
-                           version: Long): Option[(DataFrame, Long)] = {
+                           version: Long, cap: Int)
+      : Option[(DataFrame, Long)] = {
     val ckptV = checkpointVersions(spark, table).filter(_ <= version)
       .lastOption.getOrElse(return None)
     val ckptPath = new Path(logDir(table), s"v$ckptV.ckpt")
@@ -612,8 +621,13 @@ object TxnLake extends LakeFormat {
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(ckptPath, conf))
         try r.getRecordCount finally r.close()
       } catch { case _: Exception => return None } // legacy JSON checkpoint
-    // tail deltas, driver-parsed exactly as [[resolveFiles]] does — the
-    // tail is O(CheckpointInterval) entries, never O(snapshot)
+    if (ckptRows <= cap) return None
+    // tail deltas, driver-parsed with the SAME replay rule as
+    // [[resolveFiles]] (remove-then-add per version; an add removed by
+    // a later version dies in the buffer) — the tail is
+    // O(CheckpointInterval) entries, never O(snapshot). The two
+    // replayers are guarded against drift by the parity gates
+    // (TxnLakeDistributedPruneSpec + x69 compare regimes end to end).
     val addBuf = scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
     val removedCkpt = scala.collection.mutable.Set.empty[String]
     var v = ckptV + 1
@@ -652,38 +666,46 @@ object TxnLake extends LakeFormat {
     Some((withAdds, total))
   }
 
-  /** Row count of the newest parquet checkpoint at or below `version`,
-    * from the FOOTER alone — the O(1) probe that decides the prune
-    * regime without parsing the checkpoint. None on a legacy JSON
-    * checkpoint or none at all. The count ignores the tail's deltas:
-    * the regime decision is a heuristic (both paths compute identical
-    * kept sets), so a tail that momentarily crosses the cap simply
-    * waits for its next checkpoint. */
-  private def ckptRowsAtOrBelow(spark: SparkSession, table: String,
-                                version: Long): Option[Long] = {
-    val ckptV = checkpointVersions(spark, table).filter(_ <= version)
-      .lastOption.getOrElse(return None)
-    val p = new Path(logDir(table), s"v$ckptV.ckpt")
-    try {
-      val r = ParquetFileReader.open(
-        HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration))
-      try Some(r.getRecordCount) finally r.close()
-    } catch { case _: Exception => None }
-  }
-
   /** The above-cap branch of [[readWherePruned]]: the stats matcher runs
     * ON THE EXECUTORS over the snapshot-as-DataFrame and only the
-    * surviving paths return to the driver. Liveness is then checked on
-    * exactly the files the scan will open (the survivors) — a vacuumed
-    * non-survivor was never going to be read. */
+    * surviving paths return to the driver. Liveness mirrors the driver
+    * path's LATEST-version contract at the same O(commit dirs) cost —
+    * every commit dir of the snapshot must exist (the dir set derives
+    * distributedly, then probes on the driver) — and the SURVIVORS
+    * additionally check file-granular through [[requireLive]]. A
+    * file-granular vacuum of a non-survivor inside a live dir is the
+    * one case the driver's time-travel check catches and this one
+    * defers to scan time — the file was never going to be read. */
   private def readWhereDistributed(spark: SparkSession, table: String,
                                    v: Long, predicate: Column,
                                    fdf: DataFrame, total: Long)
       : (DataFrame, (Int, Int)) = {
     import spark.implicits._
+    // a tail that removed EVERY checkpoint file (scorched-earth CoW
+    // delete) leaves an above-cap checkpoint over an empty snapshot:
+    // answer like the driver path's empty case instead of sampling a
+    // file that does not exist
+    if (total <= 0L) {
+      lastPruneDistributed = true
+      return (spark.emptyDataFrame, (0, 0))
+    }
     val entry = readEntry(spark, table, v)
     val schema = entry.schemaStruct
     val ren = entry.renames
+    val dirs = fdf
+      .select(org.apache.spark.sql.functions
+        .substring_index(org.apache.spark.sql.functions.col("path"), "/", 2)
+        .as("d"))
+      .distinct().as[String].collect()
+    locally {
+      val f = fs(spark, new Path(table))
+      dirs.find(dr => !f.exists(new Path(table, dr))).foreach { dr =>
+        throw new IllegalStateException(
+          s"TxnLake: version $v of $table has been vacuumed " +
+            s"($dr reclaimed); only versions within the retention " +
+            "window at the last vacuum remain readable")
+      }
+    }
     val sampleAbs = new Path(table,
       fdf.select("path").as[String].head()).toString
     val pred = resolvedPredicate(spark, sampleAbs, predicate,
@@ -2322,14 +2344,11 @@ object TxnLake extends LakeFormat {
         // holds only the SURVIVORS — O(files that may match), never
         // O(snapshot). Identical kept-set semantics: the executors run
         // the same conservative matcher on the same stats JSON.
-        if (ckptRowsAtOrBelow(spark, table, v)
-              .exists(_ > distributedPruneCap(spark))) {
-          snapshotAsDf(spark, table, v) match {
-            case Some((fdf, total)) =>
-              return readWhereDistributed(spark, table, v, predicate,
-                fdf, total)
-            case None => // legacy tail — fall through to the driver path
-          }
+        snapshotAsDf(spark, table, v, distributedPruneCap(spark)) match {
+          case Some((fdf, total)) =>
+            return readWhereDistributed(spark, table, v, predicate,
+              fdf, total)
+          case None => // below cap / no ckpt / legacy — driver path
         }
         val files = resolveFiles(spark, table, v)
         requireLive(spark, table, v, files)

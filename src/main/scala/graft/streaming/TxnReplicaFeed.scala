@@ -126,7 +126,12 @@ final class TxnReplicaFeed(source: String, replica: String, appId: String,
             applySliced(spark, v, adds, s"$appId#v$v")
           else applyHop(spark,
             TxnLake.tableChanges(spark, source, v - 1, v, key)
-              .drop("commit_version"), (appId, v))
+              .drop("commit_version"), (appId, v),
+            // a crashed SLICED run of this hop (under any cap) may have
+            // left slice markers; an unsliced resume — cap raised or
+            // disabled — must GC them at its completion too, or they
+            // orphan in the cumulative map forever
+            gcTxnPrefixes = Seq(s"$appId#v$v@"))
         }
       if (newlyApplied) applied += 1
       stepped += 1
@@ -143,7 +148,10 @@ final class TxnReplicaFeed(source: String, replica: String, appId: String,
       applySliced(spark, v, files, s"$appId#boot$v")
     else applyHop(spark,
       TxnLake.readVersion(spark, source, v)
-        .withColumn("change_type", lit("insert")), (appId, v))
+        .withColumn("change_type", lit("insert")), (appId, v),
+      // see poll(): an unsliced bootstrap resume GCs a crashed sliced
+      // predecessor's boot markers
+      gcTxnPrefixes = Seq(s"$appId#boot$v@"))
   }
 
   /** Apply an oversized insert hop in `maxFilesPerHop`-file slices,

@@ -107,6 +107,45 @@ class TxnLakeDistributedPruneSpec extends SparkSpec {
       "distributed regime too")
   }
 
+  test("an EMPTIED above-cap snapshot answers like the driver path " +
+    "(no crash sampling a nonexistent file), and a vacuumed version " +
+    "refuses loudly in the distributed regime too") {
+    import spark.implicits._
+    val t = fresh()
+    build(t)
+    // scorched-earth CoW delete: the checkpoint stays above the cap
+    // but the live snapshot holds no rows (one schema-carrying empty
+    // file — Spark's empty-write shape; the total<=0 guard in
+    // readWhereDistributed covers the zero-file variant defensively)
+    TxnLake.deleteWhere(spark, t, lit(true))
+    val (dDf, cDriver) = TxnLake.readWherePruned(spark, t, col("k") === 1L)
+    assert(!TxnLake.lastPruneDistributed && dDf.isEmpty)
+    val (emptyDf, cDist) = withCap(1) {
+      TxnLake.readWherePruned(spark, t, col("k") === 1L)
+    }
+    assert(TxnLake.lastPruneDistributed && cDist == cDriver
+        && emptyDf.isEmpty,
+      s"an emptied snapshot must answer empty in BOTH regimes: " +
+        s"$cDist vs $cDriver")
+    // vacuumed time travel: retire the old generation, vacuum, then
+    // read an old version above the cap — the dir probe must refuse
+    // with the driver path's error, not a mid-scan file-not-found
+    val t2 = fresh()
+    build(t2)
+    val vOld = TxnLake.latestVersion(spark, t2).get
+    TxnLake.commit(spark,
+      (0 until 5).map(j => (j.toLong, "n")).toDF("k", "v").coalesce(1),
+      t2, "overwrite")
+    TxnLake.vacuum(spark, t2, retainVersions = 1)
+    val e = intercept[IllegalStateException] {
+      withCap(1) { TxnLake.readWherePruned(spark, t2,
+        col("k") === 1L, Some(vOld)) }
+    }
+    assert(e.getMessage.contains("vacuumed"),
+      s"the distributed regime must refuse a vacuumed version loudly: " +
+        e.getMessage)
+  }
+
   test("a pre-checkpoint log (no ckpt yet) falls back to the driver " +
     "path even above the cap — and answers identically") {
     import spark.implicits._

@@ -408,4 +408,31 @@ class TxnReplicaFeedSpec extends SparkSpec {
       && TxnLake.lastTxn(spark, rep, "repl").contains(0L),
       "the refused hop must apply no slice and park the offset")
   }
+
+  test("an UNSLICED resume (cap disabled) of a crashed sliced hop GCs " +
+    "the orphaned slice markers at its completion too") {
+    import spark.implicits._
+    val (src, rep) = fresh()
+    TxnLake.commit(spark,
+      (0L until 60L).map(i => (i, s"v$i")).toDF("k", "v").repartition(6),
+      src, "append") // v0: 6 files
+    // half-apply the bootstrap under cap=2, as a crashed consumer would
+    val files = TxnLake.snapshotFiles(spark, src).map(_.path).sorted
+    import TxnLake.MergeInsert
+    TxnLake.mergeIntoClauses(spark,
+      TxnLake.readFileSlice(spark, src, 0L, files.take(2)), rep, "k",
+      notMatched = Seq(MergeInsert(Map("k" -> col("k"), "v" -> col("v")))),
+      txn = Some(("repl#boot0@2", 0L)))
+    assert(TxnLake.lastTxn(spark, rep, "repl#boot0@2").contains(0L),
+      "fixture: the crashed run's marker is live")
+    // resume with slicing DISABLED: the hop applies whole, converging
+    // on the rows the crashed slice already landed — and its completion
+    // must retire the foreign-cap markers
+    val feed = new TxnReplicaFeed(src, rep, "repl", "k")
+    assert(feed.poll(spark) == 1)
+    assert(rows(rep) == rows(src) && rows(rep).size == 60)
+    assert(TxnLake.lastTxn(spark, rep, "repl").contains(0L))
+    assert(TxnLake.lastTxn(spark, rep, "repl#boot0@2").isEmpty,
+      "the unsliced completion must GC the crashed sliced run's markers")
+  }
 }
