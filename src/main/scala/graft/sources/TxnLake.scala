@@ -2294,7 +2294,16 @@ object TxnLake extends LakeFormat {
     * (LongType): stable, unique, never-reissued row identifiers that
     * survive copy-on-write rewrites, DV deletes, OPTIMIZE, restore, and
     * clone (Delta row tracking's `_metadata.row_id`). Refuses loudly on
-    * a table whose live files predate tracking. */
+    * a table whose live files predate tracking.
+    *
+    * Driver-memory class: a FULL-snapshot scan inherently enumerates
+    * its file paths on the driver (the parquet relation is built from
+    * the path list — Delta's scans hold the same structure), so this
+    * path is O(snapshot paths) by nature; the per-file base-id pairs
+    * broadcast with them. The paths whose driver footprint must not
+    * scale with the table are the SELECTIVE ones, and there the
+    * above-cap regime ([[readWherePruned]] via [[snapshotAsDf]])
+    * decides the kept set distributedly and collects only survivors. */
   def readWithRowIds(spark: SparkSession, table: String,
                      version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, table)).getOrElse(
