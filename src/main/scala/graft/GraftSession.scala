@@ -45,6 +45,28 @@ object GraftSession {
       // notebook, this registry) want the cache sized to the workload —
       // the classes themselves live in the (already sized) code cache.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Fork-free local FS (see graft.sources.NioLocalFileSystem): without
+      // libhadoop, RawLocalFileSystem forks a chmod PROCESS per created
+      // file; a streaming-ingest lifecycle creates 100+ files (parquet
+      // parts, .crc twins, log entries, sidecars, checkpoint files) and
+      // burned ~0.5-1 s/query in fork+exec. java.nio chmod instead.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.NioLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.sources.NioLocalFs")
+      // FileSystem handles are cached per (scheme, conf) anyway; disable
+      // nothing — the custom impl honors the same cache key.
+      //
+      // Force the SORT shuffle writer (one data + one index file per map
+      // task) instead of bypass-merge (one file PER REDUCE PARTITION per
+      // map task). At the local 32-partition setting every tiny exchange
+      // used to create 32x32+ shuffle files; executor jstack sampling
+      // showed tasks dominated by FileOutputStream.open0. Production
+      // clusters run shuffle.partitions in the hundreds-to-thousands,
+      // where the bypass writer never applies (threshold 200) — so this
+      // makes the local code path MATCH the at-scale one, not diverge
+      // from it.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
 
   /** Default executor-thread count = every host core (the deployment
     * contract: one local[N] JVM using the whole box, shuffle partitions

@@ -271,9 +271,12 @@ object MinHashDedup {
     // delta bands materialized ONCE: they feed the size probe, the key
     // collect, AND the broadcast build (an unpinned plan would re-minhash
     // the delta for each)
-    val bandsD = org.apache.spark.sql.GraftCheckpointShim
-      .dropCarriedStats(bandTable(shD).localCheckpoint())
-    val nBands = bandsD.count()
+    import graft.plans.JobLabel.labeled
+    val sess = delta.sparkSession
+    val bandsD = labeled(sess, "neardup:pin-delta-bands") {
+      org.apache.spark.sql.GraftCheckpointShim
+        .dropCarriedStats(bandTable(shD).localCheckpoint()) }
+    val nBands = labeled(sess, "neardup:band-count") { bandsD.count() }
     if (!sp(nBands)) {
       lastProbeCandShuffleFree = false
       // distributed-loader regime: prune the index files on the
@@ -295,13 +298,15 @@ object MinHashDedup {
         corpusFull, threshold, materialize = true,
         corpusForIdsDf = corpusForIdsDf)
     }
-    val bhKeys = bandsD.select("bh").distinct().collect()
-      .map(_.getString(0)).toSeq
+    val bhKeys = labeled(sess, "neardup:bh-collect") {
+      bandsD.select("bh").distinct().collect()
+        .map(_.getString(0)).toSeq }
     val candLazy = indexForBands(bhKeys).as("y")
       .join(broadcast(bandsD.as("x")),
         col("x.b") === col("y.b") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val cand = candLazy.localCheckpoint()
+    val cand = labeled(sess, "neardup:pin-candidates") {
+      candLazy.localCheckpoint() }
     lastProbeCandShuffleFree = graft.plans.PlanChecks.shuffleFree(candLazy)
     val candIds = cand.select(col("doc_b").as("doc_id")).distinct()
     // candidate partners are true-collision-bounded, but a dup-storm batch
@@ -309,12 +314,13 @@ object MinHashDedup {
     // it the id membership distributes too (or falls back to the full
     // corpus scan when the caller has no keyed loader)
     val needed =
-      if (candIds.count() > cap) {
+      if (labeled(sess, "neardup:cand-id-count") { candIds.count() } > cap) {
         val base =
           if (corpusForIdsDf == null) corpusFull else corpusForIdsDf(candIds)
         base.join(candIds, Seq("doc_id"), "left_semi")
       } else {
-        val ids = candIds.collect().map(_.getLong(0)).toSeq
+        val ids = labeled(sess, "neardup:cand-id-collect") {
+          candIds.collect().map(_.getLong(0)).toSeq }
         corpusForIds(ids).join(broadcast(candIds), Seq("doc_id"), "left_semi")
       }
     val shC = shingleTable(needed).cache()
@@ -341,7 +347,8 @@ object MinHashDedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
     if (!materialize) pairs
     else {
-      val pinned = pairs.localCheckpoint()
+      val pinned = graft.plans.JobLabel.labeled(cand.sparkSession,
+        "neardup:pin-verified-pairs") { pairs.localCheckpoint() }
       shD.unpersist(); shC.unpersist()
       pinned
     }

@@ -77,7 +77,8 @@ object Expectations {
     val prevRows = prevRowsFor(spark, table, operation)
     val version = TxnLake.commit(spark, good, table, operation,
       bloomCols = bloomCols)
-    val badCount = bad.count()
+    val badCount = graft.plans.JobLabel.labeled(spark,
+      "expect:quarantine-count") { bad.count() }
     val qv =
       if (badCount == 0) None
       else Some(TxnLake.commit(spark, bad, quarantinePath(table), "append"))
@@ -103,7 +104,8 @@ object Expectations {
     val (good, bad) = split(df, expectations)
     if (TxnLake.lastTxn(spark, table, appId).exists(_ >= batchId)) return None
     val prevRows = prevRowsFor(spark, table, operation)
-    val badCount = bad.count()
+    val badCount = graft.plans.JobLabel.labeled(spark,
+      s"expect:quarantine-count b$batchId") { bad.count() }
     val qv =
       if (badCount == 0) None
       else TxnLake.commitOnce(spark, bad, quarantinePath(table), "append",

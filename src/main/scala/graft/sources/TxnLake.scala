@@ -999,9 +999,11 @@ object TxnLake extends LakeFormat {
       val ser = new SerConf(conf)
       val slices = math.min(files.size,
         math.max(1, spark.sparkContext.defaultParallelism))
-      spark.sparkContext.parallelize(files, slices)
-        .map { case (abs, rel) => harvestMeta(ser.value, new Path(abs), rel, schema) }
-        .collect().toSeq.sortBy(_.path)
+      graft.plans.JobLabel.labeled(spark, s"txn:harvest ${files.size} files") {
+        spark.sparkContext.parallelize(files, slices)
+          .map { case (abs, rel) => harvestMeta(ser.value, new Path(abs), rel, schema) }
+          .collect().toSeq.sortBy(_.path)
+      }
     }
   }
 
@@ -1089,7 +1091,9 @@ object TxnLake extends LakeFormat {
       while (b.toLong < target && b < (1 << 24)) b <<= 1
       new Path(fm.path).getName -> b
     }.toMap
-    val built = proj.rdd.mapPartitions { it =>
+    val built = graft.plans.JobLabel.labeled(spark,
+      s"txn:postwrite bloom+checks ${files.size} files") {
+      proj.rdd.mapPartitions { it =>
       val acc = scala.collection.mutable.Map
         .empty[String, (Array[Array[Long]], Array[Long])]
       it.foreach { r =>
@@ -1116,9 +1120,10 @@ object TxnLake extends LakeFormat {
       (a._1.zip(b._1).map { case (x, y) => BloomIndex.merge(x, y) },
         a._2.zip(b._2).map { case (x, y) => x + y })
     }.collect()
-      .map { case (uri, v) =>
-        new Path(new java.net.URI(uri)).toUri.getPath -> v }
-      .toMap
+        .map { case (uri, v) =>
+          new Path(new java.net.URI(uri)).toUri.getPath -> v }
+        .toMap
+    }
     val violations = (0 until nChecks).map { j =>
       built.valuesIterator.map(_._2(j)).sum }
     // a violating commit aborts: skip the sidecar publication entirely
@@ -1661,8 +1666,11 @@ object TxnLake extends LakeFormat {
       val added0 =
         if (noData) Seq.empty[FileMeta]
         else {
-          dfPhys.write.mode("overwrite")
-            .parquet(new Path(tablePath, dataRel).toString)
+          graft.plans.JobLabel.labeled(spark, s"txn:$operation write " +
+              new Path(table).getName) {
+            dfPhys.write.mode("overwrite")
+              .parquet(new Path(tablePath, dataRel).toString)
+          }
           // add actions: one per written file, with footer-harvested stats
           // (distributed above DriverHarvestMax files — see harvestAll)
           val written = f.listStatus(new Path(tablePath, dataRel))

@@ -56,9 +56,40 @@ object CurationStream {
   /** The shared stage-1/2 tier — scrub → quality/language gate →
     * within-batch exact-dedup survivor — factored to ONE definition so
     * the three batch curators (x32/x33/x34) can never skew on a gate
-    * threshold or the canon rule. Emits (doc_id, fp, n_tokens, text). */
+    * threshold or the canon rule. Emits (doc_id, fp, n_tokens, text).
+    *
+    * Optimization round 19 (guide §1.2/§2.5): the gate below is the
+    * CPU-expensive per-batch compute (NFC normalize + three regexes +
+    * tokenize + langid + fingerprint per row), and it used to re-run
+    * 4-6× per batch — the canon build and the join's probe side are two
+    * subtrees of one plan, and the expectations sink then evaluates the
+    * whole curator once for the quarantine count and once for the target
+    * write. Two changes, measured by job-level profiling at sf0.1:
+    *
+    *  1. SPREAD an under-partitioned batch before the gate. A wave lands
+    *     as one small file, so the scan is ONE task and the gate chain
+    *     serialized on a single core with the other 31 idle (0.6-1.4 s
+    *     single-task jobs). At production scale a day's batch arrives in
+    *     >= cores splits and the branch is a no-op; below that the
+    *     repartition shuffles only the raw batch bytes once — exactly
+    *     the guide's "input skew: repartition immediately after the
+    *     read" rule, conditioned on measured partition deficit.
+    *  2. PIN the gate output once (localCheckpoint), then pin the canon
+    *     survivor set once; every downstream consumer (committed-fp
+    *     anti-join, near-dup/decontam probes, quarantine count, target
+    *     write, index increments) is a KB-scale checkpoint scan. The
+    *     gate now runs exactly ONCE per micro-batch.
+    *
+    * Replayed batches never reach this (the sinks' replay fast-path
+    * checks the txn log before building the curator), so the eager pin
+    * costs nothing on the replay wave. */
   private def gatedSurvivors(batch: DataFrame): DataFrame = {
-    val scrubbed = batch.select(col("doc_id"),
+    val s = batch.sparkSession
+    val cores = s.sparkContext.defaultParallelism
+    val src =
+      if (batch.rdd.getNumPartitions < cores) batch.repartition(cores)
+      else batch
+    val scrubbed = src.select(col("doc_id"),
       regexp_replace(
         graft.expressions.TextExpressions.nfcNormalize(col("text")),
         graft.functions.TextFunctions.CtrlClassSpark, "").as("text"))
@@ -72,8 +103,16 @@ object CurationStream {
         && langId(col("toks")) =!= "und")
       .withColumn("fp", fingerprint(col("text")))
       .select("doc_id", "fp", "n_tokens", "text")
-    val canon = gated.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-    gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+    val pinnedGated = graft.plans.JobLabel.labeled(s, "curate:pin-gated") {
+      org.apache.spark.sql.GraftCheckpointShim
+        .dropCarriedStats(gated.localCheckpoint())
+    }
+    val canon = pinnedGated.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    graft.plans.JobLabel.labeled(s, "curate:pin-survivors") {
+      org.apache.spark.sql.GraftCheckpointShim.dropCarriedStats(
+        pinnedGated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+          .localCheckpoint())
+    }
   }
 
   /** Marker txn ids under which the sink persists how far the coverage
@@ -180,10 +219,14 @@ object CurationStream {
                                    table: String): DataFrame = {
     val s = survivors.sparkSession
     if (TxnLake.latestVersion(s, table).isEmpty) return survivors
-    val sv = org.apache.spark.sql.GraftCheckpointShim
-      .dropCarriedStats(survivors.localCheckpoint())
+    import graft.plans.JobLabel.labeled
+    // survivors arrive PINNED from gatedSurvivors (round-19 optimization:
+    // one checkpoint serves the fp-delta build, the anti-join probe side,
+    // and every sink action) — re-checkpointing a checkpoint scan here
+    // would only add a job
+    val sv = survivors
     val deltaFps = sv.select("fp").distinct()
-    val nFps = deltaFps.count()
+    val nFps = labeled(s, "curate:delta-fp-count") { deltaFps.count() }
     if (!pruneWorthwhile(s, table, nFps)) {
       // oversized or corpus-scale batch (backfill/bootstrap): the kept-
       // file decision moves to the EXECUTORS — the delta's fps probe the
@@ -204,7 +247,8 @@ object CurationStream {
         graft.operators.BloomPrune.mightContain(sketch, xxhash64(col("fp"))))
       return sv.join(hot, Seq("fp"), "left_anti")
     }
-    val keys = deltaFps.collect().map(_.getString(0)).toSeq
+    val keys = labeled(s, "curate:fp-collect") {
+      deltaFps.collect().map(_.getString(0)).toSeq }
     val (scan, skip) = TxnLake.readKeyed(s, table, "fp", keys)
     lastFpSkipping = skip
     val matched = scan.select("fp")
@@ -423,9 +467,11 @@ object CurationStream {
         // quarantine count and the target write (the Expectations
         // "persist expensive upstreams" contract — the same eager
         // materialization x33's incrementalMatches probe does)
-        val afterExact = org.apache.spark.sql.GraftCheckpointShim
-          .dropCarriedStats(
-            antiJoinCommittedFps(survivors, table).localCheckpoint())
+        val afterExact = graft.plans.JobLabel.labeled(s,
+            "decontam:pin-after-exact") {
+          org.apache.spark.sql.GraftCheckpointShim
+            .dropCarriedStats(
+              antiJoinCommittedFps(survivors, table).localCheckpoint()) }
         // committed window set — space-joined `window`-grams of the
         // committed corpus (injective for equality: tokens are \s+-split,
         // so the separator can't be confused with token content).
@@ -460,9 +506,10 @@ object CurationStream {
         // crucially no checkpoint of a corpus-sized gram table.
         val estGrams =
           if (!trusted) 0L
-          else Option(afterExact.agg(
+          else graft.plans.JobLabel.labeled(s, "decontam:est-grams") {
+            Option(afterExact.agg(
               sum(greatest(col("n_tokens") - (window - 1), lit(0))))
-            .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+            .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L) }
         val hits =
           if (trusted && pruneWorthwhile(s, windex, estGrams)) {
             // SCAN-SCALED probe (x47): collect the delta's distinct grams
@@ -472,16 +519,22 @@ object CurationStream {
             // (small) truly-shared set, and semi-join the delta's grams
             // against THAT broadcast. No index-side exchange; files read
             // tracks true shared windows, not corpus size.
-            val gramsPinned = org.apache.spark.sql.GraftCheckpointShim
-              .dropCarriedStats(grams.localCheckpoint())
+            val gramsPinned = graft.plans.JobLabel.labeled(s,
+                "decontam:pin-grams") {
+              org.apache.spark.sql.GraftCheckpointShim
+                .dropCarriedStats(grams.localCheckpoint()) }
             // the distinct gram set pins too: it feeds the driver-side key
             // collect AND the broadcast build — and an unpinned distinct
             // would put ITS shuffle inside the probe plan (the gate below
             // rightly refuses any exchange there)
-            val deltaGrams = org.apache.spark.sql.GraftCheckpointShim
-              .dropCarriedStats(
-                gramsPinned.select("__g").distinct().localCheckpoint())
-            val keys = deltaGrams.collect().map(_.getString(0)).toSeq
+            val deltaGrams = graft.plans.JobLabel.labeled(s,
+                "decontam:pin-delta-grams") {
+              org.apache.spark.sql.GraftCheckpointShim
+                .dropCarriedStats(
+                  gramsPinned.select("__g").distinct().localCheckpoint()) }
+            val keys = graft.plans.JobLabel.labeled(s,
+              "decontam:gram-collect") {
+              deltaGrams.collect().map(_.getString(0)).toSeq }
             val (scan, skip) = TxnLake.readKeyed(s, windex, "__g", keys)
             lastWindexSkipping = skip
             val hot = scan.select("__g")
@@ -536,14 +589,15 @@ object CurationStream {
             (col("__p0") + 1 + window).as("__end"))
         val cleaned = graft.operators.SuffixArray
           .removeCoveredTokens(docsT, spans)
-        org.apache.spark.sql.GraftCheckpointShim.dropCarriedStats(afterExact
-          .join(cleaned.select(col("doc_id"), col("n_removed"),
-            col("cleaned_text")), Seq("doc_id"))
-          .select(col("doc_id"), col("fp"), col("n_tokens"),
-            col("n_removed").cast("int").as("n_removed"),
-            col("cleaned_text").as("text"),
-            lit(batchId).cast("int").as("ingest_batch"))
-          .localCheckpoint())
+        graft.plans.JobLabel.labeled(s, "decontam:pin-cleaned") {
+          org.apache.spark.sql.GraftCheckpointShim.dropCarriedStats(afterExact
+            .join(cleaned.select(col("doc_id"), col("n_removed"),
+              col("cleaned_text")), Seq("doc_id"))
+            .select(col("doc_id"), col("fp"), col("n_tokens"),
+              col("n_removed").cast("int").as("n_removed"),
+              col("cleaned_text").as("text"),
+              lit(batchId).cast("int").as("ingest_batch"))
+            .localCheckpoint()) }
     }
   }
 
@@ -756,10 +810,12 @@ object CurationStream {
       .getOrElse(Map.empty)
     var marksPersisted = marks.isEmpty
     ((w + 1) to c).foreach { b =>
-      val committed = TxnLake.commitOnce(s, increment(s, b), indexPath,
-        "append", indexTxnId, b,
-        extraTxns = if (marksPersisted) Map.empty else extra,
-        bloomCols = Seq(indexBloomCol))
+      val committed = graft.plans.JobLabel.labeled(s, s"index:increment b$b") {
+        TxnLake.commitOnce(s, increment(s, b), indexPath,
+          "append", indexTxnId, b,
+          extraTxns = if (marksPersisted) Map.empty else extra,
+          bloomCols = Seq(indexBloomCol))
+      }
       if (committed.isDefined) marksPersisted = true
     }
     if (!marksPersisted)
