@@ -89,12 +89,27 @@ object CurationStream {
     val src =
       if (batch.rdd.getNumPartitions < cores) batch.repartition(cores)
       else batch
-    val scrubbed = src.select(col("doc_id"),
-      regexp_replace(
-        graft.expressions.TextExpressions.nfcNormalize(col("text")),
-        graft.functions.TextFunctions.CtrlClassSpark, "").as("text"))
-    val gated = scrubbed
-      .withColumn("toks", tokens(col("text")))
+    // Pin the scrub + tokenize ONCE, with the token array materialized:
+    // the gate predicate below used to inline `tokens(text)` (and through
+    // it the NFC normalize + control scrub) at every reference — and
+    // because filters push below a repartition while projections do not,
+    // the whole inlined predicate also sank into the single pre-spread
+    // scan task. Materializing (doc_id, text, toks) behind a checkpoint
+    // (an optimizer barrier) keeps the expensive normalize+split at ONE
+    // evaluation per row, spread across cores, and every predicate read
+    // is an array access on stored data. The token array is dropped at
+    // the survivor pin below, so only the batch-sized intermediate
+    // carries it.
+    val toksed = graft.plans.JobLabel.labeled(s, "curate:pin-scrubbed") {
+      org.apache.spark.sql.GraftCheckpointShim.dropCarriedStats(
+        src.select(col("doc_id"),
+            regexp_replace(
+              graft.expressions.TextExpressions.nfcNormalize(col("text")),
+              graft.functions.TextFunctions.CtrlClassSpark, "").as("text"))
+          .withColumn("toks", tokens(col("text")))
+          .localCheckpoint())
+    }
+    val gated = toksed
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("alpha_ratio",
         length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
@@ -103,14 +118,17 @@ object CurationStream {
         && langId(col("toks")) =!= "und")
       .withColumn("fp", fingerprint(col("text")))
       .select("doc_id", "fp", "n_tokens", "text")
-    val pinnedGated = graft.plans.JobLabel.labeled(s, "curate:pin-gated") {
-      org.apache.spark.sql.GraftCheckpointShim
-        .dropCarriedStats(gated.localCheckpoint())
-    }
-    val canon = pinnedGated.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    // Within-batch canon (min doc_id per fp) as a min-over-window filter:
+    // row-for-row identical to the previous groupBy + doc_id left-semi
+    // join (every row whose doc_id equals its fp-group minimum survives),
+    // but the gate subtree appears ONCE in the plan instead of twice
+    // (build + probe sides) and the plan carries one exchange instead of
+    // an aggregate exchange plus a join.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
     graft.plans.JobLabel.labeled(s, "curate:pin-survivors") {
       org.apache.spark.sql.GraftCheckpointShim.dropCarriedStats(
-        pinnedGated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+        gated.withColumn("__mn", min(col("doc_id")).over(w))
+          .filter(col("doc_id") === col("__mn")).drop("__mn")
           .localCheckpoint())
     }
   }

@@ -66,6 +66,29 @@ object R19Plans {
       .curateBatch(batch, s"$tmp/t", 0L)
     dump("x32_curator_after", curatorNew)
 
+    // The PIN job's own plan (what the one gate evaluation executes):
+    // where does the spread exchange sit relative to the gate projection?
+    val spreadGate = scrubbedOf(batch
+        .repartition(spark.sparkContext.defaultParallelism))
+    dump("x32_gate_pin_job", spreadGate)
+
     spark.stop()
+  }
+
+  private def scrubbedOf(src: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions._
+    src.select(col("doc_id"),
+      regexp_replace(
+        graft.expressions.TextExpressions.nfcNormalize(col("text")),
+        graft.functions.TextFunctions.CtrlClassSpark, "").as("text"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
+          / length(col("text")))
+      .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.5
+        && langId(col("toks")) =!= "und")
+      .withColumn("fp", fingerprint(col("text")))
+      .select("doc_id", "fp", "n_tokens", "text")
   }
 }
