@@ -359,7 +359,97 @@ object TextKernels {
   }
 }
 
+/** Doc-grain excision kernel (optimization round 19, guide §2.3/§8:
+  * decide on metadata, keep heavy rows in place). Inputs: this document's
+  * token array and its span starts as `array<struct<p,e>>` — 1-based
+  * half-open token intervals `[p, e)`, any order, overlaps allowed.
+  * Output: `struct(n_kept int, cleaned string)` — the tokens OUTSIDE the
+  * interval union, space-joined in position order.
+  *
+  * Replaces the token-grain formulation of
+  * [[graft.operators.SuffixArray.removeCoveredTokens]] (posexplode →
+  * (doc_id,pos) join → per-doc running-max window → sorted collect_list
+  * rebuild — four token-grain exchanges per call) with per-document
+  * arithmetic: sort the (tiny) span set, one linear merge over spans +
+  * tokens. An `aggregate` HOF could do the same merge but accumulates
+  * immutable arrays — O(spans · kept) copying, quadratic exactly on the
+  * span-dense documents (a fully-duplicated document makes every
+  * position a span start); the kernel is O(spans log spans + tokens).
+  * Null tokens are skipped without a separator (array_join semantics,
+  * matching the collect_list rebuild this replaces). */
+case class ExciseCovered(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StructType(f), _))
+          if f.length == 2 && f.forall(_.dataType == LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"expected (array<string>, array<struct<bigint,bigint>>), " +
+          s"got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_kept", IntegerType, nullable = false),
+    StructField("cleaned", StringType, nullable = false)))
+  override def prettyName: String = "excise_covered"
+
+  override def nullSafeEval(toksV: Any, spansV: Any): Any = {
+    val toks = toksV.asInstanceOf[ArrayData]
+    val spans = spansV.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val k = spans.numElements()
+    val ps = new Array[Long](k)
+    val es = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val row = spans.getStruct(i, 2)
+      ps(i) = row.getLong(0)
+      es(i) = row.getLong(1)
+      i += 1
+    }
+    // sort spans by start (callers pass collect_list output — unordered)
+    val idx = Array.tabulate(k)(java.lang.Integer.valueOf)
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) =>
+      java.lang.Long.compare(ps(a), ps(b)))
+    val sb = new java.lang.StringBuilder()
+    var kept = 0
+    // append tokens [from, untilEx) — 1-based half-open
+    def appendRange(from: Long, untilEx: Long): Unit = {
+      var p = math.max(from, 1L)
+      val end = math.min(untilEx, n + 1L)
+      while (p < end) {
+        val j = (p - 1).toInt
+        if (!toks.isNullAt(j)) {
+          if (sb.length() > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(j).toString)
+        }
+        kept += 1
+        p += 1
+      }
+    }
+    var cur = 1L
+    i = 0
+    while (i < k) {
+      val s = ps(idx(i)); val e = es(idx(i))
+      if (s > cur) appendRange(cur, s)
+      if (e > cur) cur = e
+      i += 1
+    }
+    if (cur <= n) appendRange(cur, n + 1L)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](kept, UTF8String.fromString(sb.toString)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
+  def exciseCovered(toks: Column, spans: Column): Column =
+    ColumnBridge.column(ExciseCovered(
+      ColumnBridge.expression(toks), ColumnBridge.expression(spans)))
   def wordShingles(toks: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(toks), n))
   def minhashSignature(hashes: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =

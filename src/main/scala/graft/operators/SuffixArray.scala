@@ -360,25 +360,28 @@ object SuffixArray {
     * pattern. Emits one row per `docs` row:
     * `doc_id, n_toks, n_removed, cleaned_text`. */
   def removeCoveredTokens(docs: DataFrame, spans: DataFrame): DataFrame = {
-    val tok = tokenPositions(docs)
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val kept = tok.join(spans, Seq("doc_id", "pos"), "left")
-      // covered ⟺ some start at p' ≤ pos reaches past pos (ends are
-      // exclusive); the running max over the doc's positions is that test
-      .withColumn("__reach", max(col("__end")).over(w))
-      .filter(coalesce(col("__reach") > col("pos"), lit(false)) === false)
-    val agg = kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("__n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")), " ").as("cleaned_text"))
-    docs.select(col("doc_id"), size(col("toks")).as("__n_toks"))
-      .join(agg, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("__n_toks").cast("int").as("n_toks"),
-        (col("__n_toks") - coalesce(col("__n_kept"), lit(0L))).cast("int")
-          .as("n_removed"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+    // Doc-grain rebuild (optimization round 19, guide §2.3 "shuffle keys
+    // and metadata instead of payloads" / §8): the previous form exploded
+    // every document into token rows, shuffle-joined them against the
+    // span starts on (doc_id, pos), ran a per-document running-max window
+    // over the TOKEN rows, and rebuilt the text with a sorted
+    // collect_list — four token-grain exchanges per call, O(corpus
+    // tokens) rows through every one. Every decision here is
+    // per-document: aggregate the span set to one array per document
+    // (span-grain exchange — the only rows that move are the hits) and
+    // excise with ONE linear kernel pass per document
+    // ([[graft.expressions.ExciseCovered]]). Output rows, values, and
+    // column types are identical.
+    val sp = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("pos").cast("long").as("p"),
+        col("__end").cast("long").as("e"))).as("__sp"))
+    docs.join(sp, Seq("doc_id"), "left_outer")
+      .withColumn("__x", graft.expressions.TextExpressions.exciseCovered(
+        col("toks"),
+        coalesce(col("__sp"), array().cast("array<struct<p:bigint,e:bigint>>"))))
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        (size(col("toks")) - col("__x").getField("n_kept")).as("n_removed"),
+        col("__x").getField("cleaned").as("cleaned_text"))
   }
 
   /** Start positions in the NON-bench partition of spans of ≥ `minLen`

@@ -36,6 +36,53 @@ import org.apache.hadoop.fs.permission.FsPermission
 class NioRawLocalFileSystem extends RawLocalFileSystem {
   override def setPermission(p: Path, permission: FsPermission): Unit =
     NioLocalFileSystem.chmodNio(pathToFile(p).toPath, permission)
+
+  /** Second fork source, caught by the same stack sampling on the stream
+    * execution thread: without libhadoop, `getFileLinkStatus` takes
+    * `deprecatedGetFileLinkStatusInternal`, which UNCONDITIONALLY forks a
+    * `readlink` process (`FileUtil.readLink` → `Shell.execCommand`) just
+    * to learn whether the path is a symlink — and
+    * `AbstractFileSystem.renameInternal` calls it for BOTH src and dst,
+    * so every FileContext rename (every streaming-checkpoint offset /
+    * commit / metadata write goes through
+    * `RenameBasedFSDataOutputStream.close`) paid two forks. java.nio
+    * answers the symlink question with one lstat; the rare true-symlink
+    * case falls back to the stock path so link-target semantics stay
+    * byte-identical. */
+  override def getFileLinkStatus(f: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus = {
+    val nio = pathToFile(f).toPath
+    if (java.nio.file.Files.isSymbolicLink(nio)) super.getFileLinkStatus(f)
+    else getFileStatus(f) // non-link: link status == file status
+  }
+
+  /** Third fork source: the no-native `getFileStatus` returns a
+    * `DeprecatedRawLocalFileStatus` whose permission/owner/group fields
+    * load LAZILY by forking `ls -ld` and parsing its output
+    * (`loadPermissionInfo`). Any consumer that touches `getPermission()`
+    * (commit protocols, checkpoint managers, FileContext's create-time
+    * umask checks) pays a fork per file. One `readAttributes` syscall
+    * carries all of it. Non-POSIX stores fall back to the stock path. */
+  override def getFileStatus(f: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus = {
+    val file = pathToFile(f)
+    try {
+      val attrs = java.nio.file.Files.readAttributes(
+        file.toPath, classOf[java.nio.file.attribute.PosixFileAttributes])
+      val qualified = new Path(file.getPath)
+        .makeQualified(getUri, getWorkingDirectory)
+      new org.apache.hadoop.fs.FileStatus(
+        attrs.size(), attrs.isDirectory, 1, getDefaultBlockSize(f),
+        attrs.lastModifiedTime().toMillis, attrs.lastAccessTime().toMillis,
+        NioLocalFileSystem.toFsPermission(attrs.permissions()),
+        attrs.owner().getName, attrs.group().getName, null, qualified)
+    } catch {
+      case _: java.nio.file.NoSuchFileException =>
+        throw new java.io.FileNotFoundException(
+          s"File $f does not exist")
+      case _: UnsupportedOperationException => super.getFileStatus(f)
+    }
+  }
 }
 
 object NioLocalFileSystem {
@@ -44,6 +91,20 @@ object NioLocalFileSystem {
     OTHERS_EXECUTE, OTHERS_WRITE, OTHERS_READ,
     GROUP_EXECUTE, GROUP_WRITE, GROUP_READ,
     OWNER_EXECUTE, OWNER_WRITE, OWNER_READ)
+
+  /** POSIX permission set → Hadoop FsPermission (inverse of the chmod
+    * mapping below; both walk the same nine bits). */
+  private[sources] def toFsPermission(
+      set: java.util.Set[java.nio.file.attribute.PosixFilePermission])
+      : FsPermission = {
+    var mode = 0
+    var i = 0
+    while (i < 9) {
+      if (set.contains(bitPerms(i))) mode |= (1 << i)
+      i += 1
+    }
+    new FsPermission(mode.toShort)
+  }
 
   private[sources] def chmodNio(p: java.nio.file.Path,
                                 permission: FsPermission): Unit = {

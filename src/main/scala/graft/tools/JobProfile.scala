@@ -66,6 +66,55 @@ object JobProfile {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // In-process stack sampler (guide §7.3: external jstack/jcmd attach is
+    // blocked in this sandbox) — every ~8 ms, record the first
+    // "interesting" frame (plus nearest graft/spark context) of every
+    // thread that is RUNNABLE or inside a blocking syscall, bucketed by
+    // thread family. Prints the hottest buckets after the measured run:
+    // this is what attributes the total-vs-jobWall gap (driver-side
+    // planning, txn-log I/O, stream machinery) that no SparkListener sees.
+    val sampling = sys.env.get("GRAFT_SAMPLE").contains("1")
+    val hot = mutable.Map.empty[(String, String), Int]
+    val forkStacks = mutable.ArrayBuffer.empty[String]
+    @volatile var sampleOn = false
+    val sampler = new Thread(() => {
+      val boring = Seq("Unsafe.park", "LockSupport", "Object.wait",
+        "AbstractQueuedSynchronizer", "ForkJoinPool", "SelectorImpl",
+        "epollWait", "PlainSocketImpl", "Net.poll", "CountDownLatch",
+        "Reference.waitForReference", "ThreadPoolExecutor.getTask",
+        "SynchronousQueue", "LinkedBlockingQueue.take",
+        "LinkedBlockingDeque.take", "PriorityBlockingQueue.take")
+      while (true) {
+        if (sampleOn) {
+          val all = Thread.getAllStackTraces
+          all.forEach { (th, frames) =>
+            if (frames.nonEmpty && th.getId != Thread.currentThread().getId) {
+              val fs = frames.map(f => s"${f.getClassName}.${f.getMethodName}")
+              val interesting = fs.find(f => !boring.exists(f.contains))
+              val isIdle = boring.exists(fs.head.contains)
+              if (!isIdle && interesting.isDefined) {
+                if (interesting.get.contains("forkAndExec") &&
+                    forkStacks.size < 3)
+                  forkStacks.synchronized {
+                    forkStacks += frames.map(_.toString).mkString("\n    ")
+                  }
+                val ctx = fs.find(f => f.contains("graft") ||
+                  f.contains("org.apache.spark.sql.execution") ||
+                  f.contains("org.apache.spark.sql.catalyst")).getOrElse("")
+                val fam = th.getName.replaceAll("[0-9]+", "N")
+                hot.synchronized {
+                  hot((fam, interesting.get + " || " + ctx)) =
+                    hot.getOrElse((fam, interesting.get + " || " + ctx), 0) + 1
+                }
+              }
+            }
+          }
+        }
+        Thread.sleep(8)
+      }
+    })
+    sampler.setDaemon(true)
+    if (sampling) sampler.start()
     args.tail.foreach { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
@@ -76,8 +125,11 @@ object JobProfile {
       once() // warm
       SessionHygiene.dropAllStorage(spark)
       jobs.synchronized(jobs.clear())
+      hot.synchronized(hot.clear())
       recording = true
+      sampleOn = true
       val t = once()
+      sampleOn = false
       recording = false
       // let straggler listener events drain (bus is private API; a short
       // sleep is enough for a dev tool)
@@ -99,6 +151,30 @@ object JobProfile {
       recs.sortBy(r => -(r.end - r.start)).take(15).foreach { r =>
         println(f"  job=${r.id}%-4d ${(r.end - r.start).max(0L) / 1e3}%6.2fs " +
           f"tasks=${r.tasks}%-4d ${r.desc.take(110)}")
+      }
+      if (sampling) {
+        println(s"  -- busy samples by thread family (8 ms ticks) --")
+        hot.synchronized(hot.toSeq).groupBy(_._1._1)
+          .map { case (fam, xs) => fam -> xs.map(_._2).sum }
+          .toSeq.sortBy(-_._2).take(12).foreach { case (fam, n) =>
+            println(f"  $n%5d $fam")
+          }
+        println(s"  -- hottest sampled stacks (8 ms ticks, busy threads) --")
+        val hotSeq = hot.synchronized(hot.toSeq)
+        hotSeq.sortBy(-_._2).take(30).foreach {
+          case ((fam, frame), n) =>
+            println(f"  $n%4d [$fam] $frame")
+        }
+        // driver-side families get their own top list (the executor pool
+        // swamps the global one)
+        Seq("stream execution", "main", "dag-scheduler").foreach { want =>
+          println(s"  -- top [$want] stacks --")
+          hotSeq.filter(_._1._1.contains(want)).sortBy(-_._2).take(10)
+            .foreach { case ((_, frame), n) => println(f"  $n%4d $frame") }
+        }
+        forkStacks.synchronized(forkStacks.toSeq).foreach { st =>
+          println(s"  -- fork stack --\n    $st")
+        }
       }
     }
     spark.stop()

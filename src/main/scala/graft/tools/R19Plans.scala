@@ -72,6 +72,41 @@ object R19Plans {
         .repartition(spark.sparkContext.defaultParallelism))
     dump("x32_gate_pin_job", spreadGate)
 
+    // ---- removeCoveredTokens (shared by d51/d53/x34/x42/x43/x47/x64/
+    // x70): token-grain vs doc-grain excision -------------------------
+    // BEFORE (reconstructed from b5f550e): posexplode -> (doc_id,pos)
+    // join -> per-doc running-max window over TOKEN rows -> sorted
+    // collect_list rebuild -> join back to docs
+    import org.apache.spark.sql.expressions.Window
+    val docsT = batch.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val spans = docsT.select(col("doc_id"), lit(3L).as("pos"),
+      lit(7L).as("__end"))
+    val tokRows = docsT.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptOld = tokRows.join(spans, Seq("doc_id", "pos"), "left")
+      .withColumn("__reach", max(col("__end")).over(w))
+      .filter(coalesce(col("__reach") > col("pos"), lit(false)) === false)
+    val aggOld = keptOld.groupBy("doc_id")
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("cleaned_text"))
+    val beforeExcise = docsT
+      .select(col("doc_id"), size(col("toks")).as("__n_toks"))
+      .join(aggOld, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("__n_toks").cast("int").as("n_toks"),
+        (col("__n_toks") - coalesce(col("__n_kept"), lit(0L))).cast("int")
+          .as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+    dump("d51_excise_before", beforeExcise)
+    // AFTER: the live doc-grain path (span-grain groupBy + one join +
+    // the ExciseCovered kernel)
+    dump("d51_excise_after",
+      graft.operators.SuffixArray.removeCoveredTokens(docsT, spans))
+
     spark.stop()
   }
 

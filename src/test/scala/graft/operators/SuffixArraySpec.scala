@@ -202,6 +202,34 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("removeCoveredTokens doc-grain kernel: overlap, unsorted, clamped, full-cover") {
+    // focused edge cases for the round-19 ExciseCovered kernel (the
+    // doc-grain rewrite of the token-grain window formulation): spans
+    // arrive UNSORTED (collect_list order is arbitrary), may overlap,
+    // may extend past the document, may cover everything, and a doc may
+    // have no spans at all (left_outer null path)
+    val s = spark
+    import s.implicits._
+    val docs = docsDf(Seq(
+      1L -> Seq("a", "b", "c", "d", "e", "f"), // overlapping + unsorted
+      2L -> Seq("g", "h", "i"),                // span past the end
+      3L -> Seq("j", "k"),                     // fully covered
+      4L -> Seq("l", "m", "n")))               // no spans
+    val spans = Seq(
+      (1L, 4L, 6L), // [4,6) — listed FIRST though it starts later
+      (1L, 2L, 5L), // [2,5) — overlaps; union [2,6) keeps a, f
+      (2L, 2L, 9L), // reaches past n=3: keeps g only
+      (3L, 1L, 3L)  // covers the whole doc
+    ).toDF("doc_id", "pos", "__end")
+    val got = SuffixArray.removeCoveredTokens(docs, spans).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((6, 4, "a f")), s"got ${got(1L)}")
+    assert(got(2L) == ((3, 2, "g")), s"got ${got(2L)}")
+    assert(got(3L) == ((2, 2, "")), s"got ${got(3L)}")
+    assert(got(4L) == ((3, 0, "l m n")), s"got ${got(4L)}")
+  }
+
   test("removeRepeatedSpans removes a within-document repeat") {
     // self-plagiarism: one doc repeats its own 4-token block; with
     // minLen 4 both occurrences are covered and removed
