@@ -3218,14 +3218,6 @@ object TxnLake extends LakeFormat {
           s"engine's reserved names " +
           s"(__act/__iact/__m/$RidCol/$MergeSourcePrefix*)"))
     requireNotReserved("source", source.columns)
-    if (matched.nonEmpty) {
-      val dup = source.filter(col(key).isNotNull).groupBy(key)
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
-      require(dup == 0,
-        s"TxnLake.mergeIntoClauses: multiple source rows share a $key — a " +
-          "matched row would have no deterministic clause source (Delta's " +
-          "multiple-matches error)")
-    }
     def condTrue(c: Option[Column]): Column =
       c.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
     // source feeds the key collect, the rewrite join, and the insert
@@ -3239,18 +3231,43 @@ object TxnLake extends LakeFormat {
     // bootstrap merge whose source rivals the table — None means full
     // scope, which is what such a merge rewrites anyway. Never a driver
     // OOM, identical rows either way.
+    //
+    // Round-19 optimization (guide §1.2): the multiple-matches check and
+    // the key collect used to be TWO jobs, each its own groupBy pass
+    // over the source — one grouped pass now carries both the distinct
+    // keys and their multiplicities. Grouping stays on the NATIVE key
+    // (the dup check's exact domain — two distinct natives with one
+    // string rendering must not read as a dup) and the rendering is the
+    // same Spark cast the old collect used. When the limit truncates
+    // (backfill-sized source, keys = None), the page we saw can't prove
+    // no-dup, so the old dedicated dup job runs — the rare path keeps
+    // the exact semantics at its pre-existing cost.
     val keyCap = spark.conf.getOption("graft.probe.maxDriverKeys")
       .map(_.toLong).getOrElse(1000000L)
-    val keys: Option[Seq[String]] = {
-      // clamp BEFORE the +1: a Long.MaxValue cap must mean "collect up to
-      // the Int ceiling", not overflow to limit(0) and misread every
-      // source row as new
-      val lim = (math.min(math.max(keyCap, 0L),
-        (Int.MaxValue - 2).toLong) + 1).toInt
-      val ks = src.select(col(key).cast("string")).na.drop().distinct()
-        .limit(lim).collect().map(_.getString(0)).toSeq
-      if (ks.length > keyCap) None else Some(ks)
+    // clamp BEFORE the +1: a Long.MaxValue cap must mean "collect up to
+    // the Int ceiling", not overflow to limit(0) and misread every
+    // source row as new
+    val lim = (math.min(math.max(keyCap, 0L),
+      (Int.MaxValue - 2).toLong) + 1).toInt
+    val grouped = src.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .select(col(key).cast("string"), col("__n"))
+      .limit(lim).collect()
+    val sawAllGroups = grouped.length < lim
+    if (matched.nonEmpty) {
+      val dup =
+        if (sawAllGroups) grouped.exists(_.getLong(1) > 1)
+        else src.filter(col(key).isNotNull).groupBy(key)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+          .limit(1).count() > 0
+      require(!dup,
+        s"TxnLake.mergeIntoClauses: multiple source rows share a $key — a " +
+          "matched row would have no deterministic clause source (Delta's " +
+          "multiple-matches error)")
     }
+    val keys: Option[Seq[String]] =
+      if (grouped.length > keyCap) None
+      else Some(grouped.map(_.getString(0)).toSeq)
     // NOT MATCHED rows per clause, projected onto the target schema
     // (provided expressions uncast — a type mismatch is refused loudly by
     // the commit's schema merge, never silently coerced; absent columns

@@ -26,6 +26,9 @@ object JobProfile {
     println("FSIMPL " + org.apache.hadoop.fs.FileSystem
       .get(new java.net.URI("file:///"),
         spark.sparkContext.hadoopConfiguration).getClass.getName)
+    println("ISTESTING spark.testing=" + sys.props.get("spark.testing") +
+      " SPARK_TESTING=" + sys.env.get("SPARK_TESTING") +
+      " assertions=" + getClass.desiredAssertionStatus())
     val jobs = mutable.LinkedHashMap.empty[Int, JobRec]
     @volatile var recording = false
     val listener = new SparkListener {
