@@ -359,6 +359,68 @@ object TextKernels {
   }
 }
 
+/** Stopword-vote language ID (optimization round 19, guide §4): one pass
+  * over the token array testing membership in each language's stopword
+  * set, then argmax with declaration-order tie-break; null (caller
+  * coalesces to "und") on null input, "und" on zero votes. Replaces the
+  * `aggregate` HOF formulation whose per-token lambda (CreateArray +
+  * 5 CaseWhen/In) evaluated interpreted — stack-sampled at ~10 s of task
+  * CPU per streaming-ingest lifecycle at sf0.1. Vote counts, tie-break,
+  * and null-token handling (no vote — `isin` semantics) are identical. */
+case class LangIdVotes(child: Expression, langs: Seq[String],
+                       words: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"expected array<string>, got ${t.sql}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "langid_votes"
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    words.map { ws =>
+      val s = new java.util.HashSet[UTF8String](ws.size * 2)
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+  @transient private lazy val langU: Array[UTF8String] =
+    langs.map(UTF8String.fromString).toArray
+  @transient private lazy val und = UTF8String.fromString("und")
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val k = sets.length
+    val votes = new Array[Int](k)
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          if (sets(j).contains(t)) votes(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var j = 0
+    while (j < k) { if (votes(j) > best) best = votes(j); j += 1 }
+    if (best == 0) und
+    else {
+      j = 0
+      while (votes(j) != best) j += 1 // first hit = declaration order
+      langU(j)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Doc-grain excision kernel (optimization round 19, guide §2.3/§8:
   * decide on metadata, keep heavy rows in place). Inputs: this document's
   * token array and its span starts as `array<struct<p,e>>` — 1-based
@@ -447,6 +509,10 @@ case class ExciseCovered(left: Expression, right: Expression)
 }
 
 object TextExpressions {
+  def langIdVotes(toks: Column, langs: Seq[String],
+                  words: Seq[Seq[String]]): Column =
+    ColumnBridge.column(LangIdVotes(
+      ColumnBridge.expression(toks), langs, words))
   def exciseCovered(toks: Column, spans: Column): Column =
     ColumnBridge.column(ExciseCovered(
       ColumnBridge.expression(toks), ColumnBridge.expression(spans)))

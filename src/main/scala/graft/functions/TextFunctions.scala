@@ -151,35 +151,23 @@ object TextFunctions {
     * above zero.
     *
     * Optimization round 19 (guide §4, "eliminate non-codegen expressions
-    * in the hot path"): the original form built `scores`/`best` as Column
-    * expressions and referenced them across the argmax chain — Column
-    * trees DUPLICATE at every reference, so the expanded predicate held
-    * ~35 `size(filter(toks, …))` occurrences, each an interpreted
-    * (CodegenFallback) ArrayFilter pass over the token array, and when
-    * `toks` was itself an inline `split(lower(nfc_normalize(…)))` the
-    * whole normalize+split re-ran per occurrence (jstack caught
-    * `ArrayFilter.nullSafeEval`/`StringSplit.nullSafeEval` dominating the
-    * gate task). This form makes ONE pass over the tokens via the
-    * `aggregate` higher-order function — lambda variables are BOUND
-    * values, so the vote array and the argmax chain read the accumulator
-    * instead of re-evaluating anything. Semantics are bit-identical:
-    * same counts, same declaration-order tie-break, same "und" on zero
-    * votes and on a NULL token array. */
-  def langId(toks: Column): Column = {
-    val n = LangStopwords.size
-    val scored = aggregate(
-      toks,
-      array(Seq.fill(n)(lit(0)): _*),
-      (acc, t) => array(LangStopwords.zipWithIndex.map { case ((_, words), i) =>
-        acc.getItem(i) + when(t.isin(words.map(lit): _*), 1).otherwise(0)
-      }: _*),
-      acc => {
-        val best = (0 until n).map(acc.getItem(_)).reduce(greatest(_, _))
-        LangStopwords.zipWithIndex.foldRight(lit("und"): Column) {
-          case (((lang, _), i), els) =>
-            when(acc.getItem(i) === best && best > 0, lang).otherwise(els)
-        }
-      })
-    coalesce(scored, lit("und")) // NULL toks scored "und" in the original
-  }
+    * in the hot path"), two steps. The original form built `scores`/
+    * `best` as Column expressions and referenced them across the argmax
+    * chain — Column trees DUPLICATE at every reference, so the expanded
+    * predicate held ~35 `size(filter(toks, …))` occurrences, each an
+    * interpreted (CodegenFallback) ArrayFilter pass over the token array,
+    * and when `toks` was itself an inline `split(lower(nfc_normalize(…)))`
+    * the whole normalize+split re-ran per occurrence. An `aggregate` HOF
+    * rewrite made it ONE pass, but the per-token lambda (CreateArray +
+    * 5 CaseWhen/In) still evaluated interpreted — stack-sampled at ~10 s
+    * of task CPU per streaming-ingest lifecycle at sf0.1 — so the pass is
+    * now the [[graft.expressions.LangIdVotes]] native kernel. Semantics
+    * are bit-identical throughout: same counts (null tokens vote
+    * nowhere — `isin` semantics), same declaration-order tie-break, same
+    * "und" on zero votes and on a NULL token array. */
+  def langId(toks: Column): Column =
+    coalesce( // NULL toks scored "und" in the original
+      graft.expressions.TextExpressions.langIdVotes(
+        toks, LangStopwords.map(_._1), LangStopwords.map(_._2)),
+      lit("und"))
 }

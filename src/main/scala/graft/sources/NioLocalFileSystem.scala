@@ -67,20 +67,35 @@ class NioRawLocalFileSystem extends RawLocalFileSystem {
       : org.apache.hadoop.fs.FileStatus = {
     val file = pathToFile(f)
     try {
-      val attrs = java.nio.file.Files.readAttributes(
-        file.toPath, classOf[java.nio.file.attribute.PosixFileAttributes])
+      // numeric "unix:" bulk read: resolving owner/group NAMES eagerly
+      // costs a getpwuid/getgrgid NSS lookup per call (stack-sampled on
+      // the commit path) — the ids are in the stat the read already did,
+      // and the names resolve once per distinct id via the cache below
+      val m = java.nio.file.Files.readAttributes(file.toPath,
+        "unix:mode,size,isDirectory,lastModifiedTime,lastAccessTime,uid,gid")
+      val mode = m.get("mode").asInstanceOf[Integer].intValue()
       val qualified = new Path(file.getPath)
         .makeQualified(getUri, getWorkingDirectory)
       new org.apache.hadoop.fs.FileStatus(
-        attrs.size(), attrs.isDirectory, 1, getDefaultBlockSize(f),
-        attrs.lastModifiedTime().toMillis, attrs.lastAccessTime().toMillis,
-        NioLocalFileSystem.toFsPermission(attrs.permissions()),
-        attrs.owner().getName, attrs.group().getName, null, qualified)
+        m.get("size").asInstanceOf[java.lang.Long].longValue(),
+        m.get("isDirectory").asInstanceOf[java.lang.Boolean].booleanValue(),
+        1, getDefaultBlockSize(f),
+        m.get("lastModifiedTime")
+          .asInstanceOf[java.nio.file.attribute.FileTime].toMillis,
+        m.get("lastAccessTime")
+          .asInstanceOf[java.nio.file.attribute.FileTime].toMillis,
+        new FsPermission((mode & 0x1ff).toShort),
+        NioLocalFileSystem.ownerName(
+          m.get("uid").asInstanceOf[Integer].intValue(), file.toPath),
+        NioLocalFileSystem.groupName(
+          m.get("gid").asInstanceOf[Integer].intValue(), file.toPath),
+        null, qualified)
     } catch {
       case _: java.nio.file.NoSuchFileException =>
         throw new java.io.FileNotFoundException(
           s"File $f does not exist")
-      case _: UnsupportedOperationException => super.getFileStatus(f)
+      case _: UnsupportedOperationException | _: IllegalArgumentException =>
+        super.getFileStatus(f) // non-unix view: stock path
     }
   }
 }
@@ -91,6 +106,28 @@ object NioLocalFileSystem {
     OTHERS_EXECUTE, OTHERS_WRITE, OTHERS_READ,
     GROUP_EXECUTE, GROUP_WRITE, GROUP_READ,
     OWNER_EXECUTE, OWNER_WRITE, OWNER_READ)
+
+  /** uid/gid → name, resolved once per distinct id per JVM (getpwuid /
+    * getgrgid walk NSS; the commit path calls getFileStatus hundreds of
+    * times per lifecycle and virtually every file belongs to the process
+    * user). */
+  private val ownerCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+  private val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+
+  private[sources] def ownerName(uid: Int, p: java.nio.file.Path): String =
+    ownerCache.computeIfAbsent(uid, _ =>
+      try java.nio.file.Files.getOwner(p).getName
+      catch { case _: Exception => uid.toString })
+
+  private[sources] def groupName(gid: Int, p: java.nio.file.Path): String =
+    groupCache.computeIfAbsent(gid, _ =>
+      try java.nio.file.Files
+        .readAttributes(p,
+          classOf[java.nio.file.attribute.PosixFileAttributes])
+        .group().getName
+      catch { case _: Exception => gid.toString })
 
   /** POSIX permission set → Hadoop FsPermission (inverse of the chmod
     * mapping below; both walk the same nine bits). */

@@ -27,6 +27,35 @@ class TextOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(common.nonEmpty, "shared 8-token run produced no shared fingerprint")
   }
 
+  test("langId kernel matches the reference vote/argmax semantics (property)") {
+    // brute-force reference of the pre-r19 Column formulation: per-lang
+    // stopword count over the tokens, argmax with declaration-order
+    // tie-break, "und" when no list scores above zero
+    def ref(toks: Seq[String]): String = {
+      val scores = LangStopwords.map { case (lang, ws) =>
+        lang -> toks.count(t => t != null && ws.contains(t)) }
+      val best = scores.map(_._2).max
+      if (best == 0) "und" else scores.find(_._2 == best).get._1
+    }
+    val s = SparkSpec.session
+    import s.implicits._
+    val vocab: Seq[String] =
+      LangStopwords.flatMap(_._2) ++ Seq("xx", "yy", "zz", "1", "")
+    val rnd = new scala.util.Random(4711)
+    val docs: Seq[Seq[String]] =
+      Seq.empty[String] +: // empty array → und
+      (1 to 200).map(_ => Seq.fill(rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.size))))
+    val got = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "toks")
+      .select(col("id"), langId(col("toks")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t),
+        s"langId diverged on $t: got ${got(i.toLong)}, want ${ref(t)}")
+    }
+  }
+
   test("winnowing: unrelated documents share no fingerprints") {
     val a = fps("aa bb cc dd ee ff gg hh ii jj kk")
     val b = fps("zz yy xx ww vv uu tt ss rr qq pp")
